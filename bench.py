@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (computes every
+column; count() would let Catalyst prune the interesting work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "agg_doc_text",        # flagship: ordered per-doc assembly (1 shuffle)
+    "agg_group_stats",     # TPC-H Q1-shaped grouped aggregation
+    "join_bridge",         # orders ⋈ lineitem ⋈ part (broadcast dim)
+    "join_child_collect",  # ordered 1:N collect (reference selectinload)
+    "window_running",      # per-key running aggregates
+    "topk_per_group",      # rank + filter
+    "dedup_latest",        # keep-latest window dedup
+    "dedup_exact",         # hash dedup on text
+    "dedup_fuzzy_minhash", # minhash+LSH near-dup pipeline
+    "sim_topk",            # brute-force cosine top-k
+    "json_extract",        # JSON parse over events
+    "text_stats",          # tokenize + quality stats
+    "stream_tumbling",     # windowed event aggregation
+    "udf_llm_summarize",   # mapInPandas stub-LLM stage (Arrow boundary)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.session import get_spark
+
+    load_all_plans()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once so timings measure the plans, not startup
+    REGISTRY["scan_full"].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

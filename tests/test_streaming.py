@@ -1,0 +1,103 @@
+"""Structured Streaming semantics (T1-T4): the same window operators that
+pass the batch oracle are run through readStream on a parquet copy of the
+events table; watermarked aggregation and stateful dedup are exercised
+end-to-end with an in-memory sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.streaming.windows import (
+    session_counts,
+    stream_dedup,
+    stream_tumbling_with_watermark,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_to_completion(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_tumbling_matches_batch(spark, events_stream_dir):
+    """T1+T3: watermarked streaming windows agree with batch for every
+    window the final watermark closed; windows inside the late-data horizon
+    (max ts - 1 h) are correctly withheld in append mode."""
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        (r["window_start"], r["window_end"]): (r["n_events"], r["value_cents"])
+        for r in tumbling_counts(events).collect()
+    }
+    stream = stream_tumbling_with_watermark(_read_stream(spark, events_stream_dir))
+    _run_to_completion(stream, "t1_windows")
+    got = {
+        (r["window_start"], r["window_end"]): (r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM t1_windows").collect()
+    }
+    # every emitted window matches batch exactly
+    assert all(batch[k] == v for k, v in got.items())
+    # and everything older than the final watermark was emitted
+    import datetime
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - datetime.timedelta(hours=1)
+    closed = {k: v for k, v in batch.items() if k[1] <= horizon}
+    assert set(closed) <= set(got)
+
+
+def test_stream_dedup_bounded_state(spark, events_stream_dir):
+    """T4: dropDuplicatesWithinWatermark removes duplicate user_ids within
+    the watermark horizon; output count is ≤ distinct users."""
+    src = _read_stream(spark, events_stream_dir)
+    deduped = stream_dedup(src, ["user_id"])
+    _run_to_completion(deduped, "t4_dedup")
+    n_out = spark.sql("SELECT COUNT(*) AS n FROM t4_dedup").collect()[0]["n"]
+    n_users = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    assert 0 < n_out <= n_users
+
+
+def test_session_window_gap_semantics(spark):
+    """T2 golden check: events 4 min apart merge into one session; a 6-min
+    gap splits; session end = last event + gap."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:04:00", 10, "a", 1.0, "{}"),
+        (3, "2024-01-01 00:10:00", 10, "a", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = sorted(
+        session_counts(ev).collect(), key=lambda r: r["session_start"]
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2
+    assert str(out[0]["session_start"]) == "2024-01-01 00:00:00"
+    assert str(out[0]["session_end"]) == "2024-01-01 00:09:00"  # last + 5 min
+    assert out[1]["n_events"] == 1

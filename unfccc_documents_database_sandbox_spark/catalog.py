@@ -1,0 +1,67 @@
+"""Table loading and catalog introspection.
+
+Reference parity:
+- `from init_db import engine` + ORM `select(...)` (reference README.md:15-18)
+  → `load_table(spark, sf_dir, name)` parquet scans (columnar, pruned).
+- `inspect(engine).get_table_names()` (reference probe.py:6-7)
+  → `register_views` + `spark.catalog.listTables()` / `SHOW TABLES`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table (S1). Parquet → column pruning + predicate
+    pushdown are automatic once downstream plans select/filter."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS): read as raw nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros —
+        # the same truncation DuckDB applies reading nanos into TIMESTAMP.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view (enables spark.sql paths
+    and catalog introspection — reference probe.py:6-7)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> DataFrame:
+    """Catalog introspection (S3): one row per visible table/view, sorted.
+
+    Reference parity: probe.py:6-7 `inspect(engine).get_table_names()`.
+    """
+    names = sorted(t.name for t in spark.catalog.listTables())
+    return spark.createDataFrame([(n,) for n in names], "table_name string")

@@ -1,0 +1,95 @@
+"""Batch LLM inference as a mapInPandas stage (U1-U4).
+
+Reference behavior (generate_decisions_summaries.py:91-109):
+  prompt template → agent.batch(messages) → pydantic structured output →
+  cost callback accumulation.
+
+Spark-native re-expression:
+- prompt templating is a JVM-side concat column (U2) — no Python.
+- inference is ``mapInPandas``: Arrow delivers columnar batches to Python;
+  each batch becomes ONE model.complete_batch call (the reference's
+  LangChain .batch). Parallelism = partitions × in-batch concurrency; at
+  cluster scale each executor fans out its own API calls, so throughput
+  scales horizontally instead of being capped by one client process.
+- structured output is validated relationally downstream via from_json
+  (U3); a malformed response yields a NULL struct, not an exception.
+- cost is an output column → global SUM (U4); no driver-side accumulator.
+
+Retries: transient model errors are retried per batch with exponential
+backoff (the reference pins tenacity for the same purpose,
+requirements.txt:66).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unfccc_documents_database_sandbox_spark.llm.stub import StubChatModel
+
+RESPONSE_SCHEMA = T.StructType([T.StructField("summary", T.StringType())])
+
+SYSTEM_PROMPT = "Summarize the following UNFCCC document.\n"
+
+
+def prompt_column(text_col: str = "text", system: str = SYSTEM_PROMPT) -> F.Column:
+    """U2 prompt templating (reference ChatPromptTemplate,
+    generate_decisions_summaries.py:96-98) as a pure concat expression."""
+    return F.concat(F.lit(system), F.col(text_col))
+
+
+def summarize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    model_factory: Callable[[], object] = StubChatModel,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Run batch inference; returns (id, response_json, cost).
+
+    One model instance per Python worker (created lazily inside the task),
+    one complete_batch call per Arrow batch.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("response_json", T.StringType()),
+            T.StructField("cost", T.DoubleType()),
+        ]
+    )
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_factory()
+        for pdf in batches:
+            prompts = pdf[prompt_col].tolist()
+            for attempt in range(max_retries):
+                try:
+                    results = model.complete_batch(prompts)
+                    break
+                except Exception:
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(2.0**attempt * 0.1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "response_json": [r["response_json"] for r in results],
+                    "cost": [r["cost"] for r in results],
+                }
+            )
+
+    return df.select(id_col, prompt_col).mapInPandas(infer, out_schema)
+
+
+def parse_structured(df: DataFrame, json_col: str = "response_json") -> DataFrame:
+    """U3 structured-output validation: schema-checked JSON parse; malformed
+    rows surface as NULL summary (relational, not exception-driven)."""
+    return df.withColumn(
+        "summary", F.from_json(json_col, RESPONSE_SCHEMA).getField("summary")
+    )

@@ -1,0 +1,238 @@
+"""Deduplication operators (north star L1/L2): exact, MinHash-LSH, SimHash.
+
+Scale design (the whole point of these ops):
+- exact dedup: one shuffle on the dedup key — group-by-min, no window needed.
+- MinHash-LSH: never materializes the O(n²) pair space. Per doc: tokenize →
+  k min-hashes (one grouped agg) → b bands; only docs sharing a band bucket
+  are candidate pairs (equi-join on the band key = one shuffle), then exact
+  Jaccard verifies candidates. At 100 TB the band join is the only
+  quadratic-risk step and its blow-up is bounded by collision rate (tunable
+  via b×r).
+- SimHash: 64-bit signature via sign-sum of per-token hash bits; near-dups
+  are signatures within small Hamming distance, found by banding the 64 bits
+  into chunks (same LSH trick, pigeonhole: distance ≤ d → some chunk equal).
+
+All token hashing uses xxhash64 (JVM-side, whole-stage codegen) — no Python
+in any hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: with 31-bit token hashes, a*h + b stays < 2^62 —
+# no BIGINT overflow under Spark's default ANSI mode.
+MERSENNE_31 = (1 << 31) - 1
+_rng = random.Random(42)
+# fixed affine coefficients for the k min-hash functions (deterministic)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE_31), _rng.randrange(0, MERSENNE_31)) for _ in range(16)
+]
+
+
+def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """L1 exact dedup: canonical row per duplicate group = min id (one
+    shuffle; deterministic, unlike dropDuplicates' arbitrary winner)."""
+    return df.groupBy(key).agg(F.min(id_col).alias(id_col)).select(id_col, key)
+
+
+def tokenize_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) distinct token sets — shared by MinHash and Jaccard."""
+    return (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+
+
+def shingles_distinct(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, token) distinct n-word shingles. Shingling, not raw unigrams, is
+    what makes MinHash discriminative: with a small vocabulary every doc's
+    unigram set converges to the whole vocabulary (measured on this corpus:
+    31-word vocab, ~23 distinct unigrams/doc → unigram LSH buckets go
+    quadratic), while n-gram shingle space grows like vocabⁿ. All JVM-side:
+    split → transform(sequence) → slice."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return docs.select(id_col, F.explode(grams).alias("token")).distinct()
+
+
+def minhash_signatures(
+    tokens: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over tokens of
+    (a_i * h31(token) + b_i) mod M31. One grouped aggregation."""
+    h = F.xxhash64("token").bitwiseAND(F.lit(0x7FFFFFFF))
+    mins = [
+        F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return tokens.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """Band the signature (b bands × r rows); docs sharing any band bucket
+    become candidate pairs (id_a < id_b). The band join is an equi-join —
+    shuffle on (band_idx, band_key), never a cross join."""
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.xxhash64(*[F.col(f"mh{bi * rows + ri}") for ri in range(rows)]).alias(
+                "band_key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, tokens: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs only: |A∩B| via token equi-join
+    restricted to candidates (semi-filtered), |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ta = tokens.withColumnRenamed(id_col, "id_a")
+    tb = tokens.withColumnRenamed(id_col, "id_b")
+    inter = (
+        candidates.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """Full L2 pipeline: shingle → MinHash → LSH bands → exact-Jaccard
+    verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
+    b=4×r=4 puts the LSH s-curve threshold at (1/4)^(1/4) ≈ 0.71 —
+    high recall at jaccard ≥ 0.8 with bounded candidate fan-out."""
+    tokens = shingles_distinct(docs, id_col, text_col, shingle)
+    sigs = minhash_signatures(tokens, id_col, num_hashes)
+    cands = lsh_candidates(sigs, id_col, bands, rows)
+    return jaccard_verify(cands, tokens, id_col, threshold)
+
+
+def simhash_signatures(
+    tokens: DataFrame, id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, fully JVM-side: for each bit position, sum
+    ±1 over tokens (sign of the token hash's bit), then take the sign bit.
+
+    Implemented by exploding each token into (bit_idx, ±1) contributions and
+    re-aggregating — two narrow shuffles, no Python, no 64-column explosion.
+    """
+    h = F.xxhash64("token")
+    contribs = F.array(
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+            for i in range(bits)
+        ]
+    )
+    per_token = tokens.select(id_col, contribs.alias("c"))
+    summed = per_token.groupBy(id_col).agg(
+        F.array(*[F.sum(F.element_at("c", i + 1)).alias(f"s{i}") for i in range(bits)]).alias(
+            "sums"
+        )
+    )
+    # fold sign bits into one BIGINT signature (literal shift per position;
+    # bit 63 is the long sign bit, added as MIN_LONG via two's complement)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig + F.when(F.element_at("sums", i + 1) > 0, F.lit(weight)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return summed.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into ``chunks``
+    16-bit pieces; pigeonhole guarantees pairs within ``max_hamming`` ≤
+    chunks-1 share a piece. Verify candidates by exact Hamming distance.
+    Shingled tokens for the same discrimination reason as MinHash."""
+    tokens = shingles_distinct(docs, id_col, text_col, shingle)
+    sigs = simhash_signatures(tokens, id_col)
+    width = 64 // chunks
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(chunks)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(pieces).alias("p")).select(
+        id_col, "simhash", "p.chunk_idx", "p.chunk_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.select("id_a", "id_b", hamming.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,136 @@
+"""Dedup queries (north star L1/L2) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.operators import dedup as D
+from unfccc_documents_database_sandbox_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """L1 exact dedup: canonical (min-id) row per distinct text — one
+    shuffle on the text hash, no window."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_hash_sha",
+    oracle="""
+    SELECT sha256(text) AS text_sha, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_hash_sha(spark, sf_dir):
+    """L1 content-hash dedup ledger: at 100 TB you group on a 32-byte
+    digest, not the document body (tiny shuffle payload)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("text_sha")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keeper_id"),
+    )
+
+
+@register("dedup_fuzzy_minhash", oracle=None, tags=("rows-only",))
+def dedup_fuzzy_minhash(spark, sf_dir):
+    """L2 MinHash+LSH near-dup pairs (shingle → minhash → band → bucket
+    join → exact-Jaccard verify). xxhash64 isn't portable to DuckDB →
+    rows-only check; the Jaccard math itself is oracle-covered by
+    dedup_ngram_jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, threshold=0.8)
+
+
+@register("dedup_simhash", oracle=None, tags=("rows-only",))
+def dedup_simhash(spark, sf_dir):
+    """L2 SimHash near-dup pairs (64-bit sign-sum signature, chunk-banded
+    Hamming search). xxhash64-based → rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               w.word || ' ' || lead(w.word) OVER
+                   (PARTITION BY doc_id ORDER BY w.seq) AS gram
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS seq,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) w
+    ),
+    grams2 AS (SELECT * FROM grams WHERE gram IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams2 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams2 a JOIN grams2 b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """L2 exact bigram-Jaccard near-dup pairs, blocked by (lang, source) —
+    the blocking keys bound the pair space the way LSH bands do, so the
+    token equi-join stays linear-ish instead of all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("seq", "word"),
+    )
+    grams = (
+        words.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id", "lang", "source", F.concat_ws(" ", "word", "nxt").alias("gram")
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

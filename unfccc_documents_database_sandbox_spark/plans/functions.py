@@ -1,0 +1,217 @@
+"""Scalar function surface (F1-F10): strings, dates, math, arrays, maps,
+JSON, regex. All JVM-side built-ins — zero Python in these plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.registry import register
+
+
+@register(
+    "str_trim",
+    oracle="""
+    SELECT doc_id,
+           trim('  ' || source || ' ') AS trimmed,
+           upper(lang) AS lang_up,
+           lower(source) AS src_lo,
+           substring(text, 1, 10) AS head10
+    FROM documents
+    """,
+)
+def str_trim(spark, sf_dir):
+    """F1 trim/case/substring (reference: .strip() on numbering/text/caption,
+    generate_decisions_summaries.py:52-56)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(F.concat(F.lit("  "), F.col("source"), F.lit(" "))).alias("trimmed"),
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("src_lo"),
+        F.substring("text", 1, 10).alias("head10"),
+    )
+
+
+@register(
+    "str_format",
+    oracle="""
+    SELECT doc_id, printf('%s [%d]', source, doc_id) AS label
+    FROM documents
+    """,
+)
+def str_format(spark, sf_dir):
+    """F3 printf-style interpolation (reference: f"{decision.symbol}
+    [{decision.id}]", generate_decisions_summaries.py:46)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.format_string("%s [%d]", F.col("source"), F.col("doc_id")).alias("label")
+    )
+
+
+@register(
+    "str_length",
+    oracle="""
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, n_chars
+    FROM documents
+    """,
+)
+def str_length(spark, sf_dir):
+    """F4 char length, cross-checkable against the stored n_chars column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.length("text").cast("long").alias("len_chars"), "n_chars"
+    )
+
+
+@register(
+    "str_regex",
+    oracle="""
+    SELECT doc_id, regexp_extract(source, 'src(\\d+)', 1) AS src_num
+    FROM documents
+    WHERE regexp_matches(source, '^src\\d+$')
+    """,
+)
+def str_regex(spark, sf_dir):
+    """F10 regex extract + match filter (reference dep: regex,
+    requirements.txt:58 — numbering parsing upstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("source").rlike(r"^src\d+$")).select(
+        "doc_id", F.regexp_extract("source", r"src(\d+)", 1).alias("src_num")
+    )
+
+
+@register(
+    "date_extract",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dom,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2025-01-01 00:00:00') AS BIGINT)
+               AS days_to_2025
+    FROM orders
+    """,
+)
+def date_extract(spark, sf_dir):
+    """F5 date part extraction / truncation / arithmetic on order dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("days_to_2025"),
+    )
+
+
+@register(
+    "math_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+                AS BIGINT) AS charge_cents,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+           CAST(CAST(l_quantity AS BIGINT) % 5 AS BIGINT) AS qty_mod
+    FROM lineitem
+    """,
+)
+def math_arith(spark, sf_dir):
+    """F6 per-row arithmetic — same IEEE ops per row in any engine, so
+    doubles are bit-identical (only cross-row FP reductions are unsafe).
+    The charge is emitted as cents: scale-then-round-to-integer is the only
+    cross-engine-stable rounding (ROUND(x, 2) tie-breaking differs)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100,
+            0,
+        ).cast("long").alias("charge_cents"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_floor"),
+        (F.col("l_quantity").cast("long") % 5).cast("long").alias("qty_mod"),
+    )
+
+
+@register(
+    "array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head3,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val
+    FROM embeddings
+    """,
+)
+def array_ops(spark, sf_dir):
+    """F7 array size / slice / element access / transform over embeddings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+    )
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT doc_id,
+           element_at(MAP(['lang', 'src'], [lang, source]), 'lang')[1] AS m_lang,
+           element_at(MAP(['lang', 'src'], [lang, source]), 'src')[1] AS m_src,
+           CAST(cardinality(MAP(['lang', 'src'], [lang, source])) AS BIGINT) AS m_size
+    FROM documents
+    """,
+)
+def map_ops(spark, sf_dir):
+    """F8 map construction + key access (reference: the symbol→text result
+    dict, generate_decisions_summaries.py:35,59). Scalar outputs so the
+    cross-engine hash is stable."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("src"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("m_lang"),
+        F.element_at(m, "src").alias("m_src"),
+        F.size(m).cast("long").alias("m_size"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k2
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    """F9/U3 JSON field extraction + typed parse (reference: pydantic
+    structured-output validation of the LLM JSON response,
+    generate_decisions_summaries.py:92-95; events.props is a JSON string).
+    from_json gives the schema-validated struct path; get_json_object the
+    quick single-field path."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (F.get_json_object("props", "$.k").cast("long") * 2).alias("k2"),
+    )

@@ -1,0 +1,461 @@
+"""Relational core: scans, filters, joins, aggregations, sorts, set ops.
+
+Each entry cites the reference behavior it re-expresses (SURVEY.md §2).
+All plans are pure DataFrame API — Catalyst handles pushdown, pruning,
+join strategy (broadcast vs sort-merge), and partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import list_tables, load_table, register_views
+from unfccc_documents_database_sandbox_spark.operators.assembly import (
+    BLOCKS_CTE,
+    assemble_doc_text,
+    blocks_from_documents,
+)
+from unfccc_documents_database_sandbox_spark.registry import register
+
+# money-as-cents: round(x*100) is one deterministic IEEE op per row, then an
+# exact BIGINT sum — immune to FP summation-order differences between engines.
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+CENTS_SQL = "CAST(ROUND({col} * 100, 0) AS BIGINT)"
+
+
+# --- S1/S3: scans & catalog ---------------------------------------------------
+
+
+@register("scan_full", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_full(spark, sf_dir):
+    """S1 full table scan (reference: select(Decision) full scan,
+    generate_decisions_summaries.py:37-43)."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register("catalog_tables", oracle=None, tags=("rows-only",))
+def catalog_tables(spark, sf_dir):
+    """S3 catalog introspection (reference: probe.py:6-7
+    inspect(engine).get_table_names()). Rows-only: DuckDB's catalog differs."""
+    register_views(spark, sf_dir)
+    return list_tables(spark)
+
+
+# --- P1-P4: projection / filters / CASE --------------------------------------
+
+
+@register(
+    "project_columns",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+)
+def project_columns(spark, sf_dir):
+    """P1 column projection → parquet reads only 3 of 6 columns (column
+    pruning; the reference ORM hydrates full rows — SURVEY.md §4)."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "filter_or_eq",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'es')
+    """,
+)
+def filter_or_eq(spark, sf_dir):
+    """P2 disjunctive equality filter (reference: or_(Body.symbol == 'SBI',
+    Body.symbol == 'SBSTA'), generate_conclusions_summaries.py:44-49).
+    IN-list is pushed down to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "es"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "filter_notnull",
+    oracle="""
+    SELECT event_id, NULLIF(event_type, 'error') AS et
+    FROM events WHERE NULLIF(event_type, 'error') IS NOT NULL
+    """,
+)
+def filter_notnull(spark, sf_dir):
+    """P3 null/truthiness predicate (reference: `if block.paragraph:` /
+    `if block.numbering:`, generate_decisions_summaries.py:50-51)."""
+    ev = load_table(spark, sf_dir, "events")
+    et = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select("event_id", et.alias("et")).filter(F.col("et").isNotNull())
+
+
+@register(
+    "case_when_block",
+    oracle=f"""
+    WITH {BLOCKS_CTE}
+    SELECT doc_id, seq,
+           CASE WHEN seq % 11 = 0 THEN 'empty'
+                WHEN seq % 7  = 0 THEN 'table'
+                ELSE 'paragraph'
+           END AS block_type
+    FROM blocks
+    """,
+)
+def case_when_block(spark, sf_dir):
+    """P4 tagged-union CASE dispatch (reference: paragraph-vs-table `elif`,
+    generate_decisions_summaries.py:50-57) over the derived blocks."""
+    blocks = blocks_from_documents(load_table(spark, sf_dir, "documents"))
+    block_type = (
+        F.when(F.col("seq") % 11 == 0, F.lit("empty"))
+        .when(F.col("seq") % 7 == 0, F.lit("table"))
+        .otherwise(F.lit("paragraph"))
+    )
+    return blocks.select("doc_id", "seq", block_type.alias("block_type"))
+
+
+# --- J1-J5: joins --------------------------------------------------------------
+
+
+@register(
+    "join_inner_fk",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner_fk(spark, sf_dir):
+    """J1 inner FK equi-join (reference: select(Document).join(Document.body),
+    generate_conclusions_summaries.py:38-39). nation/region are broadcast —
+    at 100 TB the fact side never shuffles for dim joins."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_left_nullable",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def join_left_nullable(spark, sf_dir):
+    """J3 left outer join with nullable payload (reference: Block.paragraph /
+    Block.table hydrated as None, generate_decisions_summaries.py:50-57)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "join_child_collect",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           string_agg(CAST(l.l_linenumber AS VARCHAR), ',' ORDER BY l.l_linenumber)
+               AS line_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def join_child_collect(spark, sf_dir):
+    """J2 eager ordered 1:N child load (reference: selectinload chain,
+    generate_decisions_summaries.py:39-42). The ORM's batched IN-selects are
+    an N+1 workaround — in Spark it is one join + one grouped ordered
+    collect; order is explicit via array_sort, never row order."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        "o_orderkey", "o_orderstatus", "l_linenumber"
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("l_linenumber")))
+    return joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.concat_ws(
+            ",", F.transform(ordered, lambda x: x["l_linenumber"].cast("string"))
+        ).alias("line_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "join_bridge",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
+           SUM(l.l_quantity) AS sum_qty,
+           SUM({CENTS_SQL.format(col='p.p_retailprice')}) AS retail_cents
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_bridge(spark, sf_dir):
+    """J4 bridge-table M:N join (reference: Decision → DecisionBlockMap →
+    Block, generate_decisions_summaries.py:40-41,47). lineitem plays the
+    bridge; part is broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("p_brand").cast("long").alias("n_brands"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_cents("p_retailprice")).alias("retail_cents"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """J5 left-semi join (north star: dedup/diff building block)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """J5 left-anti join (customers without orders)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- A1/A3-A6: aggregations ----------------------------------------------------
+
+
+@register(
+    "agg_doc_text",
+    oracle=f"""
+    WITH {BLOCKS_CTE},
+    frags AS (
+        SELECT doc_id, seq,
+               CASE WHEN seq % 11 = 0 THEN ''
+                    WHEN seq % 7  = 0 THEN '[T] ' || word || chr(10)
+                    WHEN seq % 3  = 0 THEN CAST(seq AS VARCHAR) || '.' || chr(9) || word || chr(10)
+                    ELSE word || chr(10)
+               END AS fragment
+        FROM blocks
+    )
+    SELECT doc_id,
+           string_agg(fragment, '' ORDER BY seq) AS doc_text,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks
+    FROM frags
+    GROUP BY doc_id
+    """,
+)
+def agg_doc_text(spark, sf_dir):
+    """A1 — THE flagship: per-document ordered text assembly (reference:
+    the Python block loop, generate_decisions_summaries.py:45-59), as one
+    shuffle + codegen'd expressions. See operators/assembly.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return assemble_doc_text(blocks_from_documents(docs))
+
+
+@register(
+    "agg_sum_global",
+    oracle=f"""
+    SELECT SUM({CENTS_SQL.format(col='l_extendedprice')}) AS revenue_cents,
+           SUM(l_quantity) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_sum_global(spark, sf_dir):
+    """A3 global scalar aggregate (reference: cost accumulator `cost +=
+    cb.total_cost`, generate_decisions_summaries.py:105-109). Partial
+    (map-side) aggregation is automatic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_group_stats",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(l_quantity) AS sum_qty,
+           SUM({CENTS_SQL.format(col='l_extendedprice')}) AS revenue_cents,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_stats(spark, sf_dir):
+    """A4 grouped count/sum/avg/min/max — TPC-H Q1-shaped pricing summary.
+    avg is exact-sum / exact-count (one division), not a float running avg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+        F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@register("agg_approx_distinct", oracle=None, tags=("rows-only",))
+def agg_approx_distinct(spark, sf_dir):
+    """A5 approximate distinct (HLL++) — the 100 TB path where exact
+    COUNT(DISTINCT) would shuffle every key. Approx → rows-only check."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """A6 hierarchical rollup (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    ).select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+        "n_customers",
+    )
+
+
+# --- O2-O6: sorts / limits / set ops -------------------------------------------
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    """,
+)
+def sort_global(spark, sf_dir):
+    """O2 global sort (range-partitioned exchange in Spark — scales out;
+    value-hash compare is order-insensitive but the plan exercises the sort)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    )
+
+
+@register(
+    "limit_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_n(spark, sf_dir):
+    """O3 deterministic head-N (reference: early `break` subset runs,
+    generate_conclusions_summaries.py:111). Ordered limit → TakeOrderedAndProject
+    (no full sort materialization)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT doc_id, lang FROM documents WHERE lang = 'en'
+    UNION
+    SELECT doc_id, lang FROM documents WHERE source = 'src0'
+    """,
+)
+def set_union(spark, sf_dir):
+    """O5 distinct union (the natural composition of the reference's two
+    parallel pipelines — decisions + conclusions summaries)."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id", "lang")
+    b = d.filter(F.col("source") == "src0").select("doc_id", "lang")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT doc_id FROM documents
+    EXCEPT ALL
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    """,
+)
+def set_except(spark, sf_dir):
+    """O5 except-all (multiset difference)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id").exceptAll(
+        d.filter(F.col("lang") == "en").select("doc_id")
+    )
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """O5 intersect (customers having both fulfilled and open orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+    )

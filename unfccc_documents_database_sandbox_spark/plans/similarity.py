@@ -1,0 +1,74 @@
+"""Similarity-search queries (north star L3) over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.operators import similarity as S
+from unfccc_documents_database_sandbox_spark.registry import register
+
+_COSINE_CTE = """
+v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+),
+vn AS (
+    SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v
+)
+"""
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm FROM vn WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, vn.vec_id AS neighbor_id,
+               list_dot_product(q.qvec, vn.vec) / (q.qnorm * vn.norm) AS cos
+        FROM q JOIN vn ON vn.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank, ROUND(cos, 4) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_topk(spark, sf_dir):
+    """L3 exact brute-force cosine top-k (queries = vec_id < 5, broadcast):
+    the ANN baseline. Corpus never shuffles; dot products are zip_with/
+    aggregate folds inside codegen — no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@register("sim_topk_lsh", oracle=None, tags=("rows-only",))
+def sim_topk_lsh(spark, sf_dir):
+    """L3 scale path: random-hyperplane LSH buckets → per-bucket exact rank.
+    Approximate recall by construction → rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_bucket_topk(emb, queries, k=5)
+
+
+@register(
+    "sim_near_dup_pairs",
+    oracle=f"""
+    WITH {_COSINE_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4) AS score
+    FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.9
+    """,
+)
+def sim_near_dup_pairs(spark, sf_dir):
+    """L2/L3 embedding-cosine near-dup pairs, blocked on the label column
+    (stand-in for an LSH bucket): equi-join shuffle, quadratic only within
+    blocks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.9)

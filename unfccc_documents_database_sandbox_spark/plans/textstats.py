@@ -1,0 +1,129 @@
+"""Text-analysis queries (north star L4): token stats, language-ID
+heuristic, token counting, document fingerprinting. All JVM-side built-ins.
+
+Reference tie-in: tiktoken (requirements.txt:67) implies token counting;
+the quality/lang heuristics are the standard training-data-pipeline ops
+mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+_STOP_SQL = "['" + "', '".join(STOPWORDS) + "']"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n_ch
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+           ROUND(CAST(n_ch - len(words) + 1 AS DOUBLE) / len(words), 6)
+               AS avg_token_len,
+           ROUND(CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
+                 AS DOUBLE) / len(words), 6) AS stop_ratio
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    """L4 per-document quality stats: token count, distinct tokens, mean
+    token length (exact int arithmetic / one division), stopword ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_uniq"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
+                     AS DOUBLE) / len(words) >= 0.1
+                THEN 'en' ELSE 'other' END AS predicted_lang
+    FROM t
+    """,
+)
+def lang_id(spark, sf_dir):
+    """L4 language-ID heuristic: English stopword density ≥ 10% → 'en'.
+    (An n-gram profile model follows the same shape: per-token lookup in a
+    broadcast profile map, grouped score.)"""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast(
+        "double"
+    ) / F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio >= 0.1, F.lit("en")).otherwise(F.lit("other")).alias(
+            "predicted_lang"
+        ),
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """L4 token counting: whitespace tokens + BPE-ish regex word pieces
+    (reference dep: tiktoken, requirements.txt:67)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias(
+            "n_re_tokens"
+        ),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """L4 document fingerprint: content-defined digest of the sorted
+    distinct token set (order-insensitive near-identity; the rolling-hash
+    variant lives in operators/dedup.simhash_signatures)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))), 256
+        ).alias("fingerprint"),
+    )

@@ -1,0 +1,225 @@
+"""Window functions (W1-W4), top-k, and the range/as-of joins (J6).
+
+All [N] extensions — the reference does per-group ordering in Python list
+order (SURVEY.md §2.5); windows are their scale-out equivalent.
+Every ORDER BY carries a unique tiebreak key so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """W1 ranking trio over per-customer order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER w AS run_qty,
+           CAST(LAG(l_linenumber) OVER w AS BIGINT) AS prev_line,
+           CAST(LEAD(l_linenumber) OVER w AS BIGINT) AS next_line
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_running(spark, sf_dir):
+    """W2 running sum + lag/lead per order (quantities are whole-number
+    doubles → running sums are exact in any engine). (l_orderkey,
+    l_linenumber) is NOT unique in the corpus; (+ partkey, suppkey) is —
+    the full tiebreak keeps frame order deterministic."""
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(run).alias("run_qty"),
+        F.lag("l_linenumber").over(w).cast("long").alias("prev_line"),
+        F.lead("l_linenumber").over(w).cast("long").alias("next_line"),
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER f / COUNT(*) OVER f, 6) AS moving_avg_qty
+    FROM lineitem
+    WINDOW f AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def window_frame(spark, sf_dir):
+    """W3 explicit rows-frame: centered 3-row moving average, computed as
+    exact-sum/exact-count so it hashes identically across engines."""
+    f = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(-1, 1)
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(f) / F.count(F.lit(1)).over(f), 6).alias(
+            "moving_avg_qty"
+        ),
+    )
+
+
+@register(
+    "dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, ts FROM (
+        SELECT event_id, user_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest(spark, sf_dir):
+    """W4 dedup-keep-latest (north star L1 variant): latest event per user.
+    At scale this is one shuffle on the dedup key; AQE splits skewed users."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """O4 top-k per group (3 priciest orders per customer)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+        VALUES (0, 0.0, 50000.0), (1, 50000.0, 150000.0), (2, 150000.0, 300000.0),
+               (3, 300000.0, 1000000.0)
+    )
+    SELECT o_orderkey, CAST(band_id AS BIGINT) AS band_id
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    """,
+)
+def join_range(spark, sf_dir):
+    """J6 range (non-equi) join: orders banded by price. The band table is
+    tiny → broadcast-nested-loop, which is the right plan: the fact side
+    streams through without a shuffle."""
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [(0, 0.0, 50_000.0), (1, 50_000.0, 150_000.0), (2, 150_000.0, 300_000.0), (3, 300_000.0, 1_000_000.0)],
+            "band_id int, lo double, hi double",
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(
+        bands, (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi)
+    ).select("o_orderkey", F.col("band_id").cast("long").alias("band_id"))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT o.o_orderkey,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id % 5 = o.o_custkey % 5 AND e.ts <= o.o_orderdate
+             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_event_id
+    FROM orders o
+    """,
+)
+def join_asof(spark, sf_dir):
+    """J6 keyed as-of join: for each order, the most recent event (same
+    hash-key) at-or-before the order date.
+
+    Spark lacks a native as-of join; the scalable pattern is the
+    union-and-carry-forward merge: union both sides tagged by kind, sort
+    within each key partition by (ts, kind, id), and carry the last seen
+    event id forward with last(..., ignorenulls) — one shuffle on the key,
+    no per-row subquery, no cross join. Events sort before orders at equal
+    ts so ties honor `<=`.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("k"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 5).alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    merged = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "last_event_id", F.last("event_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select("o_orderkey", "last_event_id")
+    )
