@@ -1,0 +1,58 @@
+"""Unit tests for the functions/ expression helpers (vectors, text)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.functions.text import (
+    rolling_hash,
+    shingles,
+    stopword_ratio,
+)
+from unfccc_documents_database_sandbox_spark.functions.vectors import (
+    cosine,
+    dot,
+    l2_distance,
+    normalize,
+)
+
+
+def test_vector_algebra(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+        l2_distance(F.col("a"), F.col("b")).alias("l2"),
+        normalize(F.col("a")).alias("na"),
+    ).collect()[0]
+    assert r["d"] == 4.0
+    assert math.isclose(r["c"], 4.0 / (3.0 * math.sqrt(5.0)))
+    assert math.isclose(r["l2"], math.sqrt(1 + 4 + 1))
+    assert math.isclose(sum(x * x for x in r["na"]), 1.0)
+
+
+def test_shingles_order_and_edges(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []  # shorter than the shingle width
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], "text string"
+    )
+    h = [r[0] for r in df.select(rolling_hash("text")).collect()]
+    assert h[0] == h[2]          # deterministic
+    assert h[0] != h[1]          # permutation changes the hash
+    assert all(0 <= x < (1 << 31) for x in h)
+
+
+def test_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat in the hat",)], "text string")
+    r = df.select(stopword_ratio("text").alias("r")).collect()[0]["r"]
+    assert math.isclose(r, 3 / 5)  # the, in, the

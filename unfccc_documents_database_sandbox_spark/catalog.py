@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown are automatic once downstream plans select/filter."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+        # rejects. nanosAsLong is a runtime SQLConf, so set it here instead of
+        # only in our session factory — callers (e.g. the driver harness) may
+        # hand us a session they built themselves.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS): read as raw nanos

@@ -1,0 +1,87 @@
+"""Text expression helpers — JVM-side builders shared by the text-analysis
+and dedup plans (L4). No Python UDFs anywhere in these.
+
+Reference tie-ins: strip/concat assembly fragments
+(generate_decisions_summaries.py:50-57), tiktoken-style token counting
+(requirements.txt:67), numbering normalization (roman/num2words deps,
+requirements.txt:62,41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# modest multilingual-ish English function-word list for the lang heuristic
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# 31-bit modulus keeps a*h+b < 2^62: ANSI-safe BIGINT arithmetic
+MERSENNE_31 = (1 << 31) - 1
+ROLL_BASE = 1_000_003
+
+
+def words(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """All n-word shingles, in order (array<string>)."""
+    w = words(text)
+    # sequence(1, k) is descending when k < 1, so gate short texts explicitly
+    return F.when(
+        F.size(w) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def token_count_regex(text: Column | str, pattern: str = "[a-z]+") -> Column:
+    """BPE-ish sub-token count via regex pieces."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    w = words(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(w, lambda t: F.array_contains(stop, t))).cast(
+        "double"
+    ) / F.size(w)
+
+
+def rolling_hash(text: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over tokens:
+    h = Σ (xxhash64(tokenᵢ) & 0x7FFFFFFF) · BASEⁱ  (mod M31)
+    computed as a sequential fold — a content fingerprint that, unlike the
+    sorted-set digest, distinguishes permutations."""
+    w = words(text)
+    folded = F.aggregate(
+        w,
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+        lambda acc, t: F.struct(
+            (
+                (acc["h"] + (F.xxhash64(t).bitwiseAND(F.lit(0x7FFFFFFF)) * acc["p"]))
+                % MERSENNE_31
+            ).alias("h"),
+            ((acc["p"] * ROLL_BASE) % MERSENNE_31).alias("p"),
+        ),
+    )
+    return folded["h"]
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite heuristic quality score in [0,1]: length band + stopword
+    presence + token diversity (the standard pretraining-filter trio)."""
+    w = words(text)
+    n = F.size(w)
+    diversity = F.size(F.array_distinct(w)).cast("double") / n
+    length_ok = F.when((n >= 20) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop = stopword_ratio(text)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((length_ok + stop_ok + F.least(diversity * 2, F.lit(1.0))) / 3, 6)

@@ -54,14 +54,12 @@ def shingles_distinct(
     what makes MinHash discriminative: with a small vocabulary every doc's
     unigram set converges to the whole vocabulary (measured on this corpus:
     31-word vocab, ~23 distinct unigrams/doc → unigram LSH buckets go
-    quadratic), while n-gram shingle space grows like vocabⁿ. All JVM-side:
-    split → transform(sequence) → slice."""
-    words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return docs.select(id_col, F.explode(grams).alias("token")).distinct()
+    quadratic), while n-gram shingle space grows like vocabⁿ."""
+    from unfccc_documents_database_sandbox_spark.functions.text import shingles
+
+    return docs.select(
+        id_col, F.explode(shingles(F.col(text_col), n)).alias("token")
+    ).distinct()
 
 
 def minhash_signatures(
@@ -113,7 +111,17 @@ def jaccard_verify(
     candidates: DataFrame, tokens: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only: |A∩B| via token equi-join
-    restricted to candidates (semi-filtered), |A∪B| = |A|+|B|-|A∩B|."""
+    restricted to candidates (semi-filtered), |A∪B| = |A|+|B|-|A∩B|.
+
+    The semi-join prune matters at scale: LSH yields few candidate docs, so
+    the token⋈token join runs over a tiny broadcast-filtered slice of the
+    corpus instead of every document's shingle set."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    tokens = tokens.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = tokens.withColumnRenamed(id_col, "id_a")
     tb = tokens.withColumnRenamed(id_col, "id_b")

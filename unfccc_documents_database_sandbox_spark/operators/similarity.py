@@ -17,18 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from unfccc_documents_database_sandbox_spark.functions.vectors import dot, to_double
+
 
 def as_double_vec(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Cast array<float> → array<double> once, up front — keeps all later
     arithmetic in double and identical across engines."""
-    return df.withColumn("vec", F.transform(F.col(col), lambda x: x.cast("double")))
-
-
-def dot(a: F.Column, b: F.Column) -> F.Column:
-    """JVM-side dot product: left fold over zip_with — no UDF."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+    return df.withColumn("vec", to_double(F.col(col)))
 
 
 def with_norm(df: DataFrame, vec_col: str = "vec") -> DataFrame:

@@ -343,6 +343,17 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "udtf_explode_blocks",
+    oracle=f"WITH {BLOCKS_CTE} SELECT doc_id, seq, word FROM blocks",
+)
+def udtf_explode_blocks(spark, sf_dir):
+    """U6 UDTF shape: 1 document row → N ordered block rows — the inverse
+    of A1 (reference upstream: abstract-docx DOCX→block parse,
+    requirements.txt:1). posexplode keeps the ordinal."""
+    return blocks_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "agg_rollup",
     oracle="""
     SELECT COALESCE(r_name, 'ALL') AS region_name,
@@ -368,6 +379,35 @@ def agg_rollup(spark, sf_dir):
         F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
         F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
         "n_customers",
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """A6 cube: all grouping-set combinations of (returnflag, linestatus)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n_rows",
+            "sum_qty",
+        )
     )
 
 

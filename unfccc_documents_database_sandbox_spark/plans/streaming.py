@@ -7,6 +7,7 @@ from unfccc_documents_database_sandbox_spark.catalog import load_table
 from unfccc_documents_database_sandbox_spark.registry import register
 from unfccc_documents_database_sandbox_spark.streaming.windows import (
     session_counts,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -26,6 +27,27 @@ from unfccc_documents_database_sandbox_spark.streaming.windows import (
 def stream_tumbling(spark, sf_dir):
     """T1 tumbling 10-minute window aggregation over events."""
     return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH s AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_id FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
+               event_id
+        FROM events
+    )
+    SELECT ws AS window_start, ws + INTERVAL '10 minutes' AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """T1 sliding window (10 min width / 5 min slide): every event lands in
+    exactly two windows; the oracle reconstructs them as two offset buckets."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
 
 
 @register(

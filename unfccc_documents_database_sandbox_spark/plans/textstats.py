@@ -11,9 +11,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.functions.text import (
+    STOPWORDS,
+    quality_score,
+    rolling_hash,
+)
 from unfccc_documents_database_sandbox_spark.registry import register
-
-STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
 _STOP_SQL = "['" + "', '".join(STOPWORDS) + "']"
 
 
@@ -105,6 +108,44 @@ def token_count(spark, sf_dir):
             "n_re_tokens"
         ),
     )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n,
+               CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS diversity,
+               CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
+                    AS DOUBLE) / len(words) AS stop
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND((
+               (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN stop >= 0.01 AND stop <= 0.6 THEN 1.0 ELSE 0.0 END)
+             + LEAST(diversity * 2, 1.0)
+           ) / 3, 6) AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """L4 composite quality score (length band + stopword sanity + token
+    diversity) — the standard pretraining filter trio as one expression."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@register("doc_rolling_hash", oracle=None, tags=("rows-only",))
+def doc_rolling_hash(spark, sf_dir):
+    """L4 order-sensitive polynomial rolling hash over tokens (xxhash64-
+    seeded → not portable to DuckDB; deterministic within Spark)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash("text").alias("rhash"))
 
 
 @register(

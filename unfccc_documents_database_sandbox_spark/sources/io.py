@@ -82,32 +82,8 @@ def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def parse_docx_blocks(binary_docs: DataFrame) -> DataFrame:
     """S5 step 2: DOCX → ordered block rows (the reference's abstract-docx
-    stage, requirements.txt:1). The XML unzip/parse needs python-docx/lxml
-    (not in this container) — the Spark plumbing (mapInPandas over binary
-    content, Block-schema output) is real; the decode itself is stubbed.
-    """
-    import pandas as pd
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    stage, requirements.txt:1). Real stdlib implementation — see
+    sources/docx.py."""
+    from unfccc_documents_database_sandbox_spark.sources.docx import docx_to_blocks
 
-    out_schema = StructType(
-        [
-            StructField("path", StringType()),
-            StructField("seq", LongType()),
-            StructField("numbering", StringType()),
-            StructField("block_type", StringType()),
-            StructField("text", StringType()),
-        ]
-    )
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "DOCX decode requires python-docx/lxml (unavailable in this "
-            "container); plug a parser into this mapInPandas seam."
-        )
-
-    return binary_docs.select("path", "content").mapInPandas(parse, out_schema)
+    return docx_to_blocks(binary_docs)
