@@ -121,7 +121,10 @@ def jaccard_verify(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    tokens = tokens.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # the pruned token set feeds three plans (sizes, both join sides) — persist
+    # it so the shingle explode+distinct runs once, not three times; it is
+    # candidate-docs-only, so small even when the corpus is not
+    tokens = tokens.join(F.broadcast(cand_ids), id_col, "left_semi").persist()
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = tokens.withColumnRenamed(id_col, "id_a")
     tb = tokens.withColumnRenamed(id_col, "id_b")
@@ -154,6 +157,12 @@ def minhash_near_dups(
     verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
     b=4×r=4 puts the LSH s-curve threshold at (1/4)^(1/4) ≈ 0.71 —
     high recall at jaccard ≥ 0.8 with bounded candidate fan-out."""
+    # The shingle set feeds both the signature agg and the verify stage, but
+    # is deliberately NOT persisted: the verify stage's consumers are pruned
+    # to candidate docs by a broadcast semi-join that Catalyst pushes below
+    # the explode+distinct, so their recompute scans only candidate docs.
+    # Persisting the full token set (measured) costs more than it saves —
+    # it materializes every shingle and blocks that pushdown.
     tokens = shingles_distinct(docs, id_col, text_col, shingle)
     sigs = minhash_signatures(tokens, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
