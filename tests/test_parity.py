@@ -95,3 +95,43 @@ def test_rows_only_queries_run(spark, name):
     df = ALL_QUERIES[name](spark, SF_CORRECT)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_ivf_full_probe_is_exact(spark):
+    """IVF with nprobe = n_cells must reproduce the exact brute-force
+    answer — the approximation comes only from probing fewer cells."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    ivf = S.ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing 4 of 16 cells must beat random-fraction pruning by a clear
+    margin. (This corpus's embeddings are uniform random — labels carry no
+    cosine structure, so the true top-5 are noise extremes; recall == probed
+    fraction would mean the index adds nothing. Measured here: ~0.72 vs the
+    0.25 probed fraction.)"""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 4 / 16 + 0.2, f"IVF recall {recall:.2f} no better than random pruning"

@@ -8,8 +8,11 @@ Two paths, mirroring how a 100 TB ANN pipeline is actually built:
   short sign-bit bucket id; only same-bucket pairs are compared. Buckets
   are deterministic (fixed integer hyperplanes), so results are stable.
 
-An IVF variant (cluster-prune by centroid) would slot in the same shape:
-assign → shuffle on centroid id → per-bucket brute force.
+- IVF (inverted file) — the other standard scale path: a KMeans coarse
+  quantizer assigns every vector to a cell; a query probes only its
+  ``nprobe`` nearest cells. Index build is a one-time MLlib fit; search is
+  an equi-join on cell id. With nprobe = n_cells it degrades gracefully to
+  the exact answer (tested).
 """
 
 from __future__ import annotations
@@ -98,6 +101,104 @@ def lsh_bucket_topk(
     )
     scored = (
         c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("score"))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_train: int = 100_000,
+) -> list[list[float]]:
+    """Fit the IVF coarse quantizer (KMeans) and return its centers.
+
+    The fit runs on a bounded sample — a coarse quantizer only needs a
+    sketch of the distribution, so index build stays O(max_train) no matter
+    the corpus size. Centers are k×dim doubles: tiny, safe to collect and
+    re-broadcast as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # cluster L2-normalized vectors: on the unit sphere, euclidean order ==
+    # cosine order, so the cells align with the metric the search uses
+    nv = with_norm(as_double_vec(corpus))
+    train = nv.select(
+        array_to_vector(
+            F.transform(F.col("vec"), lambda x: x / F.col("norm"))
+        ).alias("features")
+    )
+    n = train.count()
+    if n > max_train:
+        train = train.sample(fraction=max_train / n, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    return [[float(v) for v in c] for c in model.clusterCenters()]
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: assign corpus vectors to their nearest
+    centroid cell, explode each query to its ``nprobe`` nearest cells, then
+    equi-join on cell id and rank exactly within the probed slice.
+
+    Scale shape: the only shuffle is the equi-join on cell id; per-query
+    compute is nprobe/n_cells of the corpus instead of all of it. All
+    assignment arithmetic is zip_with/aggregate folds inside codegen —
+    the MLlib model never appears in the query path."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells=n_cells)
+    cents = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in centroids]
+    )
+
+    def cell_of(vec: F.Column) -> F.Column:
+        dists = F.transform(cents, lambda c: _l2sq(c, vec))
+        # argmin: both sides computed by the identical expression → exact match
+        return F.array_position(dists, F.array_min(dists)).cast("int")
+
+    def probe_cells(vec: F.Column) -> F.Column:
+        dists = F.transform(cents, lambda c: _l2sq(c, vec))
+        idx = F.sequence(F.lit(1), F.lit(len(centroids)))
+        ranked = F.array_sort(
+            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return F.slice(F.transform(ranked, lambda s: s["i"]), 1, nprobe)
+
+    # assign on the unit sphere — centroids were trained on normalized vecs
+    unit = F.transform(F.col("vec"), lambda x: x / F.col("norm"))
+    c = with_norm(as_double_vec(corpus)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        cell_of(unit).alias("cell"),
+    )
+    q = with_norm(as_double_vec(queries)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.explode(probe_cells(unit)).alias("cell"),
+    )
+    scored = (
+        c.join(q, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
     )

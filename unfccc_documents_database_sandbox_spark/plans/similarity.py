@@ -56,6 +56,18 @@ def sim_topk_lsh(spark, sf_dir):
     return S.lsh_bucket_topk(emb, queries, k=5)
 
 
+@register("sim_topk_ivf", oracle=None, tags=("rows-only",))
+def sim_topk_ivf(spark, sf_dir):
+    """L3 IVF scale path: KMeans coarse quantizer (one-time fit on a bounded
+    sample) → corpus partitioned by nearest-centroid cell → queries probe
+    their nprobe nearest cells → exact rank inside the probed slice.
+    Approximate recall by construction → rows-only check; exactness when
+    nprobe = n_cells is asserted in tests/test_parity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
 @register(
     "sim_near_dup_pairs",
     oracle=f"""
