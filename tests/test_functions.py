@@ -56,3 +56,19 @@ def test_stopword_ratio(spark):
     df = spark.createDataFrame([("the cat in the hat",)], "text string")
     r = df.select(stopword_ratio("text").alias("r")).collect()[0]["r"]
     assert math.isclose(r, 3 / 5)  # the, in, the
+
+
+def test_numbering_ordinal_styles(spark):
+    from unfccc_documents_database_sandbox_spark.functions.text import numbering_ordinal
+
+    cases = [
+        ("1.", 1), ("12)", 12), ("(3)", 3),
+        ("(a)", 1), ("b.", 2), ("(z)", 26),
+        ("iv.", 4), ("(ix)", 9), ("xiv)", 14), ("mcmxciv.", 1994),
+        ("i.", 1),          # roman beats letter for ambiguous chars
+        ("??", None), ("", None), ("1a.", None),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "label string")
+    got = {r.label: r.ordinal for r in df.select("label", numbering_ordinal("label").alias("ordinal")).collect()}
+    for label, expect in cases:
+        assert got[label] == expect, f"{label!r}: {got[label]} != {expect}"

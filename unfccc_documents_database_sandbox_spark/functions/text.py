@@ -75,6 +75,48 @@ def rolling_hash(text: Column | str) -> Column:
     return folded["h"]
 
 
+def roman_ordinal(s: Column | str) -> Column:
+    """Roman numeral string (lowercase) → int, pure expressions: map chars
+    to values, negate a value that precedes a larger one (subtraction rule),
+    sum. Reference parity: the `roman` dep normalizes Block.numbering
+    (reference requirements.txt:62)."""
+    s = F.col(s) if isinstance(s, str) else s
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    vals = F.transform(
+        chars,
+        lambda c: F.when(c == "i", 1)
+        .when(c == "v", 5)
+        .when(c == "x", 10)
+        .when(c == "l", 50)
+        .when(c == "c", 100)
+        .when(c == "d", 500)
+        .when(c == "m", 1000)
+        .otherwise(0),
+    )
+    shifted = F.concat(F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), F.array(F.lit(0)))
+    adj = F.zip_with(vals, shifted, lambda v, nxt: F.when(v < nxt, -v).otherwise(v))
+    return F.aggregate(adj, F.lit(0), lambda a, b: a + b)
+
+
+def numbering_ordinal(label: Column | str) -> Column:
+    """Normalize a Block.numbering label ('12.', '3)', '(a)', 'b.', '(iv)',
+    'ix.') to its ordinal int. Precedence: arabic, then roman, then single
+    letter — so 'i.' parses as roman 1, matching how UNFCCC sub-paragraph
+    lists use romans and letters. NULL when unrecognized."""
+    label = F.col(label) if isinstance(label, str) else label
+    core = F.regexp_extract(label, r"^\(?([0-9]+|[ivxlcdm]+|[a-z])\)?\.?\)?$", 1)
+    is_arabic = core.rlike("^[0-9]+$")
+    is_roman = core.rlike("^[ivxlcdm]+$")
+    is_letter = core.rlike("^[a-z]$")
+    return (
+        F.when(core == "", F.lit(None).cast("int"))
+        .when(is_arabic, core.cast("int"))
+        .when(is_roman, roman_ordinal(core))
+        .when(is_letter, F.ascii(core) - F.lit(96))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite heuristic quality score in [0,1]: length band + stopword
     presence + token diversity (the standard pretraining-filter trio)."""

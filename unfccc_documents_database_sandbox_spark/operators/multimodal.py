@@ -68,3 +68,108 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """'Resize' payloads to fixed dimensions in Arrow batches. A real
+    implementation calls PIL/opencv per batch; the fake emits a
+    deterministic width×height-byte payload derived from the content hash.
+    The Spark shape is the real thing: binary in, binary out, schema'd."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                # FAKE resample: real impl decodes + interpolates pixels
+                seed = hashlib.sha256(bytes(p)).digest()
+                out.append((seed * (target // len(seed) + 1))[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling (UDTF shape: 1 media row → N frame rows). The frame
+    count is a deterministic function of payload size (stands in for
+    duration); each 'frame' is identified by a content-derived sha so the
+    whole expansion is SQL-oracle-checkable. A real implementation replaces
+    the body with ffmpeg keyframe extraction — same schema, same fan-out."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p)
+                n_frames = 1 + len(payload) % 4
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(payload + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return media.mapInPandas(frames, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Payload → feature embedding (array<float>), the bridge from media to
+    the similarity operators (ivf_topk / brute_force_topk run unchanged on
+    the output). Fake featurizer: hash-seeded floats in [-1, 1); a real one
+    batches payloads through a vision/audio model here."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                digest = hashlib.sha256(bytes(p)).digest()
+                raw = (digest * (dim * 2 // len(digest) + 1))[: dim * 2]
+                vecs.append(
+                    [
+                        (int.from_bytes(raw[2 * i : 2 * i + 2], "big") / 32768.0)
+                        - 1.0
+                        for i in range(dim)
+                    ]
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "feature": vecs}
+            )
+
+    return media.mapInPandas(feats, FEATURES_SCHEMA)

@@ -215,3 +215,53 @@ def json_extract(spark, sf_dir):
         parsed.getField("k").alias("k"),
         (F.get_json_object("props", "$.k").cast("long") * 2).alias("k2"),
     )
+
+
+_NUMBERING_LABELS = (
+    "1.", "12)", "(3)", "(a)", "b.", "(z)", "iv.", "(ix)", "xiv)",
+    "mcmxciv.", "i.", "??",
+)
+_NUMBERING_VALUES_SQL = ", ".join(f"('{v}')" for v in _NUMBERING_LABELS)
+
+
+@register(
+    "numbering_normalize",
+    oracle=f"""
+    WITH labels(label) AS (VALUES {_NUMBERING_VALUES_SQL}),
+    ex AS (
+        SELECT label,
+               regexp_extract(label, '^\\(?([0-9]+|[ivxlcdm]+|[a-z])\\)?\\.?\\)?$', 1) AS core
+        FROM labels
+    ),
+    rv AS (
+        SELECT label, core,
+               list_transform(string_split(core, ''),
+                   c -> CASE c WHEN 'i' THEN 1 WHEN 'v' THEN 5 WHEN 'x' THEN 10
+                               WHEN 'l' THEN 50 WHEN 'c' THEN 100 WHEN 'd' THEN 500
+                               WHEN 'm' THEN 1000 ELSE 0 END) AS vals
+        FROM ex
+    )
+    SELECT label,
+           CAST(CASE
+               WHEN core = '' THEN NULL
+               WHEN regexp_matches(core, '^[0-9]+$') THEN CAST(core AS INT)
+               WHEN regexp_matches(core, '^[ivxlcdm]+$') THEN
+                   list_sum(list_transform(range(1, len(vals) + 1),
+                       i -> CASE WHEN i < len(vals) AND vals[i] < vals[i + 1]
+                                 THEN -vals[i] ELSE vals[i] END))
+               WHEN regexp_matches(core, '^[a-z]$') THEN ascii(core) - 96
+           END AS INT) AS ordinal
+    FROM rv
+    """,
+)
+def numbering_normalize(spark, sf_dir):
+    """F-extension: Block.numbering label normalization — arabic '12.',
+    parenthesized letters '(a)', and roman numerals '(iv)' all to ordinal
+    ints (reference deps roman + num2words, requirements.txt:62,41; the
+    numbering field itself: generate_decisions_summaries.py:51-52).
+    Runs over a literal label set via createDataFrame (S6 local collection
+    → table), parsed entirely with JVM-side expressions."""
+    from unfccc_documents_database_sandbox_spark.functions.text import numbering_ordinal
+
+    labels = spark.createDataFrame([(v,) for v in _NUMBERING_LABELS], "label string")
+    return labels.select("label", numbering_ordinal("label").alias("ordinal"))
