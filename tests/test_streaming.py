@@ -101,3 +101,38 @@ def test_session_window_gap_semantics(spark):
     assert str(out[0]["session_start"]) == "2024-01-01 00:00:00"
     assert str(out[0]["session_end"]) == "2024-01-01 00:09:00"  # last + 5 min
     assert out[1]["n_events"] == 1
+
+
+def test_stateful_user_profile_converges(spark, events_stream_dir):
+    """applyInPandasWithState running totals: the LAST update emitted per
+    user must equal the batch aggregation over all input."""
+    from unfccc_documents_database_sandbox_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_stream,
+    )
+
+    src = _read_stream(spark, events_stream_dir)
+    q = (
+        user_profile_stream(src)
+        .writeStream.format("memory")
+        .queryName("t5_profiles")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends one row per user per micro-batch;
+    # totals are monotonic, so the per-user max is the final state no matter
+    # how availableNow split the input
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events,"
+            " MAX(total_cents) AS total_cents FROM t5_profiles GROUP BY user_id"
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in user_profile_batch(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == expect

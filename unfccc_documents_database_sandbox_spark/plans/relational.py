@@ -499,3 +499,29 @@ def set_intersect(spark, sf_dir):
         .select("o_custkey")
         .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigated join: nation replicated 8×, each customer row salted
+    by its own key hash — a hot nation's rows spread over 8 reducers. The
+    oracle is the UNSALTED join: salting must not change results."""
+    from unfccc_documents_database_sandbox_spark.operators.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    joined = salted_join(c, n, on=["c_nationkey"], salt_on=["c_custkey"], salt=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )

@@ -87,3 +87,23 @@ def parse_docx_blocks(binary_docs: DataFrame) -> DataFrame:
     from unfccc_documents_database_sandbox_spark.sources.docx import docx_to_blocks
 
     return docx_to_blocks(binary_docs)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Scale rationale: two fact tables bucketed on the same join key with the
+    same bucket count join WITHOUT a shuffle — the physical plan reads
+    bucket i of both sides into the same task. At 100 TB that turns the
+    recurring fact-fact join from the dominant shuffle into a local merge
+    (asserted shuffle-free in tests/test_scale.py)."""
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
