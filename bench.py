@@ -32,6 +32,11 @@ HEADLINE = [
     "text_stats",          # tokenize + quality stats
     "stream_tumbling",     # windowed event aggregation
     "udf_llm_summarize",   # mapInPandas stub-LLM stage (Arrow boundary)
+    "sql_tpch_q1",         # SQL-text front-end: pricing summary scan+agg
+    "sql_tpch_q3",         # SQL-text: 3-way join + agg + top-10
+    "sql_tpch_q5",         # SQL-text: 6-way join with dim filters
+    "sim_topk_ivf",        # IVF ANN (KMeans fit + cell-join search)
+    "multimodal_frame_sample",  # binary payload → frame rows (UDTF fan-out)
 ]
 
 

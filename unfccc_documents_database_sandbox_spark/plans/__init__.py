@@ -14,6 +14,7 @@ _MODULES = (
     "textstats",
     "streaming",
     "multimodal",
+    "sql_queries",
 )
 
 

@@ -1,0 +1,74 @@
+"""SQL-text front-end queries: the same ANSI SQL string runs through
+``spark.sql`` over registered views AND through the DuckDB oracle — proving
+the engine's SQL surface, not just the DataFrame API, computes standard
+analytics correctly. Shapes are TPC-H-inspired (pricing summary, shipping
+priority, local-supplier volume) over the driver's TPC-H-ish corpus.
+
+Reference parity: the sandbox's relational work is SQL pushed to Postgres
+(SURVEY.md §1.1); these queries are the equivalent "hand the engine a SQL
+string" path. Doubles are rounded to 2 decimals in-query — summation order
+differs between engines at the 1e-10 scale.
+"""
+
+from __future__ import annotations
+
+from unfccc_documents_database_sandbox_spark.catalog import register_views
+from unfccc_documents_database_sandbox_spark.registry import register
+
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# the synthetic orders table has no o_shippriority; o_orderpriority stands in
+_Q3 = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+_Q5 = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+def _sql_plan(sql: str):
+    def plan(spark, sf_dir):
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return plan
+
+
+register("sql_tpch_q1", oracle=_Q1)(_sql_plan(_Q1))
+register("sql_tpch_q3", oracle=_Q3)(_sql_plan(_Q3))
+register("sql_tpch_q5", oracle=_Q5)(_sql_plan(_Q5))
