@@ -54,12 +54,24 @@ def shingles_distinct(
     what makes MinHash discriminative: with a small vocabulary every doc's
     unigram set converges to the whole vocabulary (measured on this corpus:
     31-word vocab, ~23 distinct unigrams/doc → unigram LSH buckets go
-    quadratic), while n-gram shingle space grows like vocabⁿ."""
+    quadratic), while n-gram shingle space grows like vocabⁿ.
+
+    Tokens are emitted as xxhash64 longs, not strings: the distinct and
+    every downstream shuffle move 8 bytes per token instead of the ~n-word
+    shingle text, and set semantics are unchanged (collisions at 2⁻⁶⁴)."""
     from unfccc_documents_database_sandbox_spark.functions.text import shingles
 
     return docs.select(
-        id_col, F.explode(shingles(F.col(text_col), n)).alias("token")
-    ).distinct()
+        id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).select(id_col, F.xxhash64("s").alias("token")).distinct()
+
+
+def _token_hash(tokens: DataFrame) -> F.Column:
+    """64-bit hash of the token column: pass pre-hashed long tokens through,
+    hash string tokens with xxhash64."""
+    if dict(tokens.dtypes).get("token") == "bigint":
+        return F.col("token")
+    return F.xxhash64("token")
 
 
 def minhash_signatures(
@@ -67,7 +79,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over tokens of
     (a_i * h31(token) + b_i) mod M31. One grouped aggregation."""
-    h = F.xxhash64("token").bitwiseAND(F.lit(0x7FFFFFFF))
+    h = _token_hash(tokens).bitwiseAND(F.lit(0x7FFFFFFF))
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
@@ -178,7 +190,7 @@ def simhash_signatures(
     Implemented by exploding each token into (bit_idx, ±1) contributions and
     re-aggregating — two narrow shuffles, no Python, no 64-column explosion.
     """
-    h = F.xxhash64("token")
+    h = _token_hash(tokens)
     contribs = F.array(
         *[
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
