@@ -1,0 +1,105 @@
+"""Property-based tests (SURVEY.md §5 point 5) — hypothesis generates the
+fixtures, Spark runs small but real plans. Invariants:
+
+- assembly: output length = Σ fragment lengths; permutation of input rows
+  never changes output (order comes from seq, not row order)
+- exact dedup: idempotent; output ids ⊆ input ids; one row per distinct key
+- minhash jaccard: symmetric inputs → values in [0, 1]; identical docs → 1
+- numbering: roman round-trip over 1..3999
+
+Examples are capped low — each example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+frag_rows = st.lists(
+    st.tuples(st.integers(1, 50), words), min_size=1, max_size=20, unique_by=lambda t: t[0]
+)
+
+
+@given(rows=frag_rows)
+@settings(**SETTINGS)
+def test_assembly_permutation_and_length(spark, rows):
+    from unfccc_documents_database_sandbox_spark.operators.assembly import (
+        assemble_doc_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, seq, w) for seq, w in rows], "doc_id long, seq long, word string"
+    )
+    out = assemble_doc_text(df).collect()[0]
+    # permuted input (reversed) must produce the identical text
+    out2 = assemble_doc_text(
+        spark.createDataFrame(
+            [(1, seq, w) for seq, w in reversed(rows)],
+            "doc_id long, seq long, word string",
+        )
+    ).collect()[0]
+    assert out.doc_text == out2.doc_text
+    assert out.n_blocks == len(rows)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=12), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent(spark, texts):
+    from unfccc_documents_database_sandbox_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    assert len(got_once) == len(set(texts))
+    assert {r[0] for r in got_once} <= set(range(len(texts)))
+
+
+@given(n=st.integers(1, 3999))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_roman_roundtrip(spark, n):
+    """Generate the roman numeral in Python, parse it with the engine."""
+    from unfccc_documents_database_sandbox_spark.functions.text import roman_ordinal
+
+    vals = [1000, 900, 500, 400, 100, 90, 50, 40, 10, 9, 5, 4, 1]
+    syms = ["m", "cm", "d", "cd", "c", "xc", "l", "xl", "x", "ix", "v", "iv", "i"]
+    s, rem = "", n
+    for v, sym in zip(vals, syms):
+        while rem >= v:
+            s += sym
+            rem -= v
+    df = spark.createDataFrame([(s,)], "r string")
+    assert df.select(roman_ordinal("r").alias("n")).first().n == n
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    from unfccc_documents_database_sandbox_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here entirely unrelated content")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_near_dups(df, threshold=0.5).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(0.0 <= v <= 1.0 for v in pairs.values())
+    assert (1, 3) not in pairs and (2, 3) not in pairs
