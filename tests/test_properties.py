@@ -103,3 +103,45 @@ def test_minhash_identical_docs_jaccard_one(spark):
     assert pairs.get((1, 2)) == 1.0
     assert all(0.0 <= v <= 1.0 for v in pairs.values())
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_recall_against_exact_jaccard(spark):
+    """Quality gate for the LSH pipeline on the real corpus: compare
+    minhash_near_dups to the exhaustive shingle-Jaccard ground truth at
+    sf0.01. Precision is 1.0 by construction (the verify stage computes
+    exact Jaccard); recall is bounded by the b=4,r=4 s-curve — ≥0.88 per
+    pair at j=0.8, ≈1 at j≥0.95 — so ≥0.8 overall is the red line."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.operators import dedup as D
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    tokens = D.shingles_distinct(docs)
+    sizes = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = tokens.withColumnRenamed("doc_id", "id_a")
+    tb = tokens.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        ta.join(tb, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .filter(jac >= 0.8)
+            .select("id_a", "id_b")
+            .collect()
+        )
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dups(docs, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert got <= exact  # precision 1.0: no false positives survive verify
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below floor ({len(got)}/{len(exact)})"
