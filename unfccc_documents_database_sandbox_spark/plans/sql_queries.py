@@ -72,3 +72,17 @@ def _sql_plan(sql: str):
 register("sql_tpch_q1", oracle=_Q1)(_sql_plan(_Q1))
 register("sql_tpch_q3", oracle=_Q3)(_sql_plan(_Q3))
 register("sql_tpch_q5", oracle=_Q5)(_sql_plan(_Q5))
+
+
+# correlated scalar subquery — Catalyst decorrelates it into a join+agg
+# (SURVEY.md §4: "subquery decorrelation ... Postgres" → built-in here)
+_QCORR = """
+SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
+FROM part p
+WHERE p_retailprice > 1.05 * (
+    SELECT AVG(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p_partkey
+"""
+
+register("sql_corr_subquery", oracle=_QCORR)(_sql_plan(_QCORR))
