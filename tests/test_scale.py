@@ -66,3 +66,29 @@ def test_scan_prunes_columns_and_pushes_filters(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_orderkey" in read_schema and "l_quantity" in read_schema
     assert "l_comment" not in read_schema
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    partitions at runtime (DPP) — the scan reads only the partitions the
+    dim filter selects, which is what makes dim-filtered scans of a
+    100 TB partitioned fact affordable."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_CORRECT, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    fact_dir = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    days = [r.day for r in fact.select("day").distinct().orderBy("day").collect()]
+    dim = spark.createDataFrame(
+        [(d, "keep" if i < 2 else "drop") for i, d in enumerate(days)],
+        "day string, tag string",
+    )
+    j = fact.join(dim, "day").filter(F.col("tag") == "keep")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only contains the kept days
+    got_days = {r.day for r in j.select("day").distinct().collect()}
+    assert got_days == set(days[:2])
