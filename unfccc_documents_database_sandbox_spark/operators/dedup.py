@@ -59,11 +59,20 @@ def shingles_distinct(
     Tokens are emitted as xxhash64 longs, not strings: the distinct and
     every downstream shuffle move 8 bytes per token instead of the ~n-word
     shingle text, and set semantics are unchanged (collisions at 2⁻⁶⁴)."""
+    return shingles_raw(docs, id_col, text_col, n).distinct()
+
+
+def shingles_raw(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, token) hashed n-word shingles WITHOUT dedup — no shuffle at all.
+    Sufficient wherever the consumer is multiset-invariant (MinHash: the min
+    over duplicates equals the min over the set) or dedups after a prune."""
     from unfccc_documents_database_sandbox_spark.functions.text import shingles
 
     return docs.select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).select(id_col, F.xxhash64("s").alias("token")).distinct()
+    ).select(id_col, F.xxhash64("s").alias("token"))
 
 
 def _token_hash(tokens: DataFrame) -> F.Column:
@@ -134,9 +143,13 @@ def jaccard_verify(
         .distinct()
     )
     # the pruned token set feeds three plans (sizes, both join sides) — persist
-    # it so the shingle explode+distinct runs once, not three times; it is
-    # candidate-docs-only, so small even when the corpus is not
-    tokens = tokens.join(F.broadcast(cand_ids), id_col, "left_semi").persist()
+    # it so the shingle explode runs once, not three times; it is
+    # candidate-docs-only, so small even when the corpus is not. The
+    # distinct sits AFTER the prune so callers may pass raw (multiset)
+    # tokens without paying a corpus-wide dedup shuffle.
+    tokens = (
+        tokens.join(F.broadcast(cand_ids), id_col, "left_semi").distinct().persist()
+    )
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = tokens.withColumnRenamed(id_col, "id_a")
     tb = tokens.withColumnRenamed(id_col, "id_b")
@@ -169,13 +182,14 @@ def minhash_near_dups(
     verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
     b=4×r=4 puts the LSH s-curve threshold at (1/4)^(1/4) ≈ 0.71 —
     high recall at jaccard ≥ 0.8 with bounded candidate fan-out."""
-    # The shingle set feeds both the signature agg and the verify stage, but
-    # is deliberately NOT persisted: the verify stage's consumers are pruned
-    # to candidate docs by a broadcast semi-join that Catalyst pushes below
-    # the explode+distinct, so their recompute scans only candidate docs.
-    # Persisting the full token set (measured) costs more than it saves —
-    # it materializes every shingle and blocks that pushdown.
-    tokens = shingles_distinct(docs, id_col, text_col, shingle)
+    # Raw (non-distinct) tokens end to end: MinHash is multiset-invariant,
+    # so the signature agg needs no corpus-wide distinct shuffle — map-side
+    # partial min absorbs duplicates for free. The verify stage dedups only
+    # AFTER its broadcast semi-join prune to candidate docs, so the one
+    # distinct that remains runs over a tiny slice. (Also deliberately not
+    # persisted: persisting the full token set blocks that prune pushdown —
+    # measured slower.)
+    tokens = shingles_raw(docs, id_col, text_col, shingle)
     sigs = minhash_signatures(tokens, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
     return jaccard_verify(cands, tokens, id_col, threshold)
