@@ -28,6 +28,16 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped memo of analyzed DataFrames keyed by (session, sf_dir,
+# table). spark.read.parquet() lists files and reads footers eagerly on the
+# driver; with ~70 registered queries each touching 1-10 tables that fixed
+# cost dominates a small-SF correctness sweep. DataFrames are immutable
+# logical plans, so handing the same object to every caller is safe. Keyed
+# on the live SparkSession object (sessions are hashable); entries die with
+# the process, and a stopped session's entries are simply never hit again.
+_TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+_VIEWS_REGISTERED: dict[SparkSession, str] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -38,6 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown are automatic once downstream plans select/filter."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (spark, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
         # rejects. nanosAsLong is a runtime SQLConf, so set it here instead of
@@ -54,14 +68,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view (enables spark.sql paths
-    and catalog introspection — reference probe.py:6-7)."""
+    and catalog introspection — reference probe.py:6-7). Idempotent per
+    (session, sf_dir): repeated calls from different queries are free."""
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[spark] = sf_dir
 
 
 def list_tables(spark: SparkSession) -> DataFrame:

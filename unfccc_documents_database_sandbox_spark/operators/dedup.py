@@ -26,11 +26,22 @@ from pyspark.sql import functions as F
 # 31-bit Mersenne prime: with 31-bit token hashes, a*h + b stays < 2^62 —
 # no BIGINT overflow under Spark's default ANSI mode.
 MERSENNE_31 = (1 << 31) - 1
-_rng = random.Random(42)
-# fixed affine coefficients for the k min-hash functions (deterministic)
-MINHASH_COEFFS: list[tuple[int, int]] = [
-    (_rng.randrange(1, MERSENNE_31), _rng.randrange(0, MERSENNE_31)) for _ in range(16)
-]
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Affine coefficients for the k min-hash functions: seeded, generated
+    on demand for any k (a fixed 16-entry table silently truncated larger
+    requests and broke lsh_candidates downstream — r01 advisory). The first
+    16 pairs are byte-identical to the r01 table (same seed, same draws)."""
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, MERSENNE_31), rng.randrange(0, MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
+# fixed default table (kept for callers/tests that index it directly)
+MINHASH_COEFFS: list[tuple[int, int]] = minhash_coeffs(16)
 
 
 def exact_dedup(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -91,7 +102,7 @@ def minhash_signatures(
     h = _token_hash(tokens).bitwiseAND(F.lit(0x7FFFFFFF))
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % MERSENNE_31).alias(f"mh{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return tokens.groupBy(id_col).agg(*mins)
 
@@ -128,6 +139,10 @@ def lsh_candidates(
     )
 
 
+# at most one live pruned-token cache per process (see jaccard_verify)
+_PERSISTED_TOKENS: list[DataFrame] = []
+
+
 def jaccard_verify(
     candidates: DataFrame, tokens: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
@@ -150,6 +165,13 @@ def jaccard_verify(
     tokens = (
         tokens.join(F.broadcast(cand_ids), id_col, "left_semi").distinct().persist()
     )
+    # the result is lazy, so we can't unpersist here without recomputing the
+    # three consumers; instead evict the PREVIOUS call's cache so repeated
+    # runs in one session (bench loop, parity sweep, driver gate) hold at
+    # most one pruned token set, not a monotonically growing leak.
+    while _PERSISTED_TOKENS:
+        _PERSISTED_TOKENS.pop().unpersist()
+    _PERSISTED_TOKENS.append(tokens)
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = tokens.withColumnRenamed(id_col, "id_a")
     tb = tokens.withColumnRenamed(id_col, "id_b")
@@ -182,6 +204,11 @@ def minhash_near_dups(
     verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
     b=4×r=4 puts the LSH s-curve threshold at (1/4)^(1/4) ≈ 0.71 —
     high recall at jaccard ≥ 0.8 with bounded candidate fan-out."""
+    if bands * rows > num_hashes:
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) exceeds num_hashes ({num_hashes}); "
+            "each band consumes `rows` distinct signature slots"
+        )
     # Raw (non-distinct) tokens end to end: MinHash is multiset-invariant,
     # so the signature agg needs no corpus-wide distinct shuffle — map-side
     # partial min absorbs duplicates for free. The verify stage dedups only

@@ -118,6 +118,7 @@ def train_ivf_centroids(
     seed: int = 42,
     max_train: int = 100_000,
     iters: int = 10,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Fit the IVF coarse quantizer: Lloyd's k-means on a bounded,
     L2-normalized sample, driver-side in numpy.
@@ -127,12 +128,25 @@ def train_ivf_centroids(
     fits one machine: collect ≤ max_train vectors (≈50 MB at 100k×64),
     iterate in vectorized numpy — no per-iteration cluster jobs. Index
     build cost is O(max_train·n_cells·iters) regardless of corpus size.
-    Normalized vectors make euclidean cells align with cosine ranking."""
+    Normalized vectors make euclidean cells align with cosine ranking.
+
+    The sample is the max_train LOWEST ids (TakeOrdered — a top-k heap, no
+    full sort materialization): a bare limit() on an unordered DataFrame
+    picks whatever partitions answer first, so centroids — and every
+    downstream cell assignment — would vary across runs and partition
+    layouts despite the fixed seed. Zero vectors are dropped before the
+    normalize divide (they carry no direction to cluster)."""
     import numpy as np
 
-    sample = corpus.select(F.col("embedding").alias("e")).limit(max_train)
+    sample = (
+        corpus.select(F.col(id_col).alias("i"), F.col("embedding").alias("e"))
+        .orderBy("i")
+        .limit(max_train)
+    )
     x = np.array([r.e for r in sample.collect()], dtype="float64")
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[norms[:, 0] > 0]
+    x /= norms[norms[:, 0] > 0].reshape(-1, 1)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -175,18 +189,20 @@ def ivf_topk(
     cnorm2 = (cents * cents).sum(axis=1)
     n_probe = min(nprobe, len(centroids))
 
+    def _unit(vecs):
+        x = np.array(vecs.tolist(), dtype="float64")
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0  # zero vectors stay zero instead of NaN-ing the batch
+        return x / n
+
     @pandas_udf("int")
     def cell_of(vecs):
-        x = np.array(vecs.tolist(), dtype="float64")
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        d = cnorm2[None, :] - 2.0 * (x @ cents.T)
+        d = cnorm2[None, :] - 2.0 * (_unit(vecs) @ cents.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     @pandas_udf("array<int>")
     def probe_cells(vecs):
-        x = np.array(vecs.tolist(), dtype="float64")
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        d = cnorm2[None, :] - 2.0 * (x @ cents.T)
+        d = cnorm2[None, :] - 2.0 * (_unit(vecs) @ cents.T)
         order = np.argsort(d, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 

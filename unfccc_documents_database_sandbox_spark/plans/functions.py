@@ -151,19 +151,34 @@ def math_arith(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           list_transform(embedding[1:3], x -> ROUND(CAST(x AS DOUBLE), 4)) AS head3,
+           array_to_string(
+               list_transform(embedding[1:3],
+                   x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)
+                             AS VARCHAR)),
+               ',') AS head3,
            ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val
     FROM embeddings
     """,
 )
 def array_ops(spark, sf_dir):
-    """F7 array size / slice / element access / transform over embeddings."""
+    """F7 array size / slice / element access / transform over embeddings.
+
+    The slice+transform still run on the array; the output serializes it to
+    a scalar CSV string of 1e-4-unit ints because the driver's pandas
+    canonicalization cannot hash list cells (r01 hard error) — keep array
+    computation in the plan, scalars at the output boundary."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double") * 10000, 0)
+                .cast("long")
+                .cast("string"),
+            ),
         ).alias("head3"),
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
     )

@@ -61,8 +61,8 @@ def udf_llm_summarize(spark, sf_dir):
 @register(
     "udf_llm_cost_sum",
     oracle=f"""
-    SELECT SUM(CAST(ROUND(1e-6 * length({_PROMPT_SQL}) * 1000000, 0) AS BIGINT))
-               AS total_cost_micros,
+    SELECT CAST(SUM(CAST(ROUND(1e-6 * length({_PROMPT_SQL}) * 1000000, 0) AS BIGINT))
+               AS BIGINT) AS total_cost_micros,
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents
     """,

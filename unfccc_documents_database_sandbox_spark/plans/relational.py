@@ -25,6 +25,13 @@ def _cents(col: str) -> F.Column:
 
 CENTS_SQL = "CAST(ROUND({col} * 100, 0) AS BIGINT)"
 
+# DuckDB returns HUGEINT (int128) for SUM over integers, which its pandas
+# bridge renders as float64 — diverging from Spark's int64 even when the
+# values are identical. Every oracle SUM over an integer expression must be
+# wrapped in an outer CAST(... AS BIGINT) (verified failure mode in r01:
+# agg_sum_global / agg_group_stats / join_bridge hash mismatches).
+SUM_CENTS_SQL = "CAST(SUM(" + CENTS_SQL + ") AS BIGINT)"
+
 
 # --- S1/S3: scans & catalog ---------------------------------------------------
 
@@ -194,7 +201,7 @@ def join_child_collect(spark, sf_dir):
     SELECT o.o_orderkey,
            CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands,
            SUM(l.l_quantity) AS sum_qty,
-           SUM({CENTS_SQL.format(col='p.p_retailprice')}) AS retail_cents
+           {SUM_CENTS_SQL.format(col='p.p_retailprice')} AS retail_cents
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -286,7 +293,7 @@ def agg_doc_text(spark, sf_dir):
 @register(
     "agg_sum_global",
     oracle=f"""
-    SELECT SUM({CENTS_SQL.format(col='l_extendedprice')}) AS revenue_cents,
+    SELECT {SUM_CENTS_SQL.format(col='l_extendedprice')} AS revenue_cents,
            SUM(l_quantity) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
@@ -310,7 +317,7 @@ def agg_sum_global(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            SUM(l_quantity) AS sum_qty,
-           SUM({CENTS_SQL.format(col='l_extendedprice')}) AS revenue_cents,
+           {SUM_CENTS_SQL.format(col='l_extendedprice')} AS revenue_cents,
            ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
            MIN(l_shipdate) AS min_ship,
            MAX(l_shipdate) AS max_ship
@@ -503,9 +510,9 @@ def set_intersect(spark, sf_dir):
 
 @register(
     "join_skew_salted",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           {SUM_CENTS_SQL.format(col='c.c_acctbal')} AS acctbal_cents
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -523,5 +530,5 @@ def join_skew_salted(spark, sf_dir):
     joined = salted_join(c, n, on=["c_nationkey"], salt_on=["c_custkey"], salt=8)
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
     )

@@ -6,8 +6,14 @@ priority, local-supplier volume) over the driver's TPC-H-ish corpus.
 
 Reference parity: the sandbox's relational work is SQL pushed to Postgres
 (SURVEY.md §1.1); these queries are the equivalent "hand the engine a SQL
-string" path. Doubles are rounded to 2 decimals in-query — summation order
-differs between engines at the 1e-10 scale.
+string" path.
+
+Money is summed in exact integer cents (registry.py determinism rule):
+ROUND(SUM(double), 2) is summation-order-dependent at the 1e-10 scale and
+can flip a 2nd decimal between engines; per-row scale-round-cast then an
+integer sum is exact. The outer CAST(SUM(...) AS BIGINT) pins DuckDB's
+HUGEINT back to int64 so both engines emit the same dtype. Averages divide
+one exact integer sum by one exact count — a single deterministic FP op.
 """
 
 from __future__ import annotations
@@ -17,13 +23,13 @@ from unfccc_documents_database_sandbox_spark.registry import register
 
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * COUNT(*)), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS DOUBLE) / (10000.0 * COUNT(*)), 4) AS avg_disc,
        CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -33,7 +39,7 @@ GROUP BY l_returnflag, l_linestatus
 # the synthetic orders table has no o_shippriority; o_orderpriority stands in
 _Q3 = """
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -41,13 +47,13 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
   AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-ORDER BY revenue DESC, o_orderdate, l_orderkey
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
 
 _Q5 = """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey

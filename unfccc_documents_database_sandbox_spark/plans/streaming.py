@@ -19,7 +19,7 @@ from unfccc_documents_database_sandbox_spark.streaming.windows import (
            time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
                AS window_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ def stream_sliding(spark, sf_dir):
            MIN(ts) AS session_start,
            MAX(ts) + INTERVAL '5 minutes' AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM numbered
     GROUP BY user_id, sid
     """,

@@ -180,14 +180,14 @@ def join_range(spark, sf_dir):
     oracle="""
     SELECT o.o_orderkey,
            (SELECT e.event_id FROM events e
-             WHERE e.user_id % 5 = o.o_custkey % 5 AND e.ts <= o.o_orderdate
+             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS last_event_id
     FROM orders o
     """,
 )
 def join_asof(spark, sf_dir):
-    """J6 keyed as-of join: for each order, the most recent event (same
-    hash-key) at-or-before the order date.
+    """J6 keyed as-of join: for each order, the customer's most recent
+    event at-or-before the order date (NULL when the customer has none).
 
     Spark lacks a native as-of join; the scalable pattern is the
     union-and-carry-forward merge: union both sides tagged by kind, sort
@@ -195,16 +195,23 @@ def join_asof(spark, sf_dir):
     event id forward with last(..., ignorenulls) — one shuffle on the key,
     no per-row subquery, no cross join. Events sort before orders at equal
     ts so ties honor `<=`.
+
+    The window partitions on the REAL key (user_id = o_custkey), so
+    parallelism grows with the number of users — not a fixed hash-bucket
+    count, which would cap the sort at that many tasks and make per-task
+    data grow linearly with the corpus (r01 verdict's scale nit). A truly
+    hot single user is the residual skew case; time-bucketing the key with
+    boundary carry-over is the next step if one appears.
     """
     ev = load_table(spark, sf_dir, "events").select(
-        (F.col("user_id") % 5).alias("k"),
+        F.col("user_id").alias("k"),
         F.col("ts"),
         F.lit(0).alias("kind"),
         F.col("event_id"),
         F.lit(None).cast("long").alias("o_orderkey"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
-        (F.col("o_custkey") % 5).alias("k"),
+        F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("ts"),
         F.lit(1).alias("kind"),
         F.lit(None).cast("long").alias("event_id"),
