@@ -2,9 +2,10 @@
 warehouse-shaped fixtures — the exact whitespace semantics of the reference
 (generate_decisions_summaries.py:50-57; FIXTURES.md §B golden rules):
 
-- paragraph block: trim(numbering) + "\\t" if numbering non-null/non-blank,
-  then trim(text) + "\\n"
-- table block: trim(caption) + "\\n" if caption non-null/non-blank, then
+- paragraph block: trim(numbering) + "\\t" if numbering is truthy (non-null,
+  non-empty — whitespace-only IS truthy, like Python's `if block.numbering:`,
+  and yields a bare tab), then trim(text) + "\\n"
+- table block: trim(caption) + "\\n" if caption truthy (same rule), then
   cells_text + "\\n" (cells NOT trimmed)
 - empty block: contributes nothing
 - paragraph wins when both payloads exist (the reference's `elif`)
@@ -25,8 +26,8 @@ from unfccc_documents_database_sandbox_spark.schemas import BLOCK, PARAGRAPH, TA
 def warehouse(spark):
     # doc 1: numbered paragraph, plain paragraph (whitespace-padded),
     #        table with caption, empty block
-    # doc 2: blank-numbering paragraph, table without caption,
-    #        block with BOTH payloads (paragraph must win)
+    # doc 2: whitespace-numbering paragraph (truthy -> bare tab), table
+    #        without caption, block with BOTH payloads (paragraph must win)
     blocks = spark.createDataFrame(
         [
             (10, 1, 2, None, "paragraph"),     # out-of-seq insert order on purpose
@@ -67,9 +68,10 @@ def test_golden_assembly(spark, warehouse):
     }
     # numbering+tab, trimmed para, trimmed caption, raw (untrimmed) cells
     assert out[1] == "1.\tFirst para.\npadded text\nCaption\nc1|c2 \n"
-    # blank numbering omitted; captionless table emits cells only;
-    # paragraph beats table on block 22
-    assert out[2] == "blank numbering\nx|y\n(a)\tboth payloads\n"
+    # whitespace-only numbering is truthy (reference `if block.numbering:`)
+    # -> strips to '' but still emits the tab; captionless table emits cells
+    # only; paragraph beats table on block 22
+    assert out[2] == "\tblank numbering\nx|y\n(a)\tboth payloads\n"
 
 
 def test_row_order_invariance(spark, warehouse):

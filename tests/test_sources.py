@@ -96,6 +96,49 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     ]
 
 
+def test_jdbc_contract_roundtrip(spark):
+    """S2 JDBC source contract (reference front door: `from init_db import
+    engine`, README.md:15-18): read a real JDBC database through
+    read_jdbc's partitioned-read path. Uses the embedded Derby engine that
+    ships in Spark's JVM — same DataSource V1 JDBC code path as Postgres,
+    no external server. In-memory Derby DBs are JVM-wide, so executor
+    threads in local mode see the same data."""
+    import pytest
+
+    from unfccc_documents_database_sandbox_spark.sources.io import read_jdbc
+
+    jvm = spark._jvm
+    try:
+        conn = jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:memory:jdbctest;create=true"
+        )
+    except Exception:
+        pytest.skip("embedded Derby not available in this JVM")
+    st = conn.createStatement()
+    try:
+        st.executeUpdate("DROP TABLE people")
+    except Exception:
+        pass
+    st.executeUpdate("CREATE TABLE people (id INT PRIMARY KEY, name VARCHAR(20))")
+    for i, n in enumerate(["ada", "grace", "edsger", "barbara"]):
+        st.executeUpdate(f"INSERT INTO people VALUES ({i}, '{n}')")
+    st.close()
+    conn.close()
+
+    df = read_jdbc(
+        spark,
+        "jdbc:derby:memory:jdbctest",
+        "people",
+        partition_column="ID",
+        num_partitions=2,
+        lower_bound=0,
+        upper_bound=4,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    rows = sorted((r["ID"], r["NAME"]) for r in df.collect())
+    assert rows == [(0, "ada"), (1, "grace"), (2, "edsger"), (3, "barbara")]
+
+
 def test_partitioned_parquet_prunes(spark, tmp_path):
     from unfccc_documents_database_sandbox_spark.catalog import load_table
 

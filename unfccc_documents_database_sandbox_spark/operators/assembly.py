@@ -103,6 +103,81 @@ def assemble_doc_text(blocks: DataFrame, key: str = "doc_id") -> DataFrame:
 
 # --- exact reference semantics over warehouse-shaped tables (family B) -------
 
+# Deterministic warehouse-table derivation over the driver corpus, so the
+# flagship's EXACT reference semantics (tab/newline/strip/truthiness) get a
+# driver-checkable SQL oracle — not just pytest fixtures. Everything is a
+# pure function of (doc_id, seq, word):
+#   numbering: seq%5==1 -> '<seq>.' | ==2 -> ' ' (whitespace-only: truthy!)
+#              | ==3 -> '' (empty: falsy) | else NULL
+#   paragraph: present when (seq%7!=0 and seq%11!=0) or seq%14==0;
+#              text = '  '+word+' ' (strips back to word)
+#   table:     present when seq%7==0; caption: seq%3==0 -> ' Tbl '+word+' '
+#              | ==1 -> ' ' (truthy -> bare newline) | else NULL;
+#              cells_text = word+'|'+word (never stripped)
+# seq%14==0 rows carry BOTH payloads -> paragraph must win (the `elif`);
+# seq%11==0 (and not %7) rows carry neither -> contribute nothing.
+
+WAREHOUSE_ORACLE_SQL = """
+    WITH {blocks_cte},
+    b AS (
+        SELECT doc_id, seq, doc_id * 100000 + seq AS block_id,
+               CASE seq % 5 WHEN 1 THEN CAST(seq AS VARCHAR) || '.'
+                            WHEN 2 THEN ' ' WHEN 3 THEN '' END AS numbering,
+               CASE WHEN (seq % 7 <> 0 AND seq % 11 <> 0) OR seq % 14 = 0
+                    THEN '  ' || word || ' ' END AS p_text,
+               CASE WHEN seq % 7 = 0 THEN
+                   CASE seq % 3 WHEN 0 THEN ' Tbl ' || word || ' '
+                                WHEN 1 THEN ' ' END
+               END AS caption,
+               CASE WHEN seq % 7 = 0 THEN word || '|' || word END AS cells_text
+        FROM blocks
+    ),
+    frags AS (
+        SELECT doc_id, seq,
+               CASE WHEN p_text IS NOT NULL THEN
+                       (CASE WHEN numbering IS NOT NULL AND numbering <> ''
+                             THEN trim(numbering) || chr(9) ELSE '' END)
+                       || trim(p_text) || chr(10)
+                    WHEN cells_text IS NOT NULL THEN
+                       (CASE WHEN caption IS NOT NULL AND caption <> ''
+                             THEN trim(caption) || chr(10) ELSE '' END)
+                       || cells_text || chr(10)
+                    ELSE '' END AS fragment
+        FROM b
+    )
+    SELECT doc_id, string_agg(fragment, '' ORDER BY seq) AS doc_text
+    FROM frags GROUP BY doc_id
+"""
+
+
+def warehouse_tables_from_documents(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """documents -> (block, paragraph, table_payload) per the derivation
+    above; feed straight into assemble_from_warehouse."""
+    seq, word = F.col("seq"), F.col("word")
+    base = blocks_from_documents(docs).withColumn(
+        "block_id", F.col("doc_id") * 100000 + seq
+    )
+    numbering = (
+        F.when(seq % 5 == 1, F.concat(seq.cast("string"), F.lit(".")))
+        .when(seq % 5 == 2, F.lit(" "))
+        .when(seq % 5 == 3, F.lit(""))
+    )
+    block = base.select("doc_id", "seq", "block_id", numbering.alias("numbering"))
+    paragraph = base.filter(
+        ((seq % 7 != 0) & (seq % 11 != 0)) | (seq % 14 == 0)
+    ).select("block_id", F.concat(F.lit("  "), word, F.lit(" ")).alias("text"))
+    caption = F.when(
+        seq % 3 == 0, F.concat(F.lit(" Tbl "), word, F.lit(" "))
+    ).when(seq % 3 == 1, F.lit(" "))
+    table_payload = base.filter(seq % 7 == 0).select(
+        "block_id",
+        caption.alias("caption"),
+        F.concat(word, F.lit("|"), word).alias("cells_text"),
+    )
+    return block, paragraph, table_payload
+
 
 def assemble_from_warehouse(
     block: DataFrame, paragraph: DataFrame, table_payload: DataFrame
@@ -115,12 +190,16 @@ def assemble_from_warehouse(
         block.join(paragraph.withColumnRenamed("text", "p_text"), "block_id", "left")
         .join(table_payload, "block_id", "left")
     )
+    # Truthiness is checked on the RAW value (reference: `if block.numbering:`
+    # then `.strip()`, generate_decisions_summaries.py:51-52): a whitespace-only
+    # numbering is truthy, so it emits a bare '\t' (resp. a caption a bare
+    # '\n') — trimming happens only in the OUTPUT, never in the guard.
     numbering_part = F.when(
-        F.col("numbering").isNotNull() & (F.trim(F.col("numbering")) != ""),
+        F.col("numbering").isNotNull() & (F.col("numbering") != ""),
         F.concat(F.trim(F.col("numbering")), F.lit("\t")),
     ).otherwise(F.lit(""))
     caption_part = F.when(
-        F.col("caption").isNotNull() & (F.trim(F.col("caption")) != ""),
+        F.col("caption").isNotNull() & (F.col("caption") != ""),
         F.concat(F.trim(F.col("caption")), F.lit("\n")),
     ).otherwise(F.lit(""))
     fragment = (

@@ -91,9 +91,21 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """L2 exact bigram-Jaccard near-dup pairs, blocked by (lang, source) —
-    the blocking keys bound the pair space the way LSH bands do, so the
-    token equi-join stays linear-ish instead of all-pairs."""
+    """L2 exact bigram-Jaccard near-dup pairs, blocked by (lang, source),
+    with a PPJoin-style PREFIX FILTER inside each block.
+
+    The r01 plan joined full gram sets within each block; block sizes grow
+    linearly with the corpus, so the within-block join trended quadratic.
+    Prefix filtering keeps the result EXACT (oracle unchanged) while
+    bounding the candidate join: order each doc's grams globally by
+    (document frequency, gram), keep only the rarest
+    |A| - ceil(t*|A|) + 1 grams as its prefix — two docs with
+    J >= t MUST share a prefix gram (pigeonhole on the canonical order) —
+    then join prefixes, and verify candidates on full gram sets.
+    ceil(t*sz) is computed in integer arithmetic (80*sz/100): a double
+    0.8*sz can land epsilon above an exact integer and over-shrink the
+    prefix, silently dropping true pairs."""
+    threshold_pct = 80
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("doc_id").orderBy("seq")
     words = docs.select(
@@ -111,8 +123,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (
+    # canonical rarity order: document frequency within the block, gram text
+    # as tiebreak — identical for every doc in a block, which is what the
+    # prefix-filter guarantee needs.
+    freq = grams.groupBy("lang", "source", "gram").agg(
+        F.count(F.lit(1)).alias("gram_df")
+    )
+    pos_w = Window.partitionBy("doc_id").orderBy("gram_df", "gram")
+    prefix_len = F.col("sz") - F.ceil(
+        F.lit(threshold_pct) * F.col("sz") / F.lit(100)
+    ) + 1
+    prefix = (
+        grams.join(freq, ["lang", "source", "gram"])
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "lang", "source", "gram")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.gram") == F.col("b.gram"))
@@ -120,7 +149,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify over FULL gram sets, restricted to candidates (same-block
+    # by construction, so lang/source equality is implied per pair)
+    ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        cands.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a")
@@ -131,6 +170,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold_pct / 100.0)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )

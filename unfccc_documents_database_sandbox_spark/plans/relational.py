@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 from unfccc_documents_database_sandbox_spark.catalog import list_tables, load_table, register_views
 from unfccc_documents_database_sandbox_spark.operators.assembly import (
     BLOCKS_CTE,
+    WAREHOUSE_ORACLE_SQL,
     assemble_doc_text,
+    assemble_from_warehouse,
     blocks_from_documents,
+    warehouse_tables_from_documents,
 )
 from unfccc_documents_database_sandbox_spark.registry import register
 
@@ -41,6 +44,31 @@ def scan_full(spark, sf_dir):
     """S1 full table scan (reference: select(Decision) full scan,
     generate_decisions_summaries.py:37-43)."""
     return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+           CAST(n_chars AS VARCHAR) AS n_chars
+    FROM documents
+    """,
+)
+def csv_roundtrip(spark, sf_dir):
+    """S4 CSV sink exercised end-to-end (reference: to_csv('decision_
+    summaries.csv', utf-8), generate_decisions_summaries.py:120): write a
+    documents projection as a headered CSV directory, read it back, and
+    oracle-check the round-tripped values. Columns are compared as strings
+    — that is what a CSV round-trip preserves."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.io import write_csv
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    out = os.path.join(repo_root, ".csv_tmp", "documents_roundtrip")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    write_csv(load_table(spark, sf_dir, "documents").select(*cols), out)
+    return spark.read.option("header", True).csv(out).select(*cols)
 
 
 @register("catalog_tables", oracle=None, tags=("rows-only",))
@@ -288,6 +316,23 @@ def agg_doc_text(spark, sf_dir):
     shuffle + codegen'd expressions. See operators/assembly.py."""
     docs = load_table(spark, sf_dir, "documents")
     return assemble_doc_text(blocks_from_documents(docs))
+
+
+@register(
+    "agg_doc_text_warehouse",
+    oracle=WAREHOUSE_ORACLE_SQL.format(blocks_cte=BLOCKS_CTE),
+)
+def agg_doc_text_warehouse(spark, sf_dir):
+    """A1 over warehouse-shaped Block/Paragraph/Table tables with the
+    reference's EXACT whitespace semantics (generate_decisions_summaries.py
+    :50-57): truthiness on raw numbering/caption (' ' is truthy → bare
+    tab/newline), strip only in output, cells_text never stripped,
+    paragraph wins over table. Tables derived deterministically from
+    documents (operators/assembly.py::warehouse_tables_from_documents) so
+    this core semantic claim is driver-checked, not just pytest-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    block, paragraph, table_payload = warehouse_tables_from_documents(docs)
+    return assemble_from_warehouse(block, paragraph, table_payload)
 
 
 @register(
