@@ -83,6 +83,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_REGISTERED[spark] = sf_dir
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism, used
+    immediately before a compute-bound narrow stage (shingle explode,
+    per-row digest, mapInPandas inference/decode).
+
+    Why: scan parallelism is bounded by parquet row groups — the bench
+    corpus is ONE row group per table, so every downstream stage inherits a
+    single partition no matter the core count; and even at cluster scale
+    the standard move before CPU-heavy work whose output fans out (explode
+    multiplies rows ~100x here) is to repartition the small pre-fan-out
+    input, not the large post-fan-out result. Cost: one narrow shuffle of
+    the compact input rows. Results are unaffected — every consumer either
+    aggregates by key or is row-local."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(partitions or sc.defaultParallelism)
+
+
 def list_tables(spark: SparkSession) -> DataFrame:
     """Catalog introspection (S3): one row per visible table/view, sorted.
 

@@ -84,7 +84,11 @@ def summarize(
                 }
             )
 
-    return df.select(id_col, prompt_col).mapInPandas(infer, out_schema)
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    # spread before the Python stage: inference parallelism = partitions,
+    # and a row-group-bound scan would pin the whole batch to one worker.
+    return spread(df.select(id_col, prompt_col)).mapInPandas(infer, out_schema)
 
 
 def parse_structured(df: DataFrame, json_col: str = "response_json") -> DataFrame:

@@ -68,6 +68,10 @@ def blocks_from_documents(docs: DataFrame) -> DataFrame:
     assembly aggregate (reference upstream: abstract-docx DOCX→blocks parse,
     requirements.txt:1).
     """
+    # NOT spread(): the per-word fragment work downstream is light (concat/
+    # CASE), so the collect_list exchange dominates either way — an extra
+    # repartition before the explode measured as pure overhead here, unlike
+    # the shingle+xxhash64 and mapInPandas paths where it pays off.
     return docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word")
     ).select("doc_id", (F.col("pos") + 1).cast("long").alias("seq"), "word")

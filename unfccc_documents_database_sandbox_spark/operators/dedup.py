@@ -79,9 +79,13 @@ def shingles_raw(
     """(id, token) hashed n-word shingles WITHOUT dedup — no shuffle at all.
     Sufficient wherever the consumer is multiset-invariant (MinHash: the min
     over duplicates equals the min over the set) or dedups after a prune."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
     from unfccc_documents_database_sandbox_spark.functions.text import shingles
 
-    return docs.select(
+    # repartition the compact doc rows before the shingle fan-out: the scan
+    # is row-group-bound (1 partition on the bench corpus) and the explode +
+    # xxhash64 is the CPU-heavy part of the whole minhash pipeline.
+    return spread(docs).select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("token"))
 

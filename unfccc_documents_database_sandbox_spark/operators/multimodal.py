@@ -36,8 +36,13 @@ DECODED_SCHEMA = T.StructType(
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Project the corpus into media shape: text bytes as the opaque
-    payload, typed metadata alongside (stands in for image/audio blobs)."""
-    return docs.select(
+    payload, typed metadata alongside (stands in for image/audio blobs).
+    Spread across the cores up front: every consumer is an Arrow-batched
+    Python stage whose parallelism equals the partition count, and the
+    row-group-bound scan would otherwise hand it ONE partition."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),

@@ -105,8 +105,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     ceil(t*sz) is computed in integer arithmetic (80*sz/100): a double
     0.8*sz can land epsilon above an exact integer and over-shrink the
     prefix, silently dropping true pairs."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
     threshold_pct = 80
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the word fan-out (row-group-bound scan -> 1 partition)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = Window.partitionBy("doc_id").orderBy("seq")
     words = docs.select(
         "doc_id",

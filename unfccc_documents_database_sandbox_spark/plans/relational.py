@@ -463,6 +463,77 @@ def agg_cube(spark, sf_dir):
     )
 
 
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en,
+           CAST(COUNT(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es,
+           CAST(COUNT(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS fr,
+           CAST(COUNT(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """A6-adjacent pivot (wide crosstab): documents per source x lang.
+    Pivot values are given explicitly — without them Spark runs an extra
+    distinct job just to discover the columns, and the output schema
+    becomes data-dependent (both wrong at scale). Empty cells are 0, not
+    NULL, to match COUNT FILTER semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = d.groupBy("source").pivot("lang", langs).count()
+    return wide.select(
+        "source",
+        *[F.coalesce(F.col(l), F.lit(0)).cast("long").alias(l) for l in langs],
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.50) AS p50_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.75) AS p75_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """A4-adjacent exact percentiles (linear interpolation). Cross-engine
+    exactness by construction: the input is integer cents and the quantiles
+    are dyadic (k/4), so the interpolation lower*(1-d)+higher*d (Spark) and
+    lower+(higher-lower)*d (DuckDB) are both exact multiples of 0.25 — no
+    last-ulp divergence. Non-dyadic quantiles over raw doubles would NOT
+    hash-match across engines. (At 100 TB you'd reach for approx_percentile;
+    exact percentile shuffles every group value to one reducer.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = _cents("l_extendedprice")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+        F.percentile(cents, F.lit(0.50)).alias("p50_cents"),
+        F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+    )
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 < 429496730
+    """,
+)
+def sample_hash_mod(spark, sf_dir):
+    """Deterministic ~10% sample via multiplicative (Knuth) hashing on the
+    key — reproducible across engines, runs, and partition layouts, unlike
+    df.sample() whose output depends on partition seeds. The predicate is
+    pure integer arithmetic, so it pushes into the scan like any filter."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return d.filter(bucket < 429496730).select("doc_id", "lang", "source")
+
+
 # --- O2-O6: sorts / limits / set ops -------------------------------------------
 
 

@@ -92,3 +92,20 @@ ORDER BY p_partkey
 """
 
 register("sql_corr_subquery", oracle=_QCORR)(_sql_plan(_QCORR))
+
+
+# time-based RANGE frame (W3 on event time): per event, activity in the
+# trailing hour for the same user. RANGE ... CURRENT ROW includes ts-peers
+# in both engines, so tie order never affects the result; the windowed SUM
+# is over integer cents with an outer BIGINT cast (HUGEINT rule).
+_QRANGE = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+           AS cents_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+register("sql_window_range", oracle=_QRANGE)(_sql_plan(_QRANGE))

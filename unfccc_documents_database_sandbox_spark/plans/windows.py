@@ -100,6 +100,31 @@ def window_frame(spark, sf_dir):
 
 
 @register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+               AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """W1-adjacent NTILE bucketing: price quartile within each priority
+    class. The unique o_orderkey tiebreak keeps bucket boundaries
+    deterministic."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
     "dedup_latest",
     oracle="""
     SELECT event_id, user_id, ts FROM (
