@@ -143,7 +143,8 @@ def lsh_candidates(
     )
 
 
-# at most one live pruned-token cache per process (see jaccard_verify)
+# at most one live generation of verify-stage caches per process (see
+# jaccard_verify): the pruned token set + the candidate pair set
 _PERSISTED_TOKENS: list[DataFrame] = []
 
 
@@ -156,6 +157,18 @@ def jaccard_verify(
     The semi-join prune matters at scale: LSH yields few candidate docs, so
     the token⋈token join runs over a tiny broadcast-filtered slice of the
     corpus instead of every document's shingle set."""
+    # evict the PREVIOUS call's caches first (results are lazy, so we can't
+    # unpersist our own at return): repeated runs in one session (bench
+    # loop, parity sweep, driver gate) hold at most one generation, not a
+    # monotonically growing leak.
+    while _PERSISTED_TOKENS:
+        _PERSISTED_TOKENS.pop().unpersist()
+    # candidates feed THREE consumers (the two cand_ids projections and the
+    # intersection join); unpersisted, each consumer re-executes the whole
+    # LSH band self-join upstream. The pair set is collision-bounded and
+    # tiny — persist it so the expensive candidate generation runs once.
+    candidates = candidates.persist()
+    _PERSISTED_TOKENS.append(candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -169,12 +182,6 @@ def jaccard_verify(
     tokens = (
         tokens.join(F.broadcast(cand_ids), id_col, "left_semi").distinct().persist()
     )
-    # the result is lazy, so we can't unpersist here without recomputing the
-    # three consumers; instead evict the PREVIOUS call's cache so repeated
-    # runs in one session (bench loop, parity sweep, driver gate) hold at
-    # most one pruned token set, not a monotonically growing leak.
-    while _PERSISTED_TOKENS:
-        _PERSISTED_TOKENS.pop().unpersist()
     _PERSISTED_TOKENS.append(tokens)
     sizes = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     ta = tokens.withColumnRenamed(id_col, "id_a")

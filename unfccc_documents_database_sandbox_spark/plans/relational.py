@@ -527,8 +527,10 @@ def agg_percentiles(spark, sf_dir):
 def sample_hash_mod(spark, sf_dir):
     """Deterministic ~10% sample via multiplicative (Knuth) hashing on the
     key — reproducible across engines, runs, and partition layouts, unlike
-    df.sample() whose output depends on partition seeds. The predicate is
-    pure integer arithmetic, so it pushes into the scan like any filter."""
+    df.sample() whose output depends on partition seeds. The predicate
+    evaluates inside the scan stage's codegen (no extra pass); being
+    arithmetic, it can't use parquet row-group stats — only the IsNotNull
+    residual pushes — which is the expected trade for hash uniformity."""
     d = load_table(spark, sf_dir, "documents")
     bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     return d.filter(bucket < 429496730).select("doc_id", "lang", "source")

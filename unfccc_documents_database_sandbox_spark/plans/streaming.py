@@ -1,13 +1,18 @@
-"""Streaming-operator queries (T1/T2), checked in batch mode — the window
-expressions are identical under readStream (see streaming/windows.py)."""
+"""Streaming-operator queries (T1-T3). stream_tumbling/sliding/session are
+checked in batch mode — the window expressions are identical under
+readStream (see streaming/windows.py); stream_watermark_live executes a
+REAL Structured Streaming query end-to-end."""
 
 from __future__ import annotations
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table, table_path
 from unfccc_documents_database_sandbox_spark.registry import register
 from unfccc_documents_database_sandbox_spark.streaming.windows import (
     session_counts,
     sliding_counts,
+    stream_tumbling_with_watermark,
     tumbling_counts,
 )
 
@@ -82,3 +87,68 @@ def stream_session(spark, sf_dir):
     oracle reconstructs Spark's session semantics with a gaps-and-islands
     window (new session when gap >= 5 min; end = last + gap)."""
     return session_counts(load_table(spark, sf_dir, "events"))
+
+
+# previous run's memory-sink view, dropped on the next call (bench/parity
+# loops would otherwise accumulate one temp view per run)
+_LIVE_VIEWS: list[str] = []
+
+
+@register(
+    "stream_watermark_live",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+               AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_watermark_live(spark, sf_dir):
+    """T3 executed as a REAL Structured Streaming query — not the batch
+    twin: file source over events.parquet → 1-hour watermark → 10-minute
+    tumbling aggregation → availableNow trigger → memory sink. Append mode
+    emits exactly the windows the final watermark closed; the oracle
+    reproduces that close rule relationally (window_end <= max(ts) - delay
+    — Spark finalizes a window once the watermark is at or past its end).
+    Deterministic regardless of how availableNow splits micro-batches: the
+    final watermark depends only on the global max event time."""
+    import uuid
+
+    # stream-read the raw file with the batch reader's schema; events.ts is
+    # parquet TIMESTAMP(NANOS), so apply the same nanos→micros conversion
+    # load_table uses (catalog.py) before watermarking.
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong on this session
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    # the file stream source requires a directory or a GLOB — a plain file
+    # path fails with "basePath must be a directory"; [t] makes it a glob
+    # matching exactly events.parquet.
+    src = spark.readStream.schema(raw.schema).parquet(
+        table_path(sf_dir, "events")[:-1] + "[t]"
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    out = stream_tumbling_with_watermark(src, width="10 minutes", late="1 hour")
+    name = f"wm_live_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+    while _LIVE_VIEWS:
+        spark.catalog.dropTempView(_LIVE_VIEWS.pop())
+    _LIVE_VIEWS.append(name)
+    return spark.table(name)
