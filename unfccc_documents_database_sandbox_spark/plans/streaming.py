@@ -89,9 +89,11 @@ def stream_session(spark, sf_dir):
     return session_counts(load_table(spark, sf_dir, "events"))
 
 
-# previous run's memory-sink view, dropped on the next call (bench/parity
-# loops would otherwise accumulate one temp view per run)
-_LIVE_VIEWS: list[str] = []
+# previous run's memory-sink view PER QUERY KEY, dropped on that key's next
+# call (bench/parity loops would otherwise accumulate one temp view per
+# run; eviction is per-key so one live query never drops another's view
+# before the caller collects it)
+_LIVE_VIEWS: dict[str, str] = {}
 
 
 @register(
@@ -117,16 +119,20 @@ def stream_watermark_live(spark, sf_dir):
     — Spark finalizes a window once the watermark is at or past its end).
     Deterministic regardless of how availableNow splits micro-batches: the
     final watermark depends only on the global max event time."""
-    import uuid
+    out = stream_tumbling_with_watermark(
+        _events_stream(spark, sf_dir), width="10 minutes", late="1 hour"
+    )
+    return _run_live(out, spark, "append", "stream_watermark_live")
 
-    # stream-read the raw file with the batch reader's schema; events.ts is
-    # parquet TIMESTAMP(NANOS), so apply the same nanos→micros conversion
-    # load_table uses (catalog.py) before watermarking.
+
+def _events_stream(spark, sf_dir):
+    """File-source stream over events.parquet with the batch reader's
+    nanos→micros ts conversion (shared by the live streaming keys). The
+    file stream source requires a directory or a GLOB — a plain file path
+    fails with "basePath must be a directory"; [t] makes the path a glob
+    matching exactly events.parquet."""
     load_table(spark, sf_dir, "events")  # sets nanosAsLong on this session
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    # the file stream source requires a directory or a GLOB — a plain file
-    # path fails with "basePath must be a directory"; [t] makes it a glob
-    # matching exactly events.parquet.
     src = spark.readStream.schema(raw.schema).parquet(
         table_path(sf_dir, "events")[:-1] + "[t]"
     )
@@ -134,12 +140,19 @@ def stream_watermark_live(spark, sf_dir):
         src = src.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    out = stream_tumbling_with_watermark(src, width="10 minutes", late="1 hour")
-    name = f"wm_live_{uuid.uuid4().hex[:8]}"
+    return src
+
+
+def _run_live(out, spark, mode: str, key: str):
+    """Execute a streaming DataFrame to completion (availableNow → memory
+    sink) and return the sink table; evicts only ``key``'s previous view."""
+    import uuid
+
+    name = f"live_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -148,7 +161,60 @@ def stream_watermark_live(spark, sf_dir):
     finally:
         if q.isActive:
             q.stop()
-    while _LIVE_VIEWS:
-        spark.catalog.dropTempView(_LIVE_VIEWS.pop())
-    _LIVE_VIEWS.append(name)
+    prev = _LIVE_VIEWS.get(key)
+    if prev:
+        spark.catalog.dropTempView(prev)
+    _LIVE_VIEWS[key] = name
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_profile(spark, sf_dir):
+    """T-ext custom stateful operator executed as a REAL streaming query:
+    applyInPandasWithState running per-user (count, spend) profiles, update
+    mode, availableNow. Update mode emits one row per user per micro-batch
+    with RUNNING totals; totals are monotonic, so the per-user MAX over the
+    emitted rows is the final state — which must equal the plain batch
+    aggregation the oracle computes. That convergence claim IS the
+    correctness contract of the stateful operator."""
+    from unfccc_documents_database_sandbox_spark.streaming.stateful import (
+        user_profile_stream,
+    )
+
+    out = _run_live(
+        user_profile_stream(_events_stream(spark, sf_dir)),
+        spark,
+        "update",
+        "stream_stateful_profile",
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("total_cents").cast("long").alias("total_cents"),
+    )
+
+
+@register("stream_dedup_live", oracle=None, tags=("rows-only",))
+def stream_dedup_live(spark, sf_dir):
+    """T4 stateful streaming dedup executed live:
+    dropDuplicatesWithinWatermark(user_id) keeps the first event SEEN per
+    user inside the watermark horizon. 'First seen' is arrival order — a
+    property of the stream, not of the data — so there is no relational
+    oracle; the driver checks rows, and tests/test_streaming.py bounds the
+    output by distinct-user count."""
+    from unfccc_documents_database_sandbox_spark.streaming.windows import stream_dedup
+
+    return _run_live(
+        stream_dedup(_events_stream(spark, sf_dir), ["user_id"]),
+        spark,
+        "append",
+        "stream_dedup_live",
+    )
