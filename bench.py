@@ -56,7 +56,22 @@ def main() -> None:
     from unfccc_documents_database_sandbox_spark.session import get_spark
 
     load_all_plans()
-    spark = get_spark(app_name="bench")
+    # C1-only JIT for the bench JVM: a cold benchmark run is dominated by
+    # compilation of freshly-generated codegen classes, and background C2
+    # churn was the main source of run-to-run swing (minhash cold observed
+    # 8-20s without the cap, ~7.5s with it). Library sessions keep standard
+    # tiered JIT — steady-state throughput matters there, warm-up doesn't.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            # C1 compiles far more methods than tiered C2 would; without a
+            # bigger code cache it fills 240MB mid-bench and the JVM turns
+            # compilation OFF (observed: steady runs slower than cold).
+            "spark.driver.extraJavaOptions": (
+                "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=1g"
+            )
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path once so timings measure the plans, not startup
