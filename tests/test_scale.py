@@ -68,6 +68,41 @@ def test_scan_prunes_columns_and_pushes_filters(spark):
     assert "l_comment" not in read_schema
 
 
+def test_minhash_never_cartesian(spark):
+    """The LSH candidate join and the Jaccard verify must stay equi-joins —
+    a cartesian/broadcast-nested-loop anywhere in the near-dup pipeline is
+    the O(n^2) failure mode these operators exist to avoid."""
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    df = REGISTRY["dedup_fuzzy_minhash"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_q5_broadcasts_dims(spark):
+    """The 6-way SQL join must broadcast the small dims rather than
+    shuffling the fact side for them."""
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    df = REGISTRY["sql_tpch_q5"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ordered_limit_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), never a full global sort materialization."""
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    df = REGISTRY["limit_n"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """A date-partitioned fact joined to a filtered dim must prune fact
     partitions at runtime (DPP) — the scan reads only the partitions the
