@@ -103,6 +103,19 @@ def test_ordered_limit_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_partitions_on_real_key(spark):
+    """The as-of merge must hash-partition on the real user key (r02 fix) —
+    the r01 plan partitioned on user_id % 5, capping the sort at 5 tasks
+    regardless of cluster size."""
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    df = REGISTRY["join_asof"].build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k#" in plan  # bare column, not (k % 5)
+    assert "% 5" not in plan
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """A date-partitioned fact joined to a filtered dim must prune fact
     partitions at runtime (DPP) — the scan reads only the partitions the

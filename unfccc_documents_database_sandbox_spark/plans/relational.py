@@ -71,6 +71,62 @@ def csv_roundtrip(spark, sf_dir):
     return spark.read.option("header", True).csv(out).select(*cols)
 
 
+@register("docx_ingest", oracle=None, tags=("rows-only",))
+def docx_ingest(spark, sf_dir):
+    """S5 DOCX ingestion end-to-end (reference front door: abstract-docx
+    DOCX → block tree, requirements.txt:1): build real OOXML payloads with
+    the stdlib writer, land them as files, read through the binaryFile
+    source, parse to ordered block rows (stdlib zip+XML — sources/docx.py),
+    and assemble the document text with the exact reference semantics.
+    Content is fixed → rows-only but fully deterministic; the parser and
+    assembly are also golden-tested in tests/test_sources.py."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.operators.assembly import (
+        assemble_from_warehouse,
+    )
+    from unfccc_documents_database_sandbox_spark.sources.docx import make_docx
+    from unfccc_documents_database_sandbox_spark.sources.io import (
+        parse_docx_blocks,
+        read_binary_docs,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    docs_dir = os.path.join(repo_root, ".csv_tmp", "docx_ingest")
+    os.makedirs(docs_dir, exist_ok=True)
+    fixtures = {
+        "a.docx": make_docx(
+            ["1. Scope of work", "Parties shall cooperate", ""],
+            tables=[["alpha", "beta"]],
+        ),
+        "b.docx": make_docx(["(a) Definitions", "Annex follows"]),
+    }
+    for name, payload in fixtures.items():
+        with open(os.path.join(docs_dir, name), "wb") as fh:
+            fh.write(payload)
+
+    blocks = parse_docx_blocks(read_binary_docs(spark, docs_dir))
+    b = blocks.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.xxhash64("path", F.col("seq").cast("string")).alias("block_id"),
+        "seq",
+        "numbering",
+        "text",
+        "caption",
+        "cells_text",
+    )
+    paragraphs = b.filter(F.col("text").isNotNull()).select("block_id", "text")
+    tables = b.filter(F.col("cells_text").isNotNull()).select(
+        "block_id", "caption", "cells_text"
+    )
+    assembled = assemble_from_warehouse(
+        b.select("block_id", "doc_id", "seq", "numbering"), paragraphs, tables
+    )
+    return assembled.orderBy("doc_id")
+
+
 @register("catalog_tables", oracle=None, tags=("rows-only",))
 def catalog_tables(spark, sf_dir):
     """S3 catalog introspection (reference: probe.py:6-7
