@@ -592,6 +592,47 @@ def sample_hash_mod(spark, sf_dir):
     return d.filter(bucket < 429496730).select("doc_id", "lang", "source")
 
 
+@register(
+    "corpus_mix",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE WHEN lang = 'en' THEN 2147483648
+               WHEN lang = 'es' THEN 1288490188
+               ELSE 429496730 END
+    """,
+)
+def corpus_mix(spark, sf_dir):
+    """Weighted corpus mixing — THE training-data composition operator:
+    keep 50% of English, 30% of Spanish, 10% of everything else, via the
+    same multiplicative-hash bucket as sample_hash_mod with a per-language
+    threshold. Deterministic (hash of the key, not partition RNG), single
+    scan, no shuffle; re-weighting a 100 TB mixture is a threshold change,
+    not a re-shard."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit(2147483648))
+        .when(F.col("lang") == "es", F.lit(1288490188))
+        .otherwise(F.lit(429496730))
+    )
+    return d.filter(bucket < threshold).select("doc_id", "lang")
+
+
+@register("agg_approx_percentiles", oracle=None, tags=("rows-only",))
+def agg_approx_percentiles(spark, sf_dir):
+    """A5-adjacent: approx_percentile (Greenwald-Khanna sketch) — the
+    100 TB path where exact percentiles (agg_percentiles) would shuffle
+    every group value to one reducer. Approximate → rows-only check; the
+    exact twin is the oracle-backed agg_percentiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            _cents("l_extendedprice"), [0.25, 0.5, 0.75], 10000
+        ).alias("approx_cents")
+    )
+
+
 # --- O2-O6: sorts / limits / set ops -------------------------------------------
 
 

@@ -140,6 +140,75 @@ def text_quality(spark, sf_dir):
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
+@register(
+    "text_top_ngrams",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS seq,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY seq) AS gram
+        FROM w
+    ),
+    d AS (SELECT DISTINCT doc_id, gram FROM g WHERE gram IS NOT NULL)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM d GROUP BY gram
+    ORDER BY doc_freq DESC, gram LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """L4 corpus vocabulary stats: top-20 bigrams by DOCUMENT frequency
+    (distinct per doc, so hot documents don't dominate). One explode + one
+    distinct + one agg + TakeOrdered — the shape that survives a corpus-
+    scale vocabulary sweep. Ties broken by gram text."""
+    from pyspark.sql import Window
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("seq", "word")
+    )
+    grams = (
+        words.withColumn("nxt", F.lead("word").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "nxt").alias("gram"))
+        .distinct()
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "text_length_hist",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_length_hist(spark, sf_dir):
+    """L4 corpus diagnostics: document-length histogram in 100-char
+    buckets — the first chart anyone draws over a new training corpus.
+    Map-side partial counts make this one tiny shuffle at any scale."""
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return d.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 @register("doc_rolling_hash", oracle=None, tags=("rows-only",))
 def doc_rolling_hash(spark, sf_dir):
     """L4 order-sensitive polynomial rolling hash over tokens (xxhash64-
