@@ -105,6 +105,59 @@ def test_minhash_identical_docs_jaccard_one(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=20), min_size=2, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_prefix_filter_is_complete(spark, texts):
+    """The PPJoin-style prefix filter in dedup_ngram_jaccard must be
+    lossless: its output must equal the naive all-pairs bigram Jaccard
+    computed in Python on the same inputs (same block, threshold 0.8).
+    This is the guarantee the integer ceil arithmetic protects — an
+    FP-epsilon-too-small prefix silently drops true pairs."""
+    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+
+    # naive ground truth: bigram sets per doc, all-pairs jaccard >= 0.8
+    def bigrams(t):
+        ws = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    sets = {i: bigrams(t) for i, t in enumerate(texts)}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] | sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.8:
+                    expect.add((a, b))
+
+    df = spark.createDataFrame(
+        [(i, t, "xx", "yy") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # run the registered builder against the generated docs by monkeying the
+    # table load — simplest faithful harness: call the module internals.
+    from unfccc_documents_database_sandbox_spark.plans import dedup as plans_dedup
+    from unfccc_documents_database_sandbox_spark import catalog
+
+    orig = catalog._TABLE_CACHE.copy()
+    key = (spark, "__prop__", "documents")
+    catalog._TABLE_CACHE[key] = df
+    try:
+        got = {
+            (r.id_a, r.id_b)
+            for r in REGISTRY["dedup_ngram_jaccard"].build(spark, "__prop__").collect()
+        }
+    finally:
+        catalog._TABLE_CACHE.clear()
+        catalog._TABLE_CACHE.update(orig)
+    assert got == expect
+
+
 def test_minhash_recall_against_exact_jaccard(spark):
     """Quality gate for the LSH pipeline on the real corpus: compare
     minhash_near_dups to the exhaustive shingle-Jaccard ground truth at
