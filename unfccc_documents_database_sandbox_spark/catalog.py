@@ -52,6 +52,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # engine tuning for caller-owned sessions (the driver hands us its own):
+    # if shuffle partitions are still at Spark's out-of-the-box 200, drop to
+    # the engine default — 200-task stages are pure overhead at bench SFs
+    # and AQE re-expands by data size where it matters. An explicit non-200
+    # caller setting is always respected.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
         # rejects. nanosAsLong is a runtime SQLConf, so set it here instead of
