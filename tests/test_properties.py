@@ -89,6 +89,22 @@ def test_roman_roundtrip(spark, n):
     assert df.select(roman_ordinal("r").alias("n")).first().n == n
 
 
+def test_connected_components_chain_and_singleton(spark):
+    """CC golden check: a 4-chain collapses to its min id in >1 iteration
+    (exercises propagation past direct neighbors), a 2-clique labels
+    itself, a singleton keeps its own id."""
+    from unfccc_documents_database_sandbox_spark.operators.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 7, 8, 9]], "id long")
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (7, 8)], "src long, dst long"
+    )
+    got = {r.id: r.label for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 9}
+
+
 def test_minhash_identical_docs_jaccard_one(spark):
     from unfccc_documents_database_sandbox_spark.operators.dedup import (
         minhash_near_dups,

@@ -233,6 +233,68 @@ def minhash_near_dups(
     return jaccard_verify(cands, tokens, id_col, threshold)
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Duplicate-cluster labeling: iterative min-label propagation over an
+    undirected pair graph — the step that turns near-dup PAIRS into dedup
+    GROUPS (component id = min doc id in the cluster). vertices: one ``id``
+    column; edges: (src, dst), one direction is enough (mirrored here).
+
+    This is the canonical Spark iterative pattern (Pregel-style): each
+    round is one join + one grouped min; ``localCheckpoint`` truncates the
+    lineage every round — without it the plan doubles per iteration and
+    the convergence check re-executes the whole history. Near-dup clusters
+    have tiny diameters, so the loop converges in a few rounds and exits
+    early; at extreme scale the same contract is served by the
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014)."""
+    # materialize the (small) mirrored edge list ONCE — it feeds every
+    # iteration, and the caller's edge plan may be expensive (e.g. the
+    # prefix-filtered Jaccard join); without this the pair computation
+    # re-executes per round.
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # iterate ONLY over vertices that have an edge: singletons can never
+    # change label, and at corpus scale near-dup members are a small
+    # fraction — the loop's joins run over the cluster members, not the
+    # whole corpus.
+    active = (
+        und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    labels = active.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.src == labels.id).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    singletons = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(active, "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    return labels.unionByName(singletons)
+
+
 def simhash_signatures(
     tokens: DataFrame, id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -107,9 +107,79 @@ def dedup_ngram_jaccard(spark, sf_dir):
     prefix, silently dropping true pairs."""
     from unfccc_documents_database_sandbox_spark.catalog import spread
 
-    threshold_pct = 80
-    # spread before the word fan-out (row-group-bound scan -> 1 partition)
     docs = spread(load_table(spark, sf_dir, "documents"))
+    return bigram_jaccard_pairs(docs, threshold_pct=80)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE grams AS (
+        SELECT DISTINCT doc_id, lang, source,
+               w.word || ' ' || lead(w.word) OVER
+                   (PARTITION BY doc_id ORDER BY w.seq) AS gram
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS seq,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) w
+    ),
+    grams2 AS (SELECT * FROM grams WHERE gram IS NOT NULL),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams2 GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM grams2 a JOIN grams2 b
+          ON a.gram = b.gram AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS id, doc_id AS r FROM documents
+        UNION
+        SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """L2 final step: near-dup PAIRS → duplicate CLUSTERS. Edges are exact
+    bigram-Jaccard >= 0.4 pairs (shared prefix-filtered builder); clusters
+    come from iterative min-label propagation (operators/dedup.py::
+    connected_components — the genuinely iterative, non-single-SQL-pass
+    operator); every document gets component_id = min doc_id reachable
+    through the pair graph (singletons label themselves). The DuckDB twin
+    proves it with a recursive transitive-closure CTE."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = bigram_jaccard_pairs(docs, threshold_pct=40)
+    labels = D.connected_components(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("long").alias("component_id")
+    )
+
+
+def bigram_jaccard_pairs(docs, threshold_pct: int):
+    """Exact bigram-Jaccard pairs >= threshold within (lang, source)
+    blocks, prefix-filtered (see dedup_ngram_jaccard docstring). Shared by
+    the pair query and the duplicate-cluster (connected components) query."""
     w = Window.partitionBy("doc_id").orderBy("seq")
     words = docs.select(
         "doc_id",
