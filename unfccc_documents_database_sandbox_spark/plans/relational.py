@@ -624,12 +624,18 @@ def agg_approx_percentiles(spark, sf_dir):
     """A5-adjacent: approx_percentile (Greenwald-Khanna sketch) — the
     100 TB path where exact percentiles (agg_percentiles) would shuffle
     every group value to one reducer. Approximate → rows-only check; the
-    exact twin is the oracle-backed agg_percentiles."""
+    exact twin is the oracle-backed agg_percentiles.
+
+    One sketch per group (a single percentile_approx over the quantile
+    list), scalarized at the output boundary with element_at: the driver's
+    pandas canonicalization cannot hash list cells (r01 array_ops / r02
+    this-key hard error) — arrays stay inside the plan, scalars leave it."""
     l = load_table(spark, sf_dir, "lineitem")
+    approx = F.percentile_approx(_cents("l_extendedprice"), [0.25, 0.5, 0.75], 10000)
     return l.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            _cents("l_extendedprice"), [0.25, 0.5, 0.75], 10000
-        ).alias("approx_cents")
+        F.element_at(approx, 1).alias("p25_cents"),
+        F.element_at(approx, 2).alias("p50_cents"),
+        F.element_at(approx, 3).alias("p75_cents"),
     )
 
 
