@@ -50,12 +50,31 @@ HEADLINE = [
 ]
 
 
+def _builders() -> dict[str, object]:
+    """Resolve each headline name to its builder. Names stay the r01 ones so
+    BENCH_r{N}.json lines up with BASELINE.md round over round; the registry
+    key may have moved (z_ rotation) or been consolidated (window_running /
+    text_stats keep dedicated bench builders with their original plans)."""
+    from unfccc_documents_database_sandbox_spark.plans import textstats, windows
+    from unfccc_documents_database_sandbox_spark.registry import lookup
+
+    special = {
+        "window_running": windows.window_running,
+        "text_stats": textstats.text_stats,
+    }
+    return {
+        name: special.get(name) or lookup(name).build
+        for name in ["scan_full", *HEADLINE]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans
     from unfccc_documents_database_sandbox_spark.session import get_spark
 
     load_all_plans()
+    builders = _builders()
     # C1-only JIT for the bench JVM: a cold benchmark run is dominated by
     # compilation of freshly-generated codegen classes, and background C2
     # churn was the main source of run-to-run swing (minhash cold observed
@@ -75,7 +94,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen path once so timings measure the plans, not startup
-    REGISTRY["scan_full"].build(spark, sf_dir).write.format("noop").mode(
+    builders["scan_full"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     # ... and the Python worker pool: the first pandas-UDF stage otherwise
@@ -91,12 +110,12 @@ def main() -> None:
     steady: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+        builders[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         timings[name] = round(time.perf_counter() - t0, 3)
         t1 = time.perf_counter()
-        REGISTRY[name].build(spark, sf_dir).write.format("noop").mode(
+        builders[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
         steady[name] = round(time.perf_counter() - t1, 3)

@@ -133,7 +133,7 @@ def test_prefix_filter_is_complete(spark, texts):
     computed in Python on the same inputs (same block, threshold 0.8).
     This is the guarantee the integer ceil arithmetic protects — an
     FP-epsilon-too-small prefix silently drops true pairs."""
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
 
@@ -166,7 +166,7 @@ def test_prefix_filter_is_complete(spark, texts):
     try:
         got = {
             (r.id_a, r.id_b)
-            for r in REGISTRY["dedup_ngram_jaccard"].build(spark, "__prop__").collect()
+            for r in lookup("dedup_ngram_jaccard").build(spark, "__prop__").collect()
         }
     finally:
         catalog._TABLE_CACHE.clear()

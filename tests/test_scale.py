@@ -72,10 +72,10 @@ def test_minhash_never_cartesian(spark):
     """The LSH candidate join and the Jaccard verify must stay equi-joins —
     a cartesian/broadcast-nested-loop anywhere in the near-dup pipeline is
     the O(n^2) failure mode these operators exist to avoid."""
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
-    df = REGISTRY["dedup_fuzzy_minhash"].build(spark, SF_CORRECT)
+    df = lookup("dedup_fuzzy_minhash").build(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -84,10 +84,10 @@ def test_minhash_never_cartesian(spark):
 def test_sql_q5_broadcasts_dims(spark):
     """The 6-way SQL join must broadcast the small dims rather than
     shuffling the fact side for them."""
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
-    df = REGISTRY["sql_tpch_q5"].build(spark, SF_CORRECT)
+    df = lookup("sql_tpch_q5").build(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
@@ -95,10 +95,10 @@ def test_sql_q5_broadcasts_dims(spark):
 def test_ordered_limit_uses_take_ordered(spark):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
     top-k + merge), never a full global sort materialization."""
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
-    df = REGISTRY["limit_n"].build(spark, SF_CORRECT)
+    df = lookup("limit_n").build(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
 
@@ -107,10 +107,10 @@ def test_asof_join_partitions_on_real_key(spark):
     """The as-of merge must hash-partition on the real user key (r02 fix) —
     the r01 plan partitioned on user_id % 5, capping the sort at 5 tasks
     regardless of cluster size."""
-    from unfccc_documents_database_sandbox_spark.registry import REGISTRY, load_all_plans
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
-    df = REGISTRY["join_asof"].build(spark, SF_CORRECT)
+    df = lookup("join_asof").build(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(k#" in plan  # bare column, not (k % 5)
     assert "% 5" not in plan

@@ -12,19 +12,37 @@ from unfccc_documents_database_sandbox_spark.registry import register
 
 
 @register(
-    "str_trim",
+    "str_funcs",
     oracle="""
     SELECT doc_id,
            trim('  ' || source || ' ') AS trimmed,
            upper(lang) AS lang_up,
            lower(source) AS src_lo,
-           substring(text, 1, 10) AS head10
+           substring(text, 1, 10) AS head10,
+           printf('%s [%d]', source, doc_id) AS label,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           n_chars,
+           regexp_extract(source, 'src(\\d+)', 1) AS src_num,
+           CAST(CASE WHEN regexp_matches(source, '^src\\d+$') THEN 1 ELSE 0 END
+                AS BIGINT) AS src_ok
     FROM documents
     """,
 )
-def str_trim(spark, sf_dir):
-    """F1 trim/case/substring (reference: .strip() on numbering/text/caption,
-    generate_decisions_summaries.py:52-56)."""
+def str_funcs(spark, sf_dir):
+    """F1+F3+F4+F10 string surface in one projection (consolidated from the
+    r01/r02 str_trim / str_format / str_length / str_regex keys per VERDICT
+    r02 #2 — every operator stays in the plan and the oracle; one registry
+    key instead of four so the driver window reaches more families).
+
+    - F1 trim/case/substring (reference: .strip() on numbering/text/caption,
+      generate_decisions_summaries.py:52-56)
+    - F3 printf-style interpolation (reference: f"{decision.symbol}
+      [{decision.id}]", generate_decisions_summaries.py:46)
+    - F4 char length, cross-checked against the stored n_chars column
+    - F10 regex extract + match predicate (reference dep: regex,
+      requirements.txt:58); the match is emitted as a 0/1 flag column
+      rather than a WHERE so the other functions keep full-table coverage.
+    """
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -32,54 +50,11 @@ def str_trim(spark, sf_dir):
         F.upper("lang").alias("lang_up"),
         F.lower("source").alias("src_lo"),
         F.substring("text", 1, 10).alias("head10"),
-    )
-
-
-@register(
-    "str_format",
-    oracle="""
-    SELECT doc_id, printf('%s [%d]', source, doc_id) AS label
-    FROM documents
-    """,
-)
-def str_format(spark, sf_dir):
-    """F3 printf-style interpolation (reference: f"{decision.symbol}
-    [{decision.id}]", generate_decisions_summaries.py:46)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.format_string("%s [%d]", F.col("source"), F.col("doc_id")).alias("label")
-    )
-
-
-@register(
-    "str_length",
-    oracle="""
-    SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars, n_chars
-    FROM documents
-    """,
-)
-def str_length(spark, sf_dir):
-    """F4 char length, cross-checkable against the stored n_chars column."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.length("text").cast("long").alias("len_chars"), "n_chars"
-    )
-
-
-@register(
-    "str_regex",
-    oracle="""
-    SELECT doc_id, regexp_extract(source, 'src(\\d+)', 1) AS src_num
-    FROM documents
-    WHERE regexp_matches(source, '^src\\d+$')
-    """,
-)
-def str_regex(spark, sf_dir):
-    """F10 regex extract + match filter (reference dep: regex,
-    requirements.txt:58 — numbering parsing upstream)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.filter(F.col("source").rlike(r"^src\d+$")).select(
-        "doc_id", F.regexp_extract("source", r"src(\d+)", 1).alias("src_num")
+        F.format_string("%s [%d]", F.col("source"), F.col("doc_id")).alias("label"),
+        F.length("text").cast("long").alias("len_chars"),
+        "n_chars",
+        F.regexp_extract("source", r"src(\d+)", 1).alias("src_num"),
+        F.col("source").rlike(r"^src\d+$").cast("long").alias("src_ok"),
     )
 
 

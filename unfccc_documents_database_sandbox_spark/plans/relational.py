@@ -679,53 +679,66 @@ def limit_n(spark, sf_dir):
 
 
 @register(
-    "set_union",
+    "set_ops",
     oracle="""
-    SELECT doc_id, lang FROM documents WHERE lang = 'en'
-    UNION
-    SELECT doc_id, lang FROM documents WHERE source = 'src0'
-    """,
-)
-def set_union(spark, sf_dir):
-    """O5 distinct union (the natural composition of the reference's two
-    parallel pipelines — decisions + conclusions summaries)."""
-    d = load_table(spark, sf_dir, "documents")
-    a = d.filter(F.col("lang") == "en").select("doc_id", "lang")
-    b = d.filter(F.col("source") == "src0").select("doc_id", "lang")
-    return a.unionByName(b).distinct()
-
-
-@register(
-    "set_except",
-    oracle="""
-    SELECT doc_id FROM documents
-    EXCEPT ALL
-    SELECT doc_id FROM documents WHERE lang = 'en'
-    """,
-)
-def set_except(spark, sf_dir):
-    """O5 except-all (multiset difference)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id").exceptAll(
-        d.filter(F.col("lang") == "en").select("doc_id")
+    SELECT 'union' AS op, key_id FROM (
+        SELECT doc_id AS key_id FROM documents WHERE lang = 'en'
+        UNION
+        SELECT doc_id FROM documents WHERE source = 'src0'
     )
-
-
-@register(
-    "set_intersect",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT 'except' AS op, key_id FROM (
+        SELECT doc_id AS key_id FROM documents
+        EXCEPT ALL
+        SELECT doc_id FROM documents WHERE lang = 'en'
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, key_id FROM (
+        SELECT o_custkey AS key_id FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
     """,
 )
-def set_intersect(spark, sf_dir):
-    """O5 intersect (customers having both fulfilled and open orders)."""
+def set_ops(spark, sf_dir):
+    """O5 set-operation trio as one tagged union (consolidated from the
+    r01-green set_union / set_except / set_intersect keys per VERDICT r02 #2
+    — all three set operators stay in the plan and the oracle under one
+    registry key, each branch tagged by an `op` literal):
+
+    - distinct UNION (the natural composition of the reference's two
+      parallel pipelines — decisions + conclusions summaries)
+    - EXCEPT ALL (multiset difference)
+    - INTERSECT (customers having both fulfilled and open orders)
+    """
+    d = load_table(spark, sf_dir, "documents")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    union_part = (
+        d.filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("key_id"))
+        .unionByName(
+            d.filter(F.col("source") == "src0").select(
+                F.col("doc_id").alias("key_id")
+            )
+        )
+        .distinct()
+    )
+    except_part = d.select(F.col("doc_id").alias("key_id")).exceptAll(
+        d.filter(F.col("lang") == "en").select(F.col("doc_id").alias("key_id"))
+    )
+    intersect_part = (
         o.filter(F.col("o_orderstatus") == "F")
-        .select("o_custkey")
-        .intersect(o.filter(F.col("o_orderstatus") == "O").select("o_custkey"))
+        .select(F.col("o_custkey").alias("key_id"))
+        .intersect(
+            o.filter(F.col("o_orderstatus") == "O").select(
+                F.col("o_custkey").alias("key_id")
+            )
+        )
+    )
+    return (
+        union_part.select(F.lit("union").alias("op"), "key_id")
+        .unionByName(except_part.select(F.lit("except").alias("op"), "key_id"))
+        .unionByName(intersect_part.select(F.lit("intersect").alias("op"), "key_id"))
     )
 
 

@@ -21,25 +21,75 @@ _STOP_SQL = "['" + "', '".join(STOPWORDS) + "']"
 
 
 @register(
-    "text_stats",
+    "text_funcs",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS words, length(text) AS n_ch
+        SELECT doc_id, text, string_split(text, ' ') AS words,
+               length(text) AS n_ch
         FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, words, n_ch,
+               CAST(len(words) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+               CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
+                    AS BIGINT) AS n_stop
+        FROM t
     )
     SELECT doc_id,
-           CAST(len(words) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
-           ROUND(CAST(n_ch - len(words) + 1 AS DOUBLE) / len(words), 6)
+           n_tokens,
+           n_uniq,
+           ROUND(CAST(n_ch - n_tokens + 1 AS DOUBLE) / n_tokens, 6)
                AS avg_token_len,
-           ROUND(CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
-                 AS DOUBLE) / len(words), 6) AS stop_ratio
-    FROM t
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens,
+           ROUND((
+               (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= 0.01
+                      AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6
+                     THEN 1.0 ELSE 0.0 END)
+             + LEAST(CAST(n_uniq AS DOUBLE) / n_tokens * 2, 1.0)
+           ) / 3, 6) AS quality
+    FROM m
     """,
 )
+def text_funcs(spark, sf_dir):
+    """L4 per-document text-analysis surface in one projection (consolidated
+    from the r01/r02 text_stats / token_count / text_quality keys per
+    VERDICT r02 #2 — all three operator classes stay in the plan and the
+    oracle under one registry key):
+
+    - quality stats: token count, distinct tokens, mean token length
+      (exact int arithmetic / one division), stopword ratio
+    - token counting: whitespace tokens (= n_tokens) + BPE-ish regex word
+      pieces (reference dep: tiktoken, requirements.txt:67)
+    - composite quality score (length band + stopword sanity + token
+      diversity) — the standard pretraining filter trio as one expression
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_uniq"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stop_ratio"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias(
+            "n_re_tokens"
+        ),
+        quality_score("text").alias("quality"),
+    )
+
+
 def text_stats(spark, sf_dir):
-    """L4 per-document quality stats: token count, distinct tokens, mean
-    token length (exact int arithmetic / one division), stopword ratio."""
+    """L4 per-document quality stats — bench-harness builder (BASELINE.md's
+    headline list predates the text_funcs consolidation; bench.py keeps
+    timing this exact plan under its original name)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_tokens = F.size(words)
@@ -86,58 +136,6 @@ def lang_id(spark, sf_dir):
             "predicted_lang"
         ),
     )
-
-
-@register(
-    "token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens
-    FROM documents
-    """,
-)
-def token_count(spark, sf_dir):
-    """L4 token counting: whitespace tokens + BPE-ish regex word pieces
-    (reference dep: tiktoken, requirements.txt:67)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias(
-            "n_re_tokens"
-        ),
-    )
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS words FROM documents
-    ),
-    m AS (
-        SELECT doc_id,
-               CAST(len(words) AS BIGINT) AS n,
-               CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS diversity,
-               CAST(len(list_filter(words, w -> list_contains({_STOP_SQL}, w)))
-                    AS DOUBLE) / len(words) AS stop
-        FROM t
-    )
-    SELECT doc_id,
-           ROUND((
-               (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.0 END)
-             + (CASE WHEN stop >= 0.01 AND stop <= 0.6 THEN 1.0 ELSE 0.0 END)
-             + LEAST(diversity * 2, 1.0)
-           ) / 3, 6) AS quality
-    FROM m
-    """,
-)
-def text_quality(spark, sf_dir):
-    """L4 composite quality score (length band + stopword sanity + token
-    diversity) — the standard pretraining filter trio as one expression."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
 
 
 @register(

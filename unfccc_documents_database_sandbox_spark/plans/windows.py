@@ -15,19 +15,56 @@ from unfccc_documents_database_sandbox_spark.registry import register
 
 
 @register(
-    "window_rank",
+    "window_funcs",
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(RANK() OVER w AS BIGINT) AS rnk,
-           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rnk,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER run
+                AS BIGINT) AS run_cents,
+           CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key,
+           CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_key,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER f
+                 / 100.0 / COUNT(*) OVER f, 6) AS moving_avg_price,
+           CAST(NTILE(4) OVER nt AS BIGINT) AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           f AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING),
+           nt AS (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
-def window_rank(spark, sf_dir):
-    """W1 ranking trio over per-customer order history."""
+def window_funcs(spark, sf_dir):
+    """W1+W2+W3 window surface in one query over per-customer order history
+    (consolidated from the r01/r02 window_rank / window_running /
+    window_frame / window_ntile keys per VERDICT r02 #2 — every window
+    operator class stays in the plan and the oracle under one registry key):
+
+    - W1 ranking: row_number / rank / dense_rank / percent_rank / cume_dist
+      (the ratio functions divide two exact ints once — IEEE-identical
+      across engines, rounded to 6 places)
+    - W2 running aggregate + lag/lead (money summed as bigint cents — exact)
+    - W3 explicit rows-frame: centered 3-row moving average as
+      exact-cents-sum / 100.0 / exact-count
+    - NTILE bucketing on a second partitioning (priority class), unique
+      o_orderkey tiebreak so bucket boundaries are deterministic
+
+    Two window partitionings → exactly two shuffles; the four w/run/f specs
+    share one sort order so Catalyst computes them in a single Window node.
+    """
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f = w.rowsBetween(-1, 1)
+    nt = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -35,27 +72,25 @@ def window_rank(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("rn"),
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.sum(cents).over(run).cast("long").alias("run_cents"),
+        F.lag("o_orderkey").over(w).cast("long").alias("prev_key"),
+        F.lead("o_orderkey").over(w).cast("long").alias("next_key"),
+        F.round(
+            F.sum(cents).over(f) / F.lit(100.0) / F.count(F.lit(1)).over(f), 6
+        ).alias("moving_avg_price"),
+        F.ntile(4).over(nt).cast("long").alias("quartile"),
     )
 
 
-@register(
-    "window_running",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           SUM(l_quantity) OVER w AS run_qty,
-           CAST(LAG(l_linenumber) OVER w AS BIGINT) AS prev_line,
-           CAST(LEAD(l_linenumber) OVER w AS BIGINT) AS next_line
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey
-                 ORDER BY l_linenumber, l_partkey, l_suppkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
 def window_running(spark, sf_dir):
-    """W2 running sum + lag/lead per order (quantities are whole-number
-    doubles → running sums are exact in any engine). (l_orderkey,
-    l_linenumber) is NOT unique in the corpus; (+ partkey, suppkey) is —
-    the full tiebreak keeps frame order deterministic."""
+    """W2 running sum + lag/lead per order — bench-harness builder (the
+    BASELINE.md headline list predates the window_funcs consolidation, so
+    bench.py keeps timing this exact lineitem plan under its original name;
+    the registered/oracle-checked variant lives in window_funcs).
+    (l_orderkey, l_linenumber) is NOT unique in the corpus; (+ partkey,
+    suppkey) is — the full tiebreak keeps frame order deterministic."""
     w = Window.partitionBy("l_orderkey").orderBy(
         "l_linenumber", "l_partkey", "l_suppkey"
     )
@@ -67,60 +102,6 @@ def window_running(spark, sf_dir):
         F.sum("l_quantity").over(run).alias("run_qty"),
         F.lag("l_linenumber").over(w).cast("long").alias("prev_line"),
         F.lead("l_linenumber").over(w).cast("long").alias("next_line"),
-    )
-
-
-@register(
-    "window_frame",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           ROUND(SUM(l_quantity) OVER f / COUNT(*) OVER f, 6) AS moving_avg_qty
-    FROM lineitem
-    WINDOW f AS (PARTITION BY l_orderkey
-                 ORDER BY l_linenumber, l_partkey, l_suppkey
-                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
-    """,
-)
-def window_frame(spark, sf_dir):
-    """W3 explicit rows-frame: centered 3-row moving average, computed as
-    exact-sum/exact-count so it hashes identically across engines."""
-    f = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
-        .rowsBetween(-1, 1)
-    )
-    l = load_table(spark, sf_dir, "lineitem")
-    return l.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.sum("l_quantity").over(f) / F.count(F.lit(1)).over(f), 6).alias(
-            "moving_avg_qty"
-        ),
-    )
-
-
-@register(
-    "window_ntile",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority,
-           CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
-                               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
-               AS quartile
-    FROM orders
-    """,
-)
-def window_ntile(spark, sf_dir):
-    """W1-adjacent NTILE bucketing: price quartile within each priority
-    class. The unique o_orderkey tiebreak keeps bucket boundaries
-    deterministic."""
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
