@@ -9,6 +9,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # the process, and a stopped session's entries are simply never hit again.
 _TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 _VIEWS_REGISTERED: dict[SparkSession, str] = {}
+_TUNE_LOGGED: set[SparkSession] = set()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -56,10 +58,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # if shuffle partitions are still at Spark's out-of-the-box 200, drop to
     # the engine default — 200-task stages are pure overhead at bench SFs
     # and AQE re-expands by data size where it matters. An explicit non-200
-    # caller setting is always respected.
+    # caller setting is always respected; a caller that explicitly chose 200
+    # is indistinguishable from the default, so the override is LOGGED once
+    # per session (r02 advisory) and reversible via spark.conf.set after any
+    # load_table call.
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        if (
+            spark not in _TUNE_LOGGED
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            _TUNE_LOGGED.add(spark)
+            logging.getLogger(__name__).warning(
+                "load_table: spark.sql.shuffle.partitions was at the Spark "
+                "default (200); set to the engine default (32). Set any "
+                "non-200 value before/after loading to override."
+            )
     except Exception:
         pass
     if name == "events":

@@ -74,18 +74,26 @@ def shingles_distinct(
 
 
 def shingles_raw(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    spread_input: bool = True,
 ) -> DataFrame:
     """(id, token) hashed n-word shingles WITHOUT dedup — no shuffle at all.
     Sufficient wherever the consumer is multiset-invariant (MinHash: the min
-    over duplicates equals the min over the set) or dedups after a prune."""
+    over duplicates equals the min over the set) or dedups after a prune.
+
+    ``spread_input=False`` skips the repartition for callers that already
+    hold a spread (and possibly persisted) doc slice."""
     from unfccc_documents_database_sandbox_spark.catalog import spread
     from unfccc_documents_database_sandbox_spark.functions.text import shingles
 
     # repartition the compact doc rows before the shingle fan-out: the scan
     # is row-group-bound (1 partition on the bench corpus) and the explode +
     # xxhash64 is the CPU-heavy part of the whole minhash pipeline.
-    return spread(docs).select(
+    base = spread(docs) if spread_input else docs
+    return base.select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
     ).select(id_col, F.xxhash64("s").alias("token"))
 
@@ -144,12 +152,27 @@ def lsh_candidates(
 
 
 # at most one live generation of verify-stage caches per process (see
-# jaccard_verify): the pruned token set + the candidate pair set
+# jaccard_verify): the pruned token set + the candidate pair set (+ the
+# pre-fan-out doc slice when minhash_near_dups owns the generation)
 _PERSISTED_TOKENS: list[DataFrame] = []
 
 
+def _evict_generation() -> None:
+    """Unpersist the previous pipeline invocation's caches. Results are
+    lazy, so a call can't unpersist its own caches at return; instead each
+    new pipeline invocation evicts its predecessor's — repeated runs in one
+    session (bench loop, parity sweep, driver gate) hold at most one
+    generation, not a monotonically growing leak."""
+    while _PERSISTED_TOKENS:
+        _PERSISTED_TOKENS.pop().unpersist()
+
+
 def jaccard_verify(
-    candidates: DataFrame, tokens: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    candidates: DataFrame,
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    _owns_generation: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only: |A∩B| via token equi-join
     restricted to candidates (semi-filtered), |A∪B| = |A|+|B|-|A∩B|.
@@ -157,12 +180,8 @@ def jaccard_verify(
     The semi-join prune matters at scale: LSH yields few candidate docs, so
     the token⋈token join runs over a tiny broadcast-filtered slice of the
     corpus instead of every document's shingle set."""
-    # evict the PREVIOUS call's caches first (results are lazy, so we can't
-    # unpersist our own at return): repeated runs in one session (bench
-    # loop, parity sweep, driver gate) hold at most one generation, not a
-    # monotonically growing leak.
-    while _PERSISTED_TOKENS:
-        _PERSISTED_TOKENS.pop().unpersist()
+    if _owns_generation:
+        _evict_generation()
     # candidates feed THREE consumers (the two cand_ids projections and the
     # intersection join); unpersisted, each consumer re-executes the whole
     # LSH band self-join upstream. The pair set is collision-bounded and
@@ -206,38 +225,53 @@ def minhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    num_hashes: int = 16,
+    num_hashes: int = 12,
     bands: int = 4,
-    rows: int = 4,
+    rows: int = 3,
     shingle: int = 3,
 ) -> DataFrame:
     """Full L2 pipeline: shingle → MinHash → LSH bands → exact-Jaccard
     verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
-    b=4×r=4 puts the LSH s-curve threshold at (1/4)^(1/4) ≈ 0.71 —
-    high recall at jaccard ≥ 0.8 with bounded candidate fan-out."""
+    b=4×r=3 puts the LSH s-curve threshold at (1/4)^(1/3) ≈ 0.63 —
+    high recall at jaccard ≥ 0.8 with bounded candidate fan-out (r02 ran
+    16 hashes / r=4, s-curve ≈ 0.71; the cut keeps the same candidate set
+    on this corpus — 259 vs 256 pairs at sf0.1 — for 25% less signature
+    compute, the pipeline's dominant cost. VERDICT r02 #3)."""
     if bands * rows > num_hashes:
         raise ValueError(
             f"bands*rows ({bands}*{rows}) exceeds num_hashes ({num_hashes}); "
             "each band consumes `rows` distinct signature slots"
         )
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    # This invocation owns the persist generation (evict the previous one
+    # BEFORE persisting anything new, so the verify stage can't evict ours).
+    _evict_generation()
+    # Persist the COMPACT pre-fan-out doc slice (id + text, spread across
+    # the executors): it feeds both the signature agg and the verify join,
+    # and caching it stops the parquet scan + repartition running twice —
+    # while keeping the fan-out (shingle explode) OUT of the cache, so the
+    # verify side's broadcast semi-join prune still pushes below its
+    # explode. (Persisting the exploded token set instead blocks that prune
+    # pushdown — measured slower, r02 plan-audit note.)
+    base = spread(docs.select(id_col, text_col)).persist()
+    _PERSISTED_TOKENS.append(base)
     # Raw (non-distinct) tokens end to end: MinHash is multiset-invariant,
     # so the signature agg needs no corpus-wide distinct shuffle — map-side
     # partial min absorbs duplicates for free. The verify stage dedups only
     # AFTER its broadcast semi-join prune to candidate docs, so the one
-    # distinct that remains runs over a tiny slice. (Also deliberately not
-    # persisted: persisting the full token set blocks that prune pushdown —
-    # measured slower.)
-    tokens = shingles_raw(docs, id_col, text_col, shingle)
+    # distinct that remains runs over a tiny slice.
+    tokens = shingles_raw(base, id_col, text_col, shingle, spread_input=False)
     sigs = minhash_signatures(tokens, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
-    return jaccard_verify(cands, tokens, id_col, threshold)
+    return jaccard_verify(cands, tokens, id_col, threshold, _owns_generation=False)
 
 
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     id_col: str = "id",
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate-cluster labeling: iterative min-label propagation over an
     undirected pair graph — the step that turns near-dup PAIRS into dedup
@@ -249,7 +283,15 @@ def connected_components(
     lineage every round — without it the plan doubles per iteration and
     the convergence check re-executes the whole history. Near-dup clusters
     have tiny diameters, so the loop converges in a few rounds and exits
-    early; at extreme scale the same contract is served by the
+    early.
+
+    The loop runs to CONVERGENCE (change-count zero). ``max_iter`` is a
+    loud safety bound, not a silent truncation: min-label propagation moves
+    one hop per round, so a component with diameter > rounds would get
+    WRONG labels — if the bound is hit while labels are still moving this
+    raises instead of returning them (r02 advisory). A graph needing >50
+    rounds means component diameters in the dozens — pathological for
+    near-dup clusters, and the cue to switch to the O(log n)-round
     large-star/small-star algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond", SoCC 2014)."""
     # materialize the (small) mirrored edge list ONCE — it feeds every
@@ -267,6 +309,7 @@ def connected_components(
         und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     )
     labels = active.select("id", F.col("id").alias("label"))
+    converged = False
     for _ in range(max_iter):
         msgs = und.join(labels, und.src == labels.id).select(
             F.col("dst").alias("id"), "label"
@@ -286,7 +329,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (labels still changing) — the graph has a component with "
+            "diameter beyond the bound; raise max_iter or switch to "
+            "large-star/small-star for high-diameter graphs"
+        )
     singletons = (
         vertices.select(F.col(id_col).alias("id"))
         .join(active, "id", "left_anti")

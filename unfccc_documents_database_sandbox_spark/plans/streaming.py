@@ -157,7 +157,15 @@ def _run_live(out, spark, mode: str, key: str):
         .start()
     )
     try:
-        q.awaitTermination(180)
+        finished = q.awaitTermination(180)
+        if not finished:
+            # never fall through to a PARTIAL sink: an oracle-checked key
+            # would fail confusingly downstream and a rows-only key would
+            # silently pass on truncated data (r02 advisory)
+            raise TimeoutError(
+                f"streaming query for {key!r} did not finish availableNow "
+                "processing within 180s"
+            )
     finally:
         if q.isActive:
             q.stop()
