@@ -116,6 +116,18 @@ def test_asof_join_partitions_on_real_key(spark):
     assert "% 5" not in plan
 
 
+def test_join_dpp_key_plan_prunes(spark):
+    """The REGISTERED join_dpp key must actually trigger dynamic partition
+    pruning — a plan without the pruning subquery would scan every day
+    directory and silently lose the technique the key exists to prove."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("join_dpp").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """A date-partitioned fact joined to a filtered dim must prune fact
     partitions at runtime (DPP) — the scan reads only the partitions the

@@ -766,3 +766,123 @@ def join_skew_salted(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum(_cents("c_acctbal")).alias("acctbal_cents"),
     )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal, o.n_open_orders
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+    FULL OUTER JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_open_orders
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """J3-completion: FULL OUTER join — both null sides exercised (rich
+    customers without open orders, open-order customers below the balance
+    cut). One shuffle per side on the join key; at scale identical to the
+    left-outer plan shape plus null-extension on both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_open_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_acctbal",
+        "n_open_orders",
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """A6-completion: UNPIVOT/melt — wide measure columns to long
+    (key, measure, value) rows, the inverse of agg_pivot. Spark's stack()
+    emits all four rows per input row in one narrow pass (no shuffle, no
+    4× re-scan — the oracle's UNION ALL re-reads the table per measure;
+    Catalyst's unpivot does not). Values are per-row doubles (exact)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount, 'tax', l_tax)"
+        ).alias("measure", "value"),
+    )
+
+
+# one partitioned-layout write per (process, sf_dir): the fact copy is input
+# infrastructure for join_dpp, not part of the measured query
+_DPP_WRITTEN: set[str] = set()
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+        FROM events ORDER BY day LIMIT 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') AS day
+    FROM events e
+    JOIN d ON strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d') = d.day
+    """,
+)
+def join_dpp(spark, sf_dir):
+    """Dynamic partition pruning, registered (VERDICT r02 #7 — previously
+    only pytest-asserted): events re-laid-out partitioned-by-day (the
+    standard fact layout for a 100 TB event store), then joined to a
+    filtered day dim. Catalyst inserts a DynamicPruningSubquery on the fact
+    scan, so only the dim-selected partition directories are read — the
+    mechanism that makes dim-filtered scans of a partitioned fact
+    affordable. Plan asserted in tests/test_scale.py::
+    test_join_dpp_key_plan_prunes; the dim keeps the 2 earliest days via a
+    row_number filter (no driver-side collect)."""
+    import os
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    fact_dir = os.path.join(
+        repo_root, ".csv_tmp", f"events_by_day_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if fact_dir not in _DPP_WRITTEN:
+        ev.write.partitionBy("day").mode("overwrite").parquet(fact_dir)
+        _DPP_WRITTEN.add(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        fact.select("day")
+        .distinct()
+        .withColumn("rk", F.row_number().over(Window.orderBy("day")))
+        .filter(F.col("rk") <= 2)
+        .select("day")
+    )
+    return fact.join(dim, "day").select("event_id", "user_id", "day")

@@ -109,3 +109,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 register("sql_window_range", oracle=_QRANGE)(_sql_plan(_QRANGE))
+
+
+# explicit GROUPING SETS (A6 family completion beyond rollup/cube): the four
+# set combinations in one pass — Spark plans one Expand + one aggregate, the
+# distributed equivalent of running four grouped aggs. GROUPING() flags
+# disambiguate a rolled-up NULL from a data NULL in both engines.
+_QGSETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus), ())
+"""
+
+register("agg_grouping_sets", oracle=_QGSETS)(_sql_plan(_QGSETS))
