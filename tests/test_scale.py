@@ -116,6 +116,32 @@ def test_asof_join_partitions_on_real_key(spark):
     assert "% 5" not in plan
 
 
+def test_interval_overlap_is_equi_join(spark):
+    """The interval-overlap key must run as the bucketized equi-join, never
+    the nested-loop join the bare overlap predicate would plan."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("join_interval_overlap").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_funcs_two_shuffles(spark):
+    """The consolidated window query computes four frame specs over two
+    partitionings — the plan must contain exactly two Exchanges (one per
+    partitioning): Catalyst shares one sort/shuffle across the w/run/f
+    specs. Three-plus exchanges would mean the consolidation silently
+    un-shared the window state."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("window_funcs").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_join_dpp_key_plan_prunes(spark):
     """The REGISTERED join_dpp key must actually trigger dynamic partition
     pruning — a plan without the pruning subquery would scan every day

@@ -593,6 +593,40 @@ def sample_hash_mod(spark, sf_dir):
 
 
 @register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified EXACT-N sampling: exactly 20 documents per language,
+    chosen by multiplicative-hash order (deterministic across engines,
+    runs, and partition layouts — df.sampleBy gives approximate fractions
+    and partition-seed-dependent membership). The eval-set carving
+    companion to corpus_mix's fractional mixing: one shuffle on the
+    stratum key; at 100 TB the window is per-stratum top-N, which AQE
+    handles unless a single stratum dominates (then pre-aggregate with a
+    TakeOrdered per salted sub-stratum and re-rank the N·salt survivors)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hash_order = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy(hash_order.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "corpus_mix",
     oracle="""
     SELECT doc_id, lang FROM documents

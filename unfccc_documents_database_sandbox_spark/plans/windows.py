@@ -182,6 +182,52 @@ def join_range(spark, sf_dir):
 
 
 @register(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT event_id, user_id,
+               (event_id * 2654435761) % 1000000 AS start_n,
+               (event_id * 2654435761) % 1000000 + 1 + event_id % 500 AS end_n
+        FROM events
+    )
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(LEAST(a.end_n, b.end_n) - GREATEST(a.start_n, b.start_n)
+                AS BIGINT) AS overlap_len
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.start_n <= b.end_n AND b.start_n <= a.end_n
+    WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """J6-completion: interval-OVERLAP join (two interval sets, pairs that
+    intersect within a user). The oracle states the naive overlap
+    predicate; the Spark plan runs the bucketized form
+    (operators/intervals.py): explode each interval to its covering
+    1000-wide buckets, EQUI-join on (user_id, bucket), dedup, verify the
+    exact predicate — a hash shuffle with fan-out ≤ 2 instead of the
+    nested-loop join Spark would otherwise plan (asserted no-BNLJ in
+    tests/test_scale.py). Intervals are synthesized deterministically from
+    event ids (multiplicative-hash start, length 1-500) so both engines
+    derive identical integer ranges."""
+    from unfccc_documents_database_sandbox_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    start = (F.col("event_id") * F.lit(2654435761)) % F.lit(1000000)
+    iv = ev.select(
+        "event_id",
+        "user_id",
+        start.alias("start_n"),
+        (start + 1 + F.col("event_id") % 500).alias("end_n"),
+    )
+    a = iv.filter(F.col("event_id") % 2 == 0)
+    b = iv.filter(F.col("event_id") % 2 == 1)
+    return interval_overlap_join(a, b, key="user_id")
+
+
+@register(
     "join_asof",
     oracle="""
     SELECT o.o_orderkey,
