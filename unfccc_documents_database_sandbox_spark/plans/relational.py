@@ -71,6 +71,32 @@ def csv_roundtrip(spark, sf_dir):
     return spark.read.option("header", True).csv(out).select(*cols)
 
 
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def json_roundtrip(spark, sf_dir):
+    """S4-completion: JSON-Lines sink + source exercised end-to-end — the
+    de-facto interchange format for training-data pipelines. Write a
+    documents projection as newline-delimited JSON, read it back with an
+    EXPLICIT schema (schema inference would re-scan the data and can widen
+    types), and oracle-check the round-tripped values. Unlike the CSV
+    round-trip, JSONL preserves types, so the oracle compares native
+    ints/strings, not strings."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = os.path.join(repo_root, ".csv_tmp", "documents_jsonl")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    src = load_table(spark, sf_dir, "documents").select(*cols)
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(src.schema).json(out).select(*cols)
+
+
 @register("docx_ingest", oracle=None, tags=("rows-only",))
 def docx_ingest(spark, sf_dir):
     """S5 DOCX ingestion end-to-end (reference front door: abstract-docx

@@ -87,12 +87,15 @@ def sim_topk_ivf(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4) AS score
     FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.9
+    WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.4
     """,
 )
 def sim_near_dup_pairs(spark, sf_dir):
     """L2/L3 embedding-cosine near-dup pairs, blocked on the label column
     (stand-in for an LSH bucket): equi-join shuffle, quadratic only within
-    blocks."""
+    blocks. Threshold 0.4, not a production-ish 0.9: the corpus embeddings
+    are uniform random with no planted near-dups (max within-label cosine
+    ≈ 0.47 at sf0.01), so 0.9 matched the oracle on an empty result — 0.4
+    keeps the key's evidence non-trivial (5 pairs at sf0.01)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.9)
+    return S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.4)

@@ -75,9 +75,25 @@ def _sql_plan(sql: str):
     return plan
 
 
+_Q6 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
 register("sql_tpch_q1", oracle=_Q1)(_sql_plan(_Q1))
 register("sql_tpch_q3", oracle=_Q3)(_sql_plan(_Q3))
 register("sql_tpch_q5", oracle=_Q5)(_sql_plan(_Q5))
+# Q6 (forecasting revenue change): pure scan + conjunctive filter + global
+# agg — the query whose whole cost is predicate pushdown; every filter must
+# reach the parquet reader
+register("sql_tpch_q6", oracle=_Q6)(_sql_plan(_Q6))
 
 
 # correlated scalar subquery — Catalyst decorrelates it into a join+agg
