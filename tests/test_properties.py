@@ -213,6 +213,77 @@ def test_prefix_filter_is_complete(spark, texts):
     assert got == expect
 
 
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5000), st.integers(0, 2500)),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_overlap_matches_naive(spark, ivs):
+    """The bucketized interval-overlap join must equal the naive all-pairs
+    overlap check — bucketization is a candidate generator, never a filter
+    of true results (intervals spanning bucket boundaries are the risk
+    case; lengths here exceed the 1000-wide buckets to force multi-bucket
+    fan-out)."""
+    from unfccc_documents_database_sandbox_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (i, key, start, start + length)
+        for i, (key, start, length) in enumerate(ivs)
+    ]
+    expect = {
+        (a[0], b[0], min(a[3], b[3]) - max(a[2], b[2]))
+        for a in rows
+        for b in rows
+        if a[0] % 2 == 0 and b[0] % 2 == 1 and a[1] == b[1]
+        and a[2] <= b[3] and b[2] <= a[3]
+    }
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, start_n long, end_n long"
+    )
+    got = {
+        (r.id_a, r.id_b, r.overlap_len)
+        for r in interval_overlap_join(
+            df.filter(F.col("event_id") % 2 == 0),
+            df.filter(F.col("event_id") % 2 == 1),
+            key="user_id",
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark):
+    """sample_stratified: exactly min(20, stratum size) rows per language,
+    and byte-identical membership on repeated runs (hash order, not RNG)."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    sizes = {
+        r.lang: r.n
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got1 = sorted(
+        map(tuple, lookup("sample_stratified").build(spark, SF_CORRECT).collect())
+    )
+    got2 = sorted(
+        map(tuple, lookup("sample_stratified").build(spark, SF_CORRECT).collect())
+    )
+    assert got1 == got2
+    from collections import Counter
+
+    per_lang = Counter(lang for _, lang in got1)
+    assert per_lang == {k: min(20, v) for k, v in sizes.items()}
+
+
 def test_minhash_recall_against_exact_jaccard(spark):
     """Quality gate for the LSH pipeline on the real corpus: compare
     minhash_near_dups to the exhaustive shingle-Jaccard ground truth at

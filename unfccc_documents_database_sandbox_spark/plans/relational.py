@@ -357,13 +357,18 @@ def join_semi(spark, sf_dir):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def join_anti(spark, sf_dir):
-    """J5 left-anti join (customers without orders)."""
+    """J5 left-anti join: customers with no large (>300k) order. The r01/r02
+    form anti-joined on bare FK membership, which this corpus's referential
+    integrity makes vacuously empty — green on a 0-row match. The filtered
+    right side keeps the identical plan shape (filter pushed below the anti
+    join) while making the evidence non-trivial (30 rows at sf0.01)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -57,7 +57,10 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         "array_ops", "case_when_block", "corpus_mix", "csv_roundtrip",
         "date_extract", "dedup_components", "dedup_exact", "dedup_hash_sha",
         "dedup_latest", "dedup_ngram_jaccard", "doc_fingerprint",
-        "filter_notnull", "filter_or_eq", "join_anti", "join_asof",
+        "filter_notnull", "filter_or_eq", "join_asof",
+        # join_anti is deliberately NOT rotated despite its green r02 row:
+        # r03 changed its predicate (the old form was vacuously empty on
+        # this corpus), so the new semantics need a fresh driver row.
         "join_bridge", "join_child_collect", "join_inner_fk",
         "join_left_nullable", "join_range", "join_semi", "join_skew_salted",
         "json_extract", "lang_id", "limit_n", "map_ops", "math_arith",
