@@ -116,6 +116,22 @@ def test_asof_join_partitions_on_real_key(spark):
     assert "% 5" not in plan
 
 
+def test_sql_q6_filters_reach_scan(spark):
+    """Q6's whole cost model is predicate pushdown: every conjunct must
+    appear in the parquet scan's PushedFilters, and the read schema must
+    prune to the four referenced columns."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("sql_tpch_q6").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    for col in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
 def test_interval_overlap_is_equi_join(spark):
     """The interval-overlap key must run as the bucketized equi-join, never
     the nested-loop join the bare overlap predicate would plan."""

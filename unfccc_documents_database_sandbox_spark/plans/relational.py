@@ -97,15 +97,29 @@ def json_roundtrip(spark, sf_dir):
     return spark.read.schema(src.schema).json(out).select(*cols)
 
 
-@register("docx_ingest", oracle=None, tags=("rows-only",))
+@register(
+    "docx_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a.docx', '1.' || chr(9) || 'Scope of work' || chr(10) ||
+                   'Parties shall cooperate' || chr(10) ||
+                   'alpha|beta' || chr(10)),
+        ('b.docx', '(a)' || chr(9) || 'Definitions' || chr(10) ||
+                   'Annex follows' || chr(10))
+    ) AS t(file_name, doc_text)
+    """,
+)
 def docx_ingest(spark, sf_dir):
     """S5 DOCX ingestion end-to-end (reference front door: abstract-docx
     DOCX → block tree, requirements.txt:1): build real OOXML payloads with
     the stdlib writer, land them as files, read through the binaryFile
     source, parse to ordered block rows (stdlib zip+XML — sources/docx.py),
     and assemble the document text with the exact reference semantics.
-    Content is fixed → rows-only but fully deterministic; the parser and
-    assembly are also golden-tested in tests/test_sources.py."""
+    Fixture content is fixed, so the expected output is a VALUES literal —
+    r03 upgrades the key from rows-only to hash-checked by keying the
+    output on the file basename (the r02 path-hash doc_id was opaque to an
+    oracle). The parser and assembly are also golden-tested in
+    tests/test_sources.py."""
     import os
 
     from unfccc_documents_database_sandbox_spark.operators.assembly import (
@@ -150,7 +164,11 @@ def docx_ingest(spark, sf_dir):
     assembled = assemble_from_warehouse(
         b.select("block_id", "doc_id", "seq", "numbering"), paragraphs, tables
     )
-    return assembled.orderBy("doc_id")
+    names = blocks.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+    ).distinct()
+    return assembled.join(names, "doc_id").select("file_name", "doc_text")
 
 
 @register("catalog_tables", oracle=None, tags=("rows-only",))

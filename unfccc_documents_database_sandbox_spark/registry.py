@@ -70,8 +70,11 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # CORRECTNESS_r02.json rows-only rows (no-oracle by design, row
         # evidence recorded)
         "agg_approx_distinct", "catalog_tables", "dedup_fuzzy_minhash",
-        "dedup_simhash", "doc_rolling_hash", "docx_ingest",
+        "dedup_simhash", "doc_rolling_hash",
         "multimodal_features_topk",
+        # docx_ingest is NOT rotated despite its r02 rows-only row: r03
+        # re-keys it on file basename and upgrades it to a VALUES-literal
+        # oracle, so the hash-checked form needs a fresh driver row.
         # NOT rotated: agg_approx_percentiles (r02 row was an error; the
         # scalarized fix needs a fresh driver row this round).
     }
