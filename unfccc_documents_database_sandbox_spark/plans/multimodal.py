@@ -80,11 +80,53 @@ def multimodal_resize(spark, sf_dir):
     )
 
 
-@register("multimodal_features_topk", oracle=None, tags=("rows-only",))
+# the stub featurizer is sha256(payload) bytes read as 16 big-endian uint16s
+# scaled to [-1, 1): hex-pair arithmetic reproduces it exactly in SQL. Every
+# value is a dyadic rational (k/2^15), so the float32 feature cast and the
+# float64 oracle math agree bit-for-bit.
+_HEXP = "(strpos('0123456789abcdef', substr(sha256(text), 4*i + {off}, 1)) - 1)"
+_FEATURE_VEC_SQL = (
+    "list_transform(range(0, 16), i -> ("
+    + _HEXP.format(off=1) + " * 4096 + "
+    + _HEXP.format(off=2) + " * 256 + "
+    + _HEXP.format(off=3) + " * 16 + "
+    + _HEXP.format(off=4)
+    + ") / 32768.0 - 1.0)"
+)
+
+
+@register(
+    "multimodal_features_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT doc_id AS vec_id, {_FEATURE_VEC_SQL} AS vec FROM documents
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+          FROM vn WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, vn.vec_id AS neighbor_id,
+               list_dot_product(q.qvec, vn.vec) / (q.qnorm * vn.norm) AS cos
+        FROM q JOIN vn ON vn.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           ROUND(cos, 4) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
 def multimodal_features_topk(spark, sf_dir):
     """L5→L3 composition: featurize media payloads (mapInPandas), then run
-    the IVF similarity search unchanged on the feature column — media and
-    embeddings meet in one pipeline."""
+    the exact similarity search unchanged on the feature column — media and
+    embeddings meet in one pipeline. The stub featurizer is a deterministic
+    function of the payload digest, so the whole composition has an exact
+    SQL oracle (r03 upgrade from rows-only; the digest→uint16→[-1,1) map is
+    restated in hex-digit arithmetic in the oracle)."""
     from unfccc_documents_database_sandbox_spark.operators import similarity as S
 
     media = documents_as_media(load_table(spark, sf_dir, "documents"))

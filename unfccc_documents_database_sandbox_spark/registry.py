@@ -71,10 +71,10 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # evidence recorded)
         "agg_approx_distinct", "catalog_tables", "dedup_fuzzy_minhash",
         "dedup_simhash", "doc_rolling_hash",
-        "multimodal_features_topk",
-        # docx_ingest is NOT rotated despite its r02 rows-only row: r03
-        # re-keys it on file basename and upgrades it to a VALUES-literal
-        # oracle, so the hash-checked form needs a fresh driver row.
+        # docx_ingest and multimodal_features_topk are NOT rotated despite
+        # their r02 rows-only rows: r03 upgrades both to exact oracles
+        # (VALUES-literal / hex-digit featurizer restatement), so the
+        # hash-checked forms need fresh driver rows.
         # NOT rotated: agg_approx_percentiles (r02 row was an error; the
         # scalarized fix needs a fresh driver row this round).
     }
