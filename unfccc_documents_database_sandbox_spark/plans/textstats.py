@@ -207,6 +207,143 @@ def text_length_hist(spark, sf_dir):
     )
 
 
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS n_phones
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """L4 PII redaction — the standard pretraining scrub pass: replace
+    email- and phone-shaped spans, count redactions per document. The
+    corpus text is PII-free, so a deterministic synthetic contact line
+    (derived from doc_id, identical in both engines) is appended first —
+    the scrub is then provably exercised on every row, not vacuously green.
+    Patterns stick to char-classes + bounded repeats so Java regex (Spark)
+    and RE2 (DuckDB) agree. One narrow pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email, phone = "[a-z0-9.]+@[a-z0-9.]+", "[0-9]{3}-[0-9]{4}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(raw, F.lit(email), 0)).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(raw, F.lit(phone), 0)).cast("long").alias(
+            "n_phones"
+        ),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word),
+    m AS (SELECT doc_id, MAX(n) AS max_n, SUM(n) AS n_tok FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(max_n AS BIGINT) AS top_token_n,
+           ROUND(CAST(max_n AS DOUBLE) / n_tok, 6) AS rep_ratio,
+           CAST(CASE WHEN CAST(max_n AS DOUBLE) / n_tok <= 0.2 THEN 1 ELSE 0 END
+                AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """L4 repetition filter (Gopher/C4-style quality rule): the most
+    frequent token's share of the document; docs where one token exceeds
+    20% are flagged for drop. explode → per-(doc, word) count → per-doc
+    max/sum — both aggs combine map-side, so the shuffles move counts, not
+    tokens."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("n").alias("max_n"), F.sum("n").alias("n_tok")
+    )
+    ratio = F.col("max_n").cast("double") / F.col("n_tok")
+    return per_doc.select(
+        "doc_id",
+        F.col("max_n").cast("long").alias("top_token_n"),
+        F.round(ratio, 6).alias("rep_ratio"),
+        F.when(ratio <= 0.2, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               (doc_id * 2654435761) % 4294967296 < 429496730 AS is_test,
+               sha256(array_to_string(
+                   list_sort(list_distinct(string_split(text, ' '))), ' '))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, lang FROM fp
+    WHERE NOT is_test
+      AND fingerprint IN (SELECT fingerprint FROM fp WHERE is_test)
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """L4 train/eval decontamination: hash-split the corpus 90/10 (same
+    multiplicative hash as sample_hash_mod, so the split is reproducible),
+    fingerprint every document (sorted distinct token set — catches the
+    corpus's planted near-dups, which share token sets), and flag train
+    documents whose fingerprint appears in the held-out split. A broadcast
+    left-semi join on a 32-byte digest: the test side is 10% of doc COUNT
+    but only digests travel, so at 100 TB the probe is a bloom-filter-sized
+    broadcast, not a data shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    fp = d.select(
+        "doc_id",
+        "lang",
+        (bucket < 429496730).alias("is_test"),
+        F.sha2(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))),
+            256,
+        ).alias("fingerprint"),
+    )
+    test_fps = fp.filter(F.col("is_test")).select("fingerprint")
+    return (
+        fp.filter(~F.col("is_test"))
+        .join(F.broadcast(test_fps), "fingerprint", "left_semi")
+        .select("doc_id", "lang")
+    )
+
+
 @register("doc_rolling_hash", oracle=None, tags=("rows-only",))
 def doc_rolling_hash(spark, sf_dir):
     """L4 order-sensitive polynomial rolling hash over tokens (xxhash64-
