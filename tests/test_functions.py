@@ -72,3 +72,27 @@ def test_numbering_ordinal_styles(spark):
     got = {r.label: r.ordinal for r in df.select("label", numbering_ordinal("label").alias("ordinal")).collect()}
     for label, expect in cases:
         assert got[label] == expect, f"{label!r}: {got[label]} != {expect}"
+
+
+def test_hll_union_consistent_with_exact(spark):
+    """The per-language HLL sketches must union to a global estimate within
+    HLL error bounds of the exact distinct count (lgK=12 → ~1.6% rse; 5% is
+    the loud-failure line), proving the sketches are genuinely mergeable —
+    the property the pre-aggregated-rollup pattern depends on."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    d = load_table(spark, SF_CORRECT, "documents")
+    exact = d.select("text").distinct().count()
+    rows = lookup("agg_hll_partitioned").build(spark, SF_CORRECT).collect()
+    globals_seen = {r.global_distinct for r in rows}
+    assert len(globals_seen) == 1  # every row carries the same union estimate
+    est = globals_seen.pop()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # per-language estimates must sum close to the global (languages rarely
+    # share identical texts in this corpus)
+    assert sum(r.lang_distinct for r in rows) >= est * 0.95

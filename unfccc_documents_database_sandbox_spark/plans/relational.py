@@ -641,6 +641,31 @@ def sample_hash_mod(spark, sf_dir):
     return d.filter(bucket < 429496730).select("doc_id", "lang", "source")
 
 
+@register("agg_hll_partitioned", oracle=None, tags=("rows-only",))
+def agg_hll_partitioned(spark, sf_dir):
+    """A5-completion: MERGEABLE distinct-count sketches (Datasketches HLL)
+    — the pattern behind every 100 TB pre-aggregated rollup table: build
+    one sketch per partition key (here: per language), store/ship the
+    sketch bytes, and answer the global question by UNIONING sketches
+    instead of re-scanning data. Emits each language's estimate plus the
+    union-of-sketches global estimate on every row; a correctness anchor —
+    the union estimate must be consistent across groupings — is asserted
+    in tests/test_functions.py. Approximate by construction → rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.hll_sketch_agg(F.col("text"), 12).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    global_est = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_distinct")
+    )
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        F.hll_sketch_estimate("sketch").cast("long").alias("lang_distinct"),
+    ).crossJoin(F.broadcast(global_est.select(F.col("global_distinct").cast("long"))))
+
+
 @register(
     "sample_stratified",
     oracle="""
