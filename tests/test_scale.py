@@ -116,6 +116,24 @@ def test_asof_join_partitions_on_real_key(spark):
     assert "% 5" not in plan
 
 
+def test_join_bucketed_key_shuffle_free(spark):
+    """The REGISTERED join_bucketed key must plan its fact-fact join AND
+    the per-key aggregation with no Exchange when broadcast is off — the
+    whole point of paying the bucketed layout."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = lookup("join_bucketed").build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def test_sql_q6_filters_reach_scan(spark):
     """Q6's whole cost model is predicate pushdown: every conjunct must
     appear in the parquet scan's PushedFilters, and the read schema must

@@ -941,6 +941,69 @@ def agg_unpivot(spark, sf_dir):
     )
 
 
+# one bucketed-table build per (session, sf_dir): the write is join_bucketed's
+# index-build input, not part of the measured query
+_BUCKETED_WRITTEN: set[tuple[object, str]] = set()
+
+
+@register(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {SUM_CENTS_SQL.format(col='l.l_extendedprice')} AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Co-located fact-fact join through BUCKETED managed tables: both
+    sides written bucketBy(8, o_orderkey) sortBy the key, then joined and
+    aggregated ON the bucket key. Because data is pre-partitioned by
+    bucket, the join needs no Exchange on either side and the following
+    per-key aggregation reuses the same distribution — at 100 TB this
+    turns the recurring fact-fact join + rollup from the dominant shuffle
+    into a per-bucket local merge (shuffle-free plan asserted with
+    broadcast disabled in tests/test_scale.py; the oracle is the plain
+    unbucketed join — the layout must not change results). Tables are
+    (re)written per session: the in-memory catalog dies with the session,
+    and the write is the index-build cost a real deployment pays once."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.io import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    if (spark, sf_dir) not in _BUCKETED_WRITTEN:
+        import shutil
+
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in (t_orders, t_lineitem):
+            # a previous PROCESS may have left the managed location behind;
+            # this session's fresh catalog doesn't know the table, so
+            # saveAsTable would fail with LOCATION_ALREADY_EXISTS
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        write_bucketed(orders, t_orders, "o_orderkey", 8, sort_by="o_orderkey")
+        write_bucketed(lineitem, t_lineitem, "o_orderkey", 8, sort_by="o_orderkey")
+        _BUCKETED_WRITTEN.add((spark, sf_dir))
+    ob, lb = spark.table(t_orders), spark.table(t_lineitem)
+    return (
+        ob.join(lb, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(_cents("l_extendedprice")).alias("price_cents"),
+        )
+    )
+
+
 # one partitioned-layout write per (process, sf_dir): the fact copy is input
 # infrastructure for join_dpp, not part of the measured query
 _DPP_WRITTEN: set[str] = set()
