@@ -978,20 +978,22 @@ def join_bucketed(spark, sf_dir):
     )
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_orders, t_lineitem = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     if (spark, sf_dir) not in _BUCKETED_WRITTEN:
-        import shutil
-
-        warehouse = spark.conf.get(
-            "spark.sql.warehouse.dir", "spark-warehouse"
-        ).removeprefix("file:")
-        for t in (t_orders, t_lineitem):
-            # a previous PROCESS may have left the managed location behind;
-            # this session's fresh catalog doesn't know the table, so
-            # saveAsTable would fail with LOCATION_ALREADY_EXISTS
+        for t, df in ((t_orders, orders), (t_lineitem, lineitem)):
+            # EXTERNAL tables at an explicit repo-anchored path: the
+            # caller's session has a cwd-relative spark-warehouse, and the
+            # driver's cwd is not ours to assume. Drop any stale catalog
+            # entry first (overwrite of an external table re-uses the
+            # location; a stale MANAGED entry from an old layout would
+            # collide).
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-        write_bucketed(orders, t_orders, "o_orderkey", 8, sort_by="o_orderkey")
-        write_bucketed(lineitem, t_lineitem, "o_orderkey", 8, sort_by="o_orderkey")
+            write_bucketed(
+                df, t, "o_orderkey", 8, sort_by="o_orderkey",
+                path=os.path.join(repo_root, ".csv_tmp", t),
+            )
         _BUCKETED_WRITTEN.add((spark, sf_dir))
     ob, lb = spark.table(t_orders), spark.table(t_lineitem)
     return (

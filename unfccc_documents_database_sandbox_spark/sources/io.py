@@ -95,8 +95,13 @@ def write_bucketed(
     bucket_by: str,
     n_buckets: int = 8,
     sort_by: str | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (+optionally sorted) managed table.
+    """Persist as a bucketed (+optionally sorted) table — managed by
+    default, external at ``path`` when given (bucketing requires the
+    catalog, so this must go through saveAsTable either way; an explicit
+    path keeps the data at a known location instead of the session's
+    cwd-relative spark-warehouse).
 
     Scale rationale: two fact tables bucketed on the same join key with the
     same bucket count join WITHOUT a shuffle — the physical plan reads
@@ -106,4 +111,6 @@ def write_bucketed(
     w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, bucket_by)
     if sort_by:
         w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
