@@ -79,7 +79,7 @@ def _noop(df) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
     from unfccc_documents_database_sandbox_spark.registry import load_all_plans
     from unfccc_documents_database_sandbox_spark.session import get_spark
 

@@ -288,7 +288,7 @@ def test_minhash_recall_against_exact_jaccard(spark):
     """Quality gate for the LSH pipeline on the real corpus: compare
     minhash_near_dups to the exhaustive shingle-Jaccard ground truth at
     sf0.01. Precision is 1.0 by construction (the verify stage computes
-    exact Jaccard); recall is bounded by the b=4,r=3 s-curve — ≥0.97 per
+    exact Jaccard); recall is bounded by the b=4,r=3 s-curve — 1-(1-0.8³)⁴ ≈ 0.943 per
     pair at j=0.8, ≈1 at j≥0.95 — so ≥0.8 overall is the red line."""
     from tests.conftest import SF_CORRECT
     from unfccc_documents_database_sandbox_spark.catalog import load_table

@@ -65,7 +65,10 @@ def csv_roundtrip(spark, sf_dir):
     from unfccc_documents_database_sandbox_spark.sources.io import write_csv
 
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    out = os.path.join(repo_root, ".csv_tmp", "documents_roundtrip")
+    # per-sf output dir: the returned read is LAZY, so a same-process build
+    # at another SF must not clobber this one's data before it is collected
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"documents_roundtrip_{tag}")
     cols = ["doc_id", "lang", "source", "n_chars"]
     write_csv(load_table(spark, sf_dir, "documents").select(*cols), out)
     return spark.read.option("header", True).csv(out).select(*cols)
@@ -90,7 +93,10 @@ def json_roundtrip(spark, sf_dir):
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    out = os.path.join(repo_root, ".csv_tmp", "documents_jsonl")
+    # per-sf output dir: the returned read is LAZY, so a same-process build
+    # at another SF must not clobber this one's data before it is collected
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"documents_jsonl_{tag}")
     cols = ["doc_id", "lang", "source", "n_chars"]
     src = load_table(spark, sf_dir, "documents").select(*cols)
     src.write.mode("overwrite").json(out)
@@ -651,19 +657,26 @@ def agg_hll_partitioned(spark, sf_dir):
     union-of-sketches global estimate on every row; a correctness anchor —
     the union estimate must be consistent across groupings — is asserted
     in tests/test_functions.py. Approximate by construction → rows-only."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     per_lang = d.groupBy("lang").agg(
         F.hll_sketch_agg(F.col("text"), 12).alias("sketch"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    global_est = per_lang.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("global_distinct")
-    )
+    # union-of-sketches as a whole-frame window over the per-language rows:
+    # the sketch aggregation runs ONCE (a two-branch plan — per-lang agg
+    # feeding a separate global agg + crossJoin — would re-scan documents
+    # and rebuild every sketch, defeating the pattern's point)
+    whole = Window.partitionBy()
     return per_lang.select(
         "lang",
         "n_docs",
         F.hll_sketch_estimate("sketch").cast("long").alias("lang_distinct"),
-    ).crossJoin(F.broadcast(global_est.select(F.col("global_distinct").cast("long"))))
+        F.hll_sketch_estimate(F.hll_union_agg("sketch").over(whole))
+        .cast("long")
+        .alias("global_distinct"),
+    )
 
 
 @register(
