@@ -954,6 +954,48 @@ def agg_unpivot(spark, sf_dir):
     )
 
 
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT doc_id, 'patched' AS source, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new', CAST(42 AS BIGINT)
+        FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id, source, n_chars FROM upd
+    UNION ALL
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """Warehouse MERGE (upsert): apply an update set to a base table —
+    matched keys take the update row, unmatched updates insert, everything
+    else carries over. Executed the way a Delta/Iceberg MERGE physically
+    runs: one keyed anti-join of base against the update keys plus a
+    union — a single shuffle on the merge key, no row-at-a-time logic.
+    The update set is derived deterministically from the base (10% patched
+    rows, 4% inserts) so both engines see identical inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    patched = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.lit("patched").alias("source"),
+        (F.col("n_chars") + 1000).cast("long").alias("n_chars"),
+    )
+    inserts = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("new").alias("source"),
+        F.lit(42).cast("long").alias("n_chars"),
+    )
+    upd = patched.unionByName(inserts)
+    kept = d.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    ).join(upd.select("doc_id"), "doc_id", "left_anti")
+    return upd.unionByName(kept)
+
+
 # one bucketed-table build per (session, sf_dir): the write is join_bucketed's
 # index-build input, not part of the measured query
 _BUCKETED_WRITTEN: set[tuple[object, str]] = set()
