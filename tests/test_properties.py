@@ -144,6 +144,87 @@ def test_connected_components_nonconvergence_is_loud(spark):
         connected_components(vertices, edges, max_iter=3)
 
 
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=0, max_size=40
+)
+
+
+@given(raw=graph_edges)
+@settings(**SETTINGS)
+def test_star_components_match_label_propagation(spark, raw):
+    """large-star/small-star must produce EXACTLY the labels one-hop
+    min-label propagation does, on arbitrary graphs (self-loops and
+    duplicate edges included) — two independent algorithms, one answer."""
+    from unfccc_documents_database_sandbox_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(31)], "id long")
+    edges = spark.createDataFrame(raw or [(0, 0)], "src long, dst long")
+    plain = sorted(connected_components(vertices, edges).collect())
+    star = sorted(connected_components_star(vertices, edges).collect())
+    assert star == plain
+
+
+def test_star_components_long_chain_logarithmic_rounds(spark):
+    """The point of star contraction: a diameter-59 path converges well
+    inside 25 rounds (label propagation needs 59) — the O(log n) bound
+    that makes the algorithm the 100 TB choice for high-diameter graphs."""
+    from unfccc_documents_database_sandbox_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 60
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.id: r.label
+        for r in connected_components_star(vertices, edges, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_zorder_interleave_roundtrip():
+    """Morton interleave must be invertible: de-interleaving the even/odd
+    bits of the z-value recovers (x, y) exactly for every 8-bit pair —
+    checked in pure Python against the same arithmetic the SQL oracle and
+    the Spark expression both encode."""
+    from unfccc_documents_database_sandbox_spark.plans.layout import _BITS
+
+    def interleave(x, y):
+        z = 0
+        for i in range(_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x in (0, 1, 5, 31, 128, 255):
+        for y in (0, 1, 17, 31, 200, 255):
+            z = interleave(x, y)
+            dx = sum(((z >> (2 * i)) & 1) << i for i in range(_BITS))
+            dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(_BITS))
+            assert (dx, dy) == (x, y)
+
+
+def test_pack_sequences_offsets_are_exclusive_cumsum(spark):
+    """Packing invariants per shard: the first doc starts at offset 0,
+    each next doc starts exactly where the previous one ended, and seq_id
+    is the 512-token chunk its first token lands in."""
+    from unfccc_documents_database_sandbox_spark.plans.textstats import pack_sequences
+
+    out = pack_sequences(spark, "/root/testdata/sf0.001").toPandas()
+    for _, grp in out.groupby("shard"):
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        expect = 0
+        for _, row in grp.iterrows():
+            assert row.tok_offset == expect
+            assert row.seq_id == row.tok_offset // 512
+            expect += row.n_tokens
+
+
 def test_minhash_identical_docs_jaccard_one(spark):
     from unfccc_documents_database_sandbox_spark.operators.dedup import (
         minhash_near_dups,

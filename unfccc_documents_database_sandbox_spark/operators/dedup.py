@@ -346,6 +346,95 @@ def connected_components(
     return labels.unionByName(singletons)
 
 
+def connected_components_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the extreme-scale successor to min-label propagation.
+
+    Label propagation (``connected_components``) moves labels ONE hop per
+    round, so rounds grow with component DIAMETER — pathological for long
+    chains. Star contraction instead rewires the edge set itself each
+    round, halving path lengths: convergence in O(log n) rounds regardless
+    of diameter, each round two grouped mins + two joins (no collect_list,
+    no driver state). Same output contract as connected_components:
+    (id, label) with label = min node id reachable.
+
+    - large-star: for each node u, hang every LARGER neighbor v > u off
+      m(u) = min(N(u) ∪ {u}) → emits (v, m).
+    - small-star: direct edges large→small; for each u, hang u and all its
+      smaller neighbors off m = min(N(u)) → emits (v, m) and (u, m).
+    Both emit canonical (hi, lo) edges, so the converged edge set is the
+    star forest {(node, component_min)} and labels read straight off it.
+    """
+    # canonical undirected edge set as (hi, lo), self-loops dropped
+    cur = (
+        edges.select(
+            F.greatest("src", "dst").alias("hi"), F.least("src", "dst").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star over both directions: m(u) = min(min neighbor, u)
+        both = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star over large→small edges: m(u) = min smaller neighbor
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = large.join(smins, "hi")
+        nxt = (
+            j.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(j.select("hi", F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within max_iter="
+            f"{max_iter} rounds — far beyond the O(log n) bound; the edge "
+            "input is likely pathological (check for nulls / self-loops)"
+        )
+    # converged edge set is the star forest (node, component_min)
+    labels = cur.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
+    roots = cur.select(F.col("lo").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    members = labels.unionByName(roots)
+    singletons = (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(members.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
+    return members.unionByName(singletons)
+
+
 def simhash_signatures(
     tokens: DataFrame, id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -10,6 +10,7 @@ _MODULES = (
     "functions",
     "llm",
     "dedup",
+    "layout",
     "similarity",
     "textstats",
     "streaming",

@@ -111,9 +111,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return bigram_jaccard_pairs(docs, threshold_pct=80)
 
 
-@register(
-    "dedup_components",
-    oracle="""
+# Recursive transitive-closure oracle shared by BOTH cluster-labeling keys:
+# component_id = min doc_id reachable through the >= 0.4 bigram-Jaccard
+# pair graph. Two independent Spark implementations (one-hop label
+# propagation and large-star/small-star contraction) must both hash-match it.
+_COMPONENTS_ORACLE = """
     WITH RECURSIVE grams AS (
         SELECT DISTINCT doc_id, lang, source,
                w.word || ' ' || lead(w.word) OVER
@@ -152,8 +154,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
     SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component_id
     FROM reach GROUP BY id
-    """,
-)
+    """
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
 def dedup_components(spark, sf_dir):
     """L2 final step: near-dup PAIRS → duplicate CLUSTERS. Edges are exact
     bigram-Jaccard >= 0.4 pairs (shared prefix-filtered builder); clusters
@@ -173,6 +177,96 @@ def dedup_components(spark, sf_dir):
     )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").cast("long").alias("component_id")
+    )
+
+
+@register("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star(spark, sf_dir):
+    """L2 cluster labeling via large-star/small-star contraction (Kiveris
+    et al., SoCC 2014) — the O(log n)-round algorithm the one-hop
+    label-propagation key (`dedup_components`) names as its extreme-scale
+    successor, implemented for real: label propagation needs rounds
+    proportional to component DIAMETER (a 10k-doc duplicate chain = 10k
+    shuffles), star contraction halves path lengths every round, so round
+    count is logarithmic in component size no matter the shape. Same
+    edges, same output contract, same recursive-CTE oracle — two
+    independent implementations hash-matching one transitive closure."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pairs = bigram_jaccard_pairs(docs, threshold_pct=40)
+    labels = D.connected_components_star(
+        docs.select("doc_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="doc_id",
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").cast("long").alias("component_id")
+    )
+
+
+@register(
+    "dedup_substring",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, len(text) - 19)) AS i
+        FROM documents WHERE len(text) >= 20
+    ),
+    g AS (SELECT doc_id, substr(text, i, 20) AS gram FROM pos),
+    df AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_substring(spark, sf_dir):
+    """L2 substring-level duplication audit — the suffix-array-style
+    ExactSubstr dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022) re-expressed Spark-first at
+    character-20-gram granularity: every overlapping 20-char span,
+    exploded JVM-side (sequence → transform → substring, zero Python),
+    scored by cross-document frequency, then rolled back up per doc as
+    (total spans, spans duplicated elsewhere, integer ppm ratio — exact
+    integer arithmetic at the output boundary, no FP division).
+
+    Scale shape: the only corpus-wide shuffle groups the 20-char gram
+    itself; at 100 TB the gram travels as its xxhash64 digest instead
+    (8-byte shuffle payload, same counts, collision-negligible) — kept as
+    the text here so the DuckDB twin stays exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 20
+    grams = docs.filter(F.length("text") >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {k - 1}),"
+                f" i -> substring(text, i, {k}))"
+            )
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            dup.cast("long").alias("n_dup_spans"),
+            (dup * F.lit(1_000_000))
+            .cast("long")
+            .alias("_dup_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("_dup_scaled DIV n_spans").alias("dup_ppm"),
+        )
     )
 
 

@@ -372,3 +372,71 @@ def doc_fingerprint(spark, sf_dir):
             F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))), 256
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset
+        FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS seq_id,
+           CAST(CASE WHEN (tok_offset + n_tokens - 1) // 512 > tok_offset // 512
+                THEN 1 ELSE 0 END AS BIGINT) AS straddles
+    FROM o
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing — concat-and-chunk document→sequence
+    assignment for a fixed token budget (512), the GPT-style pretraining
+    batching step. Every doc gets its token offset inside its shard's
+    concatenated stream (windowed cumulative sum, exclusive), the id of
+    the 512-token training sequence its first token lands in, and whether
+    it straddles a sequence boundary. All integer arithmetic (exact).
+
+    Scale shape: global packing is inherently sequential, so the stream is
+    sharded FIRST (doc_id mod 8 here; at 100 TB one shard per output file
+    ≈ tens of thousands) — the windowed cumsum then partitions BY SHARD,
+    i.e. every shard packs independently in parallel and no global sort or
+    single-reducer bottleneck exists. Token counts are whitespace tokens
+    (same rule as `text_funcs`; swap in a BPE UDF behind the same column
+    contract for real tokenizers)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    budget = 512
+    t = d.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(8)).cast("long").alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return o.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.expr(f"tok_offset DIV {budget}").alias("seq_id"),
+        F.expr(
+            f"CAST(CASE WHEN (tok_offset + n_tokens - 1) DIV {budget}"
+            f" > tok_offset DIV {budget} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("straddles"),
+    )
