@@ -212,3 +212,47 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     # and the result only contains the kept days
     got_days = {r.day for r in j.select("day").distinct().collect()}
     assert got_days == set(days[:2])
+
+
+def test_pack_sequences_single_shuffle_per_shard_window(spark):
+    """Sequence packing must cost exactly ONE Exchange (the shard
+    repartition feeding the windowed cumsum): shards pack independently,
+    so any second shuffle (e.g. a global sort) would mean the plan
+    silently serialized what is designed to be shard-parallel."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("pack_sequences").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan
+
+
+def test_layout_zorder_prunes_and_stays_codegen(spark):
+    """The Morton interleave must stay a pruned-scan + partial/final agg:
+    the orders scan reads only the two clustering inputs (o_orderkey is
+    projected away), and the 32-term bit arithmetic is pure JVM expression
+    work — no Python eval node, no extra exchange."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("layout_zorder").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "o_custkey" in scan[0] and "o_orderdate" in scan[0]
+    assert "o_totalprice" not in scan[0], scan[0]
+
+
+def test_dedup_substring_filter_pushed_to_scan(spark):
+    """The length(text) >= 20 guard must reach the parquet scan as a data
+    filter on BOTH branches (gram explode and frequency side) — without
+    pushdown every sub-20-char row still pays the explode."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("dedup_substring").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and all("length" in s for s in scans), plan
