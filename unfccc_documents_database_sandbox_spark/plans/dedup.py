@@ -237,7 +237,11 @@ def dedup_substring(spark, sf_dir):
     Scale shape: the only corpus-wide shuffle groups the 20-char gram
     itself; at 100 TB the gram travels as its xxhash64 digest instead
     (8-byte shuffle payload, same counts, collision-negligible) — kept as
-    the text here so the DuckDB twin stays exact."""
+    the text here so the DuckDB twin stays exact. The gram stream is
+    deliberately traversed twice (frequency agg + join-back) rather than
+    persisted: caching the exploded grams would cost ~20× the input in
+    executor memory and block the length-filter pushdown both scans get
+    for free (same trade the minhash pipeline documents)."""
     docs = load_table(spark, sf_dir, "documents")
     k = 20
     grams = docs.filter(F.length("text") >= k).select(
