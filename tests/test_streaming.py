@@ -136,3 +136,50 @@ def test_stateful_user_profile_converges(spark, events_stream_dir):
         for r in user_profile_batch(load_table(spark, SF_SMOKE, "events")).collect()
     }
     assert got == expect
+
+
+def test_foreach_batch_parquet_sink_exactly_once_on_retry(spark, events_stream_dir, tmp_path):
+    """T-surface completion: foreachBatch is THE escape hatch for sinks
+    Spark lacks (JDBC upsert, external indexes). Exactly-once there is the
+    USER's job: the sink must be idempotent per (batch_id), because a
+    failed-and-retried micro-batch re-runs with the SAME batch_id. This
+    test drives a real readStream through foreachBatch into per-batch
+    parquet directories, then replays the last batch (simulating a retry)
+    and asserts the deterministic-overwrite sink converges to the same
+    rows instead of duplicating them."""
+    out_root = str(tmp_path / "sink")
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        # idempotent contract: one deterministic directory per batch_id,
+        # overwrite mode — a retry rewrites, never appends
+        batch_df.write.mode("overwrite").parquet(f"{out_root}/batch={batch_id}")
+        seen.append(batch_id)
+
+    counts = (
+        _read_stream(spark, events_stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        counts.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "foreachBatch stream did not finish"
+    assert seen, "sink never ran"
+    first = spark.read.parquet(out_root).toPandas().sort_values("user_id")
+
+    # simulate the retry: re-run the LAST batch id through the same sink
+    last_id = seen[-1]
+    batch_again = load_table(spark, SF_SMOKE, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink(batch_again, last_id)
+    second = spark.read.parquet(out_root).toPandas().sort_values("user_id")
+    assert len(second) == len(first)
+    assert (
+        first.reset_index(drop=True).equals(second.reset_index(drop=True))
+    ), "retried batch duplicated rows — sink is not idempotent"
