@@ -73,12 +73,24 @@ def shingles_distinct(
     return shingles_raw(docs, id_col, text_col, n).distinct()
 
 
+def portable_shingle_hash(col) -> F.Column:
+    """28-bit shingle hash computable bit-identically in ANSI SQL:
+    the first 7 hex digits of md5, parsed as an integer. DuckDB twin:
+    ``CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)``. 28 bits keeps the
+    affine minhash transform (a < 2^31) inside BIGINT (a*h < 2^59).
+    xxhash64 stays the default (faster, one codegen'd op vs md5+conv) —
+    this exists so the MinHash pipeline can run under an EXACT DuckDB
+    oracle instead of a rows-only check."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
 def shingles_raw(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     spread_input: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, token) hashed n-word shingles WITHOUT dedup — no shuffle at all.
     Sufficient wherever the consumer is multiset-invariant (MinHash: the min
@@ -93,9 +105,10 @@ def shingles_raw(
     # is row-group-bound (1 partition on the bench corpus) and the explode +
     # xxhash64 is the CPU-heavy part of the whole minhash pipeline.
     base = spread(docs) if spread_input else docs
+    hash_fn = portable_shingle_hash if portable_hash else F.xxhash64
     return base.select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).select(id_col, F.xxhash64("s").alias("token"))
+    ).select(id_col, hash_fn("s").alias("token"))
 
 
 def _token_hash(tokens: DataFrame) -> F.Column:
@@ -229,6 +242,7 @@ def minhash_near_dups(
     bands: int = 4,
     rows: int = 3,
     shingle: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Full L2 pipeline: shingle → MinHash → LSH bands → exact-Jaccard
     verify. Returns (id_a, id_b, jaccard) near-duplicate pairs.
@@ -261,7 +275,9 @@ def minhash_near_dups(
     # partial min absorbs duplicates for free. The verify stage dedups only
     # AFTER its broadcast semi-join prune to candidate docs, so the one
     # distinct that remains runs over a tiny slice.
-    tokens = shingles_raw(base, id_col, text_col, shingle, spread_input=False)
+    tokens = shingles_raw(
+        base, id_col, text_col, shingle, spread_input=False, portable_hash=portable_hash
+    )
     sigs = minhash_signatures(tokens, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
     return jaccard_verify(cands, tokens, id_col, threshold, _owns_generation=False)

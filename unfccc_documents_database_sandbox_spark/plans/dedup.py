@@ -45,10 +45,77 @@ def dedup_hash_sha(spark, sf_dir):
 def dedup_fuzzy_minhash(spark, sf_dir):
     """L2 MinHash+LSH near-dup pairs (shingle → minhash → band → bucket
     join → exact-Jaccard verify). xxhash64 isn't portable to DuckDB →
-    rows-only check; the Jaccard math itself is oracle-covered by
-    dedup_ngram_jaccard."""
+    rows-only check; the SAME pipeline is hash-checked end to end by
+    dedup_minhash_portable (md5-prefix token hash), and the Jaccard math
+    by dedup_ngram_jaccard."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_near_dups(docs, threshold=0.8)
+
+
+def _minhash_portable_oracle(
+    num_hashes: int = 12, bands: int = 4, rows: int = 3, threshold: float = 0.8
+) -> str:
+    """DuckDB twin of the FULL MinHash pipeline under the portable 28-bit
+    md5 token hash (operators/dedup.py portable_shingle_hash): shingle →
+    affine minhash (same seeded coefficients, inlined as literals) → band
+    equality candidates → exact-Jaccard verify. Band equality replaces the
+    Spark side's xxhash64 band key — a pair collides in a band iff all
+    `rows` signature slots are equal, so the candidate sets coincide
+    (xxhash64 band-key collisions at 2^-64 only ever ADD candidates, and
+    any extra candidate is then Jaccard-verified identically)."""
+    M = (1 << 31) - 1
+    mins = ", ".join(
+        f"MIN(({a} * h + {b}) % {M}) AS mh{i}"
+        for i, (a, b) in enumerate(D.minhash_coeffs(num_hashes))
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh{bi * rows + ri} = b.mh{bi * rows + ri}" for ri in range(rows))
+        + ")"
+        for bi in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
+                 UNNEST(range(1, len(w) - 1)) AS u(i)
+        )
+    ),
+    sigs AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
+    cands AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS ix
+        FROM cands c
+        JOIN tok ta ON ta.doc_id = c.id_a
+        JOIN tok tb ON tb.doc_id = c.id_b AND tb.h = ta.h
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= {threshold}
+    """
+
+
+@register("dedup_minhash_portable", oracle=_minhash_portable_oracle())
+def dedup_minhash_portable(spark, sf_dir):
+    """L2 MinHash+LSH pipeline under an EXACT end-to-end oracle: same
+    shingle → minhash → band → verify plan as dedup_fuzzy_minhash, with the
+    token hash swapped to the SQL-portable 28-bit md5 prefix so DuckDB can
+    replay every stage bit-identically — signatures, band collisions, and
+    verified Jaccard all hash-checked, not rows-only. xxhash64 stays the
+    production default (one codegen'd op vs md5+conv per shingle); this key
+    exists to prove the pipeline, not to replace it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, threshold=0.8, portable_hash=True)
 
 
 @register("dedup_simhash", oracle=None, tags=("rows-only",))

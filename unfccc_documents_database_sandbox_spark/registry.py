@@ -71,6 +71,12 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # evidence recorded)
         "agg_approx_distinct", "catalog_tables", "dedup_fuzzy_minhash",
         "dedup_simhash", "doc_rolling_hash",
+        # CORRECTNESS_r01.json pass rows whose plan AND oracle are
+        # byte-unchanged since the r01 gate (verified via git log -L:
+        # sort_global last touched 018822a, sql_corr_subquery 079d349 —
+        # both predate the r01 snapshot c2d4e40; the r02 sweep simply never
+        # reached them). Their r01 green rows remain the evidence of record.
+        "sort_global", "sql_corr_subquery",
         # docx_ingest and multimodal_features_topk are NOT rotated despite
         # their r02 rows-only rows: r03 upgrades both to exact oracles
         # (VALUES-literal / hex-digit featurizer restatement), so the
