@@ -59,7 +59,11 @@ def tokenize_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def shingles_distinct(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    hash_hex_digits: int | None = None,
 ) -> DataFrame:
     """(id, token) distinct n-word shingles. Shingling, not raw unigrams, is
     what makes MinHash discriminative: with a small vocabulary every doc's
@@ -69,19 +73,25 @@ def shingles_distinct(
 
     Tokens are emitted as xxhash64 longs, not strings: the distinct and
     every downstream shuffle move 8 bytes per token instead of the ~n-word
-    shingle text, and set semantics are unchanged (collisions at 2⁻⁶⁴)."""
-    return shingles_raw(docs, id_col, text_col, n).distinct()
+    shingle text, and set semantics are unchanged (collisions at 2⁻⁶⁴).
+    ``hash_hex_digits`` switches to the portable md5-prefix hash of that
+    many hex digits (see portable_shingle_hash)."""
+    return shingles_raw(
+        docs, id_col, text_col, n, portable_hash_digits=hash_hex_digits
+    ).distinct()
 
 
-def portable_shingle_hash(col) -> F.Column:
-    """28-bit shingle hash computable bit-identically in ANSI SQL:
-    the first 7 hex digits of md5, parsed as an integer. DuckDB twin:
-    ``CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)``. 28 bits keeps the
-    affine minhash transform (a < 2^31) inside BIGINT (a*h < 2^59).
-    xxhash64 stays the default (faster, one codegen'd op vs md5+conv) —
-    this exists so the MinHash pipeline can run under an EXACT DuckDB
-    oracle instead of a rows-only check."""
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+def portable_shingle_hash(col, hex_digits: int = 7) -> F.Column:
+    """4*hex_digits-bit shingle hash computable bit-identically in ANSI
+    SQL: the first ``hex_digits`` hex digits of md5, parsed as an integer.
+    DuckDB twin: ``CAST('0x' || substr(md5(s), 1, N) AS BIGINT)``.
+    The default 7 digits (28 bits) keeps the affine minhash transform
+    (a < 2^31) inside BIGINT (a*h < 2^59); SimHash uses 15 digits
+    (60 bits) for its bit-vote signature. xxhash64 stays the default
+    everywhere (faster, one codegen'd op vs md5+conv) — this exists so
+    the MinHash/SimHash pipelines can run under an EXACT DuckDB oracle
+    instead of a rows-only check."""
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
 
 
 def shingles_raw(
@@ -90,7 +100,7 @@ def shingles_raw(
     text_col: str = "text",
     n: int = 3,
     spread_input: bool = True,
-    portable_hash: bool = False,
+    portable_hash_digits: int | None = None,
 ) -> DataFrame:
     """(id, token) hashed n-word shingles WITHOUT dedup — no shuffle at all.
     Sufficient wherever the consumer is multiset-invariant (MinHash: the min
@@ -105,10 +115,13 @@ def shingles_raw(
     # is row-group-bound (1 partition on the bench corpus) and the explode +
     # xxhash64 is the CPU-heavy part of the whole minhash pipeline.
     base = spread(docs) if spread_input else docs
-    hash_fn = portable_shingle_hash if portable_hash else F.xxhash64
+    if portable_hash_digits is None:
+        hashed = F.xxhash64("s")
+    else:
+        hashed = portable_shingle_hash("s", portable_hash_digits)
     return base.select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("s")
-    ).select(id_col, hash_fn("s").alias("token"))
+    ).select(id_col, hashed.alias("token"))
 
 
 def _token_hash(tokens: DataFrame) -> F.Column:
@@ -276,7 +289,12 @@ def minhash_near_dups(
     # AFTER its broadcast semi-join prune to candidate docs, so the one
     # distinct that remains runs over a tiny slice.
     tokens = shingles_raw(
-        base, id_col, text_col, shingle, spread_input=False, portable_hash=portable_hash
+        base,
+        id_col,
+        text_col,
+        shingle,
+        spread_input=False,
+        portable_hash_digits=7 if portable_hash else None,
     )
     sigs = minhash_signatures(tokens, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
@@ -493,14 +511,24 @@ def simhash_near_dups(
     max_hamming: int = 3,
     chunks: int = 4,
     shingle: int = 3,
+    bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into ``chunks``
-    16-bit pieces; pigeonhole guarantees pairs within ``max_hamming`` ≤
-    chunks-1 share a piece. Verify candidates by exact Hamming distance.
-    Shingled tokens for the same discrimination reason as MinHash."""
-    tokens = shingles_distinct(docs, id_col, text_col, shingle)
-    sigs = simhash_signatures(tokens, id_col)
-    width = 64 // chunks
+    """SimHash near-dup pairs: band the ``bits``-bit signature into
+    ``chunks`` equal pieces; pigeonhole guarantees pairs within
+    ``max_hamming`` ≤ chunks-1 share a piece. Verify candidates by exact
+    Hamming distance. Shingled tokens for the same discrimination reason
+    as MinHash. ``portable_hash`` swaps xxhash64 for the 60-bit md5-prefix
+    token hash (pass bits=60 with it) so DuckDB can replay the signature
+    bit-for-bit — see dedup_simhash_portable."""
+    if bits % chunks:
+        raise ValueError(f"bits ({bits}) must divide evenly into {chunks} chunks")
+    tokens = shingles_distinct(
+        docs, id_col, text_col, shingle,
+        hash_hex_digits=bits // 4 if portable_hash else None,
+    )
+    sigs = simhash_signatures(tokens, id_col, bits=bits)
+    width = bits // chunks
     pieces = F.array(
         *[
             F.struct(

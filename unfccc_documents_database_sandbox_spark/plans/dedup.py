@@ -118,10 +118,65 @@ def dedup_minhash_portable(spark, sf_dir):
     return D.minhash_near_dups(docs, threshold=0.8, portable_hash=True)
 
 
+def _simhash_portable_oracle(
+    bits: int = 60, chunks: int = 4, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of the SimHash pipeline under the portable 60-bit md5
+    token hash: per-bit ±1 votes → sign fold into one BIGINT signature →
+    chunk-equality candidates (pigeonhole) → exact Hamming verify via
+    bit_count(xor). The 60 per-bit SUM columns are generated, mirroring
+    the Spark side's generated contribution array."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunk_eq = " OR ".join(
+        f"((a.sig >> {c * width}) & {mask}) = ((b.sig >> {c * width}) & {mask})"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               CAST('0x' || substr(md5(s), 1, {bits // 4}) AS BIGINT) AS h
+        FROM (
+            SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) words,
+                 UNNEST(range(1, len(w) - 1)) AS u(i)
+        )
+    ),
+    votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {fold} AS sig FROM votes),
+    cands AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({chunk_eq})
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cands WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def dedup_simhash_portable(spark, sf_dir):
+    """L2 SimHash near-dup pairs under an EXACT end-to-end oracle: same
+    sign-sum signature + chunk-banded Hamming search as dedup_simhash,
+    with the token hash swapped to the SQL-portable 60-bit md5 prefix so
+    DuckDB replays signatures, band collisions, and Hamming distances
+    bit-identically. xxhash64/64-bit stays the production default."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=3, bits=60, portable_hash=True)
+
+
 @register("dedup_simhash", oracle=None, tags=("rows-only",))
 def dedup_simhash(spark, sf_dir):
     """L2 SimHash near-dup pairs (64-bit sign-sum signature, chunk-banded
-    Hamming search). xxhash64-based → rows-only check."""
+    Hamming search). xxhash64-based → rows-only check; the SAME pipeline
+    is hash-checked end to end by dedup_simhash_portable."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, max_hamming=3)
 
