@@ -75,10 +75,13 @@ def test_minhash_never_cartesian(spark):
     from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
-    df = lookup("dedup_fuzzy_minhash").build(spark, SF_CORRECT)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the portable-hash twins swap only the token hash expression — pin all
+    # three pipelines to the same no-quadratic-join shape
+    for key in ("dedup_fuzzy_minhash", "dedup_minhash_portable", "dedup_simhash_portable"):
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
 
 
 def test_sql_q5_broadcasts_dims(spark):
