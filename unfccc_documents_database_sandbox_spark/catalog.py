@@ -39,6 +39,57 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 _VIEWS_REGISTERED: dict[SparkSession, str] = {}
 _TUNE_LOGGED: set[SparkSession] = set()
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Module-level functions referenced by mapInPandas / applyInPandasWithState
+    stages (docx parser, LLM batch fn, stateful profile update) are
+    cloudpickled BY REFERENCE: the worker unpickles them with an import of
+    this package. That import only resolves if the package is on the
+    worker's sys.path — true when the driver process happens to run with the
+    repo as cwd, false for any other caller and for real clusters launched
+    without --py-files. addPyFile is the runtime equivalent of --py-files:
+    the zip is distributed with each task and prepended to worker sys.path,
+    so the engine is importable everywhere regardless of how the session was
+    built. Idempotent per SparkContext; the zip is built once per process.
+    """
+    try:
+        sc = spark.sparkContext
+        app_id = sc.applicationId
+    except Exception:
+        return
+    if app_id in _PYFILES_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception:
+        # e.g. Spark Connect sessions without an accessible SparkContext —
+        # fall back to hoping the package is on the worker path already.
+        logging.getLogger(__name__).warning(
+            "ensure_pyfiles: addPyFile failed; Python-worker stages require "
+            "the package on the executor PYTHONPATH."
+        )
+    _PYFILES_SHIPPED.add(app_id)
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -54,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    ensure_pyfiles(spark)
     # engine tuning for caller-owned sessions (the driver hands us its own):
     # if shuffle partitions are still at Spark's out-of-the-box 200, drop to
     # the engine default — 200-task stages are pure overhead at bench SFs

@@ -77,6 +77,12 @@ def from_rows(spark: SparkSession, rows: Sequence, schema: StructType | str) -> 
 def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
     """S5 step 1: binary-file source for DOCX/semi-structured ingestion.
     Yields (path, modificationTime, length, content:binary)."""
+    from unfccc_documents_database_sandbox_spark.catalog import ensure_pyfiles
+
+    # the downstream parser is a module-level mapInPandas fn — make the
+    # package importable on Python workers even when the caller's session
+    # was not launched from the repo (see catalog.ensure_pyfiles).
+    ensure_pyfiles(spark)
     return spark.read.format("binaryFile").load(path_glob)
 
 
