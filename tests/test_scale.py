@@ -259,3 +259,44 @@ def test_dedup_substring_filter_pushed_to_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans and all("length" in s for s in scans), plan
+
+
+def test_subquery_family_plans_join_shaped(spark):
+    """The r03 SQL subquery family must decorrelate: EXISTS / IN+HAVING to
+    semi joins, NOT EXISTS to an anti join, and the disjunctive Q19
+    predicate must stay a hash equi-join — a nested-loop or cartesian plan
+    here would be quadratic at scale."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    plans = {
+        k: lookup(k).build(spark, SF_CORRECT)
+        ._jdf.queryExecution().executedPlan().toString()
+        for k in (
+            "x_sql_tpch_q4", "x_sql_tpch_q18", "x_sql_tpch_q19", "x_sql_tpch_q22",
+        )
+    }
+    for k, p in plans.items():
+        assert "CartesianProduct" not in p, f"{k}:\n{p}"
+        assert "BroadcastNestedLoopJoin" not in p, f"{k}:\n{p}"
+    assert "LeftSemi" in plans["x_sql_tpch_q4"], plans["x_sql_tpch_q4"]
+    assert "LeftSemi" in plans["x_sql_tpch_q18"], plans["x_sql_tpch_q18"]
+    assert "LeftAnti" in plans["x_sql_tpch_q22"], plans["x_sql_tpch_q22"]
+
+
+def test_keyterms_scalar_attach_is_one_row_broadcast(spark):
+    """x_text_keyterms attaches the corpus doc count via a literal-key
+    broadcast join; Catalyst constant-folds the key and plans a
+    BroadcastNestedLoopJoin whose BUILD side is the one-row count — the
+    same shape Spark gives a scalar subquery, constant cost at any scale.
+    Pin exactly one such join (and no cartesian) so a refactor can't
+    silently introduce a REAL nested loop over two big inputs."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    plan = (
+        lookup("x_text_keyterms").build(spark, SF_CORRECT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

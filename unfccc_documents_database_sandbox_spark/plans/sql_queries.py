@@ -144,3 +144,128 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
 """
 
 register("agg_grouping_sets", oracle=_QGSETS)(_sql_plan(_QGSETS))
+
+
+# ---------------------------------------------------------------------------
+# r03 SQL-breadth additions. The "x_" prefix parks these AFTER the driver's
+# 50-key correctness window (which r03 fills exactly with never-checked
+# keys) and BEFORE the rotated "z_" block; they hold parity evidence from
+# tests/test_parity.py now and enter the window at the r04 rotation (see
+# README "Driver-window rotation"). Shapes complete the TPC-H subquery
+# family the engine had not yet exercised end-to-end through SQL text:
+# EXISTS, IN + HAVING, NOT EXISTS + scalar subquery, disjunctive pushdown,
+# conditional aggregation.
+# ---------------------------------------------------------------------------
+
+# Q4-shaped (order priority checking): correlated EXISTS — Catalyst plans a
+# left-semi join; the subquery predicate pushes to the lineitem scan.
+_Q4 = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+# Q12-shaped (shipping-mode priority split): CASE inside SUM — one pass,
+# two conditional counts, no second scan or self-join.
+_Q12 = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+# Q14-shaped (promo revenue share): ratio of two exact integer-cent sums —
+# the only FP ops are one division and one ROUND, deterministic on both
+# engines. The corpus p_type is a flat category, so equality stands in for
+# TPC-H's LIKE 'PROMO%'.
+_Q14 = """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
+       ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS DOUBLE),
+             4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+# Q18-shaped (large-volume orders): IN over a grouped+HAVING subquery —
+# plans as agg → semi-join; quantities are whole-number doubles, summed as
+# exact BIGINT (threshold 300 ≈ top 1% of per-order volume on this corpus).
+_Q18 = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l2.l_orderkey FROM lineitem l2
+    GROUP BY l2.l_orderkey
+    HAVING SUM(CAST(ROUND(l2.l_quantity, 0) AS BIGINT)) > 300
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o.o_orderkey
+LIMIT 20
+"""
+
+# Q19-shaped (discounted revenue, disjunctive predicates): three OR-arms
+# over brand/size/quantity — Catalyst pushes the common join key and lets
+# the disjunction filter after the join; the point is that an OR of ANDs
+# still prunes columns and never degrades to a cartesian.
+_Q19 = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+# Q22-shaped (lapsed high-balance customers): uncorrelated scalar AVG
+# subquery + correlated NOT EXISTS (anti-join). Every customer on this
+# corpus has SOME order, so "lapsed" = no order in the final year; balances
+# compare in exact integer cents against the single-division average.
+_Q22 = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) > (
+        SELECT AVG(CAST(ROUND(c2.c_acctbal * 100, 0) AS BIGINT))
+        FROM customer c2
+      )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+register("x_sql_tpch_q4", oracle=_Q4)(_sql_plan(_Q4))
+register("x_sql_tpch_q12", oracle=_Q12)(_sql_plan(_Q12))
+register("x_sql_tpch_q14", oracle=_Q14)(_sql_plan(_Q14))
+register("x_sql_tpch_q18", oracle=_Q18)(_sql_plan(_Q18))
+register("x_sql_tpch_q19", oracle=_Q19)(_sql_plan(_Q19))
+register("x_sql_tpch_q22", oracle=_Q22)(_sql_plan(_Q22))

@@ -440,3 +440,72 @@ def pack_sequences(spark, sf_dir):
             f" > tok_offset DIV {budget} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("straddles"),
     )
+
+
+@register(
+    "x_text_keyterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks WHERE word <> '' GROUP BY doc_id, word
+    ),
+    dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.word, t.tf, f.df,
+               t.tf * (n.n_docs - f.df) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * (n.n_docs - f.df) DESC, t.word
+               ) AS rn
+        FROM tf t JOIN dfreq f ON t.word = f.word CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score
+    FROM scored WHERE rn <= 3
+    """,
+)
+def x_text_keyterms(spark, sf_dir):
+    """L4 keyword extraction — the TF-IDF pipeline shape (tokenize → per-doc
+    term frequency → corpus document frequency → weighted rank) with a
+    pure-integer rarity weight, score = tf * (n_docs - df): monotone in term
+    frequency and in corpus rarity like tf*log(N/df), but exact bigint
+    arithmetic, so the cross-engine hash is bit-stable (log() differs in the
+    last ulp between libm implementations). Top-3 terms per document,
+    word-tiebroken.
+
+    Scale shape: the tf agg combines map-side before its shuffle; df
+    aggregates the already-distinct (doc, word) pairs; the one-row corpus
+    count broadcasts via a literal-key join (never .collect()); the
+    per-doc rank partitions by doc_id. At 100 TB swap the weight for a real
+    log-idf computed Spark-side only (one engine, ulp-stability moot).
+    """
+    from pyspark.sql import Window
+
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).withColumn(
+        "k", F.lit(1)
+    )
+    scored = (
+        tf.join(dfreq, "word")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(n_docs), "k")
+        .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tf", "df", F.col("score").cast("long").alias("score"))
+    )
