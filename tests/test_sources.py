@@ -155,3 +155,30 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
         pruned.explain("formatted")
     assert "PartitionFilters: [isnotnull(lang" in buf.getvalue()
     assert pruned.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_pyds_partition_planning(spark):
+    """The custom Python data source must scan with one task per planned
+    InputPartition — driver-side partition planning is what makes the
+    source scale past one executor."""
+    from unfccc_documents_database_sandbox_spark.sources.pyds import (
+        register_synthetic_ledger,
+    )
+
+    register_synthetic_ledger(spark)
+    df = (
+        spark.read.format("synthetic_ledger")
+        .option("rows", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    # remainder rows land in the last partition, none dropped
+    df7 = (
+        spark.read.format("synthetic_ledger")
+        .option("rows", 1003)
+        .option("partitions", 7)
+        .load()
+    )
+    assert df7.count() == 1003

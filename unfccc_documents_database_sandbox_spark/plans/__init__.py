@@ -16,6 +16,7 @@ _MODULES = (
     "streaming",
     "multimodal",
     "sql_queries",
+    "pysources",
 )
 
 

@@ -121,3 +121,44 @@ def udaf_grouped_map(spark, sf_dir):
         )
 
     return d.groupBy("lang").applyInPandas(normalize, schema)
+
+
+@register(
+    "x_udaf_pandas_agg",
+    oracle="""
+    SELECT lang, source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def x_udaf_pandas_agg(spark, sf_dir):
+    """U5-ext grouped-AGGREGATE pandas UDF (the third pandas-UDF shape
+    beside scalar-iterator and grouped-map): an Arrow-batched Series→scalar
+    reduction per group. Integer sum, so the result hashes exactly.
+
+    Honest scale note in the plan itself: grouped-agg pandas UDFs do NOT
+    partial-aggregate — Spark shuffles raw rows to the group's reducer,
+    unlike the map-side-combining built-in F.sum. The key exists to prove
+    the API seam for reductions built-ins genuinely can't express (e.g. a
+    custom sketch merge); for anything expressible, use the built-in — as
+    every other registered aggregation here does."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "source", "n_chars")
+
+    @pandas_udf("long")
+    def total_chars(v: pd.Series) -> int:
+        return int(v.sum())
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT), so the count is pandas too
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    return d.groupBy("lang", "source").agg(
+        total_chars("n_chars").alias("total_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )

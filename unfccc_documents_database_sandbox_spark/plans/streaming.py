@@ -226,3 +226,65 @@ def stream_dedup_live(spark, sf_dir):
         "append",
         "stream_dedup_live",
     )
+
+
+@register(
+    "x_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    """,
+)
+def x_stream_stream_join(spark, sf_dir):
+    """T-ext stream-stream inner join executed as a REAL streaming query:
+    purchases joined to same-user clicks in the trailing 30 minutes, both
+    sides file-source streams with watermarks, availableNow, append sink.
+    Spark keeps both sides' state keyed by user and evicts it as the
+    watermarks advance; the time-range condition is what bounds that state
+    (an unbounded stream-stream join would buffer forever). The watermark
+    delay (40 days) exceeds the corpus's 30-day event span, so no state is
+    evicted mid-run and the streamed result must equal the batch join the
+    oracle computes — the same retain-everything trick the stateful-profile
+    key uses for exactness. At 100 TB/continuous scale the delay shrinks to
+    the real lateness bound and state stays O(users x window)."""
+    # watermarks require TIMESTAMP (tz-aware event time) — cast NTZ in,
+    # cast back at the output boundary (streaming/windows.py convention)
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "40 days")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "40 days")
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTE"))
+        & (c["click_ts"] <= p["purchase_ts"]),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    return _run_live(j, spark, "append", "x_stream_stream_join")
