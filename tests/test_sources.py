@@ -182,3 +182,45 @@ def test_pyds_partition_planning(spark):
         .load()
     )
     assert df7.count() == 1003
+
+
+def test_pyds_filter_pushdown(spark):
+    """entry_id range predicates push into the custom source and prune its
+    planned partitions; non-range filters stay Spark-side as residuals.
+    Usage contract (Spark caches planned partitions JVM-side on the loaded
+    relation): one load() per query when pushdown is enabled — each check
+    below loads fresh, exactly like the registered builder."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from unfccc_documents_database_sandbox_spark.sources.pyds import (
+        SyntheticLedgerReader,
+        register_synthetic_ledger,
+    )
+
+    # unit level: residual filters + partition pruning
+    r = SyntheticLedgerReader({"rows": "1000", "partitions": "10"})
+    residual = list(
+        r.pushFilters([GreaterThanOrEqual(("entry_id",), 500), EqualTo(("bucket",), 3)])
+    )
+    assert residual == [EqualTo(("bucket",), 3)]
+    parts = r.partitions()
+    assert parts[0].start == 500 and parts[-1].end == 1000
+    # staged bounds are one-shot: the next (filter-less) planning sees all
+    assert r.partitions()[0].start == 0
+
+    # end-to-end, fresh load per query
+    register_synthetic_ledger(spark)
+
+    def load():
+        return (
+            spark.read.format("synthetic_ledger")
+            .option("rows", 1000)
+            .option("partitions", 10)
+            .load()
+        )
+
+    assert load().filter("entry_id >= 900").count() == 100
+    assert load().filter("entry_id >= 900 AND bucket = 3").count() == 6
+    assert load().count() == 1000
+    # fully-pruned range still plans (one empty partition), returns nothing
+    assert load().filter("entry_id >= 2000").count() == 0

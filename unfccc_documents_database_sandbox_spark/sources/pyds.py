@@ -20,7 +20,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 # Knuth's multiplicative-hash constant — same derivation the corpus-mix /
 # hash-sampling keys use, exactly replayable in ANSI SQL.
@@ -52,14 +62,64 @@ class SyntheticLedgerReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 10_000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
+        # bounds staged by pushFilters for the NEXT partitions() call only
+        self._pending: tuple[int, int] | None = None
+
+    def pushFilters(self, filters):
+        """Accept entry_id range predicates; everything else stays
+        Spark-side. This is the custom-source half of predicate pushdown:
+        Spark hands the reader the query's AND-ed filters during planning,
+        the reader narrows its key range, and partitions() then plans ONLY
+        the ranges that can contain matches — at 100 TB this is the
+        difference between scanning a keyspace slice and scanning the
+        world. Returned (yielded) filters are the ones Spark must still
+        apply itself.
+
+        State discipline: narrowed bounds are staged in _pending and
+        consumed by exactly one partitions() call, never persisted on the
+        reader. Even so, Spark caches the PLANNED PARTITIONS JVM-side on
+        the loaded relation and re-invokes neither pushFilters nor
+        partitions for a later filter-less query on the SAME DataFrame —
+        observed on 4.1: load() once, run a filtered query, then an
+        unfiltered count on the same object reuses the pruned partitions
+        and undercounts. No reader-side discipline can prevent that, so
+        the usage contract (followed by the x_source_pyds builder and
+        pinned in tests/test_sources.py::test_pyds_filter_pushdown) is:
+        one load() per query when pushdown is enabled."""
+        lo, hi = 0, self.n_rows
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan,
+                              LessThanOrEqual, EqualTo)) and f.attribute == (
+                "entry_id",
+            ) and isinstance(f.value, int):
+                if isinstance(f, GreaterThan):
+                    lo = max(lo, f.value + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    lo = max(lo, f.value)
+                elif isinstance(f, LessThan):
+                    hi = min(hi, f.value)
+                elif isinstance(f, LessThanOrEqual):
+                    hi = min(hi, f.value + 1)
+                else:  # EqualTo
+                    lo = max(lo, f.value)
+                    hi = min(hi, f.value + 1)
+            else:
+                yield f
+        self._pending = (lo, hi)
 
     def partitions(self):
-        # contiguous ranges; the LAST partition absorbs the remainder
-        step = max(1, self.n_rows // self.n_parts)
-        bounds = list(range(0, self.n_rows, step))[: self.n_parts]
+        # contiguous ranges over the key range this query's pushFilters
+        # staged (full range if none ran); the LAST partition absorbs the
+        # remainder; a fully-pruned source still returns one empty range
+        # (Spark requires >= 1 partition)
+        lo, hi = self._pending or (0, self.n_rows)
+        self._pending = None
+        hi = max(lo, hi)
+        span = hi - lo
+        step = max(1, span // self.n_parts)
+        bounds = list(range(lo, hi, step))[: self.n_parts] or [lo]
         return [
-            _Range(lo, hi)
-            for lo, hi in zip(bounds, bounds[1:] + [self.n_rows])
+            _Range(a, b) for a, b in zip(bounds, bounds[1:] + [hi])
         ]
 
     def read(self, partition: _Range):
@@ -71,7 +131,15 @@ _REGISTERED: set[str] = set()
 
 
 def register_synthetic_ledger(spark) -> None:
-    """Idempotent per-session registration of the custom source."""
+    """Idempotent per-session registration of the custom source.
+
+    Also enables Python-data-source filter pushdown: Spark refuses to plan
+    a reader that implements pushFilters() while
+    spark.sql.python.filterPushdown.enabled is false (a hard
+    DATA_SOURCE_PUSHDOWN_DISABLED error, not a silent fallback), and
+    caller-owned sessions — the driver harness — won't have set it. It is
+    a runtime SQLConf scoped to Python data sources only."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = spark.sparkContext.applicationId
     if key in _REGISTERED:
         return
