@@ -1114,3 +1114,41 @@ def join_dpp(spark, sf_dir):
         .select("day")
     )
     return fact.join(dim, "day").select("event_id", "user_id", "day")
+
+
+@register(
+    "x_source_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def x_source_schema_evolution(spark, sf_dir):
+    """S-ext schema evolution on read: two parquet batches written at
+    different schema versions (v1: doc_id+lang; v2 adds n_chars) live in
+    one dataset directory; mergeSchema=true reconciles them into the union
+    schema with NULLs for the column v1 predates. This is the 100 TB
+    warehouse reality — a column added in month 8 must not invalidate
+    months 1-7 — and merge-on-read is what makes old data readable without
+    a rewrite. The oracle restates the evolution as a UNION ALL with a
+    typed NULL fill."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"documents_evolved_{tag}")
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", out)
+        .parquet(os.path.join(out, "batch=1"), os.path.join(out, "batch=2"))
+        .select("doc_id", "lang", "n_chars")
+    )
