@@ -273,19 +273,19 @@ def test_subquery_family_plans_join_shaped(spark):
         k: lookup(k).build(spark, SF_CORRECT)
         ._jdf.queryExecution().executedPlan().toString()
         for k in (
-            "x_sql_tpch_q4", "x_sql_tpch_q18", "x_sql_tpch_q19", "x_sql_tpch_q22",
+            "sql_tpch_q4", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
         )
     }
     for k, p in plans.items():
         assert "CartesianProduct" not in p, f"{k}:\n{p}"
         assert "BroadcastNestedLoopJoin" not in p, f"{k}:\n{p}"
-    assert "LeftSemi" in plans["x_sql_tpch_q4"], plans["x_sql_tpch_q4"]
-    assert "LeftSemi" in plans["x_sql_tpch_q18"], plans["x_sql_tpch_q18"]
-    assert "LeftAnti" in plans["x_sql_tpch_q22"], plans["x_sql_tpch_q22"]
+    assert "LeftSemi" in plans["sql_tpch_q4"], plans["sql_tpch_q4"]
+    assert "LeftSemi" in plans["sql_tpch_q18"], plans["sql_tpch_q18"]
+    assert "LeftAnti" in plans["sql_tpch_q22"], plans["sql_tpch_q22"]
 
 
 def test_keyterms_scalar_attach_is_one_row_broadcast(spark):
-    """x_text_keyterms attaches the corpus doc count via a literal-key
+    """text_keyterms attaches the corpus doc count via a literal-key
     broadcast join; Catalyst constant-folds the key and plans a
     BroadcastNestedLoopJoin whose BUILD side is the one-row count — the
     same shape Spark gives a scalar subquery, constant cost at any scale.
@@ -295,7 +295,7 @@ def test_keyterms_scalar_attach_is_one_row_broadcast(spark):
 
     load_all_plans()
     plan = (
-        lookup("x_text_keyterms").build(spark, SF_CORRECT)
+        lookup("text_keyterms").build(spark, SF_CORRECT)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan, plan

@@ -124,7 +124,7 @@ def udaf_grouped_map(spark, sf_dir):
 
 
 @register(
-    "x_udaf_pandas_agg",
+    "udaf_pandas_agg",
     oracle="""
     SELECT lang, source,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,

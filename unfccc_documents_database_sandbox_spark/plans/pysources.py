@@ -9,7 +9,7 @@ from unfccc_documents_database_sandbox_spark.registry import register
 
 
 @register(
-    "x_source_pyds",
+    "source_pyds",
     oracle="""
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_entries,

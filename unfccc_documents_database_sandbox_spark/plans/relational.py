@@ -1117,7 +1117,7 @@ def join_dpp(spark, sf_dir):
 
 
 @register(
-    "x_source_schema_evolution",
+    "source_schema_evolution",
     oracle="""
     SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
     FROM documents WHERE doc_id % 2 = 0
@@ -1125,7 +1125,7 @@ def join_dpp(spark, sf_dir):
     SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
     """,
 )
-def x_source_schema_evolution(spark, sf_dir):
+def source_schema_evolution(spark, sf_dir):
     """S-ext schema evolution on read: two parquet batches written at
     different schema versions (v1: doc_id+lang; v2 adds n_chars) live in
     one dataset directory; mergeSchema=true reconciles them into the union

@@ -147,10 +147,9 @@ register("agg_grouping_sets", oracle=_QGSETS)(_sql_plan(_QGSETS))
 
 
 # ---------------------------------------------------------------------------
-# r03 SQL-breadth additions. The "x_" prefix parks these AFTER the driver's
-# 50-key correctness window (which r03 fills exactly with never-checked
-# keys) and BEFORE the rotated "z_" block; they hold parity evidence from
-# tests/test_parity.py now and enter the window at the r04 rotation (see
+# r03 SQL-breadth additions, promoted into the driver window at the r04
+# rotation (they were parked behind an "x_" prefix while the r03 window was
+# full; parity evidence from tests/test_parity.py covers the interim — see
 # README "Driver-window rotation"). Shapes complete the TPC-H subquery
 # family the engine had not yet exercised end-to-end through SQL text:
 # EXISTS, IN + HAVING, NOT EXISTS + scalar subquery, disjunctive pushdown,
@@ -263,9 +262,9 @@ WHERE CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) > (
 GROUP BY c.c_mktsegment
 """
 
-register("x_sql_tpch_q4", oracle=_Q4)(_sql_plan(_Q4))
-register("x_sql_tpch_q12", oracle=_Q12)(_sql_plan(_Q12))
-register("x_sql_tpch_q14", oracle=_Q14)(_sql_plan(_Q14))
-register("x_sql_tpch_q18", oracle=_Q18)(_sql_plan(_Q18))
-register("x_sql_tpch_q19", oracle=_Q19)(_sql_plan(_Q19))
-register("x_sql_tpch_q22", oracle=_Q22)(_sql_plan(_Q22))
+register("sql_tpch_q4", oracle=_Q4)(_sql_plan(_Q4))
+register("sql_tpch_q12", oracle=_Q12)(_sql_plan(_Q12))
+register("sql_tpch_q14", oracle=_Q14)(_sql_plan(_Q14))
+register("sql_tpch_q18", oracle=_Q18)(_sql_plan(_Q18))
+register("sql_tpch_q19", oracle=_Q19)(_sql_plan(_Q19))
+register("sql_tpch_q22", oracle=_Q22)(_sql_plan(_Q22))

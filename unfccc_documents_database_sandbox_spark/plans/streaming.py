@@ -229,7 +229,7 @@ def stream_dedup_live(spark, sf_dir):
 
 
 @register(
-    "x_stream_stream_join",
+    "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
@@ -240,7 +240,7 @@ def stream_dedup_live(spark, sf_dir):
      AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
     """,
 )
-def x_stream_stream_join(spark, sf_dir):
+def stream_stream_join(spark, sf_dir):
     """T-ext stream-stream inner join executed as a REAL streaming query:
     purchases joined to same-user clicks in the trailing 30 minutes, both
     sides file-source streams with watermarks, availableNow, append sink.
@@ -287,4 +287,4 @@ def x_stream_stream_join(spark, sf_dir):
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
-    return _run_live(j, spark, "append", "x_stream_stream_join")
+    return _run_live(j, spark, "append", "stream_stream_join")

@@ -443,7 +443,7 @@ def pack_sequences(spark, sf_dir):
 
 
 @register(
-    "x_text_keyterms",
+    "text_keyterms",
     oracle="""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

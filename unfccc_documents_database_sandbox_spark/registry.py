@@ -83,6 +83,28 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # hash-checked forms need fresh driver rows.
         # NOT rotated: agg_approx_percentiles (r02 row was an error; the
         # scalarized fix needs a fresh driver row this round).
+        # --- CORRECTNESS_r03.json rotation (round 4) ---
+        # All 50 keys in the r03 driver window returned clean rows: 45
+        # hash-green against their DuckDB oracles, 5 rows-only by design
+        # (agg_approx_percentiles, agg_hll_partitioned, sim_topk_ivf,
+        # sim_topk_lsh, stream_dedup_live — approximate / sketch /
+        # streaming-convergence semantics documented at their builders).
+        "agg_approx_percentiles", "agg_grouping_sets", "agg_hll_partitioned",
+        "agg_unpivot", "contamination_check", "dedup_components_star",
+        "dedup_minhash_portable", "dedup_simhash_portable", "dedup_substring",
+        "docx_ingest", "join_anti", "join_bucketed", "join_dpp",
+        "join_full_outer", "join_interval_overlap", "json_roundtrip",
+        "layout_zorder", "merge_upsert", "multimodal_features_topk",
+        "pack_sequences", "sample_stratified", "set_ops",
+        "sim_near_dup_pairs", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
+        "sql_tpch_q1", "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6",
+        "sql_window_range", "str_funcs", "stream_dedup_live",
+        "stream_session", "stream_sliding", "stream_stateful_profile",
+        "stream_tumbling", "stream_watermark_live", "text_funcs",
+        "text_length_hist", "text_pii_scrub", "text_repetition",
+        "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
+        "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
+        "udtf_explode_blocks", "window_funcs",
     }
 )
 
