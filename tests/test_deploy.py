@@ -17,15 +17,17 @@ _SCRIPT = r"""
 import sys
 sys.path.insert(0, {repo!r})
 import __spark_entry__ as e
+from unfccc_documents_database_sandbox_spark.registry import lookup
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[2]")
          .config("spark.sql.shuffle.partitions", "2")
          .config("spark.ui.enabled", "false").getOrCreate())
-qs = e.queries()
+e.queries()  # force plan registration
 # docx_ingest: module-level mapInPandas parser; udf_llm_cost_sum:
-# module-level batch-LLM fn — both need the package importable on workers
-assert qs["docx_ingest"](spark, "/root/testdata/sf0.001").count() == 2
-assert qs["udf_llm_cost_sum"](spark, "/root/testdata/sf0.001").count() == 1
+# module-level batch-LLM fn — both need the package importable on workers.
+# lookup() resolves pre-rotation names regardless of the current z_ window.
+assert lookup("docx_ingest").build(spark, "/root/testdata/sf0.001").count() == 2
+assert lookup("udf_llm_cost_sum").build(spark, "/root/testdata/sf0.001").count() == 1
 print("DEPLOY_OK")
 spark.stop()
 """

@@ -71,12 +71,11 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # evidence recorded)
         "agg_approx_distinct", "catalog_tables", "dedup_fuzzy_minhash",
         "dedup_simhash", "doc_rolling_hash",
-        # CORRECTNESS_r01.json pass rows whose plan AND oracle are
-        # byte-unchanged since the r01 gate (verified via git log -L:
-        # sort_global last touched 018822a, sql_corr_subquery 079d349 —
-        # both predate the r01 snapshot c2d4e40; the r02 sweep simply never
-        # reached them). Their r01 green rows remain the evidence of record.
-        "sort_global", "sql_corr_subquery",
+        # sort_global and sql_corr_subquery were parked here r02–r04 on the
+        # strength of their r01 rows; per VERDICT r04 "Next round" #3 they are
+        # UN-rotated for round 5 (removed from this set) so the driver's
+        # 50-key window re-evidences them — after which every key's latest
+        # row is at most three rounds old.
         # docx_ingest and multimodal_features_topk are NOT rotated despite
         # their r02 rows-only rows: r03 upgrades both to exact oracles
         # (VALUES-literal / hex-digit featurizer restatement), so the
@@ -105,6 +104,16 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
         "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
         "udtf_explode_blocks", "window_funcs",
+        # --- CORRECTNESS_r04.json rotation (round 5) ---
+        # The 11 keys promoted into the r04 window all came back hash-green
+        # (VERDICT r04: "50/50 rows clean ... 0 errors"); rotating them
+        # admits the next alphabetical z_ cohort (z_join_bucketed ...
+        # z_join_skew_salted) plus the un-rotated sort_global /
+        # sql_corr_subquery into the round-5 window.
+        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
+        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
+        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
+        "udaf_pandas_agg",
     }
 )
 
