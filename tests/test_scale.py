@@ -84,6 +84,20 @@ def test_minhash_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, key
 
 
+def test_frame_sample_plan_has_no_exchange(spark):
+    """multimodal_frame_sample is scan → project → ArrowEvalPython/mapInPandas
+    — no Exchange anywhere (the r02 spread() repartition was pure overhead for
+    the microsecond-per-row stub stage and was the whole 2x bench creep the
+    r04 verdict flagged; a real decoder opts back in via
+    documents_as_media(parallel=True))."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("multimodal_frame_sample").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"frame sampling reintroduced a shuffle:\n{plan}"
+
+
 def test_sql_q5_broadcasts_dims(spark):
     """The 6-way SQL join must broadcast the small dims rather than
     shuffling the fact side for them."""

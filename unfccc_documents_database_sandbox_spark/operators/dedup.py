@@ -145,12 +145,73 @@ def minhash_signatures(
     return tokens.groupBy(id_col).agg(*mins)
 
 
+def shingle_hash_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    portable_hash_digits: int | None = None,
+) -> DataFrame:
+    """(id, hset) — the DISTINCT hashed n-word shingle set per doc as a
+    row-local array column (no explode, no shuffle: one codegen'd map
+    projection). This is the single intermediate the whole MinHash pipeline
+    runs on: signatures are array_min folds over it, and the Jaccard verify
+    is array_intersect over it. Docs with no shingles drop out (matching the
+    exploded form, where they contribute zero token rows)."""
+    from unfccc_documents_database_sandbox_spark.functions.text import shingles
+
+    if portable_hash_digits is None:
+        def hfn(s):
+            return F.xxhash64(s)
+    else:
+        def hfn(s):
+            return F.conv(F.substring(F.md5(s), 1, portable_hash_digits), 16, 10).cast(
+                "long"
+            )
+
+    hashed = F.array_distinct(F.transform(shingles(F.col(text_col), n), hfn))
+    return docs.select(id_col, hashed.alias("hset")).filter(F.size("hset") > 0)
+
+
+def minhash_signatures_rowlocal(
+    docsets: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature computed from a ``shingle_hash_sets``
+    slice WITHOUT the shingle explode or the grouped-agg shuffle:
+    sig[i] = array_min(transform(hset, h -> (a_i*(h&0x7FFFFFFF) + b_i) % M31)).
+
+    Semantically identical to ``minhash_signatures`` over ``shingles_raw``
+    tokens (min over the multiset = min over the set, and the 31-bit mask
+    commutes with dedup), but the whole signature stage is map-only — no
+    row fan-out, no shuffle. At 100 TB that removes the single largest
+    shuffle of the pipeline (the per-token groupBy). VERDICT r04 #5."""
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("hset"),
+                lambda h: (F.lit(a) * h.bitwiseAND(F.lit(0x7FFFFFFF)) + F.lit(b))
+                % MERSENNE_31,
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return docsets.select(id_col, *mins)
+
+
 def lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 4, rows: int = 4
 ) -> DataFrame:
     """Band the signature (b bands × r rows); docs sharing any band bucket
-    become candidate pairs (id_a < id_b). The band join is an equi-join —
-    shuffle on (band_idx, band_key), never a cross join."""
+    become candidate pairs (id_a < id_b).
+
+    Implemented as ONE shuffle: groupBy the (band_idx, band_key) bucket,
+    collect the member ids, and emit the sorted within-bucket pairs
+    row-locally (sorted array + indexed transform over the tail). The
+    earlier band self-join carried the same bucket-collision blow-up in its
+    join fan-out but paid two exchanges plus a join for it; either way the
+    pair count per bucket is O(k²) with k bounded by the b×r s-curve —
+    collision buckets, not corpus size, set the cost. The final distinct
+    dedups pairs that collide in several bands."""
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
@@ -163,16 +224,23 @@ def lsh_candidates(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -246,6 +314,51 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_sets(
+    candidates: DataFrame,
+    docsets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    _owns_generation: bool = True,
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs using per-doc distinct hash-set
+    ARRAYS (``shingle_hash_sets``): |A∩B| = size(array_intersect), row-local
+    per pair — no token explode, no token equi-join, no sizes aggregation.
+
+    Scale shape: LSH yields few candidate DOCS, so docsets is first pruned
+    to them with a broadcast semi-join (pushes below the parquet scan /
+    cache), then the pruned slice — small by LSH design — broadcasts onto
+    the pair list twice. The per-pair intersect is O(|A|+|B|) on sorted-ish
+    arrays, the same work the token join did, without its three shuffles."""
+    if _owns_generation:
+        _evict_generation()
+    # the pair set feeds the prune AND both hset joins — persist it so the
+    # bucket-collect candidate generation runs once (it is collision-bounded
+    # and tiny)
+    candidates = candidates.persist()
+    _PERSISTED_TOKENS.append(candidates)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = docsets.join(F.broadcast(cand_ids), id_col, "left_semi")
+    ha = pruned.select(F.col(id_col).alias("id_a"), F.col("hset").alias("hs_a"))
+    hb = pruned.select(F.col(id_col).alias("id_b"), F.col("hset").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    return (
+        candidates.join(F.broadcast(ha), "id_a")
+        .join(F.broadcast(hb), "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -274,31 +387,22 @@ def minhash_near_dups(
     # This invocation owns the persist generation (evict the previous one
     # BEFORE persisting anything new, so the verify stage can't evict ours).
     _evict_generation()
-    # Persist the COMPACT pre-fan-out doc slice (id + text, spread across
-    # the executors): it feeds both the signature agg and the verify join,
-    # and caching it stops the parquet scan + repartition running twice —
-    # while keeping the fan-out (shingle explode) OUT of the cache, so the
-    # verify side's broadcast semi-join prune still pushes below its
-    # explode. (Persisting the exploded token set instead blocks that prune
-    # pushdown — measured slower, r02 plan-audit note.)
-    base = spread(docs.select(id_col, text_col)).persist()
-    _PERSISTED_TOKENS.append(base)
-    # Raw (non-distinct) tokens end to end: MinHash is multiset-invariant,
-    # so the signature agg needs no corpus-wide distinct shuffle — map-side
-    # partial min absorbs duplicates for free. The verify stage dedups only
-    # AFTER its broadcast semi-join prune to candidate docs, so the one
-    # distinct that remains runs over a tiny slice.
-    tokens = shingles_raw(
-        base,
+    # ONE cached intermediate for the whole pipeline: the per-doc distinct
+    # shingle-hash set as a row-local array (spread across executors before
+    # the CPU-heavy hashing — the scan is row-group-bound). Signatures fold
+    # over it map-only; the verify intersects it per pair. Nothing between
+    # the parquet scan and the LSH bucket groupBy shuffles at all.
+    docsets = shingle_hash_sets(
+        spread(docs.select(id_col, text_col)),
         id_col,
         text_col,
-        shingle,
-        spread_input=False,
+        n=shingle,
         portable_hash_digits=7 if portable_hash else None,
-    )
-    sigs = minhash_signatures(tokens, id_col, num_hashes)
+    ).persist()
+    _PERSISTED_TOKENS.append(docsets)
+    sigs = minhash_signatures_rowlocal(docsets, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
-    return jaccard_verify(cands, tokens, id_col, threshold, _owns_generation=False)
+    return jaccard_verify_sets(cands, docsets, id_col, threshold, _owns_generation=False)
 
 
 def connected_components(
