@@ -44,3 +44,37 @@ def test_driver_window_covers_all_unproven_keys():
     window = set(keys[:50])
     missing = [k for k in non_rotated if k not in window]
     assert not missing, f"unproven keys outside the driver window: {missing}"
+
+
+def test_stopped_session_cache_entries_purged(spark):
+    """The table/view/tune caches key on live SparkSession objects; entries
+    of a STOPPED session must be dropped by the lazy purge so long-lived
+    driver processes that cycle sessions don't pin dead DataFrames (r04
+    watch-item). Stub sessions stand in for stopped ones — stopping a real
+    session would kill the shared local SparkContext under every other
+    test."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark import catalog
+
+    class _Ctx:
+        _jsc = None  # what sc.stop() leaves behind
+
+    class _DeadSession:
+        sparkContext = _Ctx()
+
+    dead = _DeadSession()
+    catalog._TABLE_CACHE[(dead, "sfX", "region")] = object()
+    catalog._VIEWS_REGISTERED[dead] = "sfX"
+    catalog._TUNE_LOGGED.add(dead)
+
+    assert catalog._is_stopped(dead)
+    assert not catalog._is_stopped(spark)
+    # a cache-miss load from a live session triggers the purge
+    catalog._TABLE_CACHE.pop((spark, SF_CORRECT, "region"), None)
+    catalog.load_table(spark, SF_CORRECT, "region")
+
+    assert not any(k[0] is dead for k in catalog._TABLE_CACHE)
+    assert dead not in catalog._VIEWS_REGISTERED
+    assert dead not in catalog._TUNE_LOGGED
+    # live entries survive
+    assert (spark, SF_CORRECT, "region") in catalog._TABLE_CACHE

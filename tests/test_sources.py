@@ -224,3 +224,80 @@ def test_pyds_filter_pushdown(spark):
     assert load().count() == 1000
     # fully-pruned range still plans (one empty partition), returns nothing
     assert load().filter("entry_id >= 2000").count() == 0
+
+
+def test_parse_xlsx_bytes_unit():
+    """Stdlib XLSX parser: multi-sheet workbook, sharedStrings interning,
+    numeric cells, cell refs → (row, col)."""
+    from unfccc_documents_database_sandbox_spark.sources.xlsx import (
+        make_xlsx,
+        parse_xlsx_bytes,
+    )
+
+    payload = make_xlsx(
+        {"S1": [["a", "b"], [7, "a"]], "S2": [["only"]]}
+    )
+    cells = parse_xlsx_bytes(payload)
+    assert [(c["sheet_name"], c["cell_ref"], c["value"]) for c in cells] == [
+        ("S1", "A1", "a"), ("S1", "B1", "b"),
+        ("S1", "A2", "7"), ("S1", "B2", "a"),
+        ("S2", "A1", "only"),
+    ]
+    assert all(c["row_num"] == int(c["cell_ref"][1]) for c in cells)
+    assert {c["sheet_idx"] for c in cells} == {1, 2}
+
+
+def test_parse_xlsx_inline_and_rich_strings():
+    """OOXML variants real writers emit: inlineStr cells, rich-text
+    sharedStrings runs, missing cell refs (positional fallback),
+    wide-column refs (AA = 27)."""
+    import io
+    import zipfile
+
+    from unfccc_documents_database_sandbox_spark.sources.xlsx import parse_xlsx_bytes
+
+    ws = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>inline</t></is></c>'
+        '<c r="AA1" t="s"><v>0</v></c>'
+        "</row>"
+        '<row r="2"><c><v>9</v></c></row>'  # no ref: positional fallback
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="X" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    sst = (
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)  # no rels: conventional naming path
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+    cells = parse_xlsx_bytes(buf.getvalue())
+    by_ref = {c["cell_ref"]: c for c in cells}
+    assert by_ref["A1"]["value"] == "inline"
+    assert by_ref["AA1"]["value"] == "rich" and by_ref["AA1"]["col_num"] == 27
+    assert by_ref["C1R2"]["value"] == "9" and by_ref["C1R2"]["row_num"] == 2
+
+
+def test_xlsx_cells_through_spark(spark, tmp_path):
+    """binaryFile → mapInPandas cell rows end-to-end."""
+    from unfccc_documents_database_sandbox_spark.sources.io import read_binary_docs
+    from unfccc_documents_database_sandbox_spark.sources.xlsx import (
+        make_xlsx,
+        xlsx_to_cells,
+    )
+
+    d = tmp_path / "xlsx"
+    d.mkdir()
+    (d / "t.xlsx").write_bytes(make_xlsx({"Only": [["k", 2]]}))
+    rows = xlsx_to_cells(read_binary_docs(spark, str(d))).collect()
+    assert {(r.cell_ref, r.value) for r in rows} == {("A1", "k"), ("B1", "2")}
+    assert all(r.path.endswith("t.xlsx") and r.sheet_name == "Only" for r in rows)

@@ -33,13 +33,40 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # table). spark.read.parquet() lists files and reads footers eagerly on the
 # driver; with ~70 registered queries each touching 1-10 tables that fixed
 # cost dominates a small-SF correctness sweep. DataFrames are immutable
-# logical plans, so handing the same object to every caller is safe. Keyed
-# on the live SparkSession object (sessions are hashable); entries die with
-# the process, and a stopped session's entries are simply never hit again.
+# logical plans, so handing the same object to every caller is safe.
+#
+# Lifecycle: entries for STOPPED sessions are purged lazily on the next
+# load_table call (_purge_stopped) so a long-lived driver process that
+# cycles sessions doesn't pin every dead session's DataFrames forever
+# (r04 watch-item). A WeakKeyDictionary cannot do this: the cached
+# DataFrames hold a strong ref to their SparkSession, so the value would
+# keep the weak key alive — the lazy liveness sweep is the form that
+# actually frees memory.
 _TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 _VIEWS_REGISTERED: dict[SparkSession, str] = {}
 _TUNE_LOGGED: set[SparkSession] = set()
 _PYFILES_SHIPPED: set[str] = set()
+
+
+def _is_stopped(spark: SparkSession) -> bool:
+    """True when the session's SparkContext has been stopped (sc.stop()
+    nulls the JVM handle) or is unreachable altogether."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _purge_stopped() -> None:
+    """Drop every cache entry belonging to a stopped SparkSession."""
+    sessions = (
+        {k[0] for k in _TABLE_CACHE} | set(_VIEWS_REGISTERED) | set(_TUNE_LOGGED)
+    )
+    for s in [s for s in sessions if _is_stopped(s)]:
+        for key in [k for k in _TABLE_CACHE if k[0] is s]:
+            del _TABLE_CACHE[key]
+        _VIEWS_REGISTERED.pop(s, None)
+        _TUNE_LOGGED.discard(s)
 
 
 def ensure_pyfiles(spark: SparkSession) -> None:
@@ -105,6 +132,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    _purge_stopped()
     ensure_pyfiles(spark)
     # engine tuning for caller-owned sessions (the driver hands us its own):
     # if shuffle partitions are still at Spark's out-of-the-box 200, drop to

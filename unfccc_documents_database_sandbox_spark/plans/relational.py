@@ -177,6 +177,71 @@ def docx_ingest(spark, sf_dir):
     return assembled.join(names, "doc_id").select("file_name", "doc_text")
 
 
+@register(
+    "xlsx_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('annex.xlsx',  'Data',    'A1', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'region'),
+        ('annex.xlsx',  'Data',    'B1', CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'tonnes'),
+        ('annex.xlsx',  'Data',    'A2', CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'north'),
+        ('annex.xlsx',  'Data',    'B2', CAST(2 AS BIGINT), CAST(2 AS BIGINT), '1.5'),
+        ('report.xlsx', 'Summary', 'A1', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'item'),
+        ('report.xlsx', 'Summary', 'B1', CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'qty'),
+        ('report.xlsx', 'Summary', 'A2', CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'widget'),
+        ('report.xlsx', 'Summary', 'B2', CAST(2 AS BIGINT), CAST(2 AS BIGINT), '3'),
+        ('report.xlsx', 'Notes',   'A1', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'item'),
+        ('report.xlsx', 'Notes',   'B1', CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'final')
+    ) AS t(file_name, sheet_name, cell_ref, row_num, col_num, value)
+    """,
+)
+def xlsx_ingest(spark, sf_dir):
+    """S5 XLSX ingestion end-to-end, the spreadsheet sibling of docx_ingest
+    (the reference pins openpyxl — reference decisions-summaries/
+    requirements.txt:44): build real OOXML workbooks with the stdlib writer
+    (multi-sheet, sharedStrings-interned text, numeric cells), land them as
+    files, read through the binaryFile source, and parse to flat cell rows
+    with the stdlib zip+XML parser (sources/xlsx.py). Fixture content is
+    fixed, so the expected output is a VALUES literal — hash-checked, like
+    docx_ingest. 'item' appears on both report.xlsx sheets to exercise
+    shared-string interning across sheets. Parser also golden-tested in
+    tests/test_sources.py."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.io import read_binary_docs
+    from unfccc_documents_database_sandbox_spark.sources.xlsx import (
+        make_xlsx,
+        xlsx_to_cells,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    docs_dir = os.path.join(repo_root, ".csv_tmp", "xlsx_ingest")
+    os.makedirs(docs_dir, exist_ok=True)
+    fixtures = {
+        "report.xlsx": make_xlsx(
+            {
+                "Summary": [["item", "qty"], ["widget", 3]],
+                "Notes": [["item", "final"]],
+            }
+        ),
+        "annex.xlsx": make_xlsx({"Data": [["region", "tonnes"], ["north", 1.5]]}),
+    }
+    for name, payload in fixtures.items():
+        with open(os.path.join(docs_dir, name), "wb") as fh:
+            fh.write(payload)
+
+    cells = xlsx_to_cells(read_binary_docs(spark, docs_dir))
+    return cells.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "sheet_name",
+        "cell_ref",
+        "row_num",
+        "col_num",
+        "value",
+    )
+
+
 @register("catalog_tables", oracle=None, tags=("rows-only",))
 def catalog_tables(spark, sf_dir):
     """S3 catalog introspection (reference: probe.py:6-7
