@@ -268,3 +268,274 @@ register("sql_tpch_q14", oracle=_Q14)(_sql_plan(_Q14))
 register("sql_tpch_q18", oracle=_Q18)(_sql_plan(_Q18))
 register("sql_tpch_q19", oracle=_Q19)(_sql_plan(_Q19))
 register("sql_tpch_q22", oracle=_Q22)(_sql_plan(_Q22))
+
+
+# ---------------------------------------------------------------------------
+# r05: the remaining 12 TPC-H query shapes, completing the 22-query suite.
+# The synthetic corpus has no partsupp table and no l_commitdate /
+# l_receiptdate (TESTDATA.md), so q2/q9/q11/q16/q20/q21 are corpus-shaped:
+# the part↔supplier relation is derived as SELECT DISTINCT (l_partkey,
+# l_suppkey) FROM lineitem, supply cost proxies use p_retailprice, and q21's
+# "kept waiting" predicate is re-expressed over l_returnflag — each keeps
+# the original query's characteristic PLAN shape (the thing being tested):
+# correlated scalar min, nested INs, grouped-HAVING semi-join,
+# double-correlated EXISTS/NOT EXISTS self-joins, left-join histogram.
+# ---------------------------------------------------------------------------
+
+# Q2-shaped (minimum-cost supplier): correlated scalar MIN subquery over the
+# derived part-supplier relation, 4-table dim chain repeated inside the
+# subquery — Catalyst decorrelates to an aggregate + join.
+_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_partkey, p.p_brand, s.s_name,
+       CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT) AS s_acctbal_cents
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+  AND CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT) = (
+      SELECT MIN(CAST(ROUND(s2.s_acctbal * 100, 0) AS BIGINT))
+      FROM ps ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal_cents DESC, p.p_partkey, s.s_name
+"""
+
+# Q7-shaped (volume shipping): the nation dim joined TWICE (supplier side
+# and customer side) with a symmetric disjunctive pair filter, grouped by
+# both nations and ship year.
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_cents) AS BIGINT) AS revenue_cents
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS vol_cents
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# Q8-shaped (national market share): 7-table join, share = conditional sum /
+# total sum per order year — two exact integer sums, one division, one ROUND.
+_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol_cents ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(vol_cents) AS DOUBLE), 6) AS mkt_share
+FROM (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS vol_cents,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+# Q9-shaped (product-type profit): profit = revenue − supply cost; with no
+# partsupp, unit cost proxies as 10% of p_retailprice (both engines compute
+# the identical double product before the cents round). Grouped by supplier
+# nation and order year.
+_Q9 = """
+SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS sum_profit_cents
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+             - CAST(ROUND(l.l_quantity * p.p_retailprice * 10, 0) AS BIGINT) AS amount_cents
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE'
+) profit
+GROUP BY nation, o_year
+"""
+
+# Q10-shaped (returned-item reporting): one quarter of 'R' lines, revenue
+# per customer, top 20 — agg → TakeOrdered, ties broken by key.
+_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+       CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '2000-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+         CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+ORDER BY revenue_cents DESC, c.c_custkey
+LIMIT 20
+"""
+
+# Q11-shaped (important stock): per-part value from one nation's suppliers,
+# kept when above 0.1% of the total — the threshold comparison is scaled to
+# stay in exact integer arithmetic (value*1000 > total), no FP anywhere.
+_Q11 = """
+WITH val AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_0'
+    GROUP BY l.l_partkey
+)
+SELECT l_partkey, value_cents
+FROM val
+WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM val)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+# Q13-shaped (customer order-count distribution): LEFT join with the filter
+# in the JOIN condition (zero-order customers must survive), then a
+# histogram of the per-customer counts.
+_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# Q15-shaped (top supplier): quarter revenue per supplier in a CTE used
+# twice — once as the join input, once under MAX — the classic
+# view-plus-scalar-subquery shape.
+_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+# Q16-shaped (part-supplier relationship count): COUNT(DISTINCT supplier)
+# per brand/type/size over the derived relation, excluding suppliers via
+# NOT IN (anti-join); the exclusion predicate stands in for TPC-H's
+# s_comment LIKE filter.
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+# Q17-shaped (small-quantity-order revenue): correlated AVG subquery per
+# part — quantities are whole-number doubles, so the AVG is one exact sum
+# over one exact count and the 0.2× comparison is deterministic.
+_Q17 = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < 0.2 * (
+      SELECT AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+# Q20-shaped (potential part promotion): nested IN subqueries — suppliers
+# (semi-join) whose shipped volume of PROMO parts (inner IN + grouped
+# HAVING) cleared a threshold year.
+_Q20 = """
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_regionkey = 2
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) > 50
+  )
+ORDER BY s.s_name
+"""
+
+# Q21-shaped (suppliers who kept orders waiting): the double-correlated
+# self-join pair — EXISTS (another supplier contributed to the order) AND
+# NOT EXISTS (any OTHER supplier's line was the problem) — re-expressed
+# over l_returnflag since the corpus has no commit/receipt dates: count,
+# per supplier in one region, finished orders where THIS supplier's line
+# is the order's only returned ('R') line.
+_Q21 = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F' AND n.n_regionkey = 1 AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+register("sql_tpch_q2", oracle=_Q2)(_sql_plan(_Q2))
+register("sql_tpch_q7", oracle=_Q7)(_sql_plan(_Q7))
+register("sql_tpch_q8", oracle=_Q8)(_sql_plan(_Q8))
+register("sql_tpch_q9", oracle=_Q9)(_sql_plan(_Q9))
+register("sql_tpch_q10", oracle=_Q10)(_sql_plan(_Q10))
+register("sql_tpch_q11", oracle=_Q11)(_sql_plan(_Q11))
+register("sql_tpch_q13", oracle=_Q13)(_sql_plan(_Q13))
+register("sql_tpch_q15", oracle=_Q15)(_sql_plan(_Q15))
+register("sql_tpch_q16", oracle=_Q16)(_sql_plan(_Q16))
+register("sql_tpch_q17", oracle=_Q17)(_sql_plan(_Q17))
+register("sql_tpch_q20", oracle=_Q20)(_sql_plan(_Q20))
+register("sql_tpch_q21", oracle=_Q21)(_sql_plan(_Q21))
