@@ -104,6 +104,34 @@ def json_roundtrip(spark, sf_dir):
 
 
 @register(
+    "source_orc",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def source_orc(spark, sf_dir):
+    """S4-completion: ORC sink + source round-trip — the second columnar
+    format Spark ships natively (vectorized reader, stripe-level min/max
+    stats and predicate pushdown, the same scan-pruning story as parquet).
+    Write a documents projection as ORC, read it back, oracle-check the
+    values — proving the engine's source/sink surface is format-plural,
+    not parquet-only."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    # per-sf output dir: the returned read is LAZY, so a same-process build
+    # at another SF must not clobber this one's data before it is collected
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"documents_orc_{tag}")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    src = load_table(spark, sf_dir, "documents").select(*cols)
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(*cols)
+
+
+@register(
     "docx_ingest",
     oracle="""
     SELECT * FROM (VALUES

@@ -288,3 +288,38 @@ def stream_stream_join(spark, sf_dir):
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
     return _run_live(j, spark, "append", "stream_stream_join")
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+           CAST(ROUND(e.value * 100, 0) AS BIGINT) AS value_cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """T-ext stream-static enrichment join executed as a REAL streaming
+    query: the events file-stream inner-joined to the static customer dim
+    (user_id = c_custkey), broadcast per micro-batch. Unlike the
+    stream-stream join this is STATELESS — no watermark, no join state,
+    each micro-batch enriches independently — so append output is exact
+    and the batch join is a true oracle. This is the standard streaming
+    enrichment shape at scale: the dim broadcasts (or is re-read per
+    batch for slowly-changing dims); stream state stays zero."""
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = (
+        _events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "c_mktsegment",
+            F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        )
+    )
+    return _run_live(out, spark, "append", "stream_static_join")
