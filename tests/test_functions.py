@@ -96,3 +96,53 @@ def test_hll_union_consistent_with_exact(spark):
     # per-language estimates must sum close to the global (languages rarely
     # share identical texts in this corpus)
     assert sum(r.lang_distinct for r in rows) >= est * 0.95
+
+
+def test_pq_adc_equals_dot_with_reconstruction(spark):
+    """PQ/ADC exact invariant (Jégou et al., TPAMI 2011): the ADC score of
+    (query q, corpus vector v) is EXACTLY unit(q) · reconstruction(v),
+    where reconstruction(v) concatenates each subspace's centroid for v's
+    code — ADC approximates the dot by quantizing only the corpus side.
+    Also pins: codes are argmin assignments (the quantizer spec), and
+    recall@5 vs exact top-k stays above a loose floor (uniform-random
+    embeddings are ANN's worst case, so the floor is intentionally low)."""
+    import numpy as np
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.operators import similarity as S
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    books = np.array(S.train_pq_codebooks(emb, m=8, k=16), dtype="float64")
+    m, k, sub = books.shape
+
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in rows], dtype="float64")
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    # spec: code[j] = argmin_c |x_sub - centroid_c|^2
+    codes = np.empty((len(x), m), dtype=int)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+    out = S.pq_topk(emb, emb.filter("vec_id < 5"), topk=5, m=8, k=16,
+                    codebooks=[[list(c) for c in b] for b in books]).toPandas()
+    ids = {r.vec_id: i for i, r in enumerate(rows)}
+    for r in out.itertuples():
+        expect = float(x[ids[r.query_id]] @ recon[ids[r.neighbor_id]])
+        assert abs(r.score - expect) < 1e-3, (r, expect)
+
+    exact = lookup("sim_topk").build(spark, SF_CORRECT).toPandas()
+    recalls = []
+    for q in sorted(exact.query_id.unique()):
+        e = set(exact[exact.query_id == q].neighbor_id)
+        p = set(out[out.query_id == q].neighbor_id)
+        recalls.append(len(e & p) / 5)
+    assert sum(recalls) / len(recalls) >= 0.2, recalls

@@ -80,6 +80,27 @@ def sim_topk_ivf(spark, sf_dir):
     )
 
 
+# one-time-per-(session, sf_dir) codebook fit, same reuse pattern as IVF
+_PQ_CODEBOOKS: dict[tuple[object, str], list[list[list[float]]]] = {}
+
+
+@register("sim_topk_pq", oracle=None, tags=("rows-only",))
+def sim_topk_pq(spark, sf_dir):
+    """L3 product-quantization scale path (Jégou et al., TPAMI 2011):
+    corpus encoded to m=8 one-byte codes (32x smaller than the float32
+    vectors — the ANN variant whose win is MEMORY, not fewer comparisons),
+    queries score via per-query ADC lookup tables summed row-locally over
+    the code array. Approximate by construction → rows-only check;
+    recall-vs-exact and reconstruction-error bounds are property-tested
+    in tests/test_functions.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark, sf_dir)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key] = S.train_pq_codebooks(emb, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_topk(emb, queries, topk=5, m=8, k=16, codebooks=_PQ_CODEBOOKS[key])
+
+
 @register(
     "sim_near_dup_pairs",
     oracle=f"""
