@@ -466,3 +466,75 @@ def bigram_jaccard_pairs(docs, threshold_pct: int):
         .filter(jac >= threshold_pct / 100.0)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_lines",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk
+        FROM words, UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    winners AS (
+        SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS text_deduped,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks_kept
+    FROM winners WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark, sf_dir):
+    """L2-adjacent LINE-level dedup, the C4/Dolma cleaning step the
+    doc-level pipelines don't cover: a repeated line (boilerplate, headers)
+    is removed from every document except its first occurrence, keyed by
+    exact line text with first = smallest (doc_id, position). The corpus
+    has no newlines, so the dedup unit is each consecutive 10-word chunk —
+    same mechanics, documented substitution.
+
+    Plan: row-local chunking (sequence + slice + concat_ws — no Python),
+    one shuffle on chunk text to pick winners (row_number over (chunk)
+    ordered by doc_id, idx), then the standard ordered reassembly
+    (collect_list of (idx, chunk) structs, array_sort, concat_ws — never
+    relying on row order). At 100 TB the winner shuffle moves each chunk
+    once; shuffling xxhash64(chunk) digests with a verify pass would cut
+    the payload 10x further (the dedup_substring trade, noted not done
+    here to keep the key oracle-exact over raw text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(10.0)).cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            F.concat_ws(" ", F.slice(words, i * 10 + 1, 10)).alias("chunk"),
+        ),
+    )
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "c.idx", "c.chunk")
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    winners = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        winners.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("idx", "chunk"))).alias("parts"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks_kept"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform(F.col("parts"), lambda p: p["chunk"])
+            ).alias("text_deduped"),
+            "n_chunks_kept",
+        )
+    )
