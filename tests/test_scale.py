@@ -84,6 +84,29 @@ def test_minhash_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, key
 
 
+def test_tpch_suite_never_cartesian(spark):
+    """All 22 TPC-H shapes must plan without CartesianProduct or
+    BroadcastNestedLoopJoin — the correlated/NOT-IN/disjunctive shapes
+    (q2/q16/q17/q19/q21/q22) are exactly the ones that degrade to
+    quadratic plans when a predicate stops being equi-joinable."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        REGISTRY,
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    keys = sorted(
+        k.removeprefix("z_") for k in REGISTRY if "sql_tpch_q" in k
+    )
+    assert len(keys) == 22, keys
+    for key in keys:
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
 def test_frame_sample_plan_has_no_exchange(spark):
     """multimodal_frame_sample is scan → project → ArrowEvalPython/mapInPandas
     — no Exchange anywhere (the r02 spread() repartition was pure overhead for
