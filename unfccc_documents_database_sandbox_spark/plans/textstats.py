@@ -509,3 +509,75 @@ def x_text_keyterms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tf", "df", F.col("score").cast("long").alias("score"))
     )
+
+
+@register(
+    "corpus_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    quality AS (
+        SELECT * FROM base WHERE n_tokens BETWEEN 30 AND 5000
+    ),
+    deduped AS (
+        SELECT * FROM quality
+        WHERE doc_id IN (SELECT MIN(doc_id) FROM quality GROUP BY text)
+    ),
+    decontam AS (
+        SELECT * FROM deduped
+        WHERE CAST(('0x' || substr(md5(text), 1, 7))::BIGINT AS BIGINT) % 100 >= 2
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+        SELECT 'a_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM base
+        UNION ALL
+        SELECT 'b_quality', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM quality
+        UNION ALL
+        SELECT 'c_exact_dedup', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM deduped
+        UNION ALL
+        SELECT 'd_decontam', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM decontam
+    )
+    """,
+)
+def corpus_pipeline(spark, sf_dir):
+    """The composed pretraining-data funnel — the reference's two pipelines
+    are linear multi-stage flows (SURVEY §3), and this key proves OUR
+    stages compose the same way: raw corpus → quality gate (token-count
+    band) → exact dedup (canonical = min doc_id per text) → eval-split
+    decontamination (drop docs whose SQL-portable md5 bucket lands in the
+    2% eval split — the predicate form of contamination_check's digest
+    semi-join). Output is the stage funnel (stage, n_docs, n_tokens), the
+    per-stage audit a production cleaning run reports.
+
+    Every stage is lazy narrow/one-shuffle work over the same scan —
+    Catalyst collapses the funnel into four aggregates over shared
+    subplans; nothing materializes driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    quality = base.filter(F.col("n_tokens").between(30, 5000))
+    canon = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(canon, ["text", "doc_id"], "left_semi")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("long") % 100
+    decontam = deduped.filter(bucket >= 2)
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    return (
+        stage("a_input", base)
+        .unionByName(stage("b_quality", quality))
+        .unionByName(stage("c_exact_dedup", deduped))
+        .unionByName(stage("d_decontam", decontam))
+    )
