@@ -78,3 +78,19 @@ def test_stopped_session_cache_entries_purged(spark):
     assert dead not in catalog._TUNE_LOGGED
     # live entries survive
     assert (spark, SF_CORRECT, "region") in catalog._TABLE_CACHE
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    """spread() must repartition a 1-partition scan up to the core count,
+    but pass an already-parallel input through untouched — at cluster
+    scale the scan is row-group-parallel and an unconditional repartition
+    would shuffle the whole corpus for nothing."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(0, 1000).repartition(max(2, target // 2))
+    out = spread(wide)
+    assert out is wide  # no new plan node, not merely same count

@@ -188,20 +188,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition to the session's default parallelism, used
-    immediately before a compute-bound narrow stage (shingle explode,
-    per-row digest, mapInPandas inference/decode).
+    """Repartition to the session's default parallelism BEFORE a
+    compute-bound narrow stage (shingle explode, per-row digest,
+    mapInPandas inference/decode) — but only when the input is actually
+    under-partitioned.
 
     Why: scan parallelism is bounded by parquet row groups — the bench
     corpus is ONE row group per table, so every downstream stage inherits a
-    single partition no matter the core count; and even at cluster scale
-    the standard move before CPU-heavy work whose output fans out (explode
-    multiplies rows ~100x here) is to repartition the small pre-fan-out
-    input, not the large post-fan-out result. Cost: one narrow shuffle of
-    the compact input rows. Results are unaffected — every consumer either
-    aggregates by key or is row-local."""
+    single partition no matter the core count; the standard move before
+    CPU-heavy work whose output fans out (explode multiplies rows ~100x
+    here) is to repartition the small pre-fan-out input, not the large
+    post-fan-out result. Cost: one narrow shuffle of the compact input
+    rows. Results are unaffected — every consumer either aggregates by key
+    or is row-local.
+
+    Adaptive guard (r05): when the planned input already has at least half
+    the target partition count — the normal case on a real cluster, where
+    a large table scans as thousands of row-group splits — spread is a
+    NO-OP. The unconditional form would shuffle the whole corpus at 100 TB
+    to fix a skew that doesn't exist; the guard keeps the bench fix from
+    becoming a cluster regression."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(partitions or sc.defaultParallelism)
+    target = partitions or sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        current = 0  # e.g. plans the RDD bridge can't inspect — repartition
+    if current >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def list_tables(spark: SparkSession) -> DataFrame:
