@@ -301,3 +301,42 @@ def test_xlsx_cells_through_spark(spark, tmp_path):
     rows = xlsx_to_cells(read_binary_docs(spark, str(d))).collect()
     assert {(r.cell_ref, r.value) for r in rows} == {("A1", "k"), ("B1", "2")}
     assert all(r.path.endswith("t.xlsx") and r.sheet_name == "Only" for r in rows)
+
+
+def test_permissive_ingest_skips_corrupt_files(spark, tmp_path):
+    """Production-ingest contract: permissive=True turns a corrupt workbook/
+    document into one countable '_corrupt' row instead of failing the job;
+    strict mode (default) still raises."""
+    import pytest
+
+    from unfccc_documents_database_sandbox_spark.sources.docx import (
+        docx_to_blocks,
+        make_docx,
+    )
+    from unfccc_documents_database_sandbox_spark.sources.io import read_binary_docs
+    from unfccc_documents_database_sandbox_spark.sources.xlsx import (
+        make_xlsx,
+        xlsx_to_cells,
+    )
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "good.xlsx").write_bytes(make_xlsx({"S": [["ok", 1]]}))
+    (d / "bad.xlsx").write_bytes(b"this is not a zip archive")
+    rows = xlsx_to_cells(read_binary_docs(spark, str(d)), permissive=True).collect()
+    good = [r for r in rows if r.sheet_name == "S"]
+    bad = [r for r in rows if r.sheet_name == "_corrupt"]
+    assert {(r.cell_ref, r.value) for r in good} == {("A1", "ok"), ("B1", "1")}
+    assert len(bad) == 1 and bad[0].path.endswith("bad.xlsx")
+    assert "BadZipFile" in bad[0].value
+    with pytest.raises(Exception, match="BadZipFile"):
+        xlsx_to_cells(read_binary_docs(spark, str(d))).collect()
+
+    dd = tmp_path / "docx"
+    dd.mkdir()
+    (dd / "good.docx").write_bytes(make_docx(["hello world"]))
+    (dd / "bad.docx").write_bytes(b"\x00\x01 garbage")
+    blocks = docx_to_blocks(read_binary_docs(spark, str(dd)), permissive=True).collect()
+    assert any(b.block_type == "paragraph" and b.text == "hello world" for b in blocks)
+    corrupt = [b for b in blocks if b.block_type == "_corrupt"]
+    assert len(corrupt) == 1 and corrupt[0].path.endswith("bad.docx")

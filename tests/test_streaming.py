@@ -183,3 +183,85 @@ def test_foreach_batch_parquet_sink_exactly_once_on_retry(spark, events_stream_d
     assert (
         first.reset_index(drop=True).equals(second.reset_index(drop=True))
     ), "retried batch duplicated rows — sink is not idempotent"
+
+
+def test_foreach_batch_merge_is_exactly_once_shaped(spark, tmp_path):
+    """The production sink side the memory-sink keys don't cover: stream →
+    foreachBatch(MERGE into a keyed table). foreachBatch may re-deliver a
+    batch on failure, so the sink must be idempotent — a keyed MERGE
+    (delete-matching + insert) is, and this test replays a batch to prove
+    it. Final table must equal the batch aggregation of the same input."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.streaming import _events_stream
+
+    out_dir = str(tmp_path / "profile_parquet")
+    state: dict[str, object] = {"first_batch": None}
+
+    def upsert(batch_df, batch_id):
+        # per-user totals for THIS batch, merged into the running table by
+        # key: read-modify-write of the keyed aggregate = idempotent on
+        # batch replay (the second delivery overwrites the same keys with
+        # the same values, because the merge re-aggregates from the stored
+        # PRE-batch totals snapshotted per batch id via the staging column)
+        import os
+
+        inc = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+            )
+        )
+        if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+            cur = batch_df.sparkSession.read.parquet(out_dir).filter(
+                F.col("last_batch") < batch_id
+            )
+        else:
+            cur = None
+        if cur is not None:
+            merged = (
+                cur.select("user_id", "n_events", "cents")
+                .unionByName(inc)
+                .groupBy("user_id")
+                .agg(F.sum("n_events").alias("n_events"), F.sum("cents").alias("cents"))
+            )
+        else:
+            merged = inc
+        staged = merged.withColumn("last_batch", F.lit(batch_id))
+        staged.write.mode("overwrite").parquet(out_dir + f"_b{batch_id}")
+        batch_df.sparkSession.read.parquet(out_dir + f"_b{batch_id}").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        if state["first_batch"] is None:
+            state["first_batch"] = batch_df.persist().count() and batch_df
+
+    q = (
+        _events_stream(spark, SF_CORRECT)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # replay the first batch with its original batch id — the guard
+    # (last_batch < batch_id) makes the re-delivery a no-op
+    upsert(state["first_batch"], 0)
+
+    got = {
+        r.user_id: (r.n_events, r.cents)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.cents)
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expect

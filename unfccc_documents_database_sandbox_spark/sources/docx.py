@@ -80,15 +80,37 @@ def parse_docx_bytes(payload: bytes) -> list[dict]:
     return blocks
 
 
-def docx_to_blocks(binary_docs: DataFrame) -> DataFrame:
-    """binaryFile rows (path, content) → Block-schema rows, in Arrow batches."""
+def docx_to_blocks(binary_docs: DataFrame, permissive: bool = False) -> DataFrame:
+    """binaryFile rows (path, content) → Block-schema rows, in Arrow batches.
+
+    ``permissive=True`` skips corrupt documents instead of failing the job
+    (one row with block_type='_corrupt' and the error in ``text`` — same
+    contract as xlsx_to_cells; a single bad file must not kill a 100 TB
+    ingest). Default stays strict/FAILFAST."""
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out: list[dict] = []
             for path, payload in zip(pdf["path"], pdf["content"]):
-                for b in parse_docx_bytes(bytes(payload)):
+                try:
+                    blocks = parse_docx_bytes(bytes(payload))
+                except Exception as exc:
+                    if not permissive:
+                        raise
+                    out.append(
+                        {
+                            "path": path,
+                            "seq": None,
+                            "numbering": None,
+                            "block_type": "_corrupt",
+                            "text": f"{type(exc).__name__}: {exc}"[:200],
+                            "caption": None,
+                            "cells_text": None,
+                        }
+                    )
+                    continue
+                for b in blocks:
                     out.append({"path": path, **b})
             yield pd.DataFrame(
                 out, columns=[f.name for f in BLOCK_ROWS_SCHEMA.fields]

@@ -116,15 +116,41 @@ def parse_xlsx_bytes(payload: bytes) -> list[dict]:
     return cells
 
 
-def xlsx_to_cells(binary_docs: DataFrame) -> DataFrame:
-    """binaryFile rows (path, content) → cell rows, in Arrow batches."""
+def xlsx_to_cells(binary_docs: DataFrame, permissive: bool = False) -> DataFrame:
+    """binaryFile rows (path, content) → cell rows, in Arrow batches.
+
+    ``permissive=True`` is the production-ingest mode: a corrupt workbook
+    (truncated zip, malformed XML) is skipped instead of failing the whole
+    job — at 100 TB a single bad file must not kill a multi-hour ingest —
+    and surfaces as one row with sheet_name='_corrupt' and the error text
+    in ``value`` (the same book-keeping role as Spark's own
+    columnNameOfCorruptRecord in PERMISSIVE JSON/CSV parsing), so bad
+    inputs are countable and re-drivable downstream. Default stays strict:
+    fail fast, matching FAILFAST semantics."""
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out: list[dict] = []
             for path, payload in zip(pdf["path"], pdf["content"]):
-                for c in parse_xlsx_bytes(bytes(payload)):
+                try:
+                    cells = parse_xlsx_bytes(bytes(payload))
+                except Exception as exc:
+                    if not permissive:
+                        raise
+                    out.append(
+                        {
+                            "path": path,
+                            "sheet_idx": None,
+                            "sheet_name": "_corrupt",
+                            "row_num": None,
+                            "col_num": None,
+                            "cell_ref": None,
+                            "value": f"{type(exc).__name__}: {exc}"[:200],
+                        }
+                    )
+                    continue
+                for c in cells:
                     out.append({"path": path, **c})
             yield pd.DataFrame(
                 out, columns=[f.name for f in CELL_ROWS_SCHEMA.fields]
