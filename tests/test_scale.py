@@ -337,3 +337,71 @@ def test_keyterms_scalar_attach_is_one_row_broadcast(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_sessionize_single_sort_per_user_partition(spark):
+    """events_sessionize's lag + running-sum must share ONE window spec:
+    exactly one Exchange hashpartitioning(user_id) and one Sort feeding
+    both window functions — a second sort would mean the specs diverged.
+    The session aggregate then reuses that partitioning (user_id is a
+    prefix of its grouping key), so the WHOLE pipeline is one exchange."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("events_sessionize").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2, plan  # lag + running sum, no extras
+    n_sorts = sum(1 for ln in plan.splitlines() if "Sort " in ln or "+- Sort" in ln)
+    assert n_sorts == 1, f"window specs diverged ({n_sorts} sorts):\n{plan}"
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch == 1, f"expected the single window exchange, got {n_exch}:\n{plan}"
+
+
+def test_inverted_index_dedups_before_explode(spark):
+    """index_inverted must NOT shuffle (doc, term) pairs to dedup them:
+    array_distinct runs row-locally before the explode, so the plan has
+    exactly one aggregate exchange (on term) and no distinct-aggregate
+    expand."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("index_inverted").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_distinct" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Expand" not in plan, plan
+
+
+def test_compaction_packs_per_source_no_global_sort(spark):
+    """layout_compaction's running offset partitions by source — a global
+    (single-partition) Sort here would serialize the whole corpus through
+    one task at 100 TB."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("layout_compaction").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(source" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_incremental_dedup_anti_join_projects_digest_only(spark):
+    """dedup_incremental's base side must scan ONLY what the digest needs
+    (text, doc_id for the mod filter) and join LeftAnti on the 32-byte
+    digest — never resurrect the full row or go nested-loop."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("dedup_incremental").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    base_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "documents" in ln
+    ]
+    assert base_scans and all(
+        "lang" not in s and "source" not in s for s in base_scans
+    ), f"base scan reads columns the digest doesn't need:\n{plan}"

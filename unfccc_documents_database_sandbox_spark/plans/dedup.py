@@ -538,3 +538,41 @@ def dedup_lines(spark, sf_dir):
             "n_chunks_kept",
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT sha256(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+    ),
+    delta AS (
+        SELECT doc_id, sha256(text) AS digest
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT d.doc_id, d.digest
+    FROM delta d
+    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.digest = d.digest)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental (delta-vs-base) exact dedup: admit only the new-batch
+    documents whose content digest is unseen in the already-ingested
+    corpus — the shape every recurring crawl/ingest runs, where re-hashing
+    and re-grouping the whole corpus per batch (dedup_exact's shape) would
+    be O(corpus) instead of O(delta). Batch split here is doc_id mod 5 so
+    both engines carve identical base/delta sets from one table.
+
+    Scale shape: one LEFT ANTI join on a 32-byte digest — the delta side
+    is small by construction, so at 100 TB this is a broadcast of the
+    delta's digests against the partitioned base ledger (or a bloom-filter
+    pushdown on the base scan); either way the full corpus never
+    re-shuffles. The base side projects ONLY the digest column."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.sha2("text", 256).alias("digest")
+    )
+    delta = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("digest")
+    )
+    return delta.join(base, "digest", "left_anti").select("doc_id", "digest")

@@ -11,6 +11,7 @@ in ANSI SQL for the oracle twin, so the key is exact-hash-checked.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.catalog import load_table
@@ -82,4 +83,67 @@ def layout_zorder(spark, sf_dir):
             F.max("y").cast("long").alias("y_hi"),
         )
         .select("bucket", "n_rows", "x_lo", "x_hi", "y_lo", "y_hi")
+    )
+
+
+_SHARD_CHARS = 65_536  # target shard payload (chars stand in for bytes)
+
+
+@register(
+    "layout_compaction",
+    oracle=f"""
+    WITH d AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS run
+        FROM documents
+    ),
+    s AS (
+        SELECT source, doc_id, n_chars,
+               (run - n_chars) // {_SHARD_CHARS} AS shard_id
+        FROM d
+    )
+    SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM s GROUP BY source, shard_id
+    """,
+)
+def layout_compaction(spark, sf_dir):
+    """Small-file compaction planner: assign documents to ~64 KiB output
+    shards by running-offset bin packing (shard = starting-offset DIV
+    target), packed per source so shards never mix provenance. The output
+    is the shard manifest (doc count, payload size, contiguous doc-id
+    range) a rewrite job would consume — the OPTIMIZE/compaction half of
+    layout_zorder's clustering story, and the standard fix for the
+    small-files problem a 100 TB ingest inevitably produces.
+
+    Scale shape: the running sum partitions by source (no global window);
+    the manifest aggregate map-side combines on (source, shard_id). If one
+    source dominates, pre-split it by a doc_id range key — same plan, finer
+    partitions. Offsets are exact bigint char counts, so the oracle twin
+    is hash-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(_SHARD_CHARS)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return s.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
     )

@@ -581,3 +581,57 @@ def corpus_pipeline(spark, sf_dir):
         .unionByName(stage("c_exact_dedup", deduped))
         .unionByName(stage("d_decontam", decontam))
     )
+
+
+@register(
+    "index_inverted",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+        WHERE t.term <> ''
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tok GROUP BY term
+    """,
+)
+def index_inverted(spark, sf_dir):
+    """Inverted index build (term -> document-frequency + sorted posting
+    list): the retrieval-side sibling of text_keyterms, and the backbone of
+    corpus search / contamination lookup over a training set. Tokenization
+    is lower-cased alpha runs, identical regex both engines.
+
+    Scale shape: the per-doc DISTINCT happens row-locally (array_distinct
+    before the explode — no (doc, term) shuffle for dedup), so the only
+    exchange is the term-keyed aggregate, which map-side combines. Posting
+    lists stay distributed by term; the comma-joined string is the
+    oracle-comparable surface, array_sort (not sort-within-shuffle) makes
+    the list order deterministic. At 100 TB the term key is zipfian —
+    AQE skew-split handles the head terms, or cap postings with a
+    slice(...) if the index feeds a bounded-candidate consumer."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = spread(d).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

@@ -282,3 +282,88 @@ def join_asof(spark, sf_dir):
         .filter(F.col("kind") == 1)
         .select("o_orderkey", "last_event_id")
     )
+
+
+_SESSION_GAP_US = 43_200_000_000  # 12 h — sized to this corpus's ~7 h median gap
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    s AS (
+        SELECT user_id, event_type, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM m
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands): split each user's event
+    stream into sessions wherever the inter-event gap exceeds 12 h, then
+    aggregate per session. The classic clickstream/training-log shape the
+    reference's event model implies but only streaming covered so far
+    (stream_session is the watermarked sibling; this is the exact batch
+    restatement over the full history).
+
+    Timestamps are compared as unix_micros BIGINTs on both engines — the
+    events table carries microsecond precision, and double-seconds epoch()
+    would round differently per engine.
+
+    Scale shape: lag + running-sum share ONE window spec (user_id hash
+    partition, single Exchange + Sort); the session aggregate is a second,
+    map-side-combinable shuffle on (user_id, session_seq). No global
+    window, no driver state — a 1000-executor cluster partitions by user
+    exactly the same way."""
+    # ts is TIMESTAMP_NTZ: timestampdiff from the NTZ epoch is exact bigint
+    # microseconds with NO session-timezone dependency (unix_micros would
+    # require a tz-aware cast and inherit whatever tz the caller's session
+    # set; the driver owns the session, so stay tz-free).
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = e.withColumn("brk", brk).withColumn(
+        "session_seq",
+        F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.min("us").cast("long").alias("start_us"),
+        F.max("us").cast("long").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
