@@ -405,3 +405,38 @@ def test_incremental_dedup_anti_join_projects_digest_only(spark):
     assert base_scans and all(
         "lang" not in s and "source" not in s for s in base_scans
     ), f"base scan reads columns the digest doesn't need:\n{plan}"
+
+
+def test_funnel_single_exchange(spark):
+    """events_funnel's three chained conditional-MIN windows all partition
+    by user_id with NO ordering — one Exchange and ONE partition-key Sort
+    (WindowExec's clustering requirement) serve all three Window nodes and
+    the final per-user collapse; a second sort would mean the stages
+    stopped sharing the spec. And the plan must be tz-cast-free: a
+    `cast(ts as timestamp)` means the microsecond arithmetic picked up the
+    caller session's timezone."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("events_funnel").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 3, plan
+    n_sorts = sum(1 for ln in plan.splitlines() if "Sort " in ln or "+- Sort" in ln)
+    assert n_sorts == 1, f"chained same-spec windows need exactly one sort:\n{plan}"
+    # cast-to-date is tz-free field extraction; cast-to-TIMESTAMP (ltz)
+    # is the session-zone coercion _ntz_micros exists to avoid
+    assert " as timestamp)" not in plan, f"tz-dependent cast crept in:\n{plan}"
+
+
+def test_prefix_similarity_join_no_cartesian(spark):
+    """join_similarity_prefix must stay equi-join-shaped end to end: the
+    candidate stage joins on prefix tokens (hash join), never a cartesian
+    or nested-loop over doc pairs."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("join_similarity_prefix").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -576,3 +576,142 @@ def dedup_incremental(spark, sf_dir):
         "doc_id", F.sha2("text", 256).alias("digest")
     )
     return delta.join(base, "digest", "left_anti").select("doc_id", "digest")
+
+
+@register(
+    "join_similarity_prefix",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+               )) AS toks
+        FROM words
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM grams),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    arr AS (
+        SELECT tok.doc_id,
+               list(tok.term ORDER BY dfreq.df, tok.term) AS toks,
+               COUNT(*) AS n
+        FROM tok JOIN dfreq USING (term) GROUP BY tok.doc_id
+    ),
+    pre AS (
+        SELECT doc_id, toks, toks[1 : CAST(n // 2 + 1 AS INT)] AS prefix
+        FROM arr
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, unnest(prefix) AS p FROM pre) a
+        JOIN (SELECT doc_id, unnest(prefix) AS p FROM pre) b
+          ON a.p = b.p AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(x.toks, y.toks)) AS n_common,
+               len(x.toks) + len(y.toks)
+                   - len(list_intersect(x.toks, y.toks)) AS n_union
+        FROM cand
+        JOIN arr x ON x.doc_id = doc_a
+        JOIN arr y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_common * 1000000 // n_union AS BIGINT) AS jaccard_ppm
+    FROM verified WHERE n_common * 2 >= n_union
+    """,
+)
+def join_similarity_prefix(spark, sf_dir):
+    """Corpus-WIDE prefix-filtered set-similarity self-join (AllPairs/
+    PPJoin, Bayardo et al. WWW'07) at bigram-Jaccard >= 0.5 — the
+    unblocked complement of dedup_ngram_jaccard (which prefix-filters
+    INSIDE (lang, source) blocks at t=0.8): no blocking key is assumed,
+    so cross-language/cross-source near-dups are still found, and the
+    verify step is a row-local array_intersect over the two attached
+    token arrays instead of a grouped gram-count — no per-pair shuffle.
+
+    Token sets are distinct word BIGRAMS (unigrams are useless here: the
+    corpus vocabulary is ~31 terms, making every unigram set similar to
+    every other — bigrams give a ~916-term space where Jaccard separates
+    real near-dups, the same 25 pairs MinHash finds). Prefix length is
+    exact integer arithmetic (n DIV 2 + 1 = n - ceil(n/2) + 1 for t=0.5);
+    a double 0.5*n can land epsilon off and over-shrink the prefix.
+
+    Scale shape: candidates come only from the equi-join on each doc's
+    RAREST n/2+1 tokens (pigeonhole guarantee under the shared
+    (df, term) canonical order) — the zipfian head never enters a
+    prefix, so fan-out stays near-linear; verify is row-local after two
+    doc_id-keyed array-attach joins. The threshold test and the reported
+    ratio are exact integer ppm, so the oracle twin is hash-exact. No
+    cartesian anywhere — plan-pinned."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    toks = spread(d).select("doc_id", F.explode(grams).alias("term"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    arr = (
+        toks.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "term"))),
+                lambda s: s["term"],
+            ).alias("toks")
+        )
+    )
+    n = F.size("toks")
+    pre = arr.select(
+        "doc_id",
+        "toks",
+        F.slice("toks", 1, (F.expr("size(toks) DIV 2") + 1).cast("int")).alias(
+            "prefix"
+        ),
+    )
+    pt = pre.select("doc_id", F.explode("prefix").alias("p"))
+    cand = (
+        pt.alias("a")
+        .join(
+            pt.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    y = arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    j = cand.join(x, "doc_a").join(y, "doc_b")
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    n_union = F.size("ta") + F.size("tb") - n_common
+    return (
+        j.select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            n_union.cast("long").alias("n_union"),
+        )
+        .filter(F.col("n_common") * 2 >= F.col("n_union"))
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("CAST(n_common * 1000000 DIV n_union AS BIGINT)"),
+        )
+    )

@@ -287,6 +287,21 @@ def join_asof(spark, sf_dir):
 _SESSION_GAP_US = 43_200_000_000  # 12 h — sized to this corpus's ~7 h median gap
 
 
+def _ntz_micros(c):
+    """Epoch microseconds from a TIMESTAMP_NTZ using FIELD EXTRACTION only —
+    zero timezone dependence. timestampdiff/unix_micros coerce NTZ to LTZ
+    through the caller session's zone (visible as cast(ts as timestamp) +
+    Some(tz) in the plan), which skews by the DST offset delta between 1970
+    and the event date in non-UTC sessions; datediff/hour/minute and
+    extract(SECOND) read the wall-clock fields directly. SECOND is a
+    Decimal(8,6) covering the fraction — ×1e6 is exact decimal arithmetic."""
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("long")
+    mins = days * 1440 + F.hour(c).cast("long") * 60 + F.minute(c).cast("long")
+    return mins * 60_000_000 + (
+        F.date_part(F.lit("SECOND"), c) * 1_000_000
+    ).cast("long")
+
+
 @register(
     "events_sessionize",
     oracle=f"""
@@ -325,26 +340,23 @@ def events_sessionize(spark, sf_dir):
     (stream_session is the watermarked sibling; this is the exact batch
     restatement over the full history).
 
-    Timestamps are compared as unix_micros BIGINTs on both engines — the
-    events table carries microsecond precision, and double-seconds epoch()
-    would round differently per engine.
+    Timestamps are compared as epoch-microsecond BIGINTs on both engines
+    (_ntz_micros: tz-free field extraction; the events table carries
+    microsecond precision, and double-seconds epoch() would round
+    differently per engine).
 
     Scale shape: lag + running-sum share ONE window spec (user_id hash
     partition, single Exchange + Sort); the session aggregate is a second,
     map-side-combinable shuffle on (user_id, session_seq). No global
     window, no driver state — a 1000-executor cluster partitions by user
     exactly the same way."""
-    # ts is TIMESTAMP_NTZ: timestampdiff from the NTZ epoch is exact bigint
-    # microseconds with NO session-timezone dependency (unix_micros would
-    # require a tz-aware cast and inherit whatever tz the caller's session
-    # set; the driver owns the session, so stay tz-free).
+    # ts is TIMESTAMP_NTZ: _ntz_micros extracts exact bigint microseconds
+    # with NO session-timezone dependency (the driver owns the session).
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("us"),
+        _ntz_micros(F.col("ts")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     brk = (
@@ -366,4 +378,90 @@ def events_sessionize(spark, sf_dir):
         F.max("us").cast("long").alias("end_us"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type,
+               date_diff('microseconds', TIMESTAMP '1970-01-01', ts) AS us
+        FROM events
+    ),
+    v AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id) AS v_us
+        FROM e
+    ),
+    c AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND us > v_us THEN us END)
+                      OVER (PARTITION BY user_id) AS c_us
+        FROM v
+    ),
+    p AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > c_us THEN us END)
+                      OVER (PARTITION BY user_id) AS p_us
+        FROM c
+    )
+    SELECT user_id,
+           CAST(MAX(v_us) AS BIGINT) AS view_us,
+           CAST(MAX(c_us) AS BIGINT) AS click_us,
+           CAST(MAX(p_us) AS BIGINT) AS purchase_us,
+           CAST(CASE WHEN MAX(p_us) IS NOT NULL THEN 3
+                     WHEN MAX(c_us) IS NOT NULL THEN 2
+                     WHEN MAX(v_us) IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS reached
+    FROM p GROUP BY user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): per user, the
+    first view, the first click AFTER that view, and the first purchase
+    AFTER that click — strict event-order matching, not mere presence.
+    The product-analytics staple over the events model.
+
+    Shape: three chained UNBOUNDED windows over the same user_id
+    partitioning (no orderBy -> no Sort at all), each conditional MIN
+    referencing the previous stage's column; the final per-user collapse
+    reuses the same partitioning. One Exchange for the whole funnel,
+    plan-pinned. Timestamps as tz-free microsecond bigints (see
+    events_sessionize)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        _ntz_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id")
+    v = e.withColumn(
+        "v_us", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    c = v.withColumn(
+        "c_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("v_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    p = c.withColumn(
+        "p_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("us") > F.col("c_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    return p.groupBy("user_id").agg(
+        F.max("v_us").cast("long").alias("view_us"),
+        F.max("c_us").cast("long").alias("click_us"),
+        F.max("p_us").cast("long").alias("purchase_us"),
+        F.when(F.max("p_us").isNotNull(), 3)
+        .when(F.max("c_us").isNotNull(), 2)
+        .when(F.max("v_us").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reached"),
     )
