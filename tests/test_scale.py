@@ -440,3 +440,16 @@ def test_prefix_similarity_join_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_retention_no_self_join(spark):
+    """events_retention derives the cohort week from an unbounded window,
+    NOT a first-event self-join — the plan must contain no Join node and
+    a single events scan."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("events_retention").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan

@@ -465,3 +465,49 @@ def events_funnel(spark, sf_dir):
         .cast("long")
         .alias("reached"),
     )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                   AS week
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM e
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week - cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM c GROUP BY cohort_week, week - cohort_week
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by the week of their FIRST
+    event (cohort), then counted as active per (cohort, weeks-since-
+    cohort) cell — the third classic clickstream shape beside
+    events_sessionize and events_funnel. Weeks are integer epoch-day DIV 7
+    (tz-free date extraction, exact on both engines).
+
+    Scale shape: the cohort week comes from an unbounded MIN window (one
+    user_id exchange, no sort, no self-join back onto events — the
+    join-on-first-event formulation shuffles events twice); the matrix
+    aggregate is a COUNT DISTINCT over (cohort, offset), which Spark
+    expands map-side. Cell count is bounded by weeks², not data size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7"
+        ).alias("week"),
+    )
+    w = Window.partitionBy("user_id")
+    c = e.withColumn("cohort_week", F.min("week").over(w))
+    return c.groupBy(
+        F.col("cohort_week").cast("long").alias("cohort_week"),
+        (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
