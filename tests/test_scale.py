@@ -453,3 +453,20 @@ def test_retention_no_self_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_pagerank_no_cartesian_and_reuses_edges(spark):
+    """graph_pagerank's per-iteration joins must stay hash equi-joins
+    (rank ⋈ edges, contrib ⋈ nodes). The scalar node count attaches as
+    the accepted one-row-build BroadcastNestedLoopJoin (keyterms
+    precedent) — exactly 3 of them (init + 2 iterations), nothing bigger.
+    The persisted edge/degree slice must show up as InMemoryTableScan —
+    without it every iteration re-derives lineitem ⋈ orders."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("graph_pagerank").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan

@@ -11,6 +11,7 @@ _MODULES = (
     "llm",
     "dedup",
     "layout",
+    "graph",
     "similarity",
     "textstats",
     "streaming",
