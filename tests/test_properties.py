@@ -405,3 +405,104 @@ def test_minhash_recall_against_exact_jaccard(spark):
     assert got <= exact  # precision 1.0: no false positives survive verify
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} below floor ({len(got)}/{len(exact)})"
+
+
+def test_sessionize_partitions_events_and_respects_gap(spark):
+    """Sessions must PARTITION each user's events (Σ n_events = user's
+    event count), number contiguously from 1, never overlap, and be
+    separated by more than the 12 h gap — invariants checked independently
+    of the lag/running-sum implementation."""
+    from unfccc_documents_database_sandbox_spark.plans.windows import _SESSION_GAP_US
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    sessions = lookup("events_sessionize").build(spark, sf).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_user: dict = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_seq)
+        assert [r.session_seq for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == ev_counts[uid]
+        for r in rows:
+            assert r.start_us <= r.end_us
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_us - a.end_us > _SESSION_GAP_US
+
+
+def test_funnel_stage_ordering_and_reached(spark):
+    """Funnel timestamps must be strictly ordered stage to stage and the
+    reached level must match which stages are non-null (1=view, 2=+click,
+    3=+purchase; no gaps — a purchase without a preceding click never
+    counts)."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = lookup("events_funnel").build(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        stages = [r.view_us, r.click_us, r.purchase_us]
+        # prefix property: a later stage implies every earlier one
+        non_null_prefix = [s is not None for s in stages]
+        assert non_null_prefix == sorted(non_null_prefix, reverse=True), r
+        assert r.reached == sum(non_null_prefix)
+        if r.click_us is not None:
+            assert r.click_us > r.view_us
+        if r.purchase_us is not None:
+            assert r.purchase_us > r.click_us
+
+
+def test_prefix_similarity_matches_bruteforce(spark):
+    """join_similarity_prefix must return EXACTLY the pairs a brute-force
+    all-pairs bigram-Jaccard >= 0.5 sweep finds — the prefix filter is an
+    optimization, never a recall cut."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lookup("join_similarity_prefix").build(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    import re as _re
+
+    def grams(text):
+        ws = [w for w in _re.split("[^a-z]+", text.lower()) if w]
+        return {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+
+    sets = {r.doc_id: grams(r.text) for r in docs}
+    ids = sorted(sets)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter * 2 >= union:
+                expect.add((a, b))
+    assert got == expect
+
+
+def test_pagerank_mass_conservation_and_positivity(spark):
+    """Integer-scaled PageRank: every rank positive, and total mass within
+    the floor-division loss bound of the 1e12 budget (each DIV can drop
+    <1 unit per node/edge per iteration — losses are bounded and small,
+    never gains)."""
+    from unfccc_documents_database_sandbox_spark.plans.graph import _SCALE
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = lookup("graph_pagerank").build(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r.rank_scaled for r in rows)
+    assert all(r.rank_scaled > 0 for r in rows)
+    assert total <= _SCALE
+    # loss bound: ~2 units per node per division site, 3 sites, 2 iterations
+    assert total >= _SCALE - 20 * len(rows) - 1_000_000
