@@ -1245,3 +1245,56 @@ def source_schema_evolution(spark, sf_dir):
         .parquet(os.path.join(out, "batch=1"), os.path.join(out, "batch=2"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "agg_argext_bitwise",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id, user_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) * 100000000 + event_id
+                   AS ordkey
+        FROM events
+    )
+    SELECT event_type,
+           CAST(arg_max(event_id, ordkey) AS BIGINT) AS top_event_id,
+           CAST(arg_min(event_id, ordkey) AS BIGINT) AS low_event_id,
+           CAST(bit_or(1 << (user_id % 8)) AS BIGINT) AS presence_bitmap,
+           CAST(bit_xor(user_id) AS BIGINT) AS parity,
+           CAST(bit_and(user_id) AS BIGINT) AS common_bits
+    FROM e GROUP BY event_type
+    """,
+)
+def agg_argext_bitwise(spark, sf_dir):
+    """Argmax/argmin + bitwise aggregate surface (the A-family functions no
+    other key exercises): per event type, the event id carrying the
+    extreme value via max_by/min_by, plus bit_or/bit_xor/bit_and rollups
+    (presence bitmap over user slots, xor parity, common bit mask).
+
+    Determinism: max_by ties are undefined order in BOTH engines, so the
+    ordering argument is a single exact integer — micro-scaled value
+    (ROUND(value*1e6), the cents precedent from window_funcs) widened by
+    1e8 plus the unique event_id as tiebreak. No struct ordering: DuckDB's
+    arg_max can't take one, an orderable scalar keeps the twins aligned.
+
+    Scale shape: one map-side-combinable shuffle on event_type; every
+    aggregate here combines associatively (bitwise ops and keyed max are
+    semigroups), so partial aggregation does the heavy lifting."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "user_id",
+        (
+            F.round(F.col("value") * 1_000_000).cast("long") * 100_000_000
+            + F.col("event_id")
+        ).alias("ordkey"),
+    )
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", "ordkey").cast("long").alias("top_event_id"),
+        F.min_by("event_id", "ordkey").cast("long").alias("low_event_id"),
+        F.bit_or(
+            F.expr("CAST(shiftleft(1, CAST(user_id % 8 AS INT)) AS BIGINT)")
+        ).alias("presence_bitmap"),
+        F.bit_xor("user_id").cast("long").alias("parity"),
+        F.bit_and("user_id").cast("long").alias("common_bits"),
+    )
