@@ -107,9 +107,11 @@ ROTATED_GREEN: frozenset[str] = frozenset(
         # --- CORRECTNESS_r04.json rotation (round 5) ---
         # The 11 keys promoted into the r04 window all came back hash-green
         # (VERDICT r04: "50/50 rows clean ... 0 errors"); rotating them
-        # admits the next alphabetical z_ cohort (z_join_bucketed ...
-        # z_join_skew_salted) plus the un-rotated sort_global /
-        # sql_corr_subquery into the round-5 window.
+        # frees window slots. The round-5 window then holds the 29
+        # unrotated keys — the un-rotated sort_global / sql_corr_subquery
+        # (r01-only evidence, VERDICT r04 #3) plus this round's 27 new
+        # keys — and re-checks the first 21 z_ keys alphabetically
+        # (z_agg_* .. z_dedup_components).
         "source_pyds", "source_schema_evolution", "sql_tpch_q12",
         "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
         "sql_tpch_q4", "stream_stream_join", "text_keyterms",
