@@ -470,3 +470,42 @@ def test_pagerank_no_cartesian_and_reuses_edges(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 3, plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Semi-join reduction via Spark's runtime bloom filter: with a
+    selective filter on the orders side of a fact-fact join, the optimizer
+    must inject a bloom_filter_agg on the filtered side and a
+    might_contain guard on the lineitem side — at 100 TB that prunes most
+    of the big scan's rows BEFORE the shuffle. Thresholds are tuned down
+    because test-scale inputs are below the production defaults; the plan
+    shape, not the threshold, is what's pinned."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # and the guard must sit on the LINEITEM scan branch
+        li_branch = plan[plan.index("might_contain"):]
+        assert "lineitem" in li_branch, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
