@@ -247,7 +247,11 @@ def lsh_candidates(
 
 # at most one live generation of verify-stage caches per process (see
 # jaccard_verify): the pruned token set + the candidate pair set (+ the
-# pre-fan-out doc slice when minhash_near_dups owns the generation)
+# pre-fan-out doc slice when minhash_near_dups owns the generation).
+# CONTRACT (plans/graph.py twin): consume a pipeline's result before
+# starting the next — interleaved/concurrent builds stay CORRECT (lineage
+# recomputes) but the earlier one loses its cache reuse; not thread-safe,
+# single-threaded driver by design.
 _PERSISTED_TOKENS: list[DataFrame] = []
 
 

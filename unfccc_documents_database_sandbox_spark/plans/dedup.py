@@ -657,10 +657,14 @@ def join_similarity_prefix(spark, sf_dir):
     ws = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != F.lit("")
     )
+    # clamp: a doc with zero alphabetic tokens would pass slice length -1
+    # (INVALID_PARAMETER_VALUE.LENGTH at runtime) where the oracle's list
+    # comprehension yields [] — greatest(.,0) makes both sides agree on []
+    gram_len = F.greatest(F.size(ws) - 1, F.lit(0))
     grams = F.array_distinct(
         F.zip_with(
-            F.slice(ws, 1, F.size(ws) - 1),
-            F.slice(ws, 2, F.size(ws) - 1),
+            F.slice(ws, 1, gram_len),
+            F.slice(ws, 2, gram_len),
             lambda a, b: F.concat_ws(" ", a, b),
         )
     )
@@ -676,7 +680,6 @@ def join_similarity_prefix(spark, sf_dir):
             ).alias("toks")
         )
     )
-    n = F.size("toks")
     pre = arr.select(
         "doc_id",
         "toks",

@@ -24,7 +24,11 @@ _ITER = 2
 # list feeds outdeg + both sides of every iteration's join — unpersisted,
 # each reference re-derives lineitem ⋈ orders from scratch. Each call
 # evicts the previous call's caches; results are lazy, so a call can't
-# evict its own.
+# evict its own. CONTRACT: consume (collect/write) a build() result before
+# building the next graph plan — interleaved builds are still CORRECT
+# (unpersist only drops the cache; lineage recomputes), but the earlier
+# plan silently loses its cache reuse. Not thread-safe for the same
+# reason; the driver harness is single-threaded by design.
 _PERSISTED: list = []
 
 

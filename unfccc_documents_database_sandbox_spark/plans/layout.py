@@ -131,15 +131,19 @@ def layout_compaction(spark, sf_dir):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # integer DIV, not floor(double /): long/long division in Spark is
+    # double-typed, exact only below 2^53 — DIV keeps bigint exactness at
+    # any running-offset magnitude, matching the oracle's //
     s = d.select(
         "source",
         "doc_id",
         "n_chars",
-        F.floor(
-            (F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(_SHARD_CHARS)
-        )
-        .cast("long")
-        .alias("shard_id"),
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"start_off DIV {_SHARD_CHARS}").cast("long").alias("shard_id"),
     )
     return s.groupBy("source", "shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1279,7 +1279,14 @@ def agg_argext_bitwise(spark, sf_dir):
 
     Scale shape: one map-side-combinable shuffle on event_type; every
     aggregate here combines associatively (bitwise ops and keyed max are
-    semigroups), so partial aggregation does the heavy lifting."""
+    semigroups), so partial aggregation does the heavy lifting.
+
+    Fixture contract (ordkey bounds): round(value*1e6)*1e8 + event_id is
+    bigint-exact only while |value| < 92,233 (else the *1e8 widen wraps in
+    non-ANSI Spark where DuckDB would raise) and event_id < 1e8 (else the
+    tiebreak bleeds into the value bucket). The events fixture generates
+    value in [0, 1000) and event_id < 1e7, two+ orders inside both bounds;
+    widening either column past them requires re-deriving the scales."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "event_id",
