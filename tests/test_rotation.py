@@ -1,10 +1,13 @@
 """Rotation hygiene: the driver's correctness sweep checks only the FIRST 50
 registry keys in alphabetical order (registry.py:42-51), so rounds rotate
-already-evidenced keys behind a ``z_`` prefix to admit unchecked ones. These
-tests make that rotation mechanical — a rename can never again break a test
-(the r04 lesson: commit b8197f3 renamed docx_ingest -> z_docx_ingest and left
-tests/test_deploy.py indexing the old name) and the window invariant the
-rotation exists to maintain stays machine-checked.
+already-evidenced keys behind a ``z_`` prefix — and, since round 6, keys
+whose latest clean row is from the most recent round behind a ``zz_``
+prefix that sorts after every ``z_`` key (registry.ROTATED_FRESH), so the
+window always re-checks the OLDEST-evidenced cohort, not the one just
+checked. These tests make that rotation mechanical — a rename can never
+again break a test (the r04 lesson: commit b8197f3 renamed docx_ingest ->
+z_docx_ingest and left tests/test_deploy.py indexing the old name) and the
+window invariant the rotation exists to maintain stays machine-checked.
 """
 
 from __future__ import annotations
@@ -54,7 +57,9 @@ def test_every_referenced_key_resolves():
     missing = {
         name: where
         for name, where in referenced.items()
-        if name not in registry.REGISTRY and f"z_{name}" not in registry.REGISTRY
+        if not any(
+            k in registry.REGISTRY for k in (name, f"z_{name}", f"zz_{name}")
+        )
     }
     assert not missing, f"unresolvable registry keys referenced: {missing}"
 
@@ -73,28 +78,49 @@ def test_no_raw_public_name_indexing_in_tests():
     assert not offenders, f"raw queries()[...] indexing (use lookup()): {offenders}"
 
 
+def _rotated(key: str) -> bool:
+    return key.startswith("z_") or key.startswith("zz_")
+
+
 def test_rotated_set_is_consistent():
-    """ROTATED_GREEN names exist exactly once, under the z_ spelling."""
-    for name in registry.ROTATED_GREEN:
-        assert f"z_{name}" in registry.REGISTRY, f"z_{name} not registered"
+    """Every rotated name exists exactly once, under the spelling its tier
+    dictates: zz_ for ROTATED_FRESH (which takes precedence), z_ for the
+    rest of ROTATED_GREEN."""
+    for name in registry.ROTATED_FRESH:
+        assert f"zz_{name}" in registry.REGISTRY, f"zz_{name} not registered"
+        assert f"z_{name}" not in registry.REGISTRY, f"{name} doubly rotated"
         assert name not in registry.REGISTRY, f"{name} registered un-rotated too"
-    # and lookup() resolves both spellings to the same spec
-    for name in registry.ROTATED_GREEN:
-        assert registry.lookup(name) is registry.lookup(f"z_{name}")
+    for name in registry.ROTATED_GREEN - registry.ROTATED_FRESH:
+        assert f"z_{name}" in registry.REGISTRY, f"z_{name} not registered"
+        assert f"zz_{name}" not in registry.REGISTRY, f"{name} doubly rotated"
+        assert name not in registry.REGISTRY, f"{name} registered un-rotated too"
+    # and lookup() resolves the original spelling to the same spec
+    for name in registry.ROTATED_GREEN | registry.ROTATED_FRESH:
+        pub = registry.public_name(name)
+        assert registry.lookup(name) is registry.lookup(pub)
+
+
+def test_fresh_tier_sorts_after_green_tier():
+    """The zz_ tier exists solely to sort AFTER every z_ key, so the window
+    reaches the oldest-evidenced cohort first; pin the lexicographic fact."""
+    zs = [k for k in registry.REGISTRY if k.startswith("z_")]
+    zzs = [k for k in registry.REGISTRY if k.startswith("zz_")]
+    assert zs and zzs, "both rotation tiers should be populated"
+    assert max(zs) < min(zzs)
 
 
 def test_driver_window_contains_all_unrotated_keys():
-    """The invariant the rotation maintains: every un-rotated (non-z_) key
-    sorts inside the 50-key driver window — an un-rotated key outside the
+    """The invariant the rotation maintains: every un-rotated key sorts
+    inside the 50-key driver window — an un-rotated key outside the
     window would never receive a driver correctness row, silently."""
     keys = sorted(registry.REGISTRY)
     window = set(keys[:50])
-    stranded = [k for k in keys if not k.startswith("z_") and k not in window]
+    stranded = [k for k in keys if not _rotated(k) and k not in window]
     assert not stranded, f"un-rotated keys outside the 50-key window: {stranded}"
 
 
 def test_window_has_room_for_new_keys():
     """A new (never-evidenced) key registers un-prefixed and must land inside
     the window; that only works while non-z keys number well under 50."""
-    nonz = [k for k in sorted(registry.REGISTRY) if not k.startswith("z_")]
+    nonz = [k for k in sorted(registry.REGISTRY) if not _rotated(k)]
     assert len(nonz) <= 50, f"{len(nonz)} un-rotated keys cannot all be checked"

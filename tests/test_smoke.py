@@ -36,7 +36,9 @@ def test_driver_window_covers_all_unproven_keys():
     import __spark_entry__ as e
 
     keys = sorted(e.queries())
-    non_rotated = [k for k in keys if not k.startswith("z_")]
+    non_rotated = [
+        k for k in keys if not (k.startswith("z_") or k.startswith("zz_"))
+    ]
     assert len(non_rotated) <= 50, (
         f"{len(non_rotated)} unproven keys exceed the 50-key driver window: "
         f"{non_rotated}"

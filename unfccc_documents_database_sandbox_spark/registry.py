@@ -119,10 +119,54 @@ ROTATED_GREEN: frozenset[str] = frozenset(
     }
 )
 
+# --- CORRECTNESS_r05.json rotation (round 6): the FRESH tier ---
+# All 50 keys in the r05 window returned clean rows (VERDICT r05: 45
+# hash-green + 5 rows-only by design, 0 errors). A single z_ tier can no
+# longer advance the oldest evidence: the 21 z_agg_*..z_dedup_components
+# keys just re-evidenced in r05 sort FIRST among z_ keys, so rotating the
+# 29 non-z r05 keys behind plain z_ would hand the r06 window back to the
+# exact cohort that was checked last round, while r02/r03-era evidence
+# (z_dedup_components_star .. z_join_semi) kept aging. Keys whose LATEST
+# clean driver row is from the most recent round therefore move to a
+# second sort tier, zz_ ("z" > "_" makes every zz_ key sort after every
+# z_ key): the r06 window then holds this round's new un-prefixed keys
+# plus the OLDEST-evidenced z_ cohort — exactly the keys that need
+# re-evidencing (VERDICT r05 next-round #2). Next round this set merges
+# into ROTATED_GREEN and the r06 window cohort takes its place.
+ROTATED_FRESH: frozenset[str] = frozenset(
+    {
+        # the 29 non-z keys of the r05 window (27 new r05 keys +
+        # sort_global / sql_corr_subquery re-evidenced per VERDICT r04 #3)
+        "agg_argext_bitwise", "corpus_pipeline", "dedup_incremental",
+        "dedup_lines", "events_funnel", "events_retention",
+        "events_sessionize", "graph_pagerank", "index_inverted",
+        "join_similarity_prefix", "layout_compaction", "sim_topk_pq",
+        "sort_global", "source_orc", "sql_corr_subquery", "sql_tpch_q10",
+        "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
+        "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
+        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9", "stream_static_join",
+        "xlsx_ingest",
+        # the 21 z_ keys the r05 window re-checked (clean rows on file in
+        # CORRECTNESS_r05.json under their z_ spelling)
+        "agg_approx_distinct", "agg_approx_percentiles", "agg_cube",
+        "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
+        "agg_grouping_sets", "agg_hll_partitioned", "agg_percentiles",
+        "agg_pivot", "agg_rollup", "agg_sum_global", "agg_unpivot",
+        "array_ops", "case_when_block", "catalog_tables",
+        "contamination_check", "corpus_mix", "csv_roundtrip",
+        "date_extract", "dedup_components",
+    }
+)
+
 
 def public_name(name: str) -> str:
-    """The key a query registers under: rotated-green keys get the z_ prefix."""
-    return f"z_{name}" if name in ROTATED_GREEN else name
+    """The key a query registers under: last-round-evidenced keys get the
+    zz_ prefix (sorts after every z_ key), older rotated-green keys z_."""
+    if name in ROTATED_FRESH:
+        return f"zz_{name}"
+    if name in ROTATED_GREEN:
+        return f"z_{name}"
+    return name
 
 
 def register(
@@ -146,7 +190,11 @@ def register(
 
 def lookup(name: str) -> QuerySpec:
     """Fetch a spec by its original (pre-rotation) or public name."""
-    return REGISTRY.get(name) or REGISTRY[f"z_{name}"]
+    for key in (name, f"z_{name}", f"zz_{name}"):
+        spec = REGISTRY.get(key)
+        if spec is not None:
+            return spec
+    raise KeyError(name)
 
 
 def load_all_plans() -> None:
