@@ -509,3 +509,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_portable_no_python_in_corpus_path(spark):
+    """sim_topk_pq_portable is the all-JVM twin of the pandas-UDF PQ path:
+    its plan must contain no Python/Arrow eval nodes (encode + ADC run in
+    codegen), no cartesian (the query side is a broadcast), and only the
+    final per-query rank may shuffle."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("sim_topk_pq_portable").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan      # Batch/ArrowEvalPython
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

@@ -2,9 +2,16 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.functions.vectors import (
+    dot as vec_dot,
+)
+from unfccc_documents_database_sandbox_spark.functions.vectors import (
+    to_double as vec_to_double,
+)
 from unfccc_documents_database_sandbox_spark.operators import similarity as S
 from unfccc_documents_database_sandbox_spark.registry import register
 
@@ -99,6 +106,174 @@ def sim_topk_pq(spark, sf_dir):
         _PQ_CODEBOOKS[key] = S.train_pq_codebooks(emb, m=8, k=16)
     queries = emb.filter(F.col("vec_id") < 5)
     return S.pq_topk(emb, queries, topk=5, m=8, k=16, codebooks=_PQ_CODEBOOKS[key])
+
+
+def _pq_portable_oracle() -> str:
+    """DuckDB twin of sim_topk_pq_portable — same fixed codebook literals,
+    same fold orders (list_dot_product ≡ the Spark zip_with/aggregate left
+    fold, the sim_topk-proven pattern), same first-index argmin idiom
+    (list_position(dl, list_min(dl)) ≡ array_position(dl, array_min(dl)))."""
+    from unfccc_documents_database_sandbox_spark.plans.pq_codebook import (
+        PQ_CB, PQ_K, PQ_M, PQ_SUB,
+    )
+
+    fc_lit = "[" + ", ".join(repr(v) for v in PQ_CB) + "]"
+
+    def dl(j: int) -> str:
+        # per-candidate distance c·c - 2·(x_j·c); x·x dropped (row-constant)
+        cent = (
+            f"fc[(({j}*{PQ_K}) + c)*{PQ_SUB} + 1 : "
+            f"(({j}*{PQ_K}) + c)*{PQ_SUB} + {PQ_SUB}]"
+        )
+        xs = f"u[{j * PQ_SUB} + 1 : {j * PQ_SUB} + {PQ_SUB}]"
+        return (
+            f"list_transform(range(0, {PQ_K}), c -> "
+            f"list_dot_product({cent}, {cent})"
+            f" - 2.0 * list_dot_product({xs}, {cent}))"
+        )
+
+    codes = ", ".join(
+        f"list_position({dl(j)}, list_min({dl(j)})) - 1" for j in range(PQ_M)
+    )
+
+    def adc_term(j: int) -> str:
+        start = f"({j}*{PQ_K} + e.codes[{j + 1}])*{PQ_SUB}"
+        return (
+            f"list_dot_product("
+            f"q.qu[{j * PQ_SUB} + 1 : {j * PQ_SUB} + {PQ_SUB}], "
+            f"fc[{start} + 1 : {start} + {PQ_SUB}])"
+        )
+
+    score = " + ".join(f"({adc_term(j)})" for j in range(PQ_M))
+
+    return f"""
+    WITH cb AS (SELECT {fc_lit} AS fc),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    uu AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS u FROM vn),
+    enc AS (
+        SELECT vec_id, [{codes}] AS codes FROM uu CROSS JOIN cb
+    ),
+    q AS (SELECT vec_id AS query_id, u AS qu FROM uu WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, {score} AS score_raw
+        FROM q JOIN enc e ON e.vec_id <> q.query_id CROSS JOIN cb
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           ROUND(score_raw, 4) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_raw DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register("sim_topk_pq_portable", oracle=_pq_portable_oracle())
+def sim_topk_pq_portable(spark, sf_dir):
+    """The ORACLE-EXACT twin of sim_topk_pq (VERDICT r05 #3): the same
+    encode-to-codes + ADC-lookup-sum pipeline, but with the codebook pinned
+    as shared decimal literals (plans/pq_codebook.py — trained once,
+    inlined; the dedup_minhash_portable fixed-parameter split) and every
+    stage restated as JVM fold arithmetic both engines execute in the same
+    order, so the result hash-matches DuckDB exactly:
+
+    - unit-normalize: x / sqrt(dot(x, x)), dot = sequential left fold
+      (functions/vectors.py) ≡ DuckDB list_dot_product (sim_topk-proven).
+    - encode: per subspace j, distance to each centroid c is
+      c·c − 2·(x_j·c) (x·x row-constant, dropped); code = FIRST index of
+      the minimum via array_position(dl, array_min(dl)) ≡
+      list_position(dl, list_min(dl)) — identical tie-break by
+      construction, no float argmin ambiguity.
+    - ADC: score = Σ_j qu_j · centroid(j, code_j), generated as an explicit
+      left-associated 8-term sum on BOTH sides (no unordered SUM).
+
+    Production default stays sim_topk_pq (numpy-trained codebooks, Arrow
+    pandas-UDF encode); this twin runs everything row-local in codegen —
+    the corpus never shuffles until the final per-query top-k rank, and the
+    code array (m bytes/vector) is still the only per-row state the scan
+    carries. k=8 (vs production 16) keeps the inline codebook compact; the
+    pipeline shape is parameter-identical."""
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.plans.pq_codebook import (
+        PQ_CB, PQ_K, PQ_M, PQ_SUB,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", vec_to_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
+    un = v.select(
+        "vec_id",
+        F.transform("vec", lambda x: x / F.col("nrm")).alias("u"),
+    )
+
+    def cent(j: int, c: int) -> F.Column:
+        s = (j * PQ_K + c) * PQ_SUB
+        return F.lit(PQ_CB[s : s + PQ_SUB])
+
+    def dl(j: int) -> F.Column:
+        xs = F.slice("u", j * PQ_SUB + 1, PQ_SUB)
+        return F.array(
+            *[
+                vec_dot(cent(j, c), cent(j, c))
+                - F.lit(2.0) * vec_dot(xs, cent(j, c))
+                for c in range(PQ_K)
+            ]
+        )
+
+    with_dl = un.select(
+        "vec_id", "u", *[dl(j).alias(f"dl{j}") for j in range(PQ_M)]
+    )
+    enc = with_dl.select(
+        "vec_id",
+        F.array(
+            *[
+                F.array_position(f"dl{j}", F.array_min(f"dl{j}")) - 1
+                for j in range(PQ_M)
+            ]
+        ).alias("codes"),
+    )
+
+    q = F.broadcast(
+        un.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+        )
+    )
+    joined = enc.select(F.col("vec_id").alias("neighbor_id"), "codes").join(
+        q, F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def adc_term(j: int) -> F.Column:
+        start = (F.lit(j * PQ_K) + F.element_at("codes", j + 1)) * PQ_SUB + 1
+        return vec_dot(
+            F.slice("qu", j * PQ_SUB + 1, PQ_SUB),
+            F.slice(F.lit(PQ_CB), start, PQ_SUB),
+        )
+
+    scored = joined.withColumn(
+        "score_raw",
+        reduce(lambda a, b: a + b, [adc_term(j) for j in range(PQ_M)]),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("score_raw", 4).alias("score"),
+        )
+    )
 
 
 @register(
