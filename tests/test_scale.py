@@ -524,3 +524,45 @@ def test_pq_portable_no_python_in_corpus_path(spark):
     assert "EvalPython" not in plan, plan      # Batch/ArrowEvalPython
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_compaction_apply_one_file_per_shard(spark):
+    """layout_compaction_apply must leave exactly ONE parquet file per
+    (source, shard_id) directory — that IS the small-files fix — with the
+    directory count equal to the manifest row count, and every shard's
+    payload inside the packing band (target + one doc overshoot: a shard
+    closes only when the NEXT doc starts past the target)."""
+    import glob
+    import os
+
+    from unfccc_documents_database_sandbox_spark.plans.layout import _SHARD_CHARS
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    manifest = lookup("layout_compaction_apply").build(spark, SF_CORRECT)
+    rows = manifest.collect()
+    assert rows, "empty manifest"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tag = os.path.basename(SF_CORRECT.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo, ".csv_tmp", f"compacted_{tag}")
+    shard_dirs = glob.glob(os.path.join(out, "source=*", "shard_id=*"))
+    assert len(shard_dirs) == len(rows), (len(shard_dirs), len(rows))
+    for sd in shard_dirs:
+        files = [f for f in os.listdir(sd) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{sd}: {files}"
+
+    # packing band: a shard closes only when the next doc STARTS past the
+    # target, so its payload is < target + its largest doc
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+
+    max_doc = (
+        load_table(spark, SF_CORRECT, "documents")
+        .agg(F.max("n_chars"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.total_chars < _SHARD_CHARS + max_doc, r
+        assert r.first_doc <= r.last_doc, r

@@ -88,10 +88,7 @@ def layout_zorder(spark, sf_dir):
 
 _SHARD_CHARS = 65_536  # target shard payload (chars stand in for bytes)
 
-
-@register(
-    "layout_compaction",
-    oracle=f"""
+_MANIFEST_SQL = f"""
     WITH d AS (
         SELECT source, doc_id, n_chars,
                SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
@@ -109,8 +106,38 @@ _SHARD_CHARS = 65_536  # target shard payload (chars stand in for bytes)
            CAST(MIN(doc_id) AS BIGINT) AS first_doc,
            CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM s GROUP BY source, shard_id
-    """,
-)
+    """
+
+
+def _with_shard(d):
+    """Attach the running-offset shard assignment to a documents frame:
+    shard_id = starting-char-offset DIV target, packed per source. Integer
+    DIV (not floor of double division) keeps the arithmetic bigint-exact
+    at any running-offset magnitude, matching the oracle's //."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn(
+        "start_off", F.sum("n_chars").over(w) - F.col("n_chars")
+    ).withColumn(
+        "shard_id",
+        F.expr(f"start_off DIV {_SHARD_CHARS}").cast("long"),
+    )
+
+
+def _manifest(assigned):
+    """Aggregate doc-level shard assignments into the shard manifest."""
+    return assigned.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
+@register("layout_compaction", oracle=_MANIFEST_SQL)
 def layout_compaction(spark, sf_dir):
     """Small-file compaction planner: assign documents to ~64 KiB output
     shards by running-offset bin packing (shard = starting-offset DIV
@@ -125,29 +152,50 @@ def layout_compaction(spark, sf_dir):
     source dominates, pre-split it by a doc_id range key — same plan, finer
     partitions. Offsets are exact bigint char counts, so the oracle twin
     is hash-exact."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return _manifest(_with_shard(d))
+
+
+@register("layout_compaction_apply", oracle=_MANIFEST_SQL)
+def layout_compaction_apply(spark, sf_dir):
+    """The rewrite half of the OPTIMIZE story (VERDICT r05 #4):
+    layout_compaction PLANS the shards; this key EXECUTES the plan —
+    repartition the full document rows by (source, shard_id) and write
+    parquet partitioned the same way, so every shard becomes exactly one
+    output file (each (source, shard_id) combination hashes to exactly one
+    task, and partitionBy splits that task's output by directory), then
+    read the rewritten corpus BACK and re-derive the manifest from it.
+
+    The oracle is the manifest computed from the ORIGINAL table, so a
+    hash-green row proves round-trip integrity: the rewrite preserved
+    every row and every char of every shard. The one-file-per-shard and
+    size-band invariants are pinned in tests/test_scale.py (file counts
+    aren't SQL-expressible).
+
+    Scale shape: one shuffle sized by output shards (the repartition), one
+    file per shard — the standard small-files fix a 100 TB ingest needs
+    (the reference's pandas to_csv sink, generate_decisions_summaries.py:120,
+    sidesteps this at toy scale by writing one file total). Like
+    source_schema_evolution, the build writes under the repo's .csv_tmp/
+    as a side effect — sandbox-scale seam, documented."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"compacted_{tag}")
     d = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned = _with_shard(d).drop("start_off")
+    (
+        assigned.repartition("source", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("source", "shard_id")
+        .parquet(out)
     )
-    # integer DIV, not floor(double /): long/long division in Spark is
-    # double-typed, exact only below 2^53 — DIV keeps bigint exactness at
-    # any running-offset magnitude, matching the oracle's //
-    s = d.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
-    ).select(
-        "source",
-        "doc_id",
-        "n_chars",
-        F.expr(f"start_off DIV {_SHARD_CHARS}").cast("long").alias("shard_id"),
+    back = spark.read.parquet(out).withColumn(
+        "shard_id", F.col("shard_id").cast("long")
     )
-    return s.groupBy("source", "shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.min("doc_id").cast("long").alias("first_doc"),
-        F.max("doc_id").cast("long").alias("last_doc"),
-    )
+    return _manifest(back)
