@@ -566,3 +566,63 @@ def test_compaction_apply_one_file_per_shard(spark):
     for r in rows:
         assert r.total_chars < _SHARD_CHARS + max_doc, r
         assert r.first_doc <= r.last_doc, r
+
+
+def test_aqe_skew_join_splits_zipfian_hot_partition(spark):
+    """index_inverted's docstring names the 100 TB hazard: zipfian head
+    terms make one join partition dwarf the median. Pin that AQE's skew
+    join actually splits that hot partition (optimizer-driven counterpart
+    of the manual join_skew_salted): a 90%-hot-key fact joined to a term
+    dim under sort-merge must finalize with SortMergeJoin(skew=true) and a
+    skewed AQEShuffleRead. Thresholds are scaled down to test size; the
+    mechanism (bytes-vs-median trigger, partition splitting) is the same
+    one that fires at production sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 200_000
+        fact = (
+            spark.range(n)
+            .withColumn(
+                "term",
+                F.when(F.col("id") % 10 > 0, F.lit("the")).otherwise(
+                    F.concat(F.lit("t"), (F.col("id") % 1000).cast("string"))
+                ),
+            )
+            .withColumn("payload", F.lpad(F.col("id").cast("string"), 64, "x"))
+        )
+        dim = (
+            spark.range(1001)
+            .select(F.concat(F.lit("t"), F.col("id").cast("string")).alias("term"))
+            .union(spark.createDataFrame([("the",)], "term string"))
+            .withColumn("df_rank", F.length("term"))
+        )
+        j = fact.join(dim, "term").select("term", "payload", "df_rank")
+        assert len(j.collect()) == n  # every fact row matches exactly one term
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
