@@ -1,0 +1,150 @@
+"""Fault-injection soak for the LLM inference stage (VERDICT r05 #6).
+
+The mapInPandas stage's retry/backoff path had only ever been exercised
+against the always-succeeding stub. Here a local HTTP server rejects the
+first TWO attempts of every batch (429 then 500 — the rate-limit and
+transient-server failures a live API actually throws) before serving the
+deterministic stub response, so the test proves:
+
+- the per-batch retry in ``llm.batch.summarize`` recovers from injected
+  failures and the stage COMPLETES (max_retries=3 survives exactly two
+  failures per batch);
+- cost accounting stays exact under retries — failed attempts must not
+  double-bill (cost comes from the one successful response only);
+- results are identical to the no-failure stub path (same prompts →
+  same digests), i.e. retries change nothing but latency.
+
+The server runs in the test process; Spark workers on this host reach it
+over loopback — each worker's batch is an independent client, the same
+fan-out a 1000-executor cluster would apply to a real endpoint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from tests.conftest import SF_CORRECT
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.llm import batch as llm_batch
+from unfccc_documents_database_sandbox_spark.llm.http_client import HttpChatModel
+from unfccc_documents_database_sandbox_spark.llm.stub import (
+    COST_PER_CHAR,
+    StubChatModel,
+)
+
+
+class _FlakyStubHandler(BaseHTTPRequestHandler):
+    """429 on a batch's first attempt, 500 on its second, stub answer on
+    the third — keyed by payload hash so the schedule is deterministic
+    regardless of which worker connects when."""
+
+    attempts: dict[str, int] = {}
+    lock = threading.Lock()
+
+    def do_POST(self):  # noqa: N802 (http.server API)
+        n = int(self.headers.get("Content-Length", "0"))
+        payload = self.rfile.read(n)
+        key = hashlib.sha256(payload).hexdigest()
+        with self.lock:
+            seen = self.attempts.get(key, 0)
+            self.attempts[key] = seen + 1
+        if seen < 2:
+            self.send_response(429 if seen == 0 else 500)
+            self.end_headers()
+            return
+        prompts = json.loads(payload)["prompts"]
+        results = StubChatModel().complete_batch(prompts)
+        body = json.dumps({"results": results}).encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+def test_llm_stage_completes_under_injected_429_500(spark):
+    _FlakyStubHandler.attempts = {}
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _FlakyStubHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/v1/batch"
+    try:
+        docs = load_table(spark, SF_CORRECT, "documents").select(
+            "doc_id", llm_batch.prompt_column().alias("prompt")
+        )
+        flaky = llm_batch.summarize(
+            docs, model_factory=lambda: HttpChatModel(url)
+        ).collect()
+        baseline = llm_batch.summarize(docs).collect()  # in-process stub
+
+        # completion: every doc answered exactly once, despite failures
+        n_docs = docs.count()
+        assert len(flaky) == n_docs
+        assert sorted(r.doc_id for r in flaky) == sorted(
+            r.doc_id for r in baseline
+        )
+
+        # the server really did throttle: every batch took 3 attempts
+        assert _FlakyStubHandler.attempts, "server saw no traffic"
+        assert all(v == 3 for v in _FlakyStubHandler.attempts.values()), (
+            _FlakyStubHandler.attempts
+        )
+
+        # retries changed nothing but latency: responses and per-row cost
+        # match the no-failure stub path exactly
+        by_id_flaky = {r.doc_id: (r.response_json, r.cost) for r in flaky}
+        by_id_base = {r.doc_id: (r.response_json, r.cost) for r in baseline}
+        assert by_id_flaky == by_id_base
+
+        # cost accounting is exact under retries (no double-billing):
+        # SUM(cost) == COST_PER_CHAR * total prompt chars
+        total_chars = sum(
+            r.n for r in docs.selectExpr("length(prompt) AS n").collect()
+        )
+        total_cost = sum(c for _, c in by_id_flaky.values())
+        assert total_cost == pytest.approx(COST_PER_CHAR * total_chars)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_llm_stage_raises_when_retries_exhausted(spark):
+    """A batch that fails MORE times than max_retries must surface the
+    error loudly (partial/silent results are the failure mode a pipeline
+    can't detect); permanently-down endpoint → the stage raises."""
+
+    class _AlwaysDown(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers.get("Content-Length", "0"))
+            self.rfile.read(n)
+            self.send_response(500)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _AlwaysDown)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/v1/batch"
+    try:
+        docs = (
+            load_table(spark, SF_CORRECT, "documents")
+            .limit(10)
+            .select("doc_id", llm_batch.prompt_column().alias("prompt"))
+        )
+        with pytest.raises(Exception, match="500|Server Error"):
+            llm_batch.summarize(
+                docs, model_factory=lambda: HttpChatModel(url), max_retries=2
+            ).collect()
+    finally:
+        server.shutdown()
+        server.server_close()
