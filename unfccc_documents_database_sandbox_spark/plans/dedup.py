@@ -596,21 +596,27 @@ def dedup_incremental(spark, sf_dir):
     ),
     tok AS (SELECT doc_id, unnest(toks) AS term FROM grams),
     dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    vocab AS (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY df, term) AS tid FROM dfreq
+    ),
+    tid AS (
+        SELECT tok.doc_id, vocab.tid FROM tok JOIN vocab USING (term)
+    ),
     arr AS (
-        SELECT tok.doc_id,
-               list(tok.term ORDER BY dfreq.df, tok.term) AS toks,
-               COUNT(*) AS n
-        FROM tok JOIN dfreq USING (term) GROUP BY tok.doc_id
+        SELECT doc_id, list_sort(list(tid)) AS toks, COUNT(*) AS n
+        FROM tid GROUP BY doc_id
     ),
     pre AS (
-        SELECT doc_id, toks, toks[1 : CAST(n // 2 + 1 AS INT)] AS prefix
+        SELECT doc_id, n,
+               toks[1 : CAST(n - (2*n + 2) // 3 + 1 AS INT)] AS prefix
         FROM arr
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id, unnest(prefix) AS p FROM pre) a
-        JOIN (SELECT doc_id, unnest(prefix) AS p FROM pre) b
+        FROM (SELECT doc_id, n, unnest(prefix) AS p FROM pre) a
+        JOIN (SELECT doc_id, n, unnest(prefix) AS p FROM pre) b
           ON a.p = b.p AND a.doc_id < b.doc_id
+         AND a.n <= 2 * b.n AND b.n <= 2 * a.n
     ),
     verified AS (
         SELECT doc_a, doc_b,
@@ -640,17 +646,30 @@ def join_similarity_prefix(spark, sf_dir):
     Token sets are distinct word BIGRAMS (unigrams are useless here: the
     corpus vocabulary is ~31 terms, making every unigram set similar to
     every other — bigrams give a ~916-term space where Jaccard separates
-    real near-dups, the same 25 pairs MinHash finds). Prefix length is
-    exact integer arithmetic (n DIV 2 + 1 = n - ceil(n/2) + 1 for t=0.5);
-    a double 0.5*n can land epsilon off and over-shrink the prefix.
+    real near-dups, the same 25 pairs MinHash finds). Terms are mapped to
+    dense integer ids by (df, term) rank over the VOCABULARY table (vocab
+    ≪ corpus; the single-partition rank is vocabulary-sized, not
+    corpus-sized — range-partition it if the vocab itself outgrows one
+    task), so the canonical order becomes plain integer sort and the
+    verify intersect hashes ints, not strings.
+
+    Prefix length is the TIGHT Jaccard self-join prefix (PPJoin, Xiao et
+    al. WWW'08): p = n − ceil(2t/(1+t)·n) + 1, i.e. n − (2n+2) DIV 3 + 1
+    at t=0.5 — provably complete (if neither p-prefix hits a shared
+    token, overlap ≤ min suffix < ceil(t/(1+t)(na+nb)) = the qualifying
+    overlap), exact integer arithmetic on both engines. The r05 form used
+    the conservative containment prefix n DIV 2 + 1; on a small-vocab
+    corpus that admitted ~63% of ALL pairs as candidates (7.9M at sf0.1)
+    — the tight prefix plus the size filter (Jaccard ≥ 0.5 ⇒ sizes
+    within 2×, checked BEFORE the pair is materialized) cut candidates
+    ~4× and the verify cost with them.
 
     Scale shape: candidates come only from the equi-join on each doc's
-    RAREST n/2+1 tokens (pigeonhole guarantee under the shared
-    (df, term) canonical order) — the zipfian head never enters a
-    prefix, so fan-out stays near-linear; verify is row-local after two
-    doc_id-keyed array-attach joins. The threshold test and the reported
-    ratio are exact integer ppm, so the oracle twin is hash-exact. No
-    cartesian anywhere — plan-pinned."""
+    rarest-p tokens under the shared canonical order — the zipfian head
+    never enters a prefix, so fan-out stays near-linear; verify is
+    row-local array_intersect after two doc_id-keyed array-attach joins.
+    The threshold test and the reported ratio are exact integer ppm, so
+    the oracle twin is hash-exact. No cartesian anywhere — plan-pinned."""
     from unfccc_documents_database_sandbox_spark.catalog import spread
 
     d = load_table(spark, sf_dir, "documents")
@@ -670,36 +689,53 @@ def join_similarity_prefix(spark, sf_dir):
     )
     toks = spread(d).select("doc_id", F.explode(grams).alias("term"))
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.select(
+        "term", F.row_number().over(Window.orderBy("df", "term")).alias("tid")
+    )
     arr = (
-        toks.join(dfreq, "term")
+        toks.join(F.broadcast(vocab), "term")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "term"))),
-                lambda s: s["term"],
-            ).alias("toks")
+            F.array_sort(F.collect_list("tid")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
         )
     )
+    # arr feeds FIVE consumers (prefix explode, both sides of the
+    # candidate self-join through it, and the two array attaches); pt
+    # feeds both self-join sides; the distinct pair set feeds both
+    # verify attaches. Unpersisted, the tokenize→dfreq→rank→collect
+    # chain re-runs per consumer (measured 50 s vs ~6 s at sf0.1). All
+    # three caches are small (docs, prefix tokens, id pairs) and follow
+    # the minhash pipeline's generation-eviction contract
+    # (operators/dedup.py:248).
+    D._evict_generation()
+    arr = arr.persist()
+    D._PERSISTED_TOKENS.append(arr)
     pre = arr.select(
         "doc_id",
-        "toks",
-        F.slice("toks", 1, (F.expr("size(toks) DIV 2") + 1).cast("int")).alias(
-            "prefix"
-        ),
+        "n",
+        F.slice(
+            "toks", 1, (F.col("n") - F.expr("(2*n + 2) DIV 3") + 1).cast("int")
+        ).alias("prefix"),
     )
-    pt = pre.select("doc_id", F.explode("prefix").alias("p"))
+    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).persist()
+    D._PERSISTED_TOKENS.append(pt)
     cand = (
         pt.alias("a")
         .join(
             pt.alias("b"),
             (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
+    D._PERSISTED_TOKENS.append(cand)
     x = arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     y = arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     j = cand.join(x, "doc_a").join(y, "doc_b")
