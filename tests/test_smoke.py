@@ -32,12 +32,12 @@ def test_driver_window_covers_all_unproven_keys():
     in sorted order. Rotation invariant: every key WITHOUT a prior green
     driver row (the non-z_ keys) must sort inside that window — if this
     fails, a new key pushed an unproven key out of driver visibility and
-    ROTATED_GREEN needs rebalancing."""
+    the rotation tiers need rebalancing."""
     import __spark_entry__ as e
 
     keys = sorted(e.queries())
     non_rotated = [
-        k for k in keys if not (k.startswith("z_") or k.startswith("zz_"))
+        k for k in keys if not k.startswith(("z_", "zz_", "zzz_"))
     ]
     assert len(non_rotated) <= 50, (
         f"{len(non_rotated)} unproven keys exceed the 50-key driver window: "

@@ -41,77 +41,72 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The external driver's correctness sweep checks only the FIRST 50 keys in
 # alphabetical order (observed in CORRECTNESS_r01/r02: both stop at exactly 50
-# rows). By round 2 the registry had grown to 88 keys, so the sql_* / str_* /
-# stream_* / text_* / udf_* / window_* families had never received a driver
-# row despite being parity-green locally. Per VERDICT r02 "Next round" #2,
-# keys that already hold a green driver row in CORRECTNESS_r01/r02 are rotated
-# behind a "z_" sort prefix so the never-checked keys enter the 50-key window.
-# Nothing else changes: the builder, the oracle, and the plan are identical —
-# only the registry sort position moves, and prior rounds' green rows remain
-# on file for the rotated keys (see README "Driver-window rotation").
-ROTATED_GREEN: frozenset[str] = frozenset(
+# rows), so evidenced keys rotate behind sort prefixes to keep the window
+# pointed at the keys that need a (re-)check most. Since round 6 the rotation
+# is an explicit evidence-age QUEUE with three lexicographic tiers
+# ("z_" < "zz_" < "zzz_" because "_" < "z"):
+#
+#   (unprefixed)     never driver-evidenced — always inside the window
+#   z_   = DUE       oldest latest-evidence; fills the window after the
+#                    unprefixed keys so the stalest evidence refreshes first
+#   zz_  = NEXT      middle-aged evidence; receives the window spillover
+#   zzz_ = PARKED    evidenced in the latest round; sorts last
+#
+# Each round the freshly evidenced cohort moves to PARKED, the old DUE tier
+# (just re-evidenced) also moves to PARKED, and the oldest PARKED/NEXT keys
+# are promoted into DUE sized to fill the window. Nothing else changes: the
+# builder, the oracle, and the plan are identical — only the registry sort
+# position moves, and prior rounds' green rows remain on file under the
+# rotated spellings (see README "Driver-window rotation"; invariants are
+# machine-checked by tests/test_rotation.py).
+#
+# History: r02 introduced single-tier z_ rotation (VERDICT r02 #2); r05
+# un-rotated sort_global / sql_corr_subquery for re-evidence (VERDICT r04
+# #3); r06 introduced the tiers above (VERDICT r05 #2) because a single z_
+# tier kept handing the window back to the cohort checked the round before
+# while r02-era evidence aged.
+
+# DUE (z_): latest clean driver row is CORRECTNESS_r02.json — the oldest
+# evidence on file; the r06 window re-checks all 30 (27 hash-green r02 rows
+# + dedup_fuzzy_minhash / dedup_simhash / doc_rolling_hash rows-only by
+# design: approximate / hash-seeded semantics documented at their builders).
+ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # CORRECTNESS_r02.json pass rows
-        "agg_cube", "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
-        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
-        "array_ops", "case_when_block", "corpus_mix", "csv_roundtrip",
-        "date_extract", "dedup_components", "dedup_exact", "dedup_hash_sha",
-        "dedup_latest", "dedup_ngram_jaccard", "doc_fingerprint",
-        "filter_notnull", "filter_or_eq", "join_asof",
-        # join_anti is deliberately NOT rotated despite its green r02 row:
-        # r03 changed its predicate (the old form was vacuously empty on
-        # this corpus), so the new semantics need a fresh driver row.
-        "join_bridge", "join_child_collect", "join_inner_fk",
-        "join_left_nullable", "join_range", "join_semi", "join_skew_salted",
-        "json_extract", "lang_id", "limit_n", "map_ops", "math_arith",
-        "multimodal_decode", "multimodal_frame_sample", "multimodal_resize",
-        "numbering_normalize", "project_columns", "sample_hash_mod",
-        "scan_full",
-        # CORRECTNESS_r02.json rows-only rows (no-oracle by design, row
-        # evidence recorded)
-        "agg_approx_distinct", "catalog_tables", "dedup_fuzzy_minhash",
-        "dedup_simhash", "doc_rolling_hash",
-        # sort_global and sql_corr_subquery were parked here r02–r04 on the
-        # strength of their r01 rows; per VERDICT r04 "Next round" #3 they are
-        # UN-rotated for round 5 (removed from this set) so the driver's
-        # 50-key window re-evidences them — after which every key's latest
-        # row is at most three rounds old.
-        # docx_ingest and multimodal_features_topk are NOT rotated despite
-        # their r02 rows-only rows: r03 upgrades both to exact oracles
-        # (VALUES-literal / hex-digit featurizer restatement), so the
-        # hash-checked forms need fresh driver rows.
-        # NOT rotated: agg_approx_percentiles (r02 row was an error; the
-        # scalarized fix needs a fresh driver row this round).
-        # --- CORRECTNESS_r03.json rotation (round 4) ---
-        # All 50 keys in the r03 driver window returned clean rows: 45
-        # hash-green against their DuckDB oracles, 5 rows-only by design
-        # (agg_approx_percentiles, agg_hll_partitioned, sim_topk_ivf,
-        # sim_topk_lsh, stream_dedup_live — approximate / sketch /
-        # streaming-convergence semantics documented at their builders).
-        "agg_approx_percentiles", "agg_grouping_sets", "agg_hll_partitioned",
-        "agg_unpivot", "contamination_check", "dedup_components_star",
-        "dedup_minhash_portable", "dedup_simhash_portable", "dedup_substring",
-        "docx_ingest", "join_anti", "join_bucketed", "join_dpp",
-        "join_full_outer", "join_interval_overlap", "json_roundtrip",
-        "layout_zorder", "merge_upsert", "multimodal_features_topk",
-        "pack_sequences", "sample_stratified", "set_ops",
-        "sim_near_dup_pairs", "sim_topk", "sim_topk_ivf", "sim_topk_lsh",
-        "sql_tpch_q1", "sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q6",
-        "sql_window_range", "str_funcs", "stream_dedup_live",
-        "stream_session", "stream_sliding", "stream_stateful_profile",
-        "stream_tumbling", "stream_watermark_live", "text_funcs",
-        "text_length_hist", "text_pii_scrub", "text_repetition",
+        "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
+        "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
+        "doc_fingerprint", "doc_rolling_hash", "filter_notnull",
+        "filter_or_eq", "join_asof", "join_bridge", "join_child_collect",
+        "join_inner_fk", "join_left_nullable", "join_range", "join_semi",
+        "join_skew_salted", "json_extract", "lang_id", "limit_n", "map_ops",
+        "math_arith", "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_resize", "numbering_normalize", "project_columns",
+        "sample_hash_mod", "scan_full",
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r03.json (45 keys,
+# first block) or CORRECTNESS_r04.json (11 keys, second block). These
+# receive the r06 window spillover beyond the DUE tier and are the r07
+# promotion pool.
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
+        # r03 evidence (rows-only by design among these: sim_topk_ivf,
+        # sim_topk_lsh, stream_dedup_live — approx / stream-state)
+        "dedup_components_star", "dedup_minhash_portable",
+        "dedup_simhash_portable", "dedup_substring", "docx_ingest",
+        "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
+        "join_interval_overlap", "json_roundtrip", "layout_zorder",
+        "merge_upsert", "multimodal_features_topk", "pack_sequences",
+        "sample_stratified", "set_ops", "sim_near_dup_pairs", "sim_topk",
+        "sim_topk_ivf", "sim_topk_lsh", "sql_tpch_q1", "sql_tpch_q3",
+        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
+        "stream_dedup_live", "stream_session", "stream_sliding",
+        "stream_stateful_profile", "stream_tumbling", "stream_watermark_live",
+        "text_funcs", "text_length_hist", "text_pii_scrub", "text_repetition",
         "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
         "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
         "udtf_explode_blocks", "window_funcs",
-        # --- CORRECTNESS_r04.json rotation (round 5) ---
-        # The 11 keys promoted into the r04 window all came back hash-green
-        # (VERDICT r04: "50/50 rows clean ... 0 errors"); rotating them
-        # frees window slots. The round-5 window then holds the 29
-        # unrotated keys — the un-rotated sort_global / sql_corr_subquery
-        # (r01-only evidence, VERDICT r04 #3) plus this round's 27 new
-        # keys — and re-checks the first 21 z_ keys alphabetically
-        # (z_agg_* .. z_dedup_components).
+        # r04 evidence
         "source_pyds", "source_schema_evolution", "sql_tpch_q12",
         "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
         "sql_tpch_q4", "stream_stream_join", "text_keyterms",
@@ -119,21 +114,10 @@ ROTATED_GREEN: frozenset[str] = frozenset(
     }
 )
 
-# --- CORRECTNESS_r05.json rotation (round 6): the FRESH tier ---
-# All 50 keys in the r05 window returned clean rows (VERDICT r05: 45
-# hash-green + 5 rows-only by design, 0 errors). A single z_ tier can no
-# longer advance the oldest evidence: the 21 z_agg_*..z_dedup_components
-# keys just re-evidenced in r05 sort FIRST among z_ keys, so rotating the
-# 29 non-z r05 keys behind plain z_ would hand the r06 window back to the
-# exact cohort that was checked last round, while r02/r03-era evidence
-# (z_dedup_components_star .. z_join_semi) kept aging. Keys whose LATEST
-# clean driver row is from the most recent round therefore move to a
-# second sort tier, zz_ ("z" > "_" makes every zz_ key sort after every
-# z_ key): the r06 window then holds this round's new un-prefixed keys
-# plus the OLDEST-evidenced z_ cohort — exactly the keys that need
-# re-evidencing (VERDICT r05 next-round #2). Next round this set merges
-# into ROTATED_GREEN and the r06 window cohort takes its place.
-ROTATED_FRESH: frozenset[str] = frozenset(
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r05.json — the 50
+# keys of the r05 window (45 hash-green + 5 rows-only by design: VERDICT
+# r05). 29 were un-prefixed r05 keys; 21 were z_-spelled re-checks.
+ROTATED_PARKED: frozenset[str] = frozenset(
     {
         # the 29 non-z keys of the r05 window (27 new r05 keys +
         # sort_global / sql_corr_subquery re-evidenced per VERDICT r04 #3)
@@ -158,14 +142,26 @@ ROTATED_FRESH: frozenset[str] = frozenset(
     }
 )
 
+# Backwards-compatible aliases (README r05 wording; superseded by the
+# three-tier queue above — GREEN is "every rotated key", FRESH is PARKED).
+ROTATED_GREEN: frozenset[str] = ROTATED_DUE | ROTATED_NEXT | ROTATED_PARKED
+ROTATED_FRESH: frozenset[str] = ROTATED_PARKED
+
+_TIER_PREFIX: tuple[tuple[frozenset[str], str], ...] = (
+    (ROTATED_DUE, "z_"),
+    (ROTATED_NEXT, "zz_"),
+    (ROTATED_PARKED, "zzz_"),
+)
+
 
 def public_name(name: str) -> str:
-    """The key a query registers under: last-round-evidenced keys get the
-    zz_ prefix (sorts after every z_ key), older rotated-green keys z_."""
-    if name in ROTATED_FRESH:
-        return f"zz_{name}"
-    if name in ROTATED_GREEN:
-        return f"z_{name}"
+    """The key a query registers under: its rotation tier's sort prefix
+    (z_ = due for re-evidence, zz_ = next, zzz_ = parked/fresh), or the
+    bare name for never-evidenced keys (which must sort inside the 50-key
+    driver window — machine-checked by tests/test_rotation.py)."""
+    for tier, prefix in _TIER_PREFIX:
+        if name in tier:
+            return f"{prefix}{name}"
     return name
 
 
@@ -190,7 +186,7 @@ def register(
 
 def lookup(name: str) -> QuerySpec:
     """Fetch a spec by its original (pre-rotation) or public name."""
-    for key in (name, f"z_{name}", f"zz_{name}"):
+    for key in (name, f"z_{name}", f"zz_{name}", f"zzz_{name}"):
         spec = REGISTRY.get(key)
         if spec is not None:
             return spec
