@@ -18,6 +18,8 @@ _MODULES = (
     "multimodal",
     "sql_queries",
     "pysources",
+    "training",
+    "analytics",
 )
 
 
