@@ -506,3 +506,162 @@ def test_pagerank_mass_conservation_and_positivity(spark):
     assert total <= _SCALE
     # loss bound: ~2 units per node per division site, 3 sites, 2 iterations
     assert total >= _SCALE - 20 * len(rows) - 1_000_000
+
+
+# ---------------------------------------------------------------- round 6
+
+
+@given(
+    n_tokens=st.integers(0, 120),
+)
+@settings(**SETTINGS)
+def test_chunk_sliding_covers_every_token_exactly(spark, n_tokens):
+    """Sliding chunking invariants for any doc length: (1) every token
+    index is covered by >= 1 chunk; (2) all chunks are full-width (32)
+    when n >= 32, and a single n-width chunk otherwise; (3) consecutive
+    starts advance by stride except the clamped final start; (4) chunk
+    count = 1 + ceil((n-32)/24) for n > 32."""
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _CHUNK_SIZE as SIZE,
+        _CHUNK_STRIDE as STRIDE,
+        text_chunk_sliding,
+    )
+    import math
+    import os
+    import tempfile
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, text, "en", "src0", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = sorted(
+            text_chunk_sliding(spark, td).collect(), key=lambda r: r.chunk_idx
+        )
+    # split(" ") of "" yields [""], one empty token — the plan mirrors the
+    # oracle: a single chunk of the (empty) token
+    n = max(n_tokens, 1)
+    expected = 1 if n <= SIZE else 1 + math.ceil((n - SIZE) / STRIDE)
+    assert len(rows) == expected
+    covered = set()
+    for r in rows:
+        assert r.chunk_len == min(SIZE, n)
+        covered.update(range(r.start, r.start + r.chunk_len))
+        if n >= SIZE:
+            assert r.start == min(r.chunk_idx * STRIDE, n - SIZE)
+    assert covered == set(range(n))
+
+
+def test_events_anomaly_matches_numpy_zscore(spark):
+    """The integer-exact flag predicate must agree with the straightforward
+    float z-score on the real corpus (no boundary case at sf0.001), and
+    every reported zscore must exceed 3 in absolute value."""
+    import numpy as np
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    flagged = lookup("events_anomaly").build(spark, SF_CORRECT).collect()
+    assert flagged, "corpus should contain |z|>3 events"
+    ev = (
+        lookup("scan_full")
+        .build(spark, SF_CORRECT)
+        .sparkSession.read.parquet(f"{SF_CORRECT}/events.parquet")
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    flagged_ids = {r.event_id for r in flagged}
+    for etype, grp in ev.groupby("event_type"):
+        v = np.round(grp["value"].to_numpy() * 100).astype(np.int64)
+        mu, sd = v.mean(), v.std()  # population std, matches sigma^2=(nQ-S^2)/n^2
+        z = (v - mu) / sd
+        np_ids = set(grp.loc[np.abs(z) > 3, "event_id"])
+        got = flagged_ids & set(grp["event_id"])
+        assert got == np_ids, etype
+    for r in flagged:
+        assert abs(r.zscore) > 3
+
+
+def test_triangle_enumeration_on_crafted_graph(spark):
+    """Oriented-edge triangle join on a known graph: K4 plus a pendant
+    vertex has exactly C(4,3)=4 triangles, each emitted once, sorted
+    p1<p2<p3."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    # orders o1..o6 each buy one K4 edge pair twice (support >= 2);
+    # pendant edge (4,5) appears once -> support-pruned
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    rows = []
+    oid = 0
+    for a, b in k4:
+        for _ in range(2):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    oid += 1
+    rows += [(oid, 4), (oid, 5)]  # support-1 pendant
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        tri = sorted(
+            tuple(r) for r in lookup("graph_triangles").build(spark, td).collect()
+        )
+    assert tri == [(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)]
+
+
+def test_mode_tie_breaks_on_smallest_value(spark):
+    """agg_mode_freq: equal-count candidates resolve to the SMALLEST k —
+    pinned on a crafted tie so the determinism rule is a checked fact."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, '{"k": 7}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 1.0, '{"k": 3}'),
+        (3, "2024-01-01 00:00:02", 1, "click", 1.0, '{"k": 7}'),
+        (4, "2024-01-01 00:00:03", 1, "click", 1.0, '{"k": 3}'),
+        (5, "2024-01-01 00:00:04", 1, "view", 1.0, '{"k": 9}'),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.event_type: (r.mode_k, r.mode_cnt)
+            for r in lookup("agg_mode_freq").build(spark, td).collect()
+        }
+    assert got == {"click": (3, 2), "view": (9, 1)}
+
+
+def test_scd2_intervals_partition_user_timeline(spark):
+    """SCD-2 invariants on the real corpus: per user, intervals are
+    non-overlapping, contiguous (valid_to = next valid_from), exactly one
+    open current row, and consecutive intervals change k."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = lookup("scd2_history").build(spark, SF_CORRECT).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in ivs) == 1, uid
+        assert ivs[-1].is_current == 1 and ivs[-1].valid_to is None, uid
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.k != b.k or (a.k is None) != (b.k is None), uid

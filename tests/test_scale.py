@@ -626,3 +626,60 @@ def test_aqe_skew_join_splits_zipfian_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round6_plans_are_cartesian_free_and_broadcast(spark):
+    """Round-6 operators: no CartesianProduct/BroadcastNestedLoopJoin
+    anywhere; the per-group-stats-broadcast-back keys actually broadcast
+    (a global window over the fact table would be the 100 TB anti-pattern
+    their docstrings rule out)."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    keys = [
+        "text_vocab", "text_tfidf", "text_chunk_sliding", "text_bpe_pairs",
+        "text_bigram_cond", "agg_mode_freq", "agg_corr_exact",
+        "agg_decimal_money", "events_anomaly", "events_attribution",
+        "scd2_history", "basket_pairs", "graph_triangles", "join_lateral",
+        "join_null_safe",
+    ]
+    for key in keys:
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+    for key in ["events_anomaly", "text_tfidf", "text_bigram_cond",
+                "join_null_safe", "agg_decimal_money"]:
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, key
+
+
+def test_scd2_single_exchange_and_chunking_shuffle_free(spark):
+    """scd2_history's two window passes share one (user_id) shuffle+sort —
+    Catalyst must plan exactly one Exchange; text_chunk_sliding is pure
+    per-row fan-out and must plan ZERO exchanges (chunking 100 TB should
+    never shuffle)."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    scd = lookup("scd2_history").build(spark, SF_CORRECT)
+    plan = scd._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    chunk = lookup("text_chunk_sliding").build(spark, SF_CORRECT)
+    plan = chunk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_lateral_join_plans_as_window_not_nested_loop(spark):
+    """Catalyst must rewrite the correlated LATERAL ... ORDER BY ... LIMIT
+    into a window/domain-join shape — never per-outer-row re-execution
+    (no nested-loop join in the physical plan)."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("join_lateral").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "TakeOrdered" in plan, plan

@@ -205,8 +205,7 @@ def agg_decimal_money(spark, sf_dir):
     )
     SELECT e.event_id, e.event_type, e.value,
            ROUND((s.n * e.v - s.sv)
-                 / sqrt(CAST(s.n AS DOUBLE)
-                        * CAST(s.n * s.qv - s.sv * s.sv AS DOUBLE)), 6)
+                 / sqrt(CAST(s.n * s.qv - s.sv * s.sv AS DOUBLE)), 6)
                AS zscore
     FROM e, s
     WHERE e.event_type = s.event_type
@@ -221,7 +220,7 @@ def events_anomaly(spark, sf_dir):
     and DuckDB flag the identical row set even at the decision boundary;
     the reported z-score is one double division of exact integers.
     Variance identity: sigma^2 = (nQ - S^2)/n^2, z = (v-mu)/sigma =
-    (nv - S)/sqrt(n(nQ - S^2)). Scale: stats aggregate to |event_type|
+    (nv - S)/sqrt(nQ - S^2) (the n in (nv-S)/n cancels the /n of sigma). Scale: stats aggregate to |event_type|
     rows and broadcast back onto the fact scan — one shuffle to 5 rows +
     a map-side join, the pattern that survives 100 TB (a global window
     would shuffle everything to compute 5 numbers)."""
@@ -245,10 +244,7 @@ def events_anomaly(spark, sf_dir):
             "event_id",
             "event_type",
             "value",
-            F.round(
-                dev / F.sqrt(F.col("n").cast("double") * var_n2.cast("double")),
-                6,
-            ).alias("zscore"),
+            F.round(dev / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
         )
     )
 
