@@ -641,7 +641,8 @@ def test_round6_plans_are_cartesian_free_and_broadcast(spark):
         "text_bigram_cond", "agg_mode_freq", "agg_corr_exact",
         "agg_decimal_money", "events_anomaly", "events_attribution",
         "scd2_history", "basket_pairs", "graph_triangles", "join_lateral",
-        "join_null_safe",
+        "join_null_safe", "dedup_embedding", "agg_skewness_exact",
+        "window_cume_distinct",
     ]
     for key in keys:
         df = lookup(key).build(spark, SF_CORRECT)

@@ -571,3 +571,115 @@ def join_null_safe(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("event_id").cast("long").alias("n_events"))
     )
+
+
+@register(
+    "agg_skewness_exact",
+    oracle=f"""
+    WITH {_EVENTS_CENTS},
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(v * v) AS BIGINT) AS qv,
+               CAST(SUM(v * v * v) AS BIGINT) AS tv
+        FROM e GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(CAST(n AS HUGEINT) * n * tv
+                      - 3 * CAST(n AS HUGEINT) * sv * qv
+                      + 2 * CAST(sv AS HUGEINT) * sv * sv AS DOUBLE)
+                 / (sqrt(CAST(n * qv - sv * sv AS DOUBLE))
+                    * CAST(n * qv - sv * sv AS DOUBLE)), 6) AS skewness
+    FROM s
+    """,
+)
+def agg_skewness_exact(spark, sf_dir):
+    """Population skewness per event type from INTEGER moment sums:
+    g1 = m3/m2^1.5 algebraically rearranged to
+    (n^2*T - 3nSQ + 2S^3) / (nQ - S^2)^1.5 so every intermediate is
+    exact — the combination step needs ~1e24, beyond int64, so Spark
+    computes it in DECIMAL(38,0) and DuckDB in HUGEINT (both exact
+    integer arithmetic; both convert the exact value to double with
+    correct rounding, so the quotient hashes identically). The ^1.5 is
+    written sqrt(d)*d — never pow(x,1.5), whose libm/JVM implementations
+    can disagree in the last ulp. Bounds: v <= ~5e4 cents, n <= ~2e3 per
+    group -> T <= 2.4e17 (int64-safe per sum), n^2*T <= ~1e24
+    (DECIMAL/HUGEINT-safe). Like agg_corr_exact: Spark's built-in
+    skewness() accumulates doubles in partition order and cannot
+    hash-match another engine; this restatement can. One partial-agg
+    shuffle to |groups| rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("qv"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("tv"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (
+        dec("n") * dec("n") * dec("tv")
+        - F.lit(3) * dec("n") * dec("sv") * dec("qv")
+        + F.lit(2) * dec("sv") * dec("sv") * dec("sv")
+    )
+    d = (F.col("n") * F.col("qv") - F.col("sv") * F.col("sv")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(num.cast("double") / (F.sqrt(d) * d), 6).alias("skewness"),
+    )
+
+
+@register(
+    "window_cume_distinct",
+    oracle=f"""
+    WITH {_EVENTS_CENTS},
+    firsts AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM e
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_distinct_types
+    FROM firsts
+    """,
+)
+def window_cume_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) per user over time — the window aggregate
+    SQL engines refuse to evaluate directly (DISTINCT inside a running
+    frame). Standard rewrite: mark each (user, event_type)'s first
+    occurrence with a row_number window, then running-SUM the marks over
+    the user timeline. Scale: two window passes over DIFFERENT partition
+    keys ((user_id, event_type) then (user_id)) — the second is a strict
+    coarsening of the first, so AQE-planned exchange reuse keeps it to
+    two bounded shuffles; state per row is one bit, never a growing
+    distinct-set accumulator (the naive collect_set-over-frame rewrite
+    carries O(k) state per row and dies on high-cardinality types)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_first").over(w_run).cast("long").alias("n_distinct_types"),
+        )
+    )

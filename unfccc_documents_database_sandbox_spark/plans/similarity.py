@@ -295,3 +295,57 @@ def sim_near_dup_pairs(spark, sf_dir):
     keeps the key's evidence non-trivial (5 pairs at sf0.01)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.4)
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH RECURSIVE {_COSINE_CTE},
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b, id_a FROM p
+    ),
+    reach AS (
+        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        UNION
+        SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+    )
+    SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS canonical_id,
+           CAST(CASE WHEN MIN(r) = id THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP end-to-end (the decision layer on
+    top of sim_near_dup_pairs' pair stream): cosine >= 0.4 pairs inside
+    label blocks (LSH-bucket stand-in) -> connected components (min-label
+    propagation, operators/dedup.py) -> canonical = min vec_id per
+    cluster, everything else flagged is_dup — the keep/drop verdict a
+    training pipeline actually consumes. Scale: identical join shape to
+    sim_near_dup_pairs (quadratic only within blocks), then the
+    Pregel-style component loop whose per-round cost is one edge join +
+    one grouped min; cluster diameters for near-dup graphs are tiny, so
+    rounds stay single-digit. Oracle: recursive transitive-closure CTE,
+    the dedup_components precedent."""
+    from unfccc_documents_database_sandbox_spark.operators import dedup as D
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.4)
+    labels = D.connected_components(
+        emb.select("vec_id"),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        id_col="vec_id",
+    )
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("long").alias("canonical_id"),
+        F.when(F.col("label") == F.col("id"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("is_dup"),
+    )
