@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.catalog import ensure_pyfiles
@@ -47,4 +49,66 @@ def x_source_pyds(spark, sf_dir):
     return ledger.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_entries"),
         F.sum("amount_cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "source_jdbc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_jdbc(spark, sf_dir):
+    """S2 JDBC source/sink END-TO-END, driver-checkable (upgrades S2 from
+    "partial, contract-tested" — VERDICT r05 coverage table): the nation
+    table written INTO an embedded Derby database through Spark's JDBC
+    sink (DataSource V1 write path, DerbyDialect DDL generation — the
+    same code path a Postgres URL takes), then read back through
+    read_jdbc's PARTITIONED-read path (4 range partitions on the key) and
+    hash-compared against the parquet ground truth. Derby ships inside
+    Spark's JVM (derby-10.16.x in pyspark/jars), so the database is real
+    but embedded — no external server, which is exactly the sandbox
+    constraint SURVEY §2 recorded.
+
+    Scale notes: the partitioned read IS the 100 TB lesson — a bare JDBC
+    read serializes the whole table through one connection; bounds come
+    from the key domain so each task reads a closed range. In-memory
+    Derby DBs are JVM-wide, so local-mode executor threads share the
+    written table; mode("overwrite") makes repeated builds (driver sweep,
+    parity suite, bench warm-up) idempotent. Identifier case: Derby
+    uppercases unquoted identifiers — the read-back projection re-aliases
+    to the lowercase parquet schema so the oracle twin is column-exact.
+    n_comment (free text) stays out of the projection: DerbyDialect maps
+    StringType to CLOB, and Derby range-partition predicates over rows
+    carrying CLOBs are legal but pointlessly heavy for the contract."""
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.sources.io import read_jdbc
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    url = f"jdbc:derby:memory:srcjdbc_{tag};create=true"
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nat.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rt")
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        .mode("overwrite")
+        .save()
+    )
+    hi = nat.agg(F.max("n_nationkey")).collect()[0][0] or 0
+    return read_jdbc(
+        spark,
+        url,
+        "nation_rt",
+        partition_column="N_NATIONKEY",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    ).select(
+        F.col("N_NATIONKEY").alias("n_nationkey"),
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_REGIONKEY").alias("n_regionkey"),
     )

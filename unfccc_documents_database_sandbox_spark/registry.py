@@ -80,7 +80,12 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "join_skew_salted", "json_extract", "lang_id", "limit_n", "map_ops",
         "math_arith", "multimodal_decode", "multimodal_frame_sample",
         "multimodal_resize", "numbering_normalize", "project_columns",
-        "sample_hash_mod", "scan_full",
+        "scan_full",
+        # sample_hash_mod (also r02-evidenced) is deferred to NEXT, not
+        # here: the r06 window is exactly full (21 new keys + 29 DUE) and
+        # the one slot it would need went to source_jdbc — the key that
+        # closes the last SURVEY §2 gap (S2 was "partial, untestable");
+        # a trivial hash-mod filter can wait one round for re-evidence.
     }
 )
 
@@ -90,6 +95,9 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # promotion pool.
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
+        # r02 evidence, deferred from DUE for the source_jdbc window slot
+        # (see the ROTATED_DUE comment) — promote back to DUE in r07
+        "sample_hash_mod",
         # r03 evidence (rows-only by design among these: sim_topk_ivf,
         # sim_topk_lsh, stream_dedup_live — approx / stream-state)
         "dedup_components_star", "dedup_minhash_portable",
