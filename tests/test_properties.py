@@ -665,3 +665,79 @@ def test_scd2_intervals_partition_user_timeline(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from, uid
             assert a.k != b.k or (a.k is None) != (b.k is None), uid
+
+
+def test_bigram_cond_probabilities_partition_unity(spark):
+    """On a crafted corpus small enough that the top-100 limit keeps EVERY
+    bigram: for each predecessor w1, the conditional probabilities sum to
+    1 (up to the 1e-6 rounding) and each equals c/c1 exactly."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = [
+        (1, "a b a b c", "en", "s", 9),
+        (2, "b c b a", "en", "s", 7),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = lookup("text_bigram_cond").build(spark, td).collect()
+    by_w1: dict = {}
+    for r in out:
+        assert abs(r.p_cond - r.c / r.c1) < 1e-6
+        by_w1.setdefault(r.w1, []).append(r)
+    for w1, rs in by_w1.items():
+        assert abs(sum(r.p_cond for r in rs) - 1.0) < 1e-5, w1
+        assert all(r.c1 == rs[0].c1 for r in rs)
+
+
+def test_vocab_ids_are_dense_frequency_ranks(spark):
+    """text_vocab invariants on the real corpus: ids are 1..K dense, freq
+    non-increasing along ids, every kept token meets the min-count."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.plans.training import _VOCAB_MIN_FREQ
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = sorted(
+        lookup("text_vocab").build(spark, SF_CORRECT).collect(),
+        key=lambda r: r.vocab_id,
+    )
+    assert rows
+    assert [r.vocab_id for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(f >= _VOCAB_MIN_FREQ for f in freqs)
+
+
+def test_bpe_pairs_match_python_recount(spark):
+    """text_bpe_pairs against a from-scratch Python recount on the sf0.001
+    corpus — catches both the distinct-word weighting and the substring
+    windowing."""
+    from collections import Counter
+
+    from tests.conftest import SF_SMOKE
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    texts = [
+        r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    wc = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
+    expect = Counter()
+    for w, f in wc.items():
+        for i in range(len(w) - 1):
+            expect[w[i : i + 2]] += f
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.pair, r.freq)
+        for r in lookup("text_bpe_pairs").build(spark, SF_SMOKE).collect()
+    ]
+    assert got == top

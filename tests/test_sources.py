@@ -340,3 +340,24 @@ def test_permissive_ingest_skips_corrupt_files(spark, tmp_path):
     assert any(b.block_type == "paragraph" and b.text == "hello world" for b in blocks)
     corrupt = [b for b in blocks if b.block_type == "_corrupt"]
     assert len(corrupt) == 1 and corrupt[0].path.endswith("bad.docx")
+
+
+def test_source_jdbc_key_partitions_the_read(spark):
+    """The registered source_jdbc key must produce a 4-partition JDBC scan
+    (the single-connection serial read is the 100 TB trap its docstring
+    names) and round-trip nation exactly."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("source_jdbc").build(spark, SF_CORRECT)
+    assert df.rdd.getNumPartitions() == 4
+    got = sorted((r.n_nationkey, r.n_name, r.n_regionkey) for r in df.collect())
+    want = sorted(
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in load_table(spark, SF_CORRECT, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    assert got == want
