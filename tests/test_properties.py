@@ -741,3 +741,32 @@ def test_bpe_pairs_match_python_recount(spark):
         for r in lookup("text_bpe_pairs").build(spark, SF_SMOKE).collect()
     ]
     assert got == top
+
+
+def test_mega_basket_is_dropped_whole(spark):
+    """The _MAX_BASKET skew guard: a 200-part basket contributes ZERO
+    pairs (dropped whole, not truncated) while small baskets still pair —
+    and the oracle-shared semantics mean degrees/lift exclude it too."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.plans.analytics import _MAX_BASKET
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = []
+    # bomb basket: order 1 with _MAX_BASKET+136 parts
+    rows += [(1, p) for p in range(1, _MAX_BASKET + 137)]
+    # signal: parts (500, 501) co-bought twice in small baskets
+    rows += [(2, 500), (2, 501), (3, 500), (3, 501)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        pairs = lookup("basket_pairs").build(spark, td).collect()
+    assert [(r.pa, r.pb, r.cnt) for r in pairs] == [(500, 501, 2)]
+    # degrees exclude the bomb basket -> lift over the 2-order universe
+    assert pairs[0].cnt_a == 2 and pairs[0].cnt_b == 2
+    # lift over the 2-order universe: 2 * 2 / (2 * 2) = 1.0 — were the bomb
+    # basket counted, n_orders=3 would skew this to 1.5
+    assert abs(pairs[0].lift - 1.0) < 1e-9

@@ -353,8 +353,23 @@ def scd2_history(spark, sf_dir):
 
 # --- market-basket graph: shared derivation ------------------------------
 
-_BASKET_EDGES = """
-    li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+# Mega-basket guard: a single order with B distinct parts contributes
+# C(B,2) pairs — quadratic in B — and at 100 TB a bot/ETL-artifact basket
+# with 10^5 items would emit 5e9 pairs from ONE key, the classic skew
+# bomb for the per-order self-join. Baskets above the cap are dropped
+# whole (standard market-basket practice: such baskets carry no
+# association signal anyway). The cap binds NOTHING on this corpus (max
+# basket = 13 at sf0.1) — it exists so the plan survives adversarial
+# data, and tests/test_properties.py proves a 200-part basket is excluded
+# while the small baskets still pair.
+_MAX_BASKET = 64
+
+_BASKET_EDGES = f"""
+    li0 AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    sized AS (
+        SELECT o, p, COUNT(*) OVER (PARTITION BY o) AS bs FROM li0
+    ),
+    li AS (SELECT o, p FROM sized WHERE bs <= {_MAX_BASKET}),
     deg AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS dp FROM li GROUP BY p),
     pairs AS (
         SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -363,6 +378,20 @@ _BASKET_EDGES = """
         GROUP BY a.p, b.p
     )
 """
+
+
+def _basket_items(spark, sf_dir):
+    """DISTINCT (order, part) with mega-baskets dropped (> _MAX_BASKET
+    parts). The basket-size window partitions on the order key — the SAME
+    key the downstream pair self-join shuffles on, so Catalyst reuses one
+    exchange for the count, the filter, and both join sides."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    bs = F.count(F.lit(1)).over(Window.partitionBy("o"))
+    return li.withColumn("bs", bs).filter(F.col("bs") <= _MAX_BASKET).drop("bs")
 
 
 @register(
@@ -386,14 +415,11 @@ def basket_pairs(spark, sf_dir):
     before the quadratic step; (2) the self-join is per-order, so the
     fan-out is sum over orders of C(parts_in_order, 2) — bounded by basket
     size, not catalog size; baskets are naturally small and the order key
-    is near-uniform, the benign shuffle shape; (3) per-part totals are a
+    is near-uniform, the benign shuffle shape — and the _MAX_BASKET cap
+    above bounds the worst case against adversarial mega-baskets; (3) per-part totals are a
     vocabulary-sized dim broadcast onto the pair table; lift is exact
     counts in one double division."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    li = _basket_items(spark, sf_dir)
     deg = li.groupBy("p").agg(F.count("*").cast("long").alias("dp"))
     a = li.alias("a")
     b = li.alias("b")
@@ -448,11 +474,7 @@ def graph_triangles(spark, sf_dir):
     The closing-edge probe is a broadcast hash join here (the support
     filter collapses the edge list to dim size); at scale it becomes a
     shuffled join on (pa, pb) — still one shuffle of edge-sized data."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    li = _basket_items(spark, sf_dir)
     a = li.alias("a")
     b = li.alias("b")
     _evict_generation()
