@@ -148,3 +148,62 @@ def test_llm_stage_raises_when_retries_exhausted(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_reference_pipeline_end_to_end(spark, tmp_path):
+    """The reference's ENTIRE generate_decisions_summaries.py flow
+    (assembly loop :45-59 -> ChatPromptTemplate :96-98 -> structured-output
+    batch :105-109 -> cost accumulation :104-108 -> to_csv :120) composed
+    as ONE Spark lineage: ordered block assembly -> prompt concat ->
+    mapInPandas stub inference -> from_json structured parse -> cost SUM
+    column -> CSV sink -> read-back. Every stage is the registered
+    operator, so this pins that the stages actually compose (the reference
+    is a linear script; a user porting it runs exactly this chain)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.llm import batch as llm_batch
+    from unfccc_documents_database_sandbox_spark.operators.assembly import (
+        assemble_doc_text,
+        blocks_from_documents,
+    )
+    from unfccc_documents_database_sandbox_spark.sources.io import write_csv
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assembled = assemble_doc_text(blocks_from_documents(docs))
+    prompted = assembled.select(
+        "doc_id", llm_batch.prompt_column(text_col="doc_text").alias("prompt")
+    )
+    inferred = llm_batch.summarize(prompted)
+    parsed = llm_batch.parse_structured(inferred)
+
+    out = str(tmp_path / "decision_summaries_csv")
+    write_csv(parsed.select("doc_id", "summary"), out)
+    got = {
+        int(r["doc_id"]): r["summary"]
+        for r in spark.read.option("header", True).csv(out).collect()
+    }
+
+    # independent Python replay of the whole chain on the assembled text
+    expect_rows = assembled.select("doc_id", "doc_text").collect()
+    assert len(got) == len(expect_rows) > 0
+    total_prompt_chars = 0
+    for r in expect_rows:
+        prompt = llm_batch.SYSTEM_PROMPT + r.doc_text
+        total_prompt_chars += len(prompt)
+        digest = hashlib.sha256(prompt.encode("utf-8")).hexdigest()
+        assert got[r.doc_id] == f"STUB:{digest}", r.doc_id
+    # cost accounting: SUM(cost) column == 1e-6/char * total prompt chars
+    # (exact: each per-row cost is a small-int multiple of the unit)
+    total_cost = parsed.agg(F.sum("cost").alias("c")).collect()[0]["c"]
+    assert abs(total_cost - 1e-6 * total_prompt_chars) < 1e-9
+
+    # structured-output robustness leg: a malformed response parses to
+    # NULL summary (relational error handling), not an exception
+    bad = spark.createDataFrame(
+        [(1, "not json", 0.0)], "doc_id long, response_json string, cost double"
+    )
+    assert llm_batch.parse_structured(bad).collect()[0]["summary"] is None
