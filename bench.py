@@ -84,6 +84,25 @@ EXTENDED = [
     "layout_compaction",       # compaction manifest planner
 ]
 
+# Third bench group: the round-6 keys, timed from the round they were
+# born so the NEXT round's regression check has a reference (the r05
+# lesson: the headline froze at r01 and rounds 3-5 went untimed until
+# VERDICT r05 #1 forced the extended group). Same exclusion rule:
+# layout_compaction_apply (parquet writes) and source_jdbc (JDBC
+# sink+read — times Derby, not the plan) stay out, and so does
+# sim_topk_pq_portable: its VALUES-literal codebook makes the build
+# planning-dominated (~6 s of Catalyst analysis, not execution) — it is
+# an oracle twin like dedup_minhash_portable, and twins are not benched;
+# the production PQ path (sim_topk_pq) is timed in the extended group.
+FRESH = [
+    "text_vocab", "text_tfidf", "text_chunk_sliding", "text_bpe_pairs",
+    "text_bigram_cond", "agg_mode_freq", "agg_corr_exact",
+    "agg_skewness_exact", "agg_decimal_money", "events_anomaly",
+    "events_attribution", "scd2_history", "window_cume_distinct",
+    "basket_pairs", "graph_triangles", "join_lateral", "join_null_safe",
+    "dedup_embedding",
+]
+
 WARMUP_SF_DIR = "/root/testdata/sf0.01"
 
 
@@ -101,7 +120,7 @@ def _builders() -> dict[str, object]:
     }
     return {
         name: special.get(name) or lookup(name).build
-        for name in ["scan_full", *HEADLINE, *EXTENDED]
+        for name in ["scan_full", *HEADLINE, *EXTENDED, *FRESH]
     }
 
 
@@ -131,7 +150,7 @@ def main() -> None:
     # classes, 10% of the data) so timed runs measure the plans, not javac
     warmup_dir = WARMUP_SF_DIR if sf_dir != WARMUP_SF_DIR else "/root/testdata/sf0.001"
     t_w = time.perf_counter()
-    for name in ["scan_full", *HEADLINE, *EXTENDED]:
+    for name in ["scan_full", *HEADLINE, *EXTENDED, *FRESH]:
         _noop(builders[name](spark, warmup_dir))
     warmup_sec = round(time.perf_counter() - t_w, 3)
 
@@ -144,7 +163,7 @@ def main() -> None:
     passes: list[dict[str, float]] = []
     for _ in range(n_passes):
         timings: dict[str, float] = {}
-        for name in [*HEADLINE, *EXTENDED]:
+        for name in [*HEADLINE, *EXTENDED, *FRESH]:
             t0 = time.perf_counter()
             _noop(builders[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
@@ -170,6 +189,16 @@ def main() -> None:
     ext_pass_totals = [
         round(sum(p[n] for n in EXTENDED), 3) for p in passes
     ]
+    fresh_best = {
+        name: min(p[name] for p in passes) for name in FRESH
+    }
+    fresh_med = {
+        name: round(statistics.median(p[name] for p in passes), 3)
+        for name in FRESH
+    }
+    fresh_pass_totals = [
+        round(sum(p[n] for n in FRESH), 3) for p in passes
+    ]
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -190,6 +219,13 @@ def main() -> None:
                 ),
                 "extended_median_queries": ext_med,
                 "extended_pass_totals": ext_pass_totals,
+                "fresh_value": round(sum(fresh_best.values()), 3),
+                "fresh_queries": fresh_best,
+                "fresh_median_value": round(
+                    statistics.median(fresh_pass_totals), 3
+                ),
+                "fresh_median_queries": fresh_med,
+                "fresh_pass_totals": fresh_pass_totals,
                 "sf": float(sf) if sf else None,
                 "methodology": (
                     "tiered JIT (no r02 C1 pin); all plans pre-compiled via a "
@@ -202,7 +238,8 @@ def main() -> None:
                     "comparability; steady_* = last pass; extended_* = "
                     "the r06 second group (rounds 3-5 operators, same "
                     "passes, totals reported separately so the r01 "
-                    "headline stays comparable)"
+                    "headline stays comparable); fresh_* = the round-6 "
+                    "keys, timed from birth"
                 ),
             }
         )
