@@ -770,3 +770,30 @@ def test_mega_basket_is_dropped_whole(spark):
     # lift over the 2-order universe: 2 * 2 / (2 * 2) = 1.0 — were the bomb
     # basket counted, n_orders=3 would skew this to 1.5
     assert abs(pairs[0].lift - 1.0) < 1e-9
+
+
+def test_zero_variance_groups_yield_null_not_nan(spark):
+    """agg_corr_exact / agg_skewness_exact on a constant-valued group must
+    return NULL (engine-portable), never 0/0 NaN — NaN canonicalization
+    differs between engines and poisons the value-hash."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = [
+        (i, f"2024-01-01 0{i % 10}:00:00", 1, "flat", 5.0, '{"k": 1}')
+        for i in range(1, 7)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        corr = lookup("agg_corr_exact").build(spark, td).collect()
+        skew = lookup("agg_skewness_exact").build(spark, td).collect()
+    assert corr[0].corr is None  # value variance is zero (hour varies)
+    assert skew[0].skewness is None

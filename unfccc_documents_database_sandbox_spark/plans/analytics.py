@@ -109,9 +109,12 @@ def agg_mode_freq(spark, sf_dir):
         FROM h GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND((n * sxy - sx * sy)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE ROUND((n * sxy - sx * sy)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS corr,
            ROUND((n * sxy - sx * sy) / CAST(n * n AS DOUBLE) / 100.0, 6)
                AS cov_pop
     FROM s
@@ -146,7 +149,11 @@ def agg_corr_exact(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr"),
+        # degenerate groups (zero variance on either axis) yield NULL, not
+        # NaN — NaN canonicalization is engine-dependent, NULL is not
+        F.when(
+            (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+        ).alias("corr"),
         F.round(
             num / (F.col("n") * F.col("n")).cast("double") / F.lit(100.0), 6
         ).alias("cov_pop"),
@@ -608,11 +615,13 @@ def join_null_safe(spark, sf_dir):
         FROM e GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND(CAST(CAST(n AS HUGEINT) * n * tv
-                      - 3 * CAST(n AS HUGEINT) * sv * qv
-                      + 2 * CAST(sv AS HUGEINT) * sv * sv AS DOUBLE)
-                 / (sqrt(CAST(n * qv - sv * sv AS DOUBLE))
-                    * CAST(n * qv - sv * sv AS DOUBLE)), 6) AS skewness
+           CASE WHEN n * qv - sv * sv = 0 THEN NULL
+                ELSE ROUND(CAST(CAST(n AS HUGEINT) * n * tv
+                           - 3 * CAST(n AS HUGEINT) * sv * qv
+                           + 2 * CAST(sv AS HUGEINT) * sv * sv AS DOUBLE)
+                     / (sqrt(CAST(n * qv - sv * sv AS DOUBLE))
+                        * CAST(n * qv - sv * sv AS DOUBLE)), 6)
+           END AS skewness
     FROM s
     """,
 )
@@ -650,7 +659,10 @@ def agg_skewness_exact(spark, sf_dir):
     return s.select(
         "event_type",
         "n",
-        F.round(num.cast("double") / (F.sqrt(d) * d), 6).alias("skewness"),
+        # zero-variance groups -> NULL, not 0/0 NaN (cross-engine hazard)
+        F.when(d > 0, F.round(num.cast("double") / (F.sqrt(d) * d), 6)).alias(
+            "skewness"
+        ),
     )
 
 
