@@ -797,3 +797,44 @@ def test_zero_variance_groups_yield_null_not_nan(spark):
         skew = lookup("agg_skewness_exact").build(spark, td).collect()
     assert corr[0].corr is None  # value variance is zero (hour varies)
     assert skew[0].skewness is None
+
+
+def test_attribution_and_cume_distinct_match_python_replay(spark):
+    """events_attribution and window_cume_distinct against a from-scratch
+    Python replay of each user's (ts, event_id)-ordered timeline on the
+    sf0.001 corpus — independent of both the Spark windows and the SQL
+    oracles."""
+    from tests.conftest import SF_SMOKE
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    first_touch, last_touch, cume = {}, {}, {}
+    state: dict = {}
+    for r in ev:
+        st = state.setdefault(r.user_id, {"first": None, "prev": None, "seen": set()})
+        if r.event_type == "purchase":
+            first_touch[r.event_id] = st["first"]
+            last_touch[r.event_id] = st["prev"]
+        st["seen"].add(r.event_type)
+        cume[r.event_id] = len(st["seen"])
+        if st["first"] is None:
+            st["first"] = r.event_type
+        st["prev"] = r.event_type
+
+    attr = lookup("events_attribution").build(spark, SF_SMOKE).collect()
+    assert attr and len(attr) == len(first_touch)
+    for r in attr:
+        assert r.first_touch == first_touch[r.event_id], r.event_id
+        assert r.last_touch == last_touch[r.event_id], r.event_id
+
+    got = lookup("window_cume_distinct").build(spark, SF_SMOKE).collect()
+    assert len(got) == len(ev)
+    for r in got:
+        assert r.n_distinct_types == cume[r.event_id], r.event_id
