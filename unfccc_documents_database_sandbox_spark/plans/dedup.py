@@ -640,8 +640,9 @@ def join_similarity_prefix(spark, sf_dir):
     unblocked complement of dedup_ngram_jaccard (which prefix-filters
     INSIDE (lang, source) blocks at t=0.8): no blocking key is assumed,
     so cross-language/cross-source near-dups are still found, and the
-    verify step is a row-local array_intersect over the two attached
-    token arrays instead of a grouped gram-count — no per-pair shuffle.
+    verify step is a row-local EXACT-BITMAP intersection count over two
+    attached fixed-width bitmaps (r06; see the inline note at the bitmap
+    build) instead of a grouped gram-count — no per-pair shuffle.
 
     Token sets are distinct word BIGRAMS (unigrams are useless here: the
     corpus vocabulary is ~31 terms, making every unigram set similar to
@@ -666,8 +667,11 @@ def join_similarity_prefix(spark, sf_dir):
 
     Scale shape: candidates come only from the equi-join on each doc's
     rarest-p tokens under the shared canonical order — the zipfian head
-    never enters a prefix, so fan-out stays near-linear; verify is
-    row-local array_intersect after two doc_id-keyed array-attach joins.
+    never enters a prefix, so fan-out stays near-linear; verify is a
+    row-local popcount fold over exact vocabulary bitmaps after two
+    doc_id-keyed attach joins (~10x less data per candidate pair than
+    attaching the token arrays — the r06 fix that took the verify stage
+    from 32 s to ~2.5 s at sf0.1).
     The threshold test and the reported ratio are exact integer ppm, so
     the oracle twin is hash-exact. No cartesian anywhere — plan-pinned."""
     from unfccc_documents_database_sandbox_spark.catalog import spread
@@ -701,7 +705,7 @@ def join_similarity_prefix(spark, sf_dir):
         )
     )
     # arr feeds FIVE consumers (prefix explode, both sides of the
-    # candidate self-join through it, and the two array attaches); pt
+    # candidate self-join through it, and the two bitmap attaches); pt
     # feeds both self-join sides; the distinct pair set feeds both
     # verify attaches. Unpersisted, the tokenize→dfreq→rank→collect
     # chain re-runs per consumer (measured 50 s vs ~6 s at sf0.1). All
@@ -709,8 +713,33 @@ def join_similarity_prefix(spark, sf_dir):
     # the minhash pipeline's generation-eviction contract
     # (operators/dedup.py:248).
     D._evict_generation()
+    # EXACT BITMAP VERIFY (r06): the verify stage dominated the key's wall
+    # time (32 s cold of a 37 s build at sf0.1) because it attached the two
+    # full sorted-tid arrays (~1.4 KB each) to every one of 4.5M candidate
+    # pairs — ~12 GB through the join — and ran an allocating
+    # array_intersect per pair. Dense ids are bounded by the VOCABULARY
+    # (|V| bigrams ≈ 1e3 here; the one extra count() action below is the
+    # same dim-sized-action pattern as text_tfidf's n_docs), so each doc's
+    # token SET packs into ceil(|V|/64) longs and
+    # |A∩B| = Σ_w popcount(bm_a[w] & bm_b[w]) EXACTLY — identical output,
+    # ~10x less data attached per pair, no per-pair allocation. If the
+    # vocabulary outgrows a useful bitmap (real open-vocab corpora), flip
+    # back to the sorted-array intersect: the cutover constant is the
+    # attach width, ceil(|V|/64)*8 bytes vs avg_doc_tokens*8 bytes.
     arr = arr.persist()
     D._PERSISTED_TOKENS.append(arr)
+    # |V| = max dense id, read from the PERSISTED arr (one 0.5 s action) —
+    # counting the vocab table itself would re-run the whole tokenize →
+    # dfreq chain, which is exactly the recompute the persist avoids
+    n_vocab = arr.agg(F.max(F.array_max("toks"))).collect()[0][0] or 1
+    n_words = (n_vocab + 63) // 64
+    bitmap = F.expr(
+        f"""transform(sequence(0, {n_words - 1}), w ->
+        aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
+                  (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
+    )
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
+    D._PERSISTED_TOKENS.append(bm)
     pre = arr.select(
         "doc_id",
         "n",
@@ -736,11 +765,25 @@ def join_similarity_prefix(spark, sf_dir):
         .persist()
     )
     D._PERSISTED_TOKENS.append(cand)
-    x = arr.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
-    y = arr.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    x = bm.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bm").alias("ba"),
+        F.col("n").alias("na"),
+    )
+    y = bm.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bm").alias("bb"),
+        F.col("n").alias("nb"),
+    )
+    # NO broadcast hint on the attaches: at this SF Catalyst broadcasts the
+    # 5000-row bitmap side on its own; at 100 TB the bitmap table is
+    # corpus-sized (one row per doc) and MUST shuffle — hard-coding the
+    # small-corpus choice would be the wrong plan at scale
     j = cand.join(x, "doc_a").join(y, "doc_b")
-    n_common = F.size(F.array_intersect("ta", "tb"))
-    n_union = F.size("ta") + F.size("tb") - n_common
+    n_common = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)), 0, (a, c) -> a + c)"
+    )
+    n_union = F.col("na") + F.col("nb") - n_common
     return (
         j.select(
             "doc_a",
