@@ -169,36 +169,18 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
         passes.append(timings)
 
-    best = {
-        name: min(p[name] for p in passes) for name in HEADLINE
-    }
-    med = {
-        name: round(statistics.median(p[name] for p in passes), 3)
-        for name in HEADLINE
-    }
-    ext_best = {
-        name: min(p[name] for p in passes) for name in EXTENDED
-    }
-    ext_med = {
-        name: round(statistics.median(p[name] for p in passes), 3)
-        for name in EXTENDED
-    }
-    pass_totals = [
-        round(sum(p[n] for n in HEADLINE), 3) for p in passes
-    ]
-    ext_pass_totals = [
-        round(sum(p[n] for n in EXTENDED), 3) for p in passes
-    ]
-    fresh_best = {
-        name: min(p[name] for p in passes) for name in FRESH
-    }
-    fresh_med = {
-        name: round(statistics.median(p[name] for p in passes), 3)
-        for name in FRESH
-    }
-    fresh_pass_totals = [
-        round(sum(p[n] for n in FRESH), 3) for p in passes
-    ]
+    def _group_stats(names):
+        """(best-of-N, median, per-pass totals) for one query group."""
+        best = {n: min(p[n] for p in passes) for n in names}
+        med = {
+            n: round(statistics.median(p[n] for p in passes), 3) for n in names
+        }
+        totals = [round(sum(p[n] for n in names), 3) for p in passes]
+        return best, med, totals
+
+    best, med, pass_totals = _group_stats(HEADLINE)
+    ext_best, ext_med, ext_pass_totals = _group_stats(EXTENDED)
+    fresh_best, fresh_med, fresh_pass_totals = _group_stats(FRESH)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(

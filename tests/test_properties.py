@@ -838,3 +838,36 @@ def test_attribution_and_cume_distinct_match_python_replay(spark):
     assert len(got) == len(ev)
     for r in got:
         assert r.n_distinct_types == cume[r.event_id], r.event_id
+
+
+def test_prefix_similarity_finds_unequal_size_suffix_pair(spark):
+    """Regression pin for the r06 review finding: the symmetric SHORT
+    PPJoin index prefix (n - ceil(2t/(1+t)n) + 1) silently dropped
+    unequal-size qualifying pairs whose shared tokens sort LAST in the
+    canonical (df, term) order — shared grams have higher df, so they
+    always sort after each doc's unique grams, making this the common
+    case, not a corner. Crafted pair: |A| = 6 bigrams, |B| = 3, all of B
+    shared with A's tail -> J = 3/6 = 0.5 exactly at threshold. The old
+    prefixes ({3 unique} vs {2 shared}) were disjoint -> missed; the
+    complete prefix n - ceil(n/2) + 1 must find it."""
+    import os
+    import tempfile
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = [
+        (1, "u v w p q r s", "en", "s0", 13),   # grams: uv vw wp pq qr rs (6)
+        (2, "p q r s", "en", "s1", 7),          # grams: pq qr rs (3, all shared)
+        (3, "zz yy xx", "en", "s2", 8),         # unrelated filler
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b, r.n_common, r.n_union)
+            for r in lookup("join_similarity_prefix").build(spark, td).collect()
+        }
+    assert got == {(1, 2, 3, 6)}

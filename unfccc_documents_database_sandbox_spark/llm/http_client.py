@@ -40,4 +40,13 @@ class HttpChatModel:
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             body = json.load(resp)
-        return body["results"]
+        results = body["results"]
+        # fail LOUDLY at the seam: a dropped/reordered/empty results list
+        # with HTTP 200 would otherwise misalign doc->summary pairing deep
+        # inside the mapInPandas stage (r06 review finding)
+        if len(results) != len(prompts):
+            raise ValueError(
+                f"endpoint returned {len(results)} results for "
+                f"{len(prompts)} prompts"
+            )
+        return results

@@ -32,10 +32,15 @@ from unfccc_documents_database_sandbox_spark.catalog import load_table
 from unfccc_documents_database_sandbox_spark.registry import register
 
 # persist-generation lifecycle (plans/graph.py:23 pattern and contract):
-# graph_triangles references its edge list three times; unpersisted, each
-# reference re-runs the quadratic basket self-join. Each call evicts the
-# previous call's cache; consume a build() result before building the next
-# triangle plan (interleaved builds stay correct, they only lose reuse).
+# the basket builders reference their cached items/edges several times;
+# unpersisted, each reference re-runs the scan->distinct->window chain.
+# Each call evicts the previous call's cache; consume a build() result
+# before building the next basket plan (interleaved builds stay correct,
+# they only lose reuse). Deliberately a PER-MODULE generation, not shared
+# with plans/graph.py or operators/dedup.py: a shared list would let a
+# triangles build evict a concurrently-lazy minhash pipeline's caches —
+# module scope is the isolation, at the cost of three small copies of the
+# same two-line lifecycle.
 _PERSISTED: list = []
 
 
@@ -66,7 +71,7 @@ _EVENTS_CENTS = """
     SELECT event_type, k AS mode_k, cnt AS mode_cnt
     FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-                                     ORDER BY cnt DESC, k) AS rn
+                                     ORDER BY cnt DESC, k NULLS LAST) AS rn
         FROM c
     ) WHERE rn = 1
     """,
@@ -82,7 +87,12 @@ def agg_mode_freq(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
     c = e.groupBy("event_type", "k").agg(F.count("*").cast("long").alias("cnt"))
-    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), "k")
+    # NULLS LAST explicitly: Spark default-sorts NULL first ascending,
+    # DuckDB last — a count tie against the NULL-k group would otherwise
+    # pick a different mode per engine (r06 review finding)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("k").asc_nulls_last()
+    )
     return (
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -401,6 +411,29 @@ def _basket_items(spark, sf_dir):
     return li.withColumn("bs", bs).filter(F.col("bs") <= _MAX_BASKET).drop("bs")
 
 
+def _basket_pair_counts(spark, sf_dir):
+    """Shared basket-graph derivation for basket_pairs / graph_triangles
+    (one definition, mirroring the shared _BASKET_EDGES oracle CTE — the
+    support threshold and join shape live in exactly two places, SQL and
+    here, instead of four; r06 review finding). Returns (items, pairs):
+    the capped DISTINCT (order, part) table — PERSISTED under this
+    module's generation (it feeds the degree agg, the n_orders agg, and
+    both self-join sides; unpersisted, the scan->distinct->window chain
+    re-runs per consumer) — and the support>=2 co-occurrence counts."""
+    _evict_generation()
+    li = _basket_items(spark, sf_dir).persist()
+    _PERSISTED.append(li)
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    return li, pairs
+
+
 @register(
     "basket_pairs",
     oracle=f"""
@@ -426,22 +459,18 @@ def basket_pairs(spark, sf_dir):
     above bounds the worst case against adversarial mega-baskets; (3) per-part totals are a
     vocabulary-sized dim broadcast onto the pair table; lift is exact
     counts in one double division."""
-    li = _basket_items(spark, sf_dir)
+    li, pairs = _basket_pair_counts(spark, sf_dir)
     deg = li.groupBy("p").agg(F.count("*").cast("long").alias("dp"))
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-    )
-    n_orders = li.select("o").distinct().count()
+    # n_orders as a LAZY one-row aggregate cross-joined in (mirrors the
+    # oracle's n CTE) — an eager .count() here would block the build and
+    # execute the basket lineage a fourth time (r06 review finding)
+    n = li.agg(F.countDistinct("o").cast("long").alias("n_orders"))
     da = deg.alias("da")
     db = deg.alias("db")
     return (
         pairs.join(F.broadcast(da), F.col("pa") == F.col("da.p"))
         .join(F.broadcast(db), F.col("pb") == F.col("db.p"))
+        .crossJoin(F.broadcast(n))
         .select(
             "pa",
             "pb",
@@ -449,7 +478,7 @@ def basket_pairs(spark, sf_dir):
             F.col("da.dp").alias("cnt_a"),
             F.col("db.dp").alias("cnt_b"),
             F.round(
-                F.col("cnt") * F.lit(n_orders)
+                F.col("cnt") * F.col("n_orders")
                 / (F.col("da.dp") * F.col("db.dp")).cast("double"),
                 6,
             ).alias("lift"),
@@ -481,18 +510,8 @@ def graph_triangles(spark, sf_dir):
     The closing-edge probe is a broadcast hash join here (the support
     filter collapses the edge list to dim size); at scale it becomes a
     shuffled join on (pa, pb) — still one shuffle of edge-sized data."""
-    li = _basket_items(spark, sf_dir)
-    a = li.alias("a")
-    b = li.alias("b")
-    _evict_generation()
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .select("pa", "pb")
-        .persist()
-    )
+    _li, pairs = _basket_pair_counts(spark, sf_dir)
+    edges = pairs.select("pa", "pb").persist()
     _PERSISTED.append(edges)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

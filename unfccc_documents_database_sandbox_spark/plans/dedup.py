@@ -608,7 +608,7 @@ def dedup_incremental(spark, sf_dir):
     ),
     pre AS (
         SELECT doc_id, n,
-               toks[1 : CAST(n - (2*n + 2) // 3 + 1 AS INT)] AS prefix
+               toks[1 : CAST(n - (n + 1) // 2 + 1 AS INT)] AS prefix
         FROM arr
     ),
     cand AS (
@@ -654,16 +654,23 @@ def join_similarity_prefix(spark, sf_dir):
     task), so the canonical order becomes plain integer sort and the
     verify intersect hashes ints, not strings.
 
-    Prefix length is the TIGHT Jaccard self-join prefix (PPJoin, Xiao et
-    al. WWW'08): p = n − ceil(2t/(1+t)·n) + 1, i.e. n − (2n+2) DIV 3 + 1
-    at t=0.5 — provably complete (if neither p-prefix hits a shared
-    token, overlap ≤ min suffix < ceil(t/(1+t)(na+nb)) = the qualifying
-    overlap), exact integer arithmetic on both engines. The r05 form used
-    the conservative containment prefix n DIV 2 + 1; on a small-vocab
-    corpus that admitted ~63% of ALL pairs as candidates (7.9M at sf0.1)
-    — the tight prefix plus the size filter (Jaccard ≥ 0.5 ⇒ sizes
-    within 2×, checked BEFORE the pair is materialized) cut candidates
-    ~4× and the verify cost with them.
+    Prefix length is the symmetric-complete Jaccard prefix
+    p(x) = |x| − ceil(t·|x|) + 1, i.e. n − (n+1) DIV 2 + 1 at t=0.5.
+    Completeness: if the pair's FIRST common token w (canonical order)
+    sits beyond x's prefix, overlap ≤ |x| − p(x) = ceil(t|x|) − 1 <
+    ceil(t/(1+t)(|x|+|y|)) whenever |x| ≥ t|y| (which J ≥ t implies), so
+    any qualifying pair has w inside BOTH prefixes and the equi-join
+    finds it. NOTE (r06 review fix): a previous round shipped the SHORTER
+    PPJoin index prefix n − ceil(2t/(1+t)·n) + 1 on BOTH sides — that
+    length is only complete when probed against the longer prefix above
+    (the asymmetric index/probe split of Xiao et al.), and symmetric use
+    silently drops unequal-size qualifying pairs (e.g. |x|=6, |y|=3
+    sharing x's last 3 tokens: J = 0.5, disjoint short prefixes). Both
+    the plan and the oracle carried the bug, so the hash check stayed
+    green while recall was cut — caught by review, now pinned by a
+    crafted pair in tests/test_properties.py. The size filter (J ≥ 0.5 ⇒
+    sizes within 2×) still prunes BEFORE pairs materialize, and the
+    bitmap verify keeps the admitted-candidate cost low.
 
     Scale shape: candidates come only from the equi-join on each doc's
     rarest-p tokens under the shared canonical order — the zipfian head
@@ -744,7 +751,7 @@ def join_similarity_prefix(spark, sf_dir):
         "doc_id",
         "n",
         F.slice(
-            "toks", 1, (F.col("n") - F.expr("(2*n + 2) DIV 3") + 1).cast("int")
+            "toks", 1, (F.col("n") - F.expr("(n + 1) DIV 2") + 1).cast("int")
         ).alias("prefix"),
     )
     pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).persist()

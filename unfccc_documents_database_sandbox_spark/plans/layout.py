@@ -195,7 +195,11 @@ def layout_compaction_apply(spark, sf_dir):
         .partitionBy("source", "shard_id")
         .parquet(out)
     )
-    back = spark.read.parquet(out).withColumn(
-        "shard_id", F.col("shard_id").cast("long")
-    )
+    # read back under the WRITER's schema: partition-value inference types
+    # the partition columns from directory names, so a numeric-looking
+    # source ("123", "2024") would come back INT — diverging from the
+    # STRING the oracle groups on — and a post-hoc cast could not recover
+    # a leading-zero source ("01" -> 1 -> "1"). Supplying the schema
+    # disables inference for exactly these columns (r06 review finding).
+    back = spark.read.schema(assigned.schema).parquet(out)
     return _manifest(back)

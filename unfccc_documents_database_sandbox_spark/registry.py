@@ -67,9 +67,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # while r02-era evidence aged.
 
 # DUE (z_): latest clean driver row is CORRECTNESS_r02.json — the oldest
-# evidence on file; the r06 window re-checks all 30 (27 hash-green r02 rows
-# + dedup_fuzzy_minhash / dedup_simhash / doc_rolling_hash rows-only by
-# design: approximate / hash-seeded semantics documented at their builders).
+# evidence on file. 29 keys (r06: the 30th r02-evidenced key,
+# sample_hash_mod, is deferred to NEXT — see below); the r06 window is
+# exactly 21 unprefixed keys + these 29 (machine-checked by
+# tests/test_rotation.py::test_window_reaches_every_due_key — size the r07
+# promotion from the registry, not from this comment). dedup_fuzzy_minhash
+# / dedup_simhash / doc_rolling_hash are rows-only by design (approximate /
+# hash-seeded semantics documented at their builders).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
