@@ -10,6 +10,11 @@ Spark-native restatement).
 Scale design notes shared by these plans:
 - tokenization stays JVM-side (split/transform/explode — no Python UDFs);
   explode fans out rows but never materializes the corpus on the driver.
+  The aggregating keys spread() the scan first (catalog.spread — the
+  similarity/minhash precedent): a row-group-bound parquet scan can hand
+  the whole corpus to one task, and tokenization is the CPU-heavy step;
+  chunking stays map-only (no spread — it claims, and tests pin, a
+  zero-exchange plan; scan parallelism governs it at scale).
 - term-level aggregates (vocab, DF, pair counts) shuffle on the term key,
   which is zipfian at corpus scale — every groupBy here is a partial-agg
   (map-side combine) shape where the hot term's partials collapse per
@@ -29,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, spread
 from unfccc_documents_database_sandbox_spark.registry import register
 
 _VOCAB_MIN_FREQ = 20
@@ -63,7 +68,7 @@ def text_vocab(spark, sf_dir):
     the term key; the final global rank runs over the PRUNED vocabulary
     (orders of magnitude smaller than the corpus), so the single-partition
     window is a dim-sized sort, not a corpus sort."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     cnt = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -115,7 +120,7 @@ def text_tfidf(spark, sf_dir):
     doc_id, the natural data key."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
@@ -243,7 +248,7 @@ def text_bpe_pairs(spark, sf_dir):
     computed FIRST (zipfian partial-agg), so pair explosion runs over
     DISTINCT words weighted by count — corpus size drops out of the
     expensive fan-out entirely; pair space is at most |alphabet|^2."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     wc = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.length("word") >= 2)
@@ -300,7 +305,7 @@ def text_bigram_cond(spark, sf_dir):
     aggregations are zipfian-key partial-aggs; the unigram totals derive
     from the ALREADY-AGGREGATED bigram table (vocabulary-sized input) and
     broadcast back onto it."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     bi = d.select(
         F.explode(
