@@ -644,11 +644,11 @@ def test_round6_plans_are_cartesian_free_and_broadcast(spark):
         "join_null_safe", "dedup_embedding", "agg_skewness_exact",
         "window_cume_distinct",
     ]
-    # basket_pairs attaches its lazy one-row n_orders aggregate via a
-    # broadcast cross join — a single-row build side, the same accepted
-    # scalar-attach shape graph_pagerank documents; every OTHER nested
-    # loop stays banned
-    scalar_attach_ok = {"basket_pairs"}
+    # basket_pairs / text_tfidf attach their lazy one-row scalar aggregate
+    # (n_orders / n_docs) via a broadcast cross join — a single-row build
+    # side, the same accepted scalar-attach shape graph_pagerank documents;
+    # every OTHER nested loop stays banned
+    scalar_attach_ok = {"basket_pairs", "text_tfidf"}
     for key in keys:
         df = lookup(key).build(spark, SF_CORRECT)
         plan = df._jdf.queryExecution().executedPlan().toString()

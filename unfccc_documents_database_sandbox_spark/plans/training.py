@@ -126,18 +126,25 @@ def text_tfidf(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    n_docs = d.count()  # one scalar job on a column-pruned scan
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf")
-            * (2 * n_docs - 2 * F.col("df") + 1)
-            / (2 * F.col("df") + 1).cast("double"),
-            6,
-        ).alias("score"),
+    # N as a LAZY one-row aggregate cross-joined in (mirrors the oracle's n
+    # CTE) — an eager d.count() would block the build with an extra job
+    # (the basket_pairs review lesson, applied consistently)
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+                / (2 * F.col("df") + 1).cast("double"),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
