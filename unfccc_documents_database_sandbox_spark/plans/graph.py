@@ -100,9 +100,18 @@ def graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    # UNION ALL, no distinct: e0 is already distinct, src ids are even
+    # (2*custkey) and dst ids odd (2*suppkey+1), so a mirrored edge
+    # (odd, even) can never equal an original (even, odd) — the
+    # deduplicating union the oracle spells UNION would add one full
+    # shuffle of the edge set for nothing (r06: one exchange dropped
+    # from every bench pass)
+    # (measured: additionally pre-partitioning the cache on src to feed
+    # outdeg/join/nodes exchange-free does NOT pay — the extra build
+    # shuffle costs what the reuse saves at this scale)
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).persist()
     _PERSISTED.append(edges)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
