@@ -871,3 +871,48 @@ def test_prefix_similarity_finds_unequal_size_suffix_pair(spark):
             for r in lookup("join_similarity_prefix").build(spark, td).collect()
         }
     assert got == {(1, 2, 3, 6)}
+
+
+def test_chunk_then_pack_composition(spark):
+    """The training-prep pipeline composed: sliding chunks (text_chunk_
+    sliding) become the packing units of a concat-and-chunk sequence
+    layout (pack_sequences' shard/cumsum shape applied to chunks). Pins
+    that the two operators compose: per shard, chunk offsets are the
+    exclusive cumsum of chunk lengths in (doc_id, chunk_idx) order, every
+    sequence id is consistent with its offset, and total packed tokens
+    equal the sum of chunk lengths."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    budget = 128
+    chunks = lookup("text_chunk_sliding").build(spark, SF_SMOKE).select(
+        "doc_id", "chunk_idx", "chunk_len",
+        F.pmod("doc_id", F.lit(4)).cast("long").alias("shard"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "tok_offset", F.coalesce(F.sum("chunk_len").over(w), F.lit(0)).cast("long")
+    ).withColumn("seq_id", F.expr(f"tok_offset DIV {budget}"))
+    rows = packed.collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    total = 0
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_idx))
+        off = 0
+        for r in rs:
+            assert r.tok_offset == off, (shard, r.doc_id, r.chunk_idx)
+            assert r.seq_id == off // budget
+            off += r.chunk_len
+        total += off
+    assert total == sum(r.chunk_len for r in rows)
