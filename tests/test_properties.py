@@ -667,6 +667,51 @@ def test_scd2_intervals_partition_user_timeline(spark):
             assert a.k != b.k or (a.k is None) != (b.k is None), uid
 
 
+def test_scd2_leading_null_k_opens_an_interval(spark):
+    """ADVICE r06: a user whose FIRST observations have k=NULL must still
+    get an opening [first_ts, ...) interval — lag()'s no-previous-row NULL
+    is indistinguishable from a genuine NULL prev_k, so the change
+    detection is seeded with row_number()==1. Crafted fixture: u1 opens
+    with two NULL-k rows then k=5; u2 opens with k=7 (control)."""
+    import json
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    ts = lambda h: datetime(2026, 1, 1, h)  # noqa: E731
+    rows = [
+        (1, "u1", "view", ts(1), 0.0, json.dumps({})),
+        (2, "u1", "view", ts(2), 0.0, json.dumps({})),
+        (3, "u1", "view", ts(3), 0.0, json.dumps({"k": 5})),
+        (4, "u2", "view", ts(1), 0.0, json.dumps({"k": 7})),
+    ]
+    schema = (
+        "event_id long, user_id string, event_type string, ts timestamp,"
+        " value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = sorted(
+            (
+                (r.user_id, r.k, r.valid_from.hour, r.is_current)
+                for r in lookup("scd2_history").build(spark, td).collect()
+            ),
+            key=lambda t: (t[0], t[2]),
+        )
+    # u1: leading NULL-k run IS represented, from the first ts, closed by
+    # the k=5 transition at hour 3; the two same-k NULL rows collapse.
+    assert got == [
+        ("u1", None, 1, 0),
+        ("u1", 5, 3, 1),
+        ("u2", 7, 1, 1),
+    ], got
+
+
 def test_bigram_cond_probabilities_partition_unity(spark):
     """On a crafted corpus small enough that the top-100 limit keeps EVERY
     bigram: for each predecessor w1, the conditional probabilities sum to
@@ -916,3 +961,74 @@ def test_chunk_then_pack_composition(spark):
             off += r.chunk_len
         total += off
     assert total == sum(r.chunk_len for r in rows)
+
+
+def test_bpe_learns_hand_computed_merges(spark):
+    """BPE training on a hand-computable corpus: words {aa x2, ab x1} have
+    pair stats {(a,a): 2, (a,b): 1}, so merge 1 is (a,a); after it, the
+    only remaining pair is (a,b) in 'ab'. Tie-breaks never fire — the
+    frequencies are distinct by construction."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from unfccc_documents_database_sandbox_spark.plans.training import learn_bpe
+
+    rows = [(1, "aa aa ab", "en", "s", 8)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        assert learn_bpe(spark, td, k=2) == [("a", "a", 2), ("a", "b", 1)]
+        with pytest.raises(ValueError, match="exhausted after 2"):
+            learn_bpe(spark, td, k=3)
+
+
+def test_bpe_merge_application_is_greedy_non_overlapping(spark):
+    """Applying merge (a,a) to 'aaa' must yield [aa, a] (greedy
+    left-to-right, non-overlapping — never [a, aa] and never a re-merge of
+    the fresh symbol), and to 'aaaa' must yield [aa, aa]. This pins the
+    literal-replace encoding of BPE merge application on the wrapped
+    representation."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _BPE_L,
+        _BPE_R,
+        _bpe_apply,
+    )
+
+    df = spark.createDataFrame([("aaa",), ("aaaa",), ("ab",)], "word string")
+    wrapped = F.regexp_replace("word", "(.)", f"{_BPE_L}$1{_BPE_R}")
+    applied = _bpe_apply(wrapped, [("a", "a", 2)])
+    body = F.substring(applied, F.lit(2), F.length(applied) - 2)
+    got = {
+        r.word: r.syms
+        for r in df.select(
+            "word", F.split(body, _BPE_R + _BPE_L).alias("syms")
+        ).collect()
+    }
+    assert got == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"], "ab": ["a", "b"]}
+
+
+def test_bpe_encode_token_counts_are_consistent(spark):
+    """Encode invariants on the real corpus: per doc, n_tokens <= total
+    alpha-word chars (merging only shrinks) and n_tokens >= n_words (a
+    word is at least one symbol); the merges table has exactly _BPE_K
+    rows with merged = x || y and ranks 1..K."""
+    from tests.conftest import SF_SMOKE
+    from unfccc_documents_database_sandbox_spark.plans.training import _BPE_K
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    merges = lookup("text_bpe_train").build(spark, SF_SMOKE).collect()
+    assert [r.merge_rank for r in merges] == list(range(1, _BPE_K + 1))
+    assert all(r.merged == r.x + r.y for r in merges)
+    freqs = [r.freq for r in merges]
+    enc = lookup("text_bpe_encode").build(spark, SF_SMOKE).collect()
+    assert enc
+    for r in enc:
+        assert r.n_words <= r.n_tokens, r
+    assert all(f > 0 for f in freqs)

@@ -664,6 +664,25 @@ def test_round6_plans_are_cartesian_free_and_broadcast(spark):
         assert "BroadcastHashJoin" in plan, key
 
 
+def test_join_null_safe_builds_from_aggregated_side(spark):
+    """ADVICE r06: the broadcast BUILD side of join_null_safe's LeftOuter
+    BroadcastHashJoin must be the pre-aggregated <=11-row counts (Spark is
+    build-right-only for LeftOuter, so the build side is the right/non-
+    preserved side) — and the fact table must be reduced by a partial agg
+    BEFORE the join, never broadcast itself."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("join_null_safe").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BuildRight" in plan, plan
+    assert "BuildLeft" not in plan, plan
+    # the broadcast exchange wraps an aggregate, not a raw events scan:
+    # every HashAggregate must appear on the build (post-exchange) branch
+    bcast_idx = plan.index("BroadcastExchange")
+    assert "HashAggregate" in plan[bcast_idx:], plan
+
+
 def test_scd2_single_exchange_and_chunking_shuffle_free(spark):
     """scd2_history's two window passes share one (user_id) shuffle+sort —
     Catalyst must plan exactly one Exchange; text_chunk_sliding is pure

@@ -111,21 +111,22 @@ def agg_mode_freq(spark, sf_dir):
     s AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(v) AS BIGINT) AS sx,
-               CAST(SUM(hr) AS BIGINT) AS sy,
-               CAST(SUM(v * v) AS BIGINT) AS sxx,
-               CAST(SUM(hr * hr) AS BIGINT) AS syy,
-               CAST(SUM(v * hr) AS BIGINT) AS sxy
+               SUM(CAST(v AS HUGEINT)) AS sx,
+               SUM(CAST(hr AS HUGEINT)) AS sy,
+               SUM(CAST(v AS HUGEINT) * v) AS sxx,
+               SUM(CAST(hr AS HUGEINT) * hr) AS syy,
+               SUM(CAST(v AS HUGEINT) * hr) AS sxy
         FROM h GROUP BY event_type
     )
     SELECT event_type, n,
            CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
                 THEN NULL
-                ELSE ROUND((n * sxy - sx * sy)
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
            END AS corr,
-           ROUND((n * sxy - sx * sy) / CAST(n * n AS DOUBLE) / 100.0, 6)
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) / 100.0, 6)
                AS cov_pop
     FROM s
     """,
@@ -136,26 +137,34 @@ def agg_corr_exact(spark, sf_dir):
     only doubles are one sqrt/division of exact integers and both engines
     hash identically (Spark's built-in corr() accumulates doubles in
     partition order and is NOT cross-engine stable; this is the
-    numerically-exact restatement). Bounds: v <= ~50k cents, n <= ~2k per
-    type at sf0.01 -> n*sxx <= ~1e16, far inside int64. Scale: one
-    partial-agg shuffle to |groups| rows; moments are semigroup-mergeable
-    so map-side combine does the heavy lifting."""
+    numerically-exact restatement). All moment sums and combination terms
+    are DECIMAL(38,0) on the Spark side and HUGEINT in DuckDB — at sf0.01
+    int64 would suffice (n*sxx ~1e16), but n*sxx grows as n^2 and past
+    ~1e9 rows/group non-ANSI Spark would WRAP int64 silently while DuckDB
+    raises, i.e. the engines diverge exactly when the guard matters
+    (ADVICE r06); exact wide integers keep both engines bit-identical at
+    any scale (both convert the exact value to double with correct
+    rounding), and the widening touches only |groups| combination rows
+    plus the per-element products. Scale: one partial-agg shuffle to
+    |groups| rows; moments are semigroup-mergeable so map-side combine
+    does the heavy lifting."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-        F.hour("ts").cast("long").alias("hr"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("v"),
+        F.hour("ts").cast("decimal(38,0)").alias("hr"),
     )
     s = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("long").alias("sx"),
-        F.sum("hr").cast("long").alias("sy"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
-        F.sum(F.col("hr") * F.col("hr")).cast("long").alias("syy"),
-        F.sum(F.col("v") * F.col("hr")).cast("long").alias("sxy"),
+        F.sum("v").cast("decimal(38,0)").alias("sx"),
+        F.sum("hr").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("v") * F.col("hr")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("hr") * F.col("hr")).cast("decimal(38,0)").alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("decimal(38,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return s.select(
         "event_type",
         "n",
@@ -165,7 +174,7 @@ def agg_corr_exact(spark, sf_dir):
             (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
         ).alias("corr"),
         F.round(
-            num / (F.col("n") * F.col("n")).cast("double") / F.lit(100.0), 6
+            num / (nd * nd).cast("double") / F.lit(100.0), 6
         ).alias("cov_pop"),
     )
 
@@ -216,12 +225,12 @@ def agg_decimal_money(spark, sf_dir):
     s AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(v) AS BIGINT) AS sv,
-               CAST(SUM(v * v) AS BIGINT) AS qv
+               SUM(CAST(v AS HUGEINT)) AS sv,
+               SUM(CAST(v AS HUGEINT) * v) AS qv
         FROM e GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((s.n * e.v - s.sv)
+           ROUND(CAST(s.n * e.v - s.sv AS DOUBLE)
                  / sqrt(CAST(s.n * s.qv - s.sv * s.sv AS DOUBLE)), 6)
                AS zscore
     FROM e, s
@@ -245,23 +254,29 @@ def events_anomaly(spark, sf_dir):
         "event_id",
         "event_type",
         "value",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("v"),
     )
+    # DECIMAL(38,0) sums/combinations, HUGEINT in the oracle: dev^2 grows
+    # as n^2*v^2 (~1e34 at 1e9 rows/group) — int64 would wrap silently in
+    # non-ANSI Spark while DuckDB raises (ADVICE r06); exact wide integers
+    # keep the flagged row SET identical on both engines at any scale.
     s = e.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("long").alias("sv"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("qv"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("v").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("qv"),
     )
     j = e.join(F.broadcast(s), "event_type")
     dev = F.col("n") * F.col("v") - F.col("sv")
     var_n2 = F.col("n") * F.col("qv") - F.col("sv") * F.col("sv")
     return (
-        j.filter(dev * dev > 9 * var_n2)
+        j.filter(dev * dev > F.lit(9) * var_n2)
         .select(
             "event_id",
             "event_type",
             "value",
-            F.round(dev / F.sqrt(var_n2.cast("double")), 6).alias("zscore"),
+            F.round(
+                dev.cast("double") / F.sqrt(var_n2.cast("double")), 6
+            ).alias("zscore"),
         )
     )
 
@@ -316,12 +331,14 @@ def events_attribution(spark, sf_dir):
     marked AS (
         SELECT user_id, k, ts, event_id,
                LAG(k) OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS prev_k
+                            ORDER BY ts, event_id) AS prev_k,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM e
     ),
     changes AS (
         SELECT user_id, k, ts AS valid_from, event_id
-        FROM marked WHERE prev_k IS DISTINCT FROM k
+        FROM marked WHERE rn = 1 OR prev_k IS DISTINCT FROM k
     )
     SELECT user_id, k, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
@@ -342,7 +359,15 @@ def scd2_history(spark, sf_dir):
     over the same (user_id, ts, event_id) sort — Catalyst reuses the single
     shuffle+sort for both, so the build costs one exchange regardless of
     table size. IS DISTINCT FROM (null-safe) keeps NULL k transitions
-    correct on both engines."""
+    correct on both engines, and the change detection is SEEDED with
+    row_number()==1 so a user whose FIRST observations have k=NULL still
+    opens an interval — lag()'s no-previous-row NULL is otherwise
+    indistinguishable from a genuine NULL prev_k and eqNullSafe(NULL,NULL)
+    would silently drop the leading NULL-k run (ADVICE r06). The seed row
+    shares the window's shuffle+sort, so the fix costs nothing. Timeline-
+    partition invariant (every observation falls in exactly one interval,
+    including leading-NULL runs) pinned by
+    test_scd2_intervals_partition_user_timeline."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -352,7 +377,8 @@ def scd2_history(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.withColumn("prev_k", F.lag("k").over(w))
-        .filter(~F.col("prev_k").eqNullSafe(F.col("k")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | ~F.col("prev_k").eqNullSafe(F.col("k")))
         .select("user_id", "k", F.col("ts").alias("valid_from"), "event_id")
     )
     w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
@@ -582,10 +608,13 @@ def join_lateral(spark, sf_dir):
         SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bucket,
                'b' || unnest(generate_series(0, 9)) AS label
         UNION ALL SELECT NULL, 'unknown'
+    ),
+    counts AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed GROUP BY bucket
     )
-    SELECT d.label, CAST(COUNT(ke.event_id) AS BIGINT) AS n_events
-    FROM dim d LEFT JOIN keyed ke ON ke.bucket IS NOT DISTINCT FROM d.bucket
-    GROUP BY d.label
+    SELECT d.label, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_events
+    FROM dim d LEFT JOIN counts c ON c.bucket IS NOT DISTINCT FROM d.bucket
     """,
 )
 def join_null_safe(spark, sf_dir):
@@ -593,19 +622,27 @@ def join_null_safe(spark, sf_dir):
     with an intentional NULL bucket join a dimension that carries a NULL
     row — NULL matches NULL exactly once, the semantics a plain equi-join
     silently drops. Spark plans eqNullSafe as a HASHED join key (null-safe
-    equality is still an equi-key), so this broadcasts like any dim join —
-    no fallback to nested-loop. Scale: dim is literal-sized; one broadcast,
-    one partial-agg shuffle on label."""
+    equality is still an equi-key). The fact side is PRE-AGGREGATED to
+    <=11 (bucket, cnt) rows BEFORE the join — the r06 shape broadcast the
+    dim on the preserved (left) side of the LeftOuter join, which Spark
+    cannot build from (BroadcastHashJoin is build-right for LeftOuter), so
+    the hint was silently ignored and the executed plan built from the
+    FACT side: fine at test scale, an OOM-or-skew bomb at 100 TB (ADVICE
+    r06). Now the broadcast build side IS the tiny aggregate (non-
+    preserved right side, legal), the fact table is reduced by one
+    map-side-combining partial agg on an 11-value key, and skew is
+    structurally impossible. Plan-pinned build-right in
+    tests/test_scale.py."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
     keyed = e.select(
-        "event_id",
         F.when(F.col("k") < 10, F.lit(None).cast("long"))
         .otherwise(F.col("k") % 10)
         .alias("bucket"),
     )
+    counts = keyed.groupBy("bucket").agg(F.count("*").cast("long").alias("cnt"))
     dim = spark.range(0, 10).select(
         F.col("id").alias("bucket"), F.concat(F.lit("b"), F.col("id")).alias("label")
     ).unionAll(
@@ -613,11 +650,10 @@ def join_null_safe(spark, sf_dir):
             F.lit(None).cast("long").alias("bucket"), F.lit("unknown").alias("label")
         )
     )
-    return (
-        F.broadcast(dim)
-        .join(keyed, dim.bucket.eqNullSafe(keyed.bucket), "left")
-        .groupBy("label")
-        .agg(F.count("event_id").cast("long").alias("n_events"))
+    return dim.join(
+        F.broadcast(counts), dim.bucket.eqNullSafe(counts.bucket), "left"
+    ).select(
+        "label", F.coalesce(counts.cnt, F.lit(0)).cast("long").alias("n_events")
     )
 
 
@@ -628,9 +664,9 @@ def join_null_safe(spark, sf_dir):
     s AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(v) AS BIGINT) AS sv,
-               CAST(SUM(v * v) AS BIGINT) AS qv,
-               CAST(SUM(v * v * v) AS BIGINT) AS tv
+               SUM(CAST(v AS HUGEINT)) AS sv,
+               SUM(CAST(v AS HUGEINT) * v) AS qv,
+               SUM(CAST(v AS HUGEINT) * v * v) AS tv
         FROM e GROUP BY event_type
     )
     SELECT event_type, n,
@@ -653,20 +689,27 @@ def agg_skewness_exact(spark, sf_dir):
     integer arithmetic; both convert the exact value to double with
     correct rounding, so the quotient hashes identically). The ^1.5 is
     written sqrt(d)*d — never pow(x,1.5), whose libm/JVM implementations
-    can disagree in the last ulp. Bounds: v <= ~5e4 cents, n <= ~2e3 per
-    group -> T <= 2.4e17 (int64-safe per sum), n^2*T <= ~1e24
-    (DECIMAL/HUGEINT-safe). Like agg_corr_exact: Spark's built-in
+    can disagree in the last ulp. EVERY sum and combination term is
+    DECIMAL(38,0) / HUGEINT (r07: the per-group sums too, not just the
+    combination — SUM(v^3) wraps int64 past ~7e4 rows/group, where
+    non-ANSI Spark and DuckDB diverge silently). Like agg_corr_exact:
+    Spark's built-in
     skewness() accumulates doubles in partition order and cannot
     hash-match another engine; this restatement can. One partial-agg
     shuffle to |groups| rows."""
     e = load_table(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("v")
+        "event_type", F.round(F.col("value") * 100).cast("decimal(38,0)").alias("v")
     )
+    # per-sum terms are DECIMAL too (not just the combination step): tv =
+    # SUM(v^3) with v ~5e4 cents wraps int64 past ~7e4 rows/group, where
+    # non-ANSI Spark and DuckDB diverge silently (ADVICE r06)
     s = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("v").cast("long").alias("sv"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("qv"),
-        F.sum(F.col("v") * F.col("v") * F.col("v")).cast("long").alias("tv"),
+        F.sum("v").cast("decimal(38,0)").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("qv"),
+        F.sum(F.col("v") * F.col("v") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("tv"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     num = (
@@ -674,7 +717,7 @@ def agg_skewness_exact(spark, sf_dir):
         - F.lit(3) * dec("n") * dec("sv") * dec("qv")
         + F.lit(2) * dec("sv") * dec("sv") * dec("sv")
     )
-    d = (F.col("n") * F.col("qv") - F.col("sv") * F.col("sv")).cast("double")
+    d = (dec("n") * F.col("qv") - F.col("sv") * F.col("sv")).cast("double")
     return s.select(
         "event_type",
         "n",
