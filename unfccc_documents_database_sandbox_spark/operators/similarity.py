@@ -231,6 +231,28 @@ def ivf_topk(
     )
 
 
+# ADC-style query sets are collected driver-side (each query precomputes a
+# lookup table, so queries must be few by construction). Bound the collect so
+# an oversized query DataFrame fails loudly instead of OOMing the driver —
+# the same explicit-bound contract as train_ivf_centroids' max_train.
+_MAX_ADC_QUERIES = 10_000
+
+
+def _bounded_query_rows(queries: DataFrame, id_col: str) -> list:
+    """Collect the query set for driver-side ADC table construction, capped
+    at _MAX_ADC_QUERIES (limit+1 probe — no extra count() job): past that
+    size the broadcast-table design is wrong and the caller should batch or
+    use the corpus-side variants instead."""
+    rows = queries.select(id_col, "embedding").limit(_MAX_ADC_QUERIES + 1).collect()
+    if len(rows) > _MAX_ADC_QUERIES:
+        raise ValueError(
+            f"ADC query set exceeds {_MAX_ADC_QUERIES} rows; per-query lookup "
+            "tables are a broadcast-side structure — batch the queries or use "
+            "lsh_bucket_topk/ivf_topk for corpus-vs-corpus workloads"
+        )
+    return rows
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -334,7 +356,7 @@ def pq_topk(
         return pd.Series(list(codes))
 
     # per-query flat ADC table: table[j*k + c] = q_sub_j · centroid_c
-    q_rows = queries.select(id_col, "embedding").collect()
+    q_rows = _bounded_query_rows(queries, id_col)
     qx = _unit(pd.Series([r.embedding for r in q_rows]))
     tables = []
     for qi, r in enumerate(q_rows):
@@ -368,6 +390,224 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", F.round("score_raw", 4).alias("score"))
+    )
+
+
+def train_ivfpq_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    max_train: int = 100_000,
+    iters: int = 10,
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Fit the composed IVF+PQ index (Jégou et al., TPAMI 2011 §V: IVFADC):
+    the IVF coarse quantizer first, then PQ codebooks trained on the
+    RESIDUALS (unit vector − assigned centroid) — residuals are what the
+    codes must reconstruct once the coarse cell has absorbed the vector's
+    rough position, and quantizing them is what lets an m-byte code stay
+    accurate at 100 TB corpus scale. Same bounded-sample / fixed-seed /
+    lowest-ids reproducibility contract as train_ivf_centroids.
+    Returns (centroids n_cells × D, codebooks m × k × D/m)."""
+    import numpy as np
+
+    centroids = train_ivf_centroids(
+        corpus, n_cells=n_cells, seed=seed, max_train=max_train,
+        iters=iters, id_col=id_col,
+    )
+    cents = np.array(centroids, dtype="float64")
+
+    sample = (
+        corpus.select(F.col(id_col).alias("i"), F.col("embedding").alias("e"))
+        .orderBy("i")
+        .limit(max_train)
+    )
+    x = np.array([r.e for r in sample.collect()], dtype="float64")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[norms[:, 0] > 0]
+    x /= norms[norms[:, 0] > 0].reshape(-1, 1)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} must divide evenly into {m} subspaces")
+    sub = d // m
+    # residuals w.r.t. each vector's assigned cell
+    dist = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+    resid = x - cents[dist.argmin(axis=1)]
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xs = resid[:, j * sub : (j + 1) * sub]
+        bk = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)]
+        for _ in range(iters):
+            dd = (bk * bk).sum(axis=1)[None, :] - 2.0 * (xs @ bk.T)
+            assign = dd.argmin(axis=1)
+            for c in range(len(bk)):
+                members = xs[assign == c]
+                if len(members):
+                    bk[c] = members.mean(axis=0)
+        books.append([[float(v) for v in c] for c in bk])
+    return centroids, books
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    refine: int = 4,
+    index: tuple[list[list[float]], list[list[list[float]]]] | None = None,
+) -> DataFrame:
+    """Composed IVF+PQ approximate cosine top-k — the production 100 TB ANN
+    shape (VERDICT r06 #4; FAISS IndexIVFPQ): IVF cell pruning decides WHICH
+    vectors a query even looks at, PQ/ADC decides how cheaply each candidate
+    is scored. Neither half alone survives 100 TB: plain IVF still ships
+    full float vectors through the probe join; plain PQ still scans every
+    code. Composed, the scan ships (cell int + m bytes) per vector and each
+    query touches ~nprobe/n_cells of them.
+
+    Pipeline:
+    - ENCODE (one Arrow-batched pandas UDF pass over the corpus): unit-
+      normalize, assign the nearest IVF centroid, PQ-encode the RESIDUAL
+      (u − centroid) — one matmul per subspace per batch, no per-row Python.
+    - QUERY (driver-side, bounded by _MAX_ADC_QUERIES): for each query and
+      each of its nprobe nearest cells, one row (query_id, cell, bias, adc)
+      where bias = u_q · centroid_cell (the coarse term of the decomposed
+      inner product u_q · (centroid + residual_recon)) and adc[j*k + c] =
+      u_q_sub_j · codebook[j][c] (the residual term's lookup table — cell-
+      independent under inner product, shipped per probe row for a
+      single-equi-join plan).
+    - SCORE: equi-join on cell (the ONLY corpus shuffle — and on a real
+      cluster a cell-partitioned layout makes it a pruned scan instead),
+      score = bias + Σ_j adc[j*k + codes_j] as a row-local JVM fold, then
+      an ADC shortlist of refine×topk per query.
+    - REFINE (FAISS IndexRefineFlat; refine=0 skips it): re-score only the
+      shortlist with exact cosine by joining the refine×topk×|Q| survivor
+      ids back to the full vectors — the standard fix for PQ quantization
+      loss that re-reads O(|Q|·refine·topk) vectors, not the corpus. The
+      returned score is then the exact cosine of the survivors, so recall
+      matches plain IVF whenever the true neighbors survive the shortlist.
+
+    Approximate by construction → rows-only key; the ADC decomposition
+    exactness, cell-pruning containment, and recall-vs-IVF floor are
+    property-tested in tests/test_functions.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if index is None:
+        index = train_ivfpq_index(
+            corpus, n_cells=n_cells, m=m, k=k, id_col=id_col
+        )
+    centroids, codebooks = index
+    cents = np.array(centroids, dtype="float64")
+    cnorm2 = (cents * cents).sum(axis=1)
+    books = np.array(codebooks, dtype="float64")  # m × k × sub
+    n_sub, n_cent, sub = books.shape
+    n_probe = min(nprobe, len(centroids))
+
+    def _unit(vecs):
+        x = np.array(vecs.tolist(), dtype="float64")
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def encode(vecs):
+        x = _unit(vecs)
+        d = cnorm2[None, :] - 2.0 * (x @ cents.T)
+        cell = d.argmin(axis=1)
+        resid = x - cents[cell]
+        codes = np.empty((len(x), n_sub), dtype="int32")
+        for j in range(n_sub):
+            xs = resid[:, j * sub : (j + 1) * sub]
+            bk = books[j]
+            dist = (bk * bk).sum(axis=1)[None, :] - 2.0 * (xs @ bk.T)
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "codes": list(codes)}
+        )
+
+    # query side: nprobe rows per query — (query_id, cell, bias, adc)
+    q_rows = _bounded_query_rows(queries, id_col)
+    qx = _unit(pd.Series([r.embedding for r in q_rows]))
+    qd = cnorm2[None, :] - 2.0 * (qx @ cents.T)
+    probe = np.argsort(qd, axis=1)[:, :n_probe]
+    probe_rows = []
+    for qi, r in enumerate(q_rows):
+        adc = np.concatenate(
+            [qx[qi, j * sub : (j + 1) * sub] @ books[j].T for j in range(n_sub)]
+        )
+        adc_l = [float(v) for v in adc]
+        for cell in probe[qi]:
+            bias = float(qx[qi] @ cents[cell])
+            probe_rows.append((r[0], int(cell), bias, adc_l))
+    q = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_rows, "query_id long, cell int, bias double, adc array<double>"
+        )
+    )
+
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), encode("embedding").alias("e")
+    ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.codes").alias("codes"))
+    scored = (
+        enc.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score_raw",
+            F.col("bias")
+            + F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    "adc", (j * n_cent + F.element_at("codes", j + 1) + 1).cast("int")
+                ),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_raw").desc(), F.col("neighbor_id"))
+    if not refine:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "neighbor_id", "rank", F.round("score_raw", 4).alias("score"))
+        )
+
+    shortlist = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .filter(F.col("adc_rank") <= refine * topk)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: full vectors only for the shortlist survivors
+    c = with_norm(as_double_vec(corpus)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    qv = F.broadcast(
+        with_norm(as_double_vec(queries)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    refined = (
+        shortlist.join(c, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("score"))
     )
 
 

@@ -108,6 +108,34 @@ def sim_topk_pq(spark, sf_dir):
     return S.pq_topk(emb, queries, topk=5, m=8, k=16, codebooks=_PQ_CODEBOOKS[key])
 
 
+# one-time-per-(session, sf_dir) composed-index fit, same reuse pattern
+_IVFPQ_INDEX: dict[tuple[object, str], tuple] = {}
+
+
+@register("sim_topk_ivfpq", oracle=None, tags=("rows-only",))
+def sim_topk_ivfpq(spark, sf_dir):
+    """L3 composed IVF+PQ ANN (VERDICT r06 #4) — the shape a production
+    100 TB vector search actually runs (FAISS IndexIVFPQ / IVFADC): IVF
+    cell probing prunes WHICH candidates a query scores (nprobe/n_cells of
+    the corpus), PQ/ADC over residual byte codes prunes WHAT the scan ships
+    (cell int + m bytes per vector instead of D×4 float bytes). One corpus
+    encode pass (Arrow-batched pandas UDF), one equi-join on cell id, a
+    row-local JVM ADC fold, one top-k rank — no all-pairs, no full-vector
+    shuffle anywhere. Approximate by construction → rows-only check; the
+    ADC decomposition exactness, probed-cell containment, and recall floor
+    vs plain IVF at equal nprobe are property-tested in
+    tests/test_functions.py::test_ivfpq_composes_cell_pruning_with_adc."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = (spark, sf_dir)
+    if key not in _IVFPQ_INDEX:
+        _IVFPQ_INDEX[key] = S.train_ivfpq_index(emb, n_cells=16, m=8, k=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivfpq_topk(
+        emb, queries, topk=5, n_cells=16, nprobe=4, m=8, k=16,
+        index=_IVFPQ_INDEX[key],
+    )
+
+
 def _pq_portable_oracle() -> str:
     """DuckDB twin of sim_topk_pq_portable — same fixed codebook literals,
     same fold orders (list_dot_product ≡ the Spark zip_with/aggregate left
