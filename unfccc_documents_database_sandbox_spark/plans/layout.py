@@ -203,3 +203,85 @@ def layout_compaction_apply(spark, sf_dir):
     # disables inference for exactly these columns (r06 review finding).
     back = spark.read.schema(assigned.schema).parquet(out)
     return _manifest(back)
+
+
+def _version_stats_sql(version: int, where: str) -> str:
+    return f"""
+    SELECT CAST({version} AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE {where}
+    """
+
+
+@register(
+    "table_snapshot_read",
+    oracle=" UNION ALL ".join(
+        _version_stats_sql(v, w)
+        for v, w in enumerate(
+            [
+                "doc_id % 3 = 0",
+                "doc_id % 3 <= 1",
+                "TRUE",
+                "(lang = 'de') IS NOT TRUE",
+            ]
+        )
+    ),
+)
+def table_snapshot_read(spark, sf_dir):
+    """Snapshot/commit-log table format end-to-end (VERDICT r06 #6 — the
+    transactional story SURVEY §1.4's "Parquet (+ optionally Delta)" was
+    missing): build a versioned table under .csv_tmp/ with four commits —
+    v0 CREATE (docs with doc_id%3=0), v1/v2 APPEND (the other two thirds),
+    v3 copy-on-write DELETE (lang='de') — then TIME-TRAVEL read every
+    version and emit each snapshot's stats. The oracle recomputes each
+    version's expected contents from the original table (v0..v2 cumulative
+    thirds; v3 = everything minus the deleted language), so a hash-green
+    row proves snapshot isolation (v0's stats are unchanged by three later
+    commits), append visibility, and that the COW delete removed exactly
+    the predicate rows and nothing else.
+
+    Scale shape (sources/snapshots.py): the log is O(commits) JSON; reads
+    resolve a file list and scan only live files (readers never block on
+    writers, old versions are immutable); the delete rewrites ONLY files
+    containing matching rows — at 100 TB a 0.1%-selective delete costs
+    0.1% of a rewrite. Commit publication is an atomic create-if-absent,
+    the optimistic-concurrency protocol Delta runs on object stores
+    (conflict and immutability invariants pinned in
+    tests/test_snapshots.py). Like layout_compaction_apply, the build
+    writes under the repo's .csv_tmp/ — sandbox-scale seam, documented."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snaptable_{tag}")
+
+    d = load_table(spark, sf_dir, "documents")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
+    snap.delete_where(spark, root, "lang = 'de'")
+
+    def stats(version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "n_langs", "first_doc", "last_doc",
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [stats(v) for v in range(4)]
+    )
