@@ -85,25 +85,28 @@ EXTENDED = [
     "merge_upsert",            # MERGE-shaped keyed upsert
     "text_keyterms",           # per-source TF-IDF-ish key terms
     "layout_compaction",       # compaction manifest planner
-]
-
-# Third bench group: the round-6 keys, timed from the round they were
-# born so the NEXT round's regression check has a reference (the r05
-# lesson: the headline froze at r01 and rounds 3-5 went untimed until
-# VERDICT r05 #1 forced the extended group). Same exclusion rule:
-# layout_compaction_apply (parquet writes) and source_jdbc (JDBC
-# sink+read — times Derby, not the plan) stay out, and so does
-# sim_topk_pq_portable: its VALUES-literal codebook makes the build
-# planning-dominated (~6 s of Catalyst analysis, not execution) — it is
-# an oracle twin like dedup_minhash_portable, and twins are not benched;
-# the production PQ path (sim_topk_pq) is timed in the extended group.
-FRESH = [
+    # the r06 fresh group, rolled in at r07 now that BENCH_r06.json holds
+    # their day-one reference (the fresh group always graduates here)
     "text_vocab", "text_tfidf", "text_chunk_sliding", "text_bpe_pairs",
     "text_bigram_cond", "agg_mode_freq", "agg_corr_exact",
     "agg_skewness_exact", "agg_decimal_money", "events_anomaly",
     "events_attribution", "scd2_history", "window_cume_distinct",
     "basket_pairs", "graph_triangles", "join_lateral", "join_null_safe",
     "dedup_embedding",
+]
+
+# Third bench group: the CURRENT round's new keys, timed from the round
+# they were born so the NEXT round's regression check has a reference
+# (the r05 lesson: the headline froze at r01 and rounds 3-5 went untimed
+# until VERDICT r05 #1 forced the extended group). Each round the old
+# fresh cohort graduates into EXTENDED. Exclusion rule as before: keys
+# whose build() writes to disk stay out (table_snapshot_read times four
+# parquet commit writes, not a plan — like layout_compaction_apply and
+# source_jdbc before it).
+FRESH = [
+    "text_bpe_train",   # fixed-K BPE merge loop (r07)
+    "text_bpe_encode",  # trained-merge encode + per-doc token counts (r07)
+    "sim_topk_ivfpq",   # composed IVF+PQ ANN with exact refine (r07)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"
@@ -223,8 +226,9 @@ def main() -> None:
                     "comparability; steady_* = last pass; extended_* = "
                     "the r06 second group (rounds 3-5 operators, same "
                     "passes, totals reported separately so the r01 "
-                    "headline stays comparable); fresh_* = the round-6 "
-                    "keys, timed from birth"
+                    "headline stays comparable; r07 graduated the r06 "
+                    "fresh cohort into it); fresh_* = the current "
+                    "round's keys, timed from birth"
                 ),
             }
         )

@@ -97,3 +97,54 @@ def test_log_gap_is_corruption(spark, table):
     snap._write_commit(table, head + 2, [], [])
     with pytest.raises(ValueError, match="commit log gap"):
         snap.live_files(table)
+
+
+def test_merge_into_upserts_atomically(spark, table):
+    """MERGE: matched keys replaced, unmatched inserted, one commit; only
+    files containing matched keys are rewritten (COW), and the pre-merge
+    snapshot still reads the old values."""
+    src = spark.createDataFrame(
+        [(3, "UPDATED", "fr"), (99, "NEW", "fr")],
+        "id long, payload string, lang string",
+    )
+    head_before = snap.latest_version(table)
+    v = snap.merge_into(spark, table, src, ["id"])
+    assert v == head_before + 1
+    head = snap.read(spark, table)
+    assert head.count() == 21  # 20 originals + 1 insert
+    got = {r.id: (r.payload, r.lang) for r in head.collect()}
+    assert got[3] == ("UPDATED", "fr")
+    assert got[99] == ("NEW", "fr")
+    assert got[7] == ("row7", "en")  # untouched row carried forward
+    # pre-merge snapshot unchanged
+    old = {r.id: r.payload for r in snap.read(spark, table, v - 1).collect()}
+    assert old[3] == "row3" and 99 not in old
+
+
+def test_merge_into_no_match_is_pure_insert(spark, table):
+    src = spark.createDataFrame(
+        [(100, "A", "en"), (101, "B", "en")], "id long, payload string, lang string"
+    )
+    before = snap.live_files(table)
+    v = snap.merge_into(spark, table, src, ["id"])
+    # nothing removed: pure append commit
+    assert set(before) <= set(snap.live_files(table, v))
+    assert snap.read(spark, table).count() == 22
+
+
+def test_compact_preserves_contents_and_shrinks_files(spark, table):
+    """OPTIMIZE: same rows, fewer live files, one commit; pinned readers of
+    the pre-compaction version still see the old layout."""
+    rows_before = sorted(
+        (r.id, r.payload, r.lang) for r in snap.read(spark, table).collect()
+    )
+    files_before = snap.live_files(table)
+    v = snap.compact(spark, table, max_files=1)
+    files_after = snap.live_files(table, v)
+    assert len(files_after) == 1
+    assert not set(files_after) & set(files_before)
+    rows_after = sorted(
+        (r.id, r.payload, r.lang) for r in snap.read(spark, table, v).collect()
+    )
+    assert rows_after == rows_before
+    assert snap.live_files(table, v - 1) == files_before

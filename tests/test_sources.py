@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.operators.assembly import (
@@ -361,3 +363,61 @@ def test_source_jdbc_key_partitions_the_read(spark):
         .collect()
     )
     assert got == want
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TEST_POSTGRES_URL"),
+    reason="live-Postgres parity is opt-in: set TEST_POSTGRES_URL to a "
+    "jdbc:postgresql:// URL (credentials included or via user/password "
+    "query params) to run it",
+)
+def test_live_postgres_roundtrip(spark):
+    """S2 live-Postgres parity (VERDICT r06 #5): the Derby round-trip
+    proves Spark's V1 JDBC code path, but Postgres dialect specifics —
+    type DDL mapping, identifier quoting, reserved words — only surface
+    against a real server (reference front door: psycopg2-binary at
+    requirements.txt:49, `from init_db import engine` at README.md:15-18).
+    Round-trips a table that exercises exactly those: a mixed-case table
+    name, a reserved-word column ("order"), a single-quoted string, and a
+    timestamp — written via the JDBC sink (Spark emits the CREATE TABLE
+    DDL through its PostgresDialect) and read back through read_jdbc's
+    partitioned path."""
+    import datetime
+
+    from unfccc_documents_database_sandbox_spark.sources.io import read_jdbc
+
+    url = os.environ["TEST_POSTGRES_URL"]
+    table = '"PgCase"'  # mixed case forces quoted-identifier handling
+    src = spark.createDataFrame(
+        [
+            (1, "o'hara", 3, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+            (2, "plain", 1, datetime.datetime(2024, 6, 7, 8, 9, 10)),
+            (3, None, 2, None),
+        ],
+        'id long, name string, `order` int, ts timestamp',
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", "org.postgresql.Driver")
+        .mode("overwrite")
+        .save()
+    )
+    back = read_jdbc(
+        spark,
+        url,
+        table,
+        partition_column="id",
+        num_partitions=2,
+        lower_bound=1,
+        upper_bound=4,
+        driver="org.postgresql.Driver",
+    )
+    got = sorted(
+        (r["id"], r["name"], r["order"], r["ts"]) for r in back.collect()
+    )
+    want = sorted((r["id"], r["name"], r["order"], r["ts"]) for r in src.collect())
+    assert got == want
+    # the partitioned read really split on id
+    assert back.rdd.getNumPartitions() == 2

@@ -146,6 +146,68 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     )
 
 
+def merge_into(
+    spark: SparkSession, root: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """Transactional MERGE (upsert): rows in ``source`` whose key matches a
+    live row REPLACE it; unmatched source rows are inserted — as ONE atomic
+    commit, giving the plans/relational.py `merge_upsert` physical shape
+    (keyed anti-join + union) a commit-log story. Copy-on-write like
+    delete_where: only files CONTAINING matched keys are rewritten (their
+    unmatched rows are carried into the rewrite; every other file moves by
+    log reference). Readers of older versions are untouched.
+
+    At 100 TB the matched-file discovery is a broadcast semi-join of the
+    (small) source key set against one corpus scan — file granularity is
+    what bounds the rewrite, exactly Delta's MERGE story."""
+    version = latest_version(root) + 1
+    files = live_files(root, version - 1)
+    schema = table_schema(root)
+    paths = {os.path.realpath(os.path.join(root, f)): f for f in files}
+    cur = spark.read.schema(schema).parquet(*paths)
+    keys = source.select(*key_cols).distinct()
+    hit_rows = (
+        cur.join(F.broadcast(keys), key_cols, "left_semi")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    hit = sorted(
+        paths[os.path.realpath(r.f[len("file:"):] if r.f.startswith("file:") else r.f)]
+        for r in hit_rows
+    )
+    vdir = os.path.join(root, "data", f"v{version}")
+    if hit:
+        survivors = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in hit]
+        ).join(F.broadcast(keys), key_cols, "left_anti")
+        out = survivors.unionByName(source.select(*[f.name for f in schema]))
+    else:
+        out = source.select(*[f.name for f in schema])
+    out.write.parquet(vdir)
+    _write_commit(root, version, _data_files(root, version), hit)
+    return version
+
+
+def compact(spark: SparkSession, root: str, max_files: int = 4) -> int:
+    """OPTIMIZE: rewrite the live file set down to ``max_files`` files as
+    one commit (add: coalesced rewrite, remove: everything it replaced) —
+    the layout_compaction small-files fix, transactional. Contents are
+    bit-identical; only the physical layout changes, so any pinned reader
+    of an older version still sees its own files."""
+    version = latest_version(root) + 1
+    files = live_files(root, version - 1)
+    schema = table_schema(root)
+    cur = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+    cur.coalesce(max_files).write.parquet(
+        os.path.join(root, "data", f"v{version}")
+    )
+    _write_commit(root, version, _data_files(root, version), files)
+    return version
+
+
 def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     """Copy-on-write DELETE: find the live files that CONTAIN matching rows
     (one scan with input_file_name), rewrite only those files without the
