@@ -148,3 +148,133 @@ def test_compact_preserves_contents_and_shrinks_files(spark, table):
     )
     assert rows_after == rows_before
     assert snap.live_files(table, v - 1) == files_before
+
+
+def test_append_schema_mismatch_raises(spark, table):
+    """append must fail loudly on a mismatched schema instead of writing
+    parquet a pinned-schema read would silently truncate (r07 ADVICE #3)."""
+    extra = spark.createDataFrame(
+        [(1, "x", "en", 9.9)], "id long, payload string, lang string, score double"
+    )
+    with pytest.raises(ValueError, match="extra=\\['score'\\]"):
+        snap.append(spark, table, extra)
+    missing = spark.createDataFrame([(1, "x")], "id long, payload string")
+    with pytest.raises(ValueError, match="missing=\\['lang'\\]"):
+        snap.append(spark, table, missing)
+    retyped = spark.createDataFrame(
+        [(1, "x", "en")], "id int, payload string, lang string"
+    )
+    with pytest.raises(ValueError, match="retyped=\\['id'\\]"):
+        snap.append(spark, table, retyped)
+    # column ORDER is not significant: same cols reordered appends fine
+    ok = spark.createDataFrame(
+        [("en", 50, "row50")], "lang string, id long, payload string"
+    )
+    v = snap.append(spark, table, ok)
+    got = snap.read(spark, table, v).filter("id = 50").collect()
+    assert [(r.id, r.payload, r.lang) for r in got] == [(50, "row50", "en")]
+
+
+def test_evolve_schema_null_fills_history(spark, table):
+    """Additive evolution: old files null-fill the new column at scan time,
+    the new rows carry values, and time travel below the evolution commit
+    keeps the OLD schema (era-accurate table_schema)."""
+    widened = spark.createDataFrame(
+        [(200, "w", "en", 0.5)],
+        "id long, payload string, lang string, score double",
+    )
+    head_before = snap.latest_version(table)
+    v = snap.evolve_schema(spark, table, widened)
+    assert v == head_before + 1
+    head = snap.read(spark, table)
+    assert [f.name for f in head.schema] == ["id", "payload", "lang", "score"]
+    rows = {r.id: r.score for r in head.collect()}
+    assert rows[200] == 0.5
+    assert all(rows[i] is None for i in range(20))  # history null-filled
+    # pre-evolution time travel: old schema, old rows
+    old = snap.read(spark, table, head_before)
+    assert [f.name for f in old.schema] == ["id", "payload", "lang"]
+    assert old.count() == 20
+    # drops/retypes rejected
+    with pytest.raises(ValueError, match="additive-only"):
+        snap.evolve_schema(spark, table, spark.createDataFrame(
+            [(1, "x")], "id long, payload string"
+        ))
+    # post-evolution appends enforce the NEW schema
+    with pytest.raises(ValueError, match="missing=\\['score'\\]"):
+        snap.append(spark, table, spark.createDataFrame(
+            [(1, "x", "en")], "id long, payload string, lang string"
+        ))
+
+
+def test_merge_duplicate_source_keys_raise(spark, table):
+    """Delta-MERGE semantics: multiple source rows matching one target key
+    is an error, not a silent duplicate insert (r07 ADVICE #4)."""
+    dup = spark.createDataFrame(
+        [(3, "A", "en"), (3, "B", "en")], "id long, payload string, lang string"
+    )
+    head = snap.latest_version(table)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge_into(spark, table, dup, ["id"])
+    assert snap.latest_version(table) == head  # nothing committed
+
+
+def test_racing_writers_never_mix_part_files(spark, table):
+    """Per-writer payload dirs (r07 ADVICE #1): a writer that wrote parquet
+    but crashed before committing leaves an orphan dir that (a) is invisible
+    to every read, (b) never wedges a later writer's commit, and (c) is
+    reclaimed by vacuum."""
+    # simulate the crashed writer: payload written, no commit
+    orphan_dir = snap._new_payload_dir(table)
+    spark.createDataFrame(
+        [(999, "GHOST", "xx")], "id long, payload string, lang string"
+    ).write.parquet(orphan_dir)
+    orphan_files = snap._dir_files(table, orphan_dir)
+    assert orphan_files
+    # a healthy writer commits the same version the crashed one wanted
+    v = snap.append(spark, table, spark.createDataFrame(
+        [(21, "row21", "en")], "id long, payload string, lang string"
+    ))
+    live = set(snap.live_files(table, v))
+    assert not live & set(orphan_files)  # phantom rows can't leak in
+    assert snap.read(spark, table).filter("id = 999").count() == 0
+    deleted = snap.vacuum(table, retain_versions=100)  # retain all versions
+    assert set(orphan_files) <= set(deleted)
+    assert snap.read(spark, table).count() == 21
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, table):
+    """VACUUM deletes files referenced by no retained version; HEAD reads
+    survive, time travel to reclaimed versions fails at scan."""
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.compact(spark, table, max_files=1)
+    head = snap.latest_version(table)
+    head_rows = sorted(r.id for r in snap.read(spark, table).collect())
+    pre_compact_files = snap.live_files(table, head - 1)
+    deleted = snap.vacuum(table, retain_versions=1)
+    assert set(pre_compact_files) <= set(deleted)  # old layout reclaimed
+    for f in deleted:
+        assert not os.path.exists(os.path.join(table, f))
+    assert sorted(r.id for r in snap.read(spark, table).collect()) == head_rows
+    with pytest.raises(Exception):  # noqa: B017 — scan on reclaimed files
+        snap.read(spark, table, 0).collect()
+    # log retained for audit
+    assert snap.latest_version(table) == head
+
+
+def test_unicode_table_root_roundtrip(spark, tmp_path):
+    """input_file_name returns a percent-encoded URI; delete/merge must
+    unquote it or roots with spaces / non-ASCII KeyError (r07 ADVICE #2)."""
+    root = str(tmp_path / "täble dir" / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "de"), (2, "b", "en")], "id long, payload string, lang string"
+    )
+    snap.create(spark, root, df)
+    snap.delete_where(spark, root, "lang = 'de'")
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [2]
+    src = spark.createDataFrame(
+        [(2, "B2", "en"), (3, "c", "fr")], "id long, payload string, lang string"
+    )
+    snap.merge_into(spark, root, src, ["id"])
+    got = {r.id: r.payload for r in snap.read(spark, root).collect()}
+    assert got == {2: "B2", 3: "c"}

@@ -285,3 +285,103 @@ def table_snapshot_read(spark, sf_dir):
     return reduce(
         lambda a, b: a.unionByName(b), [stats(v) for v in range(4)]
     )
+
+
+def _evo_stats_sql(version: int, where: str, evolved: bool) -> str:
+    tok = (
+        "CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN CAST(FLOOR(n_chars / 5) AS BIGINT) END) AS BIGINT)"
+        if evolved else "CAST(NULL AS BIGINT)"
+    )
+    ntok = (
+        "CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        if evolved else "CAST(NULL AS BIGINT)"
+    )
+    return f"""
+    SELECT CAST({version} AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST({4 if evolved else 3} AS BIGINT) AS n_cols,
+           {ntok} AS tokens_nonnull,
+           {tok} AS sum_tokens
+    FROM documents WHERE {where}
+    """
+
+
+@register(
+    "table_schema_evolution",
+    oracle=" UNION ALL ".join(
+        _evo_stats_sql(v, w, e)
+        for v, (w, e) in enumerate(
+            [
+                ("doc_id % 3 = 0", False),
+                ("doc_id % 3 <= 1", False),
+                ("TRUE", True),
+                ("TRUE", True),
+            ]
+        )
+    ),
+)
+def table_schema_evolution(spark, sf_dir):
+    """Schema evolution + VACUUM on the snapshot table (VERDICT r07 #3):
+    v0 CREATE (doc_id%3=0, 3 columns), v1 APPEND (%3=1 — schema-validated,
+    a mismatched append now raises instead of silently truncating), v2
+    EVOLVE_SCHEMA (%3=2 rows carrying a NEW n_tokens column as one
+    schema-bearing commit — history null-fills it at scan, no rewrite),
+    v3 OPTIMIZE compaction, then VACUUM(retain=2) physically reclaims the
+    pre-compaction layout. The emitted per-version stats prove: pre-
+    evolution time travel keeps the OLD 3-column schema (n_cols), the
+    null-fill is exact (tokens_nonnull counts only the %3=2 cohort), the
+    evolved sum survives compaction bit-identically, and the post-vacuum
+    HEAD read still resolves (v3 row computed AFTER vacuum ran). The
+    oracle recomputes every version from the original table. Guard/
+    protocol invariants (additive-only, duplicate-merge-keys, racing
+    writers, unicode roots) are pinned in tests/test_snapshots.py.
+
+    Scale: evolution is a metadata commit + one append — zero historical
+    bytes rewritten; vacuum is a log replay + file-list diff, O(files)."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapevo_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.evolve_schema(
+        spark,
+        root,
+        d.filter(F.col("doc_id") % 3 == 2).withColumn(
+            "n_tokens", F.floor(F.col("n_chars") / F.lit(5)).cast("long")
+        ),
+    )
+    snap.compact(spark, root, max_files=2)
+    snap.vacuum(root, retain_versions=2)
+
+    def stats(version: int):
+        df = snap.read(spark, root, version)
+        cols = df.columns
+        agg = [
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(len(cols)).cast("long").alias("n_cols"),
+        ]
+        if "n_tokens" in cols:
+            agg += [
+                F.count("n_tokens").cast("long").alias("tokens_nonnull"),
+                F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            ]
+        else:
+            agg += [
+                F.lit(None).cast("long").alias("tokens_nonnull"),
+                F.lit(None).cast("long").alias("sum_tokens"),
+            ]
+        return df.agg(*agg).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "n_cols", "tokens_nonnull", "sum_tokens",
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [stats(v) for v in range(4)])

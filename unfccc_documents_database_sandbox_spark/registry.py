@@ -66,22 +66,93 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tier kept handing the window back to the cohort checked the round before
 # while r02-era evidence aged; r07 advanced the queue per VERDICT r06 #2
 # (r03 cohort + the sample_hash_mod IOU promoted to DUE; the 50
-# r06-evidenced keys parked; oldest evidence on file advanced r03 -> r04).
+# r06-evidenced keys parked; oldest evidence on file advanced r03 -> r04);
+# r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
+# alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
+# keys parked; oldest evidence on file advanced r04 -> r05 except the 11
+# promoted r04 keys now in-window).
 
-# DUE (z_): latest clean driver row is CORRECTNESS_r02.json
-# (sample_hash_mod — the r06 IOU, deferred one round for the source_jdbc
-# window slot) or CORRECTNESS_r03.json (45 keys). The oldest evidence on
-# file; the r07 window is the new unprefixed keys + these 46
+# DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
+# first block) or CORRECTNESS_r05.json (36 keys — the alphabetically-first
+# of the 50 r05-evidenced keys; the other 14 wait in NEXT). The oldest
+# evidence on file; the r08 window is the 3 new unprefixed keys + these 47
 # (machine-checked by tests/test_rotation.py::test_window_reaches_every_
-# due_key — size the r08 promotion from the registry, not this comment).
-# Rows-only by design among these: sim_topk_ivf, sim_topk_lsh,
-# stream_dedup_live (approx / stream-state semantics documented at their
-# builders).
+# due_key — size the r09 promotion from the registry, not this comment).
+# Rows-only by design among these: agg_approx_distinct,
+# agg_approx_percentiles, agg_hll_partitioned, catalog_tables (approx /
+# catalog semantics documented at their builders).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # r02 evidence (the r06 IOU — see History above)
+        # r04 evidence
+        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
+        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
+        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
+        "udaf_pandas_agg",
+        # r05 evidence (alphabetically-first 36 of the r05 cohort)
+        "agg_approx_distinct", "agg_approx_percentiles",
+        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
+        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
+        "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
+        "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
+        "case_when_block", "catalog_tables", "contamination_check",
+        "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
+        "dedup_components", "dedup_incremental", "dedup_lines",
+        "events_funnel", "events_retention", "events_sessionize",
+        "graph_pagerank", "index_inverted", "join_similarity_prefix",
+        "layout_compaction", "sim_topk_pq", "sort_global", "source_orc",
+        "sql_corr_subquery",
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r05.json (14 keys,
+# first block — the alphabetical tail of the r05 cohort) or
+# CORRECTNESS_r06.json (50 keys — the r06 window, second block). These
+# receive the r08 window spillover beyond the DUE tier and are the r09
+# promotion pool (r05 tail first).
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
+        # r05 evidence (the 14-key alphabetical tail of the r05 cohort)
+        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
+        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
+        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+        "stream_static_join", "xlsx_ingest",
+        # r06 evidence: the 21 un-prefixed keys of the r06 window
+        "agg_corr_exact", "agg_decimal_money", "agg_mode_freq",
+        "agg_skewness_exact", "basket_pairs", "dedup_embedding",
+        "events_anomaly", "events_attribution", "graph_triangles",
+        "join_lateral", "join_null_safe", "layout_compaction_apply",
+        "scd2_history", "sim_topk_pq_portable", "source_jdbc",
+        "text_bigram_cond", "text_bpe_pairs", "text_chunk_sliding",
+        "text_tfidf", "text_vocab", "window_cume_distinct",
+        # r06 evidence: the 29 z_ keys the r06 window re-checked.
+        # dedup_fuzzy_minhash / dedup_simhash / doc_rolling_hash are
+        # rows-only by design (approximate / hash-seeded semantics
+        # documented at their builders).
+        "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
+        "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
+        "doc_fingerprint", "doc_rolling_hash", "filter_notnull",
+        "filter_or_eq", "join_asof", "join_bridge", "join_child_collect",
+        "join_inner_fk", "join_left_nullable", "join_range", "join_semi",
+        "join_skew_salted", "json_extract", "lang_id", "limit_n", "map_ops",
+        "math_arith", "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_resize", "numbering_normalize", "project_columns",
+        "scan_full",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r07.json — the 50
+# keys of the r07 window (46 hash-green + 4 rows-only by documented
+# design, VERDICT r07): 46 were z_-spelled re-checks (clean rows on file
+# under their z_ spelling, incl. the r02-era sample_hash_mod IOU) and 4
+# were the un-prefixed r07 keys.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        # the 4 un-prefixed keys of the r07 window
+        "sim_topk_ivfpq", "table_snapshot_read", "text_bpe_encode",
+        "text_bpe_train",
+        # the 46 z_ keys the r07 window re-checked. sim_topk_ivf,
+        # sim_topk_lsh, stream_dedup_live are rows-only by design.
         "sample_hash_mod",
-        # r03 evidence
         "dedup_components_star", "dedup_minhash_portable",
         "dedup_simhash_portable", "dedup_substring", "docx_ingest",
         "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
@@ -96,72 +167,6 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
         "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
         "udtf_explode_blocks", "window_funcs",
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (50 keys, second block — the r05
-# window: 45 hash-green + 5 rows-only by design, VERDICT r05). These
-# receive the r07 window spillover beyond the DUE tier and are the r08
-# promotion pool (r04 cohort first).
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r04 evidence
-        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
-        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
-        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
-        "udaf_pandas_agg",
-        # r05 evidence: the 29 non-z keys of the r05 window (27 new r05
-        # keys + sort_global / sql_corr_subquery re-evidenced per VERDICT
-        # r04 #3)
-        "agg_argext_bitwise", "corpus_pipeline", "dedup_incremental",
-        "dedup_lines", "events_funnel", "events_retention",
-        "events_sessionize", "graph_pagerank", "index_inverted",
-        "join_similarity_prefix", "layout_compaction", "sim_topk_pq",
-        "sort_global", "source_orc", "sql_corr_subquery", "sql_tpch_q10",
-        "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
-        "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
-        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9", "stream_static_join",
-        "xlsx_ingest",
-        # r05 evidence: the 21 z_ keys the r05 window re-checked (clean
-        # rows on file in CORRECTNESS_r05.json under their z_ spelling)
-        "agg_approx_distinct", "agg_approx_percentiles", "agg_cube",
-        "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
-        "agg_grouping_sets", "agg_hll_partitioned", "agg_percentiles",
-        "agg_pivot", "agg_rollup", "agg_sum_global", "agg_unpivot",
-        "array_ops", "case_when_block", "catalog_tables",
-        "contamination_check", "corpus_mix", "csv_roundtrip",
-        "date_extract", "dedup_components",
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r06.json — the 50
-# keys of the r06 window (47 hash-green + 3 rows-only by documented
-# design, VERDICT r06). 21 were un-prefixed r06 keys; 29 were z_-spelled
-# re-checks (clean rows on file under their z_ spelling).
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
-        # the 21 un-prefixed keys of the r06 window
-        "agg_corr_exact", "agg_decimal_money", "agg_mode_freq",
-        "agg_skewness_exact", "basket_pairs", "dedup_embedding",
-        "events_anomaly", "events_attribution", "graph_triangles",
-        "join_lateral", "join_null_safe", "layout_compaction_apply",
-        "scd2_history", "sim_topk_pq_portable", "source_jdbc",
-        "text_bigram_cond", "text_bpe_pairs", "text_chunk_sliding",
-        "text_tfidf", "text_vocab", "window_cume_distinct",
-        # the 29 z_ keys the r06 window re-checked. dedup_fuzzy_minhash /
-        # dedup_simhash / doc_rolling_hash are rows-only by design
-        # (approximate / hash-seeded semantics documented at their
-        # builders).
-        "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
-        "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
-        "doc_fingerprint", "doc_rolling_hash", "filter_notnull",
-        "filter_or_eq", "join_asof", "join_bridge", "join_child_collect",
-        "join_inner_fk", "join_left_nullable", "join_range", "join_semi",
-        "join_skew_salted", "json_extract", "lang_id", "limit_n", "map_ops",
-        "math_arith", "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "project_columns",
-        "scan_full",
     }
 )
 

@@ -1,4 +1,4 @@
-"""Minimal snapshot/commit-log table format (VERDICT r06 #6).
+"""Minimal snapshot/commit-log table format (VERDICT r06 #6, r07 #3).
 
 SURVEY §1.4 maps the reference's ORM entities to "Parquet (+ optionally
 Delta)"; `merge_upsert` reproduces the MERGE physical shape and
@@ -7,10 +7,16 @@ table a transactional story. This module adds the missing 20%: a
 versioned commit log over plain parquet files — the Delta/Iceberg core
 protocol stripped to what the sandbox can express:
 
-- A table is a directory: `data/v{N}/part-*.parquet` payload files plus
-  `_log/{N:08d}.json` commit records, each listing the files the commit
-  ADDs and REMOVEs (logical removal only — payload files are immutable
-  and never deleted, which is exactly what makes time travel free).
+- A table is a directory: `data/<writer-uuid>/part-*.parquet` payload
+  files plus `_log/{N:08d}.json` commit records, each listing the files
+  the commit ADDs and REMOVEs (logical removal only — payload files are
+  immutable and never rewritten in place, which is exactly what makes
+  time travel free). Every commit attempt writes its payload under a
+  PER-WRITER unique directory and derives its add-list from that private
+  directory alone, so two racing writers can never see (or accidentally
+  commit) each other's part files, and a writer that crashes after the
+  parquet write but before the commit leaves only an unreferenced orphan
+  directory — it can never wedge a later commit (r07 ADVICE #1).
 - A snapshot at version V is the replay of commits 0..V: the live set =
   union of adds minus union of removes. Readers resolve the file list
   from the log and read ONLY those files — writers never block readers,
@@ -26,14 +32,22 @@ protocol stripped to what the sandbox can express:
   files, commit (add: rewritten, remove: originals). Untouched files
   are carried forward by reference, not rewritten — at 100 TB a delete
   touching 0.1% of files costs 0.1% of a full rewrite.
+- The SCHEMA travels in the log: commit 0 pins it, and `evolve_schema`
+  publishes a schema-bearing commit that ADDS columns (additive-only,
+  the mergeSchema discipline) — every read resolves the schema as of
+  its version, and parquet files written before the evolution null-fill
+  the new columns at scan time. Plain `append`/`merge_into` VALIDATE
+  the incoming DataFrame against the current schema and fail loudly on
+  mismatch instead of writing silently-truncating parquet (r07 #3a).
+- VACUUM deletes payload files referenced by NO retained version —
+  the physical-reclaim half of the logical REMOVE — plus orphan files
+  from crashed writers. Time travel to vacuumed versions then fails at
+  scan (exactly Delta's contract).
 
 Scale notes: the log is O(commits) tiny JSON; production systems add
 checkpoint compaction once replay cost matters (documented seam, not
 needed at sandbox commit counts). File pruning via per-file min/max
-stats would slot in at `live_files` (the layout_zorder story). The
-schema is pinned in commit 0 and supplied on every read, so partition-
-value/type inference can never drift a read (the r06
-layout_compaction_apply lesson).
+stats would slot in at `live_files` (the layout_zorder story).
 """
 
 from __future__ import annotations
@@ -41,6 +55,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,14 +71,32 @@ def _commit_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
 
 
-def _data_files(root: str, version: int) -> list[str]:
-    """Relative paths of the parquet part files under data/v{version}."""
-    vdir = os.path.join(root, "data", f"v{version}")
-    out = []
-    for fn in sorted(os.listdir(vdir)):
-        if fn.endswith(".parquet"):
-            out.append(os.path.join("data", f"v{version}", fn))
-    return out
+def _new_payload_dir(root: str) -> str:
+    """A writer-private payload directory for one commit attempt. Unique
+    per attempt, so concurrent writers (and crashed ones) can never mix
+    part files; the commit's add-list is derived from THIS dir only."""
+    return os.path.join(root, "data", uuid.uuid4().hex)
+
+
+def _dir_files(root: str, payload_dir: str) -> list[str]:
+    """Root-relative paths of the parquet part files the writer itself
+    just produced under its private payload dir."""
+    rel = os.path.relpath(payload_dir, root)
+    return sorted(
+        os.path.join(rel, fn)
+        for fn in os.listdir(payload_dir)
+        if fn.endswith(".parquet")
+    )
+
+
+def _uri_to_relpath(uri: str, abs_of: dict[str, str]) -> str:
+    """Map an input_file_name() value back to a log-relative path.
+    input_file_name returns a percent-encoded file: URI, so 'file:' must
+    be stripped via urlparse and the path unquoted — a root containing
+    spaces or non-ASCII would otherwise KeyError (r07 ADVICE #2)."""
+    p = urlparse(uri)
+    path = unquote(p.path) if p.scheme else uri
+    return abs_of[os.path.realpath(path)]
 
 
 def _write_commit(root: str, version: int, add: list[str], remove: list[str],
@@ -112,36 +146,106 @@ def live_files(root: str, version: int | None = None) -> list[str]:
     return sorted(live)
 
 
-def table_schema(root: str) -> StructType:
-    return StructType.fromJson(json.loads(_read_log(root)[0]["schema"]))
+def table_schema(root: str, version: int | None = None) -> StructType:
+    """Schema AS OF ``version`` (default HEAD): the last schema-bearing
+    commit at or before it. Commit 0 always carries one; `evolve_schema`
+    publishes later ones, so time travel sees the schema of its era."""
+    commits = _read_log(root)
+    if version is None:
+        version = len(commits) - 1
+    schema_json = None
+    for c in commits[: version + 1]:
+        if "schema" in c:
+            schema_json = c["schema"]
+    if schema_json is None:
+        raise ValueError(f"no schema-bearing commit at or before v{version}")
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
+    """Enforce the table schema on an incoming DataFrame: same column
+    names and types (nullability and column order are not significant —
+    the result is SELECTed into pinned order). A mismatch raises instead
+    of writing parquet that a pinned-schema read would silently truncate
+    or null-fill (r07 ADVICE #3). Additive changes go through
+    `evolve_schema`."""
+    want = {f.name: f.dataType for f in pinned}
+    got = {f.name: f.dataType for f in df.schema}
+    if got != want:
+        extra = sorted(set(got) - set(want))
+        missing = sorted(set(want) - set(got))
+        retyped = sorted(
+            n for n in set(got) & set(want) if got[n] != want[n]
+        )
+        raise ValueError(
+            f"{op}: incoming schema does not match the table schema "
+            f"(extra={extra}, missing={missing}, retyped={retyped}); "
+            "use evolve_schema() for additive column changes"
+        )
+    return df.select(*[f.name for f in pinned])
 
 
 def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
-    table schema for every later read)."""
+    table schema for every read until a schema-bearing commit evolves it)."""
     shutil.rmtree(root, ignore_errors=True)
-    df.write.parquet(os.path.join(root, "data", "v0"))
-    _write_commit(root, 0, _data_files(root, 0), [], schema_json=df.schema.json())
+    pdir = _new_payload_dir(root)
+    df.write.parquet(pdir)
+    _write_commit(root, 0, _dir_files(root, pdir), [], schema_json=df.schema.json())
     return 0
 
 
 def append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Append-only commit: new files added, nothing removed."""
+    """Append-only commit: new files added, nothing removed. The incoming
+    DataFrame must match the table schema exactly (raise, don't coerce)."""
     version = latest_version(root) + 1
-    df.write.parquet(os.path.join(root, "data", f"v{version}"))
-    _write_commit(root, version, _data_files(root, version), [])
+    out = _check_schema(df, table_schema(root), "append")
+    pdir = _new_payload_dir(root)
+    out.write.parquet(pdir)
+    _write_commit(root, version, _dir_files(root, pdir), [])
+    return version
+
+
+def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
+    """Additive schema evolution + append as ONE schema-bearing commit:
+    the incoming DataFrame must contain every existing column at its
+    pinned type plus at least the same set (new columns allowed, drops
+    and retypes rejected — the mergeSchema discipline). Files written
+    before this commit simply null-fill the new columns at scan time, so
+    no historical data is rewritten; time-travel reads below this version
+    keep the old schema (`table_schema(root, v)` is era-accurate)."""
+    version = latest_version(root) + 1
+    pinned = table_schema(root)
+    got = {f.name: f.dataType for f in df.schema}
+    missing = [f.name for f in pinned if f.name not in got]
+    retyped = [f.name for f in pinned if f.name in got and got[f.name] != f.dataType]
+    if missing or retyped:
+        raise ValueError(
+            f"evolve_schema is additive-only: missing={missing}, retyped={retyped}"
+        )
+    # new schema = pinned columns in pinned order, then new columns in the
+    # incoming DataFrame's order (stable, writer-chosen)
+    new_cols = [f for f in df.schema if f.name not in {p.name for p in pinned}]
+    ordered = df.select(*[f.name for f in pinned], *[f.name for f in new_cols])
+    pdir = _new_payload_dir(root)
+    ordered.write.parquet(pdir)
+    _write_commit(
+        root, version, _dir_files(root, pdir), [], schema_json=ordered.schema.json()
+    )
     return version
 
 
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Snapshot read (time travel when ``version`` is given): resolve the
-    live file list from the log and scan only those files under the pinned
-    schema. A version-0 read after any number of later commits returns
-    exactly v0's rows — the files it references are immutable."""
+    live file list from the log and scan only those files under the
+    as-of-version schema. A version-0 read after any number of later
+    commits returns exactly v0's rows — the files it references are
+    immutable (until VACUUM reclaims them)."""
     files = live_files(root, version)
+    schema = table_schema(root, version)
     if not files:
-        return spark.createDataFrame([], table_schema(root))
-    return spark.read.schema(table_schema(root)).parquet(
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in files]
     )
 
@@ -157,14 +261,27 @@ def merge_into(
     unmatched rows are carried into the rewrite; every other file moves by
     log reference). Readers of older versions are untouched.
 
+    Source keys must be UNIQUE — duplicate keys would match one target row
+    but insert several, silently leaving duplicates in the table, so like
+    Delta's MERGE we raise instead (r07 ADVICE #4).
+
     At 100 TB the matched-file discovery is a broadcast semi-join of the
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
     version = latest_version(root) + 1
-    files = live_files(root, version - 1)
     schema = table_schema(root)
-    paths = {os.path.realpath(os.path.join(root, f)): f for f in files}
-    cur = spark.read.schema(schema).parquet(*paths)
+    source = _check_schema(source, schema, "merge_into")
+    dup = (
+        source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into: source has duplicate keys on "
+            f"{key_cols} — MERGE requires a unique source match per target row"
+        )
+    files = live_files(root, version - 1)
+    abs_of = {os.path.realpath(os.path.join(root, f)): f for f in files}
+    cur = spark.read.schema(schema).parquet(*abs_of)
     keys = source.select(*key_cols).distinct()
     hit_rows = (
         cur.join(F.broadcast(keys), key_cols, "left_semi")
@@ -172,20 +289,17 @@ def merge_into(
         .distinct()
         .collect()
     )
-    hit = sorted(
-        paths[os.path.realpath(r.f[len("file:"):] if r.f.startswith("file:") else r.f)]
-        for r in hit_rows
-    )
-    vdir = os.path.join(root, "data", f"v{version}")
+    hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
+    pdir = _new_payload_dir(root)
     if hit:
         survivors = spark.read.schema(schema).parquet(
             *[os.path.join(root, f) for f in hit]
         ).join(F.broadcast(keys), key_cols, "left_anti")
-        out = survivors.unionByName(source.select(*[f.name for f in schema]))
+        out = survivors.unionByName(source)
     else:
-        out = source.select(*[f.name for f in schema])
-    out.write.parquet(vdir)
-    _write_commit(root, version, _data_files(root, version), hit)
+        out = source
+    out.write.parquet(pdir)
+    _write_commit(root, version, _dir_files(root, pdir), hit)
     return version
 
 
@@ -201,10 +315,9 @@ def compact(spark: SparkSession, root: str, max_files: int = 4) -> int:
     cur = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in files]
     )
-    cur.coalesce(max_files).write.parquet(
-        os.path.join(root, "data", f"v{version}")
-    )
-    _write_commit(root, version, _data_files(root, version), files)
+    pdir = _new_payload_dir(root)
+    cur.coalesce(max_files).write.parquet(pdir)
+    _write_commit(root, version, _dir_files(root, pdir), files)
     return version
 
 
@@ -224,11 +337,7 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
         .distinct()
         .collect()
     )
-    # input_file_name is a file: URI; map back to log-relative paths
-    hit = sorted(
-        abs_of[os.path.realpath(r.f[len("file:"):] if r.f.startswith("file:") else r.f)]
-        for r in hit_rows
-    )
+    hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
     if not hit:
         _write_commit(root, version, [], [])
         return version
@@ -237,6 +346,43 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     kept = spark.read.schema(schema).parquet(
         *[os.path.join(root, f) for f in hit]
     ).filter(f"({condition}) IS NOT TRUE")
-    kept.write.parquet(os.path.join(root, "data", f"v{version}"))
-    _write_commit(root, version, _data_files(root, version), hit)
+    pdir = _new_payload_dir(root)
+    kept.write.parquet(pdir)
+    _write_commit(root, version, _dir_files(root, pdir), hit)
     return version
+
+
+def vacuum(root: str, retain_versions: int = 1) -> list[str]:
+    """Physically reclaim payload files referenced by NO retained version
+    (the deferred half of logical REMOVE) plus orphan files from crashed
+    or racing writers that never committed. Retains the live sets of the
+    newest ``retain_versions`` versions (HEAD always retained); every
+    other on-disk parquet file under data/ is deleted and empty payload
+    dirs are pruned. Returns the root-relative deleted paths, sorted.
+
+    After vacuum, time travel to a version whose files were reclaimed
+    fails at scan — exactly Delta's VACUUM contract (the log itself is
+    kept for audit). Like Delta, a concurrent writer mid-write between
+    parquet flush and commit could see its uncommitted files swept;
+    production systems guard with a retention window on file age —
+    sandbox-scale seam, documented."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    head = latest_version(root)
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions + 1), head + 1):
+        keep |= set(live_files(root, v))
+    data_dir = os.path.join(root, "data")
+    deleted: list[str] = []
+    for d in sorted(os.listdir(data_dir)):
+        pdir = os.path.join(data_dir, d)
+        if not os.path.isdir(pdir):
+            continue
+        for fn in sorted(os.listdir(pdir)):
+            rel = os.path.join("data", d, fn)
+            if fn.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(pdir, fn))
+                deleted.append(rel)
+        if not any(fn.endswith(".parquet") for fn in os.listdir(pdir)):
+            shutil.rmtree(pdir)
+    return deleted
