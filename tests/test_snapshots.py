@@ -278,3 +278,25 @@ def test_unicode_table_root_roundtrip(spark, tmp_path):
     snap.merge_into(spark, root, src, ["id"])
     got = {r.id: r.payload for r in snap.read(spark, root).collect()}
     assert got == {2: "B2", 3: "c"}
+
+
+def test_txn_stamped_merge_is_idempotent(spark, table):
+    """The foreachBatch exactly-once pattern: a MERGE stamped with a
+    Delta-style txn {app, id} is visible in applied_txns(), so a restarted
+    writer re-delivering the same batch skips it instead of double-applying."""
+    src = spark.createDataFrame(
+        [(3, "TXN", "fr")], "id long, payload string, lang string"
+    )
+    app = "test_app"
+    assert snap.applied_txns(table, app) == set()
+    snap.merge_into(spark, table, src, ["id"], txn={"app": app, "id": 0})
+    assert snap.applied_txns(table, app) == {0}
+    # the writer's re-delivery guard: batch 0 seen -> skip; batch 1 applies
+    if 0 not in snap.applied_txns(table, app):
+        snap.merge_into(spark, table, src, ["id"], txn={"app": app, "id": 0})
+    head = snap.latest_version(table)
+    snap.merge_into(spark, table, src, ["id"], txn={"app": app, "id": 1})
+    assert snap.applied_txns(table, app) == {0, 1}
+    assert snap.latest_version(table) == head + 1
+    # another app's txns are invisible to this one
+    assert snap.applied_txns(table, "other_app") == set()

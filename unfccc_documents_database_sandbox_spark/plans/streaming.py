@@ -323,3 +323,92 @@ def stream_static_join(spark, sf_dir):
         )
     )
     return _run_live(out, spark, "append", "stream_static_join")
+
+
+@register(
+    "stream_foreach_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_foreach_merge(spark, sf_dir):
+    """T-ext foreachBatch sink (VERDICT r07 #7) — the standard production
+    incremental-ingest idiom, composing the two existing pieces: a REAL
+    streaming query (file source → availableNow) whose every micro-batch
+    runs an IDEMPOTENT MERGE into the snapshot/commit-log table
+    (sources/snapshots.py). Per batch: aggregate the batch to per-user
+    (n_events, total_cents) deltas, combine with the CURRENT profile rows
+    of exactly the touched users (broadcast semi-join — untouched users'
+    files move by log reference, the COW MERGE story), and commit the
+    upsert stamped with a Delta-style txn {app, batch_id}. On restart /
+    re-delivery the sink consults applied_txns() and SKIPS batches already
+    committed — exactly-once effect on at-least-once delivery, the
+    foreachBatch contract (idempotency pinned in tests/test_streaming.py).
+
+    Counts are associative, so the final table state equals the plain
+    batch aggregation no matter how availableNow splits micro-batches —
+    which is the oracle. Scale: state lives in the TABLE (no executor
+    state store); per batch cost is one delta agg + a COW merge bounded by
+    the touched-key file set."""
+    import os
+    import shutil
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"foreachmerge_{tag}")
+    ckpt = root + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    profile_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    snap.create(spark, root, spark.createDataFrame([], profile_schema))
+
+    def upsert(batch_df, batch_id: int) -> None:
+        app = "stream_foreach_merge"
+        if batch_id in snap.applied_txns(root, app):
+            return  # re-delivered batch: already committed, skip (idempotent)
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        touched = snap.read(spark, root).join(
+            F.broadcast(delta.select("user_id")), "user_id", "left_semi"
+        )
+        merged = (
+            touched.unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_cents").cast("long").alias("total_cents"),
+            )
+        )
+        snap.merge_into(
+            spark, root, merged, ["user_id"], txn={"app": app, "id": batch_id}
+        )
+
+    src = _events_stream(spark, sf_dir).select("user_id", "value")
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError(
+                "streaming query for 'stream_foreach_merge' did not finish "
+                "availableNow processing within 180s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return snap.read(spark, root)

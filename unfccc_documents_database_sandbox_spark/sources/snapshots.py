@@ -100,15 +100,23 @@ def _uri_to_relpath(uri: str, abs_of: dict[str, str]) -> str:
 
 
 def _write_commit(root: str, version: int, add: list[str], remove: list[str],
-                  schema_json: str | None = None) -> None:
+                  schema_json: str | None = None,
+                  txn: dict | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
-    (optimistic concurrency, the object-store-friendly protocol)."""
+    (optimistic concurrency, the object-store-friendly protocol).
+
+    ``txn`` is an optional {"app": str, "id": int} transaction stamp (the
+    Delta `txn` action): an exactly-once writer records which unit of work
+    the commit applied, so a replay after failure can see it already
+    landed (see applied_txns / the foreachBatch sink)."""
     os.makedirs(_log_dir(root), exist_ok=True)
     payload = {"version": version, "add": add, "remove": remove}
     if schema_json is not None:
         payload["schema"] = schema_json
+    if txn is not None:
+        payload["txn"] = txn
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -250,8 +258,20 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     )
 
 
+def applied_txns(root: str, app: str) -> set[int]:
+    """The transaction ids ``app`` has already committed to this table —
+    the exactly-once lookup a restarting streaming writer does before
+    re-applying a micro-batch (Delta's txn/idempotent-writes pattern)."""
+    return {
+        c["txn"]["id"]
+        for c in _read_log(root)
+        if c.get("txn", {}).get("app") == app
+    }
+
+
 def merge_into(
-    spark: SparkSession, root: str, source: DataFrame, key_cols: list[str]
+    spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
+    txn: dict | None = None,
 ) -> int:
     """Transactional MERGE (upsert): rows in ``source`` whose key matches a
     live row REPLACE it; unmatched source rows are inserted — as ONE atomic
@@ -281,15 +301,22 @@ def merge_into(
         )
     files = live_files(root, version - 1)
     abs_of = {os.path.realpath(os.path.join(root, f)): f for f in files}
-    cur = spark.read.schema(schema).parquet(*abs_of)
-    keys = source.select(*key_cols).distinct()
-    hit_rows = (
-        cur.join(F.broadcast(keys), key_cols, "left_semi")
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    )
-    hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
+    # localCheckpoint the (small, distinct) key set: a source that itself
+    # scans THIS table (the foreachBatch read-combine-merge shape) would
+    # otherwise put a second file source under input_file_name(), which
+    # Spark rejects (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
+    keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
+    if files:
+        cur = spark.read.schema(schema).parquet(*abs_of)
+        hit_rows = (
+            cur.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        )
+        hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
+    else:  # merging into an empty table is a pure insert
+        hit = []
     pdir = _new_payload_dir(root)
     if hit:
         survivors = spark.read.schema(schema).parquet(
@@ -299,7 +326,7 @@ def merge_into(
     else:
         out = source
     out.write.parquet(pdir)
-    _write_commit(root, version, _dir_files(root, pdir), hit)
+    _write_commit(root, version, _dir_files(root, pdir), hit, txn=txn)
     return version
 
 
