@@ -93,6 +93,9 @@ EXTENDED = [
     "events_attribution", "scd2_history", "window_cume_distinct",
     "basket_pairs", "graph_triangles", "join_lateral", "join_null_safe",
     "dedup_embedding",
+    # the r07 fresh group, rolled in at r08 (BENCH_r07.json holds their
+    # day-one reference)
+    "text_bpe_train", "text_bpe_encode", "sim_topk_ivfpq",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -104,9 +107,16 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    "text_bpe_train",   # fixed-K BPE merge loop (r07)
-    "text_bpe_encode",  # trained-merge encode + per-doc token counts (r07)
-    "sim_topk_ivfpq",   # composed IVF+PQ ANN with exact refine (r07)
+    # r08 keys. sim_topk_ivfpq_portable is excluded by the standing
+    # oracle-twin rule (VALUES-literal index makes its build
+    # Catalyst-analysis-dominated, like sim_topk_pq_portable);
+    # table_schema_evolution and stream_foreach_merge are excluded by the
+    # disk-writing rule (both build a commit-log table under .csv_tmp/ —
+    # their wall time measures sink I/O and streaming-trigger latency,
+    # not a plan). That leaves no timeable r08 key, so the group re-times
+    # the r07 cohort alongside its new EXTENDED placement one more round
+    # rather than reporting an empty group (bench JSON shape unchanged).
+    "text_bpe_train", "text_bpe_encode", "sim_topk_ivfpq",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -1032,3 +1032,41 @@ def test_bpe_encode_token_counts_are_consistent(spark):
     for r in enc:
         assert r.n_words <= r.n_tokens, r
     assert all(f > 0 for f in freqs)
+
+
+def test_bpe_arrow_encode_matches_expression_path(spark):
+    """The mapInPandas large-K encode (plans/training.py bpe_nsym_arrow)
+    must agree symbol-for-symbol with the registered K-deep expression
+    path at the registered K — same merges, same distinct-word table."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans import training as T
+
+    sf_dir = "/root/testdata/sf0.001"
+    merges = T.learn_bpe(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .distinct()
+    )
+    wrapped = F.regexp_replace("word", "(.)", f"{T._BPE_L}$1{T._BPE_R}")
+    repr_col = T._bpe_apply(wrapped, merges)
+    expr_path = {
+        r.word: r.n_sym
+        for r in words.select(
+            "word",
+            (
+                F.length(repr_col)
+                - F.length(F.replace(repr_col, F.lit(T._BPE_L), F.lit("")))
+            )
+            .cast("long")
+            .alias("n_sym"),
+        ).collect()
+    }
+    arrow_path = {
+        r.word: r.n_sym for r in T.bpe_nsym_arrow(words, merges).collect()
+    }
+    assert len(expr_path) >= 25  # non-trivial vocabulary (30 at sf0.001)
+    assert arrow_path == expr_path

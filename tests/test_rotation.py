@@ -154,3 +154,26 @@ def test_window_has_room_for_new_keys():
     the window; that only works while non-z keys number well under 50."""
     nonz = [k for k in sorted(registry.REGISTRY) if not _rotated(k)]
     assert len(nonz) <= 50, f"{len(nonz)} un-rotated keys cannot all be checked"
+
+
+def test_plans_doc_in_lockstep_with_bench_and_round_keys():
+    """VERDICT r07 #1: PLANS.md staleness must be structurally impossible —
+    every key gen_plans.py is configured to cover (scan_full + bench
+    headline + extended + the current round's ROUND_KEYS) must have a
+    `## <key>` section in the committed PLANS.md. A new bench/round key
+    without a regenerated PLANS.md fails here until `python gen_plans.py`
+    is re-run."""
+    import bench
+    import gen_plans
+
+    with open(os.path.join(REPO, "PLANS.md"), encoding="utf-8") as fh:
+        sections = {
+            line[3:].strip()
+            for line in fh
+            if line.startswith("## ")
+        }
+    expected = {"scan_full", *bench.HEADLINE, *bench.EXTENDED, *gen_plans.ROUND_KEYS}
+    missing = sorted(expected - sections)
+    assert not missing, (
+        f"PLANS.md is stale — run `python gen_plans.py`; missing sections: {missing}"
+    )

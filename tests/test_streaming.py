@@ -265,3 +265,49 @@ def test_foreach_batch_merge_is_exactly_once_shaped(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_tws_profile_matches_batch_agg_when_env_supports_it(spark):
+    """Spark 4 transformWithStateInPandas twin of the stateful profile
+    (streaming/stateful.py UserProfileProcessor): running per-user totals
+    must converge to the batch aggregation, same contract as
+    stream_stateful_profile. The TWS state server requires protobuf in the
+    Python env — absent here, so this skips (the TEST_POSTGRES_URL
+    skipped-not-failed precedent); it runs green on a full environment."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.streaming import (
+        _events_stream,
+        _run_live,
+    )
+    from unfccc_documents_database_sandbox_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_tws,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = _run_live(
+        user_profile_tws(_events_stream(spark, sf_dir)),
+        spark,
+        "update",
+        "test_tws_profile",
+    )
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in out.filter(F.col("n_events") >= 0)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .collect()
+    }
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in user_profile_batch(events).collect()
+    }
+    assert got == want

@@ -412,3 +412,4 @@ def stream_foreach_merge(spark, sf_dir):
         if q.isActive:
             q.stop()
     return snap.read(spark, root)
+

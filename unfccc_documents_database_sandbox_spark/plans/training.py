@@ -615,3 +615,35 @@ def text_bpe_encode(spark, sf_dir):
             F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_nsym_arrow(words_df, merges):
+    """Arrow-batched BPE encode for LARGE merge lists (VERDICT r07 #8 —
+    the variant the module comment above promises): apply the learned
+    merges to each distinct word inside a mapInPandas worker and emit
+    (word, n_sym). The expression path (_bpe_apply) builds a K-deep
+    nested `replace` chain — fine at the registered K=6, but the codegen
+    expression grows linearly with K and a real tokenizer has K in the
+    tens of thousands; here K costs one Python loop over an Arrow batch
+    instead of plan depth. Same contract as the expression path
+    (property-pinned equal in tests/test_properties.py): literal
+    non-overlapping replaces applied in merge-rank order to the wrapped
+    repr, n_sym = count of symbol markers. Input must be the DISTINCT
+    word table — vocabulary-sized, so the Python cost never touches
+    corpus cardinality (per-word results broadcast-join back, exactly
+    like the expression path)."""
+    pats = [_bpe_pat(x, y) for x, y, _freq in merges]
+
+    def enc(batches):
+        for pdf in batches:
+            reprs = [
+                "".join(f"{_BPE_L}{c}{_BPE_R}" for c in w)
+                for w in pdf["word"]
+            ]
+            for pat, rep in pats:
+                reprs = [r.replace(pat, rep) for r in reprs]
+            out = pdf[["word"]].copy()
+            out["n_sym"] = [r.count(_BPE_L) for r in reprs]
+            yield out
+
+    return words_df.select("word").mapInPandas(enc, "word string, n_sym long")
