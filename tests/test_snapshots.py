@@ -300,3 +300,56 @@ def test_txn_stamped_merge_is_idempotent(spark, table):
     assert snap.latest_version(table) == head + 1
     # another app's txns are invisible to this one
     assert snap.applied_txns(table, "other_app") == set()
+
+
+def test_stats_pruning_skips_files_and_preserves_answers(spark, tmp_path):
+    """Data skipping: on a range-clustered table the pruned file list is a
+    strict subset of the live set, and read_pruned == read().filter() —
+    including after appends and a COW delete rewrite the stats for."""
+    root = str(tmp_path / "stats")
+    df = spark.createDataFrame(
+        [(i, f"p{i}", i % 7) for i in range(200)], "id long, payload string, grp long"
+    )
+    snap.create(spark, root, df.repartitionByRange(8, "id"))
+    assert len(snap.live_files(root)) == 8
+    pf = snap.pruned_files(root, {"id": (50, 74)})
+    assert 0 < len(pf) < 8  # real skipping, not all-files
+    got = sorted(r.id for r in snap.read_pruned(spark, root, {"id": (50, 74)}).collect())
+    assert got == list(range(50, 75))
+    # append outside the range adds files that prune away again
+    snap.append(spark, root, spark.createDataFrame(
+        [(1000, "x", 0)], "id long, payload string, grp long"
+    ))
+    assert len(snap.pruned_files(root, {"id": (50, 74)})) == len(pf)
+    # COW delete rewrites hit files; rewritten files carry fresh stats
+    snap.delete_where(spark, root, "id = 60")
+    got = sorted(r.id for r in snap.read_pruned(spark, root, {"id": (50, 74)}).collect())
+    assert got == [i for i in range(50, 75) if i != 60]
+    # open-ended bounds
+    hi = sorted(r.id for r in snap.read_pruned(spark, root, {"id": (900, None)}).collect())
+    assert hi == [1000]
+
+
+def test_stats_prune_adversarial_layouts_never_wrong(spark, tmp_path):
+    """Pruning must degrade to scanning, never to wrong answers: interleaved
+    (non-clustered) files prune nothing but still answer exactly; all-NULL
+    stats columns prune the file for range predicates (NULL never matches);
+    string-range pruning works on lexicographic bounds."""
+    root = str(tmp_path / "adv")
+    # two interleaved files: both span [0, 99] -> no file prunable
+    a = spark.createDataFrame([(i, "a") for i in range(0, 100, 2)], "id long, s string")
+    b = spark.createDataFrame([(i, "b") for i in range(1, 100, 2)], "id long, s string")
+    snap.create(spark, root, a.coalesce(1))
+    snap.append(spark, root, b.coalesce(1))
+    assert len(snap.pruned_files(root, {"id": (10, 19)})) == len(snap.live_files(root))
+    got = sorted(r.id for r in snap.read_pruned(spark, root, {"id": (10, 19)}).collect())
+    assert got == list(range(10, 20))
+    # all-NULL column: file is pruned for any range on it
+    root2 = str(tmp_path / "nulls")
+    snap.create(spark, root2, spark.createDataFrame(
+        [(None, "x"), (None, "y")], "id long, s string"
+    ))
+    assert snap.pruned_files(root2, {"id": (0, 10)}) == []
+    assert snap.read_pruned(spark, root2, {"id": (0, 10)}).count() == 0
+    # string bounds
+    assert snap.read_pruned(spark, root2, {"s": ("x", "x")}).count() == 1

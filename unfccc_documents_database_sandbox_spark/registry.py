@@ -70,12 +70,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
 # alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
 # keys parked; oldest evidence on file advanced r04 -> r05 except the 11
-# promoted r04 keys now in-window).
+# promoted r04 keys now in-window; DUE sized to 46 = 50 - 4 new keys).
 
 # DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (36 keys — the alphabetically-first
-# of the 50 r05-evidenced keys; the other 14 wait in NEXT). The oldest
-# evidence on file; the r08 window is the 3 new unprefixed keys + these 47
+# first block) or CORRECTNESS_r05.json (35 keys — the alphabetically-first
+# of the 50 r05-evidenced keys; the other 15 wait in NEXT). The oldest
+# evidence on file; the r08 window is the 4 new unprefixed keys + these 46
 # (machine-checked by tests/test_rotation.py::test_window_reaches_every_
 # due_key — size the r09 promotion from the registry, not this comment).
 # Rows-only by design among these: agg_approx_distinct,
@@ -88,7 +88,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
         "sql_tpch_q4", "stream_stream_join", "text_keyterms",
         "udaf_pandas_agg",
-        # r05 evidence (alphabetically-first 36 of the r05 cohort)
+        # r05 evidence (alphabetically-first 35 of the r05 cohort)
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
@@ -100,7 +100,6 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "events_funnel", "events_retention", "events_sessionize",
         "graph_pagerank", "index_inverted", "join_similarity_prefix",
         "layout_compaction", "sim_topk_pq", "sort_global", "source_orc",
-        "sql_corr_subquery",
     }
 )
 
@@ -111,7 +110,10 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # promotion pool (r05 tail first).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r05 evidence (the 14-key alphabetical tail of the r05 cohort)
+        # r05 evidence (the 15-key alphabetical tail of the r05 cohort —
+        # sql_corr_subquery leads the r09 promotion pool: it was sized out
+        # of the r08 DUE tier when the round's 4th unprefixed key landed)
+        "sql_corr_subquery",
         "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
         "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
         "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
