@@ -353,3 +353,58 @@ def test_stats_prune_adversarial_layouts_never_wrong(spark, tmp_path):
     assert snap.read_pruned(spark, root2, {"id": (0, 10)}).count() == 0
     # string bounds
     assert snap.read_pruned(spark, root2, {"s": ("x", "x")}).count() == 1
+
+
+def test_checkpoint_replay_is_equivalent_and_survives_expiry(spark, table):
+    """Delta's _last_checkpoint pattern: a checkpoint consolidates live set,
+    schema, stats, and txn stamps; replay from it equals full replay, and
+    after expire_log drops the old commit JSON, HEAD reads still work while
+    time travel below the checkpoint fails loudly."""
+    snap.merge_into(
+        spark, table,
+        spark.createDataFrame([(3, "CK", "fr")], "id long, payload string, lang string"),
+        ["id"], txn={"app": "ckapp", "id": 7},
+    )
+    snap.delete_where(spark, table, "lang = 'de'")
+    head = snap.latest_version(table)
+    want_live = snap.live_files(table)
+    want_schema = snap.table_schema(table)
+    want_stats = snap.file_stats(table)
+    want_rows = sorted((r.id, r.payload) for r in snap.read(spark, table).collect())
+
+    ck = snap.checkpoint(table)
+    assert ck == head
+    # post-checkpoint commits replay on top of it
+    v = snap.append(spark, table, spark.createDataFrame(
+        [(500, "post", "en")], "id long, payload string, lang string"
+    ))
+    assert snap.latest_version(table) == v
+    # state at the checkpointed version: identical through the checkpoint
+    assert snap.live_files(table, head) == want_live
+    assert snap.table_schema(table, head) == want_schema
+    assert snap.file_stats(table, head) == want_stats
+    assert snap.applied_txns(table, "ckapp") == {7}
+
+    deleted = snap.expire_log(table)
+    assert deleted == [f"{i:08d}.json" for i in range(head + 1)]
+    # HEAD and checkpoint-version reads still resolve
+    assert snap.read(spark, table).filter("id = 500").count() == 1
+    assert sorted(
+        (r.id, r.payload) for r in snap.read(spark, table, head).collect()
+    ) == want_rows
+    assert snap.applied_txns(table, "ckapp") == {7}  # txns survive expiry
+    # pre-checkpoint time travel is gone, loudly
+    with pytest.raises(ValueError, match="predates the oldest checkpoint"):
+        snap.live_files(table, head - 1)
+
+
+def test_gap_detection_survives_checkpointing(spark, table):
+    """A missing commit file BETWEEN the checkpoint and the requested
+    version is still protocol corruption, not a silent skip."""
+    snap.checkpoint(table)
+    head = snap.latest_version(table)
+    snap._write_commit(table, head + 1, [], [])
+    snap._write_commit(table, head + 2, [], [])
+    os.remove(snap._commit_path(table, head + 1))
+    with pytest.raises(ValueError, match="commit log gap"):
+        snap.live_files(table)

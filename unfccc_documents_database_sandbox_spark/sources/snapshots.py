@@ -50,9 +50,14 @@ protocol stripped to what the sandbox can express:
   stats intersect it — Delta/Iceberg data skipping, the dominant scan win
   on range-clustered 100 TB tables (see `pruned_files`).
 
-Scale notes: the log is O(commits) tiny JSON; production systems add
-checkpoint compaction once replay cost matters (documented seam, not
-needed at sandbox commit counts).
+- CHECKPOINTS consolidate the state (live set, schema, stats, txn
+  stamps) into one _checkpoint.{N}.json; readers replay from the newest
+  checkpoint at or below their version, so replay cost is O(commits since
+  the checkpoint) no matter how long the history grows, and `expire_log`
+  can then drop old commit JSON (time travel below the checkpoint fails
+  loudly — Delta's retention contract).
+
+Scale notes: the log is O(commits since checkpoint) tiny JSON.
 """
 
 from __future__ import annotations
@@ -158,17 +163,10 @@ def _collect_stats(
 
 def file_stats(root: str, version: int | None = None) -> dict[str, dict[str, list]]:
     """The {relpath: {col: [min, max]}} stats of every live file at
-    ``version`` — replayed from the commits that ADDed each file."""
-    commits = _read_log(root)
-    if version is None:
-        version = len(commits) - 1
-    out: dict[str, dict[str, list]] = {}
-    live = set(live_files(root, version))
-    for c in commits[: version + 1]:
-        for f, s in c.get("stats", {}).items():
-            if f in live:
-                out[f] = s
-    return out
+    ``version`` — replayed (checkpoint-aware) from the commits/checkpoint
+    that recorded each file."""
+    state = _read_state(root, version)
+    return {f: s for f, s in state["stats"].items() if f in state["live"]}
 
 
 def pruned_files(
@@ -266,52 +264,171 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         json.dump(payload, fh)
 
 
-def _read_log(root: str) -> list[dict]:
-    """All commits in version order; gaps are protocol corruption."""
-    names = sorted(fn for fn in os.listdir(_log_dir(root)) if fn.endswith(".json"))
-    commits = []
-    for i, fn in enumerate(names):
-        with open(os.path.join(_log_dir(root), fn), encoding="utf-8") as fh:
-            c = json.load(fh)
-        if c["version"] != i:
-            raise ValueError(f"commit log gap: file {fn} carries version {c['version']}")
-        commits.append(c)
-    return commits
+_COMMIT_RE = None  # initialized lazily below (keeps import section tidy)
+
+
+def _commit_versions(root: str) -> list[int]:
+    """Versions that exist as commit JSON files, sorted."""
+    import re
+
+    global _COMMIT_RE
+    if _COMMIT_RE is None:
+        _COMMIT_RE = re.compile(r"^(\d{8})\.json$")
+    out = []
+    for fn in os.listdir(_log_dir(root)):
+        m = _COMMIT_RE.match(fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"_checkpoint.{version:08d}.json")
+
+
+def _checkpoint_versions(root: str) -> list[int]:
+    return sorted(
+        int(fn[len("_checkpoint."):-len(".json")])
+        for fn in os.listdir(_log_dir(root))
+        if fn.startswith("_checkpoint.") and fn.endswith(".json")
+    )
+
+
+def _load_commit(root: str, version: int) -> dict:
+    with open(_commit_path(root, version), encoding="utf-8") as fh:
+        c = json.load(fh)
+    if c["version"] != version:
+        raise ValueError(
+            f"commit log gap: file {version:08d}.json carries version {c['version']}"
+        )
+    return c
+
+
+def _read_state(root: str, version: int | None = None) -> dict:
+    """Replay the table state AS OF ``version`` (default HEAD) from the
+    newest checkpoint at or below it plus the commit files after it —
+    Delta's _last_checkpoint pattern: replay cost is O(commits since the
+    checkpoint), not O(all commits ever). With no usable checkpoint the
+    full commit chain from 0 must exist (expired history raises). Missing
+    intermediate commits are protocol corruption and raise.
+
+    Returns {"version", "live": set, "schema": json-or-None,
+    "stats": {file: {col: [mn, mx]}}, "txns": [[app, id], ...]}."""
+    commits_present = set(_commit_versions(root))
+    cks = _checkpoint_versions(root)
+    if version is None:
+        head = max(commits_present, default=-1)
+        if cks:
+            head = max(head, cks[-1])
+        if head < 0:
+            raise ValueError(f"no commits or checkpoints under {root!r}")
+        version = head
+    ck_version = max((v for v in cks if v <= version), default=None)
+    if ck_version is not None:
+        with open(_checkpoint_path(root, ck_version), encoding="utf-8") as fh:
+            ck = json.load(fh)
+        state = {
+            "version": ck["version"],
+            "live": set(ck["live"]),
+            "schema": ck.get("schema"),
+            "stats": dict(ck.get("stats", {})),
+            "txns": [tuple(t) for t in ck.get("txns", [])],
+        }
+        start = ck_version + 1
+    else:
+        state = {"version": -1, "live": set(), "schema": None,
+                 "stats": {}, "txns": []}
+        start = 0
+    needed = range(start, version + 1)
+    missing = [v for v in needed if v not in commits_present]
+    if missing:
+        if ck_version is None and cks:
+            raise ValueError(
+                f"version {version} predates the oldest checkpoint "
+                f"({cks[0]}) and its commit files have been expired"
+            )
+        raise ValueError(
+            f"commit log gap: missing commit files {missing[:5]} "
+            f"replaying to version {version}"
+        )
+    for v in needed:
+        c = _load_commit(root, v)
+        state["live"] -= set(c["remove"])
+        state["live"] |= set(c["add"])
+        if "schema" in c:
+            state["schema"] = c["schema"]
+        for f, s in c.get("stats", {}).items():
+            state["stats"][f] = s
+        if "txn" in c:
+            state["txns"].append((c["txn"]["app"], c["txn"]["id"]))
+        state["version"] = v
+    return state
 
 
 def latest_version(root: str) -> int:
-    return len(_read_log(root)) - 1
+    return _read_state(root)["version"]
 
 
 def live_files(root: str, version: int | None = None) -> list[str]:
     """Replay the log through ``version`` (default: HEAD): live set =
     adds − removes. Order-stable (sorted) so reads are deterministic."""
-    commits = _read_log(root)
-    if version is None:
-        version = len(commits) - 1
-    if not 0 <= version < len(commits):
-        raise ValueError(f"version {version} not in [0, {len(commits) - 1}]")
-    live: set[str] = set()
-    for c in commits[: version + 1]:
-        live -= set(c["remove"])
-        live |= set(c["add"])
-    return sorted(live)
+    head = latest_version(root)
+    if version is not None and not 0 <= version <= head:
+        raise ValueError(f"version {version} not in [0, {head}]")
+    return sorted(_read_state(root, version)["live"])
 
 
 def table_schema(root: str, version: int | None = None) -> StructType:
     """Schema AS OF ``version`` (default HEAD): the last schema-bearing
     commit at or before it. Commit 0 always carries one; `evolve_schema`
     publishes later ones, so time travel sees the schema of its era."""
-    commits = _read_log(root)
-    if version is None:
-        version = len(commits) - 1
-    schema_json = None
-    for c in commits[: version + 1]:
-        if "schema" in c:
-            schema_json = c["schema"]
+    schema_json = _read_state(root, version)["schema"]
     if schema_json is None:
         raise ValueError(f"no schema-bearing commit at or before v{version}")
     return StructType.fromJson(json.loads(schema_json))
+
+
+def checkpoint(root: str) -> int:
+    """Consolidate the state as of HEAD into one _checkpoint.{N}.json
+    (live set, schema, per-file stats, applied txns) — Delta's checkpoint
+    action. Readers replay from the newest checkpoint at or below their
+    version, so replay cost stays O(commits since last checkpoint) no
+    matter how long the table's history grows; after `expire_log`, the
+    checkpoint is also what makes dropping old commit JSON safe. Published
+    with the same O_EXCL create-if-absent as commits. Returns the
+    checkpointed version."""
+    state = _read_state(root)
+    payload = {
+        "version": state["version"],
+        "live": sorted(state["live"]),
+        "schema": state["schema"],
+        "stats": {f: state["stats"][f] for f in sorted(state["live"])
+                  if f in state["stats"]},
+        "txns": [list(t) for t in state["txns"]],
+    }
+    fd = os.open(
+        _checkpoint_path(root, state["version"]),
+        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+    )
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    return state["version"]
+
+
+def expire_log(root: str) -> list[str]:
+    """Delete commit JSON files at or below the newest checkpoint (log
+    retention): replay after this starts from the checkpoint, and time
+    travel to expired versions fails loudly with 'predates the oldest
+    checkpoint'. Returns the deleted file names."""
+    cks = _checkpoint_versions(root)
+    if not cks:
+        raise ValueError("expire_log requires a checkpoint; run checkpoint() first")
+    deleted = []
+    for v in _commit_versions(root):
+        if v <= cks[-1]:
+            os.remove(_commit_path(root, v))
+            deleted.append(f"{v:08d}.json")
+    return deleted
 
 
 def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
@@ -408,12 +525,9 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
 def applied_txns(root: str, app: str) -> set[int]:
     """The transaction ids ``app`` has already committed to this table —
     the exactly-once lookup a restarting streaming writer does before
-    re-applying a micro-batch (Delta's txn/idempotent-writes pattern)."""
-    return {
-        c["txn"]["id"]
-        for c in _read_log(root)
-        if c.get("txn", {}).get("app") == app
-    }
+    re-applying a micro-batch (Delta's txn/idempotent-writes pattern).
+    Checkpoint-aware: txn stamps survive log expiry via the checkpoint."""
+    return {t[1] for t in _read_state(root)["txns"] if t[0] == app}
 
 
 def merge_into(
