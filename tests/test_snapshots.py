@@ -408,3 +408,30 @@ def test_gap_detection_survives_checkpointing(spark, table):
     os.remove(snap._commit_path(table, head + 1))
     with pytest.raises(ValueError, match="commit log gap"):
         snap.live_files(table)
+
+
+def test_zorder_compaction_makes_stats_selective_on_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER: after z-ordered compaction, per-file stats prune on
+    BOTH listed columns; the x-only clustered layout prunes nothing for a
+    pure-y range. Contents stay identical."""
+    root = str(tmp_path / "z")
+    rows = [(x, y, x * 100 + y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long, v long")
+    snap.create(spark, root, df.repartitionByRange(4, "x"))
+    n_before = len(snap.live_files(root))
+    # x-clustered: a pure-y range cannot skip any file
+    assert len(snap.pruned_files(root, {"y": (0, 3)})) == n_before
+    v = snap.compact(spark, root, max_files=4, zorder_by=["x", "y"])
+    files = snap.live_files(root, v)
+    assert len(files) == 4
+    # z-ordered: both single-dim ranges now skip files
+    assert len(snap.pruned_files(root, {"y": (0, 3)})) < len(files)
+    assert len(snap.pruned_files(root, {"x": (0, 3)})) < len(files)
+    # and answers are exact on a 2-D box
+    got = sorted(
+        (r.x, r.y) for r in
+        snap.read_pruned(spark, root, {"x": (2, 5), "y": (10, 13)}).collect()
+    )
+    assert got == sorted((x, y) for x in range(2, 6) for y in range(10, 14))
+    rows_after = sorted((r.x, r.y, r.v) for r in snap.read(spark, root).collect())
+    assert rows_after == sorted(rows)

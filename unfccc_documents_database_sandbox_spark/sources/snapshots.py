@@ -592,12 +592,29 @@ def merge_into(
     return version
 
 
-def compact(spark: SparkSession, root: str, max_files: int = 4) -> int:
+def compact(
+    spark: SparkSession,
+    root: str,
+    max_files: int = 4,
+    zorder_by: list[str] | None = None,
+) -> int:
     """OPTIMIZE: rewrite the live file set down to ``max_files`` files as
     one commit (add: coalesced rewrite, remove: everything it replaced) —
     the layout_compaction small-files fix, transactional. Contents are
     bit-identical; only the physical layout changes, so any pinned reader
-    of an older version still sees its own files."""
+    of an older version still sees its own files.
+
+    ``zorder_by`` = OPTIMIZE ZORDER: rows are range-partitioned and
+    sorted by the Morton bit-interleave of the (rank-normalized) listed
+    columns before the rewrite, so each output file covers a tight region
+    of the multi-dimensional space — the clustering that makes this
+    table's per-file min/max stats selective on EVERY listed column at
+    once (plans/layout.py layout_zorder is the standalone study; this
+    composes it with the commit log + data skipping). One column degrades
+    to a plain range cluster; two are interleaved. Rank normalization
+    (percent_rank quantized to the curve's bit depth) makes the curve
+    robust to skewed value distributions, exactly like Delta's
+    OPTIMIZE ZORDER sampling."""
     version = latest_version(root) + 1
     files = live_files(root, version - 1)
     schema = table_schema(root)
@@ -605,7 +622,42 @@ def compact(spark: SparkSession, root: str, max_files: int = 4) -> int:
         *[os.path.join(root, f) for f in files]
     )
     pdir = _new_payload_dir(root)
-    cur.coalesce(max_files).write.parquet(pdir)
+    if zorder_by:
+        if len(zorder_by) > 2:
+            raise ValueError("zorder_by supports at most 2 columns")
+        from pyspark.sql import Window as _W
+
+        bits = 8
+        ranked = []
+        for c in zorder_by:
+            # rank-normalize to [0, 2^bits): equal-frequency cells, so a
+            # skewed column still spreads across the curve
+            r = F.percent_rank().over(_W.orderBy(F.col(c).asc_nulls_first()))
+            ranked.append(
+                F.least(
+                    (r * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+                )
+            )
+        if len(ranked) == 1:
+            zval = ranked[0]
+        else:
+            zval = F.lit(0)
+            for i in range(bits):
+                zval = zval + F.shiftright(ranked[0], i).bitwiseAND(
+                    F.lit(1)
+                ) * F.lit(1 << (2 * i))
+                zval = zval + F.shiftright(ranked[1], i).bitwiseAND(
+                    F.lit(1)
+                ) * F.lit(1 << (2 * i + 1))
+        out = (
+            cur.withColumn("__z", zval)
+            .repartitionByRange(max_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        out = cur.coalesce(max_files)
+    out.write.parquet(pdir)
     _write_commit(root, version, _dir_files(root, pdir), files,
                   stats=_collect_stats(spark, root, pdir, schema))
     return version
