@@ -711,3 +711,41 @@ def test_lateral_join_plans_as_window_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan or "TakeOrdered" in plan, plan
+
+
+def test_ivfpq_portable_no_smj_and_no_unbounded_cartesian(spark):
+    """sim_topk_ivfpq_portable: the only corpus join is the broadcast cell
+    equi-join (probe side = |Q| x nprobe rows) and the refine equi-join —
+    never a SortMergeJoin over the corpus and never a CartesianProduct;
+    the residual doc filter pushes to the parquet scan."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    df = lookup("sim_topk_ivfpq_portable").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # cell probe + refine
+
+
+def test_stats_prune_scan_reads_only_intersecting_files(spark, tmp_path):
+    """read_pruned's physical scan must reference ONLY the pruned file list
+    (the data-skipping claim at the plan level, not just the file-list
+    level): a band predicate over a range-clustered snapshot table scans
+    fewer parquet paths than the live set, and the scan carries pushed
+    filters for the residual predicate."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 3) for i in range(400)], "id long, v long"
+    )
+    snap.create(spark, root, df.repartitionByRange(8, "id"))
+    pruned = snap.read_pruned(spark, root, {"id": (100, 149)})
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    n_live = len(snap.live_files(root))
+    n_pruned = len(snap.pruned_files(root, {"id": (100, 149)}))
+    assert n_pruned < n_live
+    assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,100)" in plan, plan
+    rows = sorted(r.id for r in pruned.collect())
+    assert rows == list(range(100, 150))
