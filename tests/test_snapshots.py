@@ -435,3 +435,87 @@ def test_zorder_compaction_makes_stats_selective_on_both_dims(spark, tmp_path):
     assert got == sorted((x, y) for x in range(2, 6) for y in range(10, 14))
     rows_after = sorted((r.x, r.y, r.v) for r in snap.read(spark, root).collect())
     assert rows_after == sorted(rows)
+
+
+def _feed(spark, root, since, to=None):
+    rows = snap.changes(spark, root, since, to).collect()
+    return sorted(
+        (r._commit_version, r._change_type, r.id) for r in rows
+    )
+
+
+def test_changes_appends_are_pure_inserts(spark, table):
+    """The (v0, v2] feed of an append-only history is exactly the appended
+    rows as inserts — no deletes, no diff work."""
+    assert _feed(spark, table, 0) == [
+        (1, "insert", i) for i in range(10, 20)
+    ]
+
+
+def test_changes_cow_delete_emits_exactly_the_deleted_rows(spark, table):
+    """A COW delete's rewritten files carry the surviving rows through —
+    the feed cancels them and emits only the predicate rows as deletes."""
+    v = snap.delete_where(spark, table, "lang = 'de'")
+    assert _feed(spark, table, v - 1, v) == [
+        (v, "delete", i) for i in range(0, 20, 4)
+    ]
+
+
+def test_changes_merge_emits_delete_insert_pairs(spark, table):
+    """An updating MERGE surfaces each updated row as its old-row delete +
+    new-row insert pair; unmatched source rows are pure inserts."""
+    src = spark.createDataFrame(
+        [(3, "patched", "en"), (99, "fresh", "fr")],
+        "id long, payload string, lang string",
+    )
+    v = snap.merge_into(spark, table, src, ["id"])
+    feed = snap.changes(spark, table, v - 1, v)
+    got = sorted(
+        (r._change_type, r.id, r.payload) for r in feed.collect()
+    )
+    assert got == [
+        ("delete", 3, "row3"),
+        ("insert", 3, "patched"),
+        ("insert", 99, "fresh"),
+    ]
+
+
+def test_changes_skips_data_change_false_commits(spark, table):
+    """OPTIMIZE rearranges files without changing rows: its commit carries
+    data_change=false and contributes nothing to the feed."""
+    v = snap.compact(spark, table, max_files=1)
+    assert snap.changes(spark, table, v - 1, v).count() == 0
+    # and the full feed across the compaction equals the pre-compaction feed
+    assert _feed(spark, table, 0) == [
+        (1, "insert", i) for i in range(10, 20)
+    ]
+
+
+def test_changes_null_fill_under_evolved_schema(spark, table):
+    """The feed reads every era under the schema as of to_version: rows
+    changed before an additive evolution null-fill the new column."""
+    evolved = spark.createDataFrame(
+        [(100, "new", "en", 7)], "id long, payload string, lang string, score long"
+    )
+    snap.evolve_schema(spark, table, evolved)
+    feed = snap.changes(spark, table, 0)
+    assert "score" in feed.columns
+    by_id = {r.id: r.score for r in feed.collect()}
+    assert by_id[100] == 7
+    assert all(by_id[i] is None for i in range(10, 20))
+
+
+def test_changes_expired_log_raises(spark, table):
+    """Once expire_log drops a commit below a checkpoint, a feed range
+    covering it is not reconstructible and must raise — not silently
+    return a partial feed."""
+    snap.checkpoint(table)
+    snap.expire_log(table)
+    with pytest.raises(ValueError, match="expired"):
+        snap.changes(spark, table, 0)
+
+
+def test_changes_range_validation(spark, table):
+    with pytest.raises(ValueError, match="out of bounds"):
+        snap.changes(spark, table, 0, 99)
+    assert snap.changes(spark, table, 1).count() == 0  # empty (HEAD, HEAD]

@@ -437,3 +437,91 @@ def table_stats_prune(spark, sf_dir):
         F.max("doc_id").cast("long").alias("last_doc"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+def _cdf_sql(version: int, ctype: str, where: str, bump: int = 0) -> str:
+    chars = (
+        f"CAST(SUM(n_chars) + {bump} * COUNT(*) AS BIGINT)"
+        if bump
+        else "CAST(SUM(n_chars) AS BIGINT)"
+    )
+    return f"""
+    SELECT CAST({version} AS BIGINT) AS version,
+           '{ctype}' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           {chars} AS sum_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents WHERE {where}
+    """
+
+
+@register(
+    "table_changes",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+            _cdf_sql(5, "delete", "doc_id % 7 = 0 AND lang <> 'de'"),
+            _cdf_sql(5, "insert", "doc_id % 7 = 0 AND lang <> 'de'", bump=1000),
+        ]
+    ),
+)
+def table_changes(spark, sf_dir):
+    """Change Data Feed over the snapshot table (Delta CDF, recovered from
+    the COW commit log with no per-commit change files — see
+    sources/snapshots.py `changes`): build a 6-commit table — v0 CREATE
+    (doc_id%3=0), v1/v2 APPEND, v3 COW DELETE (lang='de'), v4 OPTIMIZE
+    (data_change=false), v5 MERGE bumping n_chars by 1000 on the
+    doc_id%7=0 survivors — then read the feed since v0 and aggregate it
+    per (commit, change_type). The oracle recomputes every cohort from
+    the raw table: appends surface as pure inserts, the delete's feed is
+    exactly the predicate rows, the compaction contributes NOTHING (the
+    dataChange=false skip), and each merged row appears as its
+    delete+insert pair (old n_chars out, n_chars+1000 in) — so a
+    hash-green row proves the feed is row-exact end to end.
+
+    Scale shape: appends emit their files with zero diff work; COW
+    commits diff ONLY the files they touched (never snapshot-vs-
+    snapshot), so a 0.1%-selective delete's feed costs an EXCEPT ALL
+    over 0.1% of the table; compactions cost nothing. The feed is what
+    turns the table into an incremental source: a downstream consumer
+    (the stream_foreach_merge sink being the producer-side twin) reads
+    (last_seen, HEAD] instead of re-scanning 100 TB."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapcdf_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.compact(spark, root, max_files=2)
+    snap.merge_into(
+        spark,
+        root,
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("lang") != "de"))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+        ["doc_id"],
+    )
+    feed = snap.changes(spark, root, 0)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
