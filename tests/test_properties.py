@@ -1070,3 +1070,40 @@ def test_bpe_arrow_encode_matches_expression_path(spark):
     }
     assert len(expr_path) >= 25  # non-trivial vocabulary (30 at sf0.001)
     assert arrow_path == expr_path
+
+
+def test_ts_gapfill_interpolation_math(spark, tmp_path):
+    """Hand-computed fixture for the gap-fill: series 'a' observes hours 0
+    (value 1.00) and 3 (value 4.00) — the two interior gap hours must LOCF
+    to 100 cents and linearly interpolate to 200.0 / 300.0; a single-
+    observation series 'b' has a one-row spine with no gaps."""
+    import datetime as dt
+
+    from unfccc_documents_database_sandbox_spark.plans.analytics import ts_gapfill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "a", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=3), 1, "a", 4.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 2, "b", 7.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.event_type, r.bucket.hour): (
+            r.n_events, r.vsum_cents, r.locf_cents, r.interp_cents
+        )
+        for r in ts_gapfill(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("a", 0): (1, 100, 100, 100.0),
+        ("a", 1): (0, None, 100, 200.0),
+        ("a", 2): (0, None, 100, 300.0),
+        ("a", 3): (1, 400, 400, 400.0),
+        ("b", 1): (1, 750, 750, 750.0),
+    }
