@@ -1107,3 +1107,24 @@ def test_ts_gapfill_interpolation_math(spark, tmp_path):
         ("a", 3): (1, 400, 400, 400.0),
         ("b", 1): (1, 750, 750, 750.0),
     }
+
+
+def test_kmeans_partitions_every_point_exactly_once(spark):
+    """The final k-means assignment is a partition: every embedding lands
+    in exactly one cluster (n_points sums to the corpus), cluster ids stay
+    within the seed range, and the seed vectors' own clusters are nonempty
+    at iteration 0 by construction (distance 0 to themselves) — so no
+    cluster can be born empty even though later updates may empty one."""
+    from tests.conftest import SF_SMOKE
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        _KM_K,
+        cluster_kmeans,
+    )
+
+    total = load_table(spark, SF_SMOKE, "embeddings").count()
+    rows = cluster_kmeans(spark, SF_SMOKE).collect()
+    assert sum(r.n_points for r in rows) == total
+    assert all(0 <= r.cluster_id < _KM_K for r in rows)
+    assert len({r.cluster_id for r in rows}) == len(rows)

@@ -653,3 +653,164 @@ def sim_topk_ivfpq_portable(spark, sf_dir):
             F.round("score_raw", 4).alias("score"),
         )
     )
+
+
+_KM_K = 8          # clusters, seeded from vec_id < _KM_K
+_KM_ITERS = 2      # Lloyd updates; assignment runs once more at the end
+_KM_Q = 1000000    # fixed-point scale: x = round(1e6 * coord)
+
+
+def _km_iter_sql(i: int) -> str:
+    """One Lloyd round as CTE text: distances against c{i}, argmin
+    assignment (ties to the lowest cid), integer-exact centroid update
+    into c{i+1}. The update divides SUM(x) by COUNT(*) after subtracting
+    the positive remainder — an exact floor division in pure integer
+    arithmetic, so neither engine's float division semantics can leak in
+    (the numerator is an exact multiple of the count)."""
+    return f"""
+    a{i} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(SUM((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dist
+        FROM pts p JOIN c{i} c ON p.d = c.d
+        GROUP BY p.vec_id, c.cid
+    ),
+    asg{i} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM a{i}
+        ) WHERE rn = 1
+    ),
+    c{i + 1} AS (
+        SELECT a.cid, p.d,
+               CAST((SUM(p.x) - ((SUM(p.x) % COUNT(*)) + COUNT(*)) % COUNT(*))
+                    / COUNT(*) AS BIGINT) AS x
+        FROM pts p JOIN asg{i} a ON p.vec_id = a.vec_id
+        GROUP BY a.cid, p.d
+    )"""
+
+
+@register(
+    "cluster_kmeans",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(UNNEST(range(len(embedding))) AS BIGINT) AS d,
+               CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * {_KM_Q})
+                    AS BIGINT) AS x
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, d, x FROM pts WHERE vec_id < {_KM_K}),
+    {",".join(_km_iter_sql(i) for i in range(_KM_ITERS))},
+    a{_KM_ITERS} AS (
+        SELECT p.vec_id, c.cid,
+               CAST(SUM((p.x - c.x) * (p.x - c.x)) AS BIGINT) AS dist
+        FROM pts p JOIN c{_KM_ITERS} c ON p.d = c.d
+        GROUP BY p.vec_id, c.cid
+    ),
+    asgf AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM a{_KM_ITERS}
+        ) WHERE rn = 1
+    ),
+    cn AS (
+        SELECT cid, CAST(SUM(x * x) AS BIGINT) AS c_l2sq
+        FROM c{_KM_ITERS} GROUP BY cid
+    )
+    SELECT f.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(f.vec_id) AS BIGINT) AS sum_vec_id,
+           ANY_VALUE(cn.c_l2sq) AS c_l2sq
+    FROM asgf f JOIN cn ON cn.cid = f.cid
+    GROUP BY f.cid
+    """,
+)
+def cluster_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means, INTEGER-EXACT end to end (the iterative-
+    algorithm representative; the float sibling is what IVF training runs
+    on a bounded sample at operators/similarity.py:115): coordinates are
+    quantized to 1e-6 fixed point, distances are exact bigint sums of
+    squares in LONG format (vec_id, dim, x), the argmin tie-breaks to the
+    lowest cid, and the centroid update is an exact integer floor
+    division — no double ever decides an assignment or moves a centroid,
+    so Spark and DuckDB run the identical trajectory and the final
+    clustering hashes exactly (same discipline as events_anomaly's
+    squared-inequality flags). K={_KM_K} seeded from vec_id<{_KM_K};
+    {_KM_ITERS} fixed updates + a final assignment (graph_pagerank's
+    unrolled-lineage pattern — no driver loop state, no collect ever:
+    centroids stay a k*d DataFrame that Catalyst broadcasts).
+
+    Scale, per iteration: the k*d centroid table (512 rows) broadcasts to
+    the point scan; distance partial-aggregate shuffles N*k rows keyed
+    (vec_id, cid) with map-side combine over dims; the update shuffles
+    the assigned points keyed (cid, d) down to k*d rows. At 100 TB
+    that is two bounded-key shuffles per round and nothing resident on
+    the driver; the fixed-point quantization bounds every sum far below
+    int64 (|x| <= ~8e6 -> dist <= d * (2*8e6)^2 ~ 2e16) and the exact
+    floor division stays in the double-exact range while cluster sums
+    hold below 2^53 (DECIMAL(38,0) is the documented widening past
+    ~1e9-point clusters, the agg_corr_exact lesson)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dp", "xf")
+    )
+    pts = emb.select(
+        "vec_id",
+        F.col("dp").cast("long").alias("d"),
+        F.round(F.col("xf").cast("double") * _KM_Q).cast("long").alias("x"),
+    )
+
+    def assign(cent):
+        dist = (
+            pts.join(
+                F.broadcast(cent.withColumnRenamed("x", "cx")), "d"
+            )
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                ).cast("long").alias("dist")
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    cent = pts.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), "d", "x"
+    )
+    for _ in range(_KM_ITERS):
+        cent = (
+            pts.join(assign(cent), "vec_id")
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .select(
+                "cid",
+                "d",
+                F.expr(
+                    "CAST((sx - ((sx % n) + n) % n) / n AS BIGINT)"
+                ).alias("x"),
+            )
+        )
+    final = assign(cent)
+    cn = cent.groupBy("cid").agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("c_l2sq")
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .join(cn, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_points", "sum_vec_id", "c_l2sq",
+        )
+    )
