@@ -110,13 +110,12 @@ FRESH = [
     # r08 keys. sim_topk_ivfpq_portable is excluded by the standing
     # oracle-twin rule (VALUES-literal index makes its build
     # Catalyst-analysis-dominated, like sim_topk_pq_portable);
-    # table_schema_evolution and stream_foreach_merge are excluded by the
-    # disk-writing rule (both build a commit-log table under .csv_tmp/ —
-    # their wall time measures sink I/O and streaming-trigger latency,
-    # not a plan). That leaves no timeable r08 key, so the group re-times
-    # the r07 cohort alongside its new EXTENDED placement one more round
-    # rather than reporting an empty group (bench JSON shape unchanged).
-    "text_bpe_train", "text_bpe_encode", "sim_topk_ivfpq",
+    # table_schema_evolution, stream_foreach_merge, and table_changes are
+    # excluded by the disk-writing rule (each builds a commit-log table
+    # under .csv_tmp/ — their wall time measures sink I/O and
+    # streaming-trigger latency, not a plan). The timeable r08 keys are
+    # the time-series gap-fill and the integer-exact k-means.
+    "ts_gapfill", "cluster_kmeans",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

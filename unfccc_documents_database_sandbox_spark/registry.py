@@ -70,12 +70,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
 # alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
 # keys parked; oldest evidence on file advanced r04 -> r05 except the 11
-# promoted r04 keys now in-window; DUE sized to 46 = 50 - 4 new keys).
+# promoted r04 keys now in-window; DUE sized mid-round to 43 = 50 - 7 new
+# keys (4 at round start + table_changes/ts_gapfill/cluster_kmeans).
 
 # DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (35 keys — the alphabetically-first
-# of the 50 r05-evidenced keys; the other 15 wait in NEXT). The oldest
-# evidence on file; the r08 window is the 4 new unprefixed keys + these 46
+# first block) or CORRECTNESS_r05.json (32 keys — the alphabetically-first
+# of the 50 r05-evidenced keys; the other 18 wait in NEXT). The oldest
+# evidence on file; the r08 window is the 7 new unprefixed keys + these 43
 # (machine-checked by tests/test_rotation.py::test_window_reaches_every_
 # due_key — size the r09 promotion from the registry, not this comment).
 # Rows-only by design among these: agg_approx_distinct,
@@ -99,7 +100,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "dedup_components", "dedup_incremental", "dedup_lines",
         "events_funnel", "events_retention", "events_sessionize",
         "graph_pagerank", "index_inverted", "join_similarity_prefix",
-        "layout_compaction", "sim_topk_pq", "sort_global", "source_orc",
+        "layout_compaction",
     }
 )
 
@@ -110,9 +111,13 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # promotion pool (r05 tail first).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r05 evidence (the 15-key alphabetical tail of the r05 cohort —
-        # sql_corr_subquery leads the r09 promotion pool: it was sized out
-        # of the r08 DUE tier when the round's 4th unprefixed key landed)
+        # r05 evidence (the alphabetical tail of the r05 cohort —
+        # sim_topk_pq/sort_global/source_orc/sql_corr_subquery lead the
+        # r09 promotion pool: they were sized out of the r08 DUE tier as
+        # the round's unprefixed keys landed — 3 of them mid-round when
+        # table_changes/ts_gapfill/cluster_kmeans brought the new-key
+        # count to 7 and DUE had to shrink 46 -> 43)
+        "sim_topk_pq", "sort_global", "source_orc",
         "sql_corr_subquery",
         "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
         "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
