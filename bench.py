@@ -114,8 +114,10 @@ FRESH = [
     # excluded by the disk-writing rule (each builds a commit-log table
     # under .csv_tmp/ — their wall time measures sink I/O and
     # streaming-trigger latency, not a plan). The timeable r08 keys are
-    # the time-series gap-fill and the integer-exact k-means.
-    "ts_gapfill", "cluster_kmeans",
+    # the time-series gap-fill, the integer-exact k-means, and the
+    # recursive-CTE BOM explosion (table_incremental_mv also builds a
+    # table under .csv_tmp/, so it too stays out).
+    "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

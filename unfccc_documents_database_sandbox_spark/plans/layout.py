@@ -439,6 +439,39 @@ def table_stats_prune(spark, sf_dir):
     )
 
 
+def _build_cdf_fixture(spark, sf_dir: str, prefix: str) -> str:
+    """The shared 6-commit snapshot-table fixture for the change-feed
+    keys: v0 CREATE (doc_id%3=0 of documents), v1/v2 APPEND (the other
+    thirds), v3 COW DELETE (lang='de'), v4 OPTIMIZE (data_change=false),
+    v5 MERGE bumping n_chars by 1000 on the doc_id%7=0 survivors.
+    Returns the table root (rebuilt from scratch per call under the
+    repo's .csv_tmp/ — the documented sandbox-scale seam)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"{prefix}_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.compact(spark, root, max_files=2)
+    snap.merge_into(
+        spark,
+        root,
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("lang") != "de"))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
+        ["doc_id"],
+    )
+    return root
+
+
 def _cdf_sql(version: int, ctype: str, where: str, bump: int = 0) -> str:
     chars = (
         f"CAST(SUM(n_chars) + {bump} * COUNT(*) AS BIGINT)"
@@ -489,29 +522,9 @@ def table_changes(spark, sf_dir):
     turns the table into an incremental source: a downstream consumer
     (the stream_foreach_merge sink being the producer-side twin) reads
     (last_seen, HEAD] instead of re-scanning 100 TB."""
-    import os
-
     from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(repo_root, ".csv_tmp", f"snapcdf_{tag}")
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
-    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
-    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
-    snap.delete_where(spark, root, "lang = 'de'")
-    snap.compact(spark, root, max_files=2)
-    snap.merge_into(
-        spark,
-        root,
-        d.filter((F.col("doc_id") % 7 == 0) & (F.col("lang") != "de"))
-        .withColumn("n_chars", F.col("n_chars") + F.lit(1000)),
-        ["doc_id"],
-    )
+    root = _build_cdf_fixture(spark, sf_dir, "snapcdf")
     feed = snap.changes(spark, root, 0)
     return (
         feed.groupBy(
@@ -525,3 +538,68 @@ def table_changes(spark, sf_dir):
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+@register(
+    "table_incremental_mv",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars
+                    + CASE WHEN doc_id % 7 = 0 THEN 1000 ELSE 0 END)
+                AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang <> 'de'
+    GROUP BY lang
+    """,
+)
+def table_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance over the Change Data Feed
+    (the consumer-side story: Delta CDF's headline use case, and the
+    algebraic core of every streaming-SQL engine's continuous aggregate):
+    seed a per-lang (COUNT, SUM) view from the v0 snapshot, then fold the
+    ENTIRE (v0, HEAD] change feed into it as signed deltas — inserts add,
+    deletes subtract (count and sum are abelian-group aggregates, so
+    delete = inverse) — and emit the maintained view, dropping groups
+    whose count reaches zero (the deleted 'de' cohort). The HEAD snapshot
+    is NEVER rescanned: the oracle aggregates the equivalent final state
+    directly from the raw table, so a hash-green row proves v0 + folded
+    deltas == full recompute, across appends, a COW delete, a skipped
+    compaction, and delete+insert MERGE pairs.
+
+    Scale: this is the O(changes) vs O(table) trade — at 100 TB with a
+    0.1%/day churn the view refresh touches 0.1% of the data; the fold is
+    one groupBy over the feed plus a |groups|-sized outer join with the
+    previous view (at true scale the view itself lives in a snapshot
+    table and the fold lands via merge_into — stream_foreach_merge is
+    that writer). Non-invertible aggregates (MIN/MAX) would need the
+    full-group rescan on delete; documented limit of the algebraic
+    path."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    root = _build_cdf_fixture(spark, sf_dir, "snapmv")
+    mv0 = (
+        snap.read(spark, root, 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("n_chars").cast("long").alias("s0"),
+        )
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        snap.changes(spark, root, 0)
+        .groupBy("lang")
+        .agg(
+            F.sum(sign).cast("long").alias("dn"),
+            F.sum(sign * F.col("n_chars")).cast("long").alias("ds"),
+        )
+    )
+    merged = mv0.join(delta, "lang", "full_outer").select(
+        "lang",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long").alias("n_docs"),
+        (F.coalesce(F.col("s0"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long").alias("sum_chars"),
+    )
+    return merged.filter(F.col("n_docs") > 0)

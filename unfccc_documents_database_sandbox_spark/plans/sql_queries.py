@@ -539,3 +539,30 @@ register("sql_tpch_q16", oracle=_Q16)(_sql_plan(_Q16))
 register("sql_tpch_q17", oracle=_Q17)(_sql_plan(_Q17))
 register("sql_tpch_q20", oracle=_Q20)(_sql_plan(_Q20))
 register("sql_tpch_q21", oracle=_Q21)(_sql_plan(_Q21))
+
+
+# WITH RECURSIVE (Spark 4 / SPARK-24497): depth-tracked BOM explosion over
+# a synthetic binary part hierarchy (children of part k = parts 2k, 2k+1 —
+# derived from the data, terminates when keys run off the table). The SAME
+# text runs on both engines. Scale note: a recursive CTE executes as an
+# iterated join — each level is one join against the base table, fine for
+# bounded-depth hierarchies (depth ~ log2 |part| here); unbounded
+# reachability at 100 TB belongs to the contracted-star operators
+# (plans/dedup.py dedup_components), not recursion.
+_QBOM = """
+WITH RECURSIVE bom (root, pk, depth) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    WHERE p_partkey BETWEEN 1 AND 3  -- key 0 would self-loop (2*0 = 0)
+    UNION ALL
+    SELECT b.root, p.p_partkey, b.depth + 1
+    FROM bom b JOIN part p ON p.p_partkey IN (2 * b.pk, 2 * b.pk + 1)
+)
+SELECT b.root, CAST(b.depth AS BIGINT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cost_cents
+FROM bom b JOIN part p ON p.p_partkey = b.pk
+GROUP BY b.root, b.depth
+"""
+
+register("sql_recursive_bom", oracle=_QBOM)(_sql_plan(_QBOM))

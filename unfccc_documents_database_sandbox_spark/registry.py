@@ -70,13 +70,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
 # alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
 # keys parked; oldest evidence on file advanced r04 -> r05 except the 11
-# promoted r04 keys now in-window; DUE sized mid-round to 43 = 50 - 7 new
-# keys (4 at round start + table_changes/ts_gapfill/cluster_kmeans).
+# promoted r04 keys now in-window; DUE sized mid-round to 41 = 50 - 9 new
+# keys (4 at round start + table_changes/ts_gapfill/cluster_kmeans +
+# sql_recursive_bom/table_incremental_mv).
 
 # DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (32 keys — the alphabetically-first
-# of the 50 r05-evidenced keys; the other 18 wait in NEXT). The oldest
-# evidence on file; the r08 window is the 7 new unprefixed keys + these 43
+# first block) or CORRECTNESS_r05.json (30 keys — the alphabetically-first
+# of the 50 r05-evidenced keys; the other 20 wait in NEXT). The oldest
+# evidence on file; the r08 window is the 9 new unprefixed keys + these 41
 # (machine-checked by tests/test_rotation.py::test_window_reaches_every_
 # due_key — size the r09 promotion from the registry, not this comment).
 # Rows-only by design among these: agg_approx_distinct,
@@ -99,8 +100,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
         "dedup_components", "dedup_incremental", "dedup_lines",
         "events_funnel", "events_retention", "events_sessionize",
-        "graph_pagerank", "index_inverted", "join_similarity_prefix",
-        "layout_compaction",
+        "graph_pagerank", "index_inverted",
     }
 )
 
@@ -111,12 +111,12 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # promotion pool (r05 tail first).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r05 evidence (the alphabetical tail of the r05 cohort —
-        # sim_topk_pq/sort_global/source_orc/sql_corr_subquery lead the
-        # r09 promotion pool: they were sized out of the r08 DUE tier as
-        # the round's unprefixed keys landed — 3 of them mid-round when
-        # table_changes/ts_gapfill/cluster_kmeans brought the new-key
-        # count to 7 and DUE had to shrink 46 -> 43)
+        # r05 evidence (the alphabetical tail of the r05 cohort — these
+        # lead the r09 promotion pool: they were sized out of the r08 DUE
+        # tier as the round's unprefixed keys landed, shrinking DUE
+        # 46 -> 43 -> 41 as table_changes/ts_gapfill/cluster_kmeans and
+        # then sql_recursive_bom/table_incremental_mv registered)
+        "join_similarity_prefix", "layout_compaction",
         "sim_topk_pq", "sort_global", "source_orc",
         "sql_corr_subquery",
         "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
