@@ -255,3 +255,56 @@ def numbering_normalize(spark, sf_dir):
 
     labels = spark.createDataFrame([(v,) for v in _NUMBERING_LABELS], "label string")
     return labels.select("label", numbering_ordinal("label").alias("ordinal"))
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (WHERE missing IS NULL) AS BIGINT)
+               AS n_missing
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               json_extract(props, '$.absent') AS missing
+        FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT columns (Spark 4 / the open Variant binary
+    encoding shared with Delta and Iceberg v3): parse events.props ONCE
+    into a VariantType column, then extract typed paths with variant_get
+    — the modern replacement for per-path get_json_object re-parsing
+    (each get_json_object call re-reads the JSON text; a variant parses
+    once and every extraction is a binary offset lookup, the win that
+    compounds at 100 TB with many paths). A probe of a missing path
+    ('$.absent') must yield NULL, not an error (try-semantics pinned in
+    the n_missing count = every row). The oracle restates both
+    extractions as DuckDB JSON ops; the per-type aggregate is exact
+    bigints, so the row hashes exactly.
+
+    Scale: parse_json + variant_get are JVM codegen expressions (no
+    Python, no UDF); at rest a variant column stores the binary encoding
+    in parquet and shredded readers prune sub-paths like columns."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    x = e.select(
+        "event_type",
+        F.expr("CAST(variant_get(v, '$.k') AS LONG)").alias("k"),
+        F.expr("variant_get(v, '$.absent')").alias("missing"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.count(F.when(F.col("missing").isNull(), F.lit(1)))
+        .cast("long").alias("n_missing"),
+    )

@@ -566,3 +566,46 @@ GROUP BY b.root, b.depth
 """
 
 register("sql_recursive_bom", oracle=_QBOM)(_sql_plan(_QBOM))
+
+
+# SQL-defined scalar function (Spark 4 SQL UDF, SPARK-46499 family):
+# CREATE FUNCTION ... RETURNS ... RETURN <expr>. Unlike a Python UDF the
+# body is INLINED by the analyzer — the optimized plan is identical to
+# writing the expression in place (whole-stage codegen, pushdown through
+# it all still work), so the abstraction is free at 100 TB. The oracle
+# restates the body inline, which is exactly what Catalyst executes.
+_QSQLUDF_BODY = """
+SELECT l_returnflag,
+       CAST(SUM(disc_cents(l_extendedprice, l_discount)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_QSQLUDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_scalar_udf", oracle=_QSQLUDF_ORACLE)
+def sql_scalar_udf(spark, sf_dir):
+    """SQL scalar UDF surface: declare disc_cents(price, discount) as a
+    CREATE OR REPLACE TEMPORARY FUNCTION with a pure-SQL body and use it
+    in an aggregate over lineitem. The function body (exact cent
+    rounding of the discounted price) is analyzer-inlined, so this plan
+    is bit-identical to sql_tpch_q1's inline arithmetic — the docstring
+    claim a reader can check in PLANS.md: no UDF node, one codegen'd
+    scan+agg."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents("
+        "price DOUBLE, discount DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(ROUND(price * (1 - discount) * 100, 0) AS BIGINT)"
+    )
+    return spark.sql(_QSQLUDF_BODY)
