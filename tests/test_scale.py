@@ -749,3 +749,54 @@ def test_stats_prune_scan_reads_only_intersecting_files(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,100)" in plan, plan
     rows = sorted(r.id for r in pruned.collect())
     assert rows == list(range(100, 150))
+
+
+# the per-iteration assignment->points joins in cluster_kmeans: Catalyst may
+# legitimately plan up to one SMJ per Lloyd round for the N-row-to-N*d-row
+# fact join (both sides corpus-sized; broadcasting either would be wrong at
+# scale)
+_KM_SMJ_ALLOWED = 3
+
+
+def test_round8_midround_plan_shapes(spark):
+    """Pin the r08 mid-round keys' scale-critical plan facts:
+    - ts_gapfill: both fill directions ride windows PARTITIONED by the
+      series key (never a global, partition-less window sort), and no
+      cartesian/nested-loop anywhere;
+    - cluster_kmeans: every centroid-side join is a BroadcastHashJoin
+      (the k*d table must broadcast; a sort-merge join against the point
+      scan would shuffle the corpus once per iteration) with exactly one
+      SortMergeJoin allowed for the N-row assignment<->points join;
+    - sql_scalar_udf: the SQL UDF body is analyzer-INLINED — no python
+      worker, no eval node; one scan + partial/final agg pair;
+    - json_variant_extract: parse+extract stay codegen'd JVM expressions
+      (no BatchEvalPython / ArrowEvalPython)."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+
+    plan_of = {}
+    for key in ["ts_gapfill", "cluster_kmeans", "sql_scalar_udf",
+                "json_variant_extract"]:
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan_of[key] = df._jdf.queryExecution().executedPlan().toString()
+
+    gap = plan_of["ts_gapfill"]
+    assert "CartesianProduct" not in gap and "BroadcastNestedLoopJoin" not in gap
+    # every Window node partitions by the series key — no global window
+    import re
+    for wline in re.findall(r"Window .*", gap):
+        assert "event_type" in wline, wline
+
+    km = plan_of["cluster_kmeans"]
+    assert "CartesianProduct" not in km
+    assert km.count("BroadcastHashJoin") >= 3, km  # one per assignment round
+    assert km.count("SortMergeJoin") <= _KM_SMJ_ALLOWED, km
+
+    udf = plan_of["sql_scalar_udf"]
+    assert "EvalPython" not in udf and "PythonUDF" not in udf, udf
+    assert "HashAggregate" in udf, udf
+
+    var = plan_of["json_variant_extract"]
+    assert "EvalPython" not in var, var
+    assert var.count("Exchange") == 1, var
