@@ -118,7 +118,7 @@ FRESH = [
     # recursive-CTE BOM explosion (table_incremental_mv also builds a
     # table under .csv_tmp/, so it too stays out).
     "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
-    "json_variant_extract", "sql_scalar_udf",
+    "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -647,3 +647,71 @@ def bpe_nsym_arrow(words_df, merges):
             yield out
 
     return words_df.select("word").mapInPandas(enc, "word string, n_sym long")
+
+
+_SHUF_A = 1103515245   # LCG multiplier (Knuth/glibc constants; values are
+_SHUF_C = 12345        # arbitrary — the POINT is both engines compute the
+_SHUF_M = 2147483648   # identical h, so products must stay far inside int64)
+_SHUF_SHARDS = 16
+
+
+@register(
+    "shuffle_epoch",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               (doc_id * {_SHUF_A} + {_SHUF_C}) % {_SHUF_M} AS hkey
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_chars, hkey,
+               hkey % {_SHUF_SHARDS} AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY hkey % {_SHUF_SHARDS}
+                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+        FROM h
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+               AS first_by_pos_doc,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_digest
+    FROM s
+    GROUP BY shard_id
+    """,
+)
+def shuffle_epoch(spark, sf_dir):
+    """Deterministic epoch shuffle for training (the 'global shuffle'
+    every pretraining run needs between epochs, made reproducible): give
+    each document a pseudo-random sort key from an explicit integer LCG
+    (h = (a*doc_id + c) mod m — spelled out in exact int arithmetic
+    because Spark's hash() and DuckDB's hash() are different functions,
+    and a seed-keyed reshuffle must replay bit-identically on ANY
+    engine), deal documents into {_SHUF_SHARDS} shards by h mod shards,
+    and order each shard by (h, doc_id). The emitted per-shard manifest
+    pins the full permutation: order_digest = SUM(position * doc_id)
+    changes if ANY document moves position, so a hash-green row proves
+    the exact shard contents AND intra-shard order. Change the additive
+    constant to re-shuffle the next epoch.
+
+    Scale: one shuffle keyed by shard (uniform by construction — the LCG
+    decorrelates doc_id locality, so no hot shard), per-shard
+    row_number over the shard's own order — embarrassingly parallel,
+    exactly the write-side layout of a streaming-from-disk training
+    loader (each shard is one reader's file set). The digest aggregate
+    map-side combines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = d.withColumn(
+        "hkey",
+        (F.col("doc_id") * F.lit(_SHUF_A) + F.lit(_SHUF_C)) % F.lit(_SHUF_M),
+    ).withColumn("shard_id", F.col("hkey") % F.lit(_SHUF_SHARDS))
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    s = h.withColumn("pos", F.row_number().over(w).cast("long"))
+    return s.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("long").alias("first_by_pos_doc"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_digest"),
+    )
