@@ -519,3 +519,28 @@ def test_changes_range_validation(spark, table):
     with pytest.raises(ValueError, match="out of bounds"):
         snap.changes(spark, table, 0, 99)
     assert snap.changes(spark, table, 1).count() == 0  # empty (HEAD, HEAD]
+
+
+def test_cdf_replication_folds_to_head(spark, table):
+    """The replication invariant the feed exists for: v0's rows plus the
+    folded (v0, HEAD] feed — inserts added, deletes removed, as
+    multisets — reproduces exactly the HEAD snapshot, across a delete,
+    a compaction (skipped), and an updating merge."""
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.compact(spark, table, max_files=1)
+    src = spark.createDataFrame(
+        [(3, "patched", "en"), (99, "fresh", "fr")],
+        "id long, payload string, lang string",
+    )
+    snap.merge_into(spark, table, src, ["id"])
+
+    cols = ["id", "payload", "lang"]
+    v0 = snap.read(spark, table, 0).select(cols)
+    feed = snap.changes(spark, table, 0)
+    ins = feed.filter("_change_type = 'insert'").select(cols)
+    dels = feed.filter("_change_type = 'delete'").select(cols)
+    replica = v0.unionByName(ins).exceptAll(dels)
+    head = snap.read(spark, table).select(cols)
+    assert replica.exceptAll(head).count() == 0
+    assert head.exceptAll(replica).count() == 0
+    assert replica.count() == head.count()
