@@ -119,6 +119,7 @@ FRESH = [
     # table under .csv_tmp/, so it too stays out).
     "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
     "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
+    "try_funcs",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -308,3 +308,80 @@ def json_variant_extract(spark, sf_dir):
         F.count(F.when(F.col("missing").isNull(), F.lit(1)))
         .cast("long").alias("n_missing"),
     )
+
+
+@register(
+    "try_funcs",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v,
+               event_id % 5 AS d,
+               CASE WHEN event_id % 3 = 0 THEN event_type
+                    ELSE CAST(event_id AS VARCHAR) END AS s,
+               list_extract([event_id, user_id],
+                            CAST(1 + event_id % 3 AS INTEGER)) AS e
+        FROM events
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(v AS DOUBLE) / NULLIF(d, 0) AS a,
+               TRY_CAST(s AS BIGINT) AS c,
+               e
+        FROM b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE a IS NULL) AS BIGINT) AS n_div_null,
+           CAST(SUM(CAST(ROUND(a * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_div_micros,
+           CAST(COUNT(c) AS BIGINT) AS n_cast_ok,
+           CAST(SUM(c) AS BIGINT) AS sum_cast,
+           CAST(COUNT(*) FILTER (WHERE e IS NULL) AS BIGINT) AS n_elem_null,
+           CAST(SUM(e) AS BIGINT) AS sum_elem
+    FROM t GROUP BY event_type
+    """,
+)
+def try_funcs(spark, sf_dir):
+    """Error-safe function surface (the ANSI-mode escape hatches — Spark 4
+    runs ANSI SQL by default, so division by zero / bad casts / bad
+    indexes ERROR unless the try_ family turns them into NULLs; a 100 TB
+    pipeline wants the job to survive one dirty row): try_divide (NULL on
+    zero divisor — oracle: x / NULLIF(d, 0)), try_cast of a
+    sometimes-non-numeric string (NULL, never a crash — DuckDB TRY_CAST),
+    and try_element_at probing index 1 + event_id%3 into a 2-element
+    array (index 3 → NULL on both engines; note index 0 is NOT
+    try-catchable in Spark — INVALID_INDEX_OF_ZERO raises even in
+    try_element_at, so the probe space is 1..3 by design). Division
+    results are quantized to bigint micros before summing (double SUM is
+    order-dependent; ROUND-then-bigint is exact), everything else counts
+    and sums exact integers — hash-exact per event_type."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("event_id") % 5).alias("d"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise(F.col("event_id").cast("string")).alias("s"),
+        F.expr(
+            "try_element_at(array(event_id, user_id), "
+            "CAST(1 + event_id % 3 AS INT))"
+        ).alias("e"),
+    )
+    t = e.select(
+        "event_type",
+        F.expr("try_divide(CAST(v AS DOUBLE), d)").alias("a"),
+        F.expr("try_cast(s AS BIGINT)").alias("c"),
+        "e",
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count(F.when(F.col("a").isNull(), F.lit(1)))
+        .cast("long").alias("n_div_null"),
+        F.sum(F.round(F.col("a") * 1000000).cast("long"))
+        .cast("long").alias("sum_div_micros"),
+        F.count("c").cast("long").alias("n_cast_ok"),
+        F.sum("c").cast("long").alias("sum_cast"),
+        F.count(F.when(F.col("e").isNull(), F.lit(1)))
+        .cast("long").alias("n_elem_null"),
+        F.sum("e").cast("long").alias("sum_elem"),
+    )
