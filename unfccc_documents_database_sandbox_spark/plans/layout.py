@@ -578,12 +578,16 @@ def table_incremental_mv(spark, sf_dir):
     from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
 
     root = _build_cdf_fixture(spark, sf_dir, "snapmv")
+    # fold = union of signed partial aggregates, re-aggregated: groupBy
+    # treats a NULL group key as ONE group (exactly like the recompute's
+    # GROUP BY would), where a full-outer equality join on the key would
+    # silently split a NULL group in two
     mv0 = (
         snap.read(spark, root, 0)
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n0"),
-            F.sum("n_chars").cast("long").alias("s0"),
+            F.count(F.lit(1)).cast("long").alias("dn"),
+            F.sum("n_chars").cast("long").alias("ds"),
         )
     )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
@@ -595,11 +599,12 @@ def table_incremental_mv(spark, sf_dir):
             F.sum(sign * F.col("n_chars")).cast("long").alias("ds"),
         )
     )
-    merged = mv0.join(delta, "lang", "full_outer").select(
-        "lang",
-        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
-        .cast("long").alias("n_docs"),
-        (F.coalesce(F.col("s0"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
-        .cast("long").alias("sum_chars"),
+    merged = (
+        mv0.unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("dn").cast("long").alias("n_docs"),
+            F.sum("ds").cast("long").alias("sum_chars"),
+        )
     )
     return merged.filter(F.col("n_docs") > 0)
