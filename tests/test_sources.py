@@ -421,3 +421,28 @@ def test_live_postgres_roundtrip(spark):
     assert got == want
     # the partitioned read really split on id
     assert back.rdd.getNumPartitions() == 2
+
+
+def test_pyds_stream_offset_algebra_and_replay():
+    """The streaming reader's offset bookkeeping, driver-side and pure
+    Python: chaining read() from initialOffset() walks the ledger in
+    exactly ceil(rows/batch) micro-batches with no gap or overlap, and
+    readBetweenOffsets replays the identical rows (the restart-recovery
+    contract the live parity run relies on)."""
+    from unfccc_documents_database_sandbox_spark.sources.pyds import (
+        SyntheticLedgerStreamReader,
+    )
+
+    r = SyntheticLedgerStreamReader({"rows": "1000", "batch_rows": "300"})
+    off = r.initialOffset()
+    seen, batches = [], 0
+    while int(off["pos"]) < 1000:
+        it, off = r.read(off)
+        seen.extend(it)
+        batches += 1
+    assert batches == 4
+    assert [x[0] for x in seen] == list(range(1000))
+    replay = list(r.readBetweenOffsets({"pos": 0}, {"pos": 1000}))
+    assert replay == seen
+    mid = list(r.readBetweenOffsets({"pos": 300}, {"pos": 600}))
+    assert mid == seen[300:600]

@@ -112,3 +112,85 @@ def source_jdbc(spark, sf_dir):
         F.col("N_NAME").alias("n_name"),
         F.col("N_REGIONKEY").alias("n_regionkey"),
     )
+
+
+@register(
+    "source_pyds_stream",
+    oracle="""
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_entries,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+    FROM (
+        SELECT i % 16 AS bucket, (i * 2654435761) % 10000 AS amount_cents
+        FROM range(0, 1000) t(i)
+    )
+    GROUP BY 1
+    """,
+)
+def source_pyds_stream(spark, sf_dir):
+    """S-ext STREAMING Python data source executed live (PySpark 4
+    SimpleDataSourceStreamReader — the API's streaming half, completing
+    source_pyds): the synthetic-ledger stream advances a {"pos"} offset
+    cursor 300 rows per micro-batch (1000 rows -> 4 real micro-batches;
+    Python sources don't support Trigger.AvailableNow, so the query runs
+    a fast processingTime trigger and is stopped once the complete-mode
+    aggregate CONVERGES to the full ledger — the same
+    converge-then-compare contract as stream_stateful_profile). The
+    oracle replays the source itself from a SQL range(), so the hash
+    covers offset bookkeeping end to end: any skipped, duplicated, or
+    re-split batch changes a bucket's count or sum. readBetweenOffsets
+    gives exact replay of any committed range (restart recovery);
+    tests/test_sources.py pins that multiple micro-batches actually ran
+    and that replay equals the original read."""
+    import time
+    import uuid
+
+    from unfccc_documents_database_sandbox_spark.sources.pyds import (
+        register_synthetic_ledger_stream,
+    )
+
+    ensure_pyfiles(spark)
+    register_synthetic_ledger_stream(spark)
+    n_rows = 1_000
+    src = (
+        spark.readStream.format("synthetic_ledger_stream")
+        .option("rows", n_rows)
+        .option("batch_rows", 300)
+        .load()
+    )
+    agg = src.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entries"),
+        F.sum("amount_cents").cast("long").alias("total_cents"),
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            got = (
+                spark.table(name)
+                .agg(F.coalesce(F.sum("n_entries"), F.lit(0)).alias("n"))
+                .collect()[0]["n"]
+            )
+            if got == n_rows:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                "source_pyds_stream did not converge to the full ledger "
+                "within 180s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    q.awaitTermination(60)
+    # materialize the converged state before the temp view churns
+    return spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )

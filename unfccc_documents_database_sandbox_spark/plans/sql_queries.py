@@ -552,10 +552,16 @@ register("sql_tpch_q21", oracle=_Q21)(_sql_plan(_Q21))
 _QBOM = """
 WITH RECURSIVE bom (root, pk, depth) AS (
     SELECT p_partkey, p_partkey, 0 FROM part
-    WHERE p_partkey BETWEEN 1 AND 3  -- key 0 would self-loop (2*0 = 0)
+    WHERE p_partkey BETWEEN 1 AND 3  -- three mid-size subtrees (root 0 = whole table)
     UNION ALL
     SELECT b.root, p.p_partkey, b.depth + 1
-    FROM bom b JOIN part p ON p.p_partkey IN (2 * b.pk, 2 * b.pk + 1)
+    FROM bom b JOIN part p
+      -- child k's parent is (k-1) DIV 4: an EQUI-join on the derived
+      -- parent key, so every recursion level is a hash join; the naive
+      -- "p_partkey IN (4*pk+1 .. 4*pk+4)" spelling is a non-equi
+      -- nested-loop against the whole part table per level
+      ON CAST(FLOOR((p.p_partkey - 1) / 4.0) AS BIGINT) = b.pk
+     AND p.p_partkey >= 1
 )
 SELECT b.root, CAST(b.depth AS BIGINT) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_parts,

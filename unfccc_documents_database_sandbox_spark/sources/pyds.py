@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 # Knuth's multiplicative-hash constant — same derivation the corpus-mix /
@@ -144,4 +145,65 @@ def register_synthetic_ledger(spark) -> None:
     if key in _REGISTERED:
         return
     spark.dataSource.register(SyntheticLedgerDataSource)
+    _REGISTERED.add(key)
+
+
+def _ledger_rows(lo: int, hi: int):
+    # a LIST-backed iterator, not a generator: Spark's driver-side prefetch
+    # cache copy.copy()s the returned iterator when serving
+    # readBetweenOffsets from cache, and generators are not copyable
+    return iter([(i, i % 16, (i * _MULT) % 10_000) for i in range(lo, hi)])
+
+
+class SyntheticLedgerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the Python DataSource API: offsets are {"pos": n}
+    cursors into the same deterministic ledger the batch reader derives,
+    advanced ``batch_rows`` per micro-batch; ``readBetweenOffsets`` replays
+    any committed range exactly (the recovery contract — a restarted query
+    re-reads (start, end] and MUST see identical rows, which the pure
+    integer derivation guarantees for free).
+
+    Scale seam: SimpleDataSourceStreamReader reads on the DRIVER and is
+    the documented low-throughput variant; the partition-planning
+    DataSourceStreamReader is the executor-parallel path — same offset
+    algebra, partitions() per batch (this source's batch reader already
+    shows the partition planning; composing the two is mechanical)."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1_000))
+        self.batch = max(1, int(options.get("batch_rows", 300)))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(self.n_rows, pos + self.batch)
+        return (_ledger_rows(pos, end), {"pos": end})
+
+    def readBetweenOffsets(self, start, end):
+        return _ledger_rows(int(start["pos"]), int(end["pos"]))
+
+
+class SyntheticLedgerStreamSource(DataSource):
+    """spark.readStream.format("synthetic_ledger_stream") — the streaming
+    twin of SyntheticLedgerDataSource (same schema, same rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_ledger_stream"
+
+    def schema(self) -> str:
+        return "entry_id bigint, bucket bigint, amount_cents bigint"
+
+    def simpleStreamReader(self, schema) -> SyntheticLedgerStreamReader:
+        return SyntheticLedgerStreamReader(self.options)
+
+
+def register_synthetic_ledger_stream(spark) -> None:
+    """Idempotent per-session registration of the streaming source."""
+    key = ("stream", spark.sparkContext.applicationId)
+    if key in _REGISTERED:
+        return
+    spark.dataSource.register(SyntheticLedgerStreamSource)
     _REGISTERED.add(key)
