@@ -116,7 +116,9 @@ FRESH = [
     # streaming-trigger latency, not a plan). The timeable r08 keys are
     # the time-series gap-fill, the integer-exact k-means, and the
     # recursive-CTE BOM explosion (table_incremental_mv also builds a
-    # table under .csv_tmp/, so it too stays out).
+    # table under .csv_tmp/, so it too stays out; source_pyds_stream runs
+    # a live processingTime-trigger streaming query — its wall time is
+    # trigger cadence, not a plan, the standing streaming exclusion).
     "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
     "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
     "try_funcs",
