@@ -190,7 +190,11 @@ def source_pyds_stream(spark, sf_dir):
         if q.isActive:
             q.stop()
     q.awaitTermination(60)
-    # materialize the converged state before the temp view churns
-    return spark.createDataFrame(
+    # materialize the converged state (16 bounded rows), then drop the
+    # memory-sink view — repeated builds (bench/parity loops) must not
+    # accumulate temp views
+    out = spark.createDataFrame(
         spark.table(name).collect(), spark.table(name).schema
     )
+    spark.catalog.dropTempView(name)
+    return out
