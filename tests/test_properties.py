@@ -1128,3 +1128,72 @@ def test_kmeans_partitions_every_point_exactly_once(spark):
     assert sum(r.n_points for r in rows) == total
     assert all(0 <= r.cluster_id < _KM_K for r in rows)
     assert len({r.cluster_id for r in rows}) == len(rows)
+
+
+def test_kmeans_numpy_replay_matches_engine(spark):
+    """Independent check (the events_attribution timeline-replay
+    precedent): a from-scratch NumPy implementation of the quantized
+    Lloyd spec — 1e-6 fixed point, exact integer distances, lowest-cid
+    tie-break, exact floor-division centroid update — must land on the
+    IDENTICAL final clustering the Spark plan (and thus the DuckDB
+    oracle) computes. Catches a spec misreading that both engines could
+    share."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        _KM_ITERS,
+        _KM_K,
+        _KM_Q,
+        cluster_kmeans,
+    )
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    # float32 -> float64 -> round matches both engines' cast+round
+    x = np.array(
+        [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+    )
+    # round HALF AWAY FROM ZERO like both engines (np.round is half-even)
+    v = x * _KM_Q
+    q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+    cent = q[ids < _KM_K].copy()  # vec_id 0..k-1 in id order
+
+    def assign(c):
+        # exact integer squared distances, argmin ties to lowest cid
+        d = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes the first (lowest) index
+
+    # cids[pos] = the engine cluster id living at numpy row `pos`; an
+    # emptied cluster disappears from both (engine: inner-join update),
+    # and the mapping composes correctly across rounds
+    cids = list(range(_KM_K))
+    for _ in range(_KM_ITERS):
+        a = assign(cent)
+        nxt_cent, nxt_cids = [], []
+        for pos, cid in enumerate(cids):
+            m = q[a == pos]
+            if len(m):
+                nxt_cent.append(np.floor_divide(m.sum(axis=0), len(m)))
+                nxt_cids.append(cid)
+        cent = np.stack(nxt_cent)
+        cids = nxt_cids
+    a_cids = np.array(cids)[assign(cent)]
+    expect = {}
+    for cid in set(a_cids.tolist()):
+        m = a_cids == cid
+        expect[cid] = (int(m.sum()), int(ids[m].sum()))
+
+    got = {
+        r.cluster_id: (r.n_points, r.sum_vec_id)
+        for r in cluster_kmeans(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
