@@ -544,3 +544,49 @@ def test_cdf_replication_folds_to_head(spark, table):
     assert replica.exceptAll(head).count() == 0
     assert head.exceptAll(replica).count() == 0
     assert replica.count() == head.count()
+
+
+def test_cdf_randomized_operation_soak(spark, tmp_path):
+    """Seeded random op sequences (append / COW delete / updating merge /
+    compact) against the table, then the replication fold: v0 + feed must
+    equal HEAD whatever the interleaving — including no-op deletes,
+    merges re-inserting previously deleted ids, and mid-sequence
+    compactions the feed must skip."""
+    import random
+
+    rnd = random.Random(8)
+    root = str(tmp_path / "soak")
+
+    def mk(ids, tag):
+        return spark.createDataFrame(
+            [(i, f"{tag}{i}", f"l{i % 3}") for i in ids],
+            "id long, payload string, lang string",
+        )
+
+    snap.create(spark, root, mk(range(10), "p"))
+    next_id = 10
+    for step in range(6):
+        op = rnd.choice(["append", "delete", "merge", "compact"])
+        if op == "append":
+            snap.append(spark, root, mk(range(next_id, next_id + 4), "a"))
+            next_id += 4
+        elif op == "delete":
+            snap.delete_where(
+                spark, root, f"id % {rnd.randint(2, 5)} = {rnd.randint(0, 1)}"
+            )
+        elif op == "merge":
+            ids = rnd.sample(range(next_id), 3)
+            snap.merge_into(spark, root, mk(ids, f"m{step}_"), ["id"])
+        else:
+            snap.compact(spark, root, max_files=2)
+
+    cols = ["id", "payload", "lang"]
+    v0 = snap.read(spark, root, 0).select(cols)
+    feed = snap.changes(spark, root, 0)
+    replica = (
+        v0.unionByName(feed.filter("_change_type = 'insert'").select(cols))
+        .exceptAll(feed.filter("_change_type = 'delete'").select(cols))
+    )
+    head = snap.read(spark, root).select(cols)
+    assert replica.exceptAll(head).count() == 0
+    assert head.exceptAll(replica).count() == 0
