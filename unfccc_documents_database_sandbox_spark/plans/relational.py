@@ -1305,3 +1305,62 @@ def agg_argext_bitwise(spark, sf_dir):
         F.bit_xor("user_id").cast("long").alias("parity"),
         F.bit_and("user_id").cast("long").alias("common_bits"),
     )
+
+
+@register(
+    "udtf_python_segments",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id,
+               UNNEST(string_split(text, '.')) AS seg,
+               GENERATE_SUBSCRIPTS(string_split(text, '.'), 1) AS ord
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(LENGTH(seg)) AS BIGINT) AS total_seg_chars,
+           CAST(SUM(ord * LENGTH(seg)) AS BIGINT) AS order_checksum
+    FROM segs GROUP BY doc_id
+    """,
+)
+def udtf_python_segments(spark, sf_dir):
+    """U6 as a REAL Python UDTF (Spark 4 @udtf — class-based table
+    function, LATERAL-correlated per input row), complementing
+    udtf_explode_blocks which deliberately stays on JVM posexplode: this
+    key exercises the API surface itself — yield-per-row fan-out, lateral
+    correlation in SQL text — on a sentence-ish '.'-split of every
+    document, rolled up per doc with an order checksum (SUM(ordinal *
+    segment length)) so the oracle catches any dropped, reordered, or
+    re-split segment. The oracle replays the split relationally
+    (string_split + unnest with ordinals; Python's str.split and DuckDB's
+    string_split agree on empty segments).
+
+    Hot-path note (registry discipline): a Python UDTF is row-at-a-time
+    Python — the SLOW path; when built-ins can express the fan-out
+    (posexplode/split), they win by 10-100x and udtf_explode_blocks is
+    that twin. Use a UDTF only when per-row logic genuinely needs Python;
+    at 100 TB the fan-out still parallelizes per input partition and
+    never touches the driver."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, seg string")
+    class SplitSegs:
+        def eval(self, text: str):
+            for i, seg in enumerate((text or "").split(".")):
+                yield (i, seg)
+
+    spark.udtf.register("udtf_split_segs", SplitSegs)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_segs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(LENGTH(s.seg)) AS BIGINT) AS total_seg_chars,
+               CAST(SUM((s.seq + 1) * LENGTH(s.seg)) AS BIGINT)
+                   AS order_checksum
+        FROM udtf_segs_in d, LATERAL udtf_split_segs(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
