@@ -800,3 +800,22 @@ def test_round8_midround_plan_shapes(spark):
     var = plan_of["json_variant_extract"]
     assert "EvalPython" not in var, var
     assert var.count("Exchange") == 1, var
+
+
+def test_recursive_bom_step_is_hash_join_and_epoch_shuffle_single_exchange(spark):
+    """sql_recursive_bom's recursion step must plan as a hash join on the
+    derived parent key — the IN-list spelling regressed to a per-level
+    BroadcastNestedLoopJoin over the whole part table (2.4x slower at
+    sf0.1); shuffle_epoch must ride ONE exchange (the shard deal) with
+    its window and digest aggregate sharing it."""
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    bom = lookup("sql_recursive_bom").build(spark, SF_CORRECT)
+    plan = bom._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    se = lookup("shuffle_epoch").build(spark, SF_CORRECT)
+    plan = se._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan

@@ -590,3 +590,34 @@ def test_cdf_randomized_operation_soak(spark, tmp_path):
     head = snap.read(spark, root).select(cols)
     assert replica.exceptAll(head).count() == 0
     assert head.exceptAll(replica).count() == 0
+
+
+def test_append_retry_rebases_past_conflicts(spark, table, monkeypatch):
+    """An append that loses the O_EXCL race (simulated by a stale HEAD
+    resolution on its first attempt) re-publishes its already-written
+    payload at the next free version without rewriting parquet; with
+    retries exhausted the conflict still raises."""
+    head = snap.latest_version(table)
+    # a racing winner has already taken head+1
+    snap._write_commit(table, head + 1, [], [])
+    df = spark.createDataFrame(
+        [(100, "r", "en")], "id long, payload string, lang string"
+    )
+    orig = snap.latest_version
+    calls = {"n": 0}
+
+    def stale_once(root):
+        calls["n"] += 1
+        return head if calls["n"] == 1 else orig(root)
+
+    # no retries + stale HEAD -> the loser surfaces the conflict
+    monkeypatch.setattr(snap, "latest_version", lambda root: head)
+    with pytest.raises(FileExistsError):
+        snap.append(spark, table, df, max_retries=0)
+
+    # one retry resolves the REAL head and lands at head+2
+    monkeypatch.setattr(snap, "latest_version", stale_once)
+    v = snap.append(spark, table, df, max_retries=1)
+    monkeypatch.setattr(snap, "latest_version", orig)
+    assert v == head + 2
+    assert snap.read(spark, table).filter("id = 100").count() == 1

@@ -472,16 +472,34 @@ def create(spark: SparkSession, root: str, df: DataFrame) -> int:
     return 0
 
 
-def append(spark: SparkSession, root: str, df: DataFrame) -> int:
+def append(spark: SparkSession, root: str, df: DataFrame, *,
+           max_retries: int = 0) -> int:
     """Append-only commit: new files added, nothing removed. The incoming
-    DataFrame must match the table schema exactly (raise, don't coerce)."""
-    version = latest_version(root) + 1
+    DataFrame must match the table schema exactly (raise, don't coerce).
+
+    ``max_retries`` completes the optimistic-concurrency loop for the one
+    operation where a rebase is trivially safe: an append conflicts with
+    NOTHING (its add-list is writer-private files, it removes nothing, and
+    the schema was validated against a commit that is still in the chain),
+    so on losing the O_EXCL race the writer just re-resolves HEAD and
+    re-publishes the SAME payload at the next version — no parquet is
+    rewritten. COW operations (delete/merge/compact) deliberately do NOT
+    retry: their remove-lists were computed against a superseded snapshot
+    and a blind re-commit could resurrect deleted rows; the caller must
+    re-read and re-derive (exactly Delta's conflict matrix)."""
     out = _check_schema(df, table_schema(root), "append")
     pdir = _new_payload_dir(root)
     out.write.parquet(pdir)
-    _write_commit(root, version, _dir_files(root, pdir), [],
-                  stats=_collect_stats(spark, root, pdir, out.schema))
-    return version
+    add = _dir_files(root, pdir)
+    stats = _collect_stats(spark, root, pdir, out.schema)
+    for attempt in range(max_retries + 1):
+        version = latest_version(root) + 1
+        try:
+            _write_commit(root, version, add, [], stats=stats)
+            return version
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
 
 
 def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
