@@ -57,6 +57,20 @@ protocol stripped to what the sandbox can express:
   can then drop old commit JSON (time travel below the checkpoint fails
   loudly — Delta's retention contract).
 
+- The CHANGE DATA FEED (`changes`) recovers per-commit row-level
+  inserts/deletes from the COW log alone: appends emit their files with
+  zero diff work, COW commits EXCEPT-ALL only the files they touched,
+  and OPTIMIZE commits carry data_change=false and are skipped. The fold
+  v0 + feed == HEAD is the replication invariant (test-pinned, plus a
+  seeded random-operation soak); `table_incremental_mv` is the
+  signed-delta consumer.
+
+- Conflict handling: `append(max_retries=N)` rebases past lost O_EXCL
+  races by re-publishing its writer-private payload at the next version
+  (appends conflict with nothing); COW operations never blind-rebase —
+  their remove-lists were computed against a superseded snapshot
+  (Delta's conflict matrix).
+
 Scale notes: the log is O(commits since checkpoint) tiny JSON.
 """
 
