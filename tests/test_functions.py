@@ -259,3 +259,28 @@ def test_adc_query_collect_is_bounded(spark):
         "id AS vec_id", "array(1.0f, 0.0f) AS embedding"
     )
     assert len(S._bounded_query_rows(small, "vec_id")) == 3
+
+
+def test_observation_metrics_ride_the_action(spark):
+    """Operational-metrics surface (df.observe + Observation): audit
+    counters computed DURING the action — zero extra scans, exactly what
+    a 100 TB pipeline uses instead of a second count() pass. The observed
+    row count and exact cent sum over documents must equal the separately
+    computed aggregates."""
+    from pyspark.sql import Observation
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "n_chars")
+    obs = Observation("audit")
+    audited = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    audited.write.format("noop").mode("overwrite").save()
+    expect = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("s")
+    ).collect()[0]
+    assert obs.get == {"n_docs": expect.n, "total_chars": expect.s}
