@@ -284,3 +284,62 @@ def test_observation_metrics_ride_the_action(spark):
         F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("long").alias("s")
     ).collect()[0]
     assert obs.get == {"n_docs": expect.n, "total_chars": expect.s}
+
+
+def test_arrow_native_map_and_grouped_apply_match_jvm(spark):
+    """Arrow-native API surface (mapInArrow / applyInArrow — zero-copy
+    RecordBatch in, no pandas materialization): both must reproduce the
+    JVM built-ins' exact answers on real data. The pandas variants are
+    covered by the registered UDF keys; this pins the third (pure-Arrow)
+    flavor a scale user reaches for when pandas conversion is the
+    bottleneck."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+
+    d = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def add_half(it):
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.divide(batch.column(2), 2)],
+                names=["doc_id", "half_chars"],
+            )
+
+    got = (
+        d.mapInArrow(add_half, "doc_id long, half_chars long")
+        .agg(F.sum("half_chars").cast("long").alias("s"))
+        .collect()[0].s
+    )
+    expect = d.select(
+        F.expr("CAST(n_chars / 2 AS LONG)").alias("h")
+    ).agg(F.sum("h").cast("long").alias("s")).collect()[0].s
+    assert got == expect
+
+    def per_lang(key, tbl):
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([key[0]], type=pa.string()),
+                "total": pa.array(
+                    [pc.sum(tbl["n_chars"]).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    got2 = {
+        r.lang: r.total
+        for r in d.groupBy("lang")
+        .applyInArrow(per_lang, "lang string, total long")
+        .collect()
+    }
+    expect2 = {
+        r.lang: r.total
+        for r in d.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("total"))
+        .collect()
+    }
+    assert got2 == expect2
