@@ -121,7 +121,7 @@ FRESH = [
     # trigger cadence, not a plan, the standing streaming exclusion).
     "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
     "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
-    "try_funcs", "udtf_python_segments",
+    "try_funcs", "udtf_python_segments", "corpus_upsample",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -715,3 +715,72 @@ def shuffle_epoch(spark, sf_dir):
         .cast("long").alias("first_by_pos_doc"),
         F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_digest"),
     )
+
+
+@register(
+    "corpus_upsample",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source, n_chars,
+               CASE CAST(SUBSTR(source, 4) AS INTEGER) % 3
+                    WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 2 END
+               + CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) % 3 = 2
+                       AND (doc_id * 2654435761) % 4294967296 < 2147483648
+                      THEN 1 ELSE 0 END AS factor
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, source, n_chars,
+               UNNEST(generate_series(1, factor)) AS repeat_idx
+        FROM f
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_in,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_out,
+           CAST(SUM(repeat_idx) AS BIGINT) AS idx_checksum
+    FROM x GROUP BY source
+    """,
+)
+def corpus_upsample(spark, sf_dir):
+    """Weighted corpus UPSAMPLING — the other half of data mixing
+    (corpus_mix downsamples with per-class keep thresholds; pretraining
+    also REPEATS high-quality sources by epoch factors, including
+    fractional ones): per-source integer factors (1x / 3x / 2x by source
+    class) plus a deterministic fractional half-epoch (class-2 sources
+    average 2.5x — the extra repeat goes to exactly the docs whose
+    multiplicative-hash bucket falls below one half, the sample_hash_mod
+    mechanism, so the SAME documents repeat on every engine and every
+    run). Each kept repetition carries its repeat_idx (1..factor) — what
+    a downstream shuffle/pack stage needs to keep epochs distinguishable.
+    The per-source rollup pins doc count, emitted rows, emitted chars,
+    and SUM(repeat_idx) (= Σ factor·(factor+1)/2 per doc), so any
+    missing or duplicated repetition breaks the hash.
+
+    Scale: sequence+explode fans out rows map-side — no shuffle until
+    the audit aggregate; re-weighting a 100 TB mixture is a factor-table
+    change, not a data rewrite; fractional epochs stay deterministic
+    under retries because repetition is keyed on the doc hash, never
+    RNG."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cls = F.substring("source", 4, 10).cast("int") % 3
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    factor = (
+        F.when(cls == 0, F.lit(1))
+        .when(cls == 1, F.lit(3))
+        .otherwise(F.lit(2))
+        + F.when((cls == 2) & (bucket < F.lit(2147483648)), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    x = d.withColumn("factor", factor).select(
+        "doc_id", "source", "n_chars",
+        F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("repeat_idx"),
+    )
+    return x.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_in"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+        F.sum("n_chars").cast("long").alias("chars_out"),
+        F.sum("repeat_idx").cast("long").alias("idx_checksum"),
+    )

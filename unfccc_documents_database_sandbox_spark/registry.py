@@ -70,16 +70,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
 # alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
 # keys parked; oldest evidence on file advanced r04 -> r05 except the 11
-# promoted r04 keys now in-window; DUE sized mid-round to 35 = 50 - 15 new
+# promoted r04 keys now in-window; DUE sized mid-round to 34 = 50 - 16 new
 # keys (4 at round start + table_changes/ts_gapfill/cluster_kmeans +
 # sql_recursive_bom/table_incremental_mv +
 # json_variant_extract/sql_scalar_udf + shuffle_epoch + try_funcs +
-# source_pyds_stream + udtf_python_segments).
+# source_pyds_stream + udtf_python_segments + corpus_upsample).
 
 # DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (24 keys — the alphabetically-first
-# of the 50 r05-evidenced keys; the other 26 wait in NEXT). The oldest
-# evidence on file; the r08 window is the 15 new unprefixed keys + these 35
+# first block) or CORRECTNESS_r05.json (23 keys — the alphabetically-first
+# of the 50 r05-evidenced keys; the other 27 wait in NEXT). The oldest
+# evidence on file; the r08 window is the 16 new unprefixed keys + these 34
 # (machine-checked by tests/test_rotation.py::test_window_reaches_every_
 # due_key — size the r09 promotion from the registry, not this comment).
 # Rows-only by design among these: agg_approx_distinct,
@@ -100,7 +100,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
         "case_when_block", "catalog_tables", "contamination_check",
         "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
-        "dedup_components", "dedup_incremental",
+        "dedup_components",
     }
 )
 
@@ -117,8 +117,9 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # 46 -> 43 -> 41 as table_changes/ts_gapfill/cluster_kmeans and
         # then sql_recursive_bom/table_incremental_mv and
         # json_variant_extract/sql_scalar_udf/shuffle_epoch/try_funcs/
-        # source_pyds_stream/udtf_python_segments registered)
-        "dedup_lines",
+        # source_pyds_stream/udtf_python_segments/corpus_upsample
+        # registered)
+        "dedup_incremental", "dedup_lines",
         "events_funnel", "events_retention", "events_sessionize",
         "graph_pagerank", "index_inverted",
         "join_similarity_prefix", "layout_compaction",
