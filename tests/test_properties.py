@@ -1197,3 +1197,20 @@ def test_kmeans_numpy_replay_matches_engine(spark):
         for r in cluster_kmeans(spark, SF_SMOKE).collect()
     }
     assert got == expect
+
+
+def test_shuffle_epoch_shards_are_balanced(spark):
+    """The LCG shard deal must be load-balanced: the multiplier is odd
+    (coprime with the power-of-two shard count), so any block of
+    consecutive doc_ids spreads EXACTLY evenly across shards — max and
+    min shard sizes differ by at most 1 on the contiguous-id corpus. The
+    'no hot shard' claim in the docstring, machine-checked."""
+    from tests.conftest import SF_CORRECT
+
+    from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
+
+    load_all_plans()
+    rows = lookup("shuffle_epoch").build(spark, SF_CORRECT).collect()
+    sizes = [r.n_docs for r in rows]
+    assert len(sizes) == 16
+    assert max(sizes) - min(sizes) <= 1, sizes
