@@ -1214,3 +1214,58 @@ def test_shuffle_epoch_shards_are_balanced(spark):
     sizes = [r.n_docs for r in rows]
     assert len(sizes) == 16
     assert max(sizes) - min(sizes) <= 1, sizes
+
+
+def test_ts_gapfill_python_replay_random_series(spark, tmp_path):
+    """Seeded random sparse series replayed in pure Python: the dense
+    spine must span exactly [min, max] observed hours per series, observed
+    rows keep their exact cent sums, LOCF carries the latest observed
+    value, and interpolation matches the linear formula recomputed
+    independently (1e-9 tolerance for the one double op)."""
+    import datetime as dt
+    import random
+
+    from unfccc_documents_database_sandbox_spark.plans.analytics import ts_gapfill
+
+    rnd = random.Random(88)
+    t0 = dt.datetime(2024, 3, 1)
+    rows, truth = [], {}
+    eid = 0
+    for series in ["a", "b", "c"]:
+        hours = sorted(rnd.sample(range(30), rnd.randint(2, 8)))
+        for h in hours:
+            v = rnd.randint(1, 500) / 100.0  # exact cents
+            eid += 1
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=7), 1, series, v, "{}"))
+            truth.setdefault(series, {}).setdefault(h, 0)
+            truth[series][h] += round(v * 100)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    got = ts_gapfill(spark, str(tmp_path)).collect()
+
+    by_series = {}
+    for r in got:
+        by_series.setdefault(r.event_type, {})[r.bucket.day * 24 + r.bucket.hour - t0.day * 24] = r
+    for series, obs in truth.items():
+        hours = sorted(obs)
+        grid = by_series[series]
+        assert sorted(grid) == list(range(hours[0], hours[-1] + 1))
+        # python replay of LOCF + interp over the dense grid
+        prev_h = None
+        for h in range(hours[0], hours[-1] + 1):
+            r = grid[h]
+            if h in obs:
+                assert r.vsum_cents == obs[h] and r.locf_cents == obs[h]
+                assert abs(r.interp_cents - float(obs[h])) < 1e-9
+                prev_h = h
+            else:
+                assert r.vsum_cents is None and r.n_events == 0
+                assert r.locf_cents == obs[prev_h]
+                nxt_h = min(x for x in hours if x > h)
+                pv, nv = obs[prev_h], obs[nxt_h]
+                expect = pv + (nv - pv) * ((h - prev_h) / (nxt_h - prev_h))
+                assert abs(r.interp_cents - expect) < 1e-6
