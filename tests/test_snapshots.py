@@ -621,3 +621,12 @@ def test_append_retry_rebases_past_conflicts(spark, table, monkeypatch):
     monkeypatch.setattr(snap, "latest_version", orig)
     assert v == head + 2
     assert snap.read(spark, table).filter("id = 100").count() == 1
+
+
+def test_changes_after_vacuum_raises_protocol_error(spark, table):
+    """A feed range whose payload files were reclaimed by VACUUM must
+    raise the protocol-level retention error, not a raw scan failure."""
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.vacuum(table, retain_versions=1)
+    with pytest.raises(ValueError, match="VACUUM"):
+        snap.changes(spark, table, 0).count()

@@ -604,6 +604,14 @@ def changes(
     def _rd(files: list[str]) -> DataFrame:
         if not files:
             return spark.createDataFrame([], schema)
+        gone = [f for f in files if not os.path.exists(os.path.join(root, f))]
+        if gone:
+            raise ValueError(
+                f"change feed over ({since_version}, {to_version}] needs "
+                f"{len(gone)} payload file(s) already reclaimed by VACUUM "
+                f"(e.g. {gone[0]!r}) — the feed is only reconstructible "
+                "within the retention window, Delta's CDF contract"
+            )
         return spark.read.schema(schema).parquet(
             *[os.path.join(root, f) for f in files]
         )
