@@ -343,3 +343,32 @@ def test_arrow_native_map_and_grouped_apply_match_jvm(spark):
         .collect()
     }
     assert got2 == expect2
+
+
+def test_udtf_segments_drops_null_text_docs(spark):
+    """r08 ADVICE #2: the segment UDTF yields NOTHING for NULL text, so the
+    LATERAL (inner) join drops the doc — the same zero-row semantics the
+    DuckDB oracle's UNNEST(string_split(NULL, '.')) produces. A doc with
+    empty-string text still contributes one empty segment."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, seg string")
+    class SplitSegs:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, seg in enumerate(text.split(".")):
+                yield (i, seg)
+
+    spark.udtf.register("udtf_split_segs_nulltest", SplitSegs)
+    spark.createDataFrame(
+        [(1, "a.b"), (2, None), (3, "")], "doc_id long, text string"
+    ).createOrReplaceTempView("udtf_null_in")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, COUNT(*) AS n
+        FROM udtf_null_in d, LATERAL udtf_split_segs_nulltest(d.text) s
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    ).collect()
+    assert [(r.doc_id, r.n) for r in rows] == [(1, 2), (3, 1)]

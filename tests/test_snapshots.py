@@ -623,6 +623,44 @@ def test_append_retry_rebases_past_conflicts(spark, table, monkeypatch):
     assert snap.read(spark, table).filter("id = 100").count() == 1
 
 
+def test_append_rebase_revalidates_schema_after_lost_race(spark, table):
+    """r08 ADVICE #1: if the racing winner was evolve_schema, a retried
+    append must NOT re-publish its pre-evolution payload into the
+    post-evolution era (reads would silently null-fill) — the rebase
+    re-validates against the new HEAD schema and raises."""
+    from pyspark.sql import functions as F
+
+    head = snap.latest_version(table)
+    df = spark.createDataFrame(
+        [(200, "r", "en")], "id long, payload string, lang string"
+    )
+    # simulate losing the race to an evolve_schema winner: the conflicting
+    # schema-bearing commit lands AFTER the append's entry validation but
+    # before its O_EXCL attempt (planted inside the loop's first HEAD
+    # resolution), so the append targets head+1, loses the race there, and
+    # the rebase must see the era changed under it
+    evolved = snap.read(spark, table).withColumn(
+        "extra", F.lit(1).cast("long")
+    )
+    schema_json = evolved.schema.json()
+    import unittest.mock as mock
+
+    orig = snap.latest_version
+    calls = {"n": 0}
+
+    def stale_once(root):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            snap._write_commit(table, head + 1, [], [],
+                               schema_json=schema_json)
+            return head
+        return orig(root)
+
+    with mock.patch.object(snap, "latest_version", side_effect=stale_once):
+        with pytest.raises(ValueError, match="append \\(rebase\\)"):
+            snap.append(spark, table, df, max_retries=2)
+
+
 def test_changes_after_vacuum_raises_protocol_error(spark, table):
     """A feed range whose payload files were reclaimed by VACUUM must
     raise the protocol-level retention error, not a raw scan failure."""

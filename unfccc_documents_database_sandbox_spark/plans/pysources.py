@@ -173,6 +173,11 @@ def source_pyds_stream(spark, sf_dir):
     try:
         deadline = time.time() + 180
         while time.time() < deadline:
+            # a dead query never converges: surface its root-cause
+            # exception NOW instead of masking it behind the 180 s
+            # TimeoutError (r08 ADVICE #3)
+            if not q.isActive and q.exception() is not None:
+                raise q.exception()
             got = (
                 spark.table(name)
                 .agg(F.coalesce(F.sum("n_entries"), F.lit(0)).alias("n"))

@@ -1346,7 +1346,13 @@ def udtf_python_segments(spark, sf_dir):
     @udtf(returnType="seq int, seg string")
     class SplitSegs:
         def eval(self, text: str):
-            for i, seg in enumerate((text or "").split(".")):
+            # NULL text yields NOTHING, so the lateral (inner) join drops
+            # the doc — matching the oracle's UNNEST(string_split(NULL))
+            # zero-row semantics (r08 ADVICE #2: `(text or '').split` would
+            # emit one empty segment and diverge on a nullable corpus).
+            if text is None:
+                return
+            for i, seg in enumerate(text.split(".")):
                 yield (i, seg)
 
     spark.udtf.register("udtf_split_segs", SplitSegs)

@@ -542,11 +542,12 @@ register("sql_tpch_q21", oracle=_Q21)(_sql_plan(_Q21))
 
 
 # WITH RECURSIVE (Spark 4 / SPARK-24497): depth-tracked BOM explosion over
-# a synthetic binary part hierarchy (children of part k = parts 2k, 2k+1 —
-# derived from the data, terminates when keys run off the table). The SAME
+# a synthetic 4-ary part hierarchy (the parent of part k is (k-1) DIV 4,
+# i.e. children of part k = parts 4k+1..4k+4 — derived from the data,
+# terminates when keys run off the table). The SAME
 # text runs on both engines. Scale note: a recursive CTE executes as an
 # iterated join — each level is one join against the base table, fine for
-# bounded-depth hierarchies (depth ~ log2 |part| here); unbounded
+# bounded-depth hierarchies (depth ~ log4 |part| here); unbounded
 # reachability at 100 TB belongs to the contracted-star operators
 # (plans/dedup.py dedup_components), not recursion.
 _QBOM = """

@@ -65,60 +65,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 # #3); r06 introduced the tiers above (VERDICT r05 #2) because a single z_
 # tier kept handing the window back to the cohort checked the round before
 # while r02-era evidence aged; r07 advanced the queue per VERDICT r06 #2
-# (r03 cohort + the sample_hash_mod IOU promoted to DUE; the 50
-# r06-evidenced keys parked; oldest evidence on file advanced r03 -> r04);
-# r08 advanced it again per VERDICT r07 #2 (the full r04 cohort + the 36
-# alphabetically-first r05 keys promoted to DUE; the 46+4 r07-evidenced
-# keys parked; oldest evidence on file advanced r04 -> r05 except the 11
-# promoted r04 keys now in-window; DUE sized mid-round to 34 = 50 - 16 new
-# keys (4 at round start + table_changes/ts_gapfill/cluster_kmeans +
-# sql_recursive_bom/table_incremental_mv +
-# json_variant_extract/sql_scalar_udf + shuffle_epoch + try_funcs +
-# source_pyds_stream + udtf_python_segments + corpus_upsample).
+# (r03 cohort promoted; the 50 r06-evidenced keys parked); r08 advanced it
+# per VERDICT r07 #2 (r04 cohort + alphabetically-first r05 keys promoted,
+# DUE sized mid-round to 34 = 50 - 16 new keys); r09 advances it per
+# VERDICT r08 #1: the full 27-key r05 tail + the alphabetically-first r06
+# keys promoted to DUE (sized mid-round as round-9 keys register — each
+# new unprefixed key demotes the alphabetically-LAST promoted r06 key back
+# to NEXT), the 50 r08-evidenced keys (16 unprefixed + 34 z_ re-checks)
+# parked, the r07 PARKED cohort aged into NEXT. Oldest evidence on file
+# after r09: r06.
 
-# DUE (z_): latest clean driver row is CORRECTNESS_r04.json (11 keys,
-# first block) or CORRECTNESS_r05.json (23 keys — the alphabetically-first
-# of the 50 r05-evidenced keys; the other 27 wait in NEXT). The oldest
-# evidence on file; the r08 window is the 16 new unprefixed keys + these 34
-# (machine-checked by tests/test_rotation.py::test_window_reaches_every_
-# due_key — size the r09 promotion from the registry, not this comment).
-# Rows-only by design among these: agg_approx_distinct,
-# agg_approx_percentiles, agg_hll_partitioned, catalog_tables (approx /
-# catalog semantics documented at their builders).
+# DUE (z_): latest clean driver row is CORRECTNESS_r05.json (27 keys — the
+# alphabetical tail of the r05 cohort, the oldest evidence on file) or
+# CORRECTNESS_r06.json (the alphabetically-first keys of the r06 cohort,
+# sized so DUE + the round's new unprefixed keys fill the 50-key window —
+# machine-checked by tests/test_rotation.py::test_window_reaches_every_
+# due_key; size the r10 promotion from the registry, not this comment).
+# Rows-only by design among these: dedup_fuzzy_minhash, dedup_simhash,
+# doc_rolling_hash (approximate / hash-seeded semantics documented at
+# their builders).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # r04 evidence
-        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
-        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
-        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
-        "udaf_pandas_agg",
-        # r05 evidence (alphabetically-first 35 of the r05 cohort)
-        "agg_approx_distinct", "agg_approx_percentiles",
-        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
-        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
-        "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
-        "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
-        "case_when_block", "catalog_tables", "contamination_check",
-        "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
-        "dedup_components",
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r05.json (14 keys,
-# first block — the alphabetical tail of the r05 cohort) or
-# CORRECTNESS_r06.json (50 keys — the r06 window, second block). These
-# receive the r08 window spillover beyond the DUE tier and are the r09
-# promotion pool (r05 tail first).
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r05 evidence (the alphabetical tail of the r05 cohort — these
-        # lead the r09 promotion pool: they were sized out of the r08 DUE
-        # tier as the round's unprefixed keys landed, shrinking DUE
-        # 46 -> 43 -> 41 as table_changes/ts_gapfill/cluster_kmeans and
-        # then sql_recursive_bom/table_incremental_mv and
-        # json_variant_extract/sql_scalar_udf/shuffle_epoch/try_funcs/
-        # source_pyds_stream/udtf_python_segments/corpus_upsample
-        # registered)
+        # r05 evidence (the 27-key alphabetical tail of the r05 cohort)
         "dedup_incremental", "dedup_lines",
         "events_funnel", "events_retention", "events_sessionize",
         "graph_pagerank", "index_inverted",
@@ -129,42 +97,43 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
         "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
         "stream_static_join", "xlsx_ingest",
-        # r06 evidence: the 21 un-prefixed keys of the r06 window
+        # r06 evidence (alphabetically-first of the r06 cohort; shrinks as
+        # round-9 keys register — demoted keys rejoin NEXT)
         "agg_corr_exact", "agg_decimal_money", "agg_mode_freq",
         "agg_skewness_exact", "basket_pairs", "dedup_embedding",
-        "events_anomaly", "events_attribution", "graph_triangles",
-        "join_lateral", "join_null_safe", "layout_compaction_apply",
-        "scd2_history", "sim_topk_pq_portable", "source_jdbc",
-        "text_bigram_cond", "text_bpe_pairs", "text_chunk_sliding",
-        "text_tfidf", "text_vocab", "window_cume_distinct",
-        # r06 evidence: the 29 z_ keys the r06 window re-checked.
-        # dedup_fuzzy_minhash / dedup_simhash / doc_rolling_hash are
-        # rows-only by design (approximate / hash-seeded semantics
-        # documented at their builders).
         "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
         "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
-        "doc_fingerprint", "doc_rolling_hash", "filter_notnull",
-        "filter_or_eq", "join_asof", "join_bridge", "join_child_collect",
-        "join_inner_fk", "join_left_nullable", "join_range", "join_semi",
-        "join_skew_salted", "json_extract", "lang_id", "limit_n", "map_ops",
-        "math_arith", "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "project_columns",
-        "scan_full",
+        "doc_fingerprint", "doc_rolling_hash", "events_anomaly",
+        "events_attribution", "filter_notnull", "filter_or_eq",
+        "graph_triangles", "join_asof", "join_bridge", "join_child_collect",
+        "join_inner_fk",
     }
 )
 
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r07.json — the 50
-# keys of the r07 window (46 hash-green + 4 rows-only by documented
-# design, VERDICT r07): 46 were z_-spelled re-checks (clean rows on file
-# under their z_ spelling, incl. the r02-era sample_hash_mod IOU) and 4
-# were the un-prefixed r07 keys.
-ROTATED_PARKED: frozenset[str] = frozenset(
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r06.json (the
+# alphabetical tail of the r06 cohort, first block) or
+# CORRECTNESS_r07.json (the 50-key r07 window, second block — aged out of
+# PARKED this round). These receive the r09 window spillover beyond the
+# DUE tier and are the r10 promotion pool (r06 tail first).
+ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # the 4 un-prefixed keys of the r07 window
+        # r06 evidence (the alphabetical tail of the r06 cohort, incl.
+        # keys demoted from the initial r09 DUE promotion as round-9
+        # unprefixed keys registered)
+        "join_lateral", "join_left_nullable", "join_null_safe",
+        "join_range", "join_semi", "join_skew_salted", "json_extract",
+        "lang_id", "layout_compaction_apply", "limit_n", "map_ops",
+        "math_arith", "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_resize", "numbering_normalize", "project_columns",
+        "scan_full", "scd2_history", "sim_topk_pq_portable", "source_jdbc",
+        "text_bigram_cond", "text_bpe_pairs", "text_chunk_sliding",
+        "text_tfidf", "text_vocab", "window_cume_distinct",
+        # r07 evidence: the 50-key r07 window (46 z_-spelled re-checks
+        # incl. the r02-era sample_hash_mod IOU + the 4 unprefixed r07
+        # keys). sim_topk_ivf, sim_topk_lsh, stream_dedup_live are
+        # rows-only by design.
         "sim_topk_ivfpq", "table_snapshot_read", "text_bpe_encode",
         "text_bpe_train",
-        # the 46 z_ keys the r07 window re-checked. sim_topk_ivf,
-        # sim_topk_lsh, stream_dedup_live are rows-only by design.
         "sample_hash_mod",
         "dedup_components_star", "dedup_minhash_portable",
         "dedup_simhash_portable", "dedup_substring", "docx_ingest",
@@ -180,6 +149,38 @@ ROTATED_PARKED: frozenset[str] = frozenset(
         "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
         "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
         "udtf_explode_blocks", "window_funcs",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r08.json — the 50
+# keys of the r08 window (46 hash-green + 4 rows-only by documented
+# design, VERDICT r08): 34 were z_-spelled re-checks and 16 were the
+# un-prefixed r08 keys.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        # the 16 un-prefixed keys of the r08 window
+        "cluster_kmeans", "corpus_upsample", "json_variant_extract",
+        "shuffle_epoch", "sim_topk_ivfpq_portable", "source_pyds_stream",
+        "sql_recursive_bom", "sql_scalar_udf", "stream_foreach_merge",
+        "table_changes", "table_incremental_mv", "table_schema_evolution",
+        "table_stats_prune", "try_funcs", "ts_gapfill",
+        "udtf_python_segments",
+        # the 34 z_ keys the r08 window re-checked. agg_approx_distinct,
+        # agg_approx_percentiles, agg_hll_partitioned, catalog_tables are
+        # rows-only by design (approx / catalog semantics documented at
+        # their builders).
+        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
+        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
+        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
+        "udaf_pandas_agg",
+        "agg_approx_distinct", "agg_approx_percentiles",
+        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
+        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
+        "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
+        "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
+        "case_when_block", "catalog_tables", "contamination_check",
+        "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
+        "dedup_components",
     }
 )
 

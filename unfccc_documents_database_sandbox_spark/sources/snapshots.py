@@ -514,6 +514,13 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
         except FileExistsError:
             if attempt == max_retries:
                 raise
+            # Rebase guard (r08 ADVICE #1): the racing winner may have been
+            # evolve_schema, and re-publishing a pre-evolution payload into
+            # a post-evolution era would silently null-fill at read time —
+            # against the "raise, don't coerce" contract and Delta's
+            # conflict matrix (appends DO conflict with metadata changes).
+            # Re-validate against the new HEAD schema before retrying.
+            _check_schema(out, table_schema(root), "append (rebase)")
 
 
 def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
