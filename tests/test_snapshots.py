@@ -668,3 +668,169 @@ def test_changes_after_vacuum_raises_protocol_error(spark, table):
     snap.vacuum(table, retain_versions=1)
     with pytest.raises(ValueError, match="VACUUM"):
         snap.changes(spark, table, 0).count()
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE (deletion vectors) — VERDICT r08 #2
+
+
+def test_mor_delete_rewrites_no_data_files(spark, table):
+    """A MOR delete commits a deletion vector and leaves every data file
+    in place: the live set is unchanged, the head read drops exactly the
+    predicate rows, and time travel still sees them."""
+    files_before = snap.live_files(table)
+    n_de = snap.read(spark, table).filter("lang = 'de'").count()
+    assert n_de > 0
+    v = snap.delete_where_mor(spark, table, "lang = 'de'")
+    assert snap.live_files(table) == files_before  # nothing rewritten
+    assert snap.dv_map(table)  # a DV now covers the hit files
+    head = snap.read(spark, table)
+    assert head.filter("lang = 'de'").count() == 0
+    assert head.count() == 20 - n_de
+    assert snap.read(spark, table, v - 1).filter("lang = 'de'").count() == n_de
+
+
+def test_mor_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    """Same SQL DELETE semantics as the COW path: predicate-NULL rows are
+    kept, not deleted."""
+    root = str(tmp_path / "mor_nulls")
+    df = spark.createDataFrame(
+        [(1, "de"), (2, None), (3, "en")], "id long, lang string"
+    )
+    snap.create(spark, root, df)
+    snap.delete_where_mor(spark, root, "lang = 'de'")
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == [2, 3]
+
+
+def test_mor_second_delete_supersedes_with_union(spark, table):
+    """A second MOR delete touching already-DV'd files writes a SUPERSET
+    vector: the new parts alone cover both deletes (readers never need
+    the superseded parts), and the old pointer is replaced."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    dv1 = snap.dv_map(table)
+    snap.delete_where_mor(spark, table, "id % 5 = 1")
+    dv2 = snap.dv_map(table)
+    # every file re-targeted by the second delete points at NEW parts
+    for f, parts in dv2.items():
+        if f in dv1 and parts != dv1[f]:
+            assert not set(parts) & set(dv1[f])
+    head = snap.read(spark, table)
+    got = sorted(r.id for r in head.collect())
+    want = [i for i in range(20) if not (i % 4 == 0 or i % 5 == 1)]
+    assert got == want
+
+
+def test_mor_then_compact_drops_rows_and_retires_dv(spark, table):
+    """OPTIMIZE after a MOR delete physically drops the DV'd rows; the
+    compacted files carry no DV, and VACUUM then reclaims the orphaned
+    DV parts from disk."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    dv_parts = sorted({p for ps in snap.dv_map(table).values() for p in ps})
+    assert dv_parts
+    want = sorted(r.id for r in snap.read(spark, table).collect())
+    snap.compact(spark, table, max_files=1)
+    assert snap.dv_map(table) == {}
+    assert sorted(r.id for r in snap.read(spark, table).collect()) == want
+    deleted = snap.vacuum(table, retain_versions=1)
+    for p in dv_parts:
+        assert p in deleted
+        assert not os.path.exists(os.path.join(table, p))
+
+
+def test_mor_vacuum_retains_dv_of_retained_versions(spark, table):
+    """VACUUM keeps the DV parts a retained version still points to — a
+    retained MOR snapshot must stay readable."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    want = sorted(r.id for r in snap.read(spark, table).collect())
+    snap.append(spark, table, snap.read(spark, table).limit(0))  # head+1
+    snap.vacuum(table, retain_versions=2)
+    assert sorted(r.id for r in snap.read(spark, table).collect()) == want
+
+
+def test_mor_changes_feed_cdf_and_derived_agree(spark, tmp_path):
+    """The MOR delete's feed rows are exact either way: read from the
+    commit's change-data files (cdf=True) or derived from the DV delta
+    (cdf=False) — both equal the predicate rows."""
+    def build(cdf):
+        root = str(tmp_path / f"morfeed_{cdf}")
+        df = spark.createDataFrame(
+            [(i, f"r{i}", "de" if i % 4 == 0 else "en") for i in range(20)],
+            "id long, payload string, lang string",
+        )
+        snap.create(spark, root, df.repartition(3))
+        snap.delete_where_mor(spark, root, "lang = 'de'", cdf=cdf)
+        snap.delete_where_mor(spark, root, "id % 5 = 1", cdf=cdf)
+        return snap.changes(spark, root, 0)
+
+    for cdf in (True, False):
+        feed = build(cdf)
+        v1 = feed.filter("_commit_version = 1")
+        assert set(r.id for r in v1.collect()) == {0, 4, 8, 12, 16}
+        assert set(r._change_type for r in v1.collect()) == {"delete"}
+        v2 = feed.filter("_commit_version = 2")
+        # id%5=1 minus the already-deleted id 16 (DV'd rows never re-emit)
+        assert set(r.id for r in v2.collect()) == {1, 6, 11}
+
+
+def test_mor_then_cow_feed_never_resurrects_deleted_rows(spark, table):
+    """A COW rewrite AFTER a MOR delete diffs its remove-side under the
+    pre-commit DVs: rows the DV already deleted must not resurface in the
+    COW commit's feed (as either inserts or deletes)."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")  # v2: ids 0,4,..,16
+    snap.delete_where(spark, table, "id < 3")           # v3 COW: ids 1,2
+    feed = snap.changes(spark, table, 1)
+    v3 = [(r.id, r._change_type) for r in
+          feed.filter("_commit_version = 3").collect()]
+    assert sorted(v3) == [(1, "delete"), (2, "delete")]
+    # replication invariant still folds: v1 + feed == HEAD
+    head_ids = sorted(r.id for r in snap.read(spark, table).collect())
+    assert head_ids == [i for i in range(3, 20) if i % 4 != 0]
+
+
+def test_mor_read_pruned_applies_dv(spark, tmp_path):
+    """Stats pruning composes with deletion vectors: the pruned read must
+    still anti-join the DV."""
+    root = str(tmp_path / "morprune")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, val long"
+    )
+    snap.create(spark, root, df.repartitionByRange(4, "id"))
+    snap.delete_where_mor(spark, root, "id BETWEEN 10 AND 19")
+    got = snap.read_pruned(spark, root, {"id": (5, 30)})
+    assert sorted(r.id for r in got.collect()) == [
+        i for i in range(5, 31) if not 10 <= i <= 19
+    ]
+
+
+def test_merge_never_resurrects_mor_deleted_row(spark, table):
+    """MERGE key matching runs on the DV-aware scan: a key whose only row
+    was MOR-deleted is an INSERT (new row), not an update of the dead
+    row — and the dead row stays dead."""
+    snap.delete_where_mor(spark, table, "id = 3")
+    src = spark.createDataFrame(
+        [(3, "NEW", "fr")], "id long, payload string, lang string"
+    )
+    snap.merge_into(spark, table, src, ["id"])
+    rows = snap.read(spark, table).filter("id = 3").collect()
+    assert [(r.payload, r.lang) for r in rows] == [("NEW", "fr")]
+
+
+def test_mor_checkpoint_carries_dv(spark, table):
+    """Checkpoint + log expiry preserve DV state: the replay from the
+    checkpoint still applies the deletion vector."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    want = sorted(r.id for r in snap.read(spark, table).collect())
+    snap.checkpoint(table)
+    snap.expire_log(table)
+    assert sorted(r.id for r in snap.read(spark, table).collect()) == want
+    assert snap.dv_map(table)
+
+
+def test_mor_noop_delete_commits_empty(spark, table):
+    """A MOR delete matching nothing publishes an empty commit (version
+    advances, no DV)."""
+    head = snap.latest_version(table)
+    v = snap.delete_where_mor(spark, table, "lang = 'xx'")
+    assert v == head + 1
+    assert snap.dv_map(table) == {}
+    assert snap.read(spark, table).count() == 20

@@ -439,6 +439,72 @@ def table_stats_prune(spark, sf_dir):
     )
 
 
+_MOR_V1 = "(lang = 'de') IS NOT TRUE"
+_MOR_V2 = f"{_MOR_V1} AND NOT (doc_id % 5 = 0)"
+
+
+@register(
+    "table_delete_mor",
+    oracle=" UNION ALL ".join(
+        _version_stats_sql(v, w)
+        for v, w in enumerate(["TRUE", _MOR_V1, _MOR_V2, _MOR_V2])
+    ),
+)
+def table_delete_mor(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (VERDICT r08 #2 — the
+    COW-only seam at sources/snapshots.py): v0 CREATE documents, v1 MOR
+    DELETE lang='de' (commits a deletion vector of (file, row-position)
+    identities — ZERO data files rewritten; reads anti-join the DV at
+    scan), v2 MOR DELETE doc_id%5=0 (overlapping files get a superseding
+    superset vector), v3 OPTIMIZE (physically drops the DV'd rows and
+    retires the vectors). The per-version stats prove: v0 time travel
+    still sees everything, each DV read subtracts exactly the predicate
+    rows, and the compaction preserves the logical table bit-exactly
+    while clearing the DVs. The oracle recomputes every version from the
+    raw table. Protocol invariants that aren't SQL-expressible — the
+    live file set is UNCHANGED by v1/v2, dv_map supersede-is-superset,
+    VACUUM of superseded parts, CDF exactness both via change-data files
+    and via DV-delta derivation — are pinned in tests/test_snapshots.py.
+
+    Scale: a 0.001%-selective GDPR-style delete on 100 TB writes
+    O(deleted rows) of DV parquet instead of rewriting every containing
+    file — deletes become O(changed rows), the reason Delta/Iceberg grew
+    deletion vectors; the read-path cost is one hash anti-join keyed on
+    (file, position) whose build side is only the deleted positions."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapmor_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3))
+    snap.delete_where_mor(spark, root, "lang = 'de'")
+    snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
+    snap.compact(spark, root, max_files=2)
+
+    def stats(version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "n_langs", "first_doc", "last_doc",
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [stats(v) for v in range(4)]
+    )
+
+
 def _build_cdf_fixture(spark, sf_dir: str, prefix: str) -> str:
     """The shared 6-commit snapshot-table fixture for the change-feed
     keys: v0 CREATE (doc_id%3=0 of documents), v1/v2 APPEND (the other

@@ -32,6 +32,13 @@ protocol stripped to what the sandbox can express:
   files, commit (add: rewritten, remove: originals). Untouched files
   are carried forward by reference, not rewritten — at 100 TB a delete
   touching 0.1% of files costs 0.1% of a full rewrite.
+- DELETE is ALSO available merge-on-read (`delete_where_mor`): the
+  commit records a DELETION VECTOR — parquet of (file, row-position)
+  identities — and rewrites nothing; reads anti-join the DV at scan
+  time, OPTIMIZE physically drops the rows and retires the DV, VACUUM
+  reclaims superseded DV parts. MOR commits optionally carry
+  change-data files (Delta's _change_data) so the feed reads row-level
+  deletes directly.
 - The SCHEMA travels in the log: commit 0 pins it, and `evolve_schema`
   publishes a schema-bearing commit that ADDS columns (additive-only,
   the mergeSchema discipline) — every read resolves the schema as of
@@ -229,12 +236,7 @@ def read_pruned(
     pinned by tests — but touches O(matching files) bytes."""
     files = pruned_files(root, bounds, version)
     schema = table_schema(root, version)
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in files]
-        )
+    df = _scan_files(spark, root, files, schema, dv_map(root, version))
     for col, (lo, hi) in bounds.items():
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
@@ -257,7 +259,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   schema_json: str | None = None,
                   txn: dict | None = None,
                   stats: dict | None = None,
-                  data_change: bool = True) -> None:
+                  data_change: bool = True,
+                  dv: dict | None = None,
+                  cdc: list[str] | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -280,6 +284,17 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # ZORDER) without changing the row multiset, so the change feed may
         # skip it without diffing a byte.
         payload["data_change"] = False
+    if dv is not None:
+        # Merge-on-read DELETE: {"files": [data files whose deletion vector
+        # this commit (re)assigns], "parts": [dv parquet files of (src, pos)
+        # row positions]}. The listed parts SUPERSEDE any prior DV of the
+        # listed files (and always superset it — deletes only accumulate).
+        payload["dv"] = dv
+    if cdc is not None:
+        # Change-data files (Delta's _change_data): the commit's row-level
+        # changes written at commit time (table columns + _change_type), so
+        # the feed reads them directly instead of diffing.
+        payload["cdc"] = cdc
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -334,7 +349,9 @@ def _read_state(root: str, version: int | None = None) -> dict:
     intermediate commits are protocol corruption and raise.
 
     Returns {"version", "live": set, "schema": json-or-None,
-    "stats": {file: {col: [mn, mx]}}, "txns": [[app, id], ...]}."""
+    "stats": {file: {col: [mn, mx]}}, "txns": [[app, id], ...],
+    "dv": {file: [dv part files]} — the deletion vector currently covering
+    each live file (merge-on-read deletes)}."""
     commits_present = set(_commit_versions(root))
     cks = _checkpoint_versions(root)
     if version is None:
@@ -354,11 +371,12 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "schema": ck.get("schema"),
             "stats": dict(ck.get("stats", {})),
             "txns": [tuple(t) for t in ck.get("txns", [])],
+            "dv": {f: list(p) for f, p in ck.get("dv", {}).items()},
         }
         start = ck_version + 1
     else:
         state = {"version": -1, "live": set(), "schema": None,
-                 "stats": {}, "txns": []}
+                 "stats": {}, "txns": [], "dv": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -376,6 +394,13 @@ def _read_state(root: str, version: int | None = None) -> dict:
         c = _load_commit(root, v)
         state["live"] -= set(c["remove"])
         state["live"] |= set(c["add"])
+        for f in c["remove"]:
+            # a rewritten (COW/compacted) file's DV dies with it — the
+            # rewrite physically dropped the DV'd rows
+            state["dv"].pop(f, None)
+        if "dv" in c:
+            for f in c["dv"]["files"]:
+                state["dv"][f] = list(c["dv"]["parts"])
         if "schema" in c:
             state["schema"] = c["schema"]
         for f, s in c.get("stats", {}).items():
@@ -409,6 +434,99 @@ def table_schema(root: str, version: int | None = None) -> StructType:
     return StructType.fromJson(json.loads(schema_json))
 
 
+# A payload file's log-relative identity, recoverable from
+# _metadata.file_path on executors with pure string ops (no driver
+# mapping): the suffix after the writer-private uuid dir is always
+# Spark-generated ASCII (part-*.parquet, optionally under Hive-style
+# partition dirs), so URI percent-encoding of the table ROOT never
+# reaches it — unlike the root prefix, which _uri_to_relpath has to
+# unquote driver-side.
+_SRC_RE = r"(data/[0-9a-f]{32}/.+)$"
+_DV_SCHEMA = "src string, pos bigint"
+
+
+def _src_col():
+    return F.regexp_extract(F.col("_metadata.file_path"), _SRC_RE, 1)
+
+
+def dv_map(root: str, version: int | None = None) -> dict[str, list[str]]:
+    """{live file: [deletion-vector part files]} as of ``version`` — the
+    files whose scans must anti-join a DV (merge-on-read deletes)."""
+    state = _read_state(root, version)
+    return {f: list(p) for f, p in state["dv"].items() if f in state["live"]}
+
+
+def _scan_files(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema: StructType,
+    dv: dict[str, list[str]],
+    lineage: bool = False,
+) -> DataFrame:
+    """Scan ``files`` under ``schema`` with merge-on-read deletes applied:
+    rows whose (file, row_index) is in the file's deletion vector are
+    anti-joined out. ``lineage=True`` keeps the __src / __pos columns
+    (log-relative file path + within-file row position) for callers that
+    need row identity — COW hit detection and the MOR delete itself.
+
+    Scale shape: the DV anti-join is a hash join keyed on (file, pos) —
+    DV entries are only the DELETED positions, so its build side is
+    O(deleted rows), never O(table); files without a DV join against
+    nothing extra. __src is computed per-row from the scan's own
+    _metadata (no input_file_name, so plans with a second file source —
+    the DV read itself — stay legal)."""
+    dv = {f: p for f, p in dv.items() if f in set(files)}
+    need_lineage = lineage or bool(dv)
+    if not files:
+        out = spark.createDataFrame([], schema)
+        if lineage:
+            out = out.withColumn("__src", F.lit(None).cast("string")) \
+                     .withColumn("__pos", F.lit(None).cast("long"))
+        return out
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+    if need_lineage:
+        df = df.withColumn("__src", _src_col()).withColumn(
+            "__pos", F.col("_metadata.row_index")
+        )
+    if dv:
+        parts = sorted({p for ps in dv.values() for p in ps})
+        entries = spark.read.schema(_DV_SCHEMA).parquet(
+            *[os.path.join(root, p) for p in parts]
+        )
+        df = df.join(
+            entries,
+            (df["__src"] == entries["src"]) & (df["__pos"] == entries["pos"]),
+            "left_anti",
+        )
+    if not lineage and need_lineage:
+        df = df.drop("__src", "__pos")
+    return df
+
+
+def _scan(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    lineage: bool = False,
+) -> DataFrame:
+    """DV-aware snapshot scan of every live file as of ``version``."""
+    state = _read_state(root, version)
+    head_check = latest_version(root)
+    if version is not None and not 0 <= version <= head_check:
+        raise ValueError(f"version {version} not in [0, {head_check}]")
+    schema_json = state["schema"]
+    if schema_json is None:
+        raise ValueError(f"no schema-bearing commit at or before v{version}")
+    schema = StructType.fromJson(json.loads(schema_json))
+    return _scan_files(
+        spark, root, sorted(state["live"]), schema,
+        {f: p for f, p in state["dv"].items()}, lineage=lineage,
+    )
+
+
 def checkpoint(root: str) -> int:
     """Consolidate the state as of HEAD into one _checkpoint.{N}.json
     (live set, schema, per-file stats, applied txns) — Delta's checkpoint
@@ -426,6 +544,8 @@ def checkpoint(root: str) -> int:
         "stats": {f: state["stats"][f] for f in sorted(state["live"])
                   if f in state["stats"]},
         "txns": [list(t) for t in state["txns"]],
+        "dv": {f: list(p) for f, p in sorted(state["dv"].items())
+               if f in state["live"]},
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -556,16 +676,11 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
 def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
     """Snapshot read (time travel when ``version`` is given): resolve the
     live file list from the log and scan only those files under the
-    as-of-version schema. A version-0 read after any number of later
-    commits returns exactly v0's rows — the files it references are
-    immutable (until VACUUM reclaims them)."""
-    files = live_files(root, version)
-    schema = table_schema(root, version)
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in files]
-    )
+    as-of-version schema, anti-joining out any rows covered by a
+    deletion vector (merge-on-read deletes). A version-0 read after any
+    number of later commits returns exactly v0's rows — the files it
+    references are immutable (until VACUUM reclaims them)."""
+    return _scan(spark, root, version)
 
 
 def changes(
@@ -608,9 +723,7 @@ def changes(
         )
     schema = table_schema(root, to_version)
 
-    def _rd(files: list[str]) -> DataFrame:
-        if not files:
-            return spark.createDataFrame([], schema)
+    def _gone_check(files: list[str]) -> None:
         gone = [f for f in files if not os.path.exists(os.path.join(root, f))]
         if gone:
             raise ValueError(
@@ -619,10 +732,21 @@ def changes(
                 f"(e.g. {gone[0]!r}) — the feed is only reconstructible "
                 "within the retention window, Delta's CDF contract"
             )
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in files]
-        )
 
+    def _rd(files: list[str], dv: dict[str, list[str]]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        _gone_check(files)
+        _gone_check(sorted({p for f in files for p in dv.get(f, [])}))
+        return _scan_files(spark, root, files, schema, dv)
+
+    # deletion-vector state tracked INCREMENTALLY through the range (one
+    # replay to the range start, then per-commit application) — COW diffs
+    # must read their remove-side under the PRE-commit DVs, or rows a MOR
+    # delete already removed would resurface as spurious feed deletes
+    dvstate: dict[str, list[str]] = dict(
+        _read_state(root, since_version)["dv"]
+    ) if since_version >= 0 else {}
     per_commit: list[DataFrame] = []
     for v in range(since_version + 1, to_version + 1):
         try:
@@ -632,23 +756,82 @@ def changes(
                 f"commit {v} expired from the log: change feed over "
                 f"({since_version}, {to_version}] is not reconstructible"
             ) from None
+        prev_dv = dict(dvstate)
+        for f in c["remove"]:
+            dvstate.pop(f, None)
+        if "dv" in c:
+            for f in c["dv"]["files"]:
+                dvstate[f] = list(c["dv"]["parts"])
         if not c.get("data_change", True):
             continue
         add, remove = c["add"], c["remove"]
         parts: list[DataFrame] = []
-        if add and remove:
+        if c.get("cdc"):
+            # change-data files written at commit time (MOR deletes, or any
+            # CDF-enabled writer): the exact row-level changes, read
+            # directly under the end schema (+_change_type) — zero diffing
+            _gone_check(c["cdc"])
+            cdc_schema = StructType(
+                schema.fields + [StructField("_change_type", StringType())]
+            )
             parts.append(
-                _rd(add).exceptAll(_rd(remove))
+                spark.read.schema(cdc_schema).parquet(
+                    *[os.path.join(root, f) for f in c["cdc"]]
+                )
+            )
+        elif "dv" in c:
+            # MOR delete without change-data files: derive the deleted rows
+            # from the DV delta — (new entries) EXCEPT (prior entries of
+            # the affected files), joined back to the affected files' scan.
+            # Costs a diff over O(affected files) + O(DV rows), never the
+            # table.
+            affected = c["dv"]["files"]
+            _gone_check(affected)
+            _gone_check(c["dv"]["parts"])
+            new_e = spark.read.schema(_DV_SCHEMA).parquet(
+                *[os.path.join(root, p) for p in c["dv"]["parts"]]
+            )
+            old_parts = sorted(
+                {p for f in affected for p in prev_dv.get(f, [])}
+            )
+            if old_parts:
+                _gone_check(old_parts)
+                prev_e = spark.read.schema(_DV_SCHEMA).parquet(
+                    *[os.path.join(root, p) for p in old_parts]
+                ).filter(F.col("src").isin(list(affected)))
+                deleted = new_e.exceptAll(prev_e)
+            else:
+                deleted = new_e
+            rows = _scan_files(spark, root, affected, schema, {},
+                               lineage=True)
+            parts.append(
+                rows.join(
+                    deleted,
+                    (rows["__src"] == deleted["src"])
+                    & (rows["__pos"] == deleted["pos"]),
+                    "left_semi",
+                )
+                .drop("__src", "__pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        elif add and remove:
+            parts.append(
+                _rd(add, dvstate).exceptAll(_rd(remove, prev_dv))
                 .withColumn("_change_type", F.lit("insert"))
             )
             parts.append(
-                _rd(remove).exceptAll(_rd(add))
+                _rd(remove, prev_dv).exceptAll(_rd(add, dvstate))
                 .withColumn("_change_type", F.lit("delete"))
             )
         elif add:
-            parts.append(_rd(add).withColumn("_change_type", F.lit("insert")))
+            parts.append(
+                _rd(add, dvstate).withColumn("_change_type", F.lit("insert"))
+            )
         elif remove:
-            parts.append(_rd(remove).withColumn("_change_type", F.lit("delete")))
+            parts.append(
+                _rd(remove, prev_dv)
+                .withColumn("_change_type", F.lit("delete"))
+            )
         else:
             continue
         df = parts[0]
@@ -711,27 +894,28 @@ def merge_into(
             f"{key_cols} — MERGE requires a unique source match per target row"
         )
     files = live_files(root, version - 1)
-    abs_of = {os.path.realpath(os.path.join(root, f)): f for f in files}
     # localCheckpoint the (small, distinct) key set: a source that itself
     # scans THIS table (the foreachBatch read-combine-merge shape) would
-    # otherwise put a second file source under input_file_name(), which
-    # Spark rejects (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION).
+    # otherwise feed the target scan its own uncommitted lineage.
     keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
     if files:
-        cur = spark.read.schema(schema).parquet(*abs_of)
+        # DV-aware lineage scan: __src replaces input_file_name (legal
+        # under the DV anti-join's second file source), and DV'd rows
+        # can't match — a merge never resurrects a MOR-deleted row
+        cur = _scan(spark, root, lineage=True)
         hit_rows = (
             cur.join(F.broadcast(keys), key_cols, "left_semi")
-            .select(F.input_file_name().alias("f"))
+            .select("__src")
             .distinct()
             .collect()
         )
-        hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
+        hit = sorted(r["__src"] for r in hit_rows)
     else:  # merging into an empty table is a pure insert
         hit = []
     pdir = _new_payload_dir(root)
     if hit:
-        survivors = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in hit]
+        survivors = _scan_files(
+            spark, root, hit, schema, dv_map(root)
         ).join(F.broadcast(keys), key_cols, "left_anti")
         out = survivors.unionByName(source)
     else:
@@ -768,9 +952,9 @@ def compact(
     version = latest_version(root) + 1
     files = live_files(root, version - 1)
     schema = table_schema(root)
-    cur = spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in files]
-    )
+    # DV-aware: the rewrite physically drops MOR-deleted rows, so the
+    # compacted files need no DV (replay clears pointers of removed files)
+    cur = _scan(spark, root)
     pdir = _new_payload_dir(root)
     if zorder_by:
         if len(zorder_by) > 2:
@@ -820,29 +1004,97 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     matching rows, and commit (add: rewrites, remove: originals). Files
     with no matches are untouched — carried forward by log reference."""
     version = latest_version(root) + 1
-    files = live_files(root, version - 1)
     schema = table_schema(root)
-    abs_of = {os.path.realpath(os.path.join(root, f)): f for f in files}
-    cur = spark.read.schema(schema).parquet(*abs_of)
+    # DV-aware scan with row lineage: already-deleted (DV'd) rows neither
+    # match nor survive, and __src replaces input_file_name (legal under
+    # the DV anti-join's second file source)
+    cur = _scan(spark, root, lineage=True)
     hit_rows = (
-        cur.filter(condition)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
+        cur.filter(condition).select("__src").distinct().collect()
     )
-    hit = sorted(_uri_to_relpath(r.f, abs_of) for r in hit_rows)
+    hit = sorted(r["__src"] for r in hit_rows)
     if not hit:
         _write_commit(root, version, [], [])
         return version
     # DELETE semantics: remove rows where the predicate is TRUE; rows where
     # it evaluates NULL are kept (NOT(cond) would silently drop them).
-    kept = spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in hit]
+    kept = _scan_files(
+        spark, root, hit, schema, dv_map(root)
     ).filter(f"({condition}) IS NOT TRUE")
     pdir = _new_payload_dir(root)
     kept.write.parquet(pdir)
     _write_commit(root, version, _dir_files(root, pdir), hit,
                   stats=_collect_stats(spark, root, pdir, schema))
+    return version
+
+
+def delete_where_mor(
+    spark: SparkSession, root: str, condition: str, *, cdf: bool = True
+) -> int:
+    """Merge-on-read DELETE (deletion vectors — VERDICT r08 #2): instead of
+    rewriting every file that CONTAINS a matching row (copy-on-write, where
+    a 1-row delete rewrites its whole file), record the matching rows'
+    (file, row-position) identities in a deletion-vector payload and commit
+    THAT — zero data files rewritten. Reads anti-join the DV at scan time
+    (see `_scan_files`); a later OPTIMIZE/compact physically drops the
+    rows and retires the DV; VACUUM reclaims superseded DV parts.
+
+    Protocol: the commit's {"dv": {"files": F, "parts": P}} assigns P as
+    the deletion vector of every file in F, SUPERSEDING any prior DV of
+    those files — so P is written as (new matches) UNION (prior entries of
+    the affected files), preserving the supersede-is-superset invariant
+    that lets readers union all live-pointed parts. Files outside F keep
+    their existing DVs untouched (Delta's per-file DV discipline).
+
+    ``cdf=True`` also writes the deleted rows as change-data files
+    (Delta's _change_data), so `changes()` and the streaming feed read the
+    commit's row-level deletes directly instead of diffing; with
+    ``cdf=False`` the feed derives them from the DV delta (new minus prior
+    positions joined back to the scan).
+
+    Scale: the delete costs one predicate scan plus O(deleted rows) of DV
+    (and optional CDC) writes — at 100 TB a GDPR-style 0.001% delete
+    writes ~0.001% of a COW rewrite, the reason Delta/Iceberg grew DVs.
+    Like COW ops, MOR deletes never blind-rebase past a lost commit race
+    (their DV union was computed against a superseded snapshot)."""
+    version = latest_version(root) + 1
+    # DV-aware lineage scan: rows already deleted by a prior DV can't
+    # re-match, so DV entries are never double-counted (and the CDF never
+    # re-emits an already-deleted row)
+    matched = (
+        _scan(spark, root, lineage=True)
+        .filter(f"({condition}) IS TRUE")
+        .localCheckpoint(eager=True)
+    )
+    affected = sorted(
+        r["__src"] for r in matched.select("__src").distinct().collect()
+    )
+    if not affected:
+        _write_commit(root, version, [], [])
+        return version
+    entries = matched.select(
+        F.col("__src").alias("src"), F.col("__pos").alias("pos")
+    )
+    prior = dv_map(root)
+    old_parts = sorted({p for f in affected for p in prior.get(f, [])})
+    if old_parts:
+        prev = spark.read.schema(_DV_SCHEMA).parquet(
+            *[os.path.join(root, p) for p in old_parts]
+        ).filter(F.col("src").isin(affected))
+        # disjoint by construction (matched rows passed the DV anti-join),
+        # so a plain union — no distinct shuffle — keeps exact multiplicity
+        entries = entries.unionByName(prev)
+    pdir = _new_payload_dir(root)
+    entries.write.parquet(pdir)
+    dv = {"files": affected, "parts": _dir_files(root, pdir)}
+    cdc_parts = None
+    if cdf:
+        cdir = _new_payload_dir(root)
+        matched.drop("__src", "__pos").withColumn(
+            "_change_type", F.lit("delete")
+        ).write.parquet(cdir)
+        cdc_parts = _dir_files(root, cdir)
+    _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts)
     return version
 
 
@@ -865,7 +1117,20 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     head = latest_version(root)
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions + 1), head + 1):
-        keep |= set(live_files(root, v))
+        state = _read_state(root, v)
+        keep |= state["live"]
+        # deletion-vector parts still pointed to by a retained version's
+        # live files (a superseded DV of an UN-retained version is swept)
+        for f, parts in state["dv"].items():
+            if f in state["live"]:
+                keep |= set(parts)
+        # change-data files of retained commits (the feed over the
+        # retention window stays reconstructible — Delta's CDF contract;
+        # the commit JSON may already be expired below a checkpoint)
+        try:
+            keep |= set(_load_commit(root, v).get("cdc") or [])
+        except FileNotFoundError:
+            pass
     data_dir = os.path.join(root, "data")
     deleted: list[str] = []
     for d in sorted(os.listdir(data_dir)):
