@@ -111,13 +111,83 @@ def _new_payload_dir(root: str) -> str:
 
 def _dir_files(root: str, payload_dir: str) -> list[str]:
     """Root-relative paths of the parquet part files the writer itself
-    just produced under its private payload dir."""
-    rel = os.path.relpath(payload_dir, root)
-    return sorted(
-        os.path.join(rel, fn)
-        for fn in os.listdir(payload_dir)
-        if fn.endswith(".parquet")
-    )
+    just produced under its private payload dir — recursive, because a
+    partitioned write nests Hive-style `col=value` dirs under it."""
+    out = []
+    for dirpath, _dirs, files in os.walk(payload_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, fn), root)
+                )
+    return sorted(out)
+
+
+# Hive's NULL-partition sentinel directory name (Spark writes it for rows
+# whose partition value is NULL).
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_values(
+    rel_path: str, partition_by: list[str]
+) -> dict[str, str | None]:
+    """Recover {col: string-value} from a payload file's Hive-style path
+    segments (`__p_<i>=<escaped>`), unescaping Hive's %XX encoding.
+    NULL partitions (the Hive sentinel dir) parse to None."""
+    vals: dict[str, str | None] = {}
+    for seg in rel_path.split(os.sep):
+        if "=" not in seg:
+            continue
+        key, _, raw = seg.partition("=")
+        if not key.startswith("__p_"):
+            continue
+        i = int(key[len("__p_"):])
+        vals[partition_by[i]] = None if raw == _HIVE_NULL else unquote(raw)
+    return vals
+
+
+def _write_payload(
+    root: str, df: DataFrame, partition_by: list[str] | None
+) -> tuple[str, list[str], dict[str, dict[str, str | None]]]:
+    """Write one commit's payload under a writer-private dir, Hive-
+    partitioned by ``partition_by`` when the table is partitioned, and
+    return (payload dir, root-relative files, {file: partition values}).
+
+    The partition columns are DUPLICATED into synthetic `__p_<i>` columns
+    before the write: partitionBy consumes the duplicates as directory
+    names while the ORIGINAL columns stay inside every data file — so
+    file-list reads need no basePath reconstruction, no partition-value
+    type inference (the layout_compaction_apply lesson), and the pinned
+    table schema applies unchanged."""
+    pdir = _new_payload_dir(root)
+    if not partition_by:
+        df.write.parquet(pdir)
+        return pdir, _dir_files(root, pdir), {}
+    out = df
+    pcols = []
+    for i, c in enumerate(partition_by):
+        pc = f"__p_{i}"
+        out = out.withColumn(pc, F.col(c))
+        pcols.append(pc)
+    out.write.partitionBy(*pcols).parquet(pdir)
+    # A partitioned write reuses each task's part-file NAME across every
+    # partition dir it touches, breaking the file-name row-lineage
+    # identity (`_rel_by_name`) — rename each file unique with a short
+    # uuid prefix (metadata-only on a filesystem; a production writer
+    # would embed the uuid at write time the way Delta does). The crc
+    # sidecar moves with it so checksum verification keeps working.
+    for dirpath, _dirs, fns in os.walk(pdir):
+        for fn in fns:
+            if not fn.endswith(".parquet"):
+                continue
+            new = f"{uuid.uuid4().hex[:8]}-{fn}"
+            os.rename(os.path.join(dirpath, fn), os.path.join(dirpath, new))
+            crc = os.path.join(dirpath, f".{fn}.crc")
+            if os.path.exists(crc):
+                os.rename(crc, os.path.join(dirpath, f".{new}.crc"))
+    files = _dir_files(root, pdir)
+    parts = {f: _parse_partition_values(f, partition_by) for f in files}
+    return pdir, files, parts
 
 
 from pyspark.sql.types import (  # noqa: E402 — grouped with the helpers below
@@ -155,13 +225,12 @@ def _collect_stats(
     cols = [f.name for f in schema if isinstance(f.dataType, _STATS_TYPES)]
     if not cols:
         return {}
-    rel_of = {
-        os.path.realpath(os.path.join(pdir, fn)): os.path.join(
-            os.path.relpath(pdir, root), fn
-        )
-        for fn in os.listdir(pdir)
-        if fn.endswith(".parquet")
-    }
+    rel_of = {}
+    for dirpath, _dirs, files in os.walk(pdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                rel_of[os.path.realpath(p)] = os.path.relpath(p, root)
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -191,33 +260,88 @@ def file_stats(root: str, version: int | None = None) -> dict[str, dict[str, lis
     return {f: s for f, s in state["stats"].items() if f in state["live"]}
 
 
+def _typed_partition_value(raw, dtype):
+    """A recorded partition-value string typed for range comparison.
+    Returns ("null", None) for a NULL partition, ("val", typed) for
+    supported types, ("skip", None) for types compared conservatively
+    (never pruned on the partition value alone)."""
+    if raw is None:
+        return ("null", None)
+    if isinstance(dtype, (ByteType, ShortType, IntegerType, LongType)):
+        return ("val", int(raw))
+    if isinstance(dtype, (FloatType, DoubleType)):
+        return ("val", float(raw))
+    if isinstance(dtype, BooleanType):
+        return ("val", raw == "true")
+    if isinstance(dtype, StringType):
+        return ("val", raw)
+    return ("skip", None)
+
+
+def partition_values(
+    root: str, version: int | None = None
+) -> dict[str, dict]:
+    """{live file: {partition col: recorded string value}} as of
+    ``version`` — empty for unpartitioned tables."""
+    state = _read_state(root, version)
+    return {f: dict(state["parts"].get(f, {})) for f in sorted(state["live"])
+            if f in state["parts"]}
+
+
 def pruned_files(
     root: str, bounds: dict[str, tuple], version: int | None = None
 ) -> list[str]:
     """Data skipping: the live files that MIGHT contain a row satisfying
-    ``bounds`` ({col: (lo, hi)} inclusive range conjuncts). A file is
-    skipped when any bounded column's [min, max] is disjoint from its
-    range, or is [None, None] (all-NULL: a range predicate never matches).
-    Files or columns without stats are kept — absent stats degrade to a
-    scan, never to a wrong answer."""
-    stats = file_stats(root, version)
+    ``bounds`` ({col: (lo, hi)} inclusive range conjuncts), resolved from
+    the log alone (zero data I/O), in two tiers:
+
+    1. PARTITION values (partitioned tables): a bounded column that is a
+       partition column compares its single recorded value EXACTLY — the
+       Delta/Iceberg partition-pruning tier, which works for every
+       commit and needs no per-file stats. A NULL partition never
+       satisfies a range.
+    2. Per-file [min, max] STATS for everything else: a file is skipped
+       when any bounded column's range is disjoint, or [None, None]
+       (all-NULL). Files or columns without stats are kept.
+
+    Both tiers degrade to scanning, never to a wrong answer."""
+    state = _read_state(root, version)
+    schema_json = state["schema"]
+    dtypes = {}
+    if schema_json is not None:
+        dtypes = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(schema_json))
+        }
     out = []
     for f in live_files(root, version):
-        s = stats.get(f)
+        pv = state["parts"].get(f, {})
+        s = state["stats"].get(f)
         keep = True
-        if s is not None:
-            for col, (lo, hi) in bounds.items():
-                if col not in s:
-                    continue
-                mn, mx = s[col]
-                if mn is None and mx is None:
+        for col, (lo, hi) in bounds.items():
+            if col in pv:
+                kind, v = _typed_partition_value(pv[col], dtypes.get(col))
+                if kind == "null":
                     keep = False
                     break
-                if (hi is not None and mn is not None and mn > hi) or (
-                    lo is not None and mx is not None and mx < lo
-                ):
-                    keep = False
-                    break
+                if kind == "val":
+                    if (hi is not None and v > hi) or (
+                        lo is not None and v < lo
+                    ):
+                        keep = False
+                        break
+                    continue  # exact partition check supersedes stats
+            if s is None or col not in s:
+                continue
+            mn, mx = s[col]
+            if mn is None and mx is None:
+                keep = False
+                break
+            if (hi is not None and mn is not None and mn > hi) or (
+                lo is not None and mx is not None and mx < lo
+            ):
+                keep = False
+                break
         if keep:
             out.append(f)
     return out
@@ -261,7 +385,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   stats: dict | None = None,
                   data_change: bool = True,
                   dv: dict | None = None,
-                  cdc: list[str] | None = None) -> None:
+                  cdc: list[str] | None = None,
+                  parts: dict | None = None,
+                  partition_by: list[str] | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -295,6 +421,15 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # changes written at commit time (table columns + _change_type), so
         # the feed reads them directly instead of diffing.
         payload["cdc"] = cdc
+    if parts:
+        # Per-file partition values (Delta's partitionValues): recorded as
+        # the Hive-unescaped strings parsed from the payload's directory
+        # layout; `pruned_files` prunes on them BEFORE per-file stats.
+        payload["parts"] = parts
+    if partition_by is not None:
+        # Table-level partition spec — commit 0 only (immutable, like
+        # Delta's partitionColumns metadata).
+        payload["partition_by"] = partition_by
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -351,7 +486,8 @@ def _read_state(root: str, version: int | None = None) -> dict:
     Returns {"version", "live": set, "schema": json-or-None,
     "stats": {file: {col: [mn, mx]}}, "txns": [[app, id], ...],
     "dv": {file: [dv part files]} — the deletion vector currently covering
-    each live file (merge-on-read deletes)}."""
+    each live file (merge-on-read deletes), "partition_by": [cols] or [],
+    "parts": {file: {col: string-value-or-None}} partition values}."""
     commits_present = set(_commit_versions(root))
     cks = _checkpoint_versions(root)
     if version is None:
@@ -372,11 +508,14 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "stats": dict(ck.get("stats", {})),
             "txns": [tuple(t) for t in ck.get("txns", [])],
             "dv": {f: list(p) for f, p in ck.get("dv", {}).items()},
+            "partition_by": list(ck.get("partition_by", [])),
+            "parts": dict(ck.get("parts", {})),
         }
         start = ck_version + 1
     else:
         state = {"version": -1, "live": set(), "schema": None,
-                 "stats": {}, "txns": [], "dv": {}}
+                 "stats": {}, "txns": [], "dv": {},
+                 "partition_by": [], "parts": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -403,6 +542,10 @@ def _read_state(root: str, version: int | None = None) -> dict:
                 state["dv"][f] = list(c["dv"]["parts"])
         if "schema" in c:
             state["schema"] = c["schema"]
+        if "partition_by" in c:
+            state["partition_by"] = list(c["partition_by"])
+        for f, pv in c.get("parts", {}).items():
+            state["parts"][f] = pv
         for f, s in c.get("stats", {}).items():
             state["stats"][f] = s
         if "txn" in c:
@@ -434,19 +577,35 @@ def table_schema(root: str, version: int | None = None) -> StructType:
     return StructType.fromJson(json.loads(schema_json))
 
 
-# A payload file's log-relative identity, recoverable from
-# _metadata.file_path on executors with pure string ops (no driver
-# mapping): the suffix after the writer-private uuid dir is always
-# Spark-generated ASCII (part-*.parquet, optionally under Hive-style
-# partition dirs), so URI percent-encoding of the table ROOT never
-# reaches it — unlike the root prefix, which _uri_to_relpath has to
-# unquote driver-side.
-_SRC_RE = r"(data/[0-9a-f]{32}/.+)$"
+# A payload file's identity, recoverable on executors with NO string
+# surgery: its FILE NAME. Spark part-file names embed the write job's
+# uuid plus the task's part number (part-NNNNN-<uuid>...parquet), so they
+# are unique across the whole table and pure ASCII — immune to the URI
+# percent-encoding that _metadata.file_path applies to partition dirs
+# and non-ASCII roots (observed: a disk dir "__p=en a%3Ab" surfaces as
+# "__p=en%20a%253Ab" in file_path). Uniqueness is asserted at every use
+# (`_rel_by_name`), so a hand-planted colliding file fails loudly.
 _DV_SCHEMA = "src string, pos bigint"
 
 
 def _src_col():
-    return F.regexp_extract(F.col("_metadata.file_path"), _SRC_RE, 1)
+    return F.col("_metadata.file_name")
+
+
+def _rel_by_name(files: list[str]) -> dict[str, str]:
+    """{unique file name: log-relative path} for mapping executor-side
+    __src identities back to the paths the commit log speaks."""
+    out: dict[str, str] = {}
+    for f in files:
+        b = os.path.basename(f)
+        if b in out:
+            raise ValueError(
+                f"payload file name collision: {b!r} appears at both "
+                f"{out[b]!r} and {f!r} — file names are the row-lineage "
+                "identity and must be unique"
+            )
+        out[b] = f
+    return out
 
 
 def dv_map(root: str, version: int | None = None) -> dict[str, list[str]]:
@@ -546,6 +705,9 @@ def checkpoint(root: str) -> int:
         "txns": [list(t) for t in state["txns"]],
         "dv": {f: list(p) for f, p in sorted(state["dv"].items())
                if f in state["live"]},
+        "partition_by": list(state["partition_by"]),
+        "parts": {f: state["parts"][f] for f in sorted(state["live"])
+                  if f in state["parts"]},
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -595,14 +757,29 @@ def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
     return df.select(*[f.name for f in pinned])
 
 
-def create(spark: SparkSession, root: str, df: DataFrame) -> int:
+def create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
-    table schema for every read until a schema-bearing commit evolves it)."""
+    table schema for every read until a schema-bearing commit evolves it).
+
+    ``partition_by`` declares a Hive-partitioned layout (immutable for the
+    table's lifetime, like Delta's partitionColumns): every commit's
+    payload is written under `col=value` dirs, per-file partition values
+    ride in the log, and `pruned_files` prunes on them BEFORE per-file
+    stats — log-level partition pruning with zero data I/O."""
+    partition_by = list(partition_by or [])
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in schema: {missing}")
     shutil.rmtree(root, ignore_errors=True)
-    pdir = _new_payload_dir(root)
-    df.write.parquet(pdir)
-    _write_commit(root, 0, _dir_files(root, pdir), [], schema_json=df.schema.json(),
-                  stats=_collect_stats(spark, root, pdir, df.schema))
+    pdir, add, parts = _write_payload(root, df, partition_by)
+    _write_commit(root, 0, add, [], schema_json=df.schema.json(),
+                  stats=_collect_stats(spark, root, pdir, df.schema),
+                  parts=parts, partition_by=partition_by or None)
     return 0
 
 
@@ -622,14 +799,14 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     and a blind re-commit could resurrect deleted rows; the caller must
     re-read and re-derive (exactly Delta's conflict matrix)."""
     out = _check_schema(df, table_schema(root), "append")
-    pdir = _new_payload_dir(root)
-    out.write.parquet(pdir)
-    add = _dir_files(root, pdir)
+    pdir, add, parts = _write_payload(
+        root, out, _read_state(root)["partition_by"]
+    )
     stats = _collect_stats(spark, root, pdir, out.schema)
     for attempt in range(max_retries + 1):
         version = latest_version(root) + 1
         try:
-            _write_commit(root, version, add, [], stats=stats)
+            _write_commit(root, version, add, [], stats=stats, parts=parts)
             return version
         except FileExistsError:
             if attempt == max_retries:
@@ -664,11 +841,13 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     # incoming DataFrame's order (stable, writer-chosen)
     new_cols = [f for f in df.schema if f.name not in {p.name for p in pinned}]
     ordered = df.select(*[f.name for f in pinned], *[f.name for f in new_cols])
-    pdir = _new_payload_dir(root)
-    ordered.write.parquet(pdir)
+    pdir, add, parts = _write_payload(
+        root, ordered, _read_state(root)["partition_by"]
+    )
     _write_commit(
-        root, version, _dir_files(root, pdir), [], schema_json=ordered.schema.json(),
+        root, version, add, [], schema_json=ordered.schema.json(),
         stats=_collect_stats(spark, root, pdir, ordered.schema),
+        parts=parts,
     )
     return version
 
@@ -798,7 +977,11 @@ def changes(
                 _gone_check(old_parts)
                 prev_e = spark.read.schema(_DV_SCHEMA).parquet(
                     *[os.path.join(root, p) for p in old_parts]
-                ).filter(F.col("src").isin(list(affected)))
+                ).filter(
+                    F.col("src").isin(
+                        [os.path.basename(f) for f in affected]
+                    )
+                )
                 deleted = new_e.exceptAll(prev_e)
             else:
                 deleted = new_e
@@ -909,10 +1092,10 @@ def merge_into(
             .distinct()
             .collect()
         )
-        hit = sorted(r["__src"] for r in hit_rows)
+        rel_of = _rel_by_name(files)
+        hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     else:  # merging into an empty table is a pure insert
         hit = []
-    pdir = _new_payload_dir(root)
     if hit:
         survivors = _scan_files(
             spark, root, hit, schema, dv_map(root)
@@ -920,9 +1103,12 @@ def merge_into(
         out = survivors.unionByName(source)
     else:
         out = source
-    out.write.parquet(pdir)
-    _write_commit(root, version, _dir_files(root, pdir), hit, txn=txn,
-                  stats=_collect_stats(spark, root, pdir, schema))
+    pdir, add, parts = _write_payload(
+        root, out, _read_state(root)["partition_by"]
+    )
+    _write_commit(root, version, add, hit, txn=txn,
+                  stats=_collect_stats(spark, root, pdir, schema),
+                  parts=parts)
     return version
 
 
@@ -952,10 +1138,10 @@ def compact(
     version = latest_version(root) + 1
     files = live_files(root, version - 1)
     schema = table_schema(root)
+    pby = _read_state(root)["partition_by"]
     # DV-aware: the rewrite physically drops MOR-deleted rows, so the
     # compacted files need no DV (replay clears pointers of removed files)
     cur = _scan(spark, root)
-    pdir = _new_payload_dir(root)
     if zorder_by:
         if len(zorder_by) > 2:
             raise ValueError("zorder_by supports at most 2 columns")
@@ -983,18 +1169,31 @@ def compact(
                 zval = zval + F.shiftright(ranked[1], i).bitwiseAND(
                     F.lit(1)
                 ) * F.lit(1 << (2 * i + 1))
-        out = (
-            cur.withColumn("__z", zval)
-            .repartitionByRange(max_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        if pby:
+            # partition boundaries are preserved: shuffle by the partition
+            # columns (each value lands in one task → one file per
+            # partition dir) and z-cluster WITHIN each partition's file
+            out = (
+                cur.withColumn("__z", zval)
+                .repartition(max_files, *pby)
+                .sortWithinPartitions(*pby, "__z")
+                .drop("__z")
+            )
+        else:
+            out = (
+                cur.withColumn("__z", zval)
+                .repartitionByRange(max_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+    elif pby:
+        out = cur.repartition(max_files, *pby)
     else:
         out = cur.coalesce(max_files)
-    out.write.parquet(pdir)
-    _write_commit(root, version, _dir_files(root, pdir), files,
+    pdir, add, parts = _write_payload(root, out, pby)
+    _write_commit(root, version, add, files,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  data_change=False)
+                  data_change=False, parts=parts)
     return version
 
 
@@ -1012,7 +1211,8 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     hit_rows = (
         cur.filter(condition).select("__src").distinct().collect()
     )
-    hit = sorted(r["__src"] for r in hit_rows)
+    rel_of = _rel_by_name(live_files(root, version - 1))
+    hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     if not hit:
         _write_commit(root, version, [], [])
         return version
@@ -1021,10 +1221,12 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     kept = _scan_files(
         spark, root, hit, schema, dv_map(root)
     ).filter(f"({condition}) IS NOT TRUE")
-    pdir = _new_payload_dir(root)
-    kept.write.parquet(pdir)
-    _write_commit(root, version, _dir_files(root, pdir), hit,
-                  stats=_collect_stats(spark, root, pdir, schema))
+    pdir, add, parts = _write_payload(
+        root, kept, _read_state(root)["partition_by"]
+    )
+    _write_commit(root, version, add, hit,
+                  stats=_collect_stats(spark, root, pdir, schema),
+                  parts=parts)
     return version
 
 
@@ -1066,8 +1268,10 @@ def delete_where_mor(
         .filter(f"({condition}) IS TRUE")
         .localCheckpoint(eager=True)
     )
+    rel_of = _rel_by_name(live_files(root, version - 1))
     affected = sorted(
-        r["__src"] for r in matched.select("__src").distinct().collect()
+        rel_of[r["__src"]]
+        for r in matched.select("__src").distinct().collect()
     )
     if not affected:
         _write_commit(root, version, [], [])
@@ -1080,7 +1284,9 @@ def delete_where_mor(
     if old_parts:
         prev = spark.read.schema(_DV_SCHEMA).parquet(
             *[os.path.join(root, p) for p in old_parts]
-        ).filter(F.col("src").isin(affected))
+        ).filter(
+            F.col("src").isin([os.path.basename(f) for f in affected])
+        )
         # disjoint by construction (matched rows passed the DV anti-join),
         # so a plain union — no distinct shuffle — keeps exact multiplicity
         entries = entries.unionByName(prev)
@@ -1137,11 +1343,18 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
         pdir = os.path.join(data_dir, d)
         if not os.path.isdir(pdir):
             continue
-        for fn in sorted(os.listdir(pdir)):
-            rel = os.path.join("data", d, fn)
-            if fn.endswith(".parquet") and rel not in keep:
-                os.remove(os.path.join(pdir, fn))
-                deleted.append(rel)
-        if not any(fn.endswith(".parquet") for fn in os.listdir(pdir)):
+        # recursive: partitioned payloads nest files under col=value dirs
+        survivors = 0
+        for dirpath, _dirs, fns in os.walk(pdir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                if rel in keep:
+                    survivors += 1
+                else:
+                    os.remove(os.path.join(dirpath, fn))
+                    deleted.append(rel)
+        if not survivors:
             shutil.rmtree(pdir)
-    return deleted
+    return sorted(deleted)
