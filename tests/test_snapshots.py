@@ -995,3 +995,40 @@ def test_create_rejects_unknown_partition_column(spark, tmp_path):
     df = spark.createDataFrame([(1, "en")], "id long, lang string")
     with pytest.raises(ValueError, match="partition_by"):
         snap.create(spark, root, df, partition_by=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# CDF update classification — VERDICT r08 #5
+
+
+def test_changes_classify_updates_merge_pairs(spark, table):
+    """classify_updates=True relabels a MERGE commit's matched
+    delete+insert pairs as update_preimage/update_postimage; a pure
+    insert through the same MERGE stays 'insert', and non-merge commits
+    are untouched."""
+    src = spark.createDataFrame(
+        [(3, "UPDATED", "fr"), (99, "NEW", "fr")],
+        "id long, payload string, lang string",
+    )
+    v = snap.merge_into(spark, table, src, ["id"])
+    feed = snap.changes(spark, table, v - 1, classify_updates=True)
+    got = sorted((r.id, r._change_type) for r in feed.collect())
+    assert got == [
+        (3, "update_postimage"), (3, "update_preimage"), (99, "insert"),
+    ]
+    pre = feed.filter("_change_type = 'update_preimage'").collect()[0]
+    post = feed.filter("_change_type = 'update_postimage'").collect()[0]
+    assert pre.payload == "row3" and post.payload == "UPDATED"
+    # default two-type feed unchanged
+    plain = snap.changes(spark, table, v - 1)
+    assert sorted(set(r._change_type for r in plain.collect())) == [
+        "delete", "insert",
+    ]
+
+
+def test_changes_classify_leaves_cow_delete_alone(spark, table):
+    """A COW DELETE commit has no merge keys: classification never
+    invents update pairs out of coincidental row overlap."""
+    v = snap.delete_where(spark, table, "lang = 'de'")
+    feed = snap.changes(spark, table, v - 1, classify_updates=True)
+    assert set(r._change_type for r in feed.collect()) == {"delete"}

@@ -672,6 +672,55 @@ def table_changes(spark, sf_dir):
 
 
 @register(
+    "table_changes_typed",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+            _cdf_sql(5, "update_preimage", "doc_id % 7 = 0 AND lang <> 'de'"),
+            _cdf_sql(
+                5, "update_postimage",
+                "doc_id % 7 = 0 AND lang <> 'de'", bump=1000,
+            ),
+        ]
+    ),
+)
+def table_changes_typed(spark, sf_dir):
+    """Change Data Feed with UPDATE classification (VERDICT r08 #5 —
+    Delta CDF's four change types): same 6-commit fixture as
+    table_changes, read with classify_updates=True. The v5 MERGE commit
+    records its key columns, so within its diff each matched
+    delete+insert pair is re-labelled update_preimage (old n_chars out) /
+    update_postimage (n_chars+1000 in) — what CDC consumers key on to
+    distinguish an update from a churned row — while v1/v2 appends stay
+    inserts and the v3 COW delete stays deletes. The oracle recomputes
+    all five cohorts from the raw table, so a hash-green row proves the
+    classification is row-exact and classifies ONLY the merge commit.
+
+    Scale: classification adds two key-projected semi/anti joins over
+    the commit's OWN diff (O(commit's changed rows), broadcast-sized
+    key sets) — never a table scan; the two-type default path and the
+    type-agnostic incremental-MV fold are unchanged."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    root = _build_cdf_fixture(spark, sf_dir, "snapcdft")
+    feed = snap.changes(spark, root, 0, classify_updates=True)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+@register(
     "table_incremental_mv",
     oracle="""
     SELECT lang,
