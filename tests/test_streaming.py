@@ -311,3 +311,63 @@ def test_tws_profile_matches_batch_agg_when_env_supports_it(spark):
         for r in user_profile_batch(events).collect()
     }
     assert got == want
+
+
+def test_table_changes_stream_restart_recovery(spark, tmp_path):
+    """The streaming CDF source's recovery contract: readBetweenOffsets
+    replays any committed version range bit-identically (immutable
+    payloads), read() advances the version cursor to HEAD, and a
+    COW-without-cdc commit raises instead of silently diffing."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.cdc_stream import (
+        SnapshotChangesStreamReader,
+        commit_change_rows,
+    )
+
+    root = str(tmp_path / "cdcstream")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 4 == 0 else "en", i * 10) for i in range(20)],
+        "id long, lang string, val long",
+    )
+    snap.create(spark, root, df.filter("id < 10"))
+    snap.append(spark, root, df.filter("id >= 10"))
+    snap.delete_where_mor(spark, root, "lang = 'de'", cdf=True)
+    snap.delete_where_mor(spark, root, "id % 5 = 1", cdf=False)
+
+    r = SnapshotChangesStreamReader({"path": root, "since_version": 0})
+    assert r.initialOffset() == {"v": 0}
+    rows, end = r.read({"v": 0})
+    rows = sorted(rows)
+    assert end == {"v": 3}
+    # replay of the SAME range is bit-identical (restart recovery)
+    replay = sorted(r.readBetweenOffsets({"v": 0}, {"v": 3}))
+    assert replay == rows
+    # and a partial range replays exactly its commits
+    part = sorted(r.readBetweenOffsets({"v": 1}, {"v": 2}))
+    assert part == sorted(
+        commit_change_rows(root, 2, ["id", "lang", "val"])
+    )
+    # per-commit contents: v1 appends insert ids>=10; v2 deletes de rows
+    # (cdc path); v3 deletes id%5==1 survivors (DV-delta derivation path)
+    by_version = {}
+    for t in rows:
+        by_version.setdefault(t[-1], []).append(t)
+    assert sorted(t[0] for t in by_version[1]) == list(range(10, 20))
+    assert all(t[-2] == "insert" for t in by_version[1])
+    assert sorted(t[0] for t in by_version[2]) == [0, 4, 8, 12, 16]
+    assert all(t[-2] == "delete" for t in by_version[2])
+    assert sorted(t[0] for t in by_version[3]) == [1, 6, 11]
+    # an empty advance returns no rows and does not move the cursor
+    rows2, end2 = r.read({"v": 3})
+    assert list(rows2) == [] and end2 == {"v": 3}
+    # the streamed feed equals the batch changes() on the same range
+    batch = snap.changes(spark, root, 0)
+    got = sorted(
+        (t.id, t._change_type, t._commit_version) for t in batch.collect()
+    )
+    want = sorted((t[0], t[-2], t[-1]) for t in rows)
+    assert got == want
+    # COW without change-data files is not streamable: raise, don't guess
+    snap.delete_where(spark, root, "id = 7")
+    with pytest.raises(ValueError, match="change-data"):
+        list(r.readBetweenOffsets({"v": 3}, {"v": 4}))

@@ -721,6 +721,139 @@ def table_changes_typed(spark, sf_dir):
 
 
 @register(
+    "stream_table_changes",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+            _cdf_sql(
+                5, "delete", "doc_id % 5 = 0 AND (lang = 'de') IS NOT TRUE"
+            ),
+        ]
+    ),
+)
+def stream_table_changes(spark, sf_dir):
+    """STREAMING read of the snapshot table's change feed (VERDICT r08
+    #4 — the Delta streaming-source shape): a Python streaming
+    DataSource whose offsets are table VERSIONS (sources/cdc_stream.py),
+    run as a REAL readStream with a processingTime trigger against a
+    6-commit table — v0 CREATE (doc_id%3=0), v1/v2 APPEND, v3 MOR
+    DELETE lang='de' (streamed from its change-data files), v4 OPTIMIZE
+    (data_change=false, contributes nothing), v5 MOR DELETE doc_id%5=0
+    with cdf=False (streamed by deriving the DV delta driver-side) —
+    aggregated per (commit, change_type) in complete mode until the
+    stream converges to the batch feed's row count. The oracle
+    recomputes every cohort from the raw table, so a hash-green row
+    proves the STREAMED feed equals the batch `changes()` end to end
+    across all three streamable commit kinds. Restart recovery
+    (readBetweenOffsets replays committed version ranges exactly) is
+    pinned in tests/test_streaming.py.
+
+    Scale: offsets advance by commit-log metadata only; each batch
+    reads O(that commit's changed bytes). The Simple (driver-side)
+    reader is the documented low-throughput variant — the pyds.py
+    precedent; partition-per-commit executor parallelism is the
+    mechanical upgrade."""
+    import time
+    import uuid as _uuid
+
+    from unfccc_documents_database_sandbox_spark.catalog import ensure_pyfiles
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.cdc_stream import (
+        register_table_changes_stream,
+    )
+
+    root = _build_stream_cdf_fixture(spark, sf_dir)
+    expected = snap.changes(spark, root, 0).count()
+
+    ensure_pyfiles(spark)
+    register_table_changes_stream(spark)
+    feed = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", root)
+        .option("since_version", 0)
+        .load()
+    )
+    # streaming aggregations reject COUNT DISTINCT: aggregate at the
+    # finer (version, change_type, lang) grain in the stream and finalize
+    # the distinct-lang rollup on the converged (bounded) result below
+    agg = feed.groupBy(
+        F.col("_commit_version").alias("version"),
+        F.col("_change_type").alias("change_type"),
+        "lang",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    name = f"cdc_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if not q.isActive and q.exception() is not None:
+                raise q.exception()
+            got = (
+                spark.table(name)
+                .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
+                .collect()[0]["n"]
+            )
+            if got == expected:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                "stream_table_changes did not converge to the batch feed "
+                f"({expected} rows) within 180s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    q.awaitTermination(60)
+    fine = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    spark.catalog.dropTempView(name)
+    return fine.groupBy("version", "change_type").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("sum_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def _build_stream_cdf_fixture(spark, sf_dir: str) -> str:
+    """6-commit fixture for the STREAMING feed: appends + MOR deletes
+    (one via change-data files, one via DV-delta derivation) + a skipped
+    OPTIMIZE — every streamable commit kind, no unstreamable COW."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapcdcstream_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
+    snap.delete_where_mor(spark, root, "lang = 'de'", cdf=True)
+    snap.compact(spark, root, max_files=2)
+    snap.delete_where_mor(spark, root, "doc_id % 5 = 0", cdf=False)
+    return root
+
+
+@register(
     "table_incremental_mv",
     oracle="""
     SELECT lang,

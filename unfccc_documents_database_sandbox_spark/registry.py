@@ -105,7 +105,6 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
         "doc_fingerprint", "doc_rolling_hash", "events_anomaly",
         "events_attribution", "filter_notnull", "filter_or_eq",
-        "graph_triangles", "join_asof",
     }
 )
 
@@ -119,7 +118,9 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # r06 evidence (the alphabetical tail of the r06 cohort, incl.
         # keys demoted from the initial r09 DUE promotion as round-9
         # unprefixed keys registered)
-        "join_bridge", "join_child_collect", "join_inner_fk", "join_lateral",
+        "graph_triangles",
+        "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",
+        "join_lateral",
         "join_left_nullable", "join_null_safe",
         "join_range", "join_semi", "join_skew_salted", "json_extract",
         "lang_id", "layout_compaction_apply", "limit_n", "map_ops",
