@@ -2,10 +2,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 full JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...} followed by a COMPACT summary line
-(same metric/value/unit/sf plus the six group best/median totals) — the
-driver keeps only the last 2000 chars of stdout, and the compact line
-guarantees every group total survives that tail (VERDICT r06 #1).
+"queries": {name: sec}, "sf": ...} followed by TWO compact summary lines
+(six group totals + headline per-query, then six group totals + extended
+and fresh per-query) — the driver parses the LAST line and keeps only
+the last 2000 chars of stdout, so the final line carries the per-query
+maps that r08's tail truncated (VERDICT r06 #1, r08 #7).
 
 Each query is fully materialized through the noop sink (computes every
 column; count() would let Catalyst prune the interesting work).
@@ -248,33 +249,51 @@ def main() -> None:
             }
         )
     )
-    # Compact summary printed LAST (VERDICT r06 #1): the external driver
-    # keeps only the final 2000 chars of stdout, and the full JSON line
-    # above outgrew that in r05/r06 — the headline totals fell off the
-    # front and the round's numbers were only evidenced by BASELINE.md.
-    # This line is ~700 chars, so the tail always carries every group
-    # total (and a last-line JSON parse gets the headline value again).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(best.values()), 3),
-                "unit": "sec",
-                "sf": float(sf) if sf else None,
-                "headline_best": round(sum(best.values()), 3),
-                "headline_median": round(statistics.median(pass_totals), 3),
-                "extended_best": round(sum(ext_best.values()), 3),
-                "extended_median": round(
-                    statistics.median(ext_pass_totals), 3
-                ),
-                "fresh_best": round(sum(fresh_best.values()), 3),
-                "fresh_median": round(
-                    statistics.median(fresh_pass_totals), 3
-                ),
-                "queries": best,
-            }
-        )
+    # Compact summaries printed LAST (VERDICT r06 #1 + r08 #7): the
+    # external driver parses the LAST stdout line into BENCH_r{N}.json's
+    # "parsed" and keeps only the final 2000 chars as "tail". Two compact
+    # lines, most valuable last:
+    #   line -2: group totals + the 19 headline per-query bests (the r01
+    #            comparability set — also pinned in BASELINE.md each
+    #            round, so partial tail truncation of this line loses
+    #            nothing unrecoverable);
+    #   line -1: group totals + the EXTENDED and FRESH per-query bests
+    #            (r08's tail lost these), emitted with compact JSON
+    #            separators to stay under the 2000-char tail budget
+    #            (~1.9k at 64 extended keys; if the extended group's
+    #            growth ever pushes it past 2000, drop to 2-decimal
+    #            rounding or split the oldest extended cohort out).
+    totals = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf else None,
+        "headline_best": round(sum(best.values()), 3),
+        "headline_median": round(statistics.median(pass_totals), 3),
+        "extended_best": round(sum(ext_best.values()), 3),
+        "extended_median": round(statistics.median(ext_pass_totals), 3),
+        "fresh_best": round(sum(fresh_best.values()), 3),
+        "fresh_median": round(statistics.median(fresh_pass_totals), 3),
+    }
+    print(json.dumps({**totals, "queries": best}, separators=(",", ":")))
+    line = json.dumps(
+        {**totals, "extended_queries": ext_best, "fresh_queries": fresh_best},
+        separators=(",", ":"),
     )
+    if len(line) > 1990:  # keep the parsed line whole inside the tail
+        line = json.dumps(
+            {
+                **totals,
+                "extended_queries": {
+                    k: round(v, 2) for k, v in ext_best.items()
+                },
+                "fresh_queries": {
+                    k: round(v, 2) for k, v in fresh_best.items()
+                },
+            },
+            separators=(",", ":"),
+        )
+    print(line)
     spark.stop()
 
 

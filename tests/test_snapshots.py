@@ -1032,3 +1032,71 @@ def test_changes_classify_leaves_cow_delete_alone(spark, table):
     v = snap.delete_where(spark, table, "lang = 'de'")
     feed = snap.changes(spark, table, v - 1, classify_updates=True)
     assert set(r._change_type for r in feed.collect()) == {"delete"}
+
+
+# ---------------------------------------------------------------------------
+# RESTORE + DESCRIBE HISTORY
+
+
+def test_restore_rolls_back_live_set_and_dv(spark, table):
+    """RESTORE publishes one forward commit whose post-state equals the
+    target version — across a COW delete AND a MOR deletion vector — by
+    log reference only (no payload copied), and the bad era stays
+    time-travelable."""
+    snap.delete_where(spark, table, "lang = 'de'")      # v2
+    snap.delete_where_mor(spark, table, "id % 5 = 1")   # v3
+    files_v3 = snap.live_files(table)
+    v = snap.restore(spark, table, 1)
+    assert v == 4
+    assert sorted(r.id for r in snap.read(spark, table).collect()) == list(
+        range(20)
+    )
+    assert snap.dv_map(table) == {}  # DV rolled back with the state
+    # the rolled-back era still reads exactly
+    assert sorted(r.id for r in snap.read(spark, table, 3).collect()) == [
+        i for i in range(20) if i % 4 != 0 and i % 5 != 1
+    ]
+    # restoring forward to the pre-restore HEAD state also works
+    snap.restore(spark, table, 3)
+    assert snap.live_files(table) == files_v3
+    assert snap.dv_map(table) != {}
+
+
+def test_restore_feed_keeps_replication_invariant(spark, table):
+    """v0 + the change feed folds to HEAD across a restore (the restore's
+    change-data files carry the exact row diff, including DV-rollback
+    re-inserts no file diff could see)."""
+    from collections import Counter
+
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    snap.restore(spark, table, 1)
+    cnt: Counter = Counter()
+    for r in snap.changes(spark, table, 0).collect():
+        cnt[r.id] += 1 if r._change_type == "insert" else -1
+    for r in snap.read(spark, table, 0).collect():
+        cnt[r.id] += 1
+    fold = sorted(i for i, n in cnt.items() for _ in range(n))
+    head = sorted(r.id for r in snap.read(spark, table).collect())
+    assert fold == head == list(range(20))
+
+
+def test_restore_to_vacuumed_version_raises(spark, table):
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.vacuum(table, retain_versions=1)
+    with pytest.raises(ValueError, match="VACUUM"):
+        snap.restore(spark, table, 1)
+
+
+def test_history_records_operation_trail(spark, table):
+    """history() surfaces the operation audit trail newest-first from
+    log metadata alone."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    snap.compact(spark, table, max_files=1)
+    h = snap.history(table)
+    assert [x["version"] for x in h] == [3, 2, 1, 0]
+    assert [x["operation"] for x in h] == [
+        "optimize", "delete_mor", "append", "create",
+    ]
+    assert h[0]["data_change"] is False
+    assert h[1]["deletion_vector"] and h[1]["change_data"]
+    assert h[3]["schema_change"]

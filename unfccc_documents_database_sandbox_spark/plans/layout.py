@@ -570,6 +570,136 @@ def table_partition_prune(spark, sf_dir):
     )
 
 
+@register(
+    "table_history",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version, operation,
+           CAST(data_change AS BIGINT) AS data_change,
+           CAST(schema_change AS BIGINT) AS schema_change,
+           CAST(deletion_vector AS BIGINT) AS deletion_vector,
+           CAST(change_data AS BIGINT) AS change_data
+    FROM (VALUES
+        (5, 'merge',      1, 0, 0, 0),
+        (4, 'optimize',   0, 0, 0, 0),
+        (3, 'delete_mor', 1, 0, 1, 1),
+        (2, 'delete',     1, 0, 0, 0),
+        (1, 'append',     1, 0, 0, 0),
+        (0, 'create',     1, 1, 0, 0)
+    ) AS t(version, operation, data_change, schema_change,
+           deletion_vector, change_data)
+    """,
+)
+def table_history(spark, sf_dir):
+    """DESCRIBE HISTORY for the snapshot table: every commit now records
+    its operation name (Delta's commitInfo.operation), and `history()`
+    surfaces the audit trail — version, operation, dataChange, and which
+    protocol features (schema change, deletion vector, change-data
+    files) the commit carries — from log metadata alone, zero data I/O.
+    The fixture runs the full operation alphabet (create, append, COW
+    delete, MOR delete, OPTIMIZE, MERGE) and the oracle is the exact
+    expected trail as a VALUES literal (file COUNTS are excluded — they
+    depend on the session's shuffle partitioning, not the protocol).
+
+    Scale: the history of a 100 TB table is O(commits) JSON — the same
+    metadata read every writer already does; this is the observability
+    surface an operator checks before VACUUM/RESTORE decisions."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snaphist_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
+    snap.compact(spark, root, max_files=2)
+    snap.merge_into(
+        spark, root,
+        d.filter((F.col("doc_id") % 11 == 0) & (F.col("lang") != "de")
+                 & (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 3 < 2))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(7)),
+        ["doc_id"],
+    )
+    rows = [
+        (h["version"], h["operation"], int(h["data_change"]),
+         int(h["schema_change"]), int(h["deletion_vector"]),
+         int(h["change_data"]))
+        for h in snap.history(root)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, data_change long, "
+        "schema_change long, deletion_vector long, change_data long",
+    )
+
+
+_RESTORE_V1 = "(lang = 'de') IS NOT TRUE"
+_RESTORE_V2 = f"{_RESTORE_V1} AND NOT (doc_id % 5 = 0)"
+
+
+@register(
+    "table_restore",
+    oracle=" UNION ALL ".join(
+        _version_stats_sql(v, w)
+        for v, w in enumerate(["TRUE", _RESTORE_V1, _RESTORE_V2, "TRUE"])
+    ),
+)
+def table_restore(spark, sf_dir):
+    """RESTORE TABLE to an earlier version (Delta RESTORE): v0 CREATE
+    all documents, v1 COW DELETE lang='de', v2 MOR DELETE doc_id%5=0
+    (deletion vector), v3 RESTORE to v0 — one forward commit that rolls
+    back the live set AND the deletion vector by log reference (no data
+    copied), leaving the bad era auditable and time-travelable. The
+    per-version stats prove v3 == v0 row-exactly while v1/v2 still read
+    their own eras. The restore writes change-data files holding its
+    exact row diff (a DV rollback re-inserts rows no file-level diff can
+    see), so the feed's replication invariant v0 + feed == HEAD holds
+    across the restore — pinned with the fold test in
+    tests/test_snapshots.py.
+
+    Scale: restore is O(log) metadata plus one diff over only the
+    state-changing files — undoing an accidental 0.1% delete on 100 TB
+    touches 0.1% of files, never the table."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snaprestore_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3))
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
+    snap.restore(spark, root, 0)
+
+    def stats(version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "n_langs", "first_doc", "last_doc",
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b), [stats(v) for v in range(4)]
+    )
+
+
 def _build_cdf_fixture(spark, sf_dir: str, prefix: str) -> str:
     """The shared 6-commit snapshot-table fixture for the change-feed
     keys: v0 CREATE (doc_id%3=0 of documents), v1/v2 APPEND (the other

@@ -740,6 +740,53 @@ def sample_hash_mod(spark, sf_dir):
     return d.filter(bucket < 429496730).select("doc_id", "lang", "source")
 
 
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) * 2000
+          < LEAST(n_chars, 2000) * 4294967296
+    GROUP BY source
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Per-row WEIGHTED Bernoulli sampling, deterministic: accept doc i
+    with probability p_i = min(1, n_chars/2000) — longer documents kept
+    proportionally more often, the quality/length-weighted downsampling
+    every corpus-mixing recipe needs (sample_hash_mod is the uniform
+    special case, corpus_upsample the >1x repetition mirror). The coin is
+    the same engine-portable Knuth hash, compared INTEGER-exactly:
+    accept iff hash * 2000 < min(n_chars, 2000) * 2^32 — all bigint
+    products well under 2^63, so the Spark and DuckDB predicates agree
+    bit-for-bit on every row (no double division anywhere). Grouped
+    per-source acceptance stats make the key hash-checkable.
+
+    Scale: a stateless scan-stage predicate — no shuffle, no RNG state,
+    reproducible under retries/repartitioning (the df.sample() caveat),
+    and the acceptance decision for any row is recomputable by any
+    engine auditing the sample."""
+    d = load_table(spark, sf_dir, "documents")
+    coin = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    accept = coin * F.lit(2000) < (
+        F.least(F.col("n_chars"), F.lit(2000)) * F.lit(4294967296)
+    )
+    return (
+        d.filter(accept)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
 @register("agg_hll_partitioned", oracle=None, tags=("rows-only",))
 def agg_hll_partitioned(spark, sf_dir):
     """A5-completion: MERGEABLE distinct-count sketches (Datasketches HLL)

@@ -92,8 +92,16 @@ def _dv_state_at(root: str, version: int) -> dict[str, list[str]]:
         for f in c.get("remove", []):
             dv.pop(f, None)
         if "dv" in c:
-            for f in c["dv"]["files"]:
-                dv[f] = list(c["dv"]["parts"])
+            action = c["dv"]
+            if "map" in action:  # restore form; [] clears a pointer
+                for f, ps in action["map"].items():
+                    if ps:
+                        dv[f] = list(ps)
+                    else:
+                        dv.pop(f, None)
+            else:
+                for f in action["files"]:
+                    dv[f] = list(action["parts"])
     return dv
 
 
@@ -141,7 +149,7 @@ def commit_change_rows(
             root, c["cdc"], columns + ["_change_type"]
         ):
             out.append(tuple(vals[:-1]) + (vals[-1], version))
-    elif "dv" in c:
+    elif "dv" in c and "files" in c["dv"]:
         affected = c["dv"]["files"]
         new_e = _dv_entries(root, c["dv"]["parts"])
         prev_state = _dv_state_at(root, version - 1)

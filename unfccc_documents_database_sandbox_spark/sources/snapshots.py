@@ -388,7 +388,8 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   cdc: list[str] | None = None,
                   parts: dict | None = None,
                   partition_by: list[str] | None = None,
-                  merge_keys: list[str] | None = None) -> None:
+                  merge_keys: list[str] | None = None,
+                  op: str | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -436,6 +437,10 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # commit's matched delete+insert pairs as
         # update_preimage/update_postimage (Delta CDF's four change types).
         payload["merge_keys"] = merge_keys
+    if op is not None:
+        # Operation name (Delta's commitInfo.operation): audit metadata
+        # surfaced by `history()` — DESCRIBE HISTORY's backbone.
+        payload["op"] = op
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -479,6 +484,22 @@ def _load_commit(root: str, version: int) -> dict:
             f"commit log gap: file {version:08d}.json carries version {c['version']}"
         )
     return c
+
+
+def _apply_dv_commit(dv: dict, action: dict) -> None:
+    """Apply one commit's deletion-vector action to a {file: parts}
+    state: the MOR form {"files": F, "parts": P} assigns P to every file
+    in F; the restore form {"map": {file: parts}} assigns per file, with
+    an empty parts list CLEARING the pointer (rows un-delete)."""
+    if "map" in action:
+        for f, ps in action["map"].items():
+            if ps:
+                dv[f] = list(ps)
+            else:
+                dv.pop(f, None)
+    else:
+        for f in action["files"]:
+            dv[f] = list(action["parts"])
 
 
 def _read_state(root: str, version: int | None = None) -> dict:
@@ -544,8 +565,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
             # rewrite physically dropped the DV'd rows
             state["dv"].pop(f, None)
         if "dv" in c:
-            for f in c["dv"]["files"]:
-                state["dv"][f] = list(c["dv"]["parts"])
+            _apply_dv_commit(state["dv"], c["dv"])
         if "schema" in c:
             state["schema"] = c["schema"]
         if "partition_by" in c:
@@ -785,7 +805,8 @@ def create(
     pdir, add, parts = _write_payload(root, df, partition_by)
     _write_commit(root, 0, add, [], schema_json=df.schema.json(),
                   stats=_collect_stats(spark, root, pdir, df.schema),
-                  parts=parts, partition_by=partition_by or None)
+                  parts=parts, partition_by=partition_by or None,
+                  op="create")
     return 0
 
 
@@ -812,7 +833,8 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     for attempt in range(max_retries + 1):
         version = latest_version(root) + 1
         try:
-            _write_commit(root, version, add, [], stats=stats, parts=parts)
+            _write_commit(root, version, add, [], stats=stats,
+                          parts=parts, op="append")
             return version
         except FileExistsError:
             if attempt == max_retries:
@@ -853,7 +875,7 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     _write_commit(
         root, version, add, [], schema_json=ordered.schema.json(),
         stats=_collect_stats(spark, root, pdir, ordered.schema),
-        parts=parts,
+        parts=parts, op="evolve_schema",
     )
     return version
 
@@ -953,8 +975,7 @@ def changes(
         for f in c["remove"]:
             dvstate.pop(f, None)
         if "dv" in c:
-            for f in c["dv"]["files"]:
-                dvstate[f] = list(c["dv"]["parts"])
+            _apply_dv_commit(dvstate, c["dv"])
         if not c.get("data_change", True):
             continue
         add, remove = c["add"], c["remove"]
@@ -972,7 +993,7 @@ def changes(
                     *[os.path.join(root, f) for f in c["cdc"]]
                 )
             )
-        elif "dv" in c:
+        elif "dv" in c and "files" in c["dv"]:
             # MOR delete without change-data files: derive the deleted rows
             # from the DV delta — (new entries) EXCEPT (prior entries of
             # the affected files), joined back to the affected files' scan.
@@ -1150,7 +1171,7 @@ def merge_into(
     )
     _write_commit(root, version, add, hit, txn=txn,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  parts=parts, merge_keys=list(key_cols))
+                  parts=parts, merge_keys=list(key_cols), op="merge")
     return version
 
 
@@ -1235,7 +1256,7 @@ def compact(
     pdir, add, parts = _write_payload(root, out, pby)
     _write_commit(root, version, add, files,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  data_change=False, parts=parts)
+                  data_change=False, parts=parts, op="optimize")
     return version
 
 
@@ -1256,7 +1277,7 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     rel_of = _rel_by_name(live_files(root, version - 1))
     hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     if not hit:
-        _write_commit(root, version, [], [])
+        _write_commit(root, version, [], [], op="delete")
         return version
     # DELETE semantics: remove rows where the predicate is TRUE; rows where
     # it evaluates NULL are kept (NOT(cond) would silently drop them).
@@ -1268,7 +1289,7 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     )
     _write_commit(root, version, add, hit,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  parts=parts)
+                  parts=parts, op="delete")
     return version
 
 
@@ -1316,7 +1337,7 @@ def delete_where_mor(
         for r in matched.select("__src").distinct().collect()
     )
     if not affected:
-        _write_commit(root, version, [], [])
+        _write_commit(root, version, [], [], op="delete_mor")
         return version
     entries = matched.select(
         F.col("__src").alias("src"), F.col("__pos").alias("pos")
@@ -1342,8 +1363,107 @@ def delete_where_mor(
             "_change_type", F.lit("delete")
         ).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
-    _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts)
+    _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts,
+                  op="delete_mor")
     return version
+
+
+def history(root: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit still present in the log
+    (newest first, like Delta) — version, operation name (None for
+    pre-`op` commits), data_change, and which protocol features the
+    commit carries. Pure log metadata: zero data I/O."""
+    out = []
+    for v in sorted(_commit_versions(root), reverse=True):
+        c = _load_commit(root, v)
+        out.append(
+            {
+                "version": v,
+                "operation": c.get("op"),
+                "data_change": c.get("data_change", True),
+                "n_added_files": len(c.get("add", [])),
+                "n_removed_files": len(c.get("remove", [])),
+                "schema_change": "schema" in c,
+                "deletion_vector": "dv" in c,
+                "change_data": bool(c.get("cdc")),
+                "txn": bool(c.get("txn")),
+            }
+        )
+    return out
+
+
+def restore(spark: SparkSession, root: str, version: int) -> int:
+    """RESTORE TABLE to ``version`` (Delta's RESTORE): publish ONE new
+    commit whose post-state equals the target version's state — live
+    set, deletion vectors, and schema all roll back, but as a FORWARD
+    commit (history is append-only; the bad era stays auditable and
+    time-travelable). Payload files are never copied: the commit re-adds
+    the target's files by log reference and re-removes the newer ones.
+
+    The restore always writes change-data files (the exact row diff of
+    the files whose state changes, computed current-vs-target under each
+    side's deletion vectors) because a DV rollback on a file that stays
+    live RE-INSERTS rows no add/remove file diff can see — CDC files are
+    the only representation that keeps the feed's replication invariant
+    (v0 + feed == HEAD) true across a restore.
+
+    Raises if the target's files or DV parts were already VACUUMed
+    (Delta's contract: restore reaches only into the retention window).
+
+    Scale: O(log) metadata plus one diff over only the files whose
+    state differs — restoring an accidental delete touches the deleted
+    rows' files, never the table."""
+    head = latest_version(root)
+    if not 0 <= version <= head:
+        raise ValueError(f"restore target {version} not in [0, {head}]")
+    tgt = _read_state(root, version)
+    cur = _read_state(root)
+    add = sorted(tgt["live"] - cur["live"])
+    remove = sorted(cur["live"] - tgt["live"])
+    tgt_dv = {f: list(p) for f, p in tgt["dv"].items() if f in tgt["live"]}
+    cur_dv = {f: list(p) for f, p in cur["dv"].items() if f in cur["live"]}
+    # retained files whose deletion vector differs roll back too: [] in
+    # the dv map CLEARS a pointer (rows un-delete), non-empty reassigns
+    retained = tgt["live"] & cur["live"]
+    dv_changed = sorted(
+        f for f in retained if tgt_dv.get(f) != cur_dv.get(f)
+    )
+    dv_map = {f: tgt_dv.get(f, []) for f in dv_changed}
+    dv_map.update({f: tgt_dv[f] for f in add if f in tgt_dv})
+    gone = [
+        f
+        for f in add + sorted({p for ps in tgt_dv.values() for p in ps})
+        if not os.path.exists(os.path.join(root, f))
+    ]
+    if gone:
+        raise ValueError(
+            f"restore to v{version} needs {len(gone)} file(s) already "
+            f"reclaimed by VACUUM (e.g. {gone[0]!r}) — restore reaches "
+            "only into the retention window"
+        )
+    schema = StructType.fromJson(json.loads(tgt["schema"]))
+    # exact row diff of the state-changing files, read under the TARGET
+    # schema (the post-restore era) and each side's deletion vectors
+    cur_files = sorted(set(remove) | set(dv_changed))
+    tgt_files = sorted(set(add) | set(dv_changed))
+    cur_rows = _scan_files(spark, root, cur_files, schema, cur_dv)
+    tgt_rows = _scan_files(spark, root, tgt_files, schema, tgt_dv)
+    inserts = tgt_rows.exceptAll(cur_rows).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = cur_rows.exceptAll(tgt_rows).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    cdir = _new_payload_dir(root)
+    inserts.unionByName(deletes).write.parquet(cdir)
+    _write_commit(
+        root, head + 1, add, remove,
+        schema_json=tgt["schema"] if tgt["schema"] != cur["schema"] else None,
+        dv={"map": dv_map} if dv_map else None,
+        cdc=_dir_files(root, cdir),
+        op="restore",
+    )
+    return head + 1
 
 
 def vacuum(root: str, retain_versions: int = 1) -> list[str]:

@@ -107,6 +107,15 @@ class UserProfileProcessor:
     stream_stateful_profile (applyInPandasWithState), which runs
     everywhere; this class is the drop-in modernization for Spark 4
     deployments with a complete Python environment.
+
+    Unlock attempt (2026-08, per the r08 review): a full-disk sweep
+    found no runtime protobuf anywhere — only typeshed STUBS (jedi's
+    bundled type annotations, no runtime) and pyspark's own .proto
+    descriptors (which themselves need the runtime); no wheel cache,
+    package installs are disallowed in the sandbox, and vendoring would
+    mean re-implementing the protobuf runtime. The gate stands; it
+    re-opens automatically the moment `import google.protobuf`
+    resolves (the importorskip needs no code change).
     """
 
     # one year, in ms: never expires / never fires inside a test run
