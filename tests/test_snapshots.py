@@ -1100,3 +1100,81 @@ def test_history_records_operation_trail(spark, table):
     assert h[0]["data_change"] is False
     assert h[1]["deletion_vector"] and h[1]["change_data"]
     assert h[3]["schema_change"]
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+
+
+def test_update_where_cow_semantics(spark, table):
+    """UPDATE rewrites only matching files, applies SET to exactly the
+    predicate-TRUE rows, casts to the pinned type, and leaves the old
+    era readable."""
+    v = snap.update_where(
+        spark, table, "lang = 'de'", {"payload": "concat(payload, '!')"}
+    )
+    head = {r.id: r.payload for r in snap.read(spark, table).collect()}
+    assert head[0] == "row0!" and head[4] == "row4!"
+    assert head[1] == "row1"  # untouched
+    old = {r.id: r.payload for r in snap.read(spark, table, v - 1).collect()}
+    assert old[0] == "row0"
+    assert snap.history(table)[0]["operation"] == "update"
+
+
+def test_update_where_null_predicate_rows_untouched(spark, tmp_path):
+    root = str(tmp_path / "updnull")
+    df = spark.createDataFrame(
+        [(1, "de", 10), (2, None, 20), (3, "en", 30)],
+        "id long, lang string, val long",
+    )
+    snap.create(spark, root, df)
+    snap.update_where(spark, root, "lang = 'de'", {"val": "val + 1"})
+    got = {r.id: r.val for r in snap.read(spark, root).collect()}
+    assert got == {1: 11, 2: 20, 3: 30}
+
+
+def test_update_feed_emits_native_update_types(spark, table):
+    """The UPDATE's change-data files carry update_preimage/postimage
+    pairs — the feed reads them directly (no classification needed) and
+    the replication fold still holds (pre/post count as -1/+1)."""
+    from collections import Counter
+
+    v = snap.update_where(
+        spark, table, "id % 7 = 0", {"payload": "upper(payload)"}
+    )
+    feed = snap.changes(spark, table, v - 1)
+    got = sorted((r.id, r._change_type, r.payload) for r in feed.collect())
+    want = sorted(
+        [(i, "update_preimage", f"row{i}") for i in range(0, 20, 7)]
+        + [(i, "update_postimage", f"ROW{i}") for i in range(0, 20, 7)]
+    )
+    assert got == want
+    # fold: preimage removes the old row, postimage inserts the new one
+    cnt: Counter = Counter()
+    for r in snap.changes(spark, table, 0).collect():
+        sign = 1 if r._change_type in ("insert", "update_postimage") else -1
+        cnt[(r.id, r.payload)] += sign
+    for r in snap.read(spark, table, 0).collect():
+        cnt[(r.id, r.payload)] += 1
+    fold = sorted(k for k, n in cnt.items() for _ in range(n))
+    head = sorted(
+        (r.id, r.payload) for r in snap.read(spark, table).collect()
+    )
+    assert fold == head
+
+
+def test_update_unknown_column_raises(spark, table):
+    with pytest.raises(ValueError, match="unknown columns"):
+        snap.update_where(spark, table, "id = 1", {"nope": "1"})
+
+
+def test_update_respects_deletion_vectors(spark, table):
+    """MOR-deleted rows can neither match an UPDATE nor resurface in its
+    rewrite."""
+    snap.delete_where_mor(spark, table, "id = 4")
+    snap.update_where(spark, table, "lang = 'de'", {"payload": "'X'"})
+    got = snap.read(spark, table)
+    assert got.filter("id = 4").count() == 0
+    assert {r.id for r in got.filter("payload = 'X'").collect()} == {
+        0, 8, 12, 16,
+    }

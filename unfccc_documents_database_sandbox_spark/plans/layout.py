@@ -639,6 +639,78 @@ def table_history(spark, sf_dir):
     )
 
 
+@register(
+    "table_update",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_chars
+                    + CASE WHEN lang = 'en' THEN 500 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(doc_id) AS BIGINT),
+           CAST(MAX(doc_id) AS BIGINT)
+    FROM documents
+    """,
+)
+def table_update(spark, sf_dir):
+    """Transactional UPDATE on the snapshot table (completing the DML
+    alphabet: append/DELETE-COW/DELETE-MOR/MERGE/UPDATE): v0 CREATE all
+    documents, v1 `update_where` adds 500 chars to every English doc —
+    copy-on-write, rewriting ONLY the files containing matches, with
+    each SET expression cast to the column's pinned type so an UPDATE
+    can never drift the schema. Per-version stats prove v0 time travel
+    is untouched and v1 applied the SET to exactly the predicate rows.
+    The commit also writes exact update_preimage/update_postimage
+    change-data pairs (Delta CDF's native UPDATE types — the same cdc
+    path table_changes_typed reads); feed exactness and predicate-NULL
+    rows staying un-updated are pinned in tests/test_snapshots.py.
+
+    Scale: identical to the COW delete — one hit-detection scan plus a
+    rewrite bounded by the matching files; the CDC write costs only the
+    updated rows (twice)."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapupd_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3))
+    snap.update_where(
+        spark, root, "lang = 'en'", {"n_chars": "n_chars + 500"}
+    )
+
+    def stats(version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+            ).cast("long").alias("n_en"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "n_en", "first_doc", "last_doc",
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [stats(v) for v in range(2)])
+
+
 _RESTORE_V1 = "(lang = 'de') IS NOT TRUE"
 _RESTORE_V2 = f"{_RESTORE_V1} AND NOT (doc_id % 5 = 0)"
 

@@ -1293,6 +1293,82 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     return version
 
 
+def update_where(
+    spark: SparkSession,
+    root: str,
+    condition: str,
+    set_exprs: dict[str, str],
+    *,
+    cdf: bool = True,
+) -> int:
+    """Transactional UPDATE ... SET ... WHERE: copy-on-write like
+    delete_where — only files CONTAINING matching rows are rewritten,
+    with ``set_exprs`` ({column: SQL expression}) applied to the
+    predicate-TRUE rows and every other row carried through unchanged
+    (predicate-NULL rows are NOT updated, the DELETE discipline). Each
+    SET expression is cast to the column's pinned type — an UPDATE can
+    never drift the schema.
+
+    ``cdf=True`` writes the exact update_preimage/update_postimage row
+    pairs as change-data files, so `changes()` and the streaming feed
+    emit Delta CDF's native UPDATE types with zero diff work; with
+    ``cdf=False`` the feed falls back to the file diff (plain
+    delete+insert pairs).
+
+    Scale: identical to the COW delete — one predicate scan for hit
+    detection, a rewrite bounded by the files actually containing
+    matches, one atomic commit."""
+    version = latest_version(root) + 1
+    schema = table_schema(root)
+    unknown = [c for c in set_exprs if c not in {f.name for f in schema}]
+    if unknown:
+        raise ValueError(f"update_where: unknown columns {unknown}")
+    cur = _scan(spark, root, lineage=True)
+    hit_rows = (
+        cur.filter(condition).select("__src").distinct().collect()
+    )
+    rel_of = _rel_by_name(live_files(root, version - 1))
+    hit = sorted(rel_of[r["__src"]] for r in hit_rows)
+    if not hit:
+        _write_commit(root, version, [], [], op="update")
+        return version
+    dv = dv_map(root)
+    hit_scan = _scan_files(spark, root, hit, schema, dv)
+    types = {f.name: f.dataType for f in schema}
+    is_hit = F.expr(f"({condition}) IS TRUE")
+
+    def _set_col(name):
+        if name in set_exprs:
+            return F.when(
+                is_hit, F.expr(set_exprs[name]).cast(types[name])
+            ).otherwise(F.col(name)).alias(name)
+        return F.col(name)
+
+    rewritten = hit_scan.select(*[_set_col(f.name) for f in schema])
+    pdir, add, parts = _write_payload(
+        root, rewritten, _read_state(root)["partition_by"]
+    )
+    cdc_parts = None
+    if cdf:
+        pre = hit_scan.filter(is_hit)
+        post = pre.select(
+            *[
+                (F.expr(set_exprs[f.name]).cast(types[f.name]).alias(f.name)
+                 if f.name in set_exprs else F.col(f.name))
+                for f in schema
+            ]
+        )
+        cdir = _new_payload_dir(root)
+        pre.withColumn("_change_type", F.lit("update_preimage")).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        ).write.parquet(cdir)
+        cdc_parts = _dir_files(root, cdir)
+    _write_commit(root, version, add, hit,
+                  stats=_collect_stats(spark, root, pdir, schema),
+                  parts=parts, cdc=cdc_parts, op="update")
+    return version
+
+
 def delete_where_mor(
     spark: SparkSession, root: str, condition: str, *, cdf: bool = True
 ) -> int:
