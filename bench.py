@@ -97,6 +97,11 @@ EXTENDED = [
     # the r07 fresh group, rolled in at r08 (BENCH_r07.json holds their
     # day-one reference)
     "text_bpe_train", "text_bpe_encode", "sim_topk_ivfpq",
+    # the r08 fresh group, rolled in at r09 (BENCH_r08.json holds their
+    # day-one reference)
+    "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
+    "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
+    "try_funcs", "udtf_python_segments", "corpus_upsample",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -108,21 +113,15 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r08 keys. sim_topk_ivfpq_portable is excluded by the standing
-    # oracle-twin rule (VALUES-literal index makes its build
-    # Catalyst-analysis-dominated, like sim_topk_pq_portable);
-    # table_schema_evolution, stream_foreach_merge, and table_changes are
-    # excluded by the disk-writing rule (each builds a commit-log table
-    # under .csv_tmp/ — their wall time measures sink I/O and
-    # streaming-trigger latency, not a plan). The timeable r08 keys are
-    # the time-series gap-fill, the integer-exact k-means, and the
-    # recursive-CTE BOM explosion (table_incremental_mv also builds a
-    # table under .csv_tmp/, so it too stays out; source_pyds_stream runs
-    # a live processingTime-trigger streaming query — its wall time is
-    # trigger cadence, not a plan, the standing streaming exclusion).
-    "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
-    "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
-    "try_funcs", "udtf_python_segments", "corpus_upsample",
+    # r09 keys. Seven of the eight are excluded by the standing rules:
+    # table_delete_mor / table_partition_prune / table_changes_typed /
+    # table_history / table_restore / table_update each build a
+    # commit-log table under .csv_tmp/ (the disk-writing rule — their
+    # wall time measures commit I/O, not a plan), and
+    # stream_table_changes runs a live processingTime-trigger streaming
+    # query (the streaming exclusion). The one timeable r09 key is the
+    # weighted-sampling scan.
+    "sample_weighted",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"
