@@ -1178,3 +1178,78 @@ def test_update_respects_deletion_vectors(spark, table):
     assert {r.id for r in got.filter("payload = 'X'").collect()} == {
         0, 8, 12, 16,
     }
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom-filter index (point-lookup pruning)
+
+
+@pytest.fixture()
+def btable(spark, tmp_path):
+    root = str(tmp_path / "btbl")
+    df = spark.createDataFrame(
+        [(i, f"body {i * 37}", i * 10) for i in range(200)],
+        "id long, text string, val long",
+    )
+    snap.create(spark, root, df.repartition(8), bloom_cols=["text"])
+    return root
+
+
+def test_bloom_never_false_negative(spark, btable):
+    """Every present value survives the Bloom prune — false positives
+    cost a wasted file read; a false negative would be a wrong answer,
+    so the invariant is exhaustively checked."""
+    for i in range(0, 200, 13):
+        v = f"body {i * 37}"
+        got = snap.read_point(spark, btable, "text", v).collect()
+        assert [(r.id, r.val) for r in got] == [(i, i * 10)]
+
+
+def test_bloom_prunes_most_files_on_point_lookup(spark, btable):
+    n_live = len(snap.live_files(btable))
+    pf = snap.bloom_pruned_files(spark, btable, "text", "body 1850")
+    assert len(pf) < n_live  # the point of the index
+    # an absent value prunes to (almost) nothing and answers empty
+    assert snap.read_point(spark, btable, "text", "zzz absent").count() == 0
+
+
+def test_bloom_follows_appends_merges_and_checkpoint(spark, btable):
+    """Every writer computes blooms for its new files; checkpoint + log
+    expiry carry them."""
+    extra = spark.createDataFrame(
+        [(999, "needle", 1)], "id long, text string, val long"
+    )
+    snap.append(spark, btable, extra)
+    assert [r.id for r in
+            snap.read_point(spark, btable, "text", "needle").collect()] == [999]
+    src = spark.createDataFrame(
+        [(999, "renamed", 2)], "id long, text string, val long"
+    )
+    snap.merge_into(spark, btable, src, ["id"])
+    assert snap.read_point(spark, btable, "text", "needle").count() == 0
+    assert [r.val for r in
+            snap.read_point(spark, btable, "text", "renamed").collect()] == [2]
+    snap.checkpoint(btable)
+    snap.expire_log(btable)
+    assert [r.val for r in
+            snap.read_point(spark, btable, "text", "renamed").collect()] == [2]
+
+
+def test_bloom_composes_with_deletion_vectors(spark, btable):
+    """read_point scans DV-aware: a MOR-deleted row is gone even though
+    its file's bloom still matches."""
+    snap.delete_where_mor(spark, btable, "id = 50")
+    assert snap.read_point(spark, btable, "text", "body 1850").count() == 0
+
+
+def test_bloom_null_probe_scans_everything(spark, btable):
+    """A NULL probe can never bloom-prune (equality never matches NULL):
+    every live file is kept and the residual filter answers empty."""
+    pf = snap.bloom_pruned_files(spark, btable, "text", None)
+    assert pf == snap.live_files(btable)
+
+
+def test_bloom_unindexed_column_degrades_to_scan(spark, btable):
+    pf = snap.bloom_pruned_files(spark, btable, "val", 500)
+    assert pf == snap.live_files(btable)
+    assert snap.read_point(spark, btable, "val", 500).count() == 1

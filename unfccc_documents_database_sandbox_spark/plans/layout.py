@@ -711,6 +711,73 @@ def table_update(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), [stats(v) for v in range(2)])
 
 
+@register(
+    "table_bloom_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    WHERE text IN (SELECT text FROM documents
+                   WHERE doc_id IN (7, 77, 177, 277, 377))
+    """,
+)
+def table_bloom_prune(spark, sf_dir):
+    """Per-file Bloom-filter index on the snapshot table (Delta's bloom
+    filter index / Iceberg's puffin sidecars, inlined into the commit
+    log): CREATE with bloom_cols=['text'] computes an m-bit/k-probe
+    bitmap per (file, column) at write time — one JVM xxhash64 pass over
+    only the new files — and `read_point` probes the bitmaps from log
+    metadata to open ONLY files that might contain the probed value.
+    This is the pruning tier for EQUALITY on high-cardinality columns
+    where min/max stats are useless (text bodies scattered across
+    files — exactly the "is this exact document already in the corpus?"
+    dedup lookup). The build probes five known document texts and
+    aggregates the hits; the oracle recomputes from the raw table, so a
+    hash-green row proves probe-side and write-side hashing agree and
+    the prune never drops a present value. No-false-negative
+    (exhaustive), DV-composition, NULL-probe, and checkpoint-carry
+    invariants are pinned in tests/test_snapshots.py.
+
+    Scale: the index is ~1 KiB per file per column in the log; a point
+    lookup on a 100 TB table resolves to O(matching files + FPR x
+    files) opens with zero data I/O spent deciding — size bits/probes
+    to the per-file distinct count (8192/5 here ≈ 1% FPR at ~850
+    values/file)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapbloom_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    snap.create(spark, root, d.repartition(8), bloom_cols=["text"])
+    probe_ids = [7, 77, 177, 277, 377]
+    # distinct probe texts: two probe docs sharing a body must probe once
+    # (the oracle's IN-subquery dedups the same way)
+    texts = sorted({
+        r.text
+        for r in d.filter(F.col("doc_id").isin(probe_ids)).collect()
+    })
+    from functools import reduce
+
+    hits = reduce(
+        lambda a, b: a.unionByName(b),
+        [snap.read_point(spark, root, "text", t) for t in texts],
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
+
+
 _RESTORE_V1 = "(lang = 'de') IS NOT TRUE"
 _RESTORE_V2 = f"{_RESTORE_V1} AND NOT (doc_id % 5 = 0)"
 

@@ -57,6 +57,10 @@ protocol stripped to what the sandbox can express:
   stats intersect it — Delta/Iceberg data skipping, the dominant scan win
   on range-clustered 100 TB tables (see `pruned_files`).
 
+- A per-file BLOOM-FILTER INDEX (`bloom_cols` at create) adds the
+  equality-pruning tier min/max stats can't give: write-side bitmaps in
+  the log, probe-side pruning with zero data I/O (`read_point`).
+
 - CHECKPOINTS consolidate the state (live set, schema, stats, txn
   stamps) into one _checkpoint.{N}.json; readers replay from the newest
   checkpoint at or below their version, so replay cost is O(commits since
@@ -252,6 +256,147 @@ def _collect_stats(
     return stats
 
 
+# Per-file Bloom-filter index (Delta's bloom filter index / Iceberg puffin
+# sidecars, inlined into the commit log at sandbox scale): m bits / k
+# probes per (file, column). Point-lookup pruning for EQUALITY on columns
+# where min/max stats are useless (high-cardinality, not clustered —
+# text digests, ids scattered across files). 8192 bits ≈ 1 KiB per file
+# per column; at 1% target FPR that indexes ~850 distinct values per
+# file — size m to the file's expected distinct count at real scale.
+_BLOOM_BITS = 8192
+_BLOOM_K = 5
+
+
+def _bloom_positions_col(col: str, bits: int, k: int):
+    """The k bit positions of a value, as a JVM-side array expression:
+    pmod(xxhash64(value, seed=i), bits) for i in 0..k-1. xxhash64 is
+    stable across Spark versions/partitionings, and the SAME expression
+    computes query-side probes, so write and read always agree."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(bits))
+            for i in range(k)
+        ]
+    )
+
+
+def _collect_blooms(
+    spark: SparkSession, root: str, pdir: str, schema: StructType,
+    bloom_cols: list[str],
+) -> dict[str, dict[str, str]]:
+    """{file: {col: base64 bitmap}} for the files the writer just
+    produced — one pass per column over only the NEW files (the
+    write-side discipline, like _collect_stats). NULLs set no bits (an
+    equality probe is never NULL-satisfiable)."""
+    import base64
+
+    if not bloom_cols:
+        return {}
+    rel_of = {}
+    for dirpath, _dirs, files in os.walk(pdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                rel_of[os.path.realpath(p)] = os.path.relpath(p, root)
+    out: dict[str, dict[str, str]] = {rel: {} for rel in rel_of.values()}
+    scan = spark.read.schema(schema).parquet(pdir)
+    for col in bloom_cols:
+        rows = (
+            scan.filter(F.col(col).isNotNull())
+            .select(
+                F.input_file_name().alias("__f"),
+                F.explode(
+                    _bloom_positions_col(col, _BLOOM_BITS, _BLOOM_K)
+                ).alias("__p"),
+            )
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
+        for r in rows:
+            rel = _uri_to_relpath(r["__f"], rel_of)
+            bm = bytearray(_BLOOM_BITS // 8)
+            for p in r["__ps"]:
+                bm[p // 8] |= 1 << (p % 8)
+            out[rel][col] = base64.b64encode(bytes(bm)).decode()
+    return {f: b for f, b in out.items() if b}
+
+
+def _bloom_probe_positions(spark: SparkSession, value, col_type) -> list[int]:
+    """Query-side probe positions for one literal value — computed with
+    the SAME JVM xxhash64 expression the write side ran (a 1-row job)."""
+    row = (
+        spark.range(1)
+        .select(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(col_type), F.lit(i)),
+                        F.lit(_BLOOM_BITS),
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    return list(row)
+
+
+def bloom_pruned_files(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> list[str]:
+    """The live files that MIGHT contain ``col = value``, by Bloom probe:
+    a file is skipped when its bitmap misses any of the k probe bits
+    (no false negatives — every present value survives; false positives
+    just read a file the residual filter empties). Files without a bloom
+    for ``col`` are kept — absent indexes degrade to a scan."""
+    import base64
+
+    state = _read_state(root, version)
+    if value is None:
+        return sorted(state["live"])  # equality never matches NULL; scan
+    dtype = next(
+        (f.dataType.simpleString()
+         for f in StructType.fromJson(json.loads(state["schema"]))
+         if f.name == col),
+        "string",
+    )
+    probes = _bloom_probe_positions(spark, value, dtype)
+    out = []
+    for f in sorted(state["live"]):
+        b64 = state["blooms"].get(f, {}).get(col)
+        if b64 is None:
+            out.append(f)
+            continue
+        bm = base64.b64decode(b64)
+        if all(bm[p // 8] & (1 << (p % 8)) for p in probes):
+            out.append(f)
+    return out
+
+
+def read_point(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup: Bloom-prune the file list, then scan only the
+    surviving files (DV-aware) with the exact equality filter.
+    Semantically identical to read().filter(col = value) — pinned by
+    tests — but opens O(files actually containing the value) + the
+    bloom's false positives."""
+    files = bloom_pruned_files(spark, root, col, value, version)
+    schema = table_schema(root, version)
+    df = _scan_files(spark, root, files, schema, dv_map(root, version))
+    return df.filter(F.col(col) == F.lit(value))
+
+
 def file_stats(root: str, version: int | None = None) -> dict[str, dict[str, list]]:
     """The {relpath: {col: [min, max]}} stats of every live file at
     ``version`` — replayed (checkpoint-aware) from the commits/checkpoint
@@ -389,7 +534,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   parts: dict | None = None,
                   partition_by: list[str] | None = None,
                   merge_keys: list[str] | None = None,
-                  op: str | None = None) -> None:
+                  op: str | None = None,
+                  blooms: dict | None = None,
+                  bloom_cols: list[str] | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -441,6 +588,13 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # Operation name (Delta's commitInfo.operation): audit metadata
         # surfaced by `history()` — DESCRIBE HISTORY's backbone.
         payload["op"] = op
+    if blooms:
+        # Per-file Bloom bitmaps (base64) for the table's bloom-indexed
+        # columns — the point-lookup pruning tier (see bloom_pruned_files).
+        payload["blooms"] = blooms
+    if bloom_cols is not None:
+        # Table-level bloom index spec — commit 0 only, like partition_by.
+        payload["bloom_cols"] = bloom_cols
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -537,12 +691,15 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "dv": {f: list(p) for f, p in ck.get("dv", {}).items()},
             "partition_by": list(ck.get("partition_by", [])),
             "parts": dict(ck.get("parts", {})),
+            "bloom_cols": list(ck.get("bloom_cols", [])),
+            "blooms": dict(ck.get("blooms", {})),
         }
         start = ck_version + 1
     else:
         state = {"version": -1, "live": set(), "schema": None,
                  "stats": {}, "txns": [], "dv": {},
-                 "partition_by": [], "parts": {}}
+                 "partition_by": [], "parts": {},
+                 "bloom_cols": [], "blooms": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -570,8 +727,12 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["schema"] = c["schema"]
         if "partition_by" in c:
             state["partition_by"] = list(c["partition_by"])
+        if "bloom_cols" in c:
+            state["bloom_cols"] = list(c["bloom_cols"])
         for f, pv in c.get("parts", {}).items():
             state["parts"][f] = pv
+        for f, bm in c.get("blooms", {}).items():
+            state["blooms"][f] = bm
         for f, s in c.get("stats", {}).items():
             state["stats"][f] = s
         if "txn" in c:
@@ -734,6 +895,9 @@ def checkpoint(root: str) -> int:
         "partition_by": list(state["partition_by"]),
         "parts": {f: state["parts"][f] for f in sorted(state["live"])
                   if f in state["parts"]},
+        "bloom_cols": list(state["bloom_cols"]),
+        "blooms": {f: state["blooms"][f] for f in sorted(state["live"])
+                   if f in state["blooms"]},
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -788,6 +952,7 @@ def create(
     root: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
@@ -798,15 +963,20 @@ def create(
     ride in the log, and `pruned_files` prunes on them BEFORE per-file
     stats — log-level partition pruning with zero data I/O."""
     partition_by = list(partition_by or [])
-    missing = [c for c in partition_by if c not in df.columns]
+    bloom_cols = list(bloom_cols or [])
+    missing = [c for c in partition_by + bloom_cols if c not in df.columns]
     if missing:
-        raise ValueError(f"partition_by columns not in schema: {missing}")
+        raise ValueError(
+            f"partition_by/bloom_cols columns not in schema: {missing}"
+        )
     shutil.rmtree(root, ignore_errors=True)
     pdir, add, parts = _write_payload(root, df, partition_by)
     _write_commit(root, 0, add, [], schema_json=df.schema.json(),
                   stats=_collect_stats(spark, root, pdir, df.schema),
                   parts=parts, partition_by=partition_by or None,
-                  op="create")
+                  op="create", bloom_cols=bloom_cols or None,
+                  blooms=_collect_blooms(spark, root, pdir, df.schema,
+                                         bloom_cols))
     return 0
 
 
@@ -826,15 +996,16 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     and a blind re-commit could resurrect deleted rows; the caller must
     re-read and re-derive (exactly Delta's conflict matrix)."""
     out = _check_schema(df, table_schema(root), "append")
-    pdir, add, parts = _write_payload(
-        root, out, _read_state(root)["partition_by"]
-    )
+    st0 = _read_state(root)
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"])
     stats = _collect_stats(spark, root, pdir, out.schema)
+    blooms = _collect_blooms(spark, root, pdir, out.schema,
+                             st0["bloom_cols"])
     for attempt in range(max_retries + 1):
         version = latest_version(root) + 1
         try:
             _write_commit(root, version, add, [], stats=stats,
-                          parts=parts, op="append")
+                          parts=parts, op="append", blooms=blooms)
             return version
         except FileExistsError:
             if attempt == max_retries:
@@ -869,13 +1040,14 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     # incoming DataFrame's order (stable, writer-chosen)
     new_cols = [f for f in df.schema if f.name not in {p.name for p in pinned}]
     ordered = df.select(*[f.name for f in pinned], *[f.name for f in new_cols])
-    pdir, add, parts = _write_payload(
-        root, ordered, _read_state(root)["partition_by"]
-    )
+    st0 = _read_state(root)
+    pdir, add, parts = _write_payload(root, ordered, st0["partition_by"])
     _write_commit(
         root, version, add, [], schema_json=ordered.schema.json(),
         stats=_collect_stats(spark, root, pdir, ordered.schema),
         parts=parts, op="evolve_schema",
+        blooms=_collect_blooms(spark, root, pdir, ordered.schema,
+                               st0["bloom_cols"]),
     )
     return version
 
@@ -1166,12 +1338,13 @@ def merge_into(
         out = survivors.unionByName(source)
     else:
         out = source
-    pdir, add, parts = _write_payload(
-        root, out, _read_state(root)["partition_by"]
-    )
+    st0 = _read_state(root)
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"])
     _write_commit(root, version, add, hit, txn=txn,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  parts=parts, merge_keys=list(key_cols), op="merge")
+                  parts=parts, merge_keys=list(key_cols), op="merge",
+                  blooms=_collect_blooms(spark, root, pdir, schema,
+                                         st0["bloom_cols"]))
     return version
 
 
@@ -1256,7 +1429,9 @@ def compact(
     pdir, add, parts = _write_payload(root, out, pby)
     _write_commit(root, version, add, files,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  data_change=False, parts=parts, op="optimize")
+                  data_change=False, parts=parts, op="optimize",
+                  blooms=_collect_blooms(spark, root, pdir, schema,
+                                         _read_state(root)["bloom_cols"]))
     return version
 
 
@@ -1284,12 +1459,13 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     kept = _scan_files(
         spark, root, hit, schema, dv_map(root)
     ).filter(f"({condition}) IS NOT TRUE")
-    pdir, add, parts = _write_payload(
-        root, kept, _read_state(root)["partition_by"]
-    )
+    st0 = _read_state(root)
+    pdir, add, parts = _write_payload(root, kept, st0["partition_by"])
     _write_commit(root, version, add, hit,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  parts=parts, op="delete")
+                  parts=parts, op="delete",
+                  blooms=_collect_blooms(spark, root, pdir, schema,
+                                         st0["bloom_cols"]))
     return version
 
 
@@ -1345,9 +1521,8 @@ def update_where(
         return F.col(name)
 
     rewritten = hit_scan.select(*[_set_col(f.name) for f in schema])
-    pdir, add, parts = _write_payload(
-        root, rewritten, _read_state(root)["partition_by"]
-    )
+    st0 = _read_state(root)
+    pdir, add, parts = _write_payload(root, rewritten, st0["partition_by"])
     cdc_parts = None
     if cdf:
         pre = hit_scan.filter(is_hit)
@@ -1365,7 +1540,9 @@ def update_where(
         cdc_parts = _dir_files(root, cdir)
     _write_commit(root, version, add, hit,
                   stats=_collect_stats(spark, root, pdir, schema),
-                  parts=parts, cdc=cdc_parts, op="update")
+                  parts=parts, cdc=cdc_parts, op="update",
+                  blooms=_collect_blooms(spark, root, pdir, schema,
+                                         st0["bloom_cols"]))
     return version
 
 
