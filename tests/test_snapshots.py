@@ -1253,3 +1253,77 @@ def test_bloom_unindexed_column_degrades_to_scan(spark, btable):
     pf = snap.bloom_pruned_files(spark, btable, "val", 500)
     assert pf == snap.live_files(btable)
     assert snap.read_point(spark, btable, "val", 500).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Incremental OPTIMIZE (small-file-only compaction)
+
+
+def test_incremental_optimize_rewrites_only_small_files(spark, tmp_path):
+    """compact(small_only_below=N) coalesces only files under the
+    row-count threshold (recorded by every commit); big files are
+    carried by log reference — repeated OPTIMIZE is O(new small files)."""
+    root = str(tmp_path / "incopt")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, val long"
+    )
+    snap.create(spark, root, df.coalesce(1))          # one 100-row file
+    for k in range(3):                                 # three 1-row files
+        snap.append(
+            spark, root,
+            spark.createDataFrame([(1000 + k, k)], "id long, val long"),
+        )
+    big = [f for f, n in snap.file_rows(root).items() if n == 100]
+    assert len(big) == 1
+    want = sorted(r.id for r in snap.read(spark, root).collect())
+    v = snap.compact(spark, root, max_files=1, small_only_below=50)
+    after = snap.live_files(root, v)
+    assert big[0] in after                 # the big file was NOT rewritten
+    assert len(after) == 2                 # big + one coalesced small file
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == want
+    # second pass: nothing small left -> auditable no-op
+    v2 = snap.compact(spark, root, max_files=1, small_only_below=50)
+    assert snap.live_files(root, v2) == after
+    assert snap.history(root)[0]["operation"] == "optimize"
+    assert snap.history(root)[0]["data_change"] is False
+
+
+def test_incremental_optimize_rewrites_dv_files(spark, tmp_path):
+    """A file carrying a deletion vector counts as small regardless of
+    its recorded rows — the rewrite materializes the delete and retires
+    the DV."""
+    root = str(tmp_path / "incoptdv")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, val long"
+    )
+    snap.create(spark, root, df.coalesce(1))
+    snap.delete_where_mor(spark, root, "id < 5")
+    assert snap.dv_map(root)
+    snap.compact(spark, root, max_files=1, small_only_below=10)
+    assert snap.dv_map(root) == {}
+    assert snap.read(spark, root).count() == 95
+
+
+# ---------------------------------------------------------------------------
+# TIMESTAMP AS OF
+
+
+def test_timestamp_time_travel(spark, table):
+    """Every commit records its wall-clock ts; TIMESTAMP AS OF resolves
+    the newest commit at or before the instant and reads that snapshot;
+    a pre-table timestamp raises."""
+    import time
+
+    ts = snap.commit_timestamps(table)
+    assert sorted(ts) == [0, 1]
+    time.sleep(0.01)
+    between = int(time.time() * 1000)
+    time.sleep(0.01)
+    snap.delete_where(spark, table, "lang = 'de'")
+    assert snap.version_as_of(table, between) == 1
+    got = snap.read_timestamp_as_of(spark, table, between)
+    assert got.count() == 20  # pre-delete era
+    now = int(time.time() * 1000) + 1000
+    assert snap.read_timestamp_as_of(spark, table, now).count() == 15
+    with pytest.raises(ValueError, match="no commit at or before"):
+        snap.version_as_of(table, min(ts.values()) - 10_000)

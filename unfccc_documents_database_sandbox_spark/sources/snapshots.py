@@ -227,15 +227,13 @@ def _collect_stats(
     re-scanned). All-NULL columns record [None, None], which range
     predicates may prune (NULL never satisfies a range)."""
     cols = [f.name for f in schema if isinstance(f.dataType, _STATS_TYPES)]
-    if not cols:
-        return {}
     rel_of = {}
     for dirpath, _dirs, files in os.walk(pdir):
         for fn in files:
             if fn.endswith(".parquet"):
                 p = os.path.join(dirpath, fn)
                 rel_of[os.path.realpath(p)] = os.path.relpath(p, root)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
@@ -246,13 +244,20 @@ def _collect_stats(
         .collect()
     )
     # seed EVERY written file: empty part files produce no groupBy row, and
-    # [None, None] (no values) correctly prunes them under any bound
+    # [None, None] (no values) correctly prunes them under any bound.
+    # Row counts ride in the same pass under the reserved "__nrows" key
+    # (no column may collide: real columns never start with "__n" in the
+    # fixtures, and the prune loop only reads keys it was asked about).
     stats: dict[str, dict[str, list]] = {
-        rel: {c: [None, None] for c in cols} for rel in rel_of.values()
+        rel: {"__nrows": 0, **{c: [None, None] for c in cols}}
+        for rel in rel_of.values()
     }
     for r in rows:
         rel = _uri_to_relpath(r["__f"], rel_of)
-        stats[rel] = {c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols}
+        stats[rel] = {
+            "__nrows": r["__n"],
+            **{c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols},
+        }
     return stats
 
 
@@ -405,6 +410,18 @@ def file_stats(root: str, version: int | None = None) -> dict[str, dict[str, lis
     return {f: s for f, s in state["stats"].items() if f in state["live"]}
 
 
+def file_rows(root: str, version: int | None = None) -> dict[str, int | None]:
+    """{live file: recorded row count} as of ``version`` (None for files
+    committed before row counts were recorded — callers must treat
+    unknown conservatively)."""
+    state = _read_state(root, version)
+    out: dict[str, int | None] = {}
+    for f in sorted(state["live"]):
+        v = state["stats"].get(f, {}).get("__nrows")
+        out[f] = v if isinstance(v, int) else None
+    return out
+
+
 def _typed_partition_value(raw, dtype):
     """A recorded partition-value string typed for range comparison.
     Returns ("null", None) for a NULL partition, ("val", typed) for
@@ -547,7 +564,10 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
     the commit applied, so a replay after failure can see it already
     landed (see applied_txns / the foreachBatch sink)."""
     os.makedirs(_log_dir(root), exist_ok=True)
-    payload = {"version": version, "add": add, "remove": remove}
+    import time as _time
+
+    payload = {"version": version, "add": add, "remove": remove,
+               "ts": int(_time.time() * 1000)}
     if schema_json is not None:
         payload["schema"] = schema_json
     if txn is not None:
@@ -743,6 +763,44 @@ def _read_state(root: str, version: int | None = None) -> dict:
 
 def latest_version(root: str) -> int:
     return _read_state(root)["version"]
+
+
+def commit_timestamps(root: str) -> dict[int, int]:
+    """{version: commit timestamp (epoch ms)} for every commit still in
+    the log — from the commit's recorded ts, falling back to the JSON
+    file's mtime for pre-ts eras (exactly Delta's modification-time
+    fallback)."""
+    out = {}
+    for v in _commit_versions(root):
+        c = _load_commit(root, v)
+        out[v] = c.get("ts") or int(
+            os.path.getmtime(_commit_path(root, v)) * 1000
+        )
+    return out
+
+
+def version_as_of(root: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    landed at or before ``timestamp_ms``. Raises if the timestamp
+    predates the table (or the oldest un-expired commit — expired eras
+    are not reconstructible, the retention contract)."""
+    ts = commit_timestamps(root)
+    eligible = [v for v, t in ts.items() if t <= timestamp_ms]
+    if not eligible:
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp_ms} "
+            f"(oldest in log: {min(ts.values()) if ts else None})"
+        )
+    return max(eligible)
+
+
+def read_timestamp_as_of(
+    spark: SparkSession, root: str, timestamp_ms: int
+) -> DataFrame:
+    """Time travel by TIMESTAMP (Delta's TIMESTAMP AS OF): resolve the
+    version whose commit was newest at that wall-clock instant, then
+    snapshot-read it."""
+    return read(spark, root, version_as_of(root, timestamp_ms))
 
 
 def live_files(root: str, version: int | None = None) -> list[str]:
@@ -1353,6 +1411,7 @@ def compact(
     root: str,
     max_files: int = 4,
     zorder_by: list[str] | None = None,
+    small_only_below: int | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the live file set down to ``max_files`` files as
     one commit (add: coalesced rewrite, remove: everything it replaced) —
@@ -1375,9 +1434,32 @@ def compact(
     files = live_files(root, version - 1)
     schema = table_schema(root)
     pby = _read_state(root)["partition_by"]
+    if small_only_below is not None:
+        # INCREMENTAL OPTIMIZE (Delta's minFileSize discipline, on the
+        # row counts every commit records): rewrite ONLY files smaller
+        # than the threshold — already-compacted big files are carried by
+        # log reference, so repeated OPTIMIZE runs on a growing table do
+        # O(new small files) work, not O(table). A file whose row count
+        # predates recording (or that carries a DV — its live row count
+        # is lower than recorded) is treated as small: conservative,
+        # rewritten at most once. No small files -> an auditable no-op.
+        counts = file_rows(root, version - 1)
+        dv_now = dv_map(root)
+        files = [
+            f for f in files
+            if counts.get(f) is None
+            or counts[f] < small_only_below
+            or f in dv_now
+        ]
+        # a single small file with no DV cannot be improved — rewriting
+        # it would churn the same file forever on repeated OPTIMIZE runs
+        if not files or (len(files) == 1 and files[0] not in dv_now):
+            _write_commit(root, version, [], [], data_change=False,
+                          op="optimize")
+            return version
     # DV-aware: the rewrite physically drops MOR-deleted rows, so the
     # compacted files need no DV (replay clears pointers of removed files)
-    cur = _scan(spark, root)
+    cur = _scan_files(spark, root, files, schema, dv_map(root))
     if zorder_by:
         if len(zorder_by) > 2:
             raise ValueError("zorder_by supports at most 2 columns")
