@@ -1327,3 +1327,195 @@ def test_timestamp_time_travel(spark, table):
     assert snap.read_timestamp_as_of(spark, table, now).count() == 15
     with pytest.raises(ValueError, match="no commit at or before"):
         snap.version_as_of(table, min(ts.values()) - 10_000)
+
+
+# ---------------------------------------------------------------------------
+# Full-DML randomized protocol soak (round 9 surface)
+
+
+def test_full_dml_randomized_soak_against_python_model(spark, tmp_path):
+    """Seeded random sequences over the WHOLE round-9 DML alphabet —
+    append, COW delete, MOR delete (cdf on/off), UPDATE, MERGE,
+    incremental/zorder OPTIMIZE, RESTORE — checked two ways after every
+    sequence: (1) the head read equals an independently-maintained
+    pure-Python model of the table, and (2) v0 + the change feed folds
+    to HEAD (update pre/postimages counting -1/+1). Restores replay the
+    model from its own history snapshots."""
+    import random
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        root = str(tmp_path / f"dmlsoak{seed}")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, p, v) for i, p, v in rows],
+                "id long, payload string, val long",
+            )
+
+        model = {i: (f"p{i}", i * 10) for i in range(12)}
+        snap.create(
+            spark, root, mk([(i, *model[i]) for i in sorted(model)])
+        )
+        history = [dict(model)]
+        next_id = 12
+        for step in range(8):
+            op = rnd.choice(
+                ["append", "delete", "mor", "update", "merge",
+                 "optimize", "restore"]
+            )
+            if op == "append":
+                rows = [(next_id + j, f"a{step}_{j}", j) for j in range(3)]
+                snap.append(spark, root, mk(rows))
+                for i, p, v in rows:
+                    model[i] = (p, v)
+                next_id += 3
+            elif op == "delete":
+                m = rnd.randint(2, 5)
+                snap.delete_where(spark, root, f"id % {m} = 0")
+                model = {i: r for i, r in model.items() if i % m != 0}
+            elif op == "mor":
+                m = rnd.randint(2, 5)
+                snap.delete_where_mor(
+                    spark, root, f"val % {m} = 1", cdf=rnd.random() < 0.5
+                )
+                model = {i: r for i, r in model.items() if r[1] % m != 1}
+            elif op == "update":
+                m = rnd.randint(2, 4)
+                snap.update_where(
+                    spark, root, f"id % {m} = 1",
+                    {"val": "val + 1000", "payload": "concat(payload, 'u')"},
+                )
+                model = {
+                    i: ((p + "u", v + 1000) if i % m == 1 else (p, v))
+                    for i, (p, v) in model.items()
+                }
+            elif op == "merge":
+                pool = sorted(model) or [0]
+                ids = sorted({rnd.choice(pool), next_id})
+                rows = [(i, f"m{step}_{i}", i) for i in ids]
+                snap.merge_into(spark, root, mk(rows), ["id"])
+                for i, p, v in rows:
+                    model[i] = (p, v)
+                next_id += 1
+            elif op == "optimize":
+                if rnd.random() < 0.5:
+                    snap.compact(spark, root, max_files=2,
+                                 small_only_below=5)
+                else:
+                    snap.compact(spark, root, max_files=2,
+                                 zorder_by=["id"])
+            else:  # restore
+                target = rnd.randrange(len(history))
+                snap.restore(spark, root, target_version := target)
+                model = dict(history[target_version])
+            history.append(dict(model))
+
+        got = {
+            r.id: (r.payload, r.val)
+            for r in snap.read(spark, root).collect()
+        }
+        assert got == model, f"seed {seed}: head != model"
+
+        # replication fold across the full mixed feed
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for r in snap.changes(spark, root, 0).collect():
+            sign = (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
+            cnt[(r.id, r.payload, r.val)] += sign
+        for r in snap.read(spark, root, 0).collect():
+            cnt[(r.id, r.payload, r.val)] += 1
+        fold = sorted(k for k, n in cnt.items() for _ in range(n))
+        head = sorted(
+            (r.id, r.payload, r.val)
+            for r in snap.read(spark, root).collect()
+        )
+        assert fold == head, f"seed {seed}: fold != head"
+
+
+def test_zorder_three_columns_clusters_all_dims(spark, tmp_path):
+    """N-column OPTIMIZE ZORDER (Morton interleave across n dims): after
+    clustering on three columns, a range predicate on EACH of them
+    prunes files via stats — and contents are preserved exactly."""
+    root = str(tmp_path / "z3")
+    rows = [
+        (i, (i * 7) % 100, (i * 13) % 100, (i * 29) % 100)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long")
+    snap.create(spark, root, df.repartition(6))
+    want = sorted(r.id for r in snap.read(spark, root).collect())
+    snap.compact(spark, root, max_files=8, zorder_by=["a", "b", "c"])
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == want
+    n_live = len(snap.live_files(root))
+    for col in ("a", "b", "c"):
+        pf = snap.pruned_files(root, {col: (0, 10)})
+        assert len(pf) < n_live, f"no pruning on {col}"
+    with pytest.raises(ValueError, match="at most 4"):
+        snap.compact(spark, root, zorder_by=["a", "b", "c", "id", "id"])
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints
+
+
+def test_check_constraints_enforced_on_every_writer(spark, tmp_path):
+    """CHECK constraints (SQL semantics: only FALSE violates, NULL
+    passes) reject violating appends, merges, and updates by name; valid
+    writes pass; drop re-opens the gate."""
+    root = str(tmp_path / "cons")
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20)], "id long, lang string, val long"
+    )
+    snap.create(spark, root, df, check_constraints={"pos_val": "val > 0"})
+    # NULL lang passes a lang constraint added later only if rows comply
+    snap.add_constraint(spark, root, "lang_known",
+                        "lang IN ('en', 'de')")  # NULL passes (SQL CHECK)
+    ok = spark.createDataFrame([(3, "de", 5)], "id long, lang string, val long")
+    snap.append(spark, root, ok)
+    bad_val = spark.createDataFrame(
+        [(4, "en", -1)], "id long, lang string, val long"
+    )
+    with pytest.raises(ValueError, match="pos_val"):
+        snap.append(spark, root, bad_val)
+    bad_lang = spark.createDataFrame(
+        [(5, "xx", 1)], "id long, lang string, val long"
+    )
+    with pytest.raises(ValueError, match="lang_known"):
+        snap.merge_into(spark, root, bad_lang, ["id"])
+    with pytest.raises(ValueError, match="pos_val"):
+        snap.update_where(spark, root, "id = 1", {"val": "-5"})
+    # an update that falsifies its own predicate still validates
+    with pytest.raises(ValueError, match="pos_val"):
+        snap.update_where(spark, root, "val = 10", {"val": "val - 100"})
+    snap.drop_constraint(root, "pos_val")
+    snap.append(spark, root, bad_val)  # gate re-opened
+    assert snap.read(spark, root).filter("val = -1").count() == 1
+    assert list(snap.constraints(root)) == ["lang_known"]
+
+
+def test_add_constraint_rejects_violating_existing_rows(spark, tmp_path):
+    """ADD CONSTRAINT validates the current table first — existing
+    violations reject the constraint, not the data (Delta's contract)."""
+    root = str(tmp_path / "consx")
+    df = spark.createDataFrame([(1, -5)], "id long, val long")
+    snap.create(spark, root, df)
+    with pytest.raises(ValueError, match="existing rows"):
+        snap.add_constraint(spark, root, "pos", "val > 0")
+    assert snap.constraints(root) == {}
+
+
+def test_constraints_survive_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "consck")
+    df = spark.createDataFrame([(1, 5)], "id long, val long")
+    snap.create(spark, root, df, check_constraints={"pos": "val > 0"})
+    snap.checkpoint(root)
+    snap.expire_log(root)
+    with pytest.raises(ValueError, match="pos"):
+        snap.append(
+            spark, root, spark.createDataFrame([(2, -1)], "id long, val long")
+        )
+    assert snap.constraints(root) == {"pos": "val > 0"}

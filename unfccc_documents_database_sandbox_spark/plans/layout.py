@@ -778,6 +778,60 @@ def table_bloom_prune(spark, sf_dir):
     )
 
 
+@register(
+    "table_constraints",
+    oracle="""
+    SELECT c.name, c.expr,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_rows_valid
+    FROM (VALUES
+        ('chars_nonneg', 'n_chars >= 0'),
+        ('doc_id_nonneg', 'doc_id >= 0')
+    ) AS c(name, expr)
+    """,
+)
+def table_constraints(spark, sf_dir):
+    """CHECK constraints on the snapshot table (Delta's ADD CONSTRAINT):
+    CREATE with one constraint, ADD two more (each first validated
+    against the existing rows — violations reject the constraint, not
+    the data), DROP one, then emit the active constraint metadata plus
+    the validated row count. Every writer (append/MERGE/UPDATE) now
+    gates its incoming rows: a violating write raises naming the
+    constraint and a violating row instead of poisoning the table —
+    including an UPDATE whose SET falsifies its own predicate (the
+    post-image is what validates). NULL passes, FALSE violates — SQL
+    CHECK semantics. Enforcement, existing-row rejection, and
+    checkpoint survival are pinned in tests/test_snapshots.py.
+
+    Scale: validation is one short-circuit probe per constraint over
+    only the INCOMING payload (limit-1, never a table scan); the
+    metadata rides the log like every other table property."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapcons_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(
+        spark, root, d.filter(F.col("doc_id") % 2 == 0),
+        check_constraints={"chars_nonneg": "n_chars >= 0"},
+    )
+    snap.add_constraint(spark, root, "doc_id_nonneg", "doc_id >= 0")
+    snap.add_constraint(spark, root, "lang_short", "length(lang) <= 8")
+    snap.drop_constraint(root, "lang_short")
+    snap.append(spark, root, d.filter(F.col("doc_id") % 2 == 1))
+    n = snap.read(spark, root).count()
+    active = snap.constraints(root)
+    return spark.createDataFrame(
+        [(k, v, n) for k, v in sorted(active.items())],
+        "name string, expr string, n_rows_valid long",
+    )
+
+
 _RESTORE_V1 = "(lang = 'de') IS NOT TRUE"
 _RESTORE_V2 = f"{_RESTORE_V1} AND NOT (doc_id % 5 = 0)"
 

@@ -103,7 +103,6 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "agg_skewness_exact", "basket_pairs", "dedup_embedding",
         "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
         "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
-        "doc_fingerprint",
     }
 )
 
@@ -117,7 +116,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # r06 evidence (the alphabetical tail of the r06 cohort, incl.
         # keys demoted from the initial r09 DUE promotion as round-9
         # unprefixed keys registered)
-        "doc_rolling_hash",
+        "doc_fingerprint", "doc_rolling_hash",
         "events_anomaly", "events_attribution", "filter_notnull", "filter_or_eq",
         "graph_triangles",
         "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",

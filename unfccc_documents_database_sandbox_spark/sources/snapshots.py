@@ -61,6 +61,11 @@ protocol stripped to what the sandbox can express:
   equality-pruning tier min/max stats can't give: write-side bitmaps in
   the log, probe-side pruning with zero data I/O (`read_point`).
 
+- CHECK CONSTRAINTS travel in the log (`add_constraint` /
+  `drop_constraint`, validated against existing rows first); every
+  writer gates its incoming rows — FALSE violates, NULL passes (SQL
+  CHECK semantics).
+
 - CHECKPOINTS consolidate the state (live set, schema, stats, txn
   stamps) into one _checkpoint.{N}.json; readers replay from the newest
   checkpoint at or below their version, so replay cost is O(commits since
@@ -553,7 +558,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   merge_keys: list[str] | None = None,
                   op: str | None = None,
                   blooms: dict | None = None,
-                  bloom_cols: list[str] | None = None) -> None:
+                  bloom_cols: list[str] | None = None,
+                  constraint_add: dict | None = None,
+                  constraint_drop: str | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -615,6 +622,12 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
     if bloom_cols is not None:
         # Table-level bloom index spec — commit 0 only, like partition_by.
         payload["bloom_cols"] = bloom_cols
+    if constraint_add:
+        # CHECK constraint metadata commits (Delta's ADD CONSTRAINT):
+        # {name: sql expression}; every subsequent write validates.
+        payload["constraint_add"] = constraint_add
+    if constraint_drop:
+        payload["constraint_drop"] = constraint_drop
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -713,13 +726,15 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "parts": dict(ck.get("parts", {})),
             "bloom_cols": list(ck.get("bloom_cols", [])),
             "blooms": dict(ck.get("blooms", {})),
+            "constraints": dict(ck.get("constraints", {})),
         }
         start = ck_version + 1
     else:
         state = {"version": -1, "live": set(), "schema": None,
                  "stats": {}, "txns": [], "dv": {},
                  "partition_by": [], "parts": {},
-                 "bloom_cols": [], "blooms": {}}
+                 "bloom_cols": [], "blooms": {},
+                 "constraints": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -749,6 +764,10 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["partition_by"] = list(c["partition_by"])
         if "bloom_cols" in c:
             state["bloom_cols"] = list(c["bloom_cols"])
+        for name, expr in c.get("constraint_add", {}).items():
+            state["constraints"][name] = expr
+        if "constraint_drop" in c:
+            state["constraints"].pop(c["constraint_drop"], None)
         for f, pv in c.get("parts", {}).items():
             state["parts"][f] = pv
         for f, bm in c.get("blooms", {}).items():
@@ -956,6 +975,7 @@ def checkpoint(root: str) -> int:
         "bloom_cols": list(state["bloom_cols"]),
         "blooms": {f: state["blooms"][f] for f in sorted(state["live"])
                    if f in state["blooms"]},
+        "constraints": dict(state["constraints"]),
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -1005,12 +1025,64 @@ def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
     return df.select(*[f.name for f in pinned])
 
 
+def constraints(root: str, version: int | None = None) -> dict[str, str]:
+    """The active CHECK constraints as of ``version``: {name: sql expr}."""
+    return dict(_read_state(root, version)["constraints"])
+
+
+def _check_constraints(
+    df: DataFrame, cons: dict[str, str], op: str
+) -> None:
+    """Enforce CHECK constraints on incoming rows (SQL semantics: a row
+    violates only when the expression is FALSE — NULL passes, like every
+    engine's CHECK). One short-circuit probe per constraint over only
+    the incoming payload; raises naming the constraint and one violating
+    row."""
+    for name, expr in sorted(cons.items()):
+        bad = df.filter(f"({expr}) IS FALSE").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"{op}: CHECK constraint {name!r} ({expr}) violated, "
+                f"e.g. by row {bad[0].asDict()!r}"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT (Delta's CHECK constraints): validate the CURRENT
+    table against ``expr`` first (existing violations reject the
+    constraint, not the data), then publish a metadata commit; every
+    subsequent append/merge/update validates its incoming rows and
+    fails loudly on violation. Names are unique while active."""
+    if name in constraints(root):
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(
+        _scan(spark, root), {name: expr}, "add_constraint (existing rows)"
+    )
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], op="add_constraint",
+                  constraint_add={name: expr})
+    return version
+
+
+def drop_constraint(root: str, name: str) -> int:
+    """DROP CONSTRAINT: a metadata commit; unknown names raise."""
+    if name not in constraints(root):
+        raise ValueError(f"no such constraint {name!r}")
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], op="drop_constraint",
+                  constraint_drop=name)
+    return version
+
+
 def create(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    check_constraints: dict[str, str] | None = None,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
@@ -1027,6 +1099,8 @@ def create(
         raise ValueError(
             f"partition_by/bloom_cols columns not in schema: {missing}"
         )
+    if check_constraints:
+        _check_constraints(df, check_constraints, "create")
     shutil.rmtree(root, ignore_errors=True)
     pdir, add, parts = _write_payload(root, df, partition_by)
     _write_commit(root, 0, add, [], schema_json=df.schema.json(),
@@ -1034,7 +1108,8 @@ def create(
                   parts=parts, partition_by=partition_by or None,
                   op="create", bloom_cols=bloom_cols or None,
                   blooms=_collect_blooms(spark, root, pdir, df.schema,
-                                         bloom_cols))
+                                         bloom_cols),
+                  constraint_add=check_constraints or None)
     return 0
 
 
@@ -1055,6 +1130,7 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     re-read and re-derive (exactly Delta's conflict matrix)."""
     out = _check_schema(df, table_schema(root), "append")
     st0 = _read_state(root)
+    _check_constraints(out, st0["constraints"], "append")
     pdir, add, parts = _write_payload(root, out, st0["partition_by"])
     stats = _collect_stats(spark, root, pdir, out.schema)
     blooms = _collect_blooms(spark, root, pdir, out.schema,
@@ -1361,6 +1437,7 @@ def merge_into(
     version = latest_version(root) + 1
     schema = table_schema(root)
     source = _check_schema(source, schema, "merge_into")
+    _check_constraints(source, _read_state(root)["constraints"], "merge_into")
     dup = (
         source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -1461,11 +1538,16 @@ def compact(
     # compacted files need no DV (replay clears pointers of removed files)
     cur = _scan_files(spark, root, files, schema, dv_map(root))
     if zorder_by:
-        if len(zorder_by) > 2:
-            raise ValueError("zorder_by supports at most 2 columns")
+        n_dims = len(zorder_by)
+        if n_dims > 4:
+            raise ValueError("zorder_by supports at most 4 columns")
         from pyspark.sql import Window as _W
 
-        bits = 8
+        # bit budget per dimension shrinks with dimensionality so the
+        # interleaved value stays well inside a long (8/8/5/4 bits for
+        # 1/2/3/4 dims — Delta caps ZORDER columns similarly because
+        # locality decays with every added dimension)
+        bits = {1: 8, 2: 8, 3: 5, 4: 4}[n_dims]
         ranked = []
         for c in zorder_by:
             # rank-normalize to [0, 2^bits): equal-frequency cells, so a
@@ -1476,17 +1558,17 @@ def compact(
                     (r * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
                 )
             )
-        if len(ranked) == 1:
+        if n_dims == 1:
             zval = ranked[0]
         else:
+            # Morton interleave across n_dims: bit i of dim d lands at
+            # position i*n_dims + d
             zval = F.lit(0)
             for i in range(bits):
-                zval = zval + F.shiftright(ranked[0], i).bitwiseAND(
-                    F.lit(1)
-                ) * F.lit(1 << (2 * i))
-                zval = zval + F.shiftright(ranked[1], i).bitwiseAND(
-                    F.lit(1)
-                ) * F.lit(1 << (2 * i + 1))
+                for d in range(n_dims):
+                    zval = zval + F.shiftright(ranked[d], i).bitwiseAND(
+                        F.lit(1)
+                    ) * F.lit(1 << (n_dims * i + d))
         if pby:
             # partition boundaries are preserved: shuffle by the partition
             # columns (each value lands in one task → one file per
@@ -1604,17 +1686,22 @@ def update_where(
 
     rewritten = hit_scan.select(*[_set_col(f.name) for f in schema])
     st0 = _read_state(root)
+    # the post-image of the updated rows: predicate evaluated on the OLD
+    # values (filter BEFORE the SET — re-evaluating on post-SET rows
+    # would miss updates that falsify their own predicate), SET applied
+    # unconditionally after
+    pre = hit_scan.filter(is_hit)
+    post = pre.select(
+        *[
+            (F.expr(set_exprs[f.name]).cast(types[f.name]).alias(f.name)
+             if f.name in set_exprs else F.col(f.name))
+            for f in schema
+        ]
+    )
+    _check_constraints(post, st0["constraints"], "update_where")
     pdir, add, parts = _write_payload(root, rewritten, st0["partition_by"])
     cdc_parts = None
     if cdf:
-        pre = hit_scan.filter(is_hit)
-        post = pre.select(
-            *[
-                (F.expr(set_exprs[f.name]).cast(types[f.name]).alias(f.name)
-                 if f.name in set_exprs else F.col(f.name))
-                for f in schema
-            ]
-        )
         cdir = _new_payload_dir(root)
         pre.withColumn("_change_type", F.lit("update_preimage")).unionByName(
             post.withColumn("_change_type", F.lit("update_postimage"))
