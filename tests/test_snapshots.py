@@ -1519,3 +1519,73 @@ def test_constraints_survive_checkpoint(spark, tmp_path):
             spark, root, spark.createDataFrame([(2, -1)], "id long, val long")
         )
     assert snap.constraints(root) == {"pos": "val > 0"}
+
+
+# ---------------------------------------------------------------------------
+# Generated partition transforms (hidden partitioning)
+
+
+def test_generated_truncate_partition_prunes_source_ranges(spark, tmp_path):
+    """An integer truncate transform buckets by floor-division; bounds on
+    the raw SOURCE column map through the transform and prune files,
+    with the residual filter keeping rows exact; OPTIMIZE preserves the
+    derived layout."""
+    root = str(tmp_path / "gpt")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(400)], "id long, val long"
+    )
+    snap.create(
+        spark, root, df,
+        partition_by=[{"source": "id", "transform": "truncate",
+                       "param": 100}],
+    )
+    pf = snap.pruned_files(root, {"id": (120, 180)})
+    assert pf and all("__p_0=1" in f for f in pf)
+    got = snap.read_pruned(spark, root, {"id": (120, 180)})
+    assert sorted(r.id for r in got.collect()) == list(range(120, 181))
+    snap.compact(spark, root, max_files=2)
+    pf2 = snap.pruned_files(root, {"id": (0, 99)})
+    assert pf2 and all("__p_0=0" in f for f in pf2)
+    assert snap.read(spark, root).count() == 400
+
+
+def test_generated_day_partition_prunes_timestamp_ranges(spark, tmp_path):
+    """The day transform hides a date partition behind the raw timestamp
+    column (Iceberg's hidden partitioning): ts bounds open only the
+    covered days' files and rows stay microsecond-exact; the generated
+    name is also directly boundable (file-level)."""
+    import datetime
+
+    root = str(tmp_path / "gpd")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 5, 6, 30), i)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v long")
+    snap.create(
+        spark, root, df,
+        partition_by=[{"source": "ts", "transform": "day", "name": "day"}],
+    )
+    pf = snap.pruned_files(
+        root, {"ts": ("2024-01-02 00:00:00", "2024-01-03 23:59:59")}
+    )
+    assert pf and all(
+        "__p_0=2024-01-02" in f or "__p_0=2024-01-03" in f for f in pf
+    )
+    got = snap.read_pruned(
+        spark, root, {"ts": ("2024-01-02 00:00:00", "2024-01-03 23:59:59")}
+    )
+    assert sorted(r.id for r in got.collect()) == sorted(
+        i for i in range(50) if 1 <= i % 5 <= 2
+    )
+    pf2 = snap.pruned_files(root, {"day": ("2024-01-04", "2024-01-04")})
+    assert pf2 and all("__p_0=2024-01-04" in f for f in pf2)
+
+
+def test_generated_partition_unknown_transform_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        snap.create(
+            spark, str(tmp_path / "gpbad"), df,
+            partition_by=[{"source": "id", "transform": "hour"}],
+        )

@@ -832,6 +832,67 @@ def table_constraints(spark, sf_dir):
     )
 
 
+_GP_LO = "2024-01-08 00:00:00"
+_GP_HI = "2024-01-12 23:59:59.999999"
+
+
+@register(
+    "table_generated_partition",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_GP_LO}' AND TIMESTAMP '{_GP_HI}'
+    GROUP BY event_type
+    """,
+)
+def table_generated_partition(spark, sf_dir):
+    """GENERATED partition transforms (Iceberg's hidden partitioning /
+    Delta's generated columns): the events table is CREATEd with
+    partition_by=[{{source: ts, transform: day}}] — the partition value
+    is DERIVED (the timestamp's ISO date), exists only in the directory
+    layout and the log, and queries never mention it: a range predicate
+    on the raw ts column is mapped through the monotonic transform to
+    partition bounds ([T(lo), T(hi)]) before per-file stats, so a 5-day
+    window on a month of events opens ~5/30ths of the files while the
+    residual filter keeps rows exact to the microsecond. The oracle
+    recomputes the same window from the raw table. The truncate
+    (integer floor-bucket) transform, transform-preserving OPTIMIZE,
+    and name-direct pruning are pinned in tests/test_snapshots.py.
+
+    Scale: time-partitioned event tables are THE 100 TB shape, and
+    hidden partitioning removes the classic failure mode — a user
+    filtering raw ts while the table partitions on a derived date
+    column they forgot to also bound (Iceberg's founding pitch)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapgp_{tag}")
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    snap.create(
+        spark, root, e,
+        partition_by=[{"source": "ts", "transform": "day", "name": "day"}],
+    )
+    pruned = snap.read_pruned(spark, root, {"ts": (_GP_LO, _GP_HI)})
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 _RESTORE_V1 = "(lang = 'de') IS NOT TRUE"
 _RESTORE_V2 = f"{_RESTORE_V1} AND NOT (doc_id % 5 = 0)"
 

@@ -81,9 +81,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sized so DUE + the round's new unprefixed keys fill the 50-key window —
 # machine-checked by tests/test_rotation.py::test_window_reaches_every_
 # due_key; size the r10 promotion from the registry, not this comment).
-# Rows-only by design among these: dedup_fuzzy_minhash, dedup_simhash,
-# doc_rolling_hash (approximate / hash-seeded semantics documented at
-# their builders).
+# Rows-only by design among these: dedup_fuzzy_minhash (approximate
+# semantics documented at its builder).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         # r05 evidence (the 27-key alphabetical tail of the r05 cohort)
@@ -102,7 +101,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "agg_corr_exact", "agg_decimal_money", "agg_mode_freq",
         "agg_skewness_exact", "basket_pairs", "dedup_embedding",
         "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
-        "dedup_latest", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_latest", "dedup_ngram_jaccard",
     }
 )
 
@@ -116,7 +115,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # r06 evidence (the alphabetical tail of the r06 cohort, incl.
         # keys demoted from the initial r09 DUE promotion as round-9
         # unprefixed keys registered)
-        "doc_fingerprint", "doc_rolling_hash",
+        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
         "events_anomaly", "events_attribution", "filter_notnull", "filter_or_eq",
         "graph_triangles",
         "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",

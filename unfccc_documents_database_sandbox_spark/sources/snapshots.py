@@ -137,12 +137,69 @@ def _dir_files(root: str, payload_dir: str) -> list[str]:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _norm_partition_spec(partition_by) -> list[dict]:
+    """Normalize a partition spec to [{name, source, transform, param}]:
+    a plain column name is the identity transform; dicts declare
+    GENERATED partitions (Iceberg's partition transforms) —
+    {"source": col, "transform": "truncate", "param": N} buckets an
+    integer column by floor-division, {"source": col, "transform":
+    "day"} partitions a timestamp by its ISO date. Generated partition
+    columns exist only in the directory layout + log, never in the data
+    files or the table schema."""
+    specs = []
+    for x in partition_by or []:
+        if isinstance(x, str):
+            specs.append(
+                {"name": x, "source": x, "transform": "identity",
+                 "param": None}
+            )
+            continue
+        d = dict(x)
+        d.setdefault("transform", "identity")
+        d.setdefault("param", None)
+        if d["transform"] == "truncate":
+            d["param"] = int(d["param"])
+        elif d["transform"] == "day":
+            pass
+        elif d["transform"] != "identity":
+            raise ValueError(
+                f"unknown partition transform {d['transform']!r} "
+                "(identity | truncate | day)"
+            )
+        d.setdefault(
+            "name",
+            d["source"] if d["transform"] == "identity"
+            else f"{d['source']}_{d['transform']}",
+        )
+        specs.append(d)
+    return specs
+
+
+def _partition_expr(spec: dict):
+    """The JVM expression computing one partition value from its source
+    column (what the writer materializes as the __p_<i> dir column)."""
+    t = spec["transform"]
+    if t == "identity":
+        return F.col(spec["source"])
+    if t == "truncate":
+        # positive-domain floor bucketing (Iceberg truncate); the
+        # python-side bound mapping uses // — identical for the
+        # non-negative keys this transform is for
+        return F.expr(f"{spec['source']} DIV {spec['param']}")
+    if t == "day":
+        return F.date_format(
+            F.date_trunc("day", F.col(spec["source"])), "yyyy-MM-dd"
+        )
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
 def _parse_partition_values(
-    rel_path: str, partition_by: list[str]
+    rel_path: str, specs: list[dict]
 ) -> dict[str, str | None]:
-    """Recover {col: string-value} from a payload file's Hive-style path
-    segments (`__p_<i>=<escaped>`), unescaping Hive's %XX encoding.
-    NULL partitions (the Hive sentinel dir) parse to None."""
+    """Recover {partition name: string-value} from a payload file's
+    Hive-style path segments (`__p_<i>=<escaped>`), unescaping Hive's
+    %XX encoding. NULL partitions (the Hive sentinel dir) parse to
+    None."""
     vals: dict[str, str | None] = {}
     for seg in rel_path.split(os.sep):
         if "=" not in seg:
@@ -151,7 +208,7 @@ def _parse_partition_values(
         if not key.startswith("__p_"):
             continue
         i = int(key[len("__p_"):])
-        vals[partition_by[i]] = None if raw == _HIVE_NULL else unquote(raw)
+        vals[specs[i]["name"]] = None if raw == _HIVE_NULL else unquote(raw)
     return vals
 
 
@@ -174,9 +231,9 @@ def _write_payload(
         return pdir, _dir_files(root, pdir), {}
     out = df
     pcols = []
-    for i, c in enumerate(partition_by):
+    for i, spec in enumerate(partition_by):
         pc = f"__p_{i}"
-        out = out.withColumn(pc, F.col(c))
+        out = out.withColumn(pc, _partition_expr(spec))
         pcols.append(pc)
     out.write.partitionBy(*pcols).parquet(pdir)
     # A partitioned write reuses each task's part-file NAME across every
@@ -480,24 +537,61 @@ def pruned_files(
             f.name: f.dataType
             for f in StructType.fromJson(json.loads(schema_json))
         }
+    # a bounded column reaches the partition tier either directly (it IS
+    # a partition name) or through a GENERATED partition derived from it:
+    # monotonic transforms map source bounds [lo, hi] to partition-value
+    # bounds [T(lo), T(hi)] exactly (Iceberg's transform-pushdown rule)
+    by_name = {sp["name"]: sp for sp in state["partition_by"]}
+    by_source = {}
+    for sp in state["partition_by"]:
+        by_source.setdefault(sp["source"], sp)
+
+    def _part_check(spec, raw, lo, hi):
+        """(decided, keep): compare a file's recorded partition value
+        against the (transformed) bounds; undecidable → stats tier."""
+        if raw is None:
+            return True, False  # NULL partition: a range never matches
+        t = spec["transform"]
+        try:
+            if t == "identity":
+                kind, v = _typed_partition_value(
+                    raw, dtypes.get(spec["source"])
+                )
+                if kind != "val":
+                    return False, True
+                plo, phi = lo, hi
+            elif t == "truncate":
+                v = int(raw)
+                plo = None if lo is None else int(lo) // spec["param"]
+                phi = None if hi is None else int(hi) // spec["param"]
+            elif t == "day":
+                v = str(raw)
+                plo = None if lo is None else str(lo)[:10]
+                phi = None if hi is None else str(hi)[:10]
+            else:
+                return False, True
+        except (TypeError, ValueError):
+            return False, True  # unmappable bound → never a wrong prune
+        if (phi is not None and v > phi) or (plo is not None and v < plo):
+            return True, False
+        return True, True
+
     out = []
     for f in live_files(root, version):
         pv = state["parts"].get(f, {})
         s = state["stats"].get(f)
         keep = True
         for col, (lo, hi) in bounds.items():
-            if col in pv:
-                kind, v = _typed_partition_value(pv[col], dtypes.get(col))
-                if kind == "null":
+            spec = by_name.get(col) or by_source.get(col)
+            if spec is not None and spec["name"] in pv:
+                decided, ok = _part_check(spec, pv[spec["name"]], lo, hi)
+                if decided and not ok:
                     keep = False
                     break
-                if kind == "val":
-                    if (hi is not None and v > hi) or (
-                        lo is not None and v < lo
-                    ):
-                        keep = False
-                        break
-                    continue  # exact partition check supersedes stats
+                if decided and spec["transform"] == "identity"                         and spec["name"] == col:
+                    continue  # exact partition equality supersedes stats
+                # derived transforms keep the file — the raw source
+                # column's stats may still prune below
             if s is None or col not in s:
                 continue
             mn, mx = s[col]
@@ -528,7 +622,13 @@ def read_pruned(
     files = pruned_files(root, bounds, version)
     schema = table_schema(root, version)
     df = _scan_files(spark, root, files, schema, dv_map(root, version))
+    present = set(schema.fieldNames())
     for col, (lo, hi) in bounds.items():
+        if col not in present:
+            # a GENERATED partition name: file-level pruning only (the
+            # column exists in the layout, not the data) — bound the
+            # SOURCE column instead for row-exact semantics
+            continue
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
@@ -722,7 +822,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "stats": dict(ck.get("stats", {})),
             "txns": [tuple(t) for t in ck.get("txns", [])],
             "dv": {f: list(p) for f, p in ck.get("dv", {}).items()},
-            "partition_by": list(ck.get("partition_by", [])),
+            "partition_by": _norm_partition_spec(ck.get("partition_by")),
             "parts": dict(ck.get("parts", {})),
             "bloom_cols": list(ck.get("bloom_cols", [])),
             "blooms": dict(ck.get("blooms", {})),
@@ -761,7 +861,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
         if "schema" in c:
             state["schema"] = c["schema"]
         if "partition_by" in c:
-            state["partition_by"] = list(c["partition_by"])
+            state["partition_by"] = _norm_partition_spec(c["partition_by"])
         if "bloom_cols" in c:
             state["bloom_cols"] = list(c["bloom_cols"])
         for name, expr in c.get("constraint_add", {}).items():
@@ -969,7 +1069,7 @@ def checkpoint(root: str) -> int:
         "txns": [list(t) for t in state["txns"]],
         "dv": {f: list(p) for f, p in sorted(state["dv"].items())
                if f in state["live"]},
-        "partition_by": list(state["partition_by"]),
+        "partition_by": [dict(sp) for sp in state["partition_by"]],
         "parts": {f: state["parts"][f] for f in sorted(state["live"])
                   if f in state["parts"]},
         "bloom_cols": list(state["bloom_cols"]),
@@ -1092,9 +1192,13 @@ def create(
     payload is written under `col=value` dirs, per-file partition values
     ride in the log, and `pruned_files` prunes on them BEFORE per-file
     stats — log-level partition pruning with zero data I/O."""
-    partition_by = list(partition_by or [])
+    partition_by = _norm_partition_spec(partition_by)
     bloom_cols = list(bloom_cols or [])
-    missing = [c for c in partition_by + bloom_cols if c not in df.columns]
+    missing = [
+        c
+        for c in [sp["source"] for sp in partition_by] + bloom_cols
+        if c not in df.columns
+    ]
     if missing:
         raise ValueError(
             f"partition_by/bloom_cols columns not in schema: {missing}"
@@ -1571,12 +1675,13 @@ def compact(
                     ) * F.lit(1 << (n_dims * i + d))
         if pby:
             # partition boundaries are preserved: shuffle by the partition
-            # columns (each value lands in one task → one file per
+            # expressions (each value lands in one task → one file per
             # partition dir) and z-cluster WITHIN each partition's file
+            pexprs = [_partition_expr(sp) for sp in pby]
             out = (
                 cur.withColumn("__z", zval)
-                .repartition(max_files, *pby)
-                .sortWithinPartitions(*pby, "__z")
+                .repartition(max_files, *pexprs)
+                .sortWithinPartitions(*pexprs, "__z")
                 .drop("__z")
             )
         else:
@@ -1587,7 +1692,7 @@ def compact(
                 .drop("__z")
             )
     elif pby:
-        out = cur.repartition(max_files, *pby)
+        out = cur.repartition(max_files, *[_partition_expr(sp) for sp in pby])
     else:
         out = cur.coalesce(max_files)
     pdir, add, parts = _write_payload(root, out, pby)
