@@ -1589,3 +1589,28 @@ def test_generated_partition_unknown_transform_raises(spark, tmp_path):
             spark, str(tmp_path / "gpbad"), df,
             partition_by=[{"source": "id", "transform": "hour"}],
         )
+
+
+# ---------------------------------------------------------------------------
+# Protocol versioning
+
+
+def test_future_reader_protocol_refuses_to_read(spark, table):
+    """A table whose log demands a NEWER reader protocol (written by a
+    future engine) must refuse loudly — misreading an unknown feature
+    silently is the one unforgivable failure mode. Like Delta, the
+    upgrade gates the WHOLE table (resolving any snapshot means
+    replaying a log whose newer actions this reader can't interpret)."""
+    head = snap.latest_version(table)
+    # current tables stamp the supported requirement at create
+    assert snap._read_state(table, head)["protocol"]["reader"] in (
+        1, snap._READER_VERSION,
+    )
+    snap._write_commit(table, head + 1, [], [],
+                       protocol={"reader": snap._READER_VERSION + 1})
+    with pytest.raises(ValueError, match="requires reader protocol"):
+        snap.read(spark, table)
+    with pytest.raises(ValueError, match="requires reader protocol"):
+        snap.changes(spark, table, 0)
+    with pytest.raises(ValueError, match="requires reader protocol"):
+        snap.read(spark, table, head)  # time travel replays the log too

@@ -61,6 +61,9 @@ protocol stripped to what the sandbox can express:
   equality-pruning tier min/max stats can't give: write-side bitmaps in
   the log, probe-side pruning with zero data I/O (`read_point`).
 
+- A PROTOCOL stamp (commit 0, upgradable later) declares the reader
+  version the log requires; a newer-than-supported requirement refuses
+  to read rather than misread (Delta's protocol action).
 - CHECK CONSTRAINTS travel in the log (`add_constraint` /
   `drop_constraint`, validated against existing rows first); every
   writer gates its incoming rows — FALSE violates, NULL passes (SQL
@@ -135,6 +138,24 @@ def _dir_files(root: str, payload_dir: str) -> list[str]:
 # Hive's NULL-partition sentinel directory name (Spark writes it for rows
 # whose partition value is NULL).
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Protocol versioning (Delta's protocol action): the newest log format
+# THIS reader understands. A table whose log declares a higher reader
+# requirement (written by a future engine using features we can't
+# interpret — a new DV encoding, an unknown transform) must REFUSE to
+# read rather than silently misread it. Writers stamp the requirement in
+# commit 0 and may RAISE it in any later commit when they first use a
+# newer feature.
+_READER_VERSION = 2
+
+
+def _check_protocol(proto: dict | None) -> None:
+    if proto and int(proto.get("reader", 1)) > _READER_VERSION:
+        raise ValueError(
+            f"table requires reader protocol {proto['reader']} but this "
+            f"engine supports {_READER_VERSION} — upgrade before reading "
+            "(refusing is the protocol contract; misreading is not)"
+        )
 
 
 def _norm_partition_spec(partition_by) -> list[dict]:
@@ -660,7 +681,8 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   blooms: dict | None = None,
                   bloom_cols: list[str] | None = None,
                   constraint_add: dict | None = None,
-                  constraint_drop: str | None = None) -> None:
+                  constraint_drop: str | None = None,
+                  protocol: dict | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -728,6 +750,8 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         payload["constraint_add"] = constraint_add
     if constraint_drop:
         payload["constraint_drop"] = constraint_drop
+    if protocol:
+        payload["protocol"] = protocol
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -827,14 +851,16 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "bloom_cols": list(ck.get("bloom_cols", [])),
             "blooms": dict(ck.get("blooms", {})),
             "constraints": dict(ck.get("constraints", {})),
+            "protocol": dict(ck.get("protocol", {"reader": 1})),
         }
+        _check_protocol(state["protocol"])
         start = ck_version + 1
     else:
         state = {"version": -1, "live": set(), "schema": None,
                  "stats": {}, "txns": [], "dv": {},
                  "partition_by": [], "parts": {},
                  "bloom_cols": [], "blooms": {},
-                 "constraints": {}}
+                 "constraints": {}, "protocol": {"reader": 1}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -864,6 +890,9 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["partition_by"] = _norm_partition_spec(c["partition_by"])
         if "bloom_cols" in c:
             state["bloom_cols"] = list(c["bloom_cols"])
+        if "protocol" in c:
+            state["protocol"] = dict(c["protocol"])
+            _check_protocol(state["protocol"])
         for name, expr in c.get("constraint_add", {}).items():
             state["constraints"][name] = expr
         if "constraint_drop" in c:
@@ -1076,6 +1105,7 @@ def checkpoint(root: str) -> int:
         "blooms": {f: state["blooms"][f] for f in sorted(state["live"])
                    if f in state["blooms"]},
         "constraints": dict(state["constraints"]),
+        "protocol": dict(state["protocol"]),
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -1213,7 +1243,8 @@ def create(
                   op="create", bloom_cols=bloom_cols or None,
                   blooms=_collect_blooms(spark, root, pdir, df.schema,
                                          bloom_cols),
-                  constraint_add=check_constraints or None)
+                  constraint_add=check_constraints or None,
+                  protocol={"reader": _READER_VERSION})
     return 0
 
 
