@@ -1614,3 +1614,109 @@ def test_future_reader_protocol_refuses_to_read(spark, table):
         snap.changes(spark, table, 0)
     with pytest.raises(ValueError, match="requires reader protocol"):
         snap.read(spark, table, head)  # time travel replays the log too
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (rename / drop without rewrite)
+
+
+@pytest.fixture()
+def mtable(spark, tmp_path):
+    root = str(tmp_path / "mtbl")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", i * 10) for i in range(40)],
+        "id long, txt string, val long",
+    )
+    snap.create(spark, root, df.repartition(3), column_mapping=True,
+                bloom_cols=["txt"])
+    return root
+
+
+def test_rename_column_is_metadata_only(spark, mtable):
+    """RENAME changes the logical name in one metadata commit: zero
+    files rewritten, values intact, stats AND bloom pruning keep
+    working (they key on the stable physical name)."""
+    files = snap.live_files(mtable)
+    snap.rename_column(mtable, "val", "amount")
+    assert snap.live_files(mtable) == files
+    got = snap.read(spark, mtable)
+    assert got.columns == ["id", "txt", "amount"]
+    assert [r.amount for r in got.filter("id = 3").collect()] == [30]
+    # stats tier still prunes under the NEW logical name
+    assert len(snap.pruned_files(mtable, {"amount": (0, 50)})) <= len(files)
+    got2 = snap.read_pruned(spark, mtable, {"amount": (100, 150)})
+    assert sorted(r.id for r in got2.collect()) == list(range(10, 16))
+    # bloom index survives renaming its own column
+    snap.rename_column(mtable, "txt", "body")
+    assert [r.id for r in
+            snap.read_point(spark, mtable, "body", "t7").collect()] == [7]
+
+
+def test_drop_column_never_resurrects(spark, mtable):
+    """DROP is metadata-only; re-adding the same logical name later gets
+    a fresh physical id, so the dropped data never resurrects — while
+    time travel below the drop still reads the old values."""
+    snap.drop_column(mtable, "val")
+    assert snap.read(spark, mtable).columns == ["id", "txt"]
+    v_drop = snap.latest_version(mtable)
+    snap.evolve_schema(
+        spark, mtable,
+        spark.createDataFrame([(200, "x", 7)],
+                              "id long, txt string, val long"),
+    )
+    got = {r.id: r.val for r in
+           snap.read(spark, mtable).filter("id IN (3, 200)").collect()}
+    assert got == {3: None, 200: 7}
+    old = snap.read(spark, mtable, v_drop - 1)
+    assert [r.val for r in old.filter("id = 3").collect()] == [30]
+
+
+def test_mapped_table_full_dml_and_feed(spark, mtable):
+    """The whole DML alphabet works on a mapped table after a rename,
+    and the change feed reads every era under the end schema."""
+    snap.rename_column(mtable, "val", "amount")
+    snap.delete_where_mor(spark, mtable, "id % 7 = 0")
+    snap.update_where(spark, mtable, "id = 3", {"amount": "amount + 5"})
+    src = spark.createDataFrame(
+        [(3, "M", 99)], "id long, txt string, amount long"
+    )
+    snap.merge_into(spark, mtable, src, ["id"])
+    assert [r.amount for r in
+            snap.read(spark, mtable).filter("id = 3").collect()] == [99]
+    feed = snap.changes(spark, mtable, 0)
+    assert "amount" in feed.columns
+    assert feed.filter("_change_type = 'update_preimage'").count() == 1
+    snap.compact(spark, mtable, max_files=1)
+    assert snap.read(spark, mtable).count() == 34  # 40 - 6 MOR-deleted
+
+
+def test_enable_column_mapping_on_existing_table(spark, table):
+    """enable_column_mapping pins physical := current logical for the
+    files already on disk; renames work from then on."""
+    snap.enable_column_mapping(table)
+    snap.rename_column(table, "payload", "body")
+    got = snap.read(spark, table)
+    assert got.columns == ["id", "body", "lang"]
+    assert got.filter("body = 'row3'").count() == 1
+    with pytest.raises(ValueError, match="already enabled"):
+        snap.enable_column_mapping(table)
+
+
+def test_rename_requires_mapping_and_guards(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="requires column mapping"):
+        snap.rename_column(table, "payload", "body")
+    root = str(tmp_path / "guard")
+    df = spark.createDataFrame([(1, 5)], "id long, val long")
+    snap.create(spark, root, df, column_mapping=True,
+                check_constraints={"pos": "val > 0"})
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snap.rename_column(root, "val", "v2")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        snap.drop_column(root, "val")
+    with pytest.raises(ValueError, match="already exists"):
+        snap.rename_column(root, "id", "val")
+    one = str(tmp_path / "one")
+    snap.create(spark, one, spark.createDataFrame([(1,)], "id long"),
+                column_mapping=True)
+    with pytest.raises(ValueError, match="only column"):
+        snap.drop_column(one, "id")

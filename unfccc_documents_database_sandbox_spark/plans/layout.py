@@ -832,6 +832,81 @@ def table_constraints(spark, sf_dir):
     )
 
 
+def _cmap_stats_sql(version: int, bump: str, n_cols: int) -> str:
+    return f"""
+    SELECT CAST({version} AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars{bump}) AS BIGINT) AS sum_chars,
+           CAST({n_cols} AS BIGINT) AS n_cols
+    FROM documents
+    """
+
+
+@register(
+    "table_column_mapping",
+    oracle=" UNION ALL ".join(
+        [
+            _cmap_stats_sql(0, "", 3),
+            _cmap_stats_sql(1, "", 3),
+            _cmap_stats_sql(
+                2, " + CASE WHEN doc_id % 10 = 0 THEN 100 ELSE 0 END", 3
+            ),
+            _cmap_stats_sql(
+                3, " + CASE WHEN doc_id % 10 = 0 THEN 100 ELSE 0 END", 2
+            ),
+        ]
+    ),
+)
+def table_column_mapping(spark, sf_dir):
+    """Column mapping — RENAME/DROP COLUMN without rewriting a byte
+    (Delta's name-mode mapping): every logical field carries a stable
+    physical name (c-<uuid>) that the parquet files, per-file stats,
+    Bloom bitmaps, and partition specs all key on, so a rename or drop
+    is ONE metadata commit. The fixture: v0 CREATE mapped, v1 RENAME
+    n_chars->chars (live file set unchanged — pinned in tests), v2
+    UPDATE through the NEW name (+100 on doc_id%10=0), v3 DROP lang.
+    Per-version stats prove the rename is value-preserving, the update
+    lands through the new logical name, and the drop hides exactly one
+    column while every earlier era still reads under ITS schema. The
+    no-resurrection guarantee (re-adding a dropped name gets a fresh
+    physical id), enable-on-existing-tables, and constraint guards are
+    pinned in tests/test_snapshots.py.
+
+    Scale: renaming a column on a 100 TB table is O(1) metadata — the
+    whole reason mapping exists; without it the rename is a full
+    rewrite or an engine-specific view hack."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapcmap_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3), column_mapping=True)
+    snap.rename_column(root, "n_chars", "chars")
+    snap.update_where(spark, root, "doc_id % 10 = 0", {"chars": "chars + 100"})
+    snap.drop_column(root, "lang")
+
+    def stats(version: int):
+        df = snap.read(spark, root, version)
+        ccol = "chars" if "chars" in df.columns else "n_chars"
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(ccol).cast("long").alias("sum_chars"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "sum_chars",
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [stats(v) for v in range(4)])
+
+
 _GP_LO = "2024-01-08 00:00:00"
 _GP_HI = "2024-01-12 23:59:59.999999"
 

@@ -67,9 +67,11 @@ def _load_commit(root: str, v: int) -> dict:
         return json.load(fh)
 
 
-def _head_schema(root: str) -> list[tuple[str, str]]:
-    """[(name, spark-ddl-type)] of the newest schema-bearing commit —
-    resolved driver-side from the log JSON alone."""
+def _head_schema(root: str) -> list[tuple[str, str, str]]:
+    """[(logical name, PHYSICAL name, spark-ddl-type)] of the newest
+    schema-bearing commit — resolved driver-side from the log JSON
+    alone. Data and change-data files spell the physical names (column
+    mapping); the stream's output schema speaks the logical ones."""
     schema_json = None
     for v in _commit_versions(root):
         c = _load_commit(root, v)
@@ -84,7 +86,14 @@ def _head_schema(root: str) -> list[tuple[str, str]]:
             f"streaming change feed supports atomic column types only; "
             f"nested columns: {bad}"
         )
-    return [(f["name"], f["type"]) for f in fields]
+    return [
+        (
+            f["name"],
+            (f.get("metadata") or {}).get("physical", f["name"]),
+            f["type"],
+        )
+        for f in fields
+    ]
 
 
 def _dv_state_at(root: str, version: int) -> dict[str, list[str]]:
@@ -198,7 +207,7 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.root = options["path"]
         self.since = int(options.get("since_version", -1))
-        self.columns = [n for n, _t in _head_schema(self.root)]
+        self.columns = [ph for _n, ph, _t in _head_schema(self.root)]
 
     def initialOffset(self):
         return {"v": self.since}
@@ -239,7 +248,7 @@ class SnapshotChangesPartitionedStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.root = options["path"]
         self.since = int(options.get("since_version", -1))
-        self.columns = [n for n, _t in _head_schema(self.root)]
+        self.columns = [ph for _n, ph, _t in _head_schema(self.root)]
 
     def initialOffset(self):
         return {"v": self.since}
@@ -278,7 +287,7 @@ class SnapshotChangesStreamSource(DataSource):
         return "table_changes_stream"
 
     def schema(self) -> str:
-        cols = ", ".join(f"`{n}` {t}" for n, t in _head_schema(
+        cols = ", ".join(f"`{n}` {t}" for n, _ph, t in _head_schema(
             self.options["path"]
         ))
         return f"{cols}, _change_type string, _commit_version bigint"
@@ -297,7 +306,7 @@ class SnapshotChangesDistStreamSource(DataSource):
         return "table_changes_stream_dist"
 
     def schema(self) -> str:
-        cols = ", ".join(f"`{n}` {t}" for n, t in _head_schema(
+        cols = ", ".join(f"`{n}` {t}" for n, _ph, t in _head_schema(
             self.options["path"]
         ))
         return f"{cols}, _change_type string, _commit_version bigint"

@@ -61,6 +61,10 @@ protocol stripped to what the sandbox can express:
   equality-pruning tier min/max stats can't give: write-side bitmaps in
   the log, probe-side pruning with zero data I/O (`read_point`).
 
+- COLUMN MAPPING (opt-in): stable physical names in field metadata
+  make RENAME/DROP COLUMN metadata-only commits — stats, blooms, and
+  partition specs key on physical names and survive renames; dropped
+  names re-added later get fresh ids (no resurrection).
 - A PROTOCOL stamp (commit 0, upgradable later) declares the reader
   version the log requires; a newer-than-supported requirement refuses
   to read rather than misread (Delta's protocol action).
@@ -234,7 +238,8 @@ def _parse_partition_values(
 
 
 def _write_payload(
-    root: str, df: DataFrame, partition_by: list[str] | None
+    root: str, df: DataFrame, partition_by: list | None,
+    schema: StructType | None = None,
 ) -> tuple[str, list[str], dict[str, dict[str, str | None]]]:
     """Write one commit's payload under a writer-private dir, Hive-
     partitioned by ``partition_by`` when the table is partitioned, and
@@ -247,6 +252,11 @@ def _write_payload(
     type inference (the layout_compaction_apply lesson), and the pinned
     table schema applies unchanged."""
     pdir = _new_payload_dir(root)
+    if schema is not None:
+        # column mapping: the file spells physical names; partition spec
+        # sources are ALSO physical, so the expressions below resolve on
+        # the renamed frame directly
+        df = _to_physical(df, schema)
     if not partition_by:
         df.write.parquet(pdir)
         return pdir, _dir_files(root, pdir), {}
@@ -301,6 +311,62 @@ _STATS_TYPES = (
 )
 
 
+# --- Column mapping (Delta's name-mode mapping) -------------------------
+# Each logical field may carry a stable PHYSICAL name in its StructField
+# metadata ({"physical": "c-<uuid8>"}). Data files, per-file stats,
+# Bloom bitmaps, and partition-spec sources all speak PHYSICAL names, so
+# renaming or dropping a LOGICAL column is a metadata-only commit: zero
+# bytes rewritten, and a later re-add of a dropped name gets a FRESH
+# physical id — old data can never resurrect. Tables without mapping use
+# physical == logical (identity), which is also exactly what
+# `enable_column_mapping` pins for pre-existing files.
+
+
+def _phys(field: StructField) -> str:
+    meta = field.metadata or {}
+    return meta.get("physical", field.name)
+
+
+def _phys_map(schema: StructType) -> dict[str, str]:
+    """{logical name: physical name} for one schema era."""
+    return {f.name: _phys(f) for f in schema.fields}
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    """The schema as the parquet files spell it (physical names)."""
+    return StructType(
+        [
+            StructField(_phys(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, schema: StructType) -> DataFrame:
+    """Rename a logical-schema frame to physical column names for
+    writing (identity for unmapped tables)."""
+    m = _phys_map(schema)
+    if all(k == v for k, v in m.items()):
+        return df
+    return df.select(*[F.col(f.name).alias(m[f.name]) for f in schema.fields])
+
+
+def _new_physical(name: str) -> str:
+    return f"c-{uuid.uuid4().hex[:8]}"
+
+
+def _with_physical_metadata(schema: StructType) -> StructType:
+    """Assign a fresh physical id to every field (CREATE with
+    column_mapping=True)."""
+    return StructType(
+        [
+            StructField(f.name, f.dataType, f.nullable,
+                        {**(f.metadata or {}), "physical": _new_physical(f.name)})
+            for f in schema.fields
+        ]
+    )
+
+
 def _collect_stats(
     spark: SparkSession, root: str, pdir: str, schema: StructType
 ) -> dict[str, dict[str, list]]:
@@ -309,6 +375,7 @@ def _collect_stats(
     NEW files only (what Delta does at write time; history is never
     re-scanned). All-NULL columns record [None, None], which range
     predicates may prune (NULL never satisfies a range)."""
+    schema = _physical_schema(schema)  # stats key on stable physical names
     cols = [f.name for f in schema if isinstance(f.dataType, _STATS_TYPES)]
     rel_of = {}
     for dirpath, _dirs, files in os.walk(pdir):
@@ -380,6 +447,7 @@ def _collect_blooms(
 
     if not bloom_cols:
         return {}
+    schema = _physical_schema(schema)  # bloom_cols arrive physical
     rel_of = {}
     for dirpath, _dirs, files in os.walk(pdir):
         for fn in files:
@@ -448,16 +516,16 @@ def bloom_pruned_files(
     state = _read_state(root, version)
     if value is None:
         return sorted(state["live"])  # equality never matches NULL; scan
+    schema = StructType.fromJson(json.loads(state["schema"]))
+    pcol = _phys_map(schema).get(col, col)  # bitmaps key on physical
     dtype = next(
-        (f.dataType.simpleString()
-         for f in StructType.fromJson(json.loads(state["schema"]))
-         if f.name == col),
+        (f.dataType.simpleString() for f in schema if f.name == col),
         "string",
     )
     probes = _bloom_probe_positions(spark, value, dtype)
     out = []
     for f in sorted(state["live"]):
-        b64 = state["blooms"].get(f, {}).get(col)
+        b64 = state["blooms"].get(f, {}).get(pcol)
         if b64 is None:
             out.append(f)
             continue
@@ -553,11 +621,14 @@ def pruned_files(
     state = _read_state(root, version)
     schema_json = state["schema"]
     dtypes = {}
+    phys_of = {}
     if schema_json is not None:
-        dtypes = {
-            f.name: f.dataType
-            for f in StructType.fromJson(json.loads(schema_json))
-        }
+        schema = StructType.fromJson(json.loads(schema_json))
+        phys_of = _phys_map(schema)
+        # stats/specs key on PHYSICAL names (stable across renames);
+        # bounds arrive logical — index types under both spellings
+        dtypes = {f.name: f.dataType for f in schema}
+        dtypes.update({phys_of[f.name]: f.dataType for f in schema})
     # a bounded column reaches the partition tier either directly (it IS
     # a partition name) or through a GENERATED partition derived from it:
     # monotonic transforms map source bounds [lo, hi] to partition-value
@@ -603,7 +674,8 @@ def pruned_files(
         s = state["stats"].get(f)
         keep = True
         for col, (lo, hi) in bounds.items():
-            spec = by_name.get(col) or by_source.get(col)
+            pcol = phys_of.get(col, col)
+            spec = by_name.get(col) or by_source.get(pcol)
             if spec is not None and spec["name"] in pv:
                 decided, ok = _part_check(spec, pv[spec["name"]], lo, hi)
                 if decided and not ok:
@@ -613,9 +685,9 @@ def pruned_files(
                     continue  # exact partition equality supersedes stats
                 # derived transforms keep the file — the raw source
                 # column's stats may still prune below
-            if s is None or col not in s:
+            if s is None or pcol not in s:
                 continue
-            mn, mx = s[col]
+            mn, mx = s[pcol]
             if mn is None and mx is None:
                 keep = False
                 break
@@ -1031,18 +1103,30 @@ def _scan_files(
     dv = {f: p for f, p in dv.items() if f in set(files)}
     need_lineage = lineage or bool(dv)
     if not files:
-        out = spark.createDataFrame([], schema)
+        out = spark.createDataFrame([], StructType(
+            [StructField(f.name, f.dataType, f.nullable)
+             for f in schema.fields]
+        ))
         if lineage:
             out = out.withColumn("__src", F.lit(None).cast("string")) \
                      .withColumn("__pos", F.lit(None).cast("long"))
         return out
-    df = spark.read.schema(schema).parquet(
+    # files spell PHYSICAL column names (column mapping); read them that
+    # way, attach lineage, then surface the LOGICAL names
+    pschema = _physical_schema(schema)
+    df = spark.read.schema(pschema).parquet(
         *[os.path.join(root, f) for f in files]
     )
     if need_lineage:
         df = df.withColumn("__src", _src_col()).withColumn(
             "__pos", F.col("_metadata.row_index")
         )
+    m = _phys_map(schema)
+    if any(k != v for k, v in m.items()):
+        keep = [F.col(m[f.name]).alias(f.name) for f in schema.fields]
+        if need_lineage:
+            keep += [F.col("__src"), F.col("__pos")]
+        df = df.select(*keep)
     if dv:
         parts = sorted({p for ps in dv.values() for p in ps})
         entries = spark.read.schema(_DV_SCHEMA).parquet(
@@ -1206,13 +1290,107 @@ def drop_constraint(root: str, name: str) -> int:
     return version
 
 
+def enable_column_mapping(root: str) -> int:
+    """Turn column mapping ON for an existing table: a schema-bearing
+    metadata commit pinning each field's physical name to its CURRENT
+    logical name — exactly what the already-written files spell — so
+    every future rename/drop is metadata-only. Idempotent-safe to call
+    once; raises if already mapped."""
+    pinned = table_schema(root)
+    if any("physical" in (f.metadata or {}) for f in pinned.fields):
+        raise ValueError("column mapping is already enabled")
+    mapped = StructType(
+        [
+            StructField(f.name, f.dataType, f.nullable,
+                        {**(f.metadata or {}), "physical": f.name})
+            for f in pinned.fields
+        ]
+    )
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], schema_json=mapped.json(),
+                  op="enable_column_mapping")
+    return version
+
+
+def _require_mapping(pinned: StructType, op: str) -> None:
+    if not all("physical" in (f.metadata or {}) for f in pinned.fields):
+        raise ValueError(
+            f"{op} requires column mapping (create(column_mapping=True) "
+            "or enable_column_mapping()) — without stable physical names "
+            "a rename would orphan every already-written file's column"
+        )
+
+
+def _guard_constraint_refs(root: str, col: str, op: str) -> None:
+    import re as _re
+
+    hits = [
+        name for name, expr in constraints(root).items()
+        if _re.search(rf"\b{_re.escape(col)}\b", expr)
+    ]
+    if hits:
+        raise ValueError(
+            f"{op}: column {col!r} is referenced by CHECK constraint(s) "
+            f"{hits} — drop them first (Delta blocks this the same way)"
+        )
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """RENAME COLUMN without rewriting a byte (column mapping): the
+    logical name changes in a schema-bearing metadata commit while the
+    stable physical name keeps pointing at the data already on disk —
+    stats, Bloom bitmaps, and partition-spec sources all key on the
+    physical name, so pruning keeps working across the rename."""
+    pinned = table_schema(root)
+    _require_mapping(pinned, "rename_column")
+    names = [f.name for f in pinned.fields]
+    if old not in names:
+        raise ValueError(f"no such column {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    _guard_constraint_refs(root, old, "rename_column")
+    renamed = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in pinned.fields
+        ]
+    )
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], schema_json=renamed.json(),
+                  op="rename_column")
+    return version
+
+
+def drop_column(root: str, name: str) -> int:
+    """DROP COLUMN without rewriting a byte (column mapping): the field
+    leaves the logical schema in a metadata commit; the physical column
+    stays in the files but no read selects it, and re-adding a column
+    with the same logical name later gets a FRESH physical id — the
+    dropped data can never resurrect (the reason mapping exists)."""
+    pinned = table_schema(root)
+    _require_mapping(pinned, "drop_column")
+    names = [f.name for f in pinned.fields]
+    if name not in names:
+        raise ValueError(f"no such column {name!r}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    _guard_constraint_refs(root, name, "drop_column")
+    kept = StructType([f for f in pinned.fields if f.name != name])
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], schema_json=kept.json(),
+                  op="drop_column")
+    return version
+
+
 def create(
     spark: SparkSession,
     root: str,
     df: DataFrame,
-    partition_by: list[str] | None = None,
+    partition_by: list | None = None,
     bloom_cols: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
+    column_mapping: bool = False,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
@@ -1235,13 +1413,24 @@ def create(
         )
     if check_constraints:
         _check_constraints(df, check_constraints, "create")
+    schema = (
+        _with_physical_metadata(df.schema) if column_mapping else df.schema
+    )
+    # partition-spec sources and bloom columns are recorded PHYSICAL so
+    # they survive logical renames (identity for unmapped tables)
+    m = _phys_map(schema)
+    partition_by = [
+        {**sp, "source": m.get(sp["source"], sp["source"])}
+        for sp in partition_by
+    ]
+    bloom_cols = [m.get(c, c) for c in bloom_cols]
     shutil.rmtree(root, ignore_errors=True)
-    pdir, add, parts = _write_payload(root, df, partition_by)
-    _write_commit(root, 0, add, [], schema_json=df.schema.json(),
-                  stats=_collect_stats(spark, root, pdir, df.schema),
+    pdir, add, parts = _write_payload(root, df, partition_by, schema)
+    _write_commit(root, 0, add, [], schema_json=schema.json(),
+                  stats=_collect_stats(spark, root, pdir, schema),
                   parts=parts, partition_by=partition_by or None,
                   op="create", bloom_cols=bloom_cols or None,
-                  blooms=_collect_blooms(spark, root, pdir, df.schema,
+                  blooms=_collect_blooms(spark, root, pdir, schema,
                                          bloom_cols),
                   constraint_add=check_constraints or None,
                   protocol={"reader": _READER_VERSION})
@@ -1266,9 +1455,10 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     out = _check_schema(df, table_schema(root), "append")
     st0 = _read_state(root)
     _check_constraints(out, st0["constraints"], "append")
-    pdir, add, parts = _write_payload(root, out, st0["partition_by"])
-    stats = _collect_stats(spark, root, pdir, out.schema)
-    blooms = _collect_blooms(spark, root, pdir, out.schema,
+    schema = table_schema(root)
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"], schema)
+    stats = _collect_stats(spark, root, pdir, schema)
+    blooms = _collect_blooms(spark, root, pdir, schema,
                              st0["bloom_cols"])
     for attempt in range(max_retries + 1):
         version = latest_version(root) + 1
@@ -1305,17 +1495,31 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
         raise ValueError(
             f"evolve_schema is additive-only: missing={missing}, retyped={retyped}"
         )
-    # new schema = pinned columns in pinned order, then new columns in the
-    # incoming DataFrame's order (stable, writer-chosen)
+    # new schema = pinned columns (keeping their physical metadata) in
+    # pinned order, then new columns in the incoming DataFrame's order
+    # (stable, writer-chosen) — new columns on a mapped table get FRESH
+    # physical ids
+    mapped = any("physical" in (f.metadata or {}) for f in pinned.fields)
     new_cols = [f for f in df.schema if f.name not in {p.name for p in pinned}]
     ordered = df.select(*[f.name for f in pinned], *[f.name for f in new_cols])
+    ordered_schema = StructType(
+        list(pinned.fields)
+        + [
+            StructField(
+                f.name, f.dataType, f.nullable,
+                {"physical": _new_physical(f.name)} if mapped else {},
+            )
+            for f in new_cols
+        ]
+    )
     st0 = _read_state(root)
-    pdir, add, parts = _write_payload(root, ordered, st0["partition_by"])
+    pdir, add, parts = _write_payload(root, ordered, st0["partition_by"],
+                                      ordered_schema)
     _write_commit(
-        root, version, add, [], schema_json=ordered.schema.json(),
-        stats=_collect_stats(spark, root, pdir, ordered.schema),
+        root, version, add, [], schema_json=ordered_schema.json(),
+        stats=_collect_stats(spark, root, pdir, ordered_schema),
         parts=parts, op="evolve_schema",
-        blooms=_collect_blooms(spark, root, pdir, ordered.schema,
+        blooms=_collect_blooms(spark, root, pdir, ordered_schema,
                                st0["bloom_cols"]),
     )
     return version
@@ -1426,12 +1630,17 @@ def changes(
             # CDF-enabled writer): the exact row-level changes, read
             # directly under the end schema (+_change_type) — zero diffing
             _gone_check(c["cdc"])
+            pschema = _physical_schema(schema)
             cdc_schema = StructType(
-                schema.fields + [StructField("_change_type", StringType())]
+                pschema.fields + [StructField("_change_type", StringType())]
             )
+            m = _phys_map(schema)
             parts.append(
                 spark.read.schema(cdc_schema).parquet(
                     *[os.path.join(root, f) for f in c["cdc"]]
+                ).select(
+                    *[F.col(m[f.name]).alias(f.name) for f in schema.fields],
+                    "_change_type",
                 )
             )
         elif "dv" in c and "files" in c["dv"]:
@@ -1609,7 +1818,7 @@ def merge_into(
     else:
         out = source
     st0 = _read_state(root)
-    pdir, add, parts = _write_payload(root, out, st0["partition_by"])
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"], schema)
     _write_commit(root, version, add, hit, txn=txn,
                   stats=_collect_stats(spark, root, pdir, schema),
                   parts=parts, merge_keys=list(key_cols), op="merge",
@@ -1708,7 +1917,12 @@ def compact(
             # partition boundaries are preserved: shuffle by the partition
             # expressions (each value lands in one task → one file per
             # partition dir) and z-cluster WITHIN each partition's file
-            pexprs = [_partition_expr(sp) for sp in pby]
+            inv = {v: k for k, v in _phys_map(schema).items()}
+            pexprs = [
+                _partition_expr({**sp, "source": inv.get(sp["source"],
+                                                         sp["source"])})
+                for sp in pby
+            ]
             out = (
                 cur.withColumn("__z", zval)
                 .repartition(max_files, *pexprs)
@@ -1723,10 +1937,18 @@ def compact(
                 .drop("__z")
             )
     elif pby:
-        out = cur.repartition(max_files, *[_partition_expr(sp) for sp in pby])
+        inv = {v: k for k, v in _phys_map(schema).items()}
+        out = cur.repartition(
+            max_files,
+            *[
+                _partition_expr({**sp, "source": inv.get(sp["source"],
+                                                         sp["source"])})
+                for sp in pby
+            ],
+        )
     else:
         out = cur.coalesce(max_files)
-    pdir, add, parts = _write_payload(root, out, pby)
+    pdir, add, parts = _write_payload(root, out, pby, schema)
     _write_commit(root, version, add, files,
                   stats=_collect_stats(spark, root, pdir, schema),
                   data_change=False, parts=parts, op="optimize",
@@ -1760,7 +1982,7 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
         spark, root, hit, schema, dv_map(root)
     ).filter(f"({condition}) IS NOT TRUE")
     st0 = _read_state(root)
-    pdir, add, parts = _write_payload(root, kept, st0["partition_by"])
+    pdir, add, parts = _write_payload(root, kept, st0["partition_by"], schema)
     _write_commit(root, version, add, hit,
                   stats=_collect_stats(spark, root, pdir, schema),
                   parts=parts, op="delete",
@@ -1835,12 +2057,17 @@ def update_where(
         ]
     )
     _check_constraints(post, st0["constraints"], "update_where")
-    pdir, add, parts = _write_payload(root, rewritten, st0["partition_by"])
+    pdir, add, parts = _write_payload(root, rewritten, st0["partition_by"],
+                                      schema)
     cdc_parts = None
     if cdf:
         cdir = _new_payload_dir(root)
-        pre.withColumn("_change_type", F.lit("update_preimage")).unionByName(
-            post.withColumn("_change_type", F.lit("update_postimage"))
+        _to_physical(pre, schema).withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            _to_physical(post, schema).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
         ).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
     _write_commit(root, version, add, hit,
@@ -1917,9 +2144,9 @@ def delete_where_mor(
     cdc_parts = None
     if cdf:
         cdir = _new_payload_dir(root)
-        matched.drop("__src", "__pos").withColumn(
-            "_change_type", F.lit("delete")
-        ).write.parquet(cdir)
+        _to_physical(
+            matched.drop("__src", "__pos"), table_schema(root)
+        ).withColumn("_change_type", F.lit("delete")).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
     _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts,
                   op="delete_mor")
@@ -2013,7 +2240,14 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
         "_change_type", F.lit("delete")
     )
     cdir = _new_payload_dir(root)
-    inserts.unionByName(deletes).write.parquet(cdir)
+    body = inserts.unionByName(deletes)
+    # translate to physical names, carrying _change_type through
+    m = _phys_map(schema)
+    body = body.select(
+        *[F.col(f.name).alias(m[f.name]) for f in schema.fields],
+        "_change_type",
+    )
+    body.write.parquet(cdir)
     _write_commit(
         root, head + 1, add, remove,
         schema_json=tgt["schema"] if tgt["schema"] != cur["schema"] else None,
