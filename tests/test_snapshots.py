@@ -1720,3 +1720,18 @@ def test_rename_requires_mapping_and_guards(spark, table, tmp_path):
                 column_mapping=True)
     with pytest.raises(ValueError, match="only column"):
         snap.drop_column(one, "id")
+
+
+def test_vacuum_time_retention_protects_recent_versions(spark, table):
+    """vacuum(retain_ms=...) unions wall-clock retention with the
+    count-based one: versions committed inside the window keep their
+    files even when retain_versions alone would sweep them."""
+    snap.delete_where(spark, table, "lang = 'de'")
+    # everything here committed milliseconds ago: a 1-hour window
+    # retains every version, so nothing is reclaimed
+    assert snap.vacuum(table, retain_versions=1,
+                       retain_ms=3600_000) == []
+    assert snap.read(spark, table, 0).count() == 10  # v0 still readable
+    # with no time window the count-based sweep reclaims as before
+    deleted = snap.vacuum(table, retain_versions=1)
+    assert deleted

@@ -2258,11 +2258,14 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     return head + 1
 
 
-def vacuum(root: str, retain_versions: int = 1) -> list[str]:
+def vacuum(root: str, retain_versions: int = 1,
+           retain_ms: int | None = None) -> list[str]:
     """Physically reclaim payload files referenced by NO retained version
     (the deferred half of logical REMOVE) plus orphan files from crashed
     or racing writers that never committed. Retains the live sets of the
-    newest ``retain_versions`` versions (HEAD always retained); every
+    newest ``retain_versions`` versions UNION every version committed
+    within ``retain_ms`` of now (Delta's RETAIN N HOURS, on the commit
+    timestamps; HEAD always retained); every
     other on-disk parquet file under data/ is deleted and empty payload
     dirs are pruned. Returns the root-relative deleted paths, sorted.
 
@@ -2275,8 +2278,21 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     head = latest_version(root)
+    oldest = max(0, head - retain_versions + 1)
+    if retain_ms is not None:
+        # Delta's RETAIN N HOURS spelled on the commit timestamps: also
+        # retain every version committed within the window (HEAD always
+        # retained); the wall-clock and count-based retentions compose
+        # as a union, never shrinking either guarantee.
+        import time as _time
+
+        cutoff = int(_time.time() * 1000) - retain_ms
+        recent = [v for v, t in commit_timestamps(root).items()
+                  if t >= cutoff]
+        if recent:
+            oldest = min(oldest, min(recent))
     keep: set[str] = set()
-    for v in range(max(0, head - retain_versions + 1), head + 1):
+    for v in range(oldest, head + 1):
         state = _read_state(root, v)
         keep |= state["live"]
         # deletion-vector parts still pointed to by a retained version's
