@@ -1735,3 +1735,133 @@ def test_vacuum_time_retention_protects_recent_versions(spark, table):
     # with no time window the count-based sweep reclaims as before
     deleted = snap.vacuum(table, retain_versions=1)
     assert deleted
+
+
+# ---------------------------------------------------------------- CLONE
+
+
+def test_clone_is_a_zero_copy_fork(spark, table, tmp_path):
+    """SHALLOW CLONE copies zero data bytes: the clone's v0 references the
+    source's payload files absolutely, reads equal the source as of the
+    fork, and the clone's own data/ dir starts empty."""
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst)
+    assert sorted(r.id for r in snap.read(spark, dst).collect()) == list(range(20))
+    assert all(os.path.isabs(f) for f in snap.live_files(dst))
+    walked = [
+        fn for _, _, fns in os.walk(os.path.join(dst, "data")) for fn in fns
+    ]
+    assert walked == []
+
+
+def test_clone_of_version_forks_history(spark, table, tmp_path):
+    """clone(version=N) forks the AS-OF state, not HEAD — and later source
+    commits never leak into the clone (independence, source→clone)."""
+    snap.delete_where(spark, table, "lang = 'de'")  # v2
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst, version=1)  # pre-delete era
+    assert snap.read(spark, dst).filter("lang = 'de'").count() == 5
+    snap.delete_where(spark, table, "id >= 15")  # source diverges further
+    assert snap.read(spark, dst).count() == 20
+
+
+def test_clone_writes_never_touch_the_source(spark, table, tmp_path):
+    """Independence, clone→source: the clone's COW delete drops absolute
+    log references and writes clone-local files; the source's payloads,
+    log, and reads are bit-identical afterwards."""
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst)
+    src_files = snap.live_files(table)
+    snap.delete_where(spark, dst, "id % 2 = 0")
+    assert snap.live_files(table) == src_files
+    assert snap.read(spark, table).count() == 20
+    assert snap.read(spark, dst).count() == 10
+    # the clone's rewrite landed under ITS data dir
+    assert any(not os.path.isabs(f) for f in snap.live_files(dst))
+
+
+def test_clone_carries_deletion_vectors(spark, table, tmp_path):
+    """A source MOR delete's DV applies verbatim to the clone (basenames
+    are the row identity), and a clone-side MOR delete supersedes into
+    clone-local DV parts without touching the source's."""
+    snap.delete_where_mor(spark, table, "lang = 'de'")
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst)
+    assert snap.read(spark, dst).filter("lang = 'de'").count() == 0
+    src_dv = snap.dv_map(table)
+    snap.delete_where_mor(spark, dst, "id >= 18")
+    assert snap.read(spark, dst).count() == 20 - 5 - 2
+    assert snap.dv_map(table) == src_dv
+    # the source never sees the clone's extra deletes
+    assert snap.read(spark, table).count() == 15
+
+
+def test_clone_vacuum_cannot_reclaim_source_files(spark, table, tmp_path):
+    """vacuum on a diverged clone sweeps only clone-local files: absolute
+    source references are outside its data/ walk by construction."""
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst)
+    snap.delete_where(spark, dst, "id < 10")  # drops an abs reference
+    deleted = snap.vacuum(dst, retain_versions=1)
+    assert all(not os.path.isabs(p) for p in deleted)
+    assert snap.read(spark, table).count() == 20  # source intact
+
+
+def test_source_vacuum_breaks_then_compaction_heals_the_clone(spark, table, tmp_path):
+    """The documented shallow-clone hazard: the SOURCE's vacuum does not
+    know about clones, so reclaiming the forked era breaks the clone's
+    reads — until OPTIMIZE localizes the clone's payloads, after which
+    the clone survives any source-side reclamation."""
+    dst = str(tmp_path / "fork")
+    snap.clone(table, dst)
+    snap.delete_where(spark, table, "id < 10")
+    reclaimed = snap.vacuum(table, retain_versions=1)
+    assert reclaimed  # v0/v1 payload files actually went away
+    with pytest.raises(Exception):
+        snap.read(spark, dst).collect()
+    # heal: re-clone from the surviving source, localize, then vacuum again
+    dst2 = str(tmp_path / "fork2")
+    snap.clone(table, dst2)
+    snap.compact(spark, dst2, max_files=1)  # clone-local payloads now
+    snap.delete_where(spark, table, "id >= 18")
+    snap.vacuum(table, retain_versions=1)
+    assert snap.read(spark, dst2).count() == 10  # post-first-delete era
+
+
+def test_clone_of_clone_passes_absolute_references_through(spark, table, tmp_path):
+    """Clone-of-clone: already-absolute grandparent references survive a
+    second clone unchanged (no double-prefixing)."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    snap.clone(table, a)
+    snap.delete_where_mor(spark, a, "id = 0")
+    snap.clone(a, b)
+    assert snap.read(spark, b).count() == 19
+    assert sorted(snap.live_files(b)) == sorted(snap.live_files(a, 1))
+
+
+def test_clone_carries_schema_constraints_and_partitions(spark, tmp_path):
+    """The clone enforces the source's CHECK constraints, keeps its
+    partition spec (log-level pruning works on absolute references), and
+    starts with NO transaction stamps (a different sink's ledger)."""
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en") for i in range(10)],
+        "id long, lang string",
+    )
+    snap.create(spark, src, df, partition_by=["lang"],
+                check_constraints={"pos_id": "id >= 0"})
+    dst = str(tmp_path / "dst")
+    snap.clone(src, dst)
+    with pytest.raises(ValueError, match="pos_id"):
+        snap.append(spark, dst, spark.createDataFrame(
+            [(-1, "en")], "id long, lang string"))
+    pruned = snap.pruned_files(dst, {"lang": ("de", "de")})
+    assert pruned and all("=de" in f for f in pruned)
+    assert len(pruned) < len(snap.live_files(dst))
+    assert snap.applied_txns(dst, "any") == set()
+
+
+def test_clone_version_bounds_raise(spark, table, tmp_path):
+    with pytest.raises(ValueError, match="not in"):
+        snap.clone(table, str(tmp_path / "x"), version=99)

@@ -1418,3 +1418,94 @@ def table_incremental_mv(spark, sf_dir):
         )
     )
     return merged.filter(F.col("n_docs") > 0)
+
+
+def _clone_stats_sql(label: str, where: str) -> str:
+    return f"""
+    SELECT '{label}' AS snap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE {where}
+    """
+
+
+_CLONE_FORK = "(lang = 'de') IS NOT TRUE"
+
+
+@register(
+    "table_clone",
+    oracle=" UNION ALL ".join(
+        _clone_stats_sql(label, where)
+        for label, where in [
+            ("clone@fork", _CLONE_FORK),
+            ("clone@head", f"{_CLONE_FORK} AND NOT (doc_id % 5 = 0)"),
+            ("src@head", f"{_CLONE_FORK} AND NOT (doc_id % 3 = 0)"),
+        ]
+    ),
+)
+def table_clone(spark, sf_dir):
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE — the
+    zero-copy dev/test-branch and write-audit-publish primitive): the
+    source table is CREATEd from documents (v0) and MOR-deletes lang='de'
+    (v1, a deletion vector); `clone` then initializes an INDEPENDENT
+    table whose commit 0 references the source's payload files by
+    absolute path — zero data bytes copied, O(files) metadata, carrying
+    the fork-point schema, stats, and deletion vectors. Both sides then
+    diverge: the source COW-deletes doc_id%3=0, the clone MOR-deletes
+    doc_id%5=0 (a deletion vector over files it does NOT own — row
+    lineage is the globally-unique payload basename, so DV anti-joins
+    work across table roots). The three output rows prove the fork:
+    clone@fork (time travel to the clone's v0) sees exactly the source's
+    as-of-clone state, clone@head subtracts only the clone's own delete,
+    src@head only the source's — neither side's writes leak into the
+    other. Isolation invariants that aren't SQL-expressible — the
+    clone's data/ starts empty, vacuum on either side never reclaims the
+    other's files (and the source-vacuum hazard + OPTIMIZE localization
+    escape), clone-of-clone, constraint/partition carry-over — are
+    pinned in tests/test_snapshots.py.
+
+    Scale: cloning a 100 TB table is one commit-log replay plus one JSON
+    write — branching for experiments, staging writes for audit, or
+    pinning a training-data snapshot costs metadata, not a copy."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    src = os.path.join(repo_root, ".csv_tmp", f"snapclone_src_{tag}")
+    dst = os.path.join(repo_root, ".csv_tmp", f"snapclone_dst_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, src, d.repartition(3))
+    snap.delete_where_mor(spark, src, "lang = 'de'")
+    snap.clone(src, dst)
+    snap.delete_where(spark, src, "doc_id % 3 = 0")      # source diverges
+    snap.delete_where_mor(spark, dst, "doc_id % 5 = 0")  # clone diverges
+
+    def stats(label: str, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(label).alias("snap"),
+            "n_docs", "total_chars", "n_langs", "first_doc", "last_doc",
+        )
+
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            stats("clone@fork", snap.read(spark, dst, 0)),
+            stats("clone@head", snap.read(spark, dst)),
+            stats("src@head", snap.read(spark, src)),
+        ],
+    )

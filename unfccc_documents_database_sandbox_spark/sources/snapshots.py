@@ -2258,6 +2258,78 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     return head + 1
 
 
+def clone(src_root: str, dst_root: str, version: int | None = None) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``):
+    initialize ``dst_root`` as an INDEPENDENT table whose commit 0
+    references the source's payload files by ABSOLUTE path — zero data
+    bytes copied, O(files) metadata, regardless of table size. The clone
+    carries the source's as-of-``version`` schema, partition spec, bloom
+    index, CHECK constraints, protocol, per-file stats/partition-values/
+    blooms, and deletion vectors; ``version=None`` clones HEAD.
+
+    Independence: the two logs never interact again. Writes to the clone
+    land under ITS data/ dir (its removes merely drop absolute log
+    references); writes to the source are invisible to the clone — the
+    clone's v0 is a permanent fork point, time-travelable forever.
+    Clone-of-clone works (already-absolute references pass through).
+
+    Why absolute paths: every reader resolves log entries with
+    ``os.path.join(root, f)``, which returns ``f`` unchanged when
+    absolute — so scans, DV anti-joins, the change feed, RESTORE, and
+    OPTIMIZE all work on a clone with no special casing. Row lineage
+    (``__src``) is the payload file's globally-unique basename, so the
+    source's DV parquet entries apply verbatim to the clone's scans.
+    ``vacuum`` walks only the LOCAL data/ dir against root-relative
+    names, so a clone's vacuum can never reclaim source files — but the
+    SOURCE's vacuum does not know about clones (exactly Delta's
+    documented shallow-clone hazard): reclaiming a version the clone
+    still references breaks the clone's reads until the forked files are
+    compacted into clone-local payloads.
+
+    Transaction stamps (``applied_txns``) deliberately do NOT carry over:
+    an exactly-once writer targeting the clone is a different sink.
+
+    Scale: cloning a 100 TB table is one log replay + one JSON write —
+    the cheap dev/test-branch and write-audit-publish primitive."""
+    head = latest_version(src_root)
+    if version is None:
+        version = head
+    if not 0 <= version <= head:
+        raise ValueError(f"version {version} not in [0, {head}]")
+    state = _read_state(src_root, version)
+    if state["schema"] is None:
+        raise ValueError(f"no schema-bearing commit at or before v{version}")
+    src_abs = os.path.abspath(src_root)
+
+    def _a(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.join(src_abs, f)
+
+    live = sorted(state["live"])
+    add = [_a(f) for f in live]
+    stats = {_a(f): state["stats"][f] for f in live if f in state["stats"]}
+    parts = {_a(f): state["parts"][f] for f in live if f in state["parts"]}
+    blooms = {_a(f): state["blooms"][f] for f in live
+              if f in state["blooms"]}
+    dvm = {_a(f): [_a(p) for p in ps]
+           for f, ps in state["dv"].items() if f in state["live"]}
+    shutil.rmtree(dst_root, ignore_errors=True)
+    os.makedirs(os.path.join(dst_root, "data"), exist_ok=True)
+    _write_commit(
+        dst_root, 0, add, [],
+        schema_json=state["schema"],
+        stats=stats or None,
+        dv={"map": dvm} if dvm else None,
+        parts=parts or None,
+        partition_by=[dict(sp) for sp in state["partition_by"]] or None,
+        op="clone",
+        blooms=blooms or None,
+        bloom_cols=list(state["bloom_cols"]) or None,
+        constraint_add=dict(state["constraints"]) or None,
+        protocol=dict(state["protocol"]),
+    )
+    return 0
+
+
 def vacuum(root: str, retain_versions: int = 1,
            retain_ms: int | None = None) -> list[str]:
     """Physically reclaim payload files referenced by NO retained version
