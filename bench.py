@@ -119,9 +119,11 @@ FRESH = [
     # commit-log table under .csv_tmp/ (the disk-writing rule — their
     # wall time measures commit I/O, not a plan), and
     # stream_table_changes runs a live processingTime-trigger streaming
-    # query (the streaming exclusion). The one timeable r09 key is the
-    # weighted-sampling scan.
+    # query (the streaming exclusion). The timeable r09 keys are the
+    # weighted-sampling scan and the BM25 ranking (table_clone joins the
+    # commit-log exclusion).
     "sample_weighted",
+    "text_bm25",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -1269,3 +1269,53 @@ def test_ts_gapfill_python_replay_random_series(spark, tmp_path):
                 pv, nv = obs[prev_h], obs[nxt_h]
                 expect = pv + (nv - pv) * ((h - prev_h) / (nxt_h - prev_h))
                 assert abs(r.interp_cents - expect) < 1e-6
+
+
+def test_bm25_python_replay_matches_engine(spark):
+    """Independent check (the kmeans-replay precedent): a from-scratch
+    pure-Python BM25 over Counter token counts — 20L-scaled integer
+    fraction, 1000-scaled Robertson idf, floor division everywhere —
+    must produce the IDENTICAL top-5 per query the Spark plan (and thus
+    the DuckDB oracle) computes, including the (score DESC, doc_id ASC)
+    tie order. Catches a spec misreading both engines could share."""
+    from collections import Counter
+
+    from tests.conftest import SF_SMOKE
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.textstats import (
+        _BM25_QUERIES,
+        text_bm25,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    tf = {r.doc_id: Counter(t for t in r.text.split(" ") if t)
+          for r in rows}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n_docs = len(rows)
+    l_tokens = sum(dl.values())
+    df = Counter(t for c in tf.values() for t in c)
+
+    def idf_k(t):
+        return ((2 * n_docs - 2 * df[t] + 1) * 1000) // (2 * df[t] + 1)
+
+    scores: dict[str, dict[int, int]] = {}
+    for qid, term in _BM25_QUERIES:
+        for d, c in tf.items():
+            if c[term]:
+                num = idf_k(term) * c[term] * 44 * l_tokens
+                den = 20 * l_tokens * c[term] + 6 * l_tokens + 18 * dl[d] * n_docs
+                scores.setdefault(qid, {})
+                scores[qid][d] = scores[qid].get(d, 0) + num // den
+    expect = []
+    for qid in sorted(scores):
+        top = sorted(scores[qid].items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        expect += [(qid, i + 1, d, s) for i, (d, s) in enumerate(top)]
+
+    got = sorted(
+        (r.qid, r.rnk, r.doc_id, r.score_milli)
+        for r in text_bm25(spark, SF_SMOKE).collect()
+    )
+    assert got == sorted(expect)

@@ -635,3 +635,118 @@ def index_inverted(spark, sf_dir):
             ",",
         ).alias("postings"),
     )
+
+
+_BM25_QUERIES = [
+    ("q_join", "join"), ("q_join", "merge"),
+    ("q_pipeline", "data"), ("q_pipeline", "query"),
+    ("q_scan", "scan"), ("q_scan", "filter"), ("q_scan", "slow"),
+]
+
+# BM25 in exact integer arithmetic (see text_bm25): per-term score
+# idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1=6/5, b=3/4,
+# avgdl=L/N, multiplied through by 20L so numerator and denominator are
+# exact bigints; idf is the log-free Robertson ratio of text_tfidf,
+# floor-scaled to integer thousandths. DIV (Spark) and // (DuckDB) are
+# both integer floor division on the positive domain.
+_BM25_TERM_MILLI = (
+    "((((2 * n_docs - 2 * df + 1) * 1000) DIV (2 * df + 1))"
+    " * tf * 44 * l_tokens)"
+    " DIV (20 * l_tokens * tf + 6 * l_tokens + 18 * dl * n_docs)"
+)
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf  AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term),
+    dl  AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id),
+    dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS l_tokens FROM tok),
+    nd  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    q(qid, term) AS (VALUES {", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)}),
+    scored AS (
+        SELECT q.qid, tf.doc_id,
+               CAST(SUM({_BM25_TERM_MILLI.replace("DIV", "//")})
+                    AS BIGINT) AS score_milli
+        FROM tf
+        JOIN q   USING (term)
+        JOIN dfx USING (term)
+        JOIN dl  USING (doc_id), tot, nd
+        GROUP BY q.qid, tf.doc_id
+    )
+    SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_milli
+    FROM (SELECT qid, doc_id, score_milli,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score_milli DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """BM25 retrieval ranking (Robertson et al., TREC-3) — top-5 documents
+    per query over the corpus, the scoring head on index_inverted's
+    posting lists and the relevance primitive of contamination lookup /
+    quality retrieval over a training set. Integer-exact twin: the score
+    is computed entirely in bigint thousandths — k1=6/5 and b=3/4 are
+    exact rationals, the per-term fraction is multiplied through by 20L
+    (L = corpus token count) so both numerator and denominator are exact
+    integers, and the idf is text_tfidf's log-free Robertson ratio
+    (2N-2df+1)/(2df+1) floor-scaled by 1000 — so Spark's DIV and DuckDB's
+    // floor identically and the hash comparison is exact (a float BM25
+    would differ in the last ulp across engines' ln/sum orders).
+
+    Scale shape: the 7-row query list and the vocabulary-sized df table
+    broadcast to the (doc, term) side — tf rows not matching any query
+    term are pruned by the broadcast hash join BEFORE the only corpus
+    shuffle, the doc_id join against per-doc lengths; corpus totals (N,
+    L) attach as 1-row broadcast scalars. Top-5 per query partitions the
+    window by qid. At 100 TB the tf/dl build is the inverted-index pass
+    (term-keyed, map-side combined); integer magnitudes hold through
+    ~1e12 tokens (idf*tf*44*L < 2^63), beyond which the scale constants
+    shed a zero."""
+    from pyspark.sql import Window
+
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        spread(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("l_tokens"))
+    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid string, term string")
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nd))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.expr(_BM25_TERM_MILLI)).cast("long").alias("score_milli"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "doc_id", "score_milli")
+    )
