@@ -1865,3 +1865,105 @@ def test_clone_carries_schema_constraints_and_partitions(spark, tmp_path):
 def test_clone_version_bounds_raise(spark, table, tmp_path):
     with pytest.raises(ValueError, match="not in"):
         snap.clone(table, str(tmp_path / "x"), version=99)
+
+
+# ------------------------------------------------- MERGE schema evolution
+
+
+def test_merge_evolve_adds_column_in_one_commit(spark, table):
+    """merge_into(evolve=True) with source-only columns evolves the schema
+    IN the merge commit: matched rows carry the new value, survivors and
+    historical files null-fill, pre-merge versions keep the old schema."""
+    src = spark.createDataFrame(
+        [(5, "ROW5", "en", 1.5), (99, "NEW", "fr", 9.9)],
+        "id long, payload string, lang string, score double",
+    )
+    v = snap.merge_into(spark, table, src, ["id"], evolve=True)
+    head = snap.read(spark, table)
+    assert head.columns == ["id", "payload", "lang", "score"]
+    byid = {r.id: r for r in head.collect()}
+    assert byid[5].payload == "ROW5" and byid[5].score == 1.5
+    assert byid[99].score == 9.9
+    assert all(byid[i].score is None for i in range(20) if i != 5)
+    assert snap.read(spark, table, v - 1).columns == ["id", "payload", "lang"]
+
+
+def test_merge_evolve_feed_classifies_across_the_schema_change(spark, table):
+    """The typed change feed reads an evolving MERGE's diff under the new
+    schema: the preimage null-fills the new column, the postimage carries
+    it, and unmatched source rows stay plain inserts."""
+    src = spark.createDataFrame(
+        [(5, "ROW5", "en", 1.5), (99, "NEW", "fr", 9.9)],
+        "id long, payload string, lang string, score double",
+    )
+    v = snap.merge_into(spark, table, src, ["id"], evolve=True)
+    got = sorted(
+        (r.id, r._change_type, r.score)
+        for r in snap.changes(spark, table, v - 1, v,
+                              classify_updates=True).collect()
+    )
+    assert got == [
+        (5, "update_postimage", 1.5),
+        (5, "update_preimage", None),
+        (99, "insert", 9.9),
+    ]
+
+
+def test_merge_evolve_rejects_non_additive_and_new_keys(spark, table):
+    """evolve=True keeps the evolve_schema discipline: a missing or
+    retyped pinned column raises, and the merge keys must be pinned."""
+    with pytest.raises(ValueError, match="additive-only"):
+        snap.merge_into(
+            spark, table,
+            spark.createDataFrame([(1, 2)], "id long, payload long"),
+            ["id"], evolve=True,
+        )
+    with pytest.raises(ValueError, match="additive-only"):
+        snap.merge_into(
+            spark, table,
+            spark.createDataFrame([(1,)], "id long"), ["id"], evolve=True,
+        )
+    with pytest.raises(ValueError, match="must be pinned"):
+        snap.merge_into(
+            spark, table,
+            spark.createDataFrame(
+                [(1, "x", "en", 0.5)],
+                "id long, payload string, lang string, score double",
+            ),
+            ["score"], evolve=True,
+        )
+
+
+def test_merge_evolve_without_new_columns_is_a_plain_merge(spark, table):
+    """evolve=True with a schema-identical source commits NO schema action
+    (history shows a plain merge; replay cost unchanged)."""
+    src = spark.createDataFrame(
+        [(5, "ROW5", "en")], "id long, payload string, lang string"
+    )
+    v = snap.merge_into(spark, table, src, ["id"], evolve=True)
+    import json
+
+    with open(os.path.join(table, "_log", f"{v:08d}.json")) as fh:
+        assert "schema" not in json.load(fh)
+
+
+def test_merge_evolve_on_mapped_table_gets_fresh_physical_ids(spark, tmp_path):
+    """On a column-mapped table the evolved column gets a fresh physical
+    id, and a subsequent rename of it is one metadata commit."""
+    root = str(tmp_path / "mapped")
+    snap.create(
+        spark, root,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        column_mapping=True,
+    )
+    snap.merge_into(
+        spark, root,
+        spark.createDataFrame([(3, "c", 30)], "id long, v string, w long"),
+        ["id"], evolve=True,
+    )
+    sch = snap.table_schema(root)
+    phys = {f.name: f.metadata.get("physical") for f in sch.fields}
+    assert phys["w"] and phys["w"].startswith("c-")
+    snap.rename_column(root, "w", "weight")
+    got = {r.id: r.weight for r in snap.read(spark, root).collect()}
+    assert got == {1: None, 2: None, 3: 30}

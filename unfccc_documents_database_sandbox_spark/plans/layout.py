@@ -1509,3 +1509,104 @@ def table_clone(spark, sf_dir):
             stats("src@head", snap.read(spark, src)),
         ],
     )
+
+
+def _mev_stats_sql(version: int, body: str, n_cols: int,
+                   scored: bool) -> str:
+    score_sum = ("CAST(SUM(score) AS BIGINT)" if scored
+                 else "CAST(NULL AS BIGINT)")
+    n_scored = ("CAST(COUNT(score) AS BIGINT)" if scored
+                else "CAST(0 AS BIGINT)")
+    return f"""
+    SELECT CAST({version} AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {score_sum} AS score_sum,
+           {n_scored} AS n_scored,
+           CAST({n_cols} AS BIGINT) AS n_cols
+    FROM {body}
+    """
+
+
+_MEV_HEAD = """(
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars,
+           CASE WHEN doc_id % 7 = 0 THEN 3 * doc_id END AS score
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, n_chars, 3 * doc_id
+    FROM documents WHERE doc_id % 7 = 1
+)"""
+
+
+@register(
+    "table_merge_evolve",
+    oracle=" UNION ALL ".join([
+        _mev_stats_sql(0, "documents", 3, scored=False),
+        _mev_stats_sql(1, _MEV_HEAD, 4, scored=True),
+    ]),
+)
+def table_merge_evolve(spark, sf_dir):
+    """MERGE with schema auto-evolution (Delta's schema.autoMerge): ONE
+    merge_into(evolve=True) commit both upserts rows AND adds the
+    source-only `score` column to the table schema. The fixture: v0
+    CREATE documents(doc_id, lang, n_chars); v1 MERGE a source that
+    updates doc_id%7=0 (n_chars+1000, score=3*doc_id) and inserts
+    shifted rows (doc_id+100000) — all carrying the NEW column. The
+    per-version stats prove: v0 time travel keeps the 3-column era
+    (score_sum reads NULL, zero scored rows), the head's matched rows
+    carry the merged score, survivors and historical files null-fill it
+    with zero extra rewrites (only the COW hit files moved), and the
+    insert rows arrive scored. The typed change feed across the evolving
+    commit (preimage null-filled, postimage scored), the additive-only
+    guards, and the mapped-table fresh-physical-id path are pinned in
+    tests/test_snapshots.py.
+
+    Scale: schema evolution inside MERGE is one metadata field on the
+    commit the MERGE was writing anyway — the alternative (evolve, then
+    merge) doubles the table's commit rate and opens a window where
+    concurrent readers see the half-applied state."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapmev_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3))
+    upd = (
+        d.filter("doc_id % 7 = 0")
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("score", (3 * F.col("doc_id")).cast("long"))
+    )
+    ins = d.filter("doc_id % 7 = 1").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang", "n_chars",
+        (3 * F.col("doc_id")).cast("long").alias("score"),
+    )
+    snap.merge_into(spark, root, upd.unionByName(ins), ["doc_id"],
+                    evolve=True)
+
+    def stats(version: int):
+        df = snap.read(spark, root, version)
+        scored = "score" in df.columns
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.sum("score") if scored else F.lit(None))
+            .cast("long").alias("score_sum"),
+            (F.count("score") if scored else F.lit(0))
+            .cast("long").alias("n_scored"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "score_sum", "n_scored",
+            F.lit(len(df.columns)).cast("long").alias("n_cols"),
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [stats(0), stats(1)])

@@ -754,7 +754,10 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   bloom_cols: list[str] | None = None,
                   constraint_add: dict | None = None,
                   constraint_drop: str | None = None,
-                  protocol: dict | None = None) -> None:
+                  protocol: dict | None = None,
+                  row_tracking: bool = False,
+                  row_bases: dict | None = None,
+                  row_watermark: int | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -824,6 +827,16 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         payload["constraint_drop"] = constraint_drop
     if protocol:
         payload["protocol"] = protocol
+    if row_tracking:
+        # Table feature flag (commit 0 only): rows carry stable ids.
+        payload["row_tracking"] = True
+    if row_bases:
+        # Per-file fresh-row-id base: _row_id = base + row position for
+        # rows without a materialized id (Delta's baseRowId).
+        payload["row_bases"] = row_bases
+    if row_watermark is not None:
+        # High watermark AFTER this commit's assignments — monotonic.
+        payload["row_watermark"] = row_watermark
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -924,6 +937,9 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "blooms": dict(ck.get("blooms", {})),
             "constraints": dict(ck.get("constraints", {})),
             "protocol": dict(ck.get("protocol", {"reader": 1})),
+            "row_tracking": bool(ck.get("row_tracking", False)),
+            "row_bases": dict(ck.get("row_bases", {})),
+            "row_watermark": int(ck.get("row_watermark", 0)),
         }
         _check_protocol(state["protocol"])
         start = ck_version + 1
@@ -932,7 +948,9 @@ def _read_state(root: str, version: int | None = None) -> dict:
                  "stats": {}, "txns": [], "dv": {},
                  "partition_by": [], "parts": {},
                  "bloom_cols": [], "blooms": {},
-                 "constraints": {}, "protocol": {"reader": 1}}
+                 "constraints": {}, "protocol": {"reader": 1},
+                 "row_tracking": False, "row_bases": {},
+                 "row_watermark": 0}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -977,6 +995,16 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["stats"][f] = s
         if "txn" in c:
             state["txns"].append((c["txn"]["app"], c["txn"]["id"]))
+        if c.get("row_tracking"):
+            state["row_tracking"] = True
+        # bases are retained for REMOVED files too: RESTORE re-adds old
+        # files by log reference, and their id ranges must survive
+        for f, b in c.get("row_bases", {}).items():
+            state["row_bases"][f] = b
+        if "row_watermark" in c:
+            state["row_watermark"] = max(
+                state["row_watermark"], c["row_watermark"]
+            )
         state["version"] = v
     return state
 
@@ -1052,6 +1080,47 @@ def table_schema(root: str, version: int | None = None) -> StructType:
 # (`_rel_by_name`), so a hand-planted colliding file fails loudly.
 _DV_SCHEMA = "src string, pos bigint"
 
+# Row tracking (Delta's row tracking): every row gets a STABLE bigint
+# _row_id assigned once at its first commit and preserved across every
+# rewrite. Fresh files carry a per-file base in the log (_row_id = base +
+# row position, zero bytes stored); COW/OPTIMIZE rewrites MATERIALIZE the
+# ids into a hidden parquet column so the rewrite can't lose them.
+_RID_COL = "__rid"
+
+
+def _rid_field() -> StructField:
+    from pyspark.sql.types import LongType
+
+    return StructField(_RID_COL, LongType(), True)
+
+
+def _schema_plus_rid(schema: StructType) -> StructType:
+    """The table schema extended with the hidden materialized-row-id
+    column (rewrite payloads only; pinned-schema reads never see it)."""
+    return StructType(list(schema.fields) + [_rid_field()])
+
+
+def _strip_rid_stats(stats: dict) -> dict:
+    """Materialized-rewrite payloads are written under schema+__rid; the
+    hidden column's min/max are writer noise, not data stats."""
+    for per_file in stats.values():
+        per_file.pop(_RID_COL, None)
+    return stats
+
+
+def _assign_bases(
+    add: list[str], stats: dict, watermark: int
+) -> tuple[dict[str, int], int]:
+    """Assign each added file a contiguous fresh-row-id base from the
+    table's high watermark (file row counts ride in the stats pass the
+    writer already ran). Files are basenamed-unique, so base ranges are
+    disjoint table-wide forever."""
+    bases: dict[str, int] = {}
+    for f in sorted(add):
+        bases[f] = watermark
+        watermark += stats[f]["__nrows"]
+    return bases, watermark
+
 
 def _src_col():
     return F.col("_metadata.file_name")
@@ -1087,6 +1156,7 @@ def _scan_files(
     schema: StructType,
     dv: dict[str, list[str]],
     lineage: bool = False,
+    with_rid: bool = False,
 ) -> DataFrame:
     """Scan ``files`` under ``schema`` with merge-on-read deletes applied:
     rows whose (file, row_index) is in the file's deletion vector are
@@ -1110,10 +1180,16 @@ def _scan_files(
         if lineage:
             out = out.withColumn("__src", F.lit(None).cast("string")) \
                      .withColumn("__pos", F.lit(None).cast("long"))
+        if with_rid:
+            out = out.withColumn(_RID_COL, F.lit(None).cast("long"))
         return out
     # files spell PHYSICAL column names (column mapping); read them that
     # way, attach lineage, then surface the LOGICAL names
     pschema = _physical_schema(schema)
+    if with_rid:
+        # row tracking: also read the hidden materialized-id column —
+        # files that never materialized one (fresh appends) null-fill it
+        pschema = StructType(list(pschema.fields) + [_rid_field()])
     df = spark.read.schema(pschema).parquet(
         *[os.path.join(root, f) for f in files]
     )
@@ -1126,6 +1202,8 @@ def _scan_files(
         keep = [F.col(m[f.name]).alias(f.name) for f in schema.fields]
         if need_lineage:
             keep += [F.col("__src"), F.col("__pos")]
+        if with_rid:
+            keep += [F.col(_RID_COL)]
         df = df.select(*keep)
     if dv:
         parts = sorted({p for ps in dv.values() for p in ps})
@@ -1190,6 +1268,11 @@ def checkpoint(root: str) -> int:
                    if f in state["blooms"]},
         "constraints": dict(state["constraints"]),
         "protocol": dict(state["protocol"]),
+        "row_tracking": state["row_tracking"],
+        # ALL bases (not just live files'): RESTORE re-adds removed files
+        # by log reference and their id ranges must replay from here
+        "row_bases": dict(state["row_bases"]),
+        "row_watermark": state["row_watermark"],
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -1762,6 +1845,7 @@ def applied_txns(root: str, app: str) -> set[int]:
 def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Transactional MERGE (upsert): rows in ``source`` whose key matches a
     live row REPLACE it; unmatched source rows are inserted — as ONE atomic
@@ -1775,11 +1859,60 @@ def merge_into(
     but insert several, silently leaving duplicates in the table, so like
     Delta's MERGE we raise instead (r07 ADVICE #4).
 
+    ``evolve=True`` is Delta's MERGE schema auto-merge: source-only
+    columns EVOLVE the table schema in the same commit (additive-only,
+    `evolve_schema`'s discipline — a missing or retyped pinned column
+    still raises; key columns must be pinned). The rewrite's survivor
+    rows and every untouched historical file simply null-fill the new
+    columns at scan time — zero extra bytes rewritten beyond the normal
+    COW hit set; on a mapped table new columns get fresh physical ids.
+    Without it, an extra source column raises (the default contract:
+    raise, don't coerce).
+
     At 100 TB the matched-file discovery is a broadcast semi-join of the
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
     version = latest_version(root) + 1
-    schema = table_schema(root)
+    pinned = table_schema(root)
+    schema, schema_json = pinned, None
+    if evolve:
+        got = {f.name: f.dataType for f in source.schema}
+        missing = [f.name for f in pinned if f.name not in got]
+        retyped = [
+            f.name for f in pinned
+            if f.name in got and got[f.name] != f.dataType
+        ]
+        if missing or retyped:
+            raise ValueError(
+                "merge_into(evolve=True) is additive-only: "
+                f"missing={missing}, retyped={retyped}"
+            )
+        new_cols = [
+            f for f in source.schema
+            if f.name not in {p.name for p in pinned}
+        ]
+        if new_cols:
+            bad = [k for k in key_cols
+                   if k not in {p.name for p in pinned}]
+            if bad:
+                raise ValueError(
+                    f"merge_into: key columns must be pinned, got new {bad}"
+                )
+            mapped = any(
+                "physical" in (f.metadata or {}) for f in pinned.fields
+            )
+            schema = StructType(
+                list(pinned.fields)
+                + [
+                    StructField(
+                        f.name, f.dataType, f.nullable,
+                        {"physical": _new_physical(f.name)}
+                        if mapped else {},
+                    )
+                    for f in new_cols
+                ]
+            )
+            schema_json = schema.json()
     source = _check_schema(source, schema, "merge_into")
     _check_constraints(source, _read_state(root)["constraints"], "merge_into")
     dup = (
@@ -1820,6 +1953,7 @@ def merge_into(
     st0 = _read_state(root)
     pdir, add, parts = _write_payload(root, out, st0["partition_by"], schema)
     _write_commit(root, version, add, hit, txn=txn,
+                  schema_json=schema_json,
                   stats=_collect_stats(spark, root, pdir, schema),
                   parts=parts, merge_keys=list(key_cols), op="merge",
                   blooms=_collect_blooms(spark, root, pdir, schema,
