@@ -1967,3 +1967,113 @@ def test_merge_evolve_on_mapped_table_gets_fresh_physical_ids(spark, tmp_path):
     snap.rename_column(root, "w", "weight")
     got = {r.id: r.weight for r in snap.read(spark, root).collect()}
     assert got == {1: None, 2: None, 3: 30}
+
+
+# ----------------------------------------------------------- ROW TRACKING
+
+
+@pytest.fixture()
+def tracked(spark, tmp_path):
+    root = str(tmp_path / "tracked")
+    df = spark.createDataFrame(
+        [(i, f"row{i}", "de" if i % 4 == 0 else "en") for i in range(20)],
+        "id long, payload string, lang string",
+    )
+    snap.create(spark, root, df.repartition(3), row_tracking=True)
+    return root
+
+
+def _rids(spark, root, version=None):
+    return {
+        r.id: r._row_id
+        for r in snap.read_with_row_ids(spark, root, version).collect()
+    }
+
+
+def test_row_ids_are_dense_and_unique_at_create(spark, tracked):
+    """v0 assigns ids 0..N-1: contiguous per-file base ranges from the
+    stats pass's row counts, zero bytes stored in the data files."""
+    ids = _rids(spark, tracked)
+    assert sorted(ids.values()) == list(range(20))
+    walked = snap.live_files(tracked)
+    # no materialized column in fresh files: bases ride in the log
+    st = snap._read_state(tracked)
+    assert set(st["row_bases"]) == set(walked)
+
+
+def test_row_ids_survive_every_rewrite(spark, tracked):
+    """The tracking contract: COW delete, UPDATE, OPTIMIZE (which
+    materializes ids into the rewritten files) and MOR delete never
+    renumber a surviving row."""
+    before = _rids(spark, tracked)
+    snap.delete_where(spark, tracked, "lang = 'de'")
+    snap.update_where(spark, tracked, "id = 1", {"payload": "'UPD'"})
+    snap.compact(spark, tracked, max_files=1)
+    snap.delete_where_mor(spark, tracked, "id = 7")
+    after = _rids(spark, tracked)
+    assert set(after) == {i for i in range(20) if i % 4 != 0 and i != 7}
+    assert all(after[i] == before[i] for i in after)
+
+
+def test_row_ids_append_and_merge_mint_fresh_ids(spark, tracked):
+    """Fresh rows (append / merge-insert) take ids above the high
+    watermark; a matched MERGE key KEEPS the replaced row's id (it is an
+    UPDATE, matching the typed change feed's classification)."""
+    before = _rids(spark, tracked)
+    snap.append(spark, tracked, spark.createDataFrame(
+        [(100, "x", "fr")], "id long, payload string, lang string"))
+    src = spark.createDataFrame(
+        [(2, "M2", "en"), (500, "NEW", "fr")],
+        "id long, payload string, lang string",
+    )
+    snap.merge_into(spark, tracked, src, ["id"])
+    after = _rids(spark, tracked)
+    assert after[2] == before[2]                      # matched: kept
+    assert after[100] == 20                           # append: watermark
+    assert after[500] > max(before.values())          # insert: fresh
+    assert len(set(after.values())) == len(after)     # unique table-wide
+
+
+def test_row_ids_time_travel_is_era_accurate(spark, tracked):
+    """Ids are stable ACROSS eras: a v0 read after rewrites shows the
+    original ids, and surviving rows carry the same id at HEAD."""
+    v0 = _rids(spark, tracked, 0)
+    snap.delete_where(spark, tracked, "lang = 'de'")
+    snap.compact(spark, tracked, max_files=1)
+    assert _rids(spark, tracked, 0) == v0
+    head = _rids(spark, tracked)
+    assert all(head[i] == v0[i] for i in head)
+
+
+def test_row_ids_survive_checkpoint_restore_and_clone(spark, tracked, tmp_path):
+    """Bases and the watermark ride in checkpoints (including bases of
+    REMOVED files, which RESTORE re-references) and in clones."""
+    v0 = _rids(spark, tracked, 0)
+    snap.delete_where(spark, tracked, "lang = 'de'")
+    snap.checkpoint(tracked)
+    snap.expire_log(tracked)
+    head = _rids(spark, tracked)
+    assert all(head[i] == v0[i] for i in head)
+    dst = str(tmp_path / "fork")
+    snap.clone(tracked, dst)
+    assert _rids(spark, dst) == head
+    # fresh ids in the clone continue above the carried watermark
+    snap.append(spark, dst, spark.createDataFrame(
+        [(200, "c", "fr")], "id long, payload string, lang string"))
+    assert _rids(spark, dst)[200] == 20
+
+
+def test_row_ids_restore_rolls_ids_back_exactly(spark, tracked):
+    """RESTORE re-references pre-rewrite files; their logged bases must
+    still resolve (state retains bases for removed files)."""
+    v0 = _rids(spark, tracked, 0)
+    snap.delete_where(spark, tracked, "lang = 'de'")
+    snap.restore(spark, tracked, 0)
+    assert _rids(spark, tracked) == v0
+
+
+def test_row_ids_require_opt_in_and_hide_from_plain_reads(spark, tracked, table):
+    """Plain reads never see the id machinery; untracked tables raise."""
+    assert snap.read(spark, tracked).columns == ["id", "payload", "lang"]
+    with pytest.raises(ValueError, match="row tracking"):
+        snap.read_with_row_ids(spark, table)

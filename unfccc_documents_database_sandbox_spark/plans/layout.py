@@ -1610,3 +1610,88 @@ def table_merge_evolve(spark, sf_dir):
         )
 
     return reduce(lambda a, b: a.unionByName(b), [stats(0), stats(1)])
+
+
+@register(
+    "table_row_ids",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         keep AS (SELECT * FROM documents WHERE (lang = 'de') IS NOT TRUE)
+    SELECT (SELECT n FROM n) AS n_v0,
+           (SELECT n FROM n) AS ids_v0,
+           CAST(0 AS BIGINT) AS min_v0,
+           (SELECT n - 1 FROM n) AS max_v0,
+           (SELECT n * (n - 1) // 2 FROM n) AS sum_v0,
+           CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS n_head,
+           CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS ids_head,
+           CAST((SELECT COUNT(*) FROM keep) AS BIGINT) AS n_stable,
+           CAST(1000 * (SELECT COUNT(*) FROM keep WHERE doc_id % 10 = 0)
+                AS BIGINT) AS chars_delta
+    """,
+)
+def table_row_ids(spark, sf_dir):
+    """Row tracking (Delta's row tracking): every row gets a STABLE
+    bigint `_row_id` minted once at its first commit — fresh files store
+    NOTHING (id = logged per-file base + row position, O(files) metadata
+    from the stats pass's row counts), and every COW/OPTIMIZE rewrite
+    MATERIALIZES the ids into a hidden parquet column the pinned-schema
+    read never sees. The fixture: v0 CREATE documents tracked (3 files),
+    then OPTIMIZE (materializing rewrite), COW DELETE lang='de', and
+    UPDATE n_chars+=1000 on doc_id%10=0 — three full rewrites of the
+    survivor set. The one-row output proves: v0 ids are exactly the
+    dense range 0..N-1 (count/distinct/min/max/sum all pinned), the head
+    still has one distinct id per surviving row, and the _row_id
+    equi-join between HEAD and the v0 time travel matches every survivor
+    to ITS original row (n_stable = survivor count; the joined n_chars
+    delta isolates exactly the updated rows) — the id is a durable key
+    across rewrites, which file paths and row positions are not.
+    Append/merge watermark minting, restore/clone/checkpoint carriage,
+    and MOR interplay are pinned in tests/test_snapshots.py.
+
+    Scale: incremental consumers (CDC appliers, feature stores, vector
+    indexes) need a join key that survives OPTIMIZE; row ids give them
+    one for O(files) log metadata on the fresh path and one hidden
+    column only on rewritten files — exactly Delta's design."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snaprid_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3), row_tracking=True)
+    snap.compact(spark, root, max_files=2)
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.update_where(spark, root, "doc_id % 10 = 0",
+                      {"n_chars": "n_chars + 1000"})
+
+    v0 = snap.read_with_row_ids(spark, root, 0).select(
+        "doc_id", "n_chars", "_row_id"
+    )
+    head = snap.read_with_row_ids(spark, root).select(
+        "doc_id", "n_chars", "_row_id"
+    )
+    a_v0 = v0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_v0"),
+        F.countDistinct("_row_id").cast("long").alias("ids_v0"),
+        F.min("_row_id").cast("long").alias("min_v0"),
+        F.max("_row_id").cast("long").alias("max_v0"),
+        F.sum("_row_id").cast("long").alias("sum_v0"),
+    )
+    a_head = head.agg(
+        F.count(F.lit(1)).cast("long").alias("n_head"),
+        F.countDistinct("_row_id").cast("long").alias("ids_head"),
+    )
+    j = head.alias("h").join(v0.alias("v"), "_row_id")
+    a_join = j.agg(
+        F.sum(
+            F.when(F.col("h.doc_id") == F.col("v.doc_id"), 1).otherwise(0)
+        ).cast("long").alias("n_stable"),
+        F.sum(F.col("h.n_chars") - F.col("v.n_chars"))
+        .cast("long").alias("chars_delta"),
+    )
+    return a_v0.crossJoin(F.broadcast(a_head)).crossJoin(F.broadcast(a_join))

@@ -1241,6 +1241,68 @@ def _scan(
     )
 
 
+def _rid_scan(
+    spark: SparkSession,
+    root: str,
+    files: list[str],
+    schema: StructType,
+    dv: dict[str, list[str]],
+    state: dict,
+) -> DataFrame:
+    """DV-aware scan of ``files`` with every row's stable id resolved
+    into the ``__rid`` column (row-tracking rewrite source / read path):
+    a materialized id wins; otherwise the file's logged base + the row's
+    position. The base lookup is a broadcast join against an O(files)
+    frame — never a corpus shuffle."""
+    df = _scan_files(spark, root, files, schema, dv,
+                     lineage=True, with_rid=True)
+    if not files:
+        return df.drop("__src", "__pos")
+    bases = [
+        (os.path.basename(f), state["row_bases"].get(f)) for f in files
+    ]
+    bdf = spark.createDataFrame(bases, "___src string, ___base long")
+    return (
+        df.join(F.broadcast(bdf), df["__src"] == bdf["___src"], "left")
+        .select(
+            *[F.col(f.name) for f in schema.fields],
+            F.coalesce(F.col(_RID_COL), F.col("___base") + F.col("__pos"))
+            .alias(_RID_COL),
+        )
+    )
+
+
+def read_with_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read with the stable ``_row_id`` column attached (Delta's
+    row tracking): ids are assigned once at each row's first commit —
+    fresh files resolve base + position from O(files) log metadata, and
+    every COW/OPTIMIZE rewrite MATERIALIZES the ids into a hidden parquet
+    column, so the id survives any number of rewrites, updates, deletes
+    of neighbors, compactions, restores, and clones. The id is what
+    incremental consumers key on when file paths and row positions churn
+    underneath them.
+
+    Requires create(row_tracking=True). Time travel works: ids are
+    era-accurate (and identical across eras for surviving rows)."""
+    head = latest_version(root)
+    if version is not None and not 0 <= version <= head:
+        raise ValueError(f"version {version} not in [0, {head}]")
+    state = _read_state(root, version)
+    if not state["row_tracking"]:
+        raise ValueError(
+            f"row tracking is not enabled on {root!r} "
+            "(create with row_tracking=True)"
+        )
+    schema = StructType.fromJson(json.loads(state["schema"]))
+    out = _rid_scan(
+        spark, root, sorted(state["live"]), schema,
+        dict(state["dv"]), state,
+    )
+    return out.withColumnRenamed(_RID_COL, "_row_id")
+
+
 def checkpoint(root: str) -> int:
     """Consolidate the state as of HEAD into one _checkpoint.{N}.json
     (live set, schema, per-file stats, applied txns) — Delta's checkpoint
@@ -1474,6 +1536,7 @@ def create(
     bloom_cols: list[str] | None = None,
     check_constraints: dict[str, str] | None = None,
     column_mapping: bool = False,
+    row_tracking: bool = False,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
@@ -1509,14 +1572,19 @@ def create(
     bloom_cols = [m.get(c, c) for c in bloom_cols]
     shutil.rmtree(root, ignore_errors=True)
     pdir, add, parts = _write_payload(root, df, partition_by, schema)
+    stats = _collect_stats(spark, root, pdir, schema)
+    bases, wm = (_assign_bases(add, stats, 0)
+                 if row_tracking else (None, None))
     _write_commit(root, 0, add, [], schema_json=schema.json(),
-                  stats=_collect_stats(spark, root, pdir, schema),
+                  stats=stats,
                   parts=parts, partition_by=partition_by or None,
                   op="create", bloom_cols=bloom_cols or None,
                   blooms=_collect_blooms(spark, root, pdir, schema,
                                          bloom_cols),
                   constraint_add=check_constraints or None,
-                  protocol={"reader": _READER_VERSION})
+                  protocol={"reader": _READER_VERSION},
+                  row_tracking=row_tracking,
+                  row_bases=bases, row_watermark=wm)
     return 0
 
 
@@ -1546,8 +1614,13 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     for attempt in range(max_retries + 1):
         version = latest_version(root) + 1
         try:
+            bases, wm = ((None, None) if not st0["row_tracking"]
+                         else _assign_bases(
+                             add, stats,
+                             _read_state(root)["row_watermark"]))
             _write_commit(root, version, add, [], stats=stats,
-                          parts=parts, op="append", blooms=blooms)
+                          parts=parts, op="append", blooms=blooms,
+                          row_bases=bases, row_watermark=wm)
             return version
         except FileExistsError:
             if attempt == max_retries:
@@ -1598,12 +1671,16 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     st0 = _read_state(root)
     pdir, add, parts = _write_payload(root, ordered, st0["partition_by"],
                                       ordered_schema)
+    stats = _collect_stats(spark, root, pdir, ordered_schema)
+    bases, wm = (_assign_bases(add, stats, st0["row_watermark"])
+                 if st0["row_tracking"] else (None, None))
     _write_commit(
         root, version, add, [], schema_json=ordered_schema.json(),
-        stats=_collect_stats(spark, root, pdir, ordered_schema),
+        stats=stats,
         parts=parts, op="evolve_schema",
         blooms=_collect_blooms(spark, root, pdir, ordered_schema,
                                st0["bloom_cols"]),
+        row_bases=bases, row_watermark=wm,
     )
     return version
 
@@ -1943,21 +2020,49 @@ def merge_into(
         hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     else:  # merging into an empty table is a pure insert
         hit = []
+    st0 = _read_state(root)
+    track = st0["row_tracking"]
+    if track:
+        # unmatched source rows are INSERTS: fresh ids from the file base
+        source = source.withColumn(_RID_COL, F.lit(None).cast("long"))
     if hit:
-        survivors = _scan_files(
-            spark, root, hit, schema, dv_map(root)
-        ).join(F.broadcast(keys), key_cols, "left_anti")
+        base_scan = (
+            _rid_scan(spark, root, hit, schema, dv_map(root), st0)
+            if track else
+            _scan_files(spark, root, hit, schema, dv_map(root))
+        )
+        survivors = base_scan.join(F.broadcast(keys), key_cols, "left_anti")
+        if track:
+            # a matched key is an UPDATE: the replacing source row KEEPS
+            # the target row's stable id (MIN over any replaced
+            # duplicates — deterministic); only truly new keys mint ids
+            oldids = (
+                base_scan.join(F.broadcast(keys), key_cols, "left_semi")
+                .groupBy(*key_cols)
+                .agg(F.min(_RID_COL).alias("___oldrid"))
+            )
+            source = (
+                source.drop(_RID_COL)
+                .join(F.broadcast(oldids), key_cols, "left")
+                .withColumn(_RID_COL, F.col("___oldrid"))
+                .drop("___oldrid")
+            )
         out = survivors.unionByName(source)
     else:
         out = source
-    st0 = _read_state(root)
-    pdir, add, parts = _write_payload(root, out, st0["partition_by"], schema)
+    wschema = _schema_plus_rid(schema) if track else schema
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"],
+                                      wschema)
+    stats = _strip_rid_stats(_collect_stats(spark, root, pdir, wschema))
+    bases, wm = (_assign_bases(add, stats, st0["row_watermark"])
+                 if track else (None, None))
     _write_commit(root, version, add, hit, txn=txn,
                   schema_json=schema_json,
-                  stats=_collect_stats(spark, root, pdir, schema),
+                  stats=stats,
                   parts=parts, merge_keys=list(key_cols), op="merge",
                   blooms=_collect_blooms(spark, root, pdir, schema,
-                                         st0["bloom_cols"]))
+                                         st0["bloom_cols"]),
+                  row_bases=bases, row_watermark=wm)
     return version
 
 
@@ -2014,7 +2119,16 @@ def compact(
             return version
     # DV-aware: the rewrite physically drops MOR-deleted rows, so the
     # compacted files need no DV (replay clears pointers of removed files)
-    cur = _scan_files(spark, root, files, schema, dv_map(root))
+    st_rt = _read_state(root)
+    if st_rt["row_tracking"]:
+        # OPTIMIZE must not renumber rows: materialize ids into the
+        # compacted files (__rid survives the z-order/partition reshuffle
+        # as a plain carried column)
+        cur = _rid_scan(spark, root, files, schema, dv_map(root), st_rt)
+        wschema = _schema_plus_rid(schema)
+    else:
+        cur = _scan_files(spark, root, files, schema, dv_map(root))
+        wschema = schema
     if zorder_by:
         n_dims = len(zorder_by)
         if n_dims > 4:
@@ -2082,9 +2196,10 @@ def compact(
         )
     else:
         out = cur.coalesce(max_files)
-    pdir, add, parts = _write_payload(root, out, pby, schema)
+    pdir, add, parts = _write_payload(root, out, pby, wschema)
     _write_commit(root, version, add, files,
-                  stats=_collect_stats(spark, root, pdir, schema),
+                  stats=_strip_rid_stats(
+                      _collect_stats(spark, root, pdir, wschema)),
                   data_change=False, parts=parts, op="optimize",
                   blooms=_collect_blooms(spark, root, pdir, schema,
                                          _read_state(root)["bloom_cols"]))
@@ -2112,13 +2227,21 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
         return version
     # DELETE semantics: remove rows where the predicate is TRUE; rows where
     # it evaluates NULL are kept (NOT(cond) would silently drop them).
-    kept = _scan_files(
-        spark, root, hit, schema, dv_map(root)
-    ).filter(f"({condition}) IS NOT TRUE")
     st0 = _read_state(root)
-    pdir, add, parts = _write_payload(root, kept, st0["partition_by"], schema)
+    if st0["row_tracking"]:
+        # the rewrite MATERIALIZES survivor row ids (base+pos would be
+        # recomputed against the NEW file and drift)
+        kept = _rid_scan(spark, root, hit, schema, dv_map(root), st0)
+        wschema = _schema_plus_rid(schema)
+    else:
+        kept = _scan_files(spark, root, hit, schema, dv_map(root))
+        wschema = schema
+    kept = kept.filter(f"({condition}) IS NOT TRUE")
+    pdir, add, parts = _write_payload(root, kept, st0["partition_by"],
+                                      wschema)
     _write_commit(root, version, add, hit,
-                  stats=_collect_stats(spark, root, pdir, schema),
+                  stats=_strip_rid_stats(
+                      _collect_stats(spark, root, pdir, wschema)),
                   parts=parts, op="delete",
                   blooms=_collect_blooms(spark, root, pdir, schema,
                                          st0["bloom_cols"]))
@@ -2165,7 +2288,15 @@ def update_where(
         _write_commit(root, version, [], [], op="update")
         return version
     dv = dv_map(root)
-    hit_scan = _scan_files(spark, root, hit, schema, dv)
+    st0 = _read_state(root)
+    if st0["row_tracking"]:
+        # an UPDATE preserves row identity: the rewrite materializes the
+        # pre-update ids alongside the new values
+        hit_scan = _rid_scan(spark, root, hit, schema, dv, st0)
+        wschema = _schema_plus_rid(schema)
+    else:
+        hit_scan = _scan_files(spark, root, hit, schema, dv)
+        wschema = schema
     types = {f.name: f.dataType for f in schema}
     is_hit = F.expr(f"({condition}) IS TRUE")
 
@@ -2176,13 +2307,15 @@ def update_where(
             ).otherwise(F.col(name)).alias(name)
         return F.col(name)
 
-    rewritten = hit_scan.select(*[_set_col(f.name) for f in schema])
-    st0 = _read_state(root)
+    rewritten = hit_scan.select(
+        *[_set_col(f.name) for f in schema],
+        *([F.col(_RID_COL)] if st0["row_tracking"] else []),
+    )
     # the post-image of the updated rows: predicate evaluated on the OLD
     # values (filter BEFORE the SET — re-evaluating on post-SET rows
     # would miss updates that falsify their own predicate), SET applied
     # unconditionally after
-    pre = hit_scan.filter(is_hit)
+    pre = hit_scan.filter(is_hit).select(*[F.col(f.name) for f in schema])
     post = pre.select(
         *[
             (F.expr(set_exprs[f.name]).cast(types[f.name]).alias(f.name)
@@ -2192,7 +2325,7 @@ def update_where(
     )
     _check_constraints(post, st0["constraints"], "update_where")
     pdir, add, parts = _write_payload(root, rewritten, st0["partition_by"],
-                                      schema)
+                                      wschema)
     cdc_parts = None
     if cdf:
         cdir = _new_payload_dir(root)
@@ -2205,7 +2338,8 @@ def update_where(
         ).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
     _write_commit(root, version, add, hit,
-                  stats=_collect_stats(spark, root, pdir, schema),
+                  stats=_strip_rid_stats(
+                      _collect_stats(spark, root, pdir, wschema)),
                   parts=parts, cdc=cdc_parts, op="update",
                   blooms=_collect_blooms(spark, root, pdir, schema,
                                          st0["bloom_cols"]))
@@ -2460,6 +2594,11 @@ def clone(src_root: str, dst_root: str, version: int | None = None) -> int:
         bloom_cols=list(state["bloom_cols"]) or None,
         constraint_add=dict(state["constraints"]) or None,
         protocol=dict(state["protocol"]),
+        row_tracking=state["row_tracking"],
+        row_bases={_a(f): b for f, b in state["row_bases"].items()}
+        or None,
+        row_watermark=state["row_watermark"]
+        if state["row_tracking"] else None,
     )
     return 0
 
