@@ -2077,3 +2077,54 @@ def test_row_ids_require_opt_in_and_hide_from_plain_reads(spark, tracked, table)
     assert snap.read(spark, tracked).columns == ["id", "payload", "lang"]
     with pytest.raises(ValueError, match="row tracking"):
         snap.read_with_row_ids(spark, table)
+
+
+# ------------------------------------------------------------------ TAGS
+
+
+def test_tags_resolve_and_are_immutable(spark, table):
+    """A tag pins a version by name; re-tagging an existing name raises
+    (delete_tag + tag is the explicit re-point)."""
+    snap.tag(table, "baseline", version=0)
+    snap.delete_where(spark, table, "lang = 'de'")
+    assert snap.tag(table, "clean") == 2  # HEAD default
+    assert snap.tags(table) == {"baseline": 0, "clean": 2}
+    assert snap.read_tag(spark, table, "baseline").count() == 10
+    assert snap.read_tag(spark, table, "clean").count() == 15
+    with pytest.raises(FileExistsError):
+        snap.tag(table, "baseline", version=1)
+    snap.delete_tag(table, "baseline")
+    snap.tag(table, "baseline", version=1)
+    assert snap.tags(table)["baseline"] == 1
+    with pytest.raises(ValueError, match="no such tag"):
+        snap.read_tag(spark, table, "nope")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        snap.tag(table, "../escape")
+
+
+def test_tagged_versions_survive_vacuum(spark, table):
+    """VACUUM retains a tagged version's files no matter how tight the
+    count window is; deleting the tag releases them."""
+    snap.tag(table, "keepme", version=0)
+    v0_files = set(snap.live_files(table, 0))
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.compact(spark, table, max_files=1)
+    swept = snap.vacuum(table, retain_versions=1)
+    assert not v0_files & set(swept)  # the tagged era survives
+    assert snap.read_tag(spark, table, "keepme").count() == 10
+    snap.delete_tag(table, "keepme")
+    assert v0_files & set(snap.vacuum(table, retain_versions=1))
+    with pytest.raises(Exception):
+        snap.read(spark, table, 0).collect()
+
+
+def test_expire_log_refuses_to_strand_a_tag(spark, table):
+    """Log retention must not break a tag: expiring commits below the
+    newest checkpoint raises while a tag points into the dropped era."""
+    snap.tag(table, "old", version=0)
+    snap.delete_where(spark, table, "lang = 'de'")
+    snap.checkpoint(table)
+    with pytest.raises(ValueError, match="strand"):
+        snap.expire_log(table)
+    snap.delete_tag(table, "old")
+    assert snap.expire_log(table)

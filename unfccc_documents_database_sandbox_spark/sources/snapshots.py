@@ -1349,16 +1349,97 @@ def expire_log(root: str) -> list[str]:
     """Delete commit JSON files at or below the newest checkpoint (log
     retention): replay after this starts from the checkpoint, and time
     travel to expired versions fails loudly with 'predates the oldest
-    checkpoint'. Returns the deleted file names."""
+    checkpoint'. Refuses to strand a TAGGED version (a tag below the
+    newest checkpoint stays replayable only if a checkpoint exists at or
+    below it whose follow-up commits survive — i.e. exactly at it).
+    Returns the deleted file names."""
     cks = _checkpoint_versions(root)
     if not cks:
         raise ValueError("expire_log requires a checkpoint; run checkpoint() first")
+    stranded = {
+        name: v for name, v in tags(root).items()
+        if v < cks[-1] and v not in cks
+    }
+    if stranded:
+        raise ValueError(
+            f"expire_log would strand tagged version(s) {stranded}: "
+            "delete the tag(s) or checkpoint at the tagged version first"
+        )
     deleted = []
     for v in _commit_versions(root):
         if v <= cks[-1]:
             os.remove(_commit_path(root, v))
             deleted.append(f"{v:08d}.json")
     return deleted
+
+
+_TAG_RE = None  # compiled lazily (import-section hygiene, like _COMMIT_RE)
+
+
+def _tag_path(root: str, name: str) -> str:
+    global _TAG_RE
+    if _TAG_RE is None:
+        import re
+
+        _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r} (alnum start, then [A-Za-z0-9._-], "
+            "max 64 chars)"
+        )
+    return os.path.join(_log_dir(root), f"_tag.{name}.json")
+
+
+def tag(root: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named tag for a version (Iceberg's tags):
+    `read_tag` resolves it, VACUUM retains the tagged version's files
+    regardless of the count/time retention windows, and `expire_log`
+    refuses to strand it. Tags are O_EXCL-immutable — re-pointing is
+    delete_tag + tag, never a silent overwrite. Returns the tagged
+    version (HEAD when ``version`` is None)."""
+    head = latest_version(root)
+    if version is None:
+        version = head
+    if not 0 <= version <= head:
+        raise ValueError(f"version {version} not in [0, {head}]")
+    import time as _time
+
+    payload = {"name": name, "version": version,
+               "ts": int(_time.time() * 1000)}
+    fd = os.open(_tag_path(root, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+    return version
+
+
+def tags(root: str) -> dict[str, int]:
+    """{tag name: version} for every tag on the table."""
+    out: dict[str, int] = {}
+    log = _log_dir(root)
+    if not os.path.isdir(log):
+        return out
+    for fn in os.listdir(log):
+        if fn.startswith("_tag.") and fn.endswith(".json"):
+            with open(os.path.join(log, fn), encoding="utf-8") as fh:
+                t = json.load(fh)
+            out[t["name"]] = t["version"]
+    return out
+
+
+def delete_tag(root: str, name: str) -> None:
+    """Drop a tag (its version rejoins the normal retention rules)."""
+    p = _tag_path(root, name)
+    if not os.path.exists(p):
+        raise ValueError(f"no such tag {name!r}")
+    os.remove(p)
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Snapshot read of a tagged version (`VERSION AS OF <tag>`)."""
+    t = tags(root)
+    if name not in t:
+        raise ValueError(f"no such tag {name!r} (have: {sorted(t)})")
+    return read(spark, root, t[name])
 
 
 def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
@@ -2637,21 +2718,30 @@ def vacuum(root: str, retain_versions: int = 1,
         if recent:
             oldest = min(oldest, min(recent))
     keep: set[str] = set()
-    for v in range(oldest, head + 1):
+
+    def _retain(v: int) -> None:
         state = _read_state(root, v)
-        keep |= state["live"]
+        keep.update(state["live"])
         # deletion-vector parts still pointed to by a retained version's
         # live files (a superseded DV of an UN-retained version is swept)
         for f, parts in state["dv"].items():
             if f in state["live"]:
-                keep |= set(parts)
+                keep.update(parts)
         # change-data files of retained commits (the feed over the
         # retention window stays reconstructible — Delta's CDF contract;
         # the commit JSON may already be expired below a checkpoint)
         try:
-            keep |= set(_load_commit(root, v).get("cdc") or [])
+            keep.update(_load_commit(root, v).get("cdc") or [])
         except FileNotFoundError:
             pass
+
+    for v in range(oldest, head + 1):
+        _retain(v)
+    # tagged versions are retained regardless of the count/time windows
+    # (Iceberg's refs): a tag is a promise the version stays readable
+    for v in sorted(set(tags(root).values())):
+        if v < oldest:
+            _retain(v)
     data_dir = os.path.join(root, "data")
     deleted: list[str] = []
     for d in sorted(os.listdir(data_dir)):
