@@ -124,6 +124,7 @@ FRESH = [
     # commit-log exclusion).
     "sample_weighted",
     "text_bm25",
+    "graph_bfs",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"
