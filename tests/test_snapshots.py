@@ -2128,3 +2128,67 @@ def test_expire_log_refuses_to_strand_a_tag(spark, table):
         snap.expire_log(table)
     snap.delete_tag(table, "old")
     assert snap.expire_log(table)
+
+
+# ------------------------------------------------------ NULL-COUNT SKIPPING
+
+
+def test_null_count_pruning_skips_files(spark, tmp_path):
+    """IS [NOT] NULL data skipping on the per-file null counts: a file
+    with zero nulls never opens for IS NULL, an all-null file never opens
+    for IS NOT NULL, and answers equal the unpruned filter exactly."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(i, i * 10 if i % 3 == 0 else None) for i in range(30)],
+        "id long, score long",
+    )
+    # cluster rows so null/non-null land in different files
+    snap.create(
+        spark, root,
+        df.repartition(2, (F.col("id") % 3 == 0).cast("int")),
+    )
+    live = snap.live_files(root)
+    nn = snap.pruned_files(root, not_null=["score"])
+    inn = snap.pruned_files(root, is_null=["score"])
+    assert len(nn) < len(live) and len(inn) < len(live)
+    got_nn = sorted(
+        r.id for r in snap.read_pruned(spark, root,
+                                       not_null=["score"]).collect()
+    )
+    assert got_nn == [i for i in range(30) if i % 3 == 0]
+    got_in = sorted(
+        r.id for r in snap.read_pruned(spark, root,
+                                       is_null=["score"]).collect()
+    )
+    assert got_in == [i for i in range(30) if i % 3 != 0]
+    # composes with range bounds
+    both = snap.read_pruned(spark, root, {"id": (0, 14)},
+                            not_null=["score"])
+    assert sorted(r.id for r in both.collect()) == [0, 3, 6, 9, 12]
+
+
+def test_null_count_pruning_tolerates_legacy_stats(spark, tmp_path):
+    """Pre-nullcount-era commits hold 2-element [min, max] stats; the
+    NULL tiers must keep (never wrongly prune) such files."""
+    import json as _json
+
+    root = str(tmp_path / "legacy")
+    df = spark.createDataFrame(
+        [(1, None), (2, 20)], "id long, score long"
+    )
+    snap.create(spark, root, df.coalesce(1))
+    # rewrite commit 0's stats to the legacy 2-element form
+    p = os.path.join(root, "_log", "00000000.json")
+    with open(p, encoding="utf-8") as fh:
+        c = _json.load(fh)
+    for per_file in c["stats"].values():
+        for k, v in per_file.items():
+            if isinstance(v, list):
+                per_file[k] = v[:2]
+    os.remove(p)
+    with open(p, "w", encoding="utf-8") as fh:
+        _json.dump(c, fh)
+    assert snap.pruned_files(root, is_null=["score"]) == snap.live_files(root)
+    assert snap.read_pruned(spark, root, is_null=["score"]).count() == 1

@@ -1695,3 +1695,76 @@ def table_row_ids(spark, sf_dir):
         .cast("long").alias("chars_delta"),
     )
     return a_v0.crossJoin(F.broadcast(a_head)).crossJoin(F.broadcast(a_join))
+
+
+@register(
+    "table_null_prune",
+    oracle="""
+    SELECT 'with_score' AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'unscored' AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE doc_id % 3 <> 0
+    """,
+)
+def table_null_prune(spark, sf_dir):
+    """NULL-predicate data skipping (Delta's nullCount stats): every
+    commit's stats pass records [min, max, null_count] per file-column
+    in the one pass it already ran; `read_pruned(is_null=...)` /
+    `(not_null=...)` then skip whole files from the log alone — a file
+    with zero nulls can't satisfy IS NULL, an all-null file can't
+    satisfy IS NOT NULL. The fixture derives a nullable `score`
+    (non-null iff doc_id%3=0) and clusters the write on that predicate,
+    so the two NULL-tier reads each open ONLY their half of the files;
+    the residual row filter exacts the rows, and the two output groups
+    recompute from the raw table in the oracle. That files are actually
+    SKIPPED (file-count assertions) and that pre-nullcount-era commits
+    (2-element [min,max] stats) degrade to scanning — never to a wrong
+    prune — are pinned in tests/test_snapshots.py.
+
+    Scale: IS NULL filters are everywhere in data-quality and backfill
+    scans (`WHERE embedding IS NULL` drives re-embedding jobs); at
+    100 TB the null-count tier turns those into O(affected files) reads
+    using metadata the writer was already collecting."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapnull_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    scored = d.withColumn(
+        "score",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars")).cast("long"),
+    )
+    snap.create(
+        spark, root,
+        scored.repartition(2, (F.col("doc_id") % 3 == 0).cast("int")),
+    )
+
+    def stats(label: str, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(F.lit(label).alias("grp"),
+                 "n_docs", "total_chars", "first_doc", "last_doc")
+
+    return stats(
+        "with_score", snap.read_pruned(spark, root, not_null=["score"])
+    ).unionByName(
+        stats("unscored", snap.read_pruned(spark, root, is_null=["score"]))
+    )

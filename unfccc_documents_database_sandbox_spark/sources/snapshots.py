@@ -387,6 +387,11 @@ def _collect_stats(
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
+        # null count in the same pass (Delta's nullCount): powers the
+        # IS [NOT] NULL file pruning tier in pruned_files
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}")
+        )
     rows = (
         spark.read.schema(schema).parquet(pdir)
         .groupBy(F.input_file_name().alias("__f"))
@@ -398,15 +403,20 @@ def _collect_stats(
     # Row counts ride in the same pass under the reserved "__nrows" key
     # (no column may collide: real columns never start with "__n" in the
     # fixtures, and the prune loop only reads keys it was asked about).
+    # Per-column entries are [min, max, null_count]; pre-nullcount-era
+    # commits hold 2-element lists, which every reader tolerates.
     stats: dict[str, dict[str, list]] = {
-        rel: {"__nrows": 0, **{c: [None, None] for c in cols}}
+        rel: {"__nrows": 0, **{c: [None, None, 0] for c in cols}}
         for rel in rel_of.values()
     }
     for r in rows:
         rel = _uri_to_relpath(r["__f"], rel_of)
         stats[rel] = {
             "__nrows": r["__n"],
-            **{c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in cols},
+            **{
+                c: [r[f"__mn_{c}"], r[f"__mx_{c}"], r[f"__nl_{c}"]]
+                for c in cols
+            },
         }
     return stats
 
@@ -602,7 +612,10 @@ def partition_values(
 
 
 def pruned_files(
-    root: str, bounds: dict[str, tuple], version: int | None = None
+    root: str, bounds: dict[str, tuple] | None = None,
+    version: int | None = None,
+    is_null: list[str] | None = None,
+    not_null: list[str] | None = None,
 ) -> list[str]:
     """Data skipping: the live files that MIGHT contain a row satisfying
     ``bounds`` ({col: (lo, hi)} inclusive range conjuncts), resolved from
@@ -613,11 +626,18 @@ def pruned_files(
        Delta/Iceberg partition-pruning tier, which works for every
        commit and needs no per-file stats. A NULL partition never
        satisfies a range.
-    2. Per-file [min, max] STATS for everything else: a file is skipped
-       when any bounded column's range is disjoint, or [None, None]
-       (all-NULL). Files or columns without stats are kept.
+    2. Per-file [min, max, null_count] STATS for everything else: a file
+       is skipped when any bounded column's range is disjoint, or
+       [None, None] (all-NULL). Files or columns without stats are kept.
 
-    Both tiers degrade to scanning, never to a wrong answer."""
+    ``is_null`` / ``not_null`` add the NULL-predicate tier on the same
+    stats (Delta's nullCount): a file with zero nulls in a column can't
+    satisfy `col IS NULL`, one whose null count equals its row count
+    can't satisfy `col IS NOT NULL`. Pre-nullcount-era commits (2-element
+    stats) are kept — unknown degrades to scanning.
+
+    All tiers degrade to scanning, never to a wrong answer."""
+    bounds = bounds or {}
     state = _read_state(root, version)
     schema_json = state["schema"]
     dtypes = {}
@@ -687,7 +707,7 @@ def pruned_files(
                 # column's stats may still prune below
             if s is None or pcol not in s:
                 continue
-            mn, mx = s[pcol]
+            mn, mx = s[pcol][0], s[pcol][1]
             if mn is None and mx is None:
                 keep = False
                 break
@@ -696,6 +716,20 @@ def pruned_files(
             ):
                 keep = False
                 break
+        if keep and s is not None:
+            nrows = s.get("__nrows")
+            for col in is_null or []:
+                ent = s.get(phys_of.get(col, col))
+                if ent is not None and len(ent) > 2 and ent[2] == 0:
+                    keep = False  # zero nulls: IS NULL can't match
+                    break
+            if keep:
+                for col in not_null or []:
+                    ent = s.get(phys_of.get(col, col))
+                    if (ent is not None and len(ent) > 2
+                            and nrows is not None and ent[2] == nrows):
+                        keep = False  # all nulls: IS NOT NULL can't match
+                        break
         if keep:
             out.append(f)
     return out
@@ -704,18 +738,30 @@ def pruned_files(
 def read_pruned(
     spark: SparkSession,
     root: str,
-    bounds: dict[str, tuple],
+    bounds: dict[str, tuple] | None = None,
     version: int | None = None,
+    is_null: list[str] | None = None,
+    not_null: list[str] | None = None,
 ) -> DataFrame:
     """Snapshot read with file-level data skipping + the residual row
     filter: scan only pruned_files(), then apply the range predicate
     exactly (stats prune whole files; rows inside surviving files still
-    need the filter). Semantically identical to read().filter(...) —
-    pinned by tests — but touches O(matching files) bytes."""
-    files = pruned_files(root, bounds, version)
+    need the filter). ``is_null`` / ``not_null`` push NULL predicates to
+    the null-count tier and apply the exact row filter on survivors.
+    Semantically identical to read().filter(...) — pinned by tests —
+    but touches O(matching files) bytes."""
+    bounds = bounds or {}
+    files = pruned_files(root, bounds, version,
+                         is_null=is_null, not_null=not_null)
     schema = table_schema(root, version)
     df = _scan_files(spark, root, files, schema, dv_map(root, version))
     present = set(schema.fieldNames())
+    for col in is_null or []:
+        if col in present:
+            df = df.filter(F.col(col).isNull())
+    for col in not_null or []:
+        if col in present:
+            df = df.filter(F.col(col).isNotNull())
     for col, (lo, hi) in bounds.items():
         if col not in present:
             # a GENERATED partition name: file-level pruning only (the
