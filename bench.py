@@ -125,6 +125,7 @@ FRESH = [
     "sample_weighted",
     "text_bm25",
     "graph_bfs",
+    "udf_cogrouped_asof",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

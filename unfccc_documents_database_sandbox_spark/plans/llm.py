@@ -162,3 +162,92 @@ def x_udaf_pandas_agg(spark, sf_dir):
         total_chars("n_chars").alias("total_chars"),
         n_rows("n_chars").alias("n_docs"),
     )
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS event_id,
+           CAST(m.click_id AS BIGINT) AS click_id,
+           CAST(m.gap_s AS BIGINT) AS gap_s
+    FROM p LEFT JOIN LATERAL (
+        SELECT c.click_id,
+               (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+        FROM c
+        WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def udf_cogrouped_asof(spark, sf_dir):
+    """U5-ext COGROUPED-map pandas UDF — the fourth pandas-UDF shape
+    (scalar-iterator / grouped-map / grouped-agg are registered above):
+    ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` hands each
+    user's purchases AND clicks to one Arrow-batched function, which runs
+    pandas ``merge_asof`` (backward, exact-match allowed) to attribute
+    every purchase to the user's most recent click at-or-before it —
+    NULL when the purchase precedes every click. Tie discipline: the
+    right side is sorted (ts, click_id) so an equal-ts tie resolves to
+    the max click_id, exactly the oracle's ORDER BY ts DESC, click_id
+    DESC LIMIT 1; the gap floors exact microsecond arithmetic to whole
+    seconds (never float total_seconds). The window-based first/last
+    touch twin is events_attribution; this key exists to prove the
+    cogroup API seam for 2-frame per-key logic built-ins can't express
+    (model-vs-baseline diffing, bitemporal reconciliation).
+
+    Scale: ONE co-partitioned shuffle of both inputs on user_id, then
+    embarrassingly parallel per-user pandas; a user's history is the
+    bounded unit (the sessionization layout). merge_asof itself is
+    O(n+m) per user on the pre-sorted frames."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    schema = ("user_id long, event_id long, click_id long, gap_s long")
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["user_id", "event_id", "click_id", "gap_s"]
+            )
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left[["user_id", "event_id"]].copy()
+            out["click_id"] = pd.array([None] * len(out), dtype="Int64")
+            out["gap_s"] = pd.array([None] * len(out), dtype="Int64")
+            return out
+        right = right.sort_values(["ts", "click_id"])[["ts", "click_id"]]
+        m = pd.merge_asof(
+            left, right, on="ts",
+            direction="backward", allow_exact_matches=True,
+            suffixes=("", "_c"),
+        )
+        # exact integer micros -> floor seconds (float total_seconds would
+        # drift on large epochs); matched ts rides along via a click join
+        matched = m["click_id"].notna()
+        ct = right.set_index("click_id")["ts"]
+        gap = pd.array([None] * len(m), dtype="Int64")
+        if matched.any():
+            mts = m.loc[matched, "click_id"].map(ct)
+            micros = (
+                m.loc[matched, "ts"].to_numpy() - mts.to_numpy()
+            ).astype("timedelta64[us]").astype("int64")
+            gap[matched.to_numpy()] = micros // 1_000_000
+        out = m[["user_id", "event_id"]].copy()
+        out["click_id"] = m["click_id"].astype("Int64")
+        out["gap_s"] = gap
+        return out
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(asof, schema)
+    )
