@@ -2192,3 +2192,156 @@ def test_null_count_pruning_tolerates_legacy_stats(spark, tmp_path):
         _json.dump(c, fh)
     assert snap.pruned_files(root, is_null=["score"]) == snap.live_files(root)
     assert snap.read_pruned(spark, root, is_null=["score"]).count() == 1
+
+
+# --------------------------------------------------- PARTITION EVOLUTION
+
+
+def test_partition_evolution_prunes_each_era_under_its_spec(spark, tmp_path):
+    """evolve_partition_spec switches the layout for FUTURE writes only:
+    old files keep pruning on their own spec, new files on the new one,
+    and read answers never change."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = str(tmp_path / "pevo")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en", i * 10) for i in range(40)],
+        "id long, lang string, chars long",
+    )
+    snap.create(spark, root, df.filter("id < 20").repartition(2),
+                partition_by=["lang"])
+    snap.evolve_partition_spec(
+        root, [{"source": "id", "transform": "truncate", "param": 10}]
+    )
+    snap.append(spark, root, df.filter("id >= 20").repartition(2))
+    live = snap.live_files(root)
+    # old era: lang=en files skipped for a de-only bound
+    pl = snap.pruned_files(root, {"lang": ("de", "de")})
+    assert len(pl) < len(live)
+    assert not [f for f in pl if "=en" in f]
+    # new era: only the id DIV 10 = 3 bucket opens (old era pruned by
+    # id stats as well — its files hold id < 20)
+    pi = snap.pruned_files(root, {"id": (30, 35)})
+    assert pi and all("__p_0=3" in f for f in pi)
+    got = sorted(
+        r.id for r in snap.read_pruned(spark, root, {"id": (30, 35)}).collect()
+    )
+    assert got == list(range(30, 36))
+
+
+def test_partition_evolution_optimize_migrates_layout(spark, tmp_path):
+    """OPTIMIZE after a spec change rewrites everything into the CURRENT
+    layout (Iceberg's lazy migration) bit-identically."""
+    root = str(tmp_path / "pevo2")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en") for i in range(20)],
+        "id long, lang string",
+    )
+    snap.create(spark, root, df, partition_by=["lang"])
+    snap.evolve_partition_spec(
+        root, [{"source": "id", "transform": "truncate", "param": 5}]
+    )
+    snap.compact(spark, root, max_files=1)
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == list(range(20))
+    # every live file now lives in the new bucket layout
+    assert all("__p_0=" in f for f in snap.live_files(root))
+    pi = snap.pruned_files(root, {"id": (5, 9)})
+    assert pi and all("__p_0=1" in f for f in pi)
+
+
+def test_partition_evolution_survives_checkpoint_expiry(spark, tmp_path):
+    """The per-era spec union rides in checkpoints, so old-era pruning
+    still works after the original spec's commit JSON is expired."""
+    root = str(tmp_path / "pevo3")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en") for i in range(20)],
+        "id long, lang string",
+    )
+    snap.create(spark, root, df, partition_by=["lang"])
+    snap.evolve_partition_spec(root, [])  # un-partition future writes
+    snap.append(spark, root, spark.createDataFrame(
+        [(100, "fr")], "id long, lang string"))
+    snap.checkpoint(root)
+    snap.expire_log(root)
+    pl = snap.pruned_files(root, {"lang": ("de", "de")})
+    assert not [f for f in pl if "=en" in f]
+    assert len(pl) < len(snap.live_files(root))
+
+
+def test_partition_evolution_rejects_unknown_sources(spark, tmp_path):
+    root = str(tmp_path / "pevo4")
+    snap.create(spark, root, spark.createDataFrame(
+        [(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="not in schema"):
+        snap.evolve_partition_spec(root, ["nope"])
+
+
+# ----------------------------------------------------------- MOR UPDATE
+
+
+def test_update_mor_rewrites_nothing(spark, table):
+    """Merge-on-read UPDATE: originals stay live (DV'd), postimages
+    append, answers match the COW update exactly."""
+    files0 = set(snap.live_files(table))
+    v = snap.update_where_mor(spark, table, "id % 4 = 0",
+                              {"payload": "upper(payload)"})
+    assert files0 <= set(snap.live_files(table))
+    rows = {r.id: r.payload for r in snap.read(spark, table).collect()}
+    assert len(rows) == 20
+    assert all(rows[i] == f"ROW{i}" for i in range(0, 20, 4))
+    assert all(rows[i] == f"row{i}" for i in range(20) if i % 4)
+    # exact typed feed, no diffing
+    ch = sorted(
+        (r.id, r._change_type)
+        for r in snap.changes(spark, table, v - 1, v).collect()
+    )
+    assert ch == sorted(
+        [(i, "update_preimage") for i in range(0, 20, 4)]
+        + [(i, "update_postimage") for i in range(0, 20, 4)]
+    )
+    # time travel is untouched; a second update supersedes the DV
+    assert snap.read(spark, table, v - 1).filter(
+        "payload = 'ROW0'").count() == 0
+    snap.update_where_mor(spark, table, "id = 0", {"payload": "'zero'"})
+    rows2 = {r.id: r.payload for r in snap.read(spark, table).collect()}
+    assert rows2[0] == "zero" and rows2[4] == "ROW4" and len(rows2) == 20
+
+
+def test_update_mor_null_predicate_and_guards(spark, tmp_path):
+    """Predicate-NULL rows are not updated; unknown SET columns raise;
+    constraints validate the postimage."""
+    root = str(tmp_path / "umor")
+    df = spark.createDataFrame(
+        [(1, "de", 5), (2, None, 6), (3, "en", 7)],
+        "id long, lang string, v long",
+    )
+    snap.create(spark, root, df, check_constraints={"pos_v": "v >= 0"})
+    snap.update_where_mor(spark, root, "lang = 'de'", {"v": "v + 1"})
+    assert {r.id: r.v for r in snap.read(spark, root).collect()} == \
+        {1: 6, 2: 6, 3: 7}
+    with pytest.raises(ValueError, match="unknown columns"):
+        snap.update_where_mor(spark, root, "TRUE", {"nope": "1"})
+    with pytest.raises(ValueError, match="pos_v"):
+        snap.update_where_mor(spark, root, "id = 3", {"v": "-1"})
+
+
+def test_update_mor_preserves_row_ids_and_compacts_away(spark, tmp_path):
+    """Row tracking: the appended postimages materialize the matched
+    rows' ids; OPTIMIZE folds the DVs and keeps everything stable."""
+    root = str(tmp_path / "umor_rid")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(12)], "id long, v long"
+    )
+    snap.create(spark, root, df.repartition(2), row_tracking=True)
+    before = {
+        r.id: r._row_id
+        for r in snap.read_with_row_ids(spark, root).collect()
+    }
+    snap.update_where_mor(spark, root, "id % 3 = 0", {"v": "v + 1"})
+    snap.compact(spark, root, max_files=1)
+    after = {
+        r.id: r._row_id
+        for r in snap.read_with_row_ids(spark, root).collect()
+    }
+    assert after == before
+    assert snap.dv_map(root) == {}

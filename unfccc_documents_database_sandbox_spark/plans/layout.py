@@ -1768,3 +1768,150 @@ def table_null_prune(spark, sf_dir):
     ).unionByName(
         stats("unscored", snap.read_pruned(spark, root, is_null=["score"]))
     )
+
+
+@register(
+    "table_partition_evolve",
+    oracle="""
+    SELECT 'by_lang' AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE lang IN ('de', 'en')
+    UNION ALL
+    SELECT 'by_bucket' AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents WHERE doc_id BETWEEN 100 AND 299
+    """,
+)
+def table_partition_evolve(spark, sf_dir):
+    """PARTITION SPEC EVOLUTION (Iceberg's founding feature; Delta needs a
+    full rewrite): half the corpus is CREATEd under partition_by=['lang'],
+    then ONE metadata commit (`evolve_partition_spec`) switches future
+    writes to an integer bucket transform (doc_id DIV 200) and the other
+    half appends under the NEW layout — zero existing bytes touched. The
+    two pruned reads prove per-era pruning: the lang read prunes the
+    old-era files on their Hive values (new-era files pass to the stats
+    tier), the doc_id read prunes new-era files on the bucket transform
+    AND old-era files on their doc_id stats, and both answers equal the
+    raw-table recomputation exactly. That each era opens only its own
+    spec's files, OPTIMIZE lazily migrates everything to the current
+    layout, the spec union survives checkpoint+log expiry, and unknown
+    sources raise — all pinned in tests/test_snapshots.py.
+
+    Scale: re-partitioning a growing table's future (daily → hourly) is
+    one JSON commit instead of a 100 TB rewrite or a second table; old
+    eras migrate lazily through the OPTIMIZE the table runs anyway."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snappevo_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.filter("doc_id % 2 = 0").repartition(2),
+                partition_by=["lang"])
+    snap.evolve_partition_spec(
+        root, [{"source": "doc_id", "transform": "truncate", "param": 200}]
+    )
+    snap.append(spark, root, d.filter("doc_id % 2 = 1").repartition(2))
+
+    def stats(label: str, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(F.lit(label).alias("grp"),
+                 "n_docs", "total_chars", "first_doc", "last_doc")
+
+    by_lang = snap.read_pruned(
+        spark, root, {"lang": ("de", "en")}
+    ).filter(F.col("lang").isin("de", "en"))
+    by_bucket = snap.read_pruned(spark, root, {"doc_id": (100, 299)})
+    return stats("by_lang", by_lang).unionByName(
+        stats("by_bucket", by_bucket)
+    )
+
+
+_UMOR_V1 = """(
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+    FROM documents
+)"""
+
+
+@register(
+    "table_update_mor",
+    oracle=" UNION ALL ".join([
+        _version_stats_sql(0, "TRUE"),
+        f"""
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM {_UMOR_V1}
+    """,
+    ]),
+)
+def table_update_mor(spark, sf_dir):
+    """Merge-on-read UPDATE (Iceberg's positional-delete + data-file
+    form of row-level UPDATE — the MOR sibling of `table_delete_mor` and
+    the zero-rewrite alternative to `table_update`'s copy-on-write): v1
+    updates every lang='de' row (n_chars += 1000) by committing (a) a
+    deletion vector over the matched (file, position) identities and (b)
+    the post-SET rows as APPENDED files — no existing data file is
+    rewritten, so the write cost is O(updated rows) regardless of how
+    many files contain matches. The per-version stats prove v0 time
+    travel is untouched and the head reads exactly the post-update
+    table. Exact update_preimage/postimage change data is always
+    written (the feed's DV-delta fallback can't see this commit's
+    appended inserts); supersede-is-superset across repeated MOR
+    updates, the no-rewrite file-set invariant, NULL-predicate and
+    constraint guards, row-id preservation, and OPTIMIZE folding the
+    DVs away are pinned in tests/test_snapshots.py.
+
+    Scale: frequent narrow UPDATEs (label fixes, redactions, feature
+    backfills) on a 100 TB corpus write deltas instead of rewriting
+    every touched file — the reason Iceberg v2 made MOR the default
+    row-level-operation mode."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapumor_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    snap.create(spark, root, d.repartition(3))
+    snap.update_where_mor(spark, root, "lang = 'de'",
+                          {"n_chars": "n_chars + 1000"})
+
+    def stats(version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        ).select(
+            F.lit(version).cast("long").alias("version"),
+            "n_docs", "total_chars", "n_langs", "first_doc", "last_doc",
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), [stats(0), stats(1)])

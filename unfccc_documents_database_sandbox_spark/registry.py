@@ -98,7 +98,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "stream_static_join", "xlsx_ingest",
         # r06 evidence (alphabetically-first of the r06 cohort; shrinks as
         # round-9 keys register — demoted keys rejoin NEXT)
-        "agg_corr_exact", "agg_decimal_money", "agg_mode_freq",
+        "agg_corr_exact",
     }
 )
 
@@ -112,6 +112,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # r06 evidence (the alphabetical tail of the r06 cohort, incl.
         # keys demoted from the initial r09 DUE promotion as round-9
         # unprefixed keys registered)
+        "agg_decimal_money", "agg_mode_freq",
         "agg_skewness_exact", "basket_pairs", "dedup_embedding",
         "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
         "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",

@@ -652,11 +652,17 @@ def pruned_files(
     # a bounded column reaches the partition tier either directly (it IS
     # a partition name) or through a GENERATED partition derived from it:
     # monotonic transforms map source bounds [lo, hi] to partition-value
-    # bounds [T(lo), T(hi)] exactly (Iceberg's transform-pushdown rule)
-    by_name = {sp["name"]: sp for sp in state["partition_by"]}
-    by_source = {}
-    for sp in state["partition_by"]:
-        by_source.setdefault(sp["source"], sp)
+    # bounds [T(lo), T(hi)] exactly (Iceberg's transform-pushdown rule).
+    # The lookup spans EVERY spec era (partition evolution): a file's
+    # recorded values name its own era's spec, so each file is checked
+    # under the spec that actually wrote it.
+    all_specs = list(state["partition_specs"].values()) or [
+        dict(sp) for sp in state["partition_by"]
+    ]
+    by_name = {sp["name"]: sp for sp in all_specs}
+    by_source: dict[str, list[dict]] = {}
+    for sp in all_specs:
+        by_source.setdefault(sp["source"], []).append(sp)
 
     def _part_check(spec, raw, lo, hi):
         """(decided, keep): compare a file's recorded partition value
@@ -695,16 +701,29 @@ def pruned_files(
         keep = True
         for col, (lo, hi) in bounds.items():
             pcol = phys_of.get(col, col)
-            spec = by_name.get(col) or by_source.get(pcol)
-            if spec is not None and spec["name"] in pv:
+            cands = []
+            if col in by_name:
+                cands.append(by_name[col])
+            for sp in by_source.get(pcol, []):
+                if not any(sp is c for c in cands):
+                    cands.append(sp)
+            exact = False
+            for spec in cands:
+                if spec["name"] not in pv:
+                    continue  # a different era's spec: not this file's
                 decided, ok = _part_check(spec, pv[spec["name"]], lo, hi)
                 if decided and not ok:
                     keep = False
                     break
-                if decided and spec["transform"] == "identity"                         and spec["name"] == col:
-                    continue  # exact partition equality supersedes stats
+                if decided and spec["transform"] == "identity" \
+                        and spec["name"] == col:
+                    exact = True
                 # derived transforms keep the file — the raw source
                 # column's stats may still prune below
+            if not keep:
+                break
+            if exact:
+                continue  # exact partition equality supersedes stats
             if s is None or pcol not in s:
                 continue
             mn, mx = s[pcol][0], s[pcol][1]
@@ -846,8 +865,10 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # layout; `pruned_files` prunes on them BEFORE per-file stats.
         payload["parts"] = parts
     if partition_by is not None:
-        # Table-level partition spec — commit 0 only (immutable, like
-        # Delta's partitionColumns metadata).
+        # Table-level partition spec: commit 0 sets it; a later
+        # evolve_partition_spec commit REPLACES it for future writes
+        # (Iceberg's spec evolution — every era's spec is retained in
+        # state for per-file pruning).
         payload["partition_by"] = partition_by
     if merge_keys is not None:
         # The MERGE's key columns: lets the change feed classify this
@@ -986,6 +1007,12 @@ def _read_state(root: str, version: int | None = None) -> dict:
             "row_tracking": bool(ck.get("row_tracking", False)),
             "row_bases": dict(ck.get("row_bases", {})),
             "row_watermark": int(ck.get("row_watermark", 0)),
+            "partition_specs": {
+                sp["name"]: sp
+                for sp in _norm_partition_spec(
+                    ck.get("partition_specs", [])
+                )
+            },
         }
         _check_protocol(state["protocol"])
         start = ck_version + 1
@@ -996,7 +1023,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
                  "bloom_cols": [], "blooms": {},
                  "constraints": {}, "protocol": {"reader": 1},
                  "row_tracking": False, "row_bases": {},
-                 "row_watermark": 0}
+                 "row_watermark": 0, "partition_specs": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -1024,6 +1051,10 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["schema"] = c["schema"]
         if "partition_by" in c:
             state["partition_by"] = _norm_partition_spec(c["partition_by"])
+            # spec-evolution history: the UNION of every spec era, so
+            # pruning can resolve old-era files under THEIR spec
+            for sp in state["partition_by"]:
+                state["partition_specs"][sp["name"]] = dict(sp)
         if "bloom_cols" in c:
             state["bloom_cols"] = list(c["bloom_cols"])
         if "protocol" in c:
@@ -1294,28 +1325,31 @@ def _rid_scan(
     schema: StructType,
     dv: dict[str, list[str]],
     state: dict,
+    keep_lineage: bool = False,
 ) -> DataFrame:
     """DV-aware scan of ``files`` with every row's stable id resolved
     into the ``__rid`` column (row-tracking rewrite source / read path):
     a materialized id wins; otherwise the file's logged base + the row's
     position. The base lookup is a broadcast join against an O(files)
-    frame — never a corpus shuffle."""
+    frame — never a corpus shuffle. ``keep_lineage`` keeps __src/__pos
+    too (MOR writers need both the id and the position identity)."""
     df = _scan_files(spark, root, files, schema, dv,
                      lineage=True, with_rid=True)
     if not files:
-        return df.drop("__src", "__pos")
+        return df if keep_lineage else df.drop("__src", "__pos")
     bases = [
         (os.path.basename(f), state["row_bases"].get(f)) for f in files
     ]
     bdf = spark.createDataFrame(bases, "___src string, ___base long")
-    return (
-        df.join(F.broadcast(bdf), df["__src"] == bdf["___src"], "left")
-        .select(
-            *[F.col(f.name) for f in schema.fields],
-            F.coalesce(F.col(_RID_COL), F.col("___base") + F.col("__pos"))
-            .alias(_RID_COL),
-        )
-    )
+    keep = [F.col(f.name) for f in schema.fields] + [
+        F.coalesce(F.col(_RID_COL), F.col("___base") + F.col("__pos"))
+        .alias(_RID_COL),
+    ]
+    if keep_lineage:
+        keep += [F.col("__src"), F.col("__pos")]
+    return df.join(
+        F.broadcast(bdf), df["__src"] == bdf["___src"], "left"
+    ).select(*keep)
 
 
 def read_with_row_ids(
@@ -1381,6 +1415,10 @@ def checkpoint(root: str) -> int:
         # by log reference and their id ranges must replay from here
         "row_bases": dict(state["row_bases"]),
         "row_watermark": state["row_watermark"],
+        # every spec era ever (partition evolution): old-era files prune
+        # under their own spec after the log below is expired
+        "partition_specs": [dict(sp)
+                            for sp in state["partition_specs"].values()],
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -1809,6 +1847,41 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
                                st0["bloom_cols"]),
         row_bases=bases, row_watermark=wm,
     )
+    return version
+
+
+def evolve_partition_spec(root: str, partition_by: list) -> int:
+    """PARTITION SPEC EVOLUTION (Iceberg's founding feature — Delta can't
+    do this without a full rewrite): ONE metadata commit switches the
+    table's partition layout for all FUTURE writes; existing files keep
+    their layout and their recorded partition values. Readers never
+    care (scans are explicit file lists, and the partition columns live
+    inside the data files — the duplicated-column write discipline);
+    `pruned_files` prunes every file under ITS OWN era's spec (the
+    per-era spec union rides in state/checkpoints), degrading to stats
+    for files whose spec can't decide. A later OPTIMIZE rewrites old
+    files into the current layout — Iceberg's lazy migration.
+
+    Scale: repartitioning a 100 TB table's future (e.g. daily → hourly
+    as volume grows) is one JSON commit; the alternative is a full
+    rewrite or a second table."""
+    spec = _norm_partition_spec(partition_by)
+    schema = table_schema(root)
+    m = _phys_map(schema)
+    missing = [
+        sp["source"] for sp in spec
+        if sp["source"] not in m and sp["source"] not in m.values()
+    ]
+    if missing:
+        raise ValueError(
+            f"evolve_partition_spec: source columns not in schema: {missing}"
+        )
+    spec = [{**sp, "source": m.get(sp["source"], sp["source"])}
+            for sp in spec]
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [],
+                  partition_by=spec, op="evolve_partition",
+                  data_change=False)
     return version
 
 
@@ -2545,6 +2618,101 @@ def delete_where_mor(
         cdc_parts = _dir_files(root, cdir)
     _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts,
                   op="delete_mor")
+    return version
+
+
+def update_where_mor(
+    spark: SparkSession, root: str, condition: str,
+    set_exprs: dict[str, str],
+) -> int:
+    """Merge-on-read UPDATE (Iceberg's positional-delete + append-data
+    form of row-level UPDATE): instead of rewriting every file that
+    CONTAINS a matching row (copy-on-write update_where), ONE commit (a)
+    records the matched rows' (file, position) identities in a deletion
+    vector — superseding-superset like delete_where_mor — and (b)
+    APPENDS the post-SET rows as fresh files. Readers see the update
+    (the DV kills the old copies, the appended files carry the new
+    ones); no existing data file is rewritten, so a 0.001%-selective
+    UPDATE on 100 TB writes O(updated rows), not O(containing files).
+    OPTIMIZE later folds the DVs away.
+
+    Change data is ALWAYS written (the exact update_preimage/postimage
+    pairs — the feed's DV-delta fallback can't see this commit's
+    appended inserts, so cdc is the one correct feed source here; the
+    postimages were materialized anyway). Predicate-NULL rows are not
+    updated, SET expressions cast to the pinned type (update_where's
+    discipline). Row tracking: the appended postimages MATERIALIZE the
+    matched rows' ids — an update never renumbers a row."""
+    version = latest_version(root) + 1
+    schema = table_schema(root)
+    unknown = [c for c in set_exprs if c not in {f.name for f in schema}]
+    if unknown:
+        raise ValueError(f"update_where_mor: unknown columns {unknown}")
+    st0 = _read_state(root)
+    track = st0["row_tracking"]
+    live = sorted(st0["live"])
+    if track:
+        scan = _rid_scan(spark, root, live, schema,
+                         dv_map(root), st0, keep_lineage=True)
+    else:
+        scan = _scan(spark, root, lineage=True)
+    matched = scan.filter(f"({condition}) IS TRUE").localCheckpoint(
+        eager=True
+    )
+    rel_of = _rel_by_name(live)
+    affected = sorted(
+        rel_of[r["__src"]]
+        for r in matched.select("__src").distinct().collect()
+    )
+    if not affected:
+        _write_commit(root, version, [], [], op="update_mor")
+        return version
+    entries = matched.select(
+        F.col("__src").alias("src"), F.col("__pos").alias("pos")
+    )
+    prior = dv_map(root)
+    old_parts = sorted({p for f in affected for p in prior.get(f, [])})
+    if old_parts:
+        prev = spark.read.schema(_DV_SCHEMA).parquet(
+            *[os.path.join(root, p) for p in old_parts]
+        ).filter(
+            F.col("src").isin([os.path.basename(f) for f in affected])
+        )
+        entries = entries.unionByName(prev)
+    ddir = _new_payload_dir(root)
+    entries.write.parquet(ddir)
+    dv = {"files": affected, "parts": _dir_files(root, ddir)}
+    types = {f.name: f.dataType for f in schema}
+    pre = matched.select(*[F.col(f.name) for f in schema.fields])
+    post = matched.select(
+        *[
+            (F.expr(set_exprs[f.name]).cast(types[f.name]).alias(f.name)
+             if f.name in set_exprs else F.col(f.name))
+            for f in schema
+        ],
+        *([F.col(_RID_COL)] if track else []),
+    )
+    _check_constraints(
+        post.select(*[f.name for f in schema]), st0["constraints"],
+        "update_where_mor",
+    )
+    wschema = _schema_plus_rid(schema) if track else schema
+    pdir, add, parts = _write_payload(root, post, st0["partition_by"],
+                                      wschema)
+    cdir = _new_payload_dir(root)
+    _to_physical(pre, schema).withColumn(
+        "_change_type", F.lit("update_preimage")
+    ).unionByName(
+        _to_physical(post.select(*[f.name for f in schema]), schema)
+        .withColumn("_change_type", F.lit("update_postimage"))
+    ).write.parquet(cdir)
+    _write_commit(root, version, add, [], dv=dv,
+                  cdc=_dir_files(root, cdir),
+                  stats=_strip_rid_stats(
+                      _collect_stats(spark, root, pdir, wschema)),
+                  parts=parts, op="update_mor",
+                  blooms=_collect_blooms(spark, root, pdir, schema,
+                                         st0["bloom_cols"]))
     return version
 
 
