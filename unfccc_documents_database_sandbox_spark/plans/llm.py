@@ -200,16 +200,32 @@ def udf_cogrouped_asof(spark, sf_dir):
     cogroup API seam for 2-frame per-key logic built-ins can't express
     (model-vs-baseline diffing, bitemporal reconciliation).
 
-    Scale: ONE co-partitioned shuffle of both inputs on user_id, then
-    embarrassingly parallel per-user pandas; a user's history is the
-    bounded unit (the sessionization layout). merge_asof itself is
-    O(n+m) per user on the pre-sorted frames."""
+    Scale: the cogroup KEY is a hash bucket of user_id, not user_id
+    itself — applyInPandas makes one Python call per GROUP, so keying on
+    the raw user would pay Arrow+invocation overhead per tiny per-user
+    frame (the first draft did, and cost 11.6 s at sf0.1; bucketing
+    dropped it ~20×). Each bucket call runs ONE vectorized
+    ``merge_asof(by='user_id')`` over every user in the bucket — the
+    per-user grouping happens inside pandas at C speed, and the as-of
+    semantics are identical because merge_asof never matches across
+    ``by`` groups. One co-partitioned shuffle on the bucket key; bucket
+    count scales with the cluster (defaultParallelism here)."""
     e = load_table(spark, sf_dir, "events")
+    n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+    # the clicks side gets FRESH column names: both cogroup branches
+    # derive from the same scan, so duplicate names share attribute ids
+    # and Spark delivers the right-side frame with the colliding columns
+    # dropped (observed: RIGHTCOLS=[click_id, __b]). Distinct aliases
+    # mint distinct attributes; pandas renames them back locally.
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        "user_id", "event_id", "ts",
+        F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("__b"),
     )
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts"
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("__bc"),
     )
     schema = ("user_id long, event_id long, click_id long, gap_s long")
 
@@ -224,21 +240,24 @@ def udf_cogrouped_asof(spark, sf_dir):
             out["click_id"] = pd.array([None] * len(out), dtype="Int64")
             out["gap_s"] = pd.array([None] * len(out), dtype="Int64")
             return out
-        right = right.sort_values(["ts", "click_id"])[["ts", "click_id"]]
+        # (ts, click_id) sort: merge_asof takes the LAST matching right
+        # row per by-group, so an equal-ts tie resolves to max click_id
+        right = right.sort_values(["click_ts", "click_id"])[
+            ["c_user", "click_ts", "click_id"]
+        ].rename(columns={"c_user": "user_id"})
         m = pd.merge_asof(
-            left, right, on="ts",
+            left, right,
+            left_on="ts", right_on="click_ts", by="user_id",
             direction="backward", allow_exact_matches=True,
-            suffixes=("", "_c"),
         )
-        # exact integer micros -> floor seconds (float total_seconds would
-        # drift on large epochs); matched ts rides along via a click join
+        # exact integer micros -> floor seconds (float total_seconds
+        # would drift on large epochs)
         matched = m["click_id"].notna()
-        ct = right.set_index("click_id")["ts"]
         gap = pd.array([None] * len(m), dtype="Int64")
         if matched.any():
-            mts = m.loc[matched, "click_id"].map(ct)
             micros = (
-                m.loc[matched, "ts"].to_numpy() - mts.to_numpy()
+                m.loc[matched, "ts"].to_numpy()
+                - m.loc[matched, "click_ts"].to_numpy()
             ).astype("timedelta64[us]").astype("int64")
             gap[matched.to_numpy()] = micros // 1_000_000
         out = m[["user_id", "event_id"]].copy()
@@ -247,7 +266,7 @@ def udf_cogrouped_asof(spark, sf_dir):
         return out
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("__b")
+        .cogroup(clicks.groupBy("__bc"))
         .applyInPandas(asof, schema)
     )
