@@ -72,58 +72,48 @@ REGISTRY: dict[str, QuerySpec] = {}
 # keys promoted to DUE (sized mid-round as round-9 keys register — each
 # new unprefixed key demotes the alphabetically-LAST promoted r06 key back
 # to NEXT), the 50 r08-evidenced keys (16 unprefixed + 34 z_ re-checks)
-# parked, the r07 PARKED cohort aged into NEXT. Oldest evidence on file
-# after r09: r06.
+# parked, the r07 PARKED cohort aged into NEXT; r10 advances it per
+# VERDICT r09 #1: the 50-key r09 window (22 unprefixed + 27 r05-tail
+# re-checks + agg_corr_exact) parked, the r08 PARKED cohort aged into
+# NEXT, and the alphabetically-first keys of the r06-evidence pool
+# promoted to DUE (sized for the planned r10 new-key count; undersizing
+# is safe — window spillover lands on the alphabetically-first zz_ keys,
+# which ARE the remaining r06 cohort). Oldest evidence on file after
+# r10: r06 (the un-promoted tail).
 
-# DUE (z_): latest clean driver row is CORRECTNESS_r05.json (27 keys — the
-# alphabetical tail of the r05 cohort, the oldest evidence on file) or
-# CORRECTNESS_r06.json (the alphabetically-first keys of the r06 cohort,
-# sized so DUE + the round's new unprefixed keys fill the 50-key window —
-# machine-checked by tests/test_rotation.py::test_window_reaches_every_
-# due_key; size the r10 promotion from the registry, not this comment).
-# Rows-only by design among these: dedup_fuzzy_minhash (approximate
-# semantics documented at its builder).
+# DUE (z_): latest clean driver row is CORRECTNESS_r06.json — the
+# alphabetically-first 32 keys of the r06-evidence pool (the oldest
+# evidence on file), sized so DUE + the round's new unprefixed keys fill
+# the 50-key window (machine-checked by tests/test_rotation.py::test_
+# window_reaches_every_due_key; size promotions from the registry, not
+# this comment). Rows-only by design among these: dedup_fuzzy_minhash
+# (approximate semantics documented at its builder).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # r05 evidence (the 27-key alphabetical tail of the r05 cohort)
-        "dedup_incremental", "dedup_lines",
-        "events_funnel", "events_retention", "events_sessionize",
-        "graph_pagerank", "index_inverted",
-        "join_similarity_prefix", "layout_compaction",
-        "sim_topk_pq", "sort_global", "source_orc",
-        "sql_corr_subquery",
-        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
-        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
-        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
-        "stream_static_join", "xlsx_ingest",
-        # r06 evidence (alphabetically-first of the r06 cohort; shrinks as
-        # round-9 keys register — demoted keys rejoin NEXT)
-        "agg_corr_exact",
+        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
+        "basket_pairs", "dedup_embedding", "dedup_exact",
+        "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
+        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
+        "doc_rolling_hash", "events_anomaly", "events_attribution",
+        "filter_notnull", "filter_or_eq", "graph_triangles",
+        "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",
+        "join_lateral", "join_left_nullable", "join_null_safe",
+        "join_range", "join_semi", "join_skew_salted", "json_extract",
+        "lang_id", "layout_compaction_apply", "limit_n",
     }
 )
 
 # NEXT (zz_): latest clean driver row is CORRECTNESS_r06.json (the
-# alphabetical tail of the r06 cohort, first block) or
-# CORRECTNESS_r07.json (the 50-key r07 window, second block — aged out of
-# PARKED this round). These receive the r09 window spillover beyond the
-# DUE tier and are the r10 promotion pool (r06 tail first).
+# un-promoted alphabetical tail of the r06-evidence pool, first block),
+# CORRECTNESS_r07.json (the 50-key r07 window, second block), or
+# CORRECTNESS_r08.json (the 50-key r08 window, third block — aged out of
+# PARKED this round). These receive the r10 window spillover beyond the
+# DUE tier and are the r11 promotion pool (r06 tail first).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r06 evidence (the alphabetical tail of the r06 cohort, incl.
-        # keys demoted from the initial r09 DUE promotion as round-9
-        # unprefixed keys registered)
-        "agg_decimal_money", "agg_mode_freq",
-        "agg_skewness_exact", "basket_pairs", "dedup_embedding",
-        "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
-        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-        "doc_rolling_hash",
-        "events_anomaly", "events_attribution", "filter_notnull", "filter_or_eq",
-        "graph_triangles",
-        "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",
-        "join_lateral",
-        "join_left_nullable", "join_null_safe",
-        "join_range", "join_semi", "join_skew_salted", "json_extract",
-        "lang_id", "layout_compaction_apply", "limit_n", "map_ops",
+        # r06 evidence (the alphabetical tail of the r06-evidence pool
+        # beyond the 32 promoted into DUE)
+        "map_ops",
         "math_arith", "multimodal_decode", "multimodal_frame_sample",
         "multimodal_resize", "numbering_normalize", "project_columns",
         "scan_full", "scd2_history", "sim_topk_pq_portable", "source_jdbc",
@@ -150,26 +140,17 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
         "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
         "udtf_explode_blocks", "window_funcs",
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r08.json — the 50
-# keys of the r08 window (46 hash-green + 4 rows-only by documented
-# design, VERDICT r08): 34 were z_-spelled re-checks and 16 were the
-# un-prefixed r08 keys.
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
-        # the 16 un-prefixed keys of the r08 window
+        # r08 evidence: the 50-key r08 window (46 hash-green + 4
+        # rows-only by documented design, VERDICT r08: agg_approx_distinct,
+        # agg_approx_percentiles, agg_hll_partitioned, catalog_tables) —
+        # 16 unprefixed r08 keys + 34 z_ re-checks, aged out of PARKED
+        # this round.
         "cluster_kmeans", "corpus_upsample", "json_variant_extract",
         "shuffle_epoch", "sim_topk_ivfpq_portable", "source_pyds_stream",
         "sql_recursive_bom", "sql_scalar_udf", "stream_foreach_merge",
         "table_changes", "table_incremental_mv", "table_schema_evolution",
         "table_stats_prune", "try_funcs", "ts_gapfill",
         "udtf_python_segments",
-        # the 34 z_ keys the r08 window re-checked. agg_approx_distinct,
-        # agg_approx_percentiles, agg_hll_partitioned, catalog_tables are
-        # rows-only by design (approx / catalog semantics documented at
-        # their builders).
         "source_pyds", "source_schema_evolution", "sql_tpch_q12",
         "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
         "sql_tpch_q4", "stream_stream_join", "text_keyterms",
@@ -182,6 +163,38 @@ ROTATED_PARKED: frozenset[str] = frozenset(
         "case_when_block", "catalog_tables", "contamination_check",
         "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
         "dedup_components",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r09.json — the 50
+# keys of the r09 window (49 hash-green + 1 rows-only by documented
+# design, VERDICT r09: sim_topk_pq): 22 were the un-prefixed r09 keys,
+# 27 were z_-spelled r05-tail re-checks, plus agg_corr_exact.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        # the 22 un-prefixed keys of the r09 window
+        "graph_bfs", "sample_weighted", "stream_table_changes",
+        "stream_table_changes_dist", "table_bloom_prune",
+        "table_changes_typed", "table_clone", "table_column_mapping",
+        "table_constraints", "table_delete_mor",
+        "table_generated_partition", "table_history", "table_merge_evolve",
+        "table_null_prune", "table_partition_evolve",
+        "table_partition_prune", "table_restore", "table_row_ids",
+        "table_update", "table_update_mor", "text_bm25",
+        "udf_cogrouped_asof",
+        # the 28 z_ keys the r09 window re-checked (27 r05-tail +
+        # agg_corr_exact). sim_topk_pq is rows-only by design.
+        "dedup_incremental", "dedup_lines",
+        "events_funnel", "events_retention", "events_sessionize",
+        "graph_pagerank", "index_inverted",
+        "join_similarity_prefix", "layout_compaction",
+        "sim_topk_pq", "sort_global", "source_orc",
+        "sql_corr_subquery",
+        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
+        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
+        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+        "stream_static_join", "xlsx_ingest",
+        "agg_corr_exact",
     }
 )
 
