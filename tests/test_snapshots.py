@@ -2345,3 +2345,78 @@ def test_update_mor_preserves_row_ids_and_compacts_away(spark, tmp_path):
     }
     assert after == before
     assert snap.dv_map(root) == {}
+
+
+# ---------------------------------------------------------------------------
+# r09 ADVICE fixes: truncate-prune sign handling, create() overwrite guard,
+# reserved internal column names
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_prune_negative_values(spark, tmp_path):
+    """r09 ADVICE #1: Spark DIV truncates toward zero while Python //
+    floors — a negative probe bound must map to the bucket the writer
+    recorded, or pruning silently drops matching rows."""
+    root = str(tmp_path / "trunc_neg")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(-10, 11)], "k long, payload string"
+    )
+    snap.create(
+        spark, root, df.repartition(1),
+        partition_by=[{"name": "kb", "transform": "truncate",
+                       "source": "k", "param": 2}],
+    )
+    # every point probe must keep the file holding that key
+    for lo in range(-10, 11):
+        kept = snap.pruned_files(root, {"k": (lo, lo)})
+        got = {
+            r.k
+            for r in snap._scan_files(
+                spark, root, kept, snap.table_schema(root), {}
+            ).collect()
+        }
+        assert lo in got, f"pruned away the file containing k={lo}"
+    # and range probes spanning zero keep all matching rows
+    rows = snap.read_pruned(spark, root, {"k": (-7, -3)}).filter(
+        "k BETWEEN -7 AND -3"
+    )
+    assert sorted(r.k for r in rows.collect()) == [-7, -6, -5, -4, -3]
+
+
+def test_create_refuses_to_overwrite_existing_table(spark, tmp_path):
+    """r09 ADVICE #3: CREATE over an existing _log raises unless
+    overwrite=True is explicit (Delta's CREATE contract)."""
+    root = str(tmp_path / "guard")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    snap.create(spark, root, df)
+    with pytest.raises(FileExistsError, match="already exists"):
+        snap.create(spark, root, df)
+    # the refused attempt destroyed nothing
+    assert snap.read(spark, root).count() == 1
+    snap.create(spark, root, df.union(df), overwrite=True)
+    assert snap.read(spark, root).count() == 2
+
+
+def test_reserved_column_names_rejected(spark, tmp_path):
+    """r09 ADVICE #4: protocol-internal column names (__nrows, __rid,
+    __src, __pos, __p_<i>, _change_type) fail loudly at every
+    schema-setting path instead of corrupting stats/lineage/CDF."""
+    root = str(tmp_path / "resv")
+    for bad in ("__nrows", "__rid", "__src", "__pos", "__p_0",
+                "_change_type"):
+        df = spark.createDataFrame([(1, 2)], f"id long, `{bad}` long")
+        with pytest.raises(ValueError, match="reserved"):
+            snap.create(spark, root, df)
+    ok = spark.createDataFrame([(1, 2)], "id long, v long")
+    snap.create(spark, root, ok)
+    with pytest.raises(ValueError, match="reserved"):
+        snap.evolve_schema(
+            spark, root,
+            spark.createDataFrame([(1, 2, 3)], "id long, v long, `__src` long"),
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        snap.merge_into(
+            spark, root,
+            spark.createDataFrame([(1, 2, 3)], "id long, v long, `__pos` long"),
+            ["id"], evolve=True,
+        )

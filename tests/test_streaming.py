@@ -405,3 +405,27 @@ def test_table_changes_dist_partition_planning(spark, tmp_path):
     # an empty advance plans one no-op partition (Spark requires >= 1)
     empty = r.partitions({"v": 2}, {"v": 2})
     assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+
+def test_dv_state_replay_raises_on_expired_log(spark, tmp_path):
+    """r09 ADVICE #2: after expire_log drops commits below a checkpoint,
+    the streaming feed's driver-side DV replay must raise the batch
+    feed's not-reconstructible error instead of silently under-counting
+    prior deletes (which would re-emit already-deleted rows)."""
+    from unfccc_documents_database_sandbox_spark.sources import cdc_stream
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "dvgap")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 4 == 0 else "en") for i in range(12)],
+        "id long, lang string",
+    )
+    snap.create(spark, root, df.filter("id < 6"))
+    snap.append(spark, root, df.filter("id >= 6"))
+    snap.delete_where_mor(spark, root, "lang = 'de'", cdf=False)
+    # intact chain: replay works
+    assert cdc_stream._dv_state_at(root, snap.latest_version(root))
+    snap.checkpoint(root)
+    assert snap.expire_log(root)  # drops commits below the checkpoint
+    with pytest.raises(ValueError, match="not reconstructible"):
+        cdc_stream._dv_state_at(root, snap.latest_version(root))

@@ -20,6 +20,16 @@ from unfccc_documents_database_sandbox_spark.registry import register
 _BITS = 8  # 8 bits per dimension → 16-bit z-value, 65536 cells
 
 
+def _snap_create(spark, root, df, **kw):
+    """Fixture-root create-or-replace: plan builders rebuild the same
+    deterministic .csv_tmp/ roots every run, so they opt in to
+    ``overwrite=True`` explicitly (create() itself now refuses to
+    clobber an existing table — r09 ADVICE #3)."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    return snap.create(spark, root, df, overwrite=True, **kw)
+
+
 def _z_sql(x: str, y: str) -> str:
     """ANSI-SQL bit-interleave of the low 8 bits of x (even positions) and
     y (odd positions) — the same arithmetic the Spark expression runs."""
@@ -265,7 +275,7 @@ def table_snapshot_read(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snaptable_{tag}")
 
     d = load_table(spark, sf_dir, "documents")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
     snap.delete_where(spark, root, "lang = 'de'")
@@ -350,7 +360,7 @@ def table_schema_evolution(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapevo_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
     snap.evolve_schema(
         spark,
@@ -428,7 +438,7 @@ def table_stats_prune(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapstats_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartitionByRange(8, "doc_id"))
+    _snap_create(spark, root, d.repartitionByRange(8, "doc_id"))
     pruned = snap.read_pruned(spark, root, {"doc_id": (100, 299)})
     return pruned.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -483,7 +493,7 @@ def table_delete_mor(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapmor_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3))
+    _snap_create(spark, root, d.repartition(3))
     snap.delete_where_mor(spark, root, "lang = 'de'")
     snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
     snap.compact(spark, root, max_files=2)
@@ -552,7 +562,7 @@ def table_partition_prune(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snappart_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(
+    _snap_create(
         spark, root, d.repartitionByRange(4, "doc_id"), partition_by=["lang"]
     )
     pruned = snap.read_pruned(
@@ -614,7 +624,7 @@ def table_history(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snaphist_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
     snap.delete_where(spark, root, "lang = 'de'")
     snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
@@ -689,7 +699,7 @@ def table_update(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapupd_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3))
+    _snap_create(spark, root, d.repartition(3))
     snap.update_where(
         spark, root, "lang = 'en'", {"n_chars": "n_chars + 500"}
     )
@@ -756,7 +766,7 @@ def table_bloom_prune(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapbloom_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    snap.create(spark, root, d.repartition(8), bloom_cols=["text"])
+    _snap_create(spark, root, d.repartition(8), bloom_cols=["text"])
     probe_ids = [7, 77, 177, 277, 377]
     # distinct probe texts: two probe docs sharing a body must probe once
     # (the oracle's IN-subquery dedups the same way)
@@ -816,7 +826,7 @@ def table_constraints(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapcons_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(
+    _snap_create(
         spark, root, d.filter(F.col("doc_id") % 2 == 0),
         check_constraints={"chars_nonneg": "n_chars >= 0"},
     )
@@ -887,7 +897,7 @@ def table_column_mapping(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapcmap_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3), column_mapping=True)
+    _snap_create(spark, root, d.repartition(3), column_mapping=True)
     snap.rename_column(root, "n_chars", "chars")
     snap.update_where(spark, root, "doc_id % 10 = 0", {"chars": "chars + 100"})
     snap.drop_column(root, "lang")
@@ -956,7 +966,7 @@ def table_generated_partition(spark, sf_dir):
         "event_id", "ts", "user_id", "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    snap.create(
+    _snap_create(
         spark, root, e,
         partition_by=[{"source": "ts", "transform": "day", "name": "day"}],
     )
@@ -1007,7 +1017,7 @@ def table_restore(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snaprestore_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3))
+    _snap_create(spark, root, d.repartition(3))
     snap.delete_where(spark, root, "lang = 'de'")
     snap.delete_where_mor(spark, root, "doc_id % 5 = 0")
     snap.restore(spark, root, 0)
@@ -1047,7 +1057,7 @@ def _build_cdf_fixture(spark, sf_dir: str, prefix: str) -> str:
     root = os.path.join(repo_root, ".csv_tmp", f"{prefix}_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
     snap.delete_where(spark, root, "lang = 'de'")
@@ -1341,7 +1351,7 @@ def _build_stream_cdf_fixture(spark, sf_dir: str) -> str:
     root = os.path.join(repo_root, ".csv_tmp", f"snapcdcstream_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))
     snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 2))
     snap.delete_where_mor(spark, root, "lang = 'de'", cdf=True)
@@ -1483,7 +1493,7 @@ def table_clone(spark, sf_dir):
     dst = os.path.join(repo_root, ".csv_tmp", f"snapclone_dst_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, src, d.repartition(3))
+    _snap_create(spark, src, d.repartition(3))
     snap.delete_where_mor(spark, src, "lang = 'de'")
     snap.clone(src, dst)
     snap.delete_where(spark, src, "doc_id % 3 = 0")      # source diverges
@@ -1579,7 +1589,7 @@ def table_merge_evolve(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapmev_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3))
+    _snap_create(spark, root, d.repartition(3))
     upd = (
         d.filter("doc_id % 7 = 0")
         .withColumn("n_chars", F.col("n_chars") + 1000)
@@ -1663,7 +1673,7 @@ def table_row_ids(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snaprid_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3), row_tracking=True)
+    _snap_create(spark, root, d.repartition(3), row_tracking=True)
     snap.compact(spark, root, max_files=2)
     snap.delete_where(spark, root, "lang = 'de'")
     snap.update_where(spark, root, "doc_id % 10 = 0",
@@ -1749,7 +1759,7 @@ def table_null_prune(spark, sf_dir):
         "score",
         F.when(F.col("doc_id") % 3 == 0, F.col("n_chars")).cast("long"),
     )
-    snap.create(
+    _snap_create(
         spark, root,
         scored.repartition(2, (F.col("doc_id") % 3 == 0).cast("int")),
     )
@@ -1817,7 +1827,7 @@ def table_partition_evolve(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snappevo_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.filter("doc_id % 2 = 0").repartition(2),
+    _snap_create(spark, root, d.filter("doc_id % 2 = 0").repartition(2),
                 partition_by=["lang"])
     snap.evolve_partition_spec(
         root, [{"source": "doc_id", "transform": "truncate", "param": 200}]
@@ -1898,7 +1908,7 @@ def table_update_mor(spark, sf_dir):
     root = os.path.join(repo_root, ".csv_tmp", f"snapumor_{tag}")
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    snap.create(spark, root, d.repartition(3))
+    _snap_create(spark, root, d.repartition(3))
     snap.update_where_mor(spark, root, "lang = 'de'",
                           {"n_chars": "n_chars + 1000"})
 

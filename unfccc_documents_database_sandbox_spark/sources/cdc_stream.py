@@ -99,9 +99,25 @@ def _head_schema(root: str) -> list[tuple[str, str, str]]:
 def _dv_state_at(root: str, version: int) -> dict[str, list[str]]:
     """{file: [dv parts]} after replaying commits 0..version — the pure-
     Python twin of snapshots._read_state's DV tracking (no Spark on the
-    streaming read path)."""
+    streaming read path).
+
+    Requires the FULL commit chain 0..version to still exist: after
+    `expire_log` drops commits below a checkpoint, the replayed DV state
+    would be silently incomplete and the DV-delta branch of
+    `commit_change_rows` would re-emit already-deleted rows as fresh
+    deletes. Raise the batch feed's not-reconstructible error instead
+    (r09 ADVICE #2 — the batch `changes()` already raises loudly here;
+    the streaming twin must not mis-emit silently)."""
     dv: dict[str, list[str]] = {}
-    for v in _commit_versions(root):
+    present = _commit_versions(root)
+    missing = sorted(set(range(version + 1)) - set(present))
+    if missing:
+        raise ValueError(
+            f"change feed not reconstructible at version {version}: "
+            f"commit files {missing[:5]} have been expired from the log "
+            f"(replay DV state needs the full chain from 0)"
+        )
+    for v in present:
         if v > version:
             break
         c = _load_commit(root, v)

@@ -200,6 +200,13 @@ def _norm_partition_spec(partition_by) -> list[dict]:
     return specs
 
 
+def _trunc_div(a: int, p: int) -> int:
+    """Integer division truncating TOWARD ZERO — exactly Spark's DIV
+    (Python's // floors, which disagrees for negative numerators)."""
+    q = abs(a) // p
+    return -q if a < 0 else q
+
+
 def _partition_expr(spec: dict):
     """The JVM expression computing one partition value from its source
     column (what the writer materializes as the __p_<i> dir column)."""
@@ -207,9 +214,10 @@ def _partition_expr(spec: dict):
     if t == "identity":
         return F.col(spec["source"])
     if t == "truncate":
-        # positive-domain floor bucketing (Iceberg truncate); the
-        # python-side bound mapping uses // — identical for the
-        # non-negative keys this transform is for
+        # integer bucketing (Iceberg truncate). Spark DIV truncates
+        # TOWARD ZERO — the probe side (`_trunc_div`) must match, or a
+        # negative bound maps to the wrong bucket and pruning silently
+        # drops matching files (r09 ADVICE #1).
         return F.expr(f"{spec['source']} DIV {spec['param']}")
     if t == "day":
         return F.date_format(
@@ -679,9 +687,16 @@ def pruned_files(
                     return False, True
                 plo, phi = lo, hi
             elif t == "truncate":
+                # Spark DIV truncates toward zero (-7 DIV 2 = -3); Python
+                # // floors (-7 // 2 = -4). Mirror DIV exactly so negative
+                # bounds map to the bucket the writer actually recorded
+                # (r09 ADVICE #1: the floor probe could skip a file
+                # containing matching rows). trunc(x/p) is monotonic
+                # non-decreasing in x, so [trunc(lo/p), trunc(hi/p)]
+                # covers every bucket the source range can reach.
                 v = int(raw)
-                plo = None if lo is None else int(lo) // spec["param"]
-                phi = None if hi is None else int(hi) // spec["param"]
+                plo = None if lo is None else _trunc_div(int(lo), spec["param"])
+                phi = None if hi is None else _trunc_div(int(hi), spec["param"])
             elif t == "day":
                 v = str(raw)
                 plo = None if lo is None else str(lo)[:10]
@@ -1526,6 +1541,30 @@ def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
     return read(spark, root, t[name])
 
 
+# Column names the protocol itself uses: per-file row counts in the
+# stats dict (__nrows), row-tracking ids (__rid), scan lineage
+# (__src/__pos), partition-writer dir columns (__p_<i>), and the CDF
+# type tag (_change_type). A user column with one of these names would
+# silently corrupt stats / lineage / CDF output, so every schema-setting
+# path rejects them loudly (r09 ADVICE #4).
+_RESERVED_COLS = ("__nrows", "__rid", "__src", "__pos", "_change_type")
+_RESERVED_PREFIXES = ("__p_",)
+
+
+def _check_reserved(schema: StructType, op: str) -> None:
+    bad = [
+        f.name for f in schema.fields
+        if f.name in _RESERVED_COLS
+        or f.name.startswith(_RESERVED_PREFIXES)
+    ]
+    if bad:
+        raise ValueError(
+            f"{op}: column names reserved by the table protocol: {bad} "
+            f"(reserved: {list(_RESERVED_COLS)} and prefix "
+            f"{list(_RESERVED_PREFIXES)})"
+        )
+
+
 def _check_schema(df: DataFrame, pinned: StructType, op: str) -> DataFrame:
     """Enforce the table schema on an incoming DataFrame: same column
     names and types (nullability and column order are not significant —
@@ -1702,9 +1741,15 @@ def create(
     check_constraints: dict[str, str] | None = None,
     column_mapping: bool = False,
     row_tracking: bool = False,
+    overwrite: bool = False,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
+
+    Refuses to create over an EXISTING table (a `_log` dir at ``root``)
+    unless ``overwrite=True`` — Delta's CREATE fails on an existing
+    table, and the prior unconditional rmtree meant a path typo silently
+    erased a table's data, log, tags, and checkpoints (r09 ADVICE #3).
 
     ``partition_by`` declares a Hive-partitioned layout (immutable for the
     table's lifetime, like Delta's partitionColumns): every commit's
@@ -1724,6 +1769,12 @@ def create(
         )
     if check_constraints:
         _check_constraints(df, check_constraints, "create")
+    _check_reserved(df.schema, "create")
+    if os.path.isdir(_log_dir(root)) and not overwrite:
+        raise FileExistsError(
+            f"table already exists at {root!r} (pass overwrite=True to "
+            f"replace it)"
+        )
     schema = (
         _with_physical_metadata(df.schema) if column_mapping else df.schema
     )
@@ -1809,6 +1860,7 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     keep the old schema (`table_schema(root, v)` is era-accurate)."""
     version = latest_version(root) + 1
     pinned = table_schema(root)
+    _check_reserved(df.schema, "evolve_schema")
     got = {f.name: f.dataType for f in df.schema}
     missing = [f.name for f in pinned if f.name not in got]
     retyped = [f.name for f in pinned if f.name in got and got[f.name] != f.dataType]
@@ -2153,6 +2205,7 @@ def merge_into(
     pinned = table_schema(root)
     schema, schema_json = pinned, None
     if evolve:
+        _check_reserved(source.schema, "merge_into(evolve=True)")
         got = {f.name: f.dataType for f in source.schema}
         missing = [f.name for f in pinned if f.name not in got]
         retyped = [
