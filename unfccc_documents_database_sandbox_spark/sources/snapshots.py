@@ -88,11 +88,16 @@ protocol stripped to what the sandbox can express:
   seeded random-operation soak); `table_incremental_mv` is the
   signed-delta consumer.
 
-- Conflict handling: `append(max_retries=N)` rebases past lost O_EXCL
-  races by re-publishing its writer-private payload at the next version
-  (appends conflict with nothing); COW operations never blind-rebase —
-  their remove-lists were computed against a superseded snapshot
-  (Delta's conflict matrix).
+- Conflict handling (Delta's conflict matrix, WriteSerializable):
+  `append(max_retries=N)` rebases past lost O_EXCL races by
+  re-publishing its writer-private payload at the next version (appends
+  conflict with nothing); DML/OPTIMIZE with ``max_retries`` rebase
+  LOGICALLY via `_publish_commit` — a lost race re-reads the winners
+  and retries iff every one changed no metadata and wrote a DISJOINT
+  file set (delete in partition A ∥ update in partition B both land;
+  OPTIMIZE ∥ append both land); same-file or metadata races raise
+  ConcurrentWriteConflict and the caller must re-derive. Without
+  retries every lost race raises — never a blind rebase.
 
 Scale notes: the log is O(commits since checkpoint) tiny JSON.
 """
@@ -922,6 +927,104 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
+
+
+class ConcurrentWriteConflict(RuntimeError):
+    """A lost commit race could NOT be resolved logically: the winning
+    commit(s) touch the same files (or change table metadata), so the
+    loser's payload was computed against a snapshot whose relevant state
+    is gone. The caller must re-read and re-derive — Delta's
+    ConcurrentDeleteDelete / ConcurrentMetadata exceptions."""
+
+
+# A commit carrying any of these keys changes table METADATA (schema,
+# partition spec, bloom spec, constraints, protocol) — it conflicts with
+# EVERY concurrent commit (Delta's metadata row of the conflict matrix:
+# the loser validated its payload against metadata that no longer holds).
+_METADATA_COMMIT_KEYS = (
+    "schema", "partition_by", "bloom_cols", "constraint_add",
+    "constraint_drop", "protocol",
+)
+
+
+def _commit_touched(c: dict) -> set[str]:
+    """The live files a commit logically WRITES: files it removes plus
+    files whose deletion vector it (re)assigns. Added files are
+    writer-private fresh uuids and can never collide."""
+    t = set(c.get("remove", []))
+    dv = c.get("dv")
+    if dv:
+        t |= set(dv.get("files", []))
+        t |= set(dv.get("map", {}))
+    return t
+
+
+def _assert_no_conflict(
+    loser_op: str, loser_touched: set[str], winner: dict, version: int
+) -> None:
+    """Delta's logical conflict matrix under WriteSerializable (its
+    default isolation): a lost race rebases iff the winner (a) changed no
+    table metadata and (b) wrote a DISJOINT set of live files. Same-file
+    writes raise (ConcurrentDeleteDelete: the loser's rewrite/DV was
+    derived from a superseded copy of that file); a concurrent APPEND
+    never conflicts with a data commit — its rows simply weren't visible
+    to the loser's predicate (the documented write-skew WriteSerializable
+    admits; full Serializable would also raise there)."""
+    meta = [k for k in _METADATA_COMMIT_KEYS if k in winner]
+    if meta:
+        raise ConcurrentWriteConflict(
+            f"{loser_op}: concurrent metadata commit v{version} "
+            f"({winner.get('op')!r} sets {meta}) — re-read and retry"
+        )
+    overlap = _commit_touched(winner) & loser_touched
+    if overlap:
+        raise ConcurrentWriteConflict(
+            f"{loser_op}: concurrent commit v{version} "
+            f"({winner.get('op')!r}) wrote the same files "
+            f"{sorted(overlap)[:3]} — re-read and retry"
+        )
+
+
+def _publish_commit(root: str, base_version: int, *, op: str,
+                    max_retries: int = 0, row_stats: dict | None = None,
+                    **kwargs) -> int:
+    """Publish a data commit with LOGICAL conflict resolution (VERDICT
+    r09 #2): try version ``base_version + 1``; on losing the O_EXCL race,
+    load every commit that landed since, assert each is logically
+    non-conflicting (`_assert_no_conflict`), and re-publish the SAME
+    payload at the new head — no parquet rewritten, exactly Delta's
+    rebase-and-retry. Conflicting winners raise ConcurrentWriteConflict
+    immediately (retries only spend on benign races). At 100 TB this is
+    what lets OPTIMIZE∥append and partition-disjoint DML commit
+    concurrently instead of serializing all writers through the user.
+
+    ``row_stats``: when the payload assigns fresh row-id bases, the
+    winner may have advanced the id watermark — re-derive bases from the
+    rebased head so ids stay collision-free (the append-path rule)."""
+    loser_touched = _commit_touched(
+        {"remove": kwargs.get("remove") or [], "dv": kwargs.get("dv")}
+    )
+    add = kwargs.pop("add", [])
+    remove = kwargs.pop("remove", [])
+    version = base_version + 1
+    for attempt in range(max_retries + 1):
+        try:
+            _write_commit(root, version, add, remove, op=op, **kwargs)
+            return version
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
+            head = latest_version(root)
+            for v in range(version, head + 1):
+                _assert_no_conflict(op, loser_touched,
+                                    _load_commit(root, v), v)
+            if kwargs.get("row_bases"):
+                bases, wm = _assign_bases(
+                    add, row_stats or {},
+                    _read_state(root)["row_watermark"])
+                kwargs["row_bases"], kwargs["row_watermark"] = bases, wm
+            version = head + 1
+    raise AssertionError("unreachable")
 
 
 _COMMIT_RE = None  # initialized lazily below (keeps import section tidy)
@@ -1815,10 +1918,12 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     the schema was validated against a commit that is still in the chain),
     so on losing the O_EXCL race the writer just re-resolves HEAD and
     re-publishes the SAME payload at the next version — no parquet is
-    rewritten. COW operations (delete/merge/compact) deliberately do NOT
-    retry: their remove-lists were computed against a superseded snapshot
-    and a blind re-commit could resurrect deleted rows; the caller must
-    re-read and re-derive (exactly Delta's conflict matrix)."""
+    rewritten. COW/MOR operations (delete/update/merge/compact) rebase
+    only LOGICALLY via `_publish_commit`: their remove-lists were
+    computed against a superseded snapshot, so the rebase first proves
+    every winning commit wrote a disjoint file set and changed no
+    metadata (exactly Delta's conflict matrix); anything else raises
+    ConcurrentWriteConflict and the caller must re-read and re-derive."""
     out = _check_schema(df, table_schema(root), "append")
     st0 = _read_state(root)
     _check_constraints(out, st0["constraints"], "append")
@@ -2175,6 +2280,7 @@ def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
     evolve: bool = False,
+    max_retries: int = 0,
 ) -> int:
     """Transactional MERGE (upsert): rows in ``source`` whose key matches a
     live row REPLACE it; unmatched source rows are inserted — as ONE atomic
@@ -2309,14 +2415,25 @@ def merge_into(
     stats = _strip_rid_stats(_collect_stats(spark, root, pdir, wschema))
     bases, wm = (_assign_bases(add, stats, st0["row_watermark"])
                  if track else (None, None))
-    _write_commit(root, version, add, hit, txn=txn,
-                  schema_json=schema_json,
-                  stats=stats,
-                  parts=parts, merge_keys=list(key_cols), op="merge",
-                  blooms=_collect_blooms(spark, root, pdir, schema,
-                                         st0["bloom_cols"]),
-                  row_bases=bases, row_watermark=wm)
-    return version
+    if schema_json is not None or not max_retries:
+        # schema-evolving merges are metadata commits — they conflict
+        # with everything and never rebase (the conflict-matrix rule)
+        _write_commit(root, version, add, hit, txn=txn,
+                      schema_json=schema_json,
+                      stats=stats,
+                      parts=parts, merge_keys=list(key_cols), op="merge",
+                      blooms=_collect_blooms(spark, root, pdir, schema,
+                                             st0["bloom_cols"]),
+                      row_bases=bases, row_watermark=wm)
+        return version
+    return _publish_commit(root, version - 1, op="merge",
+                           max_retries=max_retries, row_stats=stats,
+                           add=add, remove=hit, txn=txn,
+                           stats=stats, parts=parts,
+                           merge_keys=list(key_cols),
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]),
+                           row_bases=bases, row_watermark=wm)
 
 
 def compact(
@@ -2325,6 +2442,7 @@ def compact(
     max_files: int = 4,
     zorder_by: list[str] | None = None,
     small_only_below: int | None = None,
+    max_retries: int = 0,
 ) -> int:
     """OPTIMIZE: rewrite the live file set down to ``max_files`` files as
     one commit (add: coalesced rewrite, remove: everything it replaced) —
@@ -2367,9 +2485,9 @@ def compact(
         # a single small file with no DV cannot be improved — rewriting
         # it would churn the same file forever on repeated OPTIMIZE runs
         if not files or (len(files) == 1 and files[0] not in dv_now):
-            _write_commit(root, version, [], [], data_change=False,
-                          op="optimize")
-            return version
+            return _publish_commit(root, version - 1, op="optimize",
+                                   max_retries=max_retries,
+                                   data_change=False)
     # DV-aware: the rewrite physically drops MOR-deleted rows, so the
     # compacted files need no DV (replay clears pointers of removed files)
     st_rt = _read_state(root)
@@ -2450,20 +2568,26 @@ def compact(
     else:
         out = cur.coalesce(max_files)
     pdir, add, parts = _write_payload(root, out, pby, wschema)
-    _write_commit(root, version, add, files,
-                  stats=_strip_rid_stats(
-                      _collect_stats(spark, root, pdir, wschema)),
-                  data_change=False, parts=parts, op="optimize",
-                  blooms=_collect_blooms(spark, root, pdir, schema,
-                                         _read_state(root)["bloom_cols"]))
-    return version
+    return _publish_commit(root, version - 1, op="optimize",
+                           max_retries=max_retries, add=add, remove=files,
+                           stats=_strip_rid_stats(
+                               _collect_stats(spark, root, pdir, wschema)),
+                           data_change=False, parts=parts,
+                           blooms=_collect_blooms(
+                               spark, root, pdir, schema,
+                               _read_state(root)["bloom_cols"]))
 
 
-def delete_where(spark: SparkSession, root: str, condition: str) -> int:
+def delete_where(spark: SparkSession, root: str, condition: str, *,
+                 max_retries: int = 0) -> int:
     """Copy-on-write DELETE: find the live files that CONTAIN matching rows
     (one scan with input_file_name), rewrite only those files without the
     matching rows, and commit (add: rewrites, remove: originals). Files
-    with no matches are untouched — carried forward by log reference."""
+    with no matches are untouched — carried forward by log reference.
+
+    ``max_retries``: on a lost commit race, rebase past logically
+    non-conflicting winners (disjoint files, no metadata change) instead
+    of raising — see `_publish_commit` (VERDICT r09 #2)."""
     version = latest_version(root) + 1
     schema = table_schema(root)
     # DV-aware scan with row lineage: already-deleted (DV'd) rows neither
@@ -2476,8 +2600,8 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     rel_of = _rel_by_name(live_files(root, version - 1))
     hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     if not hit:
-        _write_commit(root, version, [], [], op="delete")
-        return version
+        return _publish_commit(root, version - 1, op="delete",
+                               max_retries=max_retries)
     # DELETE semantics: remove rows where the predicate is TRUE; rows where
     # it evaluates NULL are kept (NOT(cond) would silently drop them).
     st0 = _read_state(root)
@@ -2492,13 +2616,13 @@ def delete_where(spark: SparkSession, root: str, condition: str) -> int:
     kept = kept.filter(f"({condition}) IS NOT TRUE")
     pdir, add, parts = _write_payload(root, kept, st0["partition_by"],
                                       wschema)
-    _write_commit(root, version, add, hit,
-                  stats=_strip_rid_stats(
-                      _collect_stats(spark, root, pdir, wschema)),
-                  parts=parts, op="delete",
-                  blooms=_collect_blooms(spark, root, pdir, schema,
-                                         st0["bloom_cols"]))
-    return version
+    return _publish_commit(root, version - 1, op="delete",
+                           max_retries=max_retries, add=add, remove=hit,
+                           stats=_strip_rid_stats(
+                               _collect_stats(spark, root, pdir, wschema)),
+                           parts=parts,
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]))
 
 
 def update_where(
@@ -2508,6 +2632,7 @@ def update_where(
     set_exprs: dict[str, str],
     *,
     cdf: bool = True,
+    max_retries: int = 0,
 ) -> int:
     """Transactional UPDATE ... SET ... WHERE: copy-on-write like
     delete_where — only files CONTAINING matching rows are rewritten,
@@ -2538,8 +2663,8 @@ def update_where(
     rel_of = _rel_by_name(live_files(root, version - 1))
     hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     if not hit:
-        _write_commit(root, version, [], [], op="update")
-        return version
+        return _publish_commit(root, version - 1, op="update",
+                               max_retries=max_retries)
     dv = dv_map(root)
     st0 = _read_state(root)
     if st0["row_tracking"]:
@@ -2590,17 +2715,18 @@ def update_where(
             )
         ).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
-    _write_commit(root, version, add, hit,
-                  stats=_strip_rid_stats(
-                      _collect_stats(spark, root, pdir, wschema)),
-                  parts=parts, cdc=cdc_parts, op="update",
-                  blooms=_collect_blooms(spark, root, pdir, schema,
-                                         st0["bloom_cols"]))
-    return version
+    return _publish_commit(root, version - 1, op="update",
+                           max_retries=max_retries, add=add, remove=hit,
+                           stats=_strip_rid_stats(
+                               _collect_stats(spark, root, pdir, wschema)),
+                           parts=parts, cdc=cdc_parts,
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]))
 
 
 def delete_where_mor(
-    spark: SparkSession, root: str, condition: str, *, cdf: bool = True
+    spark: SparkSession, root: str, condition: str, *, cdf: bool = True,
+    max_retries: int = 0,
 ) -> int:
     """Merge-on-read DELETE (deletion vectors — VERDICT r08 #2): instead of
     rewriting every file that CONTAINS a matching row (copy-on-write, where
@@ -2643,8 +2769,8 @@ def delete_where_mor(
         for r in matched.select("__src").distinct().collect()
     )
     if not affected:
-        _write_commit(root, version, [], [], op="delete_mor")
-        return version
+        return _publish_commit(root, version - 1, op="delete_mor",
+                               max_retries=max_retries)
     entries = matched.select(
         F.col("__src").alias("src"), F.col("__pos").alias("pos")
     )
@@ -2669,14 +2795,13 @@ def delete_where_mor(
             matched.drop("__src", "__pos"), table_schema(root)
         ).withColumn("_change_type", F.lit("delete")).write.parquet(cdir)
         cdc_parts = _dir_files(root, cdir)
-    _write_commit(root, version, [], [], dv=dv, cdc=cdc_parts,
-                  op="delete_mor")
-    return version
+    return _publish_commit(root, version - 1, op="delete_mor",
+                           max_retries=max_retries, dv=dv, cdc=cdc_parts)
 
 
 def update_where_mor(
     spark: SparkSession, root: str, condition: str,
-    set_exprs: dict[str, str],
+    set_exprs: dict[str, str], *, max_retries: int = 0,
 ) -> int:
     """Merge-on-read UPDATE (Iceberg's positional-delete + append-data
     form of row-level UPDATE): instead of rewriting every file that
@@ -2718,8 +2843,8 @@ def update_where_mor(
         for r in matched.select("__src").distinct().collect()
     )
     if not affected:
-        _write_commit(root, version, [], [], op="update_mor")
-        return version
+        return _publish_commit(root, version - 1, op="update_mor",
+                               max_retries=max_retries)
     entries = matched.select(
         F.col("__src").alias("src"), F.col("__pos").alias("pos")
     )
@@ -2759,14 +2884,14 @@ def update_where_mor(
         _to_physical(post.select(*[f.name for f in schema]), schema)
         .withColumn("_change_type", F.lit("update_postimage"))
     ).write.parquet(cdir)
-    _write_commit(root, version, add, [], dv=dv,
-                  cdc=_dir_files(root, cdir),
-                  stats=_strip_rid_stats(
-                      _collect_stats(spark, root, pdir, wschema)),
-                  parts=parts, op="update_mor",
-                  blooms=_collect_blooms(spark, root, pdir, schema,
-                                         st0["bloom_cols"]))
-    return version
+    return _publish_commit(root, version - 1, op="update_mor",
+                           max_retries=max_retries, add=add, dv=dv,
+                           cdc=_dir_files(root, cdir),
+                           stats=_strip_rid_stats(
+                               _collect_stats(spark, root, pdir, wschema)),
+                           parts=parts,
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]))
 
 
 def history(root: str) -> list[dict]:
