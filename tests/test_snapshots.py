@@ -2605,3 +2605,183 @@ def test_concurrent_threaded_disjoint_writers_soak(spark, tmp_path):
     expect = sorted([i for i in range(30) if i % 3 == 1] + [1000, 1001, 1002])
     assert got == expect
     assert snap.latest_version(root) == 5  # create + 3 appends + 2 deletes
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r09 #3: writable branches — write-audit-publish with fast-forward
+# merge, rebase merge, cherry-pick, and retention integration
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def brtable(spark, tmp_path):
+    root = str(tmp_path / "btbl")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en", i * 10) for i in range(8)],
+        "id long, lang string, v long",
+    )
+    snap.create(spark, root, df.repartition(2))
+    return root
+
+
+def _ids(spark, root):
+    return sorted(r.id for r in snap.read(spark, root).collect())
+
+
+def test_branch_writes_are_isolated_and_ff_merge_publishes(spark, brtable):
+    """Write-audit-publish: branch commits are invisible to main until a
+    fast-forward merge publishes the chain; afterwards the merged chain
+    IS main's history and the change feed replays identically."""
+    base = snap.create_branch(brtable, "audit")
+    broot = snap.branch_root(brtable, "audit")
+    extra = spark.createDataFrame([(100, "fr", 1), (101, "fr", 2)],
+                                  "id long, lang string, v long")
+    snap.append(spark, broot, extra)
+    snap.delete_where(spark, broot, "id = 0")
+    # isolation: main unchanged, branch sees both commits
+    assert _ids(spark, brtable) == list(range(8))
+    assert _ids(spark, broot) == [1, 2, 3, 4, 5, 6, 7, 100, 101]
+    assert snap.latest_version(brtable) == base == 0
+    assert snap.branches(brtable) == {"audit": {"base": 0, "head": 2}}
+    # audit the branch, then publish: fast-forward (main never moved)
+    feed_before = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in snap.changes(spark, broot, 0, 2).collect()
+    )
+    head = snap.merge_branch(spark, brtable, "audit")
+    assert head == 2
+    assert _ids(spark, brtable) == [1, 2, 3, 4, 5, 6, 7, 100, 101]
+    assert snap.branches(brtable) == {}
+    feed_after = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in snap.changes(spark, brtable, 0, 2).collect()
+    )
+    assert {t[1] for t in feed_after} == {"insert", "delete"}
+    assert feed_after == feed_before
+    assert [h["operation"] for h in snap.history(brtable)] == \
+        ["delete", "append", "create"]
+
+
+def test_branch_merge_rebases_past_disjoint_main_commits(spark, brtable):
+    """Main advances while the branch is open: the merge renumbers the
+    branch chain after main's head when every pairing is disjoint."""
+    snap.create_branch(brtable, "wip")
+    broot = snap.branch_root(brtable, "wip")
+    snap.append(spark, broot,
+                spark.createDataFrame([(100, "fr", 1)],
+                                      "id long, lang string, v long"))
+    # main moves on independently (fresh files — disjoint)
+    snap.append(spark, brtable,
+                spark.createDataFrame([(200, "zh", 2)],
+                                      "id long, lang string, v long"))
+    head = snap.merge_branch(spark, brtable, "wip")
+    assert head == 2
+    assert _ids(spark, brtable) == list(range(8)) + [100, 200]
+
+
+def test_branch_merge_same_file_conflict_raises(spark, tmp_path):
+    """Branch and main both rewrote the same base file: the merge must
+    raise, publish nothing, and leave the branch intact."""
+    root = str(tmp_path / "conf")
+    df = spark.createDataFrame(
+        [(i, "x", i * 10) for i in range(8)], "id long, lang string, v long")
+    snap.create(spark, root, df.coalesce(1))  # one file: guaranteed overlap
+    snap.create_branch(root, "risky")
+    broot = snap.branch_root(root, "risky")
+    snap.delete_where(spark, broot, "id = 1")
+    snap.delete_where(spark, root, "id = 3")
+    with pytest.raises(snap.ConcurrentWriteConflict, match="same files"):
+        snap.merge_branch(spark, root, "risky", max_retries=3)
+    assert "risky" in snap.branches(root)
+    assert _ids(spark, root) == [0, 1, 2, 4, 5, 6, 7]  # main's own delete only
+
+
+def test_branch_metadata_commit_merges_only_fast_forward(spark, brtable):
+    """A branch that evolved the schema merges only by fast-forward; if
+    main advanced, the metadata row of the conflict matrix applies."""
+    snap.create_branch(brtable, "schema")
+    broot = snap.branch_root(brtable, "schema")
+    evolved = spark.createDataFrame(
+        [(300, "fr", 5, 9)], "id long, lang string, v long, extra long")
+    snap.evolve_schema(spark, broot, evolved)
+    snap.append(spark, brtable,
+                spark.createDataFrame([(200, "zh", 2)],
+                                      "id long, lang string, v long"))
+    with pytest.raises(snap.ConcurrentWriteConflict, match="metadata"):
+        snap.merge_branch(spark, brtable, "schema", max_retries=3)
+    # on a fresh branch with quiet main, the same merge fast-forwards
+    snap.delete_branch(brtable, "schema")
+    snap.create_branch(brtable, "schema2")
+    b2 = snap.branch_root(brtable, "schema2")
+    snap.evolve_schema(spark, b2, evolved)
+    snap.merge_branch(spark, brtable, "schema2")
+    assert "extra" in [f.name for f in snap.table_schema(brtable).fields]
+    assert snap.read(spark, brtable).filter("extra = 9").count() == 1
+
+
+def test_cherry_pick_independent_commit_only(spark, brtable):
+    """Cherry-pick publishes one independent branch commit; a commit
+    whose files depend on an earlier un-picked one refuses."""
+    snap.create_branch(brtable, "picks")
+    broot = snap.branch_root(brtable, "picks")
+    snap.append(spark, broot,
+                spark.createDataFrame([(100, "fr", 1)],
+                                      "id long, lang string, v long"))  # v1
+    snap.delete_where(spark, broot, "id = 100")  # v2: depends on v1's file
+    snap.append(spark, broot,
+                spark.createDataFrame([(101, "zh", 2)],
+                                      "id long, lang string, v long"))  # v3
+    with pytest.raises(snap.ConcurrentWriteConflict, match="depends on"):
+        snap.cherry_pick(spark, brtable, "picks", 2)
+    v = snap.cherry_pick(spark, brtable, "picks", 3)
+    assert v == 1
+    assert _ids(spark, brtable) == list(range(8)) + [101]
+    # the branch is untouched and still readable (its own v2 delete
+    # removed the 100 row on the branch)
+    assert _ids(spark, snap.branch_root(brtable, "picks")) == \
+        list(range(8)) + [101]
+
+
+def test_vacuum_and_expire_respect_branches(spark, brtable):
+    """VACUUM keeps every file an un-merged branch references (its base
+    state and its own adds); expire_log refuses to strand a branch base
+    below the newest checkpoint."""
+    snap.create_branch(brtable, "keepme")
+    broot = snap.branch_root(brtable, "keepme")
+    snap.append(spark, broot,
+                spark.createDataFrame([(100, "fr", 1)],
+                                      "id long, lang string, v long"))
+    # main churns: delete + compact, then vacuum HEAD-only
+    snap.delete_where(spark, brtable, "id = 0")
+    snap.compact(spark, brtable, max_files=1)
+    snap.vacuum(brtable, retain_versions=1)
+    # the branch still reads: base files + its own append survived
+    assert _ids(spark, broot) == list(range(8)) + [100]
+    snap.checkpoint(brtable)
+    with pytest.raises(ValueError, match="strand branch"):
+        snap.expire_log(brtable)
+    # merging resolves the stranding — conflict check: branch's append is
+    # disjoint from main's delete+compact → rebase merge lands
+    snap.merge_branch(spark, brtable, "keepme", max_retries=1)
+    assert _ids(spark, brtable) == list(range(1, 8)) + [100]
+    assert snap.expire_log(brtable)
+
+
+def test_branch_merge_remints_row_ids(spark, tmp_path):
+    """Both sides minted fresh row ids from the same watermark: the merge
+    re-mints the branch commits' bases so ids never collide."""
+    root = str(tmp_path / "ridbr")
+    df = spark.createDataFrame([(i, i * 2) for i in range(6)],
+                               "id long, v long")
+    snap.create(spark, root, df, row_tracking=True)
+    snap.create_branch(root, "b")
+    broot = snap.branch_root(root, "b")
+    snap.append(spark, broot,
+                spark.createDataFrame([(100, 1), (101, 2)], "id long, v long"))
+    snap.append(spark, root,
+                spark.createDataFrame([(200, 3), (201, 4)], "id long, v long"))
+    snap.merge_branch(spark, root, "b", max_retries=1)
+    rows = snap.read_with_row_ids(spark, root).collect()
+    rids = [r._row_id for r in rows]
+    assert len(rids) == len(set(rids)) == 10
+    assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4, 5, 100, 101, 200, 201]

@@ -1227,10 +1227,14 @@ def stream_table_changes(spark, sf_dir):
     return _run_cdf_stream(spark, sf_dir, "table_changes_stream")
 
 
-def _run_cdf_stream(spark, sf_dir, fmt):
-    """Shared live-run harness for the two streaming-CDF keys (driver-
-    side simple reader vs executor-parallel partition-per-commit
-    reader): identical fixture, identical convergence contract."""
+def _run_cdf_stream(spark, sf_dir, fmt, max_versions_per_batch=None,
+                    min_batches=None):
+    """Shared live-run harness for the streaming-CDF keys (driver-side
+    simple reader vs executor-parallel partition-per-commit reader vs
+    rate-limited catch-up): identical fixture, identical convergence
+    contract. ``max_versions_per_batch`` forwards the admission-control
+    option; ``min_batches`` asserts the backlog actually drained across
+    at least that many micro-batches (the bounded-catch-up proof)."""
     import time
     import uuid as _uuid
 
@@ -1245,12 +1249,15 @@ def _run_cdf_stream(spark, sf_dir, fmt):
 
     ensure_pyfiles(spark)
     register_table_changes_stream(spark)
-    feed = (
+    reader = (
         spark.readStream.format(fmt)
         .option("path", root)
         .option("since_version", 0)
-        .load()
     )
+    if max_versions_per_batch is not None:
+        reader = reader.option("max_versions_per_batch",
+                               str(max_versions_per_batch))
+    feed = reader.load()
     # streaming aggregations reject COUNT DISTINCT: aggregate at the
     # finer (version, change_type, lang) grain in the stream and finalize
     # the distinct-lang rollup on the converged (bounded) result below
@@ -1289,6 +1296,17 @@ def _run_cdf_stream(spark, sf_dir, fmt):
                 f"{fmt} did not converge to the batch feed "
                 f"({expected} rows) within 180s"
             )
+        if min_batches is not None:
+            # admission control really sliced the backlog: the version
+            # cursor needed >= min_batches non-empty micro-batches
+            done = [
+                p for p in q.recentProgress
+                if p.get("numInputRows", 0) > 0
+            ]
+            if len(done) < min_batches:
+                raise AssertionError(
+                    f"rate limit did not bound the catch-up: "
+                    f"{len(done)} non-empty batches < {min_batches}")
     finally:
         if q.isActive:
             q.stop()
@@ -2036,3 +2054,134 @@ def table_concurrent(spark, sf_dir):
         "lang string, n_docs long, sum_chars long",
     )
     return agg.unionByName(meta)
+
+
+_BRANCH_ORACLE = """
+WITH full_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents
+), merged AS (
+  SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) + 100 + 101 AS BIGINT) AS sum_chars
+  FROM documents WHERE lang <> 'de'
+)
+SELECT 'main_before' AS stage, n_docs, sum_chars FROM full_t
+UNION ALL
+SELECT 'main_during', n_docs, sum_chars FROM full_t
+UNION ALL
+SELECT 'branch_head', n_docs, sum_chars FROM merged
+UNION ALL
+SELECT 'main_after', n_docs, sum_chars FROM merged
+UNION ALL
+SELECT 'feed_replay',
+       CAST(2 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM documents WHERE lang = 'de') AS BIGINT)
+"""
+
+
+@register("table_branch", oracle=_BRANCH_ORACLE)
+def table_branch(spark, sf_dir):
+    """WRITABLE BRANCHES on the snapshot table (VERDICT r09 #3 —
+    Iceberg's refs, the write-audit-publish workflow `clone` could only
+    approximate with a permanent fork): fork branch 'audit' at main's
+    HEAD (`create_branch` — one O_EXCL _base.json under _log/_refs/,
+    zero data copied), run two commits THROUGH the branch ref (an append
+    of two 'xx' docs, then a COW DELETE of lang='de'), and prove with
+    emitted stages that (a) main is bit-identical while the branch
+    diverges ('main_before' == 'main_during'), (b) the branch head sees
+    both its commits ('branch_head'), (c) `merge_branch` fast-forwards
+    the chain onto main — pure commit-JSON renames, data already in
+    place — so 'main_after' == 'branch_head', and (d) the change feed
+    over the merged chain replays the branch's history exactly
+    ('feed_replay' counts the feed's inserts and deletes across the two
+    merged commits — the replication invariant holds through a merge).
+    Non-ff merges rebase through the same logical conflict matrix as
+    concurrent DML (disjoint files, no metadata; pinned with cherry-pick
+    and retention integration in tests/test_snapshots.py).
+
+    Scale: branch points and merges are O(commits) JSON regardless of
+    table size — a 100 TB write-audit-publish cycle moves zero data
+    bytes until OPTIMIZE chooses to."""
+    import os
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapbranch_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d)
+
+    def agg(stage: str, src_root: str):
+        return snap.read(spark, src_root).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(F.lit(stage).alias("stage"), "n_docs", "sum_chars")
+
+    stages = [agg("main_before", root)]
+    snap.create_branch(root, "audit")
+    broot = snap.branch_root(root, "audit")
+    snap.append(
+        spark, broot,
+        spark.createDataFrame(
+            [(1_000_000_000, "xx", 100), (1_000_000_001, "xx", 101)],
+            "doc_id long, lang string, n_chars long",
+        ),
+    )
+    snap.delete_where(spark, broot, "lang = 'de'")
+    stages.append(agg("main_during", root))   # main untouched by the branch
+    stages.append(agg("branch_head", broot))
+    head = snap.merge_branch(spark, root, "audit")
+    stages.append(agg("main_after", root))
+    feed = snap.changes(spark, root, 0, head)  # (0, head]: both merged commits
+    stages.append(
+        feed.agg(
+            F.sum((F.col("_change_type") == "insert").cast("long"))
+            .cast("long").alias("n_docs"),
+            F.sum((F.col("_change_type") == "delete").cast("long"))
+            .cast("long").alias("sum_chars"),
+        ).select(F.lit("feed_replay").alias("stage"), "n_docs", "sum_chars")
+    )
+    return reduce(lambda a, b: a.unionByName(b), stages)
+
+
+@register(
+    "stream_changes_bounded",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+            _cdf_sql(
+                5, "delete", "doc_id % 5 = 0 AND (lang = 'de') IS NOT TRUE"
+            ),
+        ]
+    ),
+)
+def stream_changes_bounded(spark, sf_dir):
+    """RATE-LIMITED streaming change feed (VERDICT r09 #5 — Delta's
+    maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger): the same live
+    readStream + 6-commit fixture as `stream_table_changes`, but with
+    ``max_versions_per_batch=1`` so a consumer starting from version 0
+    must drain the 5-commit backlog across AT LEAST four non-empty
+    micro-batches (asserted from the query's own progress log) instead
+    of replaying the whole history in one — and the converged feed is
+    still bit-identical to the batch `changes()` (the identical oracle):
+    admission control shapes batch BOUNDARIES, never rows. Planned
+    ranges replay exactly on restart (readBetweenOffsets is never
+    re-clamped — the checkpointed batch must reproduce bit-identically;
+    pinned with the cursor arithmetic in tests/test_streaming.py).
+
+    Scale: a catch-up consumer on a year-old 100 TB table would
+    otherwise plan ONE batch spanning every commit — unbounded executor
+    memory and a single commit barrier; bounded version spans make
+    catch-up incremental, checkpointable, and restartable mid-backlog."""
+    return _run_cdf_stream(spark, sf_dir, "table_changes_stream",
+                           max_versions_per_batch=1, min_batches=4)

@@ -115,19 +115,78 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+# WRITABLE BRANCHES (Iceberg's refs — VERDICT r09 #3): a branch is a
+# named commit chain that FORKS the main log at a base version. Its
+# commits live under _log/_refs/<name>/ (main's chain is untouched) and
+# its data payloads share the table's data/ dir, so a merge moves only
+# tiny commit JSON. Every table API works on a branch transparently: the
+# caller passes `branch_root(root, name)` — a root string carrying a ref
+# suffix — and the four path helpers below resolve versions ≤ base to
+# main's log, > base to the branch dir. Readers of main NEVER see branch
+# commits (the write-audit-publish isolation `clone` could only
+# approximate with a permanent fork).
+_REF_SEP = "@branch="
+
+
+def _split_ref(root: str) -> tuple[str, str | None]:
+    base, sep, name = root.partition(_REF_SEP)
+    return (base, name) if sep else (base, None)
+
+
+def _data_root(root: str) -> str:
+    """The filesystem root holding data/ and _log/ — strips any branch
+    ref suffix (branch payloads share main's data dir)."""
+    return _split_ref(root)[0]
+
+
+def branch_root(root: str, name: str) -> str:
+    """The root string addressing branch ``name`` of the table at
+    ``root`` — pass it to any table API (read/append/delete/changes/...)
+    to operate on the branch instead of main."""
+    if _split_ref(root)[1] is not None:
+        raise ValueError("nested branch refs are not supported")
+    return f"{root}{_REF_SEP}{name}"
+
+
+def _refs_dir(root: str) -> str:
+    return os.path.join(_data_root(root), "_log", "_refs")
+
+
+def _ref_dir(root: str, name: str) -> str:
+    return os.path.join(_refs_dir(root), name)
+
+
+def _ref_base(root: str) -> int:
+    """The branch's base version (immutable after create_branch)."""
+    base_root, name = _split_ref(root)
+    with open(os.path.join(_ref_dir(base_root, name), "_base.json"),
+              encoding="utf-8") as fh:
+        return int(json.load(fh)["base"])
+
+
 def _log_dir(root: str) -> str:
-    return os.path.join(root, "_log")
+    return os.path.join(_data_root(root), "_log")
 
 
 def _commit_path(root: str, version: int) -> str:
+    base_root, name = _split_ref(root)
+    if name is not None and version > _ref_base(root):
+        return os.path.join(_ref_dir(base_root, name),
+                            f"{version:08d}.json")
     return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def _no_ref(root: str, op: str) -> None:
+    if _split_ref(root)[1] is not None:
+        raise ValueError(f"{op} operates on the main table, not a branch "
+                         f"ref ({root!r})")
 
 
 def _new_payload_dir(root: str) -> str:
     """A writer-private payload directory for one commit attempt. Unique
     per attempt, so concurrent writers (and crashed ones) can never mix
     part files; the commit's add-list is derived from THIS dir only."""
-    return os.path.join(root, "data", uuid.uuid4().hex)
+    return os.path.join(_data_root(root), "data", uuid.uuid4().hex)
 
 
 def _dir_files(root: str, payload_dir: str) -> list[str]:
@@ -139,7 +198,8 @@ def _dir_files(root: str, payload_dir: str) -> list[str]:
         for fn in files:
             if fn.endswith(".parquet"):
                 out.append(
-                    os.path.relpath(os.path.join(dirpath, fn), root)
+                    os.path.relpath(os.path.join(dirpath, fn),
+                                    _data_root(root))
                 )
     return sorted(out)
 
@@ -395,7 +455,8 @@ def _collect_stats(
         for fn in files:
             if fn.endswith(".parquet"):
                 p = os.path.join(dirpath, fn)
-                rel_of[os.path.realpath(p)] = os.path.relpath(p, root)
+                rel_of[os.path.realpath(p)] = os.path.relpath(
+                    p, _data_root(root))
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
@@ -476,7 +537,8 @@ def _collect_blooms(
         for fn in files:
             if fn.endswith(".parquet"):
                 p = os.path.join(dirpath, fn)
-                rel_of[os.path.realpath(p)] = os.path.relpath(p, root)
+                rel_of[os.path.realpath(p)] = os.path.relpath(
+                    p, _data_root(root))
     out: dict[str, dict[str, str]] = {rel: {} for rel in rel_of.values()}
     scan = spark.read.schema(schema).parquet(pdir)
     for col in bloom_cols:
@@ -852,7 +914,8 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
     Delta `txn` action): an exactly-once writer records which unit of work
     the commit applied, so a replay after failure can see it already
     landed (see applied_txns / the foreachBatch sink)."""
-    os.makedirs(_log_dir(root), exist_ok=True)
+    os.makedirs(os.path.dirname(_commit_path(root, version)),
+                exist_ok=True)
     import time as _time
 
     payload = {"version": version, "add": add, "remove": remove,
@@ -1031,18 +1094,31 @@ _COMMIT_RE = None  # initialized lazily below (keeps import section tidy)
 
 
 def _commit_versions(root: str) -> list[int]:
-    """Versions that exist as commit JSON files, sorted."""
+    """Versions that exist as commit JSON files, sorted. For a branch
+    ref: main's commits up to the base version plus the branch's own
+    chain (the fork-point resolution rule)."""
     import re
 
     global _COMMIT_RE
     if _COMMIT_RE is None:
         _COMMIT_RE = re.compile(r"^(\d{8})\.json$")
-    out = []
-    for fn in os.listdir(_log_dir(root)):
-        m = _COMMIT_RE.match(fn)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+
+    def _ls(d: str) -> list[int]:
+        out = []
+        for fn in os.listdir(d):
+            m = _COMMIT_RE.match(fn)
+            if m:
+                out.append(int(m.group(1)))
+        return out
+
+    base_root, name = _split_ref(root)
+    if name is None:
+        return sorted(_ls(_log_dir(root)))
+    base = _ref_base(root)
+    return sorted(
+        [v for v in _ls(_log_dir(root)) if v <= base]
+        + _ls(_ref_dir(base_root, name))
+    )
 
 
 def _checkpoint_path(root: str, version: int) -> str:
@@ -1050,11 +1126,17 @@ def _checkpoint_path(root: str, version: int) -> str:
 
 
 def _checkpoint_versions(root: str) -> list[int]:
-    return sorted(
+    out = sorted(
         int(fn[len("_checkpoint."):-len(".json")])
         for fn in os.listdir(_log_dir(root))
         if fn.startswith("_checkpoint.") and fn.endswith(".json")
     )
+    if _split_ref(root)[1] is not None:
+        # a branch replays main only up to its base — later main
+        # checkpoints consolidate commits the branch never saw
+        base = _ref_base(root)
+        out = [v for v in out if v <= base]
+    return out
 
 
 def _load_commit(root: str, version: int) -> dict:
@@ -1386,7 +1468,7 @@ def _scan_files(
         # files that never materialized one (fresh appends) null-fill it
         pschema = StructType(list(pschema.fields) + [_rid_field()])
     df = spark.read.schema(pschema).parquet(
-        *[os.path.join(root, f) for f in files]
+        *[os.path.join(_data_root(root), f) for f in files]
     )
     if need_lineage:
         df = df.withColumn("__src", _src_col()).withColumn(
@@ -1403,7 +1485,7 @@ def _scan_files(
     if dv:
         parts = sorted({p for ps in dv.values() for p in ps})
         entries = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(root, p) for p in parts]
+            *[os.path.join(_data_root(root), p) for p in parts]
         )
         df = df.join(
             entries,
@@ -1510,6 +1592,7 @@ def checkpoint(root: str) -> int:
     checkpoint is also what makes dropping old commit JSON safe. Published
     with the same O_EXCL create-if-absent as commits. Returns the
     checkpointed version."""
+    _no_ref(root, "checkpoint")
     state = _read_state(root)
     payload = {
         "version": state["version"],
@@ -1555,6 +1638,7 @@ def expire_log(root: str) -> list[str]:
     newest checkpoint stays replayable only if a checkpoint exists at or
     below it whose follow-up commits survive — i.e. exactly at it).
     Returns the deleted file names."""
+    _no_ref(root, "expire_log")
     cks = _checkpoint_versions(root)
     if not cks:
         raise ValueError("expire_log requires a checkpoint; run checkpoint() first")
@@ -1566,6 +1650,18 @@ def expire_log(root: str) -> list[str]:
         raise ValueError(
             f"expire_log would strand tagged version(s) {stranded}: "
             "delete the tag(s) or checkpoint at the tagged version first"
+        )
+    # a branch replays main only through its base (later checkpoints
+    # consolidate commits the branch never saw) — the same stranding rule
+    stranded_b = {
+        name: info["base"] for name, info in branches(root).items()
+        if info["base"] < cks[-1] and info["base"] not in cks
+    }
+    if stranded_b:
+        raise ValueError(
+            f"expire_log would strand branch base(s) {stranded_b}: "
+            "merge or delete the branch(es), or checkpoint at the base "
+            "version first"
         )
     deleted = []
     for v in _commit_versions(root):
@@ -1599,6 +1695,7 @@ def tag(root: str, name: str, version: int | None = None) -> int:
     refuses to strand it. Tags are O_EXCL-immutable — re-pointing is
     delete_tag + tag, never a silent overwrite. Returns the tagged
     version (HEAD when ``version`` is None)."""
+    _no_ref(root, "tag")
     head = latest_version(root)
     if version is None:
         version = head
@@ -1630,6 +1727,7 @@ def tags(root: str) -> dict[str, int]:
 
 def delete_tag(root: str, name: str) -> None:
     """Drop a tag (its version rejoins the normal retention rules)."""
+    _no_ref(root, "delete_tag")
     p = _tag_path(root, name)
     if not os.path.exists(p):
         raise ValueError(f"no such tag {name!r}")
@@ -1642,6 +1740,222 @@ def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
     if name not in t:
         raise ValueError(f"no such tag {name!r} (have: {sorted(t)})")
     return read(spark, root, t[name])
+
+
+# ---------------------------------------------------------------------------
+# Writable branches (VERDICT r09 #3): Iceberg-style refs with fast-forward
+# merge and cherry-pick — the write-audit-publish workflow.
+# ---------------------------------------------------------------------------
+
+_BRANCH_NAME_RE = None  # compiled lazily, like _COMMIT_RE
+
+
+def _check_branch_name(name: str) -> None:
+    import re
+
+    global _BRANCH_NAME_RE
+    if _BRANCH_NAME_RE is None:
+        _BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+    if not _BRANCH_NAME_RE.match(name):
+        raise ValueError(f"invalid branch name {name!r}")
+
+
+def create_branch(root: str, name: str, version: int | None = None) -> int:
+    """Fork a WRITABLE branch at ``version`` (default HEAD): an O_EXCL
+    `_base.json` under _log/_refs/<name>/ is the whole fork — zero data
+    copied, main's chain untouched. Commits made through
+    `branch_root(root, name)` chain privately from the base; main
+    readers never see them until `merge_branch` publishes the chain
+    (write-audit-publish, the workflow `clone` only approximates with a
+    permanent cross-root fork). Returns the base version."""
+    _no_ref(root, "create_branch")
+    _check_branch_name(name)
+    head = latest_version(root)
+    if version is None:
+        version = head
+    if not 0 <= version <= head:
+        raise ValueError(f"version {version} not in [0, {head}]")
+    d = _ref_dir(root, name)
+    os.makedirs(d, exist_ok=True)
+    fd = os.open(os.path.join(d, "_base.json"),
+                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"name": name, "base": version}, fh)
+    return version
+
+
+def branches(root: str) -> dict[str, dict]:
+    """{branch name: {"base": fork version, "head": branch head}} for
+    every branch on the table."""
+    _no_ref(root, "branches")
+    refs = _refs_dir(root)
+    out: dict[str, dict] = {}
+    if not os.path.isdir(refs):
+        return out
+    for name in sorted(os.listdir(refs)):
+        bpath = os.path.join(refs, name, "_base.json")
+        if not os.path.exists(bpath):
+            continue
+        broot = branch_root(root, name)
+        base = _ref_base(broot)
+        bvers = [v for v in _commit_versions(broot) if v > base]
+        out[name] = {"base": base, "head": max(bvers, default=base)}
+    return out
+
+
+def delete_branch(root: str, name: str) -> None:
+    """Drop a branch ref and its un-merged commits. Data files the branch
+    added stay on disk until VACUUM sweeps them (they are referenced by
+    no main commit once the ref is gone)."""
+    _no_ref(root, "delete_branch")
+    d = _ref_dir(root, name)
+    if not os.path.exists(os.path.join(d, "_base.json")):
+        raise ValueError(f"no such branch {name!r}")
+    shutil.rmtree(d)
+
+
+def _publish_raw(root: str, version: int, payload: dict) -> None:
+    """O_EXCL-publish a fully-formed commit payload at ``version`` (the
+    merge path: branch commits renumber, they are not rebuilt)."""
+    payload = dict(payload)
+    payload["version"] = version
+    os.makedirs(os.path.dirname(_commit_path(root, version)), exist_ok=True)
+    fd = os.open(_commit_path(root, version),
+                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        json.dump(payload, fh)
+
+
+def merge_branch(spark: SparkSession, root: str, name: str,
+                 max_retries: int = 0) -> int:
+    """Publish a branch's commit chain onto main and drop the ref.
+
+    Fast-forward when main hasn't moved past the base: the branch
+    commits land at their own version numbers — pure JSON renames, data
+    already in place. When main HAS advanced, the merge rebases like any
+    lost race: every main commit since the base must be logically
+    non-conflicting with every branch commit (`_assert_no_conflict` —
+    disjoint files, no metadata on either side), and the chain renumbers
+    after main's head, preserving its internal order (so DV supersede
+    chains stay valid). Fresh row-id bases are re-minted from main's
+    current watermark on a non-ff merge (bases live in the commit JSON,
+    never in data files, so no rewrite). Conflicts raise
+    ConcurrentWriteConflict with nothing published; a race lost DURING
+    publication re-checks the remaining chain and continues (commits
+    already published stay — the documented mid-merge seam).
+
+    Returns main's new head version."""
+    _no_ref(root, "merge_branch")
+    broot = branch_root(root, name)
+    base = _ref_base(broot)
+    bvers = [v for v in _commit_versions(broot) if v > base]
+    queue = [dict(_load_commit(broot, v)) for v in bvers]
+    if not queue:
+        delete_branch(root, name)
+        return latest_version(root)
+    published: set[int] = set()
+    checked_to = base
+    attempt = 0
+    while queue:
+        head = latest_version(root)
+        interlopers = [
+            (v, _load_commit(root, v))
+            for v in range(checked_to + 1, head + 1)
+            if v not in published
+        ]
+        if interlopers:
+            minted = any(w.get("row_bases") for _v, w in interlopers)
+            for L in queue:
+                lmeta = [k for k in _METADATA_COMMIT_KEYS if k in L]
+                if lmeta:
+                    raise ConcurrentWriteConflict(
+                        f"merge_branch({name!r}): branch commit "
+                        f"v{L['version']} changes metadata ({lmeta}) — "
+                        f"only fast-forward can merge it, and main has "
+                        f"advanced past the base")
+                lt = _commit_touched(L)
+                for wv, w in interlopers:
+                    _assert_no_conflict(f"merge_branch({name!r})", lt, w, wv)
+            if minted:
+                # both sides minted row ids from the same watermark:
+                # re-mint the branch's (bases are commit metadata) so id
+                # ranges never collide
+                run_wm = _read_state(root)["row_watermark"]
+                for L in queue:
+                    if L.get("row_bases"):
+                        bases, run_wm = _assign_bases(
+                            sorted(L["row_bases"]), L.get("stats", {}),
+                            run_wm)
+                        L["row_bases"] = bases
+                        L["row_watermark"] = run_wm
+        checked_to = head
+        try:
+            _publish_raw(root, head + 1, queue[0])
+        except FileExistsError:
+            attempt += 1
+            if attempt > max_retries:
+                raise ConcurrentWriteConflict(
+                    f"merge_branch({name!r}): lost the publish race at "
+                    f"v{head + 1} after {attempt - 1} retries "
+                    f"({len(published)} of {len(bvers)} commits "
+                    f"published)")
+            continue
+        published.add(head + 1)
+        queue.pop(0)
+    delete_branch(root, name)
+    return latest_version(root)
+
+
+def cherry_pick(spark: SparkSession, root: str, name: str, version: int,
+                max_retries: int = 0) -> int:
+    """Publish ONE branch commit onto main (Iceberg's cherry-pick),
+    leaving the branch intact. The pick must be independent: not a
+    metadata commit, no earlier UN-picked branch commit touching the
+    same files (its DV/remove sets would smuggle those commits' effects
+    in), and logically non-conflicting with every main commit since the
+    base. Returns the new main version."""
+    _no_ref(root, "cherry_pick")
+    broot = branch_root(root, name)
+    base = _ref_base(broot)
+    bvers = [v for v in _commit_versions(broot) if v > base]
+    if version not in bvers:
+        raise ValueError(
+            f"cherry_pick: v{version} is not a commit of branch {name!r} "
+            f"(has {bvers})")
+    c = dict(_load_commit(broot, version))
+    meta = [k for k in _METADATA_COMMIT_KEYS if k in c]
+    if meta:
+        raise ConcurrentWriteConflict(
+            f"cherry_pick: branch commit v{version} changes metadata "
+            f"({meta}) — merge the branch instead")
+    touched = _commit_touched(c)
+    for v in bvers:
+        if v >= version:
+            break
+        earlier = _load_commit(broot, v)
+        dep = (_commit_touched(earlier) | set(earlier.get("add", []))) \
+            & touched
+        if dep:
+            raise ConcurrentWriteConflict(
+                f"cherry_pick: v{version} depends on un-picked branch "
+                f"commit v{v} (shared files {sorted(dep)[:3]})")
+    for attempt in range(max_retries + 1):
+        head = latest_version(root)
+        for wv in range(base + 1, head + 1):
+            _assert_no_conflict(f"cherry_pick({name!r})", touched,
+                                _load_commit(root, wv), wv)
+        if c.get("row_bases"):
+            bases, wm = _assign_bases(sorted(c["row_bases"]),
+                                      c.get("stats", {}),
+                                      _read_state(root)["row_watermark"])
+            c["row_bases"], c["row_watermark"] = bases, wm
+        try:
+            _publish_raw(root, head + 1, c)
+            return head + 1
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
+    raise AssertionError("unreachable")
 
 
 # Column names the protocol itself uses: per-file row counts in the
@@ -1870,6 +2184,7 @@ def create(
         raise ValueError(
             f"partition_by/bloom_cols columns not in schema: {missing}"
         )
+    _no_ref(root, "create")
     if check_constraints:
         _check_constraints(df, check_constraints, "create")
     _check_reserved(df.schema, "create")
@@ -2101,7 +2416,7 @@ def changes(
     schema = table_schema(root, to_version)
 
     def _gone_check(files: list[str]) -> None:
-        gone = [f for f in files if not os.path.exists(os.path.join(root, f))]
+        gone = [f for f in files if not os.path.exists(os.path.join(_data_root(root), f))]
         if gone:
             raise ValueError(
                 f"change feed over ({since_version}, {to_version}] needs "
@@ -2154,7 +2469,7 @@ def changes(
             m = _phys_map(schema)
             parts.append(
                 spark.read.schema(cdc_schema).parquet(
-                    *[os.path.join(root, f) for f in c["cdc"]]
+                    *[os.path.join(_data_root(root), f) for f in c["cdc"]]
                 ).select(
                     *[F.col(m[f.name]).alias(f.name) for f in schema.fields],
                     "_change_type",
@@ -2170,7 +2485,7 @@ def changes(
             _gone_check(affected)
             _gone_check(c["dv"]["parts"])
             new_e = spark.read.schema(_DV_SCHEMA).parquet(
-                *[os.path.join(root, p) for p in c["dv"]["parts"]]
+                *[os.path.join(_data_root(root), p) for p in c["dv"]["parts"]]
             )
             old_parts = sorted(
                 {p for f in affected for p in prev_dv.get(f, [])}
@@ -2178,7 +2493,7 @@ def changes(
             if old_parts:
                 _gone_check(old_parts)
                 prev_e = spark.read.schema(_DV_SCHEMA).parquet(
-                    *[os.path.join(root, p) for p in old_parts]
+                    *[os.path.join(_data_root(root), p) for p in old_parts]
                 ).filter(
                     F.col("src").isin(
                         [os.path.basename(f) for f in affected]
@@ -2778,7 +3093,7 @@ def delete_where_mor(
     old_parts = sorted({p for f in affected for p in prior.get(f, [])})
     if old_parts:
         prev = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(root, p) for p in old_parts]
+            *[os.path.join(_data_root(root), p) for p in old_parts]
         ).filter(
             F.col("src").isin([os.path.basename(f) for f in affected])
         )
@@ -2852,7 +3167,7 @@ def update_where_mor(
     old_parts = sorted({p for f in affected for p in prior.get(f, [])})
     if old_parts:
         prev = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(root, p) for p in old_parts]
+            *[os.path.join(_data_root(root), p) for p in old_parts]
         ).filter(
             F.col("src").isin([os.path.basename(f) for f in affected])
         )
@@ -2959,7 +3274,7 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     gone = [
         f
         for f in add + sorted({p for ps in tgt_dv.values() for p in ps})
-        if not os.path.exists(os.path.join(root, f))
+        if not os.path.exists(os.path.join(_data_root(root), f))
     ]
     if gone:
         raise ValueError(
@@ -3040,7 +3355,7 @@ def clone(src_root: str, dst_root: str, version: int | None = None) -> int:
     state = _read_state(src_root, version)
     if state["schema"] is None:
         raise ValueError(f"no schema-bearing commit at or before v{version}")
-    src_abs = os.path.abspath(src_root)
+    src_abs = os.path.abspath(_data_root(src_root))
 
     def _a(f: str) -> str:
         return f if os.path.isabs(f) else os.path.join(src_abs, f)
@@ -3093,6 +3408,7 @@ def vacuum(root: str, retain_versions: int = 1,
     parquet flush and commit could see its uncommitted files swept;
     production systems guard with a retention window on file age —
     sandbox-scale seam, documented."""
+    _no_ref(root, "vacuum")
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     head = latest_version(root)
@@ -3134,6 +3450,23 @@ def vacuum(root: str, retain_versions: int = 1,
     for v in sorted(set(tags(root).values())):
         if v < oldest:
             _retain(v)
+    # branch refs pin their files too: the fork point's live state plus
+    # everything the branch's own commits reference (adds, DV parts,
+    # change data) — an un-merged branch must survive main's retention
+    for bname, info in branches(root).items():
+        broot = branch_root(root, bname)
+        if info["base"] < oldest:
+            _retain(info["base"])
+        bstate = _read_state(broot)
+        keep.update(bstate["live"])
+        for f, parts in bstate["dv"].items():
+            if f in bstate["live"]:
+                keep.update(parts)
+        for v in _commit_versions(broot):
+            if v > info["base"]:
+                c = _load_commit(broot, v)
+                keep.update(c.get("add", []))
+                keep.update(c.get("cdc") or [])
     data_dir = os.path.join(root, "data")
     deleted: list[str] = []
     for d in sorted(os.listdir(data_dir)):
