@@ -2785,3 +2785,76 @@ def test_branch_merge_remints_row_ids(spark, tmp_path):
     rids = [r._row_id for r in rows]
     assert len(rids) == len(set(rids)) == 10
     assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4, 5, 100, 101, 200, 201]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r09 #4: persisted ANN index metadata — versioned with the table
+# ---------------------------------------------------------------------------
+
+
+def test_index_persists_time_travels_and_survives_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    df = spark.createDataFrame([(i, i * 2) for i in range(8)],
+                               "id long, v long")
+    snap.create(spark, root, df)
+    payload = {"cent": [0.1, 0.2], "cb": [[1.0, 2.0], [3.0, 4.0]],
+               "params": {"m": 2, "k": 2}}
+    v1 = snap.put_index(root, "ivfpq", payload)
+    assert v1 == 1
+    got = snap.get_index(root, "ivfpq")
+    assert got["index"] == payload and got["trained_at"] == 0
+    # time travel: no index at v0; a replaced index resolves per version
+    with pytest.raises(ValueError, match="no index"):
+        snap.get_index(root, "ivfpq", 0)
+    snap.append(spark, root, spark.createDataFrame([(100, 1)],
+                                                   "id long, v long"))
+    payload2 = {**payload, "cent": [0.9, 0.8]}
+    v3 = snap.put_index(root, "ivfpq", payload2)
+    assert snap.get_index(root, "ivfpq", v1)["index"] == payload
+    assert snap.get_index(root, "ivfpq")["index"] == payload2
+    assert snap.get_index(root, "ivfpq")["trained_at"] == v3 - 1
+    # index commits are skipped by the CDF like OPTIMIZE
+    assert snap.changes(spark, root, v3 - 1, v3).count() == 0
+    # staleness: rows changed since training = the feed since trained_at
+    stale = snap.changes(
+        spark, root, snap.get_index(root, "ivfpq")["trained_at"]).count()
+    assert stale == 0  # trained at v2 (post-append); nothing after
+    # checkpoint + expire: the index state survives via the checkpoint
+    snap.checkpoint(root)
+    snap.expire_log(root)
+    assert snap.get_index(root, "ivfpq")["index"] == payload2
+
+
+def test_index_vacuum_retention_and_drop(spark, tmp_path):
+    root = str(tmp_path / "idxvac")
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    snap.create(spark, root, df)
+    snap.put_index(root, "a", {"x": 1})
+    snap.compact(spark, root, max_files=1)
+    snap.vacuum(root, retain_versions=1)
+    # the artifact survived HEAD-only vacuum (live index)
+    assert snap.get_index(root, "a")["index"] == {"x": 1}
+    art = snap.get_index(root, "a")["artifact"]
+    snap.drop_index(root, "a")
+    with pytest.raises(ValueError, match="no index"):
+        snap.get_index(root, "a")
+    snap.vacuum(root, retain_versions=1)
+    assert not os.path.exists(os.path.join(root, art))  # swept with drop
+    # a dropped name can be re-put
+    snap.put_index(root, "a", {"x": 2})
+    assert snap.get_index(root, "a")["index"] == {"x": 2}
+
+
+def test_index_does_not_conflict_with_concurrent_dml(spark, monkeypatch, tmp_path):
+    """Index commits are advisory: a DML writer losing a race to
+    put_index rebases straight past it."""
+    root = str(tmp_path / "idxconc")
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    snap.create(spark, root, df)
+    fired = _race(monkeypatch, "delete",
+                  lambda: snap.put_index(root, "b", {"y": 1}))
+    v = snap.delete_where(spark, root, "id = 2", max_retries=1)
+    assert fired["done"] and v == 2
+    assert snap.get_index(root, "b")["index"] == {"y": 1}
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == \
+        [0, 1, 3, 4, 5]

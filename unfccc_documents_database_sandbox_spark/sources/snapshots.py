@@ -904,7 +904,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   protocol: dict | None = None,
                   row_tracking: bool = False,
                   row_bases: dict | None = None,
-                  row_watermark: int | None = None) -> None:
+                  row_watermark: int | None = None,
+                  index_add: dict | None = None,
+                  index_drop: str | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -987,6 +989,13 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
     if row_watermark is not None:
         # High watermark AFTER this commit's assignments — monotonic.
         payload["row_watermark"] = row_watermark
+    if index_add is not None:
+        # Persisted ANN/search index metadata: {"name", "artifact"
+        # (root-relative JSON payload), "trained_at" (the version whose
+        # data the index was trained on)}. Advisory — never a conflict.
+        payload["index_add"] = index_add
+    if index_drop is not None:
+        payload["index_drop"] = index_drop
     fd = os.open(_commit_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
         json.dump(payload, fh)
@@ -1213,6 +1222,8 @@ def _read_state(root: str, version: int | None = None) -> dict:
                     ck.get("partition_specs", [])
                 )
             },
+            "indexes": {n: dict(e)
+                        for n, e in ck.get("indexes", {}).items()},
         }
         _check_protocol(state["protocol"])
         start = ck_version + 1
@@ -1223,7 +1234,8 @@ def _read_state(root: str, version: int | None = None) -> dict:
                  "bloom_cols": [], "blooms": {},
                  "constraints": {}, "protocol": {"reader": 1},
                  "row_tracking": False, "row_bases": {},
-                 "row_watermark": 0, "partition_specs": {}}
+                 "row_watermark": 0, "partition_specs": {},
+                 "indexes": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -1282,6 +1294,13 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["row_watermark"] = max(
                 state["row_watermark"], c["row_watermark"]
             )
+        if "index_add" in c:
+            e = c["index_add"]
+            state["indexes"][e["name"]] = {
+                "artifact": e["artifact"], "trained_at": e["trained_at"],
+            }
+        if "index_drop" in c:
+            state["indexes"].pop(c["index_drop"], None)
         state["version"] = v
     return state
 
@@ -1620,6 +1639,7 @@ def checkpoint(root: str) -> int:
         # under their own spec after the log below is expired
         "partition_specs": [dict(sp)
                             for sp in state["partition_specs"].values()],
+        "indexes": {n: dict(e) for n, e in state["indexes"].items()},
     }
     fd = os.open(
         _checkpoint_path(root, state["version"]),
@@ -3209,6 +3229,79 @@ def update_where_mor(
                                                   st0["bloom_cols"]))
 
 
+def put_index(root: str, name: str, index: dict, *,
+              max_retries: int = 0) -> int:
+    """Persist a trained search/ANN index (IVF centroids, PQ codebooks,
+    LSH hyperplanes, ...) IN the table (VERDICT r09 #4): the payload is
+    written as a JSON artifact under data/ and one ``data_change=False``
+    commit records {name, artifact, trained_at} — so the index
+    time-travels, checkpoints, clones, and VACUUMs with the table, and
+    `get_index` at any version returns the index that was CURRENT then.
+    ``trained_at`` pins the data version the index was trained on; a
+    consumer measures staleness as the change feed since it (re-index =
+    O(changed rows) cell reassignment, never a full retrain). Index
+    commits are advisory metadata: they never conflict with concurrent
+    DML (a rebased delete does not invalidate centroids), and the CDF
+    skips them like OPTIMIZE.
+
+    Scale: a 100 TB corpus cannot retrain a quantizer per query session
+    (the per-run `train_ivfpq_index` collects a bounded sample but still
+    costs a corpus-order scan + driver fit) — persisting the index makes
+    query cost independent of training cost, exactly why FAISS/Milvus
+    separate build from serve."""
+    head = latest_version(root)
+    adir = _new_payload_dir(root)
+    os.makedirs(adir, exist_ok=True)
+    apath = os.path.join(adir, f"index-{name}.json")
+    with open(apath, "w", encoding="utf-8") as fh:
+        json.dump(index, fh)
+    rel = os.path.relpath(apath, _data_root(root))
+    return _publish_commit(
+        root, head, op="put_index", max_retries=max_retries,
+        data_change=False,
+        index_add={"name": name, "artifact": rel, "trained_at": head})
+
+
+def indexes(root: str, version: int | None = None) -> dict[str, dict]:
+    """{index name: {"artifact", "trained_at"}} live AS OF ``version``."""
+    return {
+        n: dict(e)
+        for n, e in _read_state(root, version)["indexes"].items()
+    }
+
+
+def get_index(root: str, name: str, version: int | None = None) -> dict:
+    """Load a persisted index as of ``version`` (default HEAD): returns
+    {"index": payload, "trained_at": int, "artifact": relpath}. Raises
+    if no such index was live at that version, or if VACUUM already
+    reclaimed the artifact (the retention contract, like time travel)."""
+    idx = _read_state(root, version)["indexes"]
+    if name not in idx:
+        raise ValueError(
+            f"no index {name!r} at version {version} "
+            f"(have: {sorted(idx)})")
+    e = idx[name]
+    apath = os.path.join(_data_root(root), e["artifact"])
+    if not os.path.exists(apath):
+        raise ValueError(
+            f"index {name!r} artifact {e['artifact']!r} was reclaimed "
+            f"by VACUUM — rebuild and put_index again")
+    with open(apath, encoding="utf-8") as fh:
+        payload = json.load(fh)
+    return {"index": payload, "trained_at": e["trained_at"],
+            "artifact": e["artifact"]}
+
+
+def drop_index(root: str, name: str, *, max_retries: int = 0) -> int:
+    """Unregister a persisted index; the artifact stays readable at
+    older versions until VACUUM sweeps it."""
+    if name not in _read_state(root)["indexes"]:
+        raise ValueError(f"no index {name!r} to drop")
+    return _publish_commit(root, latest_version(root), op="drop_index",
+                           max_retries=max_retries, data_change=False,
+                           index_drop=name)
+
+
 def history(root: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per commit still present in the log
     (newest first, like Delta) — version, operation name (None for
@@ -3430,6 +3523,8 @@ def vacuum(root: str, retain_versions: int = 1,
     def _retain(v: int) -> None:
         state = _read_state(root, v)
         keep.update(state["live"])
+        # persisted index artifacts still live at a retained version
+        keep.update(e["artifact"] for e in state["indexes"].values())
         # deletion-vector parts still pointed to by a retained version's
         # live files (a superseded DV of an UN-retained version is swept)
         for f, parts in state["dv"].items():
@@ -3477,9 +3572,13 @@ def vacuum(root: str, retain_versions: int = 1,
         survivors = 0
         for dirpath, _dirs, fns in os.walk(pdir):
             for fn in sorted(fns):
-                if not fn.endswith(".parquet"):
-                    continue
                 rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                if not fn.endswith(".parquet"):
+                    # non-parquet payloads (index artifacts): a retained
+                    # reference keeps the dir alive; a dropped index's
+                    # artifact is swept with its dir below
+                    survivors += rel in keep
+                    continue
                 if rel in keep:
                     survivors += 1
                 else:
