@@ -20,6 +20,7 @@ _MODULES = (
     "pysources",
     "training",
     "analytics",
+    "sketches",
 )
 
 

@@ -236,3 +236,114 @@ def graph_bfs(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node"),
     )
+
+
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    sql = """
+    WITH e0 AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+               MIN(CAST(l_quantity AS BIGINT) % 9 + 1) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey * 2, l_suppkey * 2 + 1
+    ),
+    edges AS (
+        SELECT src, dst, MIN(w) AS w FROM (
+            SELECT src, dst, w FROM e0
+            UNION ALL SELECT dst, src, w FROM e0
+        ) GROUP BY src, dst
+    ),
+    seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 100 = 0),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{i - 1} d JOIN edges e ON e.src = d.node
+        ) GROUP BY node
+    )"""
+    sql += f"""
+    SELECT CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM d{rounds} GROUP BY dist"""
+    return sql
+
+
+@register("graph_sssp_weighted", oracle=_sssp_oracle())
+def graph_sssp_weighted(spark, sf_dir):
+    """Weighted multi-source SHORTEST PATHS (distributed Bellman-Ford)
+    over the customer-supplier trading graph — graph_bfs's weighted
+    sibling: edge weights are exact integers derived from the minimum
+    line quantity per (customer, supplier) pair (range 1..9), seeds are
+    the node%100=0 cohort at distance 0, and each of the 3 relaxation
+    rounds improves every node's tentative distance by one more edge.
+    Output: per-distance node count + id sum after round 3 — a FIXED
+    iteration count on both engines, so the result is deterministic and
+    hash-exact whether or not the frontier has converged (the unrolled-
+    CTE oracle relaxes exactly as many times). All-integer arithmetic:
+    no float accumulation to drift.
+
+    Scale shape: one relaxation = one (dist ⋈ edges) hash join on the
+    node key + one MIN groupBy — the Pregel superstep, with map-side
+    partial MIN so the shuffle carries one candidate per (node,
+    partition). Each round localCheckpoints (the graph_bfs lineage-cut
+    lesson: without it the unrolled DAG re-plans every prefix per
+    round). Rounds are compile-time constants — no driver convergence
+    loop; hubs are AQE skew-split build rows like the BFS frontier."""
+    _evict_generation()
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(
+            F.min(F.col("l_quantity").cast("long") % 9 + 1).alias("w")
+        )
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                      "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    _PERSISTED.append(edges)
+    seeds = (
+        edges.select("src").distinct()
+        .filter(F.col("src") % 100 == 0)
+        .select(F.col("src").alias("node"))
+    )
+    dist = seeds.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )

@@ -2185,3 +2185,74 @@ def stream_changes_bounded(spark, sf_dir):
     catch-up incremental, checkpointable, and restartable mid-backlog."""
     return _run_cdf_stream(spark, sf_dir, "table_changes_stream",
                            max_versions_per_batch=1, min_batches=4)
+
+
+_FILES_META_ORACLE = """
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id % 2) AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY lang
+"""
+
+
+@register("table_files_meta", oracle=_FILES_META_ORACLE)
+def table_files_meta(spark, sf_dir):
+    """FILES METADATA TABLE (Iceberg's `table.files` / Delta's DESCRIBE
+    DETAIL): the per-partition physical inventory — live file count, row
+    count, and column min/max — computed from the COMMIT LOG ALONE with
+    ZERO data I/O: `live_files` resolves the snapshot's file list,
+    `partition_values` its recorded partition tuples, `file_rows` the
+    write-time row counts, `file_stats` the write-time min/max. The
+    fixture writes each half of `documents` as one file per lang
+    partition (create + append, coalesced), so per-lang n_files is the
+    number of halves containing that lang and the per-lang min/max fold
+    the per-FILE stats — the oracle recomputes everything from the raw
+    rows, so hash-green proves the log's metadata (counts, partition
+    values, stats) is row-exact, not approximate.
+
+    Scale: this is the operational query every table owner runs
+    (skew/small-file audits, OPTIMIZE targeting); on a 100 TB table it
+    reads kilobytes of checkpoint/commit JSON instead of the table —
+    the reason Iceberg exposes metadata AS tables. The metadata rows
+    are parallelize()'d locally (they are O(files), driver-sized by
+    construction — same seam as the commit log itself)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapfiles_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 2 == 0).coalesce(1),
+                 partition_by=["lang"])
+    snap.append(spark, root, d.filter(F.col("doc_id") % 2 == 1).coalesce(1))
+
+    pv = snap.partition_values(root)
+    nrows = snap.file_rows(root)
+    stats = snap.file_stats(root)
+    meta = [
+        (
+            pv[f]["lang"],
+            int(nrows[f]),
+            int(stats[f]["doc_id"][0]),
+            int(stats[f]["doc_id"][1]),
+        )
+        for f in snap.live_files(root)
+    ]
+    mdf = spark.createDataFrame(
+        meta, "lang string, n_rows long, mn long, mx long"
+    )
+    return mdf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("mn").cast("long").alias("min_doc"),
+        F.max("mx").cast("long").alias("max_doc"),
+    )

@@ -1,0 +1,240 @@
+"""Portable data sketches: Count-Min frequency estimation and Bloom
+membership as ORACLE-EXACT integer arithmetic.
+
+Sketches are the 100 TB answer to "how often / have we seen" questions
+that exact state can't afford: both structures here are SEMIGROUP
+aggregations (bucket counts / bit sets), so Spark computes them with
+map-side partial aggregation — every executor folds its partitions
+locally and the shuffle carries O(sketch size), never O(rows). The
+production variants of these shapes already exist in the repo
+(agg_approx_distinct's HLL, the table format's write-side bloom index at
+sources/snapshots.py); these two keys pin the SKETCH ARITHMETIC itself
+hash-exact by using fixed public hash parameters both engines evaluate
+identically — the `dedup_minhash_portable` fixed-parameter precedent.
+
+Hashing: h_i(x) = ((a_i * x + b_i) mod P) mod W with P = 2^31 - 1 (the
+Carter–Wegman universal family). All inputs are positive bigints and
+a_i * x stays far below 2^63, so `%` agrees across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.registry import register
+
+_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+# fixed Carter–Wegman parameters (small primes; public constants)
+_CM_PARAMS = ((7919, 104729), (12553, 30011), (17389, 49999), (27691, 75979))
+_CM_W = 256  # buckets per row
+
+_BLOOM_PARAMS = (
+    (7919, 104729), (12553, 30011), (17389, 49999), (27691, 75979),
+    (31337, 65537),
+)
+_BLOOM_BITS = 4096
+
+
+def _bucket_sql(a: int, b: int, x: str, w: int) -> str:
+    return f"(({a} * {x} + {b}) % {_P}) % {w}"
+
+
+def _bucket_col(a: int, b: int, x, w: int):
+    return ((F.lit(a) * x + F.lit(b)) % _P) % w
+
+
+_CM_ORACLE = f"""
+WITH params AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CM_PARAMS))}
+    ) t(i, a, b)
+),
+pairs AS (
+    SELECT p.i, {_bucket_sql("p.a", "p.b", "o.o_custkey", _CM_W)} AS bkt
+    FROM orders o CROSS JOIN params p
+),
+sketch AS (SELECT i, bkt, COUNT(*) AS c FROM pairs GROUP BY i, bkt),
+probes AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 26)),
+pb AS (
+    SELECT q.k, p.i, {_bucket_sql("p.a", "p.b", "q.k", _CM_W)} AS bkt
+    FROM probes q CROSS JOIN params p
+),
+est AS (
+    SELECT pb.k, MIN(COALESCE(s.c, 0)) AS est
+    FROM pb LEFT JOIN sketch s ON s.i = pb.i AND s.bkt = pb.bkt
+    GROUP BY pb.k
+),
+exact AS (
+    SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+    WHERE o_custkey BETWEEN 1 AND 25 GROUP BY o_custkey
+)
+SELECT e.k AS custkey,
+       CAST(e.est AS BIGINT) AS est_orders,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS exact_orders
+FROM est e LEFT JOIN exact x ON x.k = e.k
+"""
+
+
+@register("sketch_countmin", oracle=_CM_ORACLE)
+def sketch_countmin(spark, sf_dir):
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan, 2005) frequency
+    estimation, hash-exact: d=4 Carter–Wegman rows × w=256 counters
+    summarize the per-customer order frequencies of the whole `orders`
+    table in 1 KB of state; a point query reads one counter per row and
+    takes the MIN (collisions only ever inflate, so est >= exact —
+    visible in the emitted (est_orders, exact_orders) pairs for probe
+    keys 1..25, exact recomputed alongside).
+
+    Plan shape: the sketch build is ONE groupBy over (row, bucket) —
+    d·w = 1024 grouping keys, so Spark's partial aggregation folds
+    everything map-side and the shuffle carries at most d·w rows per
+    task regardless of table size; probes broadcast. At 100 TB this is
+    the heavy-hitter / frequency-monitoring shape: O(1 KB) mergeable
+    state per partition vs an exact groupBy whose shuffle is O(distinct
+    keys). Both engines evaluate the same public hash parameters in
+    exact int64 arithmetic — no approximation ambiguity, the
+    dedup_minhash_portable precedent."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    _bucket_col(a, b, F.col("o_custkey"), _CM_W)
+                    .cast("long").alias("bkt"),
+                )
+                for i, (a, b) in enumerate(_CM_PARAMS)
+            ])
+        ).alias("x")
+    ).select("x.i", "x.bkt")
+    sketch = pairs.groupBy("i", "bkt").agg(F.count(F.lit(1)).alias("c"))
+
+    probes = spark.range(1, 26).select(F.col("id").alias("k"))
+    pb = probes.select(
+        "k",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("i"),
+                    _bucket_col(a, b, F.col("k"), _CM_W)
+                    .cast("long").alias("bkt"),
+                )
+                for i, (a, b) in enumerate(_CM_PARAMS)
+            ])
+        ).alias("x"),
+    ).select("k", "x.i", "x.bkt")
+    est = (
+        pb.join(F.broadcast(sketch), ["i", "bkt"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    exact = (
+        orders.filter(F.col("o_custkey").between(1, 25))
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        est.join(F.broadcast(exact), "k", "left")
+        .select(
+            F.col("k").alias("custkey"),
+            F.col("est").cast("long").alias("est_orders"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long")
+            .alias("exact_orders"),
+        )
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH params AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"({j}, {a}, {b})"
+                   for j, (a, b) in enumerate(_BLOOM_PARAMS))}
+    ) t(j, a, b)
+),
+members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+bits AS (
+    SELECT DISTINCT {_bucket_sql("p.a", "p.b", "m.k", _BLOOM_BITS)} AS pos
+    FROM members m CROSS JOIN params p
+),
+probes AS (
+    SELECT CAST(range AS BIGINT) AS k FROM range(1, 16)
+    UNION ALL
+    SELECT CAST(range AS BIGINT) + 1000000 FROM range(1, 16)
+),
+pp AS (
+    SELECT q.k, {_bucket_sql("p.a", "p.b", "q.k", _BLOOM_BITS)} AS pos
+    FROM probes q CROSS JOIN params p
+),
+hits AS (
+    SELECT pp.k,
+           SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS n_set
+    FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+    GROUP BY pp.k
+)
+SELECT h.k AS probe_key,
+       CAST(CASE WHEN h.n_set = {len(_BLOOM_PARAMS)} THEN 1 ELSE 0 END
+            AS BIGINT) AS in_bloom,
+       CAST(CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_member
+FROM hits h LEFT JOIN members m ON m.k = h.k
+"""
+
+
+@register("sketch_bloom", oracle=_BLOOM_ORACLE)
+def sketch_bloom(spark, sf_dir):
+    """BLOOM FILTER membership (Bloom, 1970), hash-exact: k=5 hash
+    functions over a 4096-bit space summarize the DISTINCT customers
+    with orders; a probe is "maybe present" iff ALL five positions are
+    set. Probes are 15 present keys (1..15) and 15 absent ones
+    (1000001..1000015); the emitted (in_bloom, is_member) pairs pin the
+    no-false-negative guarantee (is_member=1 → in_bloom=1) while any
+    in_bloom=1/is_member=0 rows are the structure's honest false
+    positives at this density — both engines compute the identical bit
+    set, so even those hash-match.
+
+    Plan shape: the bit set is DISTINCT over ≤ 4096 positions — partial
+    aggregation collapses it map-side; probes broadcast against it. The
+    table format's write-side bloom index (sources/snapshots.py
+    `_collect_blooms`, `read_point`) is this exact structure deployed
+    per file for scan pruning; at 100 TB the standalone sketch is the
+    semi-join pre-filter shape (ship 512 bytes instead of a key list)."""
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.select(F.col("o_custkey").alias("k")).distinct()
+    bits = members.select(
+        F.explode(
+            F.array(*[
+                _bucket_col(a, b, F.col("k"), _BLOOM_BITS).cast("long")
+                for a, b in _BLOOM_PARAMS
+            ])
+        ).alias("pos")
+    ).distinct()
+    probes = (
+        spark.range(1, 16).select(F.col("id").alias("k"))
+        .unionByName(
+            spark.range(1, 16).select((F.col("id") + 1_000_000).alias("k"))
+        )
+    )
+    pp = probes.select(
+        "k",
+        F.explode(
+            F.array(*[
+                _bucket_col(a, b, F.col("k"), _BLOOM_BITS).cast("long")
+                for a, b in _BLOOM_PARAMS
+            ])
+        ).alias("pos"),
+    )
+    hits = (
+        pp.join(F.broadcast(bits.withColumn("set1", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("set1"), F.lit(0))).alias("n_set"))
+    )
+    return (
+        hits.join(F.broadcast(members.withColumn("m1", F.lit(1))), "k", "left")
+        .select(
+            F.col("k").alias("probe_key"),
+            F.when(F.col("n_set") == len(_BLOOM_PARAMS), 1).otherwise(0)
+            .cast("long").alias("in_bloom"),
+            F.coalesce(F.col("m1"), F.lit(0)).cast("long").alias("is_member"),
+        )
+    )

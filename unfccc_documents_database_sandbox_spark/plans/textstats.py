@@ -750,3 +750,99 @@ def text_bm25(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("qid", "rnk", "doc_id", "score_milli")
     )
+
+
+_URL_RAW_SQL = """
+    'HTTPS://WWW.' || source || '.Example.COM/Docs/'
+    || CAST(doc_id % 40 AS VARCHAR)
+    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+            ELSE '' END
+"""
+
+_URL_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+),
+norm AS (
+    SELECT doc_id, url,
+           regexp_replace(
+               regexp_replace(
+                   replace(
+                       regexp_replace(lower(url), '#.*$', ''),
+                       'https://www.', 'https://'),
+                   '\\?utm_[^#]*$', ''),
+               '/$', '') AS curl
+    FROM raw
+)
+SELECT curl,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM norm GROUP BY curl
+"""
+
+
+@register("url_normalize", oracle=_URL_ORACLE)
+def url_normalize(spark, sf_dir):
+    """URL CANONICALIZATION DEDUP — the first pass of every web-scale
+    training-data pipeline (CommonCrawl dedup keys on the canonical URL
+    before any content hashing): scheme/host lowercasing, fragment
+    stripping, utm_* tracking-parameter removal, www. folding, and
+    trailing-slash trimming collapse the crawl's many spellings of one
+    resource into a canonical key, then a groupBy counts coverage per
+    canonical URL (n_docs, distinct raw variants, an exact content
+    checksum). The messy URLs are derived deterministically from
+    documents (doc_id % 40 target paths, so ~12 raw spellings collide
+    per canonical key) in BOTH engines; each normalization step is an
+    anchored regexp both regex dialects evaluate identically, applied in
+    the same order — hash-green means the canonicalization chain is
+    bit-exact, not just similar.
+
+    Scale: normalization is a stateless scan-stage projection (zero
+    shuffle, whole-stage codegen); the only shuffle is the final groupBy
+    on the canonical key — exactly the partitioner a crawl dedup wants,
+    since all variants of a URL land in one task. At 100 TB this
+    replaces a per-URL Python parse (urllib row-at-a-time) with JVM
+    regex over dictionary-encoded parquet strings."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM/Docs/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("?utm_source=feed&utm_id="),
+                         F.col("doc_id").cast("string")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("#sec"), (F.col("doc_id") % 7).cast("string")),
+            ).otherwise(""),
+        ).alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                F.lit("https://www."), F.lit("https://"),
+            ),
+            r"\?utm_[^#]*$", "",
+        ),
+        "/$", "",
+    )
+    return (
+        raw.withColumn("curl", curl)
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )

@@ -511,3 +511,75 @@ def events_retention(spark, sf_dir):
         F.col("cohort_week").cast("long").alias("cohort_week"),
         (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
     ).agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+
+
+_OHLC_US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, epoch_us(ts) AS us, event_id, value
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, us // {_OHLC_US_PER_HOUR} AS hr, us, event_id,
+               value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, us // {_OHLC_US_PER_HOUR}
+                   ORDER BY us, event_id) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, us // {_OHLC_US_PER_HOUR}
+                   ORDER BY us DESC, event_id DESC) AS rn_close
+        FROM e
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM b GROUP BY event_type, hr
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """TIME-SERIES RESAMPLING to OHLC bars (the financial downsample —
+    pandas `resample('1h').ohlc()`, InfluxDB/Timescale `time_bucket`):
+    bucket each event into its epoch hour and emit per (event_type, hour)
+    the OPEN (value of the chronologically first event), HIGH, LOW,
+    CLOSE (last), event count, and an exact cent-scaled volume sum.
+    Timestamps compare as epoch-microsecond bigints (`_ntz_micros`, the
+    events_sessionize idiom) and first/last are ROW_NUMBER picks with
+    (us, event_id) tie-breaks on BOTH engines — open/close are selected
+    doubles, never computed ones, so the whole bar hash-matches.
+
+    Plan shape: two window passes + one groupBy, ALL partitioned by the
+    same (event_type, hour) key — Catalyst reuses a single exchange for
+    the windows and the aggregate (one shuffle total). At 100 TB the
+    bucket key is the natural time-partition key, so with a
+    date-partitioned layout the exchange prunes to the queried window;
+    state per bar is O(1) — the map-side-combinable rollup shape a
+    1000-executor downsample needs."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", _ntz_micros(F.col("ts")).alias("us")
+    )
+    hr = (F.col("us") / _OHLC_US_PER_HOUR).cast("long")
+    b = e.withColumn("hr", hr)
+    w_open = Window.partitionBy("event_type", "hr").orderBy("us", "event_id")
+    w_close = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    ranked = b.withColumn("rn_open", F.row_number().over(w_open)) \
+              .withColumn("rn_close", F.row_number().over(w_close))
+    return ranked.groupBy("event_type", "hr").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("sum_cents"),
+    )
