@@ -102,6 +102,9 @@ EXTENDED = [
     "ts_gapfill", "cluster_kmeans", "sql_recursive_bom",
     "json_variant_extract", "sql_scalar_udf", "shuffle_epoch",
     "try_funcs", "udtf_python_segments", "corpus_upsample",
+    # the r09 fresh group, rolled in at r10 (BENCH_r09.json holds their
+    # day-one reference)
+    "sample_weighted", "text_bm25", "graph_bfs", "udf_cogrouped_asof",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -113,19 +116,17 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r09 keys. Seven of the eight are excluded by the standing rules:
-    # table_delete_mor / table_partition_prune / table_changes_typed /
-    # table_history / table_restore / table_update each build a
+    # r10 keys. Excluded by the standing rules: table_concurrent /
+    # table_branch / table_files_meta / sim_index_persisted each build a
     # commit-log table under .csv_tmp/ (the disk-writing rule — their
     # wall time measures commit I/O, not a plan), and
-    # stream_table_changes runs a live processingTime-trigger streaming
-    # query (the streaming exclusion). The timeable r09 keys are the
-    # weighted-sampling scan and the BM25 ranking (table_clone joins the
-    # commit-log exclusion).
-    "sample_weighted",
-    "text_bm25",
-    "graph_bfs",
-    "udf_cogrouped_asof",
+    # stream_changes_bounded runs a live processingTime-trigger
+    # streaming query (the streaming exclusion). The timeable r10 keys:
+    "sketch_countmin",
+    "sketch_bloom",
+    "url_normalize",
+    "ts_resample_ohlc",
+    "graph_sssp_weighted",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"
