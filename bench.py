@@ -127,6 +127,7 @@ FRESH = [
     "url_normalize",
     "ts_resample_ohlc",
     "graph_sssp_weighted",
+    "events_top_paths",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -583,3 +583,72 @@ def ts_resample_ohlc(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e3
+        FROM events
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM o WHERE e3 IS NOT NULL
+    ),
+    counted AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT path, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        FROM counted
+    ) WHERE rnk <= 10
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """BEHAVIORAL PATH MINING: the 10 most common 3-step event-type
+    sequences across all users — each user's clickstream is ordered by
+    (ts, event_id) and slid over with LEAD(1)/LEAD(2), the trigrams are
+    counted globally, and the top 10 rank with a deterministic
+    (count DESC, path) tie-break. The sequence-mining sibling of
+    events_funnel (which checks ONE fixed ordered pattern per user; this
+    discovers which patterns dominate) — the "what do users actually do"
+    query every product-analytics store ships (Amplitude's Pathfinder,
+    the n-gram analysis run on LLM agent traces).
+
+    Plan shape: both LEAD windows share one (user_id) partitioning —
+    a single sort-within-partition pass, then a map-side-combinable
+    count on the trigram string and a broadcast-sized top-10. At 100 TB
+    the stream shuffles ONCE on user_id (the same exchange
+    sessionization uses; on a user-bucketed layout it vanishes) and the
+    path-count shuffle carries one row per distinct trigram per task —
+    event-type vocabularies are tiny, so that stage is effectively
+    free."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "path",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
