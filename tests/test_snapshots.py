@@ -2858,3 +2858,151 @@ def test_index_does_not_conflict_with_concurrent_dml(spark, monkeypatch, tmp_pat
     assert snap.get_index(root, "b")["index"] == {"y": 1}
     assert sorted(r.id for r in snap.read(spark, root).collect()) == \
         [0, 1, 3, 4, 5]
+
+
+def test_full_dml_soak_with_racing_appends(spark, tmp_path):
+    """The randomized DML soak EXTENDED WITH CONCURRENT INTERLEAVINGS
+    (VERDICT r09 #2's done-criterion): each DML/OPTIMIZE step may lose
+    its commit race to an injected append (the deterministic `_race`
+    harness) and must rebase through the conflict matrix. Semantics
+    under WriteSerializable: the racing op's payload was computed
+    against the PRE-append snapshot, so the injected row always survives
+    the op — the model applies the op first, then adds the injected row.
+    After every sequence the head read equals the model and v0 + the
+    change feed folds to HEAD."""
+    import random
+
+    from collections import Counter
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        root = str(tmp_path / f"racesoak{seed}")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                [(i, p, v) for i, p, v in rows],
+                "id long, payload string, val long",
+            )
+
+        model = {i: (f"p{i}", i * 10) for i in range(12)}
+        snap.create(spark, root, mk([(i, *model[i]) for i in sorted(model)]))
+        history = [(0, dict(model))]
+        next_id = [12]
+
+        def race(op_name, fn):
+            """Run fn() with an append stealing its first commit slot."""
+            inj = [(next_id[0], "rr", 777)]
+            next_id[0] += 1
+            orig = snap._write_commit
+            fired = {"done": False}
+
+            def racy(r_, version, add, remove, **kw):
+                if not fired["done"] and kw.get("op") == op_name:
+                    fired["done"] = True
+                    snap.append(spark, root, mk(inj))
+                return orig(r_, version, add, remove, **kw)
+
+            snap._write_commit = racy
+            try:
+                fn()
+            finally:
+                snap._write_commit = orig
+            assert fired["done"]
+            return inj
+
+        for step in range(8):
+            op = rnd.choice(
+                ["append", "delete", "mor", "update", "merge",
+                 "optimize", "restore"]
+            )
+            racing = op in ("delete", "mor", "update", "merge",
+                            "optimize") and rnd.random() < 0.5
+            inj = []
+            if op == "append":
+                rows = [(next_id[0] + j, f"a{step}_{j}", j) for j in range(3)]
+                snap.append(spark, root, mk(rows))
+                for i, p, v in rows:
+                    model[i] = (p, v)
+                next_id[0] += 3
+            elif op == "delete":
+                m = rnd.randint(2, 5)
+                fn = lambda: snap.delete_where(  # noqa: E731
+                    spark, root, f"id % {m} = 0", max_retries=4)
+                if racing:
+                    inj = race("delete", fn)
+                else:
+                    fn()
+                model = {i: r for i, r in model.items() if i % m != 0}
+            elif op == "mor":
+                m = rnd.randint(2, 5)
+                cdf = rnd.random() < 0.5
+                fn = lambda: snap.delete_where_mor(  # noqa: E731
+                    spark, root, f"val % {m} = 1", cdf=cdf, max_retries=4)
+                if racing:
+                    inj = race("delete_mor", fn)
+                else:
+                    fn()
+                model = {i: r for i, r in model.items() if r[1] % m != 1}
+            elif op == "update":
+                m = rnd.randint(2, 4)
+                fn = lambda: snap.update_where(  # noqa: E731
+                    spark, root, f"id % {m} = 1",
+                    {"val": "val + 1000", "payload": "concat(payload, 'u')"},
+                    max_retries=4)
+                if racing:
+                    inj = race("update", fn)
+                else:
+                    fn()
+                model = {
+                    i: ((p + "u", v + 1000) if i % m == 1 else (p, v))
+                    for i, (p, v) in model.items()
+                }
+            elif op == "merge":
+                pool = sorted(model) or [0]
+                ids = sorted({rnd.choice(pool), next_id[0]})
+                rows = [(i, f"m{step}_{i}", i) for i in ids]
+                next_id[0] += 1
+                fn = lambda: snap.merge_into(  # noqa: E731
+                    spark, root, mk(rows), ["id"], max_retries=4)
+                if racing:
+                    inj = race("merge", fn)
+                else:
+                    fn()
+                for i, p, v in rows:
+                    model[i] = (p, v)
+            elif op == "optimize":
+                fn = lambda: snap.compact(  # noqa: E731
+                    spark, root, max_files=2, max_retries=4)
+                if racing:
+                    inj = race("optimize", fn)
+                else:
+                    fn()
+            else:  # restore — never races (no retry support by design)
+                v, m = history[rnd.randrange(len(history))]
+                snap.restore(spark, root, v)
+                model = dict(m)
+            # the injected racing append always survives (WriteSerializable)
+            for i, p, v in inj:
+                model[i] = (p, v)
+            history.append((snap.latest_version(root), dict(model)))
+
+        got = {
+            r.id: (r.payload, r.val)
+            for r in snap.read(spark, root).collect()
+        }
+        assert got == model, f"seed {seed}: head != model"
+
+        cnt: Counter = Counter()
+        for r in snap.changes(spark, root, 0).collect():
+            sign = (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
+            cnt[(r.id, r.payload, r.val)] += sign
+        for r in snap.read(spark, root, 0).collect():
+            cnt[(r.id, r.payload, r.val)] += 1
+        fold = sorted(k for k, n in cnt.items() for _ in range(n))
+        head = sorted(
+            (r.id, r.payload, r.val)
+            for r in snap.read(spark, root).collect()
+        )
+        assert fold == head, f"seed {seed}: fold != head"

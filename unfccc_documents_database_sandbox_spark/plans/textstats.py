@@ -803,11 +803,12 @@ def url_normalize(spark, sf_dir):
     bit-exact, not just similar.
 
     Scale: normalization is a stateless scan-stage projection (zero
-    shuffle, whole-stage codegen); the only shuffle is the final groupBy
-    on the canonical key — exactly the partitioner a crawl dedup wants,
-    since all variants of a URL land in one task. At 100 TB this
-    replaces a per-URL Python parse (urllib row-at-a-time) with JVM
-    regex over dictionary-encoded parquet strings."""
+    shuffle, whole-stage codegen); the shuffles are the groupBy on the
+    canonical key — exactly the partitioner a crawl dedup wants, since
+    all variants of a URL land in one task — plus the second exchange
+    COUNT(DISTINCT raw) needs (both partial-aggregate map-side). At
+    100 TB this replaces a per-URL Python parse (urllib row-at-a-time)
+    with JVM regex over dictionary-encoded parquet strings."""
     d = load_table(spark, sf_dir, "documents")
     raw = d.select(
         "doc_id",
