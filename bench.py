@@ -286,18 +286,34 @@ def main() -> None:
         separators=(",", ":"),
     )
     if len(line) > 1990:  # keep the parsed line whole inside the tail
-        line = json.dumps(
-            {
+        ext2 = {k: round(v, 2) for k, v in ext_best.items()}
+        rest_n, rest_total = 0, 0.0
+
+        def _emit():
+            payload = {
                 **totals,
-                "extended_queries": {
-                    k: round(v, 2) for k, v in ext_best.items()
-                },
+                "extended_queries": ext2,
                 "fresh_queries": {
                     k: round(v, 2) for k, v in fresh_best.items()
                 },
-            },
-            separators=(",", ":"),
-        )
+            }
+            if rest_n:
+                # the lightest keys folded into one bucket — their
+                # per-query timings remain in the full map printed above
+                payload["extended_rest"] = {
+                    "n": rest_n, "total": round(rest_total, 2),
+                }
+            return json.dumps(payload, separators=(",", ":"))
+
+        line = _emit()
+        # still too long (the extended group keeps growing ~10/round):
+        # fold the LIGHTEST keys into extended_rest until the line fits —
+        # heavy keys are the regression signal worth per-query detail
+        while len(line) > 1990 and len(ext2) > 10:
+            k = min(ext2, key=ext2.get)
+            rest_total += ext2.pop(k)
+            rest_n += 1
+            line = _emit()
     print(line)
     spark.stop()
 
