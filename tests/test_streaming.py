@@ -495,3 +495,75 @@ def test_cdc_rate_limit_bounds_backlog_batches(spark, tmp_path):
     with pytest.raises(ValueError, match=">= 1"):
         SnapshotChangesStreamReader(
             {"path": root, "max_versions_per_batch": 0})
+
+
+def test_streaming_wap_ingest_through_branch(spark, tmp_path):
+    """Write-audit-publish for STREAMING ingest (the r10 branch layer
+    composed with the foreachBatch snapshot sink): micro-batches append
+    into a BRANCH with per-batch txn stamps — main stays bit-identical
+    all through ingest — then an audit gate (a CHECK over the branch
+    head) passes and merge_branch publishes the chain. The txn stamps
+    ride the merged commits, so exactly-once dedup (`applied_txns`)
+    survives publication: a restarted writer consulting MAIN after the
+    merge sees every batch it already committed on the branch."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.streaming import (
+        _events_stream,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    root = str(tmp_path / "wap")
+    schema = "user_id bigint, n_events bigint"
+    snap.create(spark, root, spark.createDataFrame([], schema))
+    main_v0_files = snap.live_files(root)
+    snap.create_branch(root, "ingest")
+    broot = snap.branch_root(root, "ingest")
+    app = "wap_ingest"
+
+    def ingest(batch_df, batch_id):
+        if batch_id in snap.applied_txns(broot, app):
+            return  # exactly-once on redelivery
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+        snap.merge_into(batch_df.sparkSession, broot, inc, ["user_id"],
+                        txn={"app": app, "id": batch_id})
+
+    q = (
+        _events_stream(spark, SF_CORRECT)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    # isolation: main never moved while the branch ingested
+    assert snap.latest_version(root) == 0
+    assert snap.live_files(root) == main_v0_files
+    assert snap.read(spark, root).count() == 0
+    applied_on_branch = snap.applied_txns(broot, app)
+    assert applied_on_branch  # at least one batch landed
+
+    # audit the branch head, then publish
+    bad = snap.read(spark, broot).filter("n_events <= 0").count()
+    assert bad == 0
+    snap.merge_branch(spark, root, "ingest")
+
+    got = {
+        r.user_id: r.n_events for r in snap.read(spark, root).collect()
+    }
+    expect = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == expect
+    # txn stamps survived the merge: a restarted writer consulting MAIN
+    # sees every branch-committed batch (the exactly-once guarantee
+    # composes with publication)
+    assert snap.applied_txns(root, app) == applied_on_branch
