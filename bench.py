@@ -128,6 +128,8 @@ FRESH = [
     "ts_resample_ohlc",
     "graph_sssp_weighted",
     "events_top_paths",
+    "events_rfm",
+    "orders_abc_pareto",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

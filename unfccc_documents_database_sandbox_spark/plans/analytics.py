@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.plans.windows import _ntz_micros
 from unfccc_documents_database_sandbox_spark.registry import register
 
 # persist-generation lifecycle (plans/graph.py:23 pattern and contract):
@@ -925,4 +926,148 @@ def ts_gapfill(spark, sf_dir):
         F.col("vsum").alias("vsum_cents"),
         F.col("pv").alias("locf_cents"),
         F.round(interp, 6).alias("interp_cents"),
+    )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS recency_us,
+               COUNT(*) AS freq,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary_cents
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               NTILE(4) OVER (ORDER BY recency_us, user_id) AS r_q,
+               NTILE(4) OVER (ORDER BY freq, user_id) AS f_q,
+               NTILE(4) OVER (ORDER BY monetary_cents, user_id) AS m_q,
+               monetary_cents
+        FROM per_user
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """RFM SEGMENTATION (recency / frequency / monetary — the classic
+    customer-value quartile grid): one pass computes each user's last
+    activity timestamp (exact epoch microseconds), event count, and
+    cent-exact spend; three NTILE(4) windows assign quartiles with
+    (metric, user_id) tie-breaks so bucket boundaries are deterministic
+    on both engines; the output is the segment grid with user counts and
+    exact segment revenue. Standard-SQL NTILE remainder semantics (first
+    buckets take the extra rows) agree across engines, and every metric
+    is integer — nothing to drift.
+
+    Plan shape: one groupBy shuffle on user_id builds the per-user
+    metrics; the three NTILEs are global sorts over the USER-level
+    rollup (cardinality = users, not events — the reduction happens
+    before the unpartitioned windows), then a small groupBy on the 64
+    possible segments. At 100 TB the event scan partial-aggregates
+    map-side; the global NTILE sort is over the user dimension and, if
+    even that outgrows a sort, the standard rewrite is percentile-based
+    bucketing — documented, not needed at this corpus's user count."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(_ntz_micros(F.col("ts"))).alias("recency_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("monetary_cents"),
+    )
+    scored = (
+        per_user
+        .withColumn("r_q", F.ntile(4).over(
+            Window.orderBy("recency_us", "user_id")))
+        .withColumn("f_q", F.ntile(4).over(
+            Window.orderBy("freq", "user_id")))
+        .withColumn("m_q", F.ntile(4).over(
+            Window.orderBy("monetary_cents", "user_id")))
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    ).select(
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+        "n_users", "segment_cents",
+    )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(cents) AS total FROM rev),
+    ranked AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, cents,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS cls
+        FROM ranked CROSS JOIN tot
+    )
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(MIN(l_partkey) AS BIGINT) AS first_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS last_part
+    FROM classed GROUP BY cls
+    """,
+)
+def orders_abc_pareto(spark, sf_dir):
+    """ABC / PARETO CLASSIFICATION (inventory 80-15-5 analysis): rank
+    parts by exact cent revenue, take the running revenue share with a
+    (cents DESC, partkey) tie-broken cumulative window, and class each
+    part A (first 80% of revenue), B (to 95%), C (tail). The share
+    comparison is pure integer cross-multiplication (cum·100 ≤ total·80)
+    — no ratio division, so the class boundaries are bit-identical on
+    both engines; the grand total attaches as a 1-row broadcast.
+
+    Plan shape: one groupBy shuffle on partkey (map-side partial sums
+    over lineitem), a global cumulative-sum window over the PART-level
+    rollup (cardinality = parts, after the reduction), a broadcast of
+    the 1-row total, and a 3-group aggregate. The cumulative window is
+    the only global sort and runs on the reduced dimension — the same
+    discipline as events_rfm; at 100 TB the lineitem scan never sorts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    ranked = rev.withColumn(
+        "cum",
+        F.sum("cents").over(
+            Window.orderBy(F.col("cents").desc(), "l_partkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "cls",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_cents"),
+        F.min("l_partkey").cast("long").alias("first_part"),
+        F.max("l_partkey").cast("long").alias("last_part"),
     )
