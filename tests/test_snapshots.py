@@ -3006,3 +3006,55 @@ def test_full_dml_soak_with_racing_appends(spark, tmp_path):
             for r in snap.read(spark, root).collect()
         )
         assert fold == head, f"seed {seed}: fold != head"
+
+
+def test_writer_protocol_gates_every_writer(spark, tmp_path):
+    """Two-sided protocol (Delta's reader+writer versions): a table
+    demanding a newer WRITER refuses every commit path of this engine
+    while reads keep working; upgrade_protocol only raises requirements
+    and never past what the stamper itself supports."""
+    root = str(tmp_path / "wproto")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    snap.create(spark, root, df)
+    # fresh tables stamp both sides at this engine's versions
+    st = snap._read_state(root)["protocol"]
+    assert st == {"reader": snap._READER_VERSION,
+                  "writer": snap._WRITER_VERSION}
+    with pytest.raises(ValueError, match="does not support"):
+        snap.upgrade_protocol(root, writer=snap._WRITER_VERSION + 1)
+    # simulate a future engine's stamp (raw commit, like a newer writer)
+    snap._write_commit(root, snap.latest_version(root) + 1, [], [],
+                       protocol={"reader": 1,
+                                 "writer": snap._WRITER_VERSION + 1},
+                       op="upgrade_protocol", data_change=False)
+    # reads still fine; every writer path refuses
+    assert snap.read(spark, root).count() == 2
+    extra = spark.createDataFrame([(3, 30)], "id long, v long")
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.append(spark, root, extra)
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.delete_where(spark, root, "id = 1")
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.compact(spark, root)
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.put_index(root, "a", {"x": 1})
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.add_constraint(spark, root, "c", "v > 0")
+    with pytest.raises(ValueError, match="writer protocol"):
+        snap.upgrade_protocol(root, writer=1)  # even re-stamping refuses
+
+
+def test_upgrade_protocol_is_monotone(spark, tmp_path):
+    root = str(tmp_path / "wproto2")
+    df = spark.createDataFrame([(1, 10)], "id long, v long")
+    snap.create(spark, root, df)
+    # "lowering" resolves to max(current, requested): a no-op stamp
+    v = snap.upgrade_protocol(root, reader=1, writer=1)
+    assert snap._read_state(root)["protocol"] == {
+        "reader": snap._READER_VERSION, "writer": snap._WRITER_VERSION}
+    # still writable afterwards, and history records the commit
+    snap.append(spark, root,
+                spark.createDataFrame([(2, 20)], "id long, v long"))
+    assert snap.read(spark, root).count() == 2
+    assert snap.history(root)[1]["operation"] == "upgrade_protocol"
+    assert v == 1

@@ -65,9 +65,12 @@ protocol stripped to what the sandbox can express:
   make RENAME/DROP COLUMN metadata-only commits — stats, blooms, and
   partition specs key on physical names and survive renames; dropped
   names re-added later get fresh ids (no resurrection).
-- A PROTOCOL stamp (commit 0, upgradable later) declares the reader
-  version the log requires; a newer-than-supported requirement refuses
-  to read rather than misread (Delta's protocol action).
+- A two-sided PROTOCOL stamp (commit 0, `upgrade_protocol` later)
+  declares the reader AND writer versions the log requires; a
+  newer-than-supported reader requirement refuses to read rather than
+  misread, a newer writer requirement refuses to COMMIT on every writer
+  entry point rather than corrupt invariants newer features impose
+  (Delta's protocol action, both sides).
 - CHECK CONSTRAINTS travel in the log (`add_constraint` /
   `drop_constraint`, validated against existing rows first); every
   writer gates its incoming rows — FALSE violates, NULL passes (SQL
@@ -217,6 +220,17 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # newer feature.
 _READER_VERSION = 2
 
+# Writer protocol (Delta's two-sided protocol action): a table whose log
+# demands a newer WRITER must refuse to COMMIT — an old writer that can
+# still read may not understand invariants new features impose on writes
+# (e.g. a deletion-vector table requires writers to supersede DVs, a
+# constraint-bearing table requires write-time validation). Readers are
+# gated separately (_check_protocol); writers call _check_write_protocol
+# before publishing. `upgrade_protocol` raises either requirement as one
+# metadata commit (never lowers — downgrades would un-refuse old engines
+# retroactively).
+_WRITER_VERSION = 2
+
 
 def _check_protocol(proto: dict | None) -> None:
     if proto and int(proto.get("reader", 1)) > _READER_VERSION:
@@ -224,6 +238,16 @@ def _check_protocol(proto: dict | None) -> None:
             f"table requires reader protocol {proto['reader']} but this "
             f"engine supports {_READER_VERSION} — upgrade before reading "
             "(refusing is the protocol contract; misreading is not)"
+        )
+
+
+def _check_write_protocol(root: str) -> None:
+    proto = _read_state(root)["protocol"]
+    if int(proto.get("writer", 1)) > _WRITER_VERSION:
+        raise ValueError(
+            f"table requires writer protocol {proto['writer']} but this "
+            f"engine supports {_WRITER_VERSION} — upgrade before writing "
+            "(an old writer can corrupt invariants newer features impose)"
         )
 
 
@@ -1865,6 +1889,7 @@ def merge_branch(spark: SparkSession, root: str, name: str,
     already published stay — the documented mid-merge seam).
 
     Returns main's new head version."""
+    _check_write_protocol(root)
     _no_ref(root, "merge_branch")
     broot = branch_root(root, name)
     base = _ref_base(broot)
@@ -1934,6 +1959,7 @@ def cherry_pick(spark: SparkSession, root: str, name: str, version: int,
     same files (its DV/remove sets would smuggle those commits' effects
     in), and logically non-conflicting with every main commit since the
     base. Returns the new main version."""
+    _check_write_protocol(root)
     _no_ref(root, "cherry_pick")
     broot = branch_root(root, name)
     base = _ref_base(broot)
@@ -2055,6 +2081,7 @@ def add_constraint(
     constraint, not the data), then publish a metadata commit; every
     subsequent append/merge/update validates its incoming rows and
     fails loudly on violation. Names are unique while active."""
+    _check_write_protocol(root)
     if name in constraints(root):
         raise ValueError(f"constraint {name!r} already exists")
     _check_constraints(
@@ -2068,6 +2095,7 @@ def add_constraint(
 
 def drop_constraint(root: str, name: str) -> int:
     """DROP CONSTRAINT: a metadata commit; unknown names raise."""
+    _check_write_protocol(root)
     if name not in constraints(root):
         raise ValueError(f"no such constraint {name!r}")
     version = latest_version(root) + 1
@@ -2082,6 +2110,7 @@ def enable_column_mapping(root: str) -> int:
     logical name — exactly what the already-written files spell — so
     every future rename/drop is metadata-only. Idempotent-safe to call
     once; raises if already mapped."""
+    _check_write_protocol(root)
     pinned = table_schema(root)
     if any("physical" in (f.metadata or {}) for f in pinned.fields):
         raise ValueError("column mapping is already enabled")
@@ -2127,6 +2156,7 @@ def rename_column(root: str, old: str, new: str) -> int:
     stable physical name keeps pointing at the data already on disk —
     stats, Bloom bitmaps, and partition-spec sources all key on the
     physical name, so pruning keeps working across the rename."""
+    _check_write_protocol(root)
     pinned = table_schema(root)
     _require_mapping(pinned, "rename_column")
     names = [f.name for f in pinned.fields]
@@ -2154,6 +2184,7 @@ def drop_column(root: str, name: str) -> int:
     stays in the files but no read selects it, and re-adding a column
     with the same logical name later gets a FRESH physical id — the
     dropped data can never resurrect (the reason mapping exists)."""
+    _check_write_protocol(root)
     pinned = table_schema(root)
     _require_mapping(pinned, "drop_column")
     names = [f.name for f in pinned.fields]
@@ -2236,7 +2267,8 @@ def create(
                   blooms=_collect_blooms(spark, root, pdir, schema,
                                          bloom_cols),
                   constraint_add=check_constraints or None,
-                  protocol={"reader": _READER_VERSION},
+                  protocol={"reader": _READER_VERSION,
+                            "writer": _WRITER_VERSION},
                   row_tracking=row_tracking,
                   row_bases=bases, row_watermark=wm)
     return 0
@@ -2259,6 +2291,7 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     every winning commit wrote a disjoint file set and changed no
     metadata (exactly Delta's conflict matrix); anything else raises
     ConcurrentWriteConflict and the caller must re-read and re-derive."""
+    _check_write_protocol(root)
     out = _check_schema(df, table_schema(root), "append")
     st0 = _read_state(root)
     _check_constraints(out, st0["constraints"], "append")
@@ -2298,6 +2331,7 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     before this commit simply null-fill the new columns at scan time, so
     no historical data is rewritten; time-travel reads below this version
     keep the old schema (`table_schema(root, v)` is era-accurate)."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     pinned = table_schema(root)
     _check_reserved(df.schema, "evolve_schema")
@@ -2357,6 +2391,7 @@ def evolve_partition_spec(root: str, partition_by: list) -> int:
     Scale: repartitioning a 100 TB table's future (e.g. daily → hourly
     as volume grows) is one JSON commit; the alternative is a full
     rewrite or a second table."""
+    _check_write_protocol(root)
     spec = _norm_partition_spec(partition_by)
     schema = table_schema(root)
     m = _phys_map(schema)
@@ -2642,6 +2677,7 @@ def merge_into(
     At 100 TB the matched-file discovery is a broadcast semi-join of the
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     pinned = table_schema(root)
     schema, schema_json = pinned, None
@@ -2796,6 +2832,7 @@ def compact(
     (percent_rank quantized to the curve's bit depth) makes the curve
     robust to skewed value distributions, exactly like Delta's
     OPTIMIZE ZORDER sampling."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     files = live_files(root, version - 1)
     schema = table_schema(root)
@@ -2923,6 +2960,7 @@ def delete_where(spark: SparkSession, root: str, condition: str, *,
     ``max_retries``: on a lost commit race, rebase past logically
     non-conflicting winners (disjoint files, no metadata change) instead
     of raising — see `_publish_commit` (VERDICT r09 #2)."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     schema = table_schema(root)
     # DV-aware scan with row lineage: already-deleted (DV'd) rows neither
@@ -2986,6 +3024,7 @@ def update_where(
     Scale: identical to the COW delete — one predicate scan for hit
     detection, a rewrite bounded by the files actually containing
     matches, one atomic commit."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     schema = table_schema(root)
     unknown = [c for c in set_exprs if c not in {f.name for f in schema}]
@@ -3089,6 +3128,7 @@ def delete_where_mor(
     writes ~0.001% of a COW rewrite, the reason Delta/Iceberg grew DVs.
     Like COW ops, MOR deletes never blind-rebase past a lost commit race
     (their DV union was computed against a superseded snapshot)."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     # DV-aware lineage scan: rows already deleted by a prior DV can't
     # re-match, so DV entries are never double-counted (and the CDF never
@@ -3156,6 +3196,7 @@ def update_where_mor(
     updated, SET expressions cast to the pinned type (update_where's
     discipline). Row tracking: the appended postimages MATERIALIZE the
     matched rows' ids — an update never renumbers a row."""
+    _check_write_protocol(root)
     version = latest_version(root) + 1
     schema = table_schema(root)
     unknown = [c for c in set_exprs if c not in {f.name for f in schema}]
@@ -3229,6 +3270,32 @@ def update_where_mor(
                                                   st0["bloom_cols"]))
 
 
+def upgrade_protocol(root: str, reader: int | None = None,
+                     writer: int | None = None) -> int:
+    """Raise the table's reader and/or writer protocol requirement as
+    ONE metadata commit (Delta's protocol action). Requirements only go
+    UP (max with the current stamp — lowering would retroactively
+    un-refuse engines that were fenced off for a reason), and only to
+    versions THIS engine itself supports (stamping beyond them would
+    brick the stamper's own access). Old engines refuse loudly at their
+    gate: readers at `_check_protocol`, writers at
+    `_check_write_protocol` before any commit."""
+    _check_write_protocol(root)
+    if (reader or 1) > _READER_VERSION or (writer or 1) > _WRITER_VERSION:
+        raise ValueError(
+            f"cannot stamp a protocol this engine does not support "
+            f"(reader ≤ {_READER_VERSION}, writer ≤ {_WRITER_VERSION})")
+    cur = _read_state(root)["protocol"]
+    new = {
+        "reader": max(int(cur.get("reader", 1)), int(reader or 1)),
+        "writer": max(int(cur.get("writer", 1)), int(writer or 1)),
+    }
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], protocol=new,
+                  op="upgrade_protocol", data_change=False)
+    return version
+
+
 def put_index(root: str, name: str, index: dict, *,
               max_retries: int = 0) -> int:
     """Persist a trained search/ANN index (IVF centroids, PQ codebooks,
@@ -3249,6 +3316,7 @@ def put_index(root: str, name: str, index: dict, *,
     costs a corpus-order scan + driver fit) — persisting the index makes
     query cost independent of training cost, exactly why FAISS/Milvus
     separate build from serve."""
+    _check_write_protocol(root)
     head = latest_version(root)
     adir = _new_payload_dir(root)
     os.makedirs(adir, exist_ok=True)
@@ -3295,6 +3363,7 @@ def get_index(root: str, name: str, version: int | None = None) -> dict:
 def drop_index(root: str, name: str, *, max_retries: int = 0) -> int:
     """Unregister a persisted index; the artifact stays readable at
     older versions until VACUUM sweeps it."""
+    _check_write_protocol(root)
     if name not in _read_state(root)["indexes"]:
         raise ValueError(f"no index {name!r} to drop")
     return _publish_commit(root, latest_version(root), op="drop_index",
@@ -3347,6 +3416,7 @@ def restore(spark: SparkSession, root: str, version: int) -> int:
     Scale: O(log) metadata plus one diff over only the files whose
     state differs — restoring an accidental delete touches the deleted
     rows' files, never the table."""
+    _check_write_protocol(root)
     head = latest_version(root)
     if not 0 <= version <= head:
         raise ValueError(f"restore target {version} not in [0, {head}]")
