@@ -3058,3 +3058,30 @@ def test_upgrade_protocol_is_monotone(spark, tmp_path):
     assert snap.read(spark, root).count() == 2
     assert snap.history(root)[1]["operation"] == "upgrade_protocol"
     assert v == 1
+
+
+def test_hashbucket_partition_point_prunes(spark, tmp_path):
+    """Iceberg's bucket transform with a PORTABLE published hash: a
+    point predicate prunes to exactly the probed key's bucket (computed
+    identically by the Spark writer and the pure-Python probe, negatives
+    included); ranges are undecidable and degrade to stats."""
+    root = str(tmp_path / "hb")
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(-40, 40)], "k long, payload string"
+    )
+    snap.create(
+        spark, root, df.coalesce(1),
+        partition_by=[{"name": "kb", "transform": "hashbucket",
+                       "source": "k", "param": 8}],
+    )
+    n_live = len(snap.live_files(root))
+    assert n_live == 8  # one file per bucket from the coalesced write
+    for probe in (-40, -7, 0, 3, 39):
+        kept = snap.pruned_files(root, {"k": (probe, probe)})
+        assert len(kept) == 1, f"probe {probe} kept {len(kept)} files"
+        got = snap.read_pruned(spark, root, {"k": (probe, probe)}).filter(
+            f"k = {probe}"
+        )
+        assert [r.k for r in got.collect()] == [probe]
+    # a RANGE cannot map through a hash: no partition-tier pruning
+    assert len(snap.pruned_files(root, {"k": (0, 5)})) == n_live

@@ -2256,3 +2256,66 @@ def table_files_meta(spark, sf_dir):
         F.min("mn").cast("long").alias("min_doc"),
         F.max("mx").cast("long").alias("max_doc"),
     )
+
+
+_BUCKET_PROBES = (3, 17, 42, 101, 250)
+
+_BUCKET_ORACLE = f"""
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_files_scanned,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id IN {_BUCKET_PROBES}
+"""
+
+
+@register("table_bucket_prune", oracle=_BUCKET_ORACLE)
+def table_bucket_prune(spark, sf_dir):
+    """HASH-BUCKET PARTITIONING with point-probe pruning (Iceberg's
+    bucket transform): the table is laid out by a PORTABLE published
+    Carter-Wegman hash of doc_id into 8 buckets (one file per bucket —
+    the coalesced write), and a point lookup maps the probed key through
+    the SAME hash driver-side to keep exactly one file — zero data I/O
+    to decide, like the truncate/day transforms but for keys with no
+    exploitable order. The emitted n_files_scanned=1 per probe is the
+    pruning proof (the fixture makes the per-bucket file count exact);
+    range predicates are undecidable through a hash and degrade to the
+    stats tier (test-pinned). Iceberg buckets with Murmur3; this engine
+    publishes its hash so the pure-Python probe in `pruned_files`
+    reproduces the JVM writer's bucket bit-for-bit — same portability
+    discipline as the sketch keys.
+
+    Scale: bucket layouts are how high-cardinality point-lookup keys
+    (doc ids, user ids) get partition pruning without millions of tiny
+    identity partitions — 8 buckets here, thousands on a 100 TB table;
+    a point read opens 1/N of the table's files before any stats tier
+    runs."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapbucket_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(
+        spark, root, d.coalesce(1),
+        partition_by=[{"name": "db", "transform": "hashbucket",
+                       "source": "doc_id", "param": 8}],
+    )
+    out = None
+    for probe in _BUCKET_PROBES:
+        kept = snap.pruned_files(root, {"doc_id": (probe, probe)})
+        row = (
+            snap.read_pruned(spark, root, {"doc_id": (probe, probe)})
+            .filter(F.col("doc_id") == probe)
+            .select(
+                "doc_id",
+                F.lit(len(kept)).cast("long").alias("n_files_scanned"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

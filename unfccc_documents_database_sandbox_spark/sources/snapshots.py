@@ -271,14 +271,14 @@ def _norm_partition_spec(partition_by) -> list[dict]:
         d = dict(x)
         d.setdefault("transform", "identity")
         d.setdefault("param", None)
-        if d["transform"] == "truncate":
+        if d["transform"] in ("truncate", "hashbucket"):
             d["param"] = int(d["param"])
         elif d["transform"] == "day":
             pass
         elif d["transform"] != "identity":
             raise ValueError(
                 f"unknown partition transform {d['transform']!r} "
-                "(identity | truncate | day)"
+                "(identity | truncate | day | hashbucket)"
             )
         d.setdefault(
             "name",
@@ -287,6 +287,23 @@ def _norm_partition_spec(partition_by) -> list[dict]:
         )
         specs.append(d)
     return specs
+
+
+# hashbucket transform: a PORTABLE Carter-Wegman hash (Iceberg's bucket
+# transform, with an explicitly-published hash instead of Murmur3 so the
+# driver-side probe in `pruned_files` computes the identical bucket in
+# pure Python — no JVM round-trip, no engine-specific hash). Spark side
+# uses pmod twice; Python's % is already non-negative for positive
+# moduli, so the two agree for ALL integers including negatives. A is
+# kept below 2^31 so A·x stays inside int64 for any |x| < 2^31 — Spark
+# would silently wrap an int64 overflow while Python would not, and the
+# two sides must agree bit-for-bit (source keys beyond ±2^31 should
+# bucket on a pre-narrowed column).
+_HB_A, _HB_B, _HB_P = 1_103_515_245, 1_442_695, 2**31 - 1
+
+
+def _hash_bucket(x: int, n: int) -> int:
+    return ((_HB_A * int(x) + _HB_B) % _HB_P) % n
 
 
 def _trunc_div(a: int, p: int) -> int:
@@ -311,6 +328,17 @@ def _partition_expr(spec: dict):
     if t == "day":
         return F.date_format(
             F.date_trunc("day", F.col(spec["source"])), "yyyy-MM-dd"
+        )
+    if t == "hashbucket":
+        # pmod twice: inner pmod keeps the Carter-Wegman value in
+        # [0, P) exactly like Python %, outer picks the bucket
+        return F.pmod(
+            F.pmod(
+                F.col(spec["source"]).cast("long") * F.lit(_HB_A)
+                + F.lit(_HB_B),
+                F.lit(_HB_P),
+            ),
+            F.lit(spec["param"]),
         )
     raise ValueError(f"unknown partition transform {t!r}")
 
@@ -792,6 +820,15 @@ def pruned_files(
                 v = str(raw)
                 plo = None if lo is None else str(lo)[:10]
                 phi = None if hi is None else str(hi)[:10]
+            elif t == "hashbucket":
+                # only a POINT predicate (lo == hi) maps through a hash:
+                # the bucket of the probed key either matches the file's
+                # recorded bucket or the file can't contain the key.
+                # Ranges are undecidable — degrade to the stats tier.
+                if lo is None or hi is None or lo != hi:
+                    return False, True
+                keep_b = int(raw) == _hash_bucket(int(lo), spec["param"])
+                return True, keep_b
             else:
                 return False, True
         except (TypeError, ValueError):
