@@ -117,9 +117,10 @@ EXTENDED = [
 # source_jdbc before it).
 FRESH = [
     # r10 keys. Excluded by the standing rules: table_concurrent /
-    # table_branch / table_files_meta / sim_index_persisted each build a
-    # commit-log table under .csv_tmp/ (the disk-writing rule — their
-    # wall time measures commit I/O, not a plan), and
+    # table_branch / table_files_meta / table_bucket_prune /
+    # sim_index_persisted each build a commit-log table under .csv_tmp/
+    # (the disk-writing rule — their wall time measures commit I/O, not
+    # a plan), and
     # stream_changes_bounded runs a live processingTime-trigger
     # streaming query (the streaming exclusion). The timeable r10 keys:
     "sketch_countmin",
