@@ -567,3 +567,40 @@ def test_streaming_wap_ingest_through_branch(spark, tmp_path):
     # sees every branch-committed batch (the exactly-once guarantee
     # composes with publication)
     assert snap.applied_txns(root, app) == applied_on_branch
+
+
+def test_table_changes_stream_reads_branch_refs(spark, tmp_path):
+    """The streaming change feed composes with branches: a reader on
+    `branch_root(root, name)` streams main's chain through the fork
+    point plus the branch's own commits — and never main commits made
+    AFTER the fork (the log-resolution helpers are snapshots' ref-aware
+    ones)."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.cdc_stream import (
+        SnapshotChangesStreamReader,
+    )
+
+    root = str(tmp_path / "cdcbranch")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "id long, v long")
+    snap.create(spark, root, df.filter("id < 4"))
+    snap.append(spark, root, df.filter("id >= 4"))        # main v1
+    snap.create_branch(root, "b")
+    broot = snap.branch_root(root, "b")
+    snap.append(spark, broot,
+                spark.createDataFrame([(100, 1)], "id long, v long"))  # b v2
+    snap.append(spark, root,
+                spark.createDataFrame([(200, 2)], "id long, v long"))  # main v2
+
+    r = SnapshotChangesStreamReader({"path": broot, "since_version": 0})
+    rows, end = r.read({"v": 0})
+    rows = sorted(rows)
+    assert end == {"v": 2}
+    # main's pre-fork append (v1) + the branch's own append (v2); the
+    # post-fork main append (id=200) is invisible to the branch ref
+    assert [t[0] for t in rows] == [4, 5, 6, 7, 100]
+    assert {t[-1] for t in rows} == {1, 2}
+    # the main-root reader sees main's chain, not the branch's
+    rm = SnapshotChangesStreamReader({"path": root, "since_version": 1})
+    main_rows, _ = rm.read({"v": 1})
+    assert [t[0] for t in sorted(main_rows)] == [200]

@@ -48,23 +48,30 @@ from pyspark.sql.datasource import (
 _META_COLS = ("_change_type", "_commit_version")
 
 
-def _log_dir(root: str) -> str:
-    return os.path.join(root, "_log")
+# Log resolution delegates to the ref-aware snapshots helpers (pure
+# Python, no Spark session — safe on executors too), so the streaming
+# feed works on BRANCH roots (`branch_root(root, name)`) exactly like
+# every batch API: a branch stream sees main's chain through the fork
+# point plus the branch's own commits.
 
 
 def _commit_versions(root: str) -> list[int]:
-    out = []
-    for fn in os.listdir(_log_dir(root)):
-        if fn.endswith(".json") and fn[:-5].isdigit():
-            out.append(int(fn[:-5]))
-    return sorted(out)
+    from unfccc_documents_database_sandbox_spark.sources import snapshots
+
+    return snapshots._commit_versions(root)
 
 
 def _load_commit(root: str, v: int) -> dict:
-    with open(
-        os.path.join(_log_dir(root), f"{v:08d}.json"), encoding="utf-8"
-    ) as fh:
+    from unfccc_documents_database_sandbox_spark.sources import snapshots
+
+    with open(snapshots._commit_path(root, v), encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def _data_root(root: str) -> str:
+    from unfccc_documents_database_sandbox_spark.sources import snapshots
+
+    return snapshots._data_root(root)
 
 
 def _head_schema(root: str) -> list[tuple[str, str, str]]:
@@ -148,7 +155,7 @@ def _read_parquet_rows(
 
     rows: list[list] = []
     for f in files:
-        t = pq.read_table(os.path.join(root, f))
+        t = pq.read_table(os.path.join(_data_root(root), f))
         cols = []
         for c in columns:
             if c in t.column_names:
