@@ -121,8 +121,9 @@ FRESH = [
     # sim_index_persisted each build a commit-log table under .csv_tmp/
     # (the disk-writing rule — their wall time measures commit I/O, not
     # a plan), and
-    # stream_changes_bounded runs a live processingTime-trigger
-    # streaming query (the streaming exclusion). The timeable r10 keys:
+    # stream_changes_bounded / stream_branch_changes run live
+    # processingTime-trigger streaming queries (the streaming
+    # exclusion). The timeable r10 keys:
     "sketch_countmin",
     "sketch_bloom",
     "url_normalize",
@@ -131,6 +132,7 @@ FRESH = [
     "events_top_paths",
     "events_rfm",
     "orders_abc_pareto",
+    "sketch_hll_portable",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

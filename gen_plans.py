@@ -54,7 +54,8 @@ ROUND_KEYS = [
     "stream_changes_bounded", "sketch_countmin", "sketch_bloom",
     "url_normalize", "ts_resample_ohlc", "graph_sssp_weighted",
     "table_files_meta", "events_top_paths", "events_rfm",
-    "orders_abc_pareto", "table_bucket_prune",
+    "orders_abc_pareto", "table_bucket_prune", "sketch_hll_portable",
+    "stream_branch_changes",
 ]
 
 

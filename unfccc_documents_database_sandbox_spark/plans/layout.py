@@ -1228,7 +1228,7 @@ def stream_table_changes(spark, sf_dir):
 
 
 def _run_cdf_stream(spark, sf_dir, fmt, max_versions_per_batch=None,
-                    min_batches=None):
+                    min_batches=None, root=None):
     """Shared live-run harness for the streaming-CDF keys (driver-side
     simple reader vs executor-parallel partition-per-commit reader vs
     rate-limited catch-up): identical fixture, identical convergence
@@ -1244,7 +1244,8 @@ def _run_cdf_stream(spark, sf_dir, fmt, max_versions_per_batch=None,
         register_table_changes_stream,
     )
 
-    root = _build_stream_cdf_fixture(spark, sf_dir)
+    if root is None:
+        root = _build_stream_cdf_fixture(spark, sf_dir)
     expected = snap.changes(spark, root, 0).count()
 
     ensure_pyfiles(spark)
@@ -2319,3 +2320,58 @@ def table_bucket_prune(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "stream_branch_changes",
+    oracle=" UNION ALL ".join(
+        [
+            _cdf_sql(1, "insert", "doc_id % 3 = 1"),
+            _cdf_sql(2, "insert", "doc_id % 3 = 2"),
+            _cdf_sql(3, "delete", "lang = 'de'"),
+        ]
+    ),
+)
+def stream_branch_changes(spark, sf_dir):
+    """STREAMING a BRANCH's change feed (the r10 branch layer composed
+    with the streaming CDF source): fork 'wip' off a 2-commit main, run
+    an append + a MOR DELETE on the branch, then also land a DECOY
+    append on MAIN after the fork — and readStream over
+    `branch_root(root, 'wip')`. The ref-aware log resolution gives the
+    stream main's chain THROUGH the fork point plus the branch's own
+    commits; the decoy main commit is invisible (its rows carry
+    n_chars bumped by 10^6, so any leak would blow the hash). The
+    oracle recomputes the branch's expected feed from the raw table —
+    hash-green proves streaming isolation end to end, the live-run twin
+    of tests/test_streaming.py's offset-level check.
+
+    Scale: a staging pipeline can stream-validate its un-published
+    branch exactly like production streams main — same source, same
+    offsets, zero copies (branch payloads share the table's data/)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapcdcbranch_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d.filter(F.col("doc_id") % 3 == 0))
+    snap.append(spark, root, d.filter(F.col("doc_id") % 3 == 1))  # main v1
+    snap.create_branch(root, "wip")
+    broot = snap.branch_root(root, "wip")
+    snap.append(spark, broot, d.filter(F.col("doc_id") % 3 == 2))  # b v2
+    snap.delete_where_mor(spark, broot, "lang = 'de'", cdf=True)   # b v3
+    # decoy on MAIN after the fork: must never reach the branch stream
+    snap.append(
+        spark, root,
+        d.filter(F.col("doc_id") % 3 == 2)
+        .withColumn("n_chars", F.col("n_chars") + 1_000_000),
+    )
+    return _run_cdf_stream(spark, sf_dir, "table_changes_stream",
+                           root=broot)
