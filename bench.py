@@ -133,6 +133,8 @@ FRESH = [
     "events_rfm",
     "orders_abc_pareto",
     "sketch_hll_portable",
+    "orders_gini",
+    "events_dau_wau",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

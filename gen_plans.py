@@ -55,7 +55,7 @@ ROUND_KEYS = [
     "url_normalize", "ts_resample_ohlc", "graph_sssp_weighted",
     "table_files_meta", "events_top_paths", "events_rfm",
     "orders_abc_pareto", "table_bucket_prune", "sketch_hll_portable",
-    "stream_branch_changes",
+    "stream_branch_changes", "orders_gini", "events_dau_wau",
 ]
 
 

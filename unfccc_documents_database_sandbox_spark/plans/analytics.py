@@ -1071,3 +1071,146 @@ def orders_abc_pareto(spark, sf_dir):
         F.min("l_partkey").cast("long").alias("first_part"),
         F.max("l_partkey").cast("long").alias("last_part"),
     )
+
+
+@register(
+    "orders_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(cents AS HUGEINT)) AS s0,
+               SUM(CAST(i AS HUGEINT) * cents) AS s1
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s0 AS BIGINT) AS total_cents,
+           CAST((1000 * (2 * s1 - (n + 1) * s0)) // (n * s0) AS BIGINT)
+               AS gini_milli
+    FROM s
+    """,
+)
+def orders_gini(spark, sf_dir):
+    """GINI COEFFICIENT of revenue concentration — the single-number
+    sibling of the ABC/Pareto classes: per-customer cent-exact revenue,
+    ranked ascending with a (cents, custkey) tie-break, then the exact
+    rank formula G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i) evaluated
+    ENTIRELY in integers — the output is gini in thousandths via one
+    floor division, so nothing floats and the coefficient itself
+    hash-matches (the portable-HLL discipline applied to an inequality
+    statistic).
+
+    Plan shape: one custkey rollup (map-side partial sums over orders),
+    one global rank window over the reduced customer dimension, one
+    1-row fold. Σi·x_i overflows int64 already at sf0.1, so the moment
+    sums are DECIMAL(38,0) / HUGEINT end-to-end (the agg_corr_exact
+    precedent) and only the thousandths quotient narrows back — exact at
+    any scale, both engines convert the same wide value identically.
+    The global sort runs on customers, not orders — the events_rfm
+    reduction-first discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    ranked = rev.withColumn(
+        "i", F.row_number().over(Window.orderBy("cents", "o_custkey"))
+    )
+    # Σi·x_i and the 1000-scaled numerator overflow int64 already at
+    # sf0.1 — the moment sums widen to DECIMAL(38,0)/HUGEINT exactly like
+    # agg_corr_exact, and only the thousandths quotient narrows back
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s0"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+        .alias("s1"),
+    )
+    num = (F.lit(1000).cast("decimal(38,0)")
+           * (F.lit(2).cast("decimal(38,0)") * F.col("s1")
+              - (F.col("n") + F.lit(1)) * F.col("s0")))
+    den = F.col("n") * F.col("s0")
+    # exact floor division on decimals (the cluster_kmeans trick):
+    # subtract the remainder first so the division has an exact integer
+    # result — decimal `/` alone rounds at the result scale, and a
+    # quotient a hair under an integer could round across the floor
+    rem = num % den
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("s0").cast("long").alias("total_cents"),
+        ((num - rem) / den).cast("long").alias("gini_milli"),
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+    wau AS (
+        SELECT days.d, COUNT(DISTINCT du.user_id) AS wau
+        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        GROUP BY days.d
+    )
+    SELECT CAST(dau.d AS BIGINT) AS d,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_milli
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / WAU STICKINESS (the product-analytics engagement ratio):
+    daily active users, 7-day rolling active users, and their ratio in
+    integer thousandths per epoch day. The rolling distinct is the
+    textbook trap — COUNT(DISTINCT) over a RANGE window is unsupported
+    and a naive self-join explodes on raw events — so both engines first
+    DEDUP to (day, user) pairs (the one big shuffle, map-side
+    combinable), then range-join the tiny day list onto the deduped
+    pairs (≤ 7 days match each pair) and count distinct per day.
+    Day bucketing is exact integer epoch-microsecond division; the
+    stickiness ratio is one integer floor division — nothing floats.
+
+    Scale: |day × user| pairs is bounded by users × active-days — the
+    dedup collapses the event volume BEFORE the range join, so at 100 TB
+    the join input is the engagement matrix, not the event log; day count
+    is tiny, so the range join broadcasts the day list."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            (_ntz_micros(F.col("ts")) / 86_400_000_000).cast("long")
+            .alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("d", "wd"))
+        .join(du, (F.col("d") >= F.col("wd") - 6) & (F.col("d") <= F.col("wd")))
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            dau["d"].cast("long").alias("d"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("dau * 1000 DIV wau").cast("long")
+            .alias("stickiness_milli"),
+        )
+    )
