@@ -1319,3 +1319,109 @@ def test_bm25_python_replay_matches_engine(spark):
         for r in text_bm25(spark, SF_SMOKE).collect()
     )
     assert got == sorted(expect)
+
+
+
+# ---------------------------------------------------------------------------
+# Portable-sketch arithmetic replays (round 10): the SQL/Spark sketch keys
+# share these constants; the pure-Python replay pins the structural
+# guarantees for arbitrary inputs — no Spark session needed.
+# ---------------------------------------------------------------------------
+
+
+def _cms_python(keys, params, w, p):
+    sketch = {}
+    for x in keys:
+        for i, (a, b) in enumerate(params):
+            bkt = ((a * x + b) % p) % w
+            sketch[(i, bkt)] = sketch.get((i, bkt), 0) + 1
+    return sketch
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=300)
+)
+def test_countmin_never_underestimates(keys):
+    """The Count-Min guarantee the sketch_countmin key displays: a point
+    estimate is MIN over rows and collisions only inflate, so
+    est(x) >= true_count(x) for every key — replayed in pure Python with
+    the exact shared hash parameters."""
+    from collections import Counter
+
+    from unfccc_documents_database_sandbox_spark.plans.sketches import (
+        _CM_PARAMS, _CM_W, _P,
+    )
+
+    sketch = _cms_python(keys, _CM_PARAMS, _CM_W, _P)
+    truth = Counter(keys)
+    for x, n in truth.items():
+        est = min(
+            sketch.get(
+                (i, ((a * x + b) % _P) % _CM_W), 0
+            )
+            for i, (a, b) in enumerate(_CM_PARAMS)
+        )
+        assert est >= n
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1,
+            max_size=200),
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1,
+            max_size=50),
+)
+def test_bloom_has_no_false_negatives(members, probes):
+    """Bloom's one-sided error, replayed with the shared parameters:
+    every member probe reports present; non-members may false-positive
+    but never the reverse."""
+    from unfccc_documents_database_sandbox_spark.plans.sketches import (
+        _BLOOM_BITS, _BLOOM_PARAMS, _P,
+    )
+
+    bits = {
+        ((a * x + b) % _P) % _BLOOM_BITS
+        for x in members for a, b in _BLOOM_PARAMS
+    }
+    def in_bloom(x):
+        return all(
+            ((a * x + b) % _P) % _BLOOM_BITS in bits
+            for a, b in _BLOOM_PARAMS
+        )
+    assert all(in_bloom(x) for x in members)
+    # (non-member probes may collide — the documented false positives)
+    for x in probes:
+        if x not in members:
+            assert in_bloom(x) in (True, False)  # never raises, 1-sided
+
+
+@given(
+    st.integers(min_value=200, max_value=20000),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=20, deadline=None)
+def test_hll_integer_estimate_tracks_cardinality(n, offset):
+    """The integer-exact HLL estimate (sketch_hll_portable's arithmetic,
+    replayed in pure Python): for n distinct keys the raw Flajolet
+    estimate with m=64 registers lands within the standard ~3σ error
+    band (σ ≈ 1.04/√m ≈ 13%) — wide bound (50%) so the test pins the
+    ARITHMETIC, not the statistics."""
+    from unfccc_documents_database_sandbox_spark.plans.sketches import (
+        _HLL_A, _HLL_A2, _HLL_B, _HLL_M, _HLL_NUM, _HLL_WBITS, _P,
+    )
+
+    regs = {}
+    for x in range(offset, offset + n):
+        y = (_HLL_A * x + _HLL_B) % _P
+        hv = ((y * y) % _P) * _HLL_A2 % _P
+        bucket = hv % _HLL_M
+        w = hv // _HLL_M
+        rho = next(
+            (k for k in range(1, _HLL_WBITS + 1)
+             if w >= 1 << (_HLL_WBITS - k)),
+            _HLL_WBITS + 1,
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(1 << (26 - m) for m in regs.values())
+    est = _HLL_NUM // s
+    assert 0.5 * n <= est <= 1.5 * n, (n, est)

@@ -250,7 +250,15 @@ def sketch_bloom(spark, sf_dir):
 # with no float in sight (the float HLL's harmonic mean would hash-drift).
 _HLL_M = 64
 _HLL_WBITS = 25
-_HLL_A, _HLL_B = 48271, 11213
+# rho needs well-mixed HIGH bits, which a purely affine map cannot give
+# on sequential keys (A·x + B mod P is a low-discrepancy sequence — its
+# per-bucket minima are far from exponential and the estimator collapses
+# or biases; caught by the pure-Python property replay). The mix is
+# affine → SQUARE → multiply, all mod P: y = (A·x + B) mod P,
+# hv = (y² mod P) · A2 mod P. Every intermediate stays int64-safe
+# (y < 2^31 ⇒ y² < 2^62; (y² mod P)·A2 < 2^47) and every step is plain
+# integer arithmetic both engines evaluate identically.
+_HLL_A, _HLL_B, _HLL_A2 = 1_588_635_695, 11213, 48271
 # alpha·m²·2^26 with alpha = 709/1000, folded to one exact integer
 # numerator so the estimate is a single integer floor division
 _HLL_NUM = 709 * _HLL_M * _HLL_M * (1 << 26) // 1000
@@ -267,9 +275,11 @@ def _hll_rho_sql(w: str) -> str:
 
 
 _HLL_ORACLE = f"""
-WITH h AS (
-    SELECT (({_HLL_A} * o_custkey + {_HLL_B}) % {_P}) AS hv
-    FROM orders
+WITH y AS (
+    SELECT (({_HLL_A} * o_custkey + {_HLL_B}) % {_P}) AS y FROM orders
+),
+h AS (
+    SELECT (((y * y) % {_P}) * {_HLL_A2}) % {_P} AS hv FROM y
 ),
 reg AS (
     SELECT hv % {_HLL_M} AS bucket,
@@ -314,7 +324,8 @@ def sketch_hll_portable(spark, sf_dir):
     engine-dependent). At 100 TB this is the COUNT(DISTINCT) that costs
     a scan + 64 counters instead of a distinct shuffle over every key."""
     orders = load_table(spark, sf_dir, "orders")
-    hv = (F.lit(_HLL_A) * F.col("o_custkey") + F.lit(_HLL_B)) % _P
+    y = (F.lit(_HLL_A) * F.col("o_custkey") + F.lit(_HLL_B)) % _P
+    hv = ((y * y) % _P) * _HLL_A2 % _P
     w = (hv / _HLL_M).cast("long")
     rho = F.lit(_HLL_WBITS + 1)
     for k in range(_HLL_WBITS, 0, -1):
