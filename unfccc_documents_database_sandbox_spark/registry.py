@@ -78,102 +78,91 @@ REGISTRY: dict[str, QuerySpec] = {}
 # NEXT, and the alphabetically-first keys of the r06-evidence pool
 # promoted to DUE (sized for the planned r10 new-key count; undersizing
 # is safe — window spillover lands on the alphabetically-first zz_ keys,
-# which ARE the remaining r06 cohort). Oldest evidence on file after
-# r10: r06 (the un-promoted tail).
+# which ARE the remaining r06 cohort); r11 advances it per VERDICT r10
+# #1: the 50-key r10 window (18 unprefixed + 32 z_ re-checks) parked, the
+# r09 PARKED cohort aged into NEXT, and the full 17-key r06 tail plus the
+# alphabetically-first 25 keys of the r07 cohort promoted to DUE (sized
+# 42 for the planned r11 new-key count; undersizing is safe — window
+# spillover lands on the alphabetically-first zz_ keys, which ARE the
+# remaining r07 cohort). Oldest evidence on file after r11: r07 (the
+# un-promoted tail).
 
-# DUE (z_): latest clean driver row is CORRECTNESS_r06.json — the
-# alphabetically-first 32 keys of the r06-evidence pool (the oldest
-# evidence on file), sized so DUE + the round's new unprefixed keys fill
-# the 50-key window (machine-checked by tests/test_rotation.py::test_
-# window_reaches_every_due_key; size promotions from the registry, not
-# this comment). Rows-only by design among these: dedup_fuzzy_minhash
-# (approximate semantics documented at its builder).
+# DUE (z_): oldest evidence on file — the 17-key r06-latest tail (promoted
+# per VERDICT r10 #1) plus the alphabetically-first 25 keys of the r07
+# cohort, sized so DUE + the round's new unprefixed keys fill the 50-key
+# window (machine-checked by tests/test_rotation.py::test_window_reaches_
+# every_due_key; sized from the registry, not this comment). Rows-only by
+# design among these: sim_topk_ivf, sim_topk_lsh (approximate ANN,
+# documented at their builders).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
-        "basket_pairs", "dedup_embedding", "dedup_exact",
-        "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
-        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-        "doc_rolling_hash", "events_anomaly", "events_attribution",
-        "filter_notnull", "filter_or_eq", "graph_triangles",
-        "join_asof", "join_bridge", "join_child_collect", "join_inner_fk",
-        "join_lateral", "join_left_nullable", "join_null_safe",
-        "join_range", "join_semi", "join_skew_salted", "json_extract",
-        "lang_id", "layout_compaction_apply", "limit_n",
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r06.json (the
-# un-promoted alphabetical tail of the r06-evidence pool, first block),
-# CORRECTNESS_r07.json (the 50-key r07 window, second block), or
-# CORRECTNESS_r08.json (the 50-key r08 window, third block — aged out of
-# PARKED this round). These receive the r10 window spillover beyond the
-# DUE tier and are the r11 promotion pool (r06 tail first).
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r06 evidence (the alphabetical tail of the r06-evidence pool
-        # beyond the 32 promoted into DUE)
-        "map_ops",
-        "math_arith", "multimodal_decode", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "project_columns",
-        "scan_full", "scd2_history", "sim_topk_pq_portable", "source_jdbc",
-        "text_bigram_cond", "text_bpe_pairs", "text_chunk_sliding",
-        "text_tfidf", "text_vocab", "window_cume_distinct",
-        # r07 evidence: the 50-key r07 window (46 z_-spelled re-checks
-        # incl. the r02-era sample_hash_mod IOU + the 4 unprefixed r07
-        # keys). sim_topk_ivf, sim_topk_lsh, stream_dedup_live are
-        # rows-only by design.
-        "sim_topk_ivfpq", "table_snapshot_read", "text_bpe_encode",
-        "text_bpe_train",
-        "sample_hash_mod",
         "dedup_components_star", "dedup_minhash_portable",
         "dedup_simhash_portable", "dedup_substring", "docx_ingest",
         "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
         "join_interval_overlap", "json_roundtrip", "layout_zorder",
-        "merge_upsert", "multimodal_features_topk", "pack_sequences",
-        "sample_stratified", "set_ops", "sim_near_dup_pairs", "sim_topk",
-        "sim_topk_ivf", "sim_topk_lsh", "sql_tpch_q1", "sql_tpch_q3",
+        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
+        "multimodal_features_topk", "multimodal_frame_sample",
+        "multimodal_resize", "numbering_normalize", "pack_sequences",
+        "project_columns", "sample_hash_mod", "sample_stratified",
+        "scan_full", "scd2_history", "set_ops", "sim_near_dup_pairs",
+        "sim_topk", "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
+        "sim_topk_pq_portable", "source_jdbc", "sql_tpch_q1",
+        "sql_tpch_q3", "text_bigram_cond", "text_bpe_pairs",
+        "text_chunk_sliding", "text_tfidf", "text_vocab",
+        "window_cume_distinct",
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r07.json (the
+# un-promoted alphabetical tail of the r07 window, first block),
+# CORRECTNESS_r08.json (the 50-key r08 window, second block), or
+# CORRECTNESS_r09.json (the 50-key r09 window, third block — aged out of
+# PARKED this round). These receive the r11 window spillover beyond the
+# DUE tier and are the r12 promotion pool (r07 tail first).
+# stream_dedup_live and sim_topk_pq are rows-only by design.
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
+        # r07 evidence (the alphabetical tail beyond the 25 promoted to DUE)
         "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
         "stream_dedup_live", "stream_session", "stream_sliding",
-        "stream_stateful_profile", "stream_tumbling", "stream_watermark_live",
-        "text_funcs", "text_length_hist", "text_pii_scrub", "text_repetition",
-        "text_top_ngrams", "topk_per_group", "udaf_grouped_map",
-        "udf_llm_cost_sum", "udf_llm_summarize", "udf_prompt_template",
-        "udtf_explode_blocks", "window_funcs",
-        # r08 evidence: the 50-key r08 window (46 hash-green + 4
-        # rows-only by documented design, VERDICT r08: agg_approx_distinct,
-        # agg_approx_percentiles, agg_hll_partitioned, catalog_tables) —
-        # 16 unprefixed r08 keys + 34 z_ re-checks, aged out of PARKED
-        # this round.
-        "cluster_kmeans", "corpus_upsample", "json_variant_extract",
-        "shuffle_epoch", "sim_topk_ivfpq_portable", "source_pyds_stream",
-        "sql_recursive_bom", "sql_scalar_udf", "stream_foreach_merge",
-        "table_changes", "table_incremental_mv", "table_schema_evolution",
-        "table_stats_prune", "try_funcs", "ts_gapfill",
-        "udtf_python_segments",
-        "source_pyds", "source_schema_evolution", "sql_tpch_q12",
-        "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19", "sql_tpch_q22",
-        "sql_tpch_q4", "stream_stream_join", "text_keyterms",
-        "udaf_pandas_agg",
+        "stream_stateful_profile", "stream_tumbling",
+        "stream_watermark_live", "table_snapshot_read", "text_bpe_encode",
+        "text_bpe_train", "text_funcs", "text_length_hist",
+        "text_pii_scrub", "text_repetition", "text_top_ngrams",
+        "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
+        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
+        "window_funcs",
+        # r08 evidence: the 50-key r08 window (46 hash-green + 4 rows-only
+        # by documented design: agg_approx_distinct, agg_approx_percentiles,
+        # agg_hll_partitioned, catalog_tables)
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
         "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
         "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
-        "case_when_block", "catalog_tables", "contamination_check",
-        "corpus_mix", "corpus_pipeline", "csv_roundtrip", "date_extract",
-        "dedup_components",
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r09.json — the 50
-# keys of the r09 window (49 hash-green + 1 rows-only by documented
-# design, VERDICT r09: sim_topk_pq): 22 were the un-prefixed r09 keys,
-# 27 were z_-spelled r05-tail re-checks, plus agg_corr_exact.
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
-        # the 22 un-prefixed keys of the r09 window
-        "graph_bfs", "sample_weighted", "stream_table_changes",
+        "case_when_block", "catalog_tables", "cluster_kmeans",
+        "contamination_check", "corpus_mix", "corpus_pipeline",
+        "corpus_upsample", "csv_roundtrip", "date_extract",
+        "dedup_components", "json_variant_extract", "shuffle_epoch",
+        "sim_topk_ivfpq_portable", "source_pyds", "source_pyds_stream",
+        "source_schema_evolution", "sql_recursive_bom", "sql_scalar_udf",
+        "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19",
+        "sql_tpch_q22", "sql_tpch_q4", "stream_foreach_merge",
+        "stream_stream_join", "table_changes", "table_incremental_mv",
+        "table_schema_evolution", "table_stats_prune", "text_keyterms",
+        "try_funcs", "ts_gapfill", "udaf_pandas_agg",
+        "udtf_python_segments",
+        # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
+        # rows-only by design), aged out of PARKED this round
+        "agg_corr_exact", "dedup_incremental", "dedup_lines",
+        "events_funnel", "events_retention", "events_sessionize",
+        "graph_bfs", "graph_pagerank", "index_inverted",
+        "join_similarity_prefix", "layout_compaction", "sample_weighted",
+        "sim_topk_pq", "sort_global", "source_orc", "sql_corr_subquery",
+        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
+        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
+        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+        "stream_static_join", "stream_table_changes",
         "stream_table_changes_dist", "table_bloom_prune",
         "table_changes_typed", "table_clone", "table_column_mapping",
         "table_constraints", "table_delete_mor",
@@ -181,20 +170,34 @@ ROTATED_PARKED: frozenset[str] = frozenset(
         "table_null_prune", "table_partition_evolve",
         "table_partition_prune", "table_restore", "table_row_ids",
         "table_update", "table_update_mor", "text_bm25",
-        "udf_cogrouped_asof",
-        # the 28 z_ keys the r09 window re-checked (27 r05-tail +
-        # agg_corr_exact). sim_topk_pq is rows-only by design.
-        "dedup_incremental", "dedup_lines",
-        "events_funnel", "events_retention", "events_sessionize",
-        "graph_pagerank", "index_inverted",
-        "join_similarity_prefix", "layout_compaction",
-        "sim_topk_pq", "sort_global", "source_orc",
-        "sql_corr_subquery",
-        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
-        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
-        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
-        "stream_static_join", "xlsx_ingest",
-        "agg_corr_exact",
+        "udf_cogrouped_asof", "xlsx_ingest",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r10.json — the 50
+# keys of the r10 window (47 hash-green + 3 rows-only by documented
+# design, VERDICT r10: dedup_fuzzy_minhash, dedup_simhash,
+# doc_rolling_hash): 18 were the un-prefixed r10 keys, 32 were z_-spelled
+# r06-cohort re-checks.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
+        "basket_pairs", "dedup_embedding", "dedup_exact",
+        "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
+        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
+        "doc_rolling_hash", "events_anomaly", "events_attribution",
+        "events_dau_wau", "events_rfm", "events_top_paths",
+        "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
+        "graph_triangles", "join_asof", "join_bridge",
+        "join_child_collect", "join_inner_fk", "join_lateral",
+        "join_left_nullable", "join_null_safe", "join_range", "join_semi",
+        "join_skew_salted", "json_extract", "lang_id",
+        "layout_compaction_apply", "limit_n", "orders_abc_pareto",
+        "orders_gini", "sim_index_persisted", "sketch_bloom",
+        "sketch_countmin", "sketch_hll_portable", "stream_branch_changes",
+        "stream_changes_bounded", "table_branch", "table_bucket_prune",
+        "table_concurrent", "table_files_meta", "ts_resample_ohlc",
+        "url_normalize",
     }
 )
 
