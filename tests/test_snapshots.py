@@ -2787,6 +2787,86 @@ def test_branch_merge_remints_row_ids(spark, tmp_path):
     assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4, 5, 100, 101, 200, 201]
 
 
+def test_branch_merge_resumes_after_partial_publication(
+        spark, brtable, monkeypatch):
+    """r10 ADVICE #2: a merge that crashes after publishing part of the
+    branch chain must be resumable without republishing — the re-run
+    reads the `merged_from` stamps off main's (immutable) commit JSONs,
+    skips the branch versions already published (even APPENDs, whose
+    _commit_touched() is empty and therefore invisible to the conflict
+    check), and publishes only the remainder."""
+    snap.create_branch(brtable, "big")
+    broot = snap.branch_root(brtable, "big")
+    for k in range(3):
+        snap.append(spark, broot, spark.createDataFrame(
+            [(100 + k, "fr", k)], "id long, lang string, v long"))
+    real = snap._publish_raw
+    calls = {"n": 0}
+
+    def crashing(root, version, payload):
+        real(root, version, payload)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash mid-merge")
+
+    monkeypatch.setattr(snap, "_publish_raw", crashing)
+    with pytest.raises(RuntimeError, match="mid-merge"):
+        snap.merge_branch(spark, brtable, "big")
+    monkeypatch.setattr(snap, "_publish_raw", real)
+    # partial state: one branch commit landed on main, ref still present
+    assert snap.latest_version(brtable) == 1
+    assert "big" in snap.branches(brtable)
+    assert _ids(spark, brtable) == list(range(8)) + [100]
+    # the re-run completes, publishing ONLY the two remaining commits
+    head = snap.merge_branch(spark, brtable, "big")
+    assert head == 3
+    assert _ids(spark, brtable) == list(range(8)) + [100, 101, 102]
+    assert snap.branches(brtable) == {}
+    # and a third run is a no-op (the branch is gone)
+    with pytest.raises(Exception):
+        snap.merge_branch(spark, brtable, "big")
+
+
+def test_branch_recreated_name_ignores_stale_merge_stamps(
+        spark, brtable, monkeypatch):
+    """A branch deleted after a partial merge and re-created under the
+    SAME name at the SAME base must not match the crashed merge's
+    stamps — the fork token differs, so every new-branch commit
+    publishes (matching on name+base alone would silently DROP the new
+    branch's first commit)."""
+    snap.create_branch(brtable, "wap", version=0)
+    broot = snap.branch_root(brtable, "wap")
+    for k in range(2):
+        snap.append(spark, broot, spark.createDataFrame(
+            [(100 + k, "fr", k)], "id long, lang string, v long"))
+    real = snap._publish_raw
+    calls = {"n": 0}
+
+    def crashing(root, version, payload):
+        real(root, version, payload)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash mid-merge")
+
+    monkeypatch.setattr(snap, "_publish_raw", crashing)
+    with pytest.raises(RuntimeError, match="mid-merge"):
+        snap.merge_branch(spark, brtable, "wap")
+    monkeypatch.setattr(snap, "_publish_raw", real)
+    assert _ids(spark, brtable) == list(range(8)) + [100]
+    # operator gives up on the old merge: drop the ref, re-fork at the
+    # SAME base under the SAME name, and do new work whose first branch
+    # version number (base+1 = 1) collides with the crashed merge's
+    # first published bv stamp
+    snap.delete_branch(brtable, "wap")
+    snap.create_branch(brtable, "wap", version=0)
+    broot = snap.branch_root(brtable, "wap")
+    snap.append(spark, broot, spark.createDataFrame(
+        [(300, "zh", 9)], "id long, lang string, v long"))
+    head = snap.merge_branch(spark, brtable, "wap")
+    assert head == 2
+    assert _ids(spark, brtable) == list(range(8)) + [100, 300]
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r09 #4: persisted ANN index metadata — versioned with the table
 # ---------------------------------------------------------------------------
@@ -3085,3 +3165,41 @@ def test_hashbucket_partition_point_prunes(spark, tmp_path):
         assert [r.k for r in got.collect()] == [probe]
     # a RANGE cannot map through a hash: no partition-tier pruning
     assert len(snap.pruned_files(root, {"k": (0, 5)})) == n_live
+    # the |key| < 2^31 portability bound is ENFORCED, not advisory
+    # (r10 ADVICE #3): beyond it Spark's int64 product wraps while the
+    # pure-Python probe's does not, so the writer fails loudly...
+    big = spark.createDataFrame([(2**31, "x")], "k long, payload string")
+    with pytest.raises(Exception, match=r"\|key\| < 2\^31"):
+        snap.append(spark, root, big)
+    # ...and an out-of-range PROBE never trusts a wrap-around bucket
+    # number: the partition tier abstains, the stats tier (exact
+    # min/max, and the writer guard means no file can hold such a key)
+    # makes the call — the answer stays exactly the unpruned filter's
+    for probe in (2**31, -(2**31)):
+        got = snap.read_pruned(spark, root, {"k": (probe, probe)}).filter(
+            f"k = {probe}")
+        assert got.count() == 0
+
+
+def test_create_branch_rejects_expired_base(spark, tmp_path):
+    """r10 ADVICE #4: a branch may only fork at a REPLAYABLE version.
+    After expire_log, versions below the newest checkpoint replay only
+    if they are exactly a checkpoint — forking below that floor would
+    make every later branch read fail with missing-commit errors, so
+    create_branch refuses up front."""
+    root = str(tmp_path / "brfloor")
+    df = spark.createDataFrame([(i, i * 10) for i in range(6)],
+                               "id long, v long")
+    snap.create(spark, root, df.filter("id < 2"))            # v0
+    snap.append(spark, root, df.filter("id >= 2 AND id < 4"))  # v1
+    snap.checkpoint(root)                                    # ck @ v1
+    snap.append(spark, root, df.filter("id >= 4"))           # v2
+    snap.expire_log(root)  # drops commits v0, v1
+    with pytest.raises(ValueError, match="not replayable"):
+        snap.create_branch(root, "tooold", version=0)
+    # exactly-at-checkpoint and above-the-floor bases still fork fine
+    assert snap.create_branch(root, "atck", version=1) == 1
+    assert snap.create_branch(root, "athead") == 2
+    broot = snap.branch_root(root, "atck")
+    assert sorted(r.id for r in snap.read(spark, broot).collect()) == \
+        [0, 1, 2, 3]

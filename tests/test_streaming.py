@@ -484,13 +484,27 @@ def test_cdc_rate_limit_bounds_backlog_batches(spark, tmp_path):
         offs.append(end["v"])
         start = end
     assert offs == [1, 3, 5, 5]
-    # restart recovery: a fresh reader re-anchors on the checkpointed
-    # start without planning an end behind it forever
+    # restart recovery (r10 ADVICE #1): on restart Spark calls
+    # latestOffset() BEFORE partitions(), with the batch start coming from
+    # the query checkpoint (here v=3) that the reader cannot see. The
+    # UNANCHORED first latestOffset must never clamp against reader-local
+    # state (since=-1 would plan v=1, BEHIND the checkpointed start —
+    # Spark would commit the regressed offset and re-emit versions 2..3).
     p2 = SnapshotChangesPartitionedStreamReader(
         {"path": root, "since_version": -1, "max_versions_per_batch": 2})
-    e1 = p2.latestOffset()           # clamped from since: may lag
-    p2.partitions({"v": 3}, e1)      # re-anchors the cursor at 3
+    e1 = p2.latestOffset()           # unanchored: true head, no clamp
+    assert e1 == {"v": 5}, "post-restart offset must not regress"
+    p2.partitions({"v": 3}, e1)      # checkpointed batch plans exactly
     assert p2.latestOffset() == {"v": 5}
+    # restart recovery with a PENDING batch: Spark replays it through
+    # partitions(start, end) first — that anchors the cursor, so the
+    # NEXT latestOffset is rate-limited from the replayed end, and a
+    # backlog appended after the restart drains in bounded steps again.
+    p3 = SnapshotChangesPartitionedStreamReader(
+        {"path": root, "since_version": -1, "max_versions_per_batch": 1})
+    p3.partitions({"v": 0}, {"v": 1})   # replayed checkpointed batch
+    assert p3.latestOffset() == {"v": 2}
+    assert p3.latestOffset() == {"v": 3}
 
     with pytest.raises(ValueError, match=">= 1"):
         SnapshotChangesStreamReader(

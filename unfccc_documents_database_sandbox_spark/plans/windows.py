@@ -638,7 +638,15 @@ def events_top_paths(spark, sf_dir):
         .withColumn("e3", F.lead("event_type", 2).over(w))
         .filter(F.col("e3").isNotNull())
         .select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+            # F.concat (NULL-propagating) to match the oracle's `||`
+            # exactly — concat_ws SKIPS nulls, so a NULL event_type in
+            # the first trigram slot would produce ">b>c" here but NULL
+            # in DuckDB (r10 ADVICE #5); with concat, both engines fold
+            # such trigrams into one NULL path group.
+            F.concat(
+                F.col("event_type"), F.lit(">"),
+                F.col("e2"), F.lit(">"), F.col("e3"),
+            ).alias("path")
         )
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))

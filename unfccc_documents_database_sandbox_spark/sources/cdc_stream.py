@@ -298,18 +298,40 @@ class SnapshotChangesPartitionedStreamReader(DataSourceStreamReader):
         self.since = int(options.get("since_version", -1))
         self.max_versions = _max_versions_opt(options)
         self.columns = [ph for _n, ph, _t in _head_schema(self.root)]
+        # Rate-limit cursor. UNANCHORED until the engine reveals the true
+        # batch start: Spark calls initialOffset() only on a FRESH query
+        # (no checkpoint) but calls latestOffset() first thing on a
+        # RESTART, where the start comes from the checkpoint — which this
+        # reader cannot see. Clamping that first post-restart
+        # latestOffset() against reader-local state (since_version) can
+        # return an end offset BEHIND the checkpointed start; Spark would
+        # commit the regressed offset and the next batch would re-emit
+        # already-delivered commit versions. So an unanchored
+        # latestOffset() never clamps (the offset can only move forward),
+        # and the cursor anchors via initialOffset() (fresh start) or
+        # partitions()/a later latestOffset (replay/steady state). The
+        # cost is one unbounded catch-up batch after a restart — the
+        # same best-effort admission-control contract as Delta's
+        # maxFilesPerTrigger.
         self._last = self.since
+        self._anchored = False
 
     def initialOffset(self):
+        # only a fresh (checkpoint-less) query reaches here — the
+        # since_version floor IS the true start, so the cursor can anchor
+        self._anchored = True
         return {"v": self.since}
 
     def latestOffset(self):
         versions = _commit_versions(self.root)
         hi = versions[-1] if versions else self.since
-        # admission control: advance the planned end offset by at most
-        # max_versions_per_batch commits past the last planned offset
-        hi = _clamp_hi(self._last, hi, self.max_versions)
+        if self._anchored:
+            # admission control: advance the planned end offset by at
+            # most max_versions_per_batch commits past the last planned
+            # offset
+            hi = _clamp_hi(self._last, hi, self.max_versions)
         self._last = max(self._last, hi)
+        self._anchored = True
         return {"v": hi}
 
     def partitions(self, start, end):
@@ -318,6 +340,7 @@ class SnapshotChangesPartitionedStreamReader(DataSourceStreamReader):
         # on the first planned batch's true offsets (a restarted reader
         # starts from the query checkpoint, not from since_version)
         self._last = max(self._last, lo, hi)
+        self._anchored = True
         # Spark requires >= 1 partition; an empty range reads no rows
         return [
             _CommitPartition(v) for v in range(lo + 1, hi + 1)

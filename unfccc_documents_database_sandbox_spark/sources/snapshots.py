@@ -161,10 +161,16 @@ def _ref_dir(root: str, name: str) -> str:
 
 def _ref_base(root: str) -> int:
     """The branch's base version (immutable after create_branch)."""
+    return int(_ref_meta(root)["base"])
+
+
+def _ref_meta(root: str) -> dict:
+    """The branch ref record: {"name", "base", "token"} ("token" absent
+    on refs created before the merge-resume stamp existed)."""
     base_root, name = _split_ref(root)
     with open(os.path.join(_ref_dir(base_root, name), "_base.json"),
               encoding="utf-8") as fh:
-        return int(json.load(fh)["base"])
+        return json.load(fh)
 
 
 def _log_dir(root: str) -> str:
@@ -300,6 +306,7 @@ def _norm_partition_spec(partition_by) -> list[dict]:
 # two sides must agree bit-for-bit (source keys beyond ±2^31 should
 # bucket on a pre-narrowed column).
 _HB_A, _HB_B, _HB_P = 1_103_515_245, 1_442_695, 2**31 - 1
+_HB_RANGE = 2**31  # |key| must stay below this; enforced in _partition_expr
 
 
 def _hash_bucket(x: int, n: int) -> int:
@@ -331,14 +338,22 @@ def _partition_expr(spec: dict):
         )
     if t == "hashbucket":
         # pmod twice: inner pmod keeps the Carter-Wegman value in
-        # [0, P) exactly like Python %, outer picks the bucket
-        return F.pmod(
-            F.pmod(
-                F.col(spec["source"]).cast("long") * F.lit(_HB_A)
-                + F.lit(_HB_B),
-                F.lit(_HB_P),
-            ),
-            F.lit(spec["param"]),
+        # [0, P) exactly like Python %, outer picks the bucket. The
+        # |key| < 2^31 portability constraint (see _HB_A above) is
+        # ENFORCED, not just documented (r10 ADVICE #3): beyond it,
+        # Spark's int64 product wraps while the pure-Python probe's
+        # does not, and `pruned_files` could silently drop a file that
+        # contains the probed key — so the writer fails loudly instead.
+        src = F.col(spec["source"]).cast("long")
+        return F.when(
+            F.abs(src) >= F.lit(_HB_RANGE),
+            F.raise_error(F.lit(
+                f"hashbucket({spec['source']}) requires |key| < 2^31 "
+                "(portable-hash int64-overflow bound) — bucket a "
+                "pre-narrowed column instead")),
+        ).otherwise(
+            F.pmod(F.pmod(src * F.lit(_HB_A) + F.lit(_HB_B), F.lit(_HB_P)),
+                   F.lit(spec["param"])),
         )
     raise ValueError(f"unknown partition transform {t!r}")
 
@@ -826,6 +841,13 @@ def pruned_files(
                 # recorded bucket or the file can't contain the key.
                 # Ranges are undecidable — degrade to the stats tier.
                 if lo is None or hi is None or lo != hi:
+                    return False, True
+                if abs(int(lo)) >= _HB_RANGE:
+                    # out of the portable-hash range (which the writer
+                    # enforces, so no stored key can match anyway):
+                    # degrade to the stats tier rather than trust a
+                    # bucket number Spark would have computed with int64
+                    # wrap-around (r10 ADVICE #3)
                     return False, True
                 keep_b = int(raw) == _hash_bucket(int(lo), spec["param"])
                 return True, keep_b
@@ -1856,12 +1878,35 @@ def create_branch(root: str, name: str, version: int | None = None) -> int:
         version = head
     if not 0 <= version <= head:
         raise ValueError(f"version {version} not in [0, {head}]")
+    # the base must be REPLAYABLE, not merely <= head (r10 ADVICE #4):
+    # after expire_log, versions below the newest checkpoint replay only
+    # if they ARE a checkpoint (their follow-up commits are deleted) —
+    # forking under that floor would make every read of the branch fail
+    # later with missing-commit errors, so refuse at create time
+    commits_present = set(_commit_versions(root))
+    cks = _checkpoint_versions(root)
+    ck = max((c for c in cks if c <= version), default=None)
+    lo = 0 if ck is None else ck + 1
+    missing = [v for v in range(lo, version + 1) if v not in commits_present]
+    if missing:
+        raise ValueError(
+            f"create_branch: base v{version} is not replayable — commit(s) "
+            f"{missing[:3]}{'...' if len(missing) > 3 else ''} were expired "
+            f"(oldest replayable floor is the newest checkpoint"
+            f"{f' v{cks[-1]}' if cks else ''}; fork at or above it, or "
+            "exactly at a checkpointed version)")
     d = _ref_dir(root, name)
     os.makedirs(d, exist_ok=True)
     fd = os.open(os.path.join(d, "_base.json"),
                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     with os.fdopen(fd, "w") as fh:
-        json.dump({"name": name, "base": version}, fh)
+        # the fork token makes merge resume-stamps unambiguous: a branch
+        # deleted mid-merge and re-created under the same name (even at
+        # the same base) mints a fresh token, so the old merge's
+        # `merged_from` stamps on main can never be mistaken for the new
+        # branch's publications (r10 ADVICE #2)
+        json.dump({"name": name, "base": version,
+                   "token": uuid.uuid4().hex}, fh)
     return version
 
 
@@ -1925,17 +1970,39 @@ def merge_branch(spark: SparkSession, root: str, name: str,
     publication re-checks the remaining chain and continues (commits
     already published stay — the documented mid-merge seam).
 
+    Resumable (r10 ADVICE #2): every published commit is stamped with
+    `merged_from` = {branch, base, bv, token} in its (immutable) main
+    commit JSON, so a merge that crashed after publishing part of the
+    chain can be re-run — the re-run reads the stamps off main, skips
+    the branch versions already published, and continues. Without the
+    stamp a re-run could not recognize a published APPEND (its
+    _commit_touched() is empty, so the conflict check passes) and would
+    republish it, duplicating rows.
+
     Returns main's new head version."""
     _check_write_protocol(root)
     _no_ref(root, "merge_branch")
     broot = branch_root(root, name)
-    base = _ref_base(broot)
+    meta = _ref_meta(broot)
+    base, token = int(meta["base"]), meta.get("token")
     bvers = [v for v in _commit_versions(broot) if v > base]
     queue = [dict(_load_commit(broot, v)) for v in bvers]
+    # resume: branch versions a prior (crashed) run of THIS merge already
+    # published are recorded on main itself — skip them, and exempt their
+    # main commits from the interloper conflict check below
+    published: set[int] = set()
+    done_bvs: set[int] = set()
+    for mv in range(base + 1, latest_version(root) + 1):
+        stamp = _load_commit(root, mv).get("merged_from")
+        if (stamp and stamp.get("branch") == name
+                and stamp.get("base") == base
+                and stamp.get("token") == token):
+            done_bvs.add(stamp["bv"])
+            published.add(mv)
+    queue = [c for c in queue if c["version"] not in done_bvs]
     if not queue:
         delete_branch(root, name)
         return latest_version(root)
-    published: set[int] = set()
     checked_to = base
     attempt = 0
     while queue:
@@ -1972,7 +2039,15 @@ def merge_branch(spark: SparkSession, root: str, name: str,
                         L["row_watermark"] = run_wm
         checked_to = head
         try:
-            _publish_raw(root, head + 1, queue[0])
+            # the stamp is the resume record: it rides IN the published
+            # commit JSON, so it survives a crash at any point (there is
+            # no separate progress file to fall out of sync with)
+            stamped = dict(queue[0])
+            stamped["merged_from"] = {
+                "branch": name, "base": base,
+                "bv": queue[0]["version"], "token": token,
+            }
+            _publish_raw(root, head + 1, stamped)
         except FileExistsError:
             attempt += 1
             if attempt > max_retries:
