@@ -219,6 +219,111 @@ def test_merge_duplicate_source_keys_raise(spark, table):
     assert snap.latest_version(table) == head  # nothing committed
 
 
+def test_merge_sync_deletes_unmatched_and_feed_is_o_diff(spark, table):
+    """VERDICT r10 #2: WHEN NOT MATCHED BY SOURCE THEN DELETE — a
+    full-source merge makes the table EQUAL the source (like an
+    overwrite) in ONE commit, while the typed change feed carries only
+    the actual diff: unchanged matched rows cancel in the add/remove
+    exceptAll, so they emit NO change rows."""
+    # source = new truth: id 3 updated, id 99 new, ids 0..9 except 3
+    # unchanged, ids 10..19 ABSENT (to be synced out)
+    src = spark.createDataFrame(
+        [(i, f"row{i}", "de" if i % 4 == 0 else "en") for i in range(10)
+         if i != 3]
+        + [(3, "UPDATED", "fr"), (99, "NEW", "fr")],
+        "id long, payload string, lang string",
+    )
+    v = snap.merge_into(spark, table, src, ["id"],
+                        not_matched_by_source="delete")
+    got = {r.id: (r.payload, r.lang) for r in snap.read(spark, table).collect()}
+    want = {r.id: (r.payload, r.lang) for r in src.collect()}
+    assert got == want  # result == overwrite-with-source
+    feed = snap.changes(spark, table, v - 1, v, classify_updates=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert sorted(by_type.pop("delete")) == list(range(10, 20))
+    assert by_type.pop("insert") == [99]
+    assert by_type.pop("update_preimage") == [3]
+    assert by_type.pop("update_postimage") == [3]
+    assert not by_type  # ids 0..9 (minus 3) emitted NOTHING: O(diff)
+    # pre-merge snapshot untouched
+    assert snap.read(spark, table, v - 1).count() == 20
+
+
+def test_merge_sync_condition_null_keeps_row(spark, tmp_path):
+    """whenNotMatchedBySource(condition): only unmatched rows where the
+    predicate is TRUE are deleted — FALSE **or NULL** keeps the row, and
+    only files holding a matched or deletable row are rewritten."""
+    root = str(tmp_path / "msc")
+    df = spark.createDataFrame(
+        [(1, 5, "keep-false"), (2, None, "keep-null"), (3, 50, "del-true"),
+         (4, 7, "matched")],
+        "id long, score long, note string",
+    )
+    snap.create(spark, root, df)
+    src = spark.createDataFrame([(4, 7, "matched-upd")],
+                                "id long, score long, note string")
+    snap.merge_into(spark, root, src, ["id"],
+                    not_matched_by_source="delete",
+                    not_matched_by_source_condition="score > 10")
+    got = {r.id: r.note for r in snap.read(spark, root).collect()}
+    assert got == {1: "keep-false", 2: "keep-null", 4: "matched-upd"}
+    with pytest.raises(ValueError, match="requires"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source_condition="score > 10")
+    with pytest.raises(ValueError, match="must be None or 'delete'"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update")
+
+
+def test_merge_sync_preserves_row_ids_and_composes_with_evolve(
+        spark, tmp_path):
+    """Clause interaction: one commit can update (keeping the target's
+    stable row id), insert (minting a fresh id), sync-delete (the id
+    vanishes), AND evolve the schema additively."""
+    root = str(tmp_path / "msr")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(6)], "id long, v long")
+    snap.create(spark, root, df, row_tracking=True)
+    rid0 = {r.id: r._row_id
+            for r in snap.read_with_row_ids(spark, root).collect()}
+    src = spark.createDataFrame(
+        [(0, 999, "a"), (1, 10, "b"), (100, 1, "c")],
+        "id long, v long, extra string")
+    snap.merge_into(spark, root, src, ["id"], evolve=True,
+                    not_matched_by_source="delete")
+    rows = {r.id: r for r in
+            snap.read_with_row_ids(spark, root).collect()}
+    assert sorted(rows) == [0, 1, 100]
+    assert rows[0]._row_id == rid0[0] and rows[1]._row_id == rid0[1]
+    assert rows[100]._row_id not in set(rid0.values())
+    assert rows[0].extra == "a" and rows[0].v == 999
+    # ids 2..5 synced out; the schema gained `extra` in the same commit
+    assert [f.name for f in snap.table_schema(root)] == ["id", "v", "extra"]
+
+
+def test_merge_sync_conflict_classification(spark, monkeypatch, tmp_path):
+    """Conflict matrix: a sync merge is a REWRITE of every file holding a
+    matched or deletable row — racing it against a delete of the same
+    file raises ConcurrentWriteConflict (same-file rule), retries or
+    not."""
+    root = str(tmp_path / "msx")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(8)], "id long, v long")
+    snap.create(spark, root, df.coalesce(1))  # one file: guaranteed overlap
+    src = spark.createDataFrame([(1, 111)], "id long, v long")
+    fired = _race(monkeypatch, "merge",
+                  lambda: snap.delete_where(spark, root, "id = 7"))
+    with pytest.raises(snap.ConcurrentWriteConflict, match="same files"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="delete", max_retries=3)
+    assert fired["done"]
+    # the winner's delete stands; the loser published nothing
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == \
+        list(range(7))
+
+
 def test_racing_writers_never_mix_part_files(spark, table):
     """Per-writer payload dirs (r07 ADVICE #1): a writer that wrote parquet
     but crashed before committing leaves an orphan dir that (a) is invisible

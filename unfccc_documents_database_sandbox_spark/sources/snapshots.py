@@ -2762,6 +2762,8 @@ def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
     evolve: bool = False,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
     max_retries: int = 0,
 ) -> int:
     """Transactional MERGE (upsert): rows in ``source`` whose key matches a
@@ -2786,10 +2788,44 @@ def merge_into(
     Without it, an extra source column raises (the default contract:
     raise, don't coerce).
 
+    ``not_matched_by_source="delete"`` is Delta's third MERGE clause
+    (WHEN NOT MATCHED BY SOURCE THEN DELETE — the "sync" shape,
+    VERDICT r10 #2): target rows whose key has NO source match are
+    deleted in the SAME commit, so a full-source merge makes the table
+    equal an overwrite while the change feed carries only the actual
+    diff (unchanged matched rows cancel in the CDF's add/remove
+    exceptAll; see `changes`). ``not_matched_by_source_condition``
+    restricts the clause exactly like Delta's
+    whenNotMatchedBySource(condition): only unmatched rows where the
+    predicate is TRUE are deleted — FALSE **or NULL** keeps the row.
+    File granularity still bounds the rewrite: only files containing a
+    matched OR a deletable row are rewritten; with no condition and a
+    small source that is honestly most of the table (the full-sync
+    cost, same as Delta).
+
     At 100 TB the matched-file discovery is a broadcast semi-join of the
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
     _check_write_protocol(root)
+    if not_matched_by_source not in (None, "delete"):
+        raise ValueError(
+            "merge_into: not_matched_by_source must be None or 'delete', "
+            f"got {not_matched_by_source!r} (UPDATE-by-source is not "
+            "implemented)")
+    if (not_matched_by_source_condition is not None
+            and not_matched_by_source is None):
+        raise ValueError(
+            "merge_into: not_matched_by_source_condition requires "
+            "not_matched_by_source='delete'")
+    sync_delete = not_matched_by_source == "delete"
+    # Delta clause semantics: delete where the condition is TRUE; FALSE
+    # or NULL keeps the row (never let a NULL predicate delete data)
+    _del_pred = (
+        F.coalesce(
+            F.expr(not_matched_by_source_condition).cast("boolean"),
+            F.lit(False))
+        if not_matched_by_source_condition is not None else F.lit(True)
+    )
     version = latest_version(root) + 1
     pinned = table_schema(root)
     schema, schema_json = pinned, None
@@ -2852,12 +2888,17 @@ def merge_into(
         # under the DV anti-join's second file source), and DV'd rows
         # can't match — a merge never resurrects a MOR-deleted row
         cur = _scan(spark, root, lineage=True)
-        hit_rows = (
-            cur.join(F.broadcast(keys), key_cols, "left_semi")
+        hit_files = cur.join(F.broadcast(keys), key_cols, "left_semi") \
             .select("__src")
-            .distinct()
-            .collect()
-        )
+        if sync_delete:
+            # the third clause widens the rewrite set: files holding an
+            # unmatched row the condition deletes must rewrite too
+            hit_files = hit_files.unionByName(
+                cur.join(F.broadcast(keys), key_cols, "left_anti")
+                .filter(_del_pred)
+                .select("__src")
+            )
+        hit_rows = hit_files.distinct().collect()
         rel_of = _rel_by_name(files)
         hit = sorted(rel_of[r["__src"]] for r in hit_rows)
     else:  # merging into an empty table is a pure insert
@@ -2874,6 +2915,10 @@ def merge_into(
             _scan_files(spark, root, hit, schema, dv_map(root))
         )
         survivors = base_scan.join(F.broadcast(keys), key_cols, "left_anti")
+        if sync_delete:
+            # unmatched rows where the clause fires are DELETED; the
+            # rest of the rewritten files' unmatched rows are carried
+            survivors = survivors.filter(~_del_pred)
         if track:
             # a matched key is an UPDATE: the replacing source row KEEPS
             # the target row's stable id (MIN over any replaced
