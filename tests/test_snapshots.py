@@ -207,6 +207,77 @@ def test_evolve_schema_null_fills_history(spark, table):
         ))
 
 
+def test_widen_column_type_is_metadata_only_and_exact(spark, tmp_path):
+    """VERDICT r10 #3 (Delta type widening): retyping int→long,
+    float→double, decimal(5,2)→decimal(10,4) is ONE metadata commit each
+    — zero files rewritten; the head scan reads the narrow-era files
+    under the wide schema bit-exactly via Spark 4's parquet type
+    promotions, post-widening appends carry values the narrow types
+    could not, and time travel keeps the narrow era."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        DecimalType, DoubleType, LongType, IntegerType,
+    )
+
+    root = str(tmp_path / "widen")
+    df = spark.createDataFrame(
+        [(i, float(i) + 0.5, Decimal(f"{i}.25")) for i in range(4)],
+        "id int, x float, m decimal(5,2)",
+    )
+    snap.create(spark, root, df)
+    files_v0 = set(snap.live_files(root))
+    snap.widen_column_type(root, "id", "long")
+    snap.widen_column_type(root, "x", DoubleType())
+    v = snap.widen_column_type(root, "m", "decimal(10,4)")
+    assert set(snap.live_files(root)) == files_v0  # nothing rewritten
+    sch = snap.table_schema(root)
+    assert isinstance(sch["id"].dataType, LongType)
+    assert isinstance(sch["x"].dataType, DoubleType)
+    assert sch["m"].dataType == DecimalType(10, 4)
+    got = {r.id: (r.x, r.m) for r in snap.read(spark, root).collect()}
+    assert got[3] == (3.5, Decimal("3.2500"))  # old files, widened, exact
+    # the wide type now admits values the narrow era could not hold
+    snap.append(spark, root, spark.createDataFrame(
+        [(2**40, 1e300, Decimal("123456.0625"))],
+        "id long, x double, m decimal(10,4)"))
+    assert snap.read(spark, root).filter(f"id = {2**40}").count() == 1
+    # time travel below the widening keeps the narrow era
+    old = snap.read(spark, root, v - 3)
+    assert isinstance(old.schema["id"].dataType, IntegerType)
+    assert old.count() == 4
+    # a narrow-era writer must now fail loudly, not silently narrow
+    with pytest.raises(ValueError, match="retyped"):
+        snap.append(spark, root, spark.createDataFrame(
+            [(5, 1.5, Decimal("1.25"))], "id int, x float, m decimal(5,2)"))
+
+
+def test_widen_column_type_refuses_narrowing_and_lossy(spark, tmp_path):
+    """The reverse direction genuinely requires a rewrite, so every lossy
+    retype refuses: long→int, double→float, decimal scale shrink,
+    decimal integer-digit shrink, and cross-kind retypes."""
+    from decimal import Decimal
+
+    root = str(tmp_path / "narrow")
+    df = spark.createDataFrame(
+        [(1, 2.0, Decimal("1.2500"), "s")],
+        "id long, x double, m decimal(10,4), t string",
+    )
+    snap.create(spark, root, df)
+    for col, bad in [("id", "int"), ("x", "float"), ("m", "decimal(10,2)"),
+                     ("m", "decimal(8,4)"), ("t", "long"), ("id", "string"),
+                     ("id", "double"), ("m", "decimal(10,4)")]:
+        with pytest.raises(ValueError, match="not a lossless widening"):
+            snap.widen_column_type(root, col, bad)
+    with pytest.raises(ValueError, match="no such column"):
+        snap.widen_column_type(root, "nope", "long")
+    # widening is a METADATA commit: it conflicts with every concurrent
+    # writer in the conflict matrix, like any schema change
+    c = snap._load_commit(
+        root, snap.widen_column_type(root, "m", "decimal(12,4)"))
+    assert "schema" in c and not c.get("add") and not c.get("remove")
+
+
 def test_merge_duplicate_source_keys_raise(spark, table):
     """Delta-MERGE semantics: multiple source rows matching one target key
     is an error, not a silent duplicate insert (r07 ADVICE #4)."""
