@@ -446,3 +446,51 @@ def test_pyds_stream_offset_algebra_and_replay():
     assert replay == seen
     mid = list(r.readBetweenOffsets({"pos": 300}, {"pos": 600}))
     assert mid == seen[300:600]
+
+
+def test_xml_parse_orders_elements_and_strips_namespaces():
+    """Golden parse: pre-order seq, parent/child linkage, depth, sorted
+    deterministic JSON attrs, local tag names under a namespace, and
+    whitespace-only text folding to None."""
+    from unfccc_documents_database_sandbox_spark.sources.xmlsrc import parse_xml_bytes
+
+    rows = parse_xml_bytes(
+        b'<ns:doc xmlns:ns="http://x" b="2" a="1">\n'
+        b"  <ns:head>Title</ns:head>"
+        b'  <ns:body kind="main"><ns:p>one</ns:p><ns:p>two</ns:p></ns:body>'
+        b"</ns:doc>"
+    )
+    assert [(r["seq"], r["parent_seq"], r["depth"], r["tag"], r["text"])
+            for r in rows] == [
+        (0, None, 0, "doc", None),
+        (1, 0, 1, "head", "Title"),
+        (2, 0, 1, "body", None),
+        (3, 2, 2, "p", "one"),
+        (4, 2, 2, "p", "two"),
+    ]
+    assert rows[0]["attrs"] == '{"a":"1","b":"2"}'  # sorted, compact
+    assert rows[2]["attrs"] == '{"kind":"main"}'
+
+
+def test_xml_rows_through_spark_and_permissive(spark, tmp_path):
+    """binaryFile → mapInPandas element rows end-to-end; permissive=True
+    turns malformed XML into one '_corrupt' row (strict raises)."""
+    import pytest
+
+    from unfccc_documents_database_sandbox_spark.sources.io import read_binary_docs
+    from unfccc_documents_database_sandbox_spark.sources.xmlsrc import xml_to_rows
+
+    d = tmp_path / "xml"
+    d.mkdir()
+    (d / "good.xml").write_text("<r><c>hello</c></r>")
+    rows = xml_to_rows(read_binary_docs(spark, str(d))).collect()
+    assert [(r.tag, r.text) for r in sorted(rows, key=lambda r: r.seq)] == [
+        ("r", None), ("c", "hello")]
+    (d / "bad.xml").write_text("<r><unclosed>")
+    with pytest.raises(Exception):
+        xml_to_rows(read_binary_docs(spark, str(d))).collect()
+    out = xml_to_rows(read_binary_docs(spark, str(d)), permissive=True).collect()
+    bad = [r for r in out if r.tag == "_corrupt"]
+    assert len(bad) == 1 and bad[0].path.endswith("bad.xml")
+    assert bad[0].seq is None and "ParseError" in bad[0].text
+    assert len([r for r in out if r.tag == "c"]) == 1  # good file intact

@@ -270,6 +270,71 @@ def xlsx_ingest(spark, sf_dir):
     )
 
 
+@register(
+    "xml_ingest",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('a.xml', CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+         'decision', '{"body":"COP","symbol":"1/CP.21"}', CAST(NULL AS VARCHAR)),
+        ('a.xml', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         'title', '{}', 'Adoption of the Paris Agreement'),
+        ('a.xml', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         'paragraph', '{"num":"1"}', 'Decides to adopt the agreement'),
+        ('a.xml', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         'paragraph', '{"num":"2"}', 'Requests the secretariat'),
+        ('b.xml', CAST(0 AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+         'report', '{}', CAST(NULL AS VARCHAR)),
+        ('b.xml', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+         'section', '{"id":"s1"}', 'Annex text')
+    ) AS t(file_name, seq, parent_seq, depth, tag, attrs, text)
+    """,
+)
+def xml_ingest(spark, sf_dir):
+    """S5 bare-XML ingestion, the third lxml-pinned path of the reference
+    (decisions-summaries/requirements.txt:35; DOCX and XLSX are the ZIP+XML
+    siblings, VERDICT r10 #4): land fixed XML documents, read them through
+    the binaryFile source, and shred each element tree to relational rows
+    (seq/parent_seq/depth/tag/sorted-JSON attrs/text — sources/xmlsrc.py,
+    stdlib ElementTree in Arrow batches). One fixture carries attributes
+    and nesting, the other a namespace (tags read by local name). Fixture
+    content is fixed, so the expected output is a VALUES literal —
+    hash-checked like docx_ingest/xlsx_ingest; parser ordering, namespace
+    stripping, and the permissive-corrupt contract are golden-tested in
+    tests/test_sources.py."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.io import read_binary_docs
+    from unfccc_documents_database_sandbox_spark.sources.xmlsrc import xml_to_rows
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    docs_dir = os.path.join(repo_root, ".csv_tmp", "xml_ingest")
+    os.makedirs(docs_dir, exist_ok=True)
+    fixtures = {
+        "a.xml": (
+            '<decision symbol="1/CP.21" body="COP">\n'
+            "  <title>Adoption of the Paris Agreement</title>\n"
+            '  <paragraph num="1">Decides to adopt the agreement</paragraph>\n'
+            '  <paragraph num="2">Requests the secretariat</paragraph>\n'
+            "</decision>"
+        ),
+        "b.xml": (
+            '<d:report xmlns:d="http://example.org/doc">'
+            '<d:section id="s1">Annex text</d:section></d:report>'
+        ),
+    }
+    for name, payload in fixtures.items():
+        with open(os.path.join(docs_dir, name), "w", encoding="utf-8") as fh:
+            fh.write(payload)
+
+    rows = xml_to_rows(read_binary_docs(spark, docs_dir))
+    return rows.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        "seq", "parent_seq", "depth", "tag", "attrs", "text",
+    )
+
+
 @register("catalog_tables", oracle=None, tags=("rows-only",))
 def catalog_tables(spark, sf_dir):
     """S3 catalog introspection (reference: probe.py:6-7
