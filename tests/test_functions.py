@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.functions.text import (
@@ -372,3 +374,75 @@ def test_udtf_segments_drops_null_text_docs(spark):
         """
     ).collect()
     assert [(r.doc_id, r.n) for r in rows] == [(1, 2), (3, 1)]
+
+
+def test_polymorphic_udtf_derives_schema_from_table_arg(spark):
+    """VERDICT r10 #6: the UDTF's output schema is computed by analyze()
+    from the TABLE argument — string columns pass through as keys,
+    integral columns become sum_<c> BIGINT; all-NULL sums stay NULL (SQL
+    SUM); the same UDTF serves a DIFFERENT table shape unchanged."""
+    from unfccc_documents_database_sandbox_spark.functions.udtfs import (
+        make_sum_numeric_cols_udtf,
+    )
+
+    spark.udtf.register("sum_numeric_cols_t", make_sum_numeric_cols_udtf())
+    spark.createDataFrame(
+        [("a", 1, None), ("a", 2, None), ("b", 3, None)],
+        "g string, x long, y long",
+    ).createOrReplaceTempView("poly_in1")
+    out = spark.sql(
+        "SELECT * FROM sum_numeric_cols_t("
+        "TABLE(SELECT * FROM poly_in1) PARTITION BY g) ORDER BY g"
+    )
+    assert out.schema.simpleString() == \
+        "struct<g:string,sum_x:bigint,sum_y:bigint>"
+    assert [tuple(r) for r in out.collect()] == \
+        [("a", 3, None), ("b", 3, None)]
+    # a different shape: more numerics, int (not long) widens to bigint
+    spark.createDataFrame(
+        [("k", 1, 10, 100)], "k string, a int, b long, c long",
+    ).createOrReplaceTempView("poly_in2")
+    out2 = spark.sql(
+        "SELECT * FROM sum_numeric_cols_t("
+        "TABLE(SELECT * FROM poly_in2) PARTITION BY k)"
+    )
+    assert out2.schema.simpleString() == \
+        "struct<k:string,sum_a:bigint,sum_b:bigint,sum_c:bigint>"
+    assert [tuple(r) for r in out2.collect()] == [("k", 1, 10, 100)]
+    # no integral column -> analyze() itself refuses, at plan time
+    spark.createDataFrame([("s", 1.5)], "s string, f double") \
+        .createOrReplaceTempView("poly_in3")
+    with pytest.raises(Exception, match="no.*integral"):
+        spark.sql(
+            "SELECT * FROM sum_numeric_cols_t("
+            "TABLE(SELECT * FROM poly_in3) PARTITION BY s)").collect()
+
+
+def test_polymorphic_udtf_constant_arity_with_lateral(spark):
+    """Constant-argument polymorphism + LATERAL correlation: the output
+    ARITY (f1..fn) comes from the literal n; short rows NULL-fill,
+    long rows truncate, NULL text yields nothing (inner lateral drops
+    the row); a non-literal n is rejected by analyze()."""
+    from unfccc_documents_database_sandbox_spark.functions.udtfs import (
+        make_split_fields_udtf,
+    )
+
+    spark.udtf.register("split_fields_t", make_split_fields_udtf())
+    spark.createDataFrame(
+        [(1, "a,b,c"), (2, "x"), (3, "p,q,r,s"), (4, None)],
+        "id long, csv string",
+    ).createOrReplaceTempView("lat_in")
+    out = spark.sql(
+        """
+        SELECT d.id, s.f1, s.f2, s.f3
+        FROM lat_in d, LATERAL split_fields_t(d.csv, 3) s
+        ORDER BY d.id
+        """
+    )
+    assert out.columns == ["id", "f1", "f2", "f3"]
+    assert [tuple(r) for r in out.collect()] == [
+        (1, "a", "b", "c"), (2, "x", None, None), (3, "p", "q", "r")]
+    with pytest.raises(Exception, match="positive integer LITERAL"):
+        spark.sql(
+            "SELECT * FROM lat_in d, "
+            "LATERAL split_fields_t(d.csv, CAST(d.id AS INT)) s").collect()
