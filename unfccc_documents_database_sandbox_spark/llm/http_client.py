@@ -20,6 +20,7 @@ scales with partitions instead of being capped by one driver-side client.
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 from collections.abc import Sequence
 
@@ -38,8 +39,20 @@ class HttpChatModel:
             data=payload,
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            body = json.load(resp)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = json.load(resp)
+        except urllib.error.HTTPError as exc:
+            # rate-limit hardening (VERDICT r10 #7): surface the server's
+            # own 429 Retry-After window to the stage-level retry loop —
+            # the one retry policy — as a ``retry_after`` attribute
+            hint = exc.headers.get("Retry-After") if exc.headers else None
+            if exc.code == 429 and hint is not None:
+                try:
+                    exc.retry_after = float(hint)
+                except ValueError:
+                    pass  # HTTP-date form: fall back to the backoff curve
+            raise
         results = body["results"]
         # fail LOUDLY at the seam: a dropped/reordered/empty results list
         # with HTTP 200 would otherwise misalign doc->summary pairing deep

@@ -37,3 +37,42 @@ class StubChatModel:
                 }
             )
         return out
+
+
+class FlakyStubModel(StubChatModel):
+    """Fault-injecting stub (VERDICT r10 #7): raises ``failures``-many
+    transient errors per distinct batch, then answers like StubChatModel.
+    The attempt ledger is a spool DIRECTORY of O_EXCL-created marker
+    files keyed by batch-content hash — it works across Python worker
+    processes on one host (the retry tests' seam; a real cluster test
+    would use the HTTP flaky server in tests/test_llm.py instead), and
+    it makes the failure schedule deterministic per batch regardless of
+    which worker runs which attempt. ``retry_after`` optionally attaches
+    a rate-limit hint to the raised error, exercising the server-window
+    path of ``llm.batch.summarize``'s retry loop."""
+
+    def __init__(self, spool_dir: str, failures: int = 2,
+                 retry_after: float | None = None):
+        self.spool_dir = spool_dir
+        self.failures = failures
+        self.retry_after = retry_after
+
+    def complete_batch(self, prompts: Sequence[str]) -> list[dict]:
+        import os
+
+        key = hashlib.sha256("\x00".join(prompts).encode()).hexdigest()[:32]
+        attempt = 0
+        while True:
+            try:
+                os.close(os.open(
+                    os.path.join(self.spool_dir, f"{key}.{attempt}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                attempt += 1
+        if attempt < self.failures:
+            exc = RuntimeError(f"transient failure #{attempt + 1}")
+            if self.retry_after is not None:
+                exc.retry_after = self.retry_after
+            raise exc
+        return super().complete_batch(prompts)
