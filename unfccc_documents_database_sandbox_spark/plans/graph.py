@@ -20,21 +20,74 @@ from unfccc_documents_database_sandbox_spark.registry import register
 _SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total rank mass
 _ITER = 2
 
-# persist-generation lifecycle (operators/dedup.py:250 pattern): the edge
-# list feeds outdeg + both sides of every iteration's join — unpersisted,
-# each reference re-derives lineitem ⋈ orders from scratch. Each call
-# evicts the previous call's caches; results are lazy, so a call can't
-# evict its own. CONTRACT: consume (collect/write) a build() result before
-# building the next graph plan — interleaved builds are still CORRECT
-# (unpersist only drops the cache; lineage recomputes), but the earlier
-# plan silently loses its cache reuse. Not thread-safe for the same
-# reason; the driver harness is single-threaded by design.
+# persist-generation lifecycle (operators/dedup.py:250 pattern): per-key
+# intermediates (node lists, edge⋈outdeg slices, BFS layers) feed several
+# downstream joins each — unpersisted, every reference re-derives them.
+# Each call evicts the previous call's caches; results are lazy, so a
+# call can't evict its own. CONTRACT: consume (collect/write) a build()
+# result before building the next graph plan — interleaved builds are
+# still CORRECT (unpersist only drops the cache; lineage recomputes), but
+# the earlier plan silently loses its cache reuse. Not thread-safe for
+# the same reason; the driver harness is single-threaded by design.
 _PERSISTED: list = []
 
 
 def _evict_generation() -> None:
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+
+
+# Shared edge-builder (VERDICT r10 #5): all three graph keys walk the SAME
+# customer-supplier trading graph, and each used to re-derive it from
+# orders ⋈ lineitem per call — three identical scans+joins per bench pass.
+# One persisted WEIGHTED edge table per (application, sf_dir) now serves
+# everyone: sssp consumes it whole, pagerank/bfs project (src, dst) off it
+# (the weighted build's distinct (src, dst, MIN w) rows project to exactly
+# the distinct mirrored pair set the unweighted derivation produced, so
+# every key's output hash is unchanged). Unlike _PERSISTED, this cache
+# SURVIVES across key calls — that is its whole point — and evicts only
+# when the (application, sf_dir) changes (a new session or scale factor).
+_EDGE_CACHE: dict[tuple, object] = {}
+
+
+def _trade_edges(spark, sf_dir):
+    """The symmetric weighted customer-supplier edge table: one row per
+    directed (src, dst) with ids disambiguated even/odd (2*custkey /
+    2*suppkey+1) and w = MIN(l_quantity % 9 + 1) over the pair's lines,
+    mirrored both ways with the pairwise MIN. Persisted and memoized per
+    (application, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    while _EDGE_CACHE:
+        _EDGE_CACHE.popitem()[1].unpersist()
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long") % 9 + 1).alias("w"))
+    )
+    # src ids are even, dst ids odd, so the mirrored rows can never
+    # collide with originals; the groupBy keeps the pairwise MIN weight
+    # (and IS the dedup — one exchange total for the symmetric set)
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                      "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
 
 
 def _pagerank_oracle(iters: int = _ITER) -> str:
@@ -90,29 +143,9 @@ def graph_pagerank(spark, sf_dir):
     compile-time constant: the plan is a static 2-unroll, no driver loop
     over materialized data."""
     _evict_generation()
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    # UNION ALL, no distinct: e0 is already distinct, src ids are even
-    # (2*custkey) and dst ids odd (2*suppkey+1), so a mirrored edge
-    # (odd, even) can never equal an original (even, odd) — the
-    # deduplicating union the oracle spells UNION would add one full
-    # shuffle of the edge set for nothing (r06: one exchange dropped
-    # from every bench pass)
-    # (measured: additionally pre-partitioning the cache on src to feed
-    # outdeg/join/nodes exchange-free does NOT pay — the extra build
-    # shuffle costs what the reuse saves at this scale)
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    _PERSISTED.append(edges)
+    # shared builder (VERDICT r10 #5): the weighted edge table's distinct
+    # (src, dst) projection IS the unweighted mirrored pair set
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     _PERSISTED.append(nodes)
@@ -197,21 +230,8 @@ def graph_bfs(spark, sf_dir):
     one skewed build row, not a shuffle hotspot (AQE skew-split applies
     to the frontier join)."""
     _evict_generation()
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    # even/odd id split makes the mirrored union disjoint (pagerank note)
-    edges = e0.union(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    _PERSISTED.append(edges)
+    # shared builder (VERDICT r10 #5) — unweighted projection
+    edges = _trade_edges(spark, sf_dir).select("src", "dst")
     seeds = (
         edges.select("src").distinct()
         .filter(F.col("src") % 100 == 0)
@@ -297,30 +317,8 @@ def graph_sssp_weighted(spark, sf_dir):
     round). Rounds are compile-time constants — no driver convergence
     loop; hubs are AQE skew-split build rows like the BFS frontier."""
     _evict_generation()
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_quantity"
-    )
-    e0 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .agg(
-            F.min(F.col("l_quantity").cast("long") % 9 + 1).alias("w")
-        )
-    )
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                      "w")
-        )
-        .groupBy("src", "dst")
-        .agg(F.min("w").alias("w"))
-        .persist()
-    )
-    _PERSISTED.append(edges)
+    # shared builder (VERDICT r10 #5) — consumed whole, weights included
+    edges = _trade_edges(spark, sf_dir)
     seeds = (
         edges.select("src").distinct()
         .filter(F.col("src") % 100 == 0)
