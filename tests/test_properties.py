@@ -1425,3 +1425,59 @@ def test_hll_integer_estimate_tracks_cardinality(n, offset):
     s = sum(1 << (26 - m) for m in regs.values())
     est = _HLL_NUM // s
     assert 0.5 * n <= est <= 1.5 * n, (n, est)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+             max_size=400),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_misra_gries_candidates_are_a_superset(stream, k):
+    """The Misra–Gries guarantee (pure-Python replay of the per-partition
+    fold in plans/sketches.py): every item with frequency > n/k survives
+    the k-counter summary — for ANY stream and any k. The distributed
+    union inherits this per partition (pigeonhole over partition
+    lengths), so the sketch pass can never lose a true heavy hitter."""
+    from collections import Counter
+
+    counters: dict[int, int] = {}
+    for x in stream:
+        if x in counters:
+            counters[x] += 1
+        elif len(counters) < k:
+            counters[x] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    n = len(stream)
+    heavy = {x for x, c in Counter(stream).items() if c * k > n}
+    assert heavy <= set(counters), (heavy, counters, n, k)
+
+
+def test_heavy_hitters_key_matches_exact_groupby(spark):
+    """End-to-end: the two-pass sketch key equals the plain GROUP BY ...
+    HAVING answer on a multi-partition skewed stream (false positives
+    from the sketch pass are killed by the exact recount)."""
+    from unfccc_documents_database_sandbox_spark.plans.sketches import (
+        misra_gries_candidates,
+    )
+
+    rows = [(i % 7,) for i in range(900)] + [(1000 + i,) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    cand = misra_gries_candidates(df, "k", k=20)
+    got = (
+        df.join(F.broadcast(cand), "k", "left_semi")
+        .groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(df.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("cnt") * 20 > F.col("n"))
+        .select("k", "cnt")
+    )
+    assert sorted((r.k, r.cnt) for r in got.collect()) == \
+        [(i, 129 if i < 900 % 7 else 128) for i in range(7)]

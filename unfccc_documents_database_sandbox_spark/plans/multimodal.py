@@ -135,3 +135,61 @@ def multimodal_features_topk(spark, sf_dir):
     ).withColumnRenamed("feature", "embedding")
     queries = feats.filter(F.col("vec_id") < 3)
     return S.brute_force_topk(feats, queries, k=3)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id AS media_id,
+               UNNEST(range(0, octet_length(encode(text)))) AS k
+        FROM documents
+    ),
+    w AS (
+        SELECT media_id, k // 64 AS window_idx,
+               SUM(((media_id * 31 + k * 17) % 256)
+                   * ((media_id * 31 + k * 17) % 256)) AS energy
+        FROM s GROUP BY media_id, k // 64
+    ),
+    r AS (
+        SELECT media_id, window_idx, energy,
+               ROW_NUMBER() OVER (PARTITION BY media_id
+                                  ORDER BY energy DESC, window_idx) AS rnk
+        FROM w
+    )
+    SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(energy AS BIGINT) AS energy, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """L5 audio path: binary payload → PCM windows → integer energy →
+    top-2 loudest windows per media (loudness-normalization / VAD
+    framing, the audio sibling of frame sampling). The window expansion
+    runs numpy-vectorized inside one Arrow stage with NO shuffle (the
+    payload never leaves its batch); the per-media top-2 is a JVM window
+    function over the tiny (media, window) table. The stubbed decode is
+    the documented deterministic fake (sample k = (media_id*31+k*17)%256,
+    one per payload byte — operators/multimodal.py audio_energy_windows),
+    so the full pipeline is hash-exact against the SQL replay.
+
+    Scale: energy framing is embarrassingly parallel per file; the only
+    exchange is the rank over (media, ~n_bytes/64) rows — thousands of
+    times smaller than the audio itself."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        audio_energy_windows,
+    )
+
+    w = audio_energy_windows(media, window=64)
+    rnk = Window.partitionBy("media_id").orderBy(
+        F.col("energy").desc(), "window_idx"
+    )
+    return (
+        w.withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") <= 2)
+        .select("media_id", "window_idx", "energy",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -348,3 +348,95 @@ def sketch_hll_portable(spark, sf_dir):
         F.col("s").cast("long").alias("harmonic_sum_scaled"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: distributed Misra–Gries candidates + exact verify
+# ---------------------------------------------------------------------------
+
+_MG_K = 50  # heavy-hitter threshold: count * K > stream length
+
+
+def misra_gries_candidates(df, col: str, k: int = _MG_K):
+    """Per-partition Misra–Gries summaries, unioned: every item with
+    GLOBAL frequency > n/k survives in at least one partition's summary
+    (pigeonhole: if freq_p <= n_p/k in every partition, the global freq
+    sums to <= n/k), so the union is a guaranteed candidate SUPERSET of
+    the true heavy hitters — O(k) state per partition, one tiny column
+    shuffled for the distinct, never the counts. The candidates are then
+    exactly recounted by the caller (the classic two-pass heavy-hitters
+    plan: sketch pass bounds the candidate set, exact pass kills the
+    false positives the sketch alone cannot)."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for x in pdf[col]:
+                x = int(x)
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({col: pd.Series(sorted(counters), dtype="int64")})
+
+    return df.select(col).mapInPandas(mg, f"{col} long").distinct()
+
+
+_HH_ORACLE = f"""
+WITH s AS (
+    SELECT CASE WHEN event_id % 3 = 0 THEN user_id % 5
+           ELSE user_id END AS k
+    FROM events
+),
+n AS (SELECT COUNT(*) AS n FROM s),
+c AS (SELECT k, COUNT(*) AS cnt FROM s GROUP BY k)
+SELECT c.k AS key, CAST(c.cnt AS BIGINT) AS cnt
+FROM c, n WHERE c.cnt * {_MG_K} > n.n
+"""
+
+
+@register("sketch_heavy_hitters", oracle=_HH_ORACLE)
+def sketch_heavy_hitters(spark, sf_dir):
+    """HEAVY HITTERS over a skewed event-key stream (Misra–Gries 1982;
+    the Count-Min key's deterministic counter-based sibling): pass 1
+    folds each partition into a k=50-counter Misra–Gries summary inside
+    one Arrow stage (O(k) state, no shuffle of counts), whose union is a
+    GUARANTEED superset of every key with frequency > n/50; pass 2
+    recounts ONLY the candidates exactly (broadcast semi-join + map-side
+    combinable count) and keeps cnt*50 > n — so the output equals the
+    plain GROUP BY ... HAVING oracle exactly while never materializing
+    the full key histogram. The stream is deterministically skewed
+    (every third event folds onto user_id % 5) so real heavy keys exist
+    at every SF.
+
+    Scale: this is THE shape for "top abusers / hottest docs / most
+    frequent n-grams" on streams whose distinct-key space dwarfs memory
+    — candidates are ≤ 50 per partition regardless of data size, the
+    exact pass scans once more with a broadcast filter, and both passes
+    are map-side-combining. The integer threshold compare (cnt*k > n)
+    avoids engine-specific division."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 3 == 0, F.col("user_id") % 5)
+        .otherwise(F.col("user_id")).cast("long").alias("k")
+    )
+    cand = misra_gries_candidates(e, "k", _MG_K)
+    n = e.agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        e.join(F.broadcast(cand), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(n))
+        .filter(F.col("cnt") * _MG_K > F.col("n"))
+        .select(F.col("k").alias("key"), F.col("cnt").cast("long").alias("cnt"))
+    )
