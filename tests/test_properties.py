@@ -1481,3 +1481,38 @@ def test_heavy_hitters_key_matches_exact_groupby(spark):
     )
     assert sorted((r.k, r.cnt) for r in got.collect()) == \
         [(i, 129 if i < 900 % 7 else 128) for i in range(7)]
+
+
+def test_containment_prefix_finds_truncation_pair(spark, tmp_path):
+    """Containment prefix completeness on the adversarial shape Jaccard
+    misses: a short doc fully contained in a much longer one (symmetric
+    Jaccard |A|/|B| = 0.2 — below every Jaccard key's threshold) must
+    surface with containment_ppm = 1000000; reversing the direction
+    (long in short) must NOT qualify."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        (0, base, len(base)),                      # container
+        (5, " ".join(base.split()[:5]), 24),       # %5==0: gets a twin too
+        (1, "totally different words here entirely unrelated content",
+         55),
+    ]
+    sf = str(tmp_path / "sfmini")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(i, t, "en", "s", n) for i, t, n in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {(r.doc_a, r.doc_b): r.containment_ppm
+           for r in lookup("dedup_containment").build(spark, sf).collect()}
+    assert got.get((5, 0)) == 1000000          # short ⊂ long found
+    assert (0, 5) not in got                   # containment is asymmetric
+    assert all(a != 1 for a, _ in got)         # unrelated doc never contained

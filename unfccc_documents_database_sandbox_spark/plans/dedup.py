@@ -804,3 +804,183 @@ def join_similarity_prefix(spark, sf_dir):
             F.expr("CAST(n_common * 1000000 DIV n_union AS BIGINT)"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, CAST(n_chars // 2 AS INT))
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> w <> '') AS ws
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                   [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]
+               )) AS toks
+        FROM words
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM grams),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    vocab AS (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY df, term) AS tid FROM dfreq
+    ),
+    tid AS (
+        SELECT tok.doc_id, vocab.tid FROM tok JOIN vocab USING (term)
+    ),
+    arr AS (
+        SELECT doc_id, list_sort(list(tid)) AS toks, COUNT(*) AS n
+        FROM tid GROUP BY doc_id
+    ),
+    pre AS (
+        SELECT doc_id, n,
+               toks[1 : CAST(n - (9 * n + 9) // 10 + 1 AS INT)] AS prefix
+        FROM arr
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, n, unnest(prefix) AS p FROM pre) a
+        JOIN (SELECT doc_id, n, unnest(toks) AS p FROM arr) b
+          ON a.p = b.p AND a.doc_id <> b.doc_id
+         AND b.n * 10 >= 9 * a.n
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, x.n AS n_a,
+               len(list_intersect(x.toks, y.toks)) AS n_common
+        FROM cand
+        JOIN arr x ON x.doc_id = doc_a
+        JOIN arr y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common * 1000000 // n_a AS BIGINT) AS containment_ppm
+    FROM verified WHERE n_common * 10 >= 9 * n_a
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """CONTAINMENT near-dup join (asymmetric Jaccard, C(A→B) =
+    |A∩B|/|A| ≥ 0.9) — the truncation-duplicate detector: a crawl
+    re-fetch cut mid-document, a quoted excerpt, or a paywalled preview
+    is CONTAINED in its source but their symmetric Jaccard can be
+    arbitrarily low, so the Jaccard keys (dedup_ngram_jaccard,
+    join_similarity_prefix) structurally cannot find it. The fixture
+    makes the shape real: every doc_id%5=0 document gets a half-length
+    truncated twin (doc_id+100000), and the key reports each contained
+    doc with its container and exact containment ppm.
+
+    Prefix completeness for CONTAINMENT: if C(A→B) ≥ τ, then A shares
+    ≥ ceil(τ|A|) tokens with B, so A's first common token in the
+    canonical (df, term) order lies within its first
+    |A| − ceil(τ|A|) + 1 tokens — the PROBE prefix; B is indexed by its
+    FULL token list (containment puts no upper bound on |B|, so B has
+    no prefix to hide behind — the honest asymmetry of the problem).
+    Because the canonical order is ascending document frequency, probe
+    prefixes are each doc's RAREST tokens, so the equi-join fan-out
+    stays near-linear; the size guard |B| ≥ τ|A| prunes before pairs
+    materialize, and the verify is the join_similarity_prefix bitmap
+    popcount fold (exact, row-local, no per-pair shuffle). All
+    thresholds are integer compares (n_common*10 ≥ 9*n_a) — hash-exact
+    against the DuckDB replay.
+
+    Scale: probe side ~0.1|A|+1 tokens/doc, index side one posting per
+    (doc, token) — the same posting table an inverted index ships; at
+    100 TB both sides partition on the token id and the zipfian head
+    never enters a probe prefix."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = load_table(spark, sf_dir, "documents")
+    twins = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(twins)
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    gram_len = F.greatest(F.size(ws) - 1, F.lit(0))
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(ws, 1, gram_len),
+            F.slice(ws, 2, gram_len),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    toks = spread(corpus).select("doc_id", F.explode(grams).alias("term"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.select(
+        "term", F.row_number().over(Window.orderBy("df", "term")).alias("tid")
+    )
+    arr = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("tid")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    D._evict_generation()
+    arr = arr.persist()
+    D._PERSISTED_TOKENS.append(arr)
+    n_vocab = arr.agg(F.max(F.array_max("toks"))).collect()[0][0] or 1
+    n_words = (n_vocab + 63) // 64
+    bitmap = F.expr(
+        f"""transform(sequence(0, {n_words - 1}), w ->
+        aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
+                  (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
+    )
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
+    D._PERSISTED_TOKENS.append(bm)
+    # probe prefix: |A| - ceil(0.9|A|) + 1 rarest tokens of each doc
+    probe = arr.select(
+        "doc_id",
+        "n",
+        F.slice(
+            "toks", 1,
+            (F.col("n") - F.expr("(9 * n + 9) DIV 10") + 1).cast("int"),
+        ).alias("prefix"),
+    ).select("doc_id", "n", F.explode("prefix").alias("p"))
+    index = arr.select("doc_id", "n", F.explode("toks").alias("p"))
+    cand = (
+        probe.alias("a")
+        .join(
+            index.alias("b"),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.n") * 10 >= 9 * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = bm.select(
+        F.col("doc_id").alias("doc_a"), F.col("bm").alias("ba"),
+        F.col("n").alias("n_a"),
+    )
+    y = bm.select(F.col("doc_id").alias("doc_b"), F.col("bm").alias("bb"))
+    j = cand.join(x, "doc_a").join(y, "doc_b")
+    n_common = F.expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)), 0, (a, c) -> a + c)"
+    )
+    return (
+        j.select(
+            "doc_a", "doc_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            n_common.cast("long").alias("n_common"),
+        )
+        .filter(F.col("n_common") * 10 >= 9 * F.col("n_a"))
+        .withColumn(
+            "containment_ppm",
+            F.expr("CAST(n_common * 1000000 DIV n_a AS BIGINT)"),
+        )
+    )

@@ -1360,6 +1360,57 @@ def source_schema_evolution(spark, sf_dir):
 
 
 @register(
+    "source_hive_partitioned",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang IN ('de', 'en')
+    GROUP BY lang, source
+    """,
+)
+def source_hive_partitioned(spark, sf_dir):
+    """S-ext Hive-partitioned dataset layout: the corpus is WRITTEN as
+    lang=<v>/ directory partitions (df.write.partitionBy — the layout
+    every crawl/warehouse dump uses) and read back through Spark's
+    partition DISCOVERY: the `lang` column is recovered from directory
+    names, never stored in the parquet, and the `lang IN ('de','en')`
+    predicate prunes whole directories at PLANNING time — the scan node
+    shows it under PartitionFilters (directories outside the filter are
+    never listed into tasks), while `source` stays an ordinary pushed
+    parquet filter. The oracle replays the filter+rollup over the raw
+    rows, so hash-green proves discovery recovered the partition values
+    exactly (string round-trip included).
+
+    Scale: partition pruning is THE first-order scan optimization at
+    100 TB — a lang-partitioned corpus read with a two-language filter
+    does I/O proportional to those two directories, independent of
+    corpus size. (The snapshot table format reimplements this on its
+    own commit log — table_partition_prune; this key pins Spark's NATIVE
+    directory-based path.)"""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = os.path.join(repo_root, ".csv_tmp", f"documents_hive_{tag}")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    (d.write.mode("overwrite").partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("lang").isin("de", "en"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "agg_argext_bitwise",
     oracle="""
     WITH e AS (
