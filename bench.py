@@ -105,6 +105,12 @@ EXTENDED = [
     # the r09 fresh group, rolled in at r10 (BENCH_r09.json holds their
     # day-one reference)
     "sample_weighted", "text_bm25", "graph_bfs", "udf_cogrouped_asof",
+    # the r10 fresh group, rolled in at r11 (BENCH_r10.json holds their
+    # day-one reference)
+    "sketch_countmin", "sketch_bloom", "url_normalize", "ts_resample_ohlc",
+    "graph_sssp_weighted", "events_top_paths", "events_rfm",
+    "orders_abc_pareto", "sketch_hll_portable", "orders_gini",
+    "events_dau_wau",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -116,25 +122,16 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r10 keys. Excluded by the standing rules: table_concurrent /
-    # table_branch / table_files_meta / table_bucket_prune /
-    # sim_index_persisted each build a commit-log table under .csv_tmp/
-    # (the disk-writing rule — their wall time measures commit I/O, not
-    # a plan), and
-    # stream_changes_bounded / stream_branch_changes run live
-    # processingTime-trigger streaming queries (the streaming
-    # exclusion). The timeable r10 keys:
-    "sketch_countmin",
-    "sketch_bloom",
-    "url_normalize",
-    "ts_resample_ohlc",
-    "graph_sssp_weighted",
-    "events_top_paths",
-    "events_rfm",
-    "orders_abc_pareto",
-    "sketch_hll_portable",
-    "orders_gini",
-    "events_dau_wau",
+    # r11 keys. Excluded by the standing rules (all disk-writing):
+    # table_merge_sync / table_type_widening build commit-log tables
+    # under .csv_tmp/, xml_ingest lands XML fixture files, and
+    # source_hive_partitioned writes a partitioned parquet dataset —
+    # their wall time measures sink I/O, not a plan. The timeable r11
+    # keys:
+    "udtf_polymorphic",
+    "multimodal_audio_energy",
+    "sketch_heavy_hitters",
+    "dedup_containment",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

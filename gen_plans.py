@@ -56,6 +56,12 @@ ROUND_KEYS = [
     "table_files_meta", "events_top_paths", "events_rfm",
     "orders_abc_pareto", "table_bucket_prune", "sketch_hll_portable",
     "stream_branch_changes", "orders_gini", "events_dau_wau",
+    # round-11 additions (three-clause MERGE sync, type widening, XML
+    # ingestion, polymorphic UDTF, audio energy windows, heavy hitters,
+    # hive-partitioned source, containment join)
+    "table_merge_sync", "table_type_widening", "xml_ingest",
+    "udtf_polymorphic", "multimodal_audio_energy", "sketch_heavy_hitters",
+    "source_hive_partitioned", "dedup_containment",
 ]
 
 

@@ -177,3 +177,21 @@ def test_plans_doc_in_lockstep_with_bench_and_round_keys():
     assert not missing, (
         f"PLANS.md is stale — run `python gen_plans.py`; missing sections: {missing}"
     )
+
+
+def test_readme_counts_match_registry():
+    """VERDICT r10 #8 (the fourth stale-count round): the README's
+    headline registry counts are now MACHINE-CHECKED against the live
+    registry, so a post-edit count sweep can never be forgotten again.
+    The README must contain the literal phrase
+    '<N> registered queries, <M> with an exact DuckDB oracle' where N
+    and M are the real numbers."""
+    n = len(registry.REGISTRY)
+    m = sum(1 for s in registry.REGISTRY.values() if s.oracle)
+    with open(os.path.join(REPO, "README.md"), encoding="utf-8") as fh:
+        readme = fh.read()
+    want = f"{n} registered queries, {m} with an exact DuckDB oracle"
+    assert want in readme, (
+        f"README headline counts are stale — expected {want!r}; "
+        "update the 'Operator coverage' intro after registry edits"
+    )
