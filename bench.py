@@ -123,15 +123,16 @@ EXTENDED = [
 # source_jdbc before it).
 FRESH = [
     # r11 keys. Excluded by the standing rules (all disk-writing):
-    # table_merge_sync / table_type_widening build commit-log tables
-    # under .csv_tmp/, xml_ingest lands XML fixture files, and
-    # source_hive_partitioned writes a partitioned parquet dataset —
-    # their wall time measures sink I/O, not a plan. The timeable r11
-    # keys:
+    # table_merge_sync / table_type_widening / table_vacuum_audit build
+    # commit-log tables under .csv_tmp/, xml_ingest lands XML fixture
+    # files, and source_hive_partitioned writes a partitioned parquet
+    # dataset — their wall time measures sink I/O, not a plan. The
+    # timeable r11 keys:
     "udtf_polymorphic",
     "multimodal_audio_energy",
     "sketch_heavy_hitters",
     "dedup_containment",
+    "agg_linear_trend",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -61,7 +61,8 @@ ROUND_KEYS = [
     # hive-partitioned source, containment join)
     "table_merge_sync", "table_type_widening", "xml_ingest",
     "udtf_polymorphic", "multimodal_audio_energy", "sketch_heavy_hitters",
-    "source_hive_partitioned", "dedup_containment",
+    "source_hive_partitioned", "dedup_containment", "agg_linear_trend",
+    "table_vacuum_audit",
 ]
 
 

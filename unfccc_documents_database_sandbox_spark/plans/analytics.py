@@ -1214,3 +1214,82 @@ def events_dau_wau(spark, sf_dir):
             .alias("stickiness_milli"),
         )
     )
+
+
+@register(
+    "agg_linear_trend",
+    oracle=f"""
+    WITH {_EVENTS_CENTS},
+    h AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS x, v AS y FROM e
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM h GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR)
+               AS slope_num,
+           CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR)
+               AS den,
+           CAST(CAST(sy * sxx - sx * sxy AS DECIMAL(38,0)) AS VARCHAR)
+               AS intercept_num,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS slope_cents_per_hour
+    FROM s
+    """,
+)
+def agg_linear_trend(spark, sf_dir):
+    """Exact least-squares LINEAR TREND per event type (the regr_slope /
+    regr_intercept aggregate surface, restated cross-engine-exact like
+    agg_corr_exact): y = cent-scaled value regressed on x = hour of day.
+    The closed-form normal equations are pure integer moments —
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), intercept numerator
+    Σy·Σxx − Σx·Σxy over the same denominator — emitted as EXACT
+    DECIMAL(38,0)/HUGEINT strings (the rational answer, hash-exact at
+    any scale) plus one ROUND(double, 6) convenience slope (both engines
+    convert the exact integers with correct rounding, the corr
+    precedent). Spark's built-in regr_slope accumulates doubles in
+    partition order and is NOT cross-engine stable — same reason
+    agg_corr_exact avoids corr().
+
+    Scale: one partial-agg shuffle to |groups| rows; all five moments
+    are semigroup-mergeable so map-side combine carries the load —
+    the trend of a 100 TB metric costs one pass and |groups| rows of
+    DECIMAL(38,0) arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("decimal(38,0)").alias("x"),
+        F.round(F.col("value") * 100).cast("decimal(38,0)").alias("y"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    slope_num = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("decimal(38,0)")
+    den = (nn * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("decimal(38,0)")
+    icept_num = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) \
+        .cast("decimal(38,0)")
+    return s.select(
+        "event_type",
+        "n",
+        slope_num.cast("string").alias("slope_num"),
+        den.cast("string").alias("den"),
+        icept_num.cast("string").alias("intercept_num"),
+        F.when(den == 0, F.lit(None)).otherwise(
+            F.round(slope_num.cast("double") / den.cast("double"), 6)
+        ).alias("slope_cents_per_hour"),
+    )

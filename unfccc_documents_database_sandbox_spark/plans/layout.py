@@ -1841,6 +1841,79 @@ def table_type_widening(spark, sf_dir):
 
 
 @register(
+    "table_vacuum_audit",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                      CAST(COUNT(*) FILTER (lang <> 'de') AS BIGINT)
+                          AS n_keep
+               FROM documents)
+    SELECT 'v0_create' AS metric, CAST(2 AS BIGINT) AS n_files,
+           n_all AS n_rows FROM n
+    UNION ALL
+    SELECT 'head_after_compact', CAST(1 AS BIGINT), n_keep FROM n
+    UNION ALL
+    SELECT 'tag_survives_vacuum', CAST(2 AS BIGINT), n_all FROM n
+    UNION ALL
+    SELECT 'tag_drop_sweeps', CAST(2 AS BIGINT), n_keep FROM n
+    """,
+)
+def table_vacuum_audit(spark, sf_dir):
+    """VACUUM lifecycle end-to-end (Delta's VACUUM + Iceberg's
+    tag-pinned retention), driver-evidenced: v0 CREATEs documents as
+    exactly 2 files (repartition), a COW DELETE drops lang='de', OPTIMIZE
+    compacts to 1 file, and v0 is TAGGED. The audited guarantees: (1)
+    vacuum(retain_versions=1) reclaims every file no retained version
+    references while the TAG keeps v0's 2 files readable — time travel
+    to the tagged version still returns every original row AFTER the
+    sweep; (2) dropping the tag releases exactly those 2 files to the
+    next vacuum (the returned swept list is checked by count), after
+    which HEAD still reads every kept row. File counts in the output are
+    pinned by construction (repartition(2) create, max_files=1 compact),
+    never by accidental layout; the intermediate delete-era sweep count
+    IS layout-dependent and deliberately excluded.
+
+    Scale: vacuum resolves keep-sets from commit-log/checkpoint JSON —
+    O(files) metadata, zero data I/O; the sweep itself is embarrassingly
+    parallel deletes. The tag pin is what makes audit/repro snapshots
+    compatible with storage reclamation on a 100 TB table."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapvac_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d.repartition(2))
+    snap.delete_where(spark, root, "lang = 'de'")
+    snap.compact(spark, root, max_files=1)
+    snap.tag(root, "pinned", version=0)
+    snap.vacuum(root, retain_versions=1)
+    rows = [
+        ("v0_create", len(snap.live_files(root, 0)),
+         snap.read(spark, root, 0).count()),
+        ("head_after_compact", len(snap.live_files(root)),
+         snap.read(spark, root).count()),
+        # the tagged era survived the sweep: still 2 files, all rows
+        ("tag_survives_vacuum", len(snap.live_files(root, 0)),
+         snap.read_tag(spark, root, "pinned").count()),
+    ]
+    snap.delete_tag(root, "pinned")
+    swept = snap.vacuum(root, retain_versions=1)
+    rows.append(
+        ("tag_drop_sweeps", len(swept), snap.read(spark, root).count())
+    )
+    return spark.createDataFrame(
+        rows, "metric string, n_files long, n_rows long"
+    )
+
+
+@register(
     "table_row_ids",
     oracle="""
     WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
