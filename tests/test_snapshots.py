@@ -3379,3 +3379,59 @@ def test_create_branch_rejects_expired_base(spark, tmp_path):
     broot = snap.branch_root(root, "atck")
     assert sorted(r.id for r in snap.read(spark, broot).collect()) == \
         [0, 1, 2, 3]
+
+
+def test_widen_composes_with_column_mapping_and_checkpoint(spark, tmp_path):
+    """Widening on a COLUMN-MAPPED table keeps the physical id (same
+    files keep serving the column), composes with rename, and survives a
+    checkpoint + expire_log (the widened schema rides in the checkpoint
+    state, not only the commit chain)."""
+    from pyspark.sql.types import LongType
+
+    root = str(tmp_path / "widenmap")
+    df = spark.createDataFrame([(i, i * 10) for i in range(4)],
+                               "id int, v long")
+    snap.create(spark, root, df, column_mapping=True)
+    phys_before = snap.table_schema(root)["id"].metadata.get("physical")
+    assert phys_before
+    snap.widen_column_type(root, "id", "long")
+    sch = snap.table_schema(root)
+    assert isinstance(sch["id"].dataType, LongType)
+    assert sch["id"].metadata.get("physical") == phys_before
+    # rename after widen: data still served from the same physical column
+    snap.rename_column(root, "id", "ident")
+    assert sorted(r.ident for r in snap.read(spark, root).collect()) == \
+        [0, 1, 2, 3]
+    # checkpoint consolidates the widened+renamed schema; expire the log
+    snap.append(spark, root, spark.createDataFrame(
+        [(2**40, 1)], "ident long, v long"))
+    snap.checkpoint(root)
+    snap.append(spark, root, spark.createDataFrame(
+        [(2**41, 2)], "ident long, v long"))
+    snap.expire_log(root)
+    got = snap.read(spark, root)
+    assert isinstance(got.schema["ident"].dataType, LongType)
+    assert got.count() == 6
+
+
+def test_merge_sync_on_partitioned_table_respects_layout(spark, tmp_path):
+    """The sync clause composes with Hive-partitioned commits: deletes
+    and updates land inside the right partition directories, inserts
+    create new partition values, and partition pruning still works on
+    the result."""
+    root = str(tmp_path / "msp")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en", i * 10) for i in range(8)],
+        "id long, lang string, v long",
+    )
+    snap.create(spark, root, df, partition_by=["lang"])
+    src = spark.createDataFrame(
+        [(0, "de", 999), (100, "fr", 1)], "id long, lang string, v long")
+    snap.merge_into(spark, root, src, ["id"],
+                    not_matched_by_source="delete")
+    got = {r.id: (r.lang, r.v) for r in snap.read(spark, root).collect()}
+    assert got == {0: ("de", 999), 100: ("fr", 1)}
+    # partition tier still prunes: the fr probe opens only fr files
+    kept = snap.pruned_files(root, {"lang": ("fr", "fr")})
+    assert kept and all(
+        snap.partition_values(root)[f]["lang"] == "fr" for f in kept)
