@@ -618,3 +618,76 @@ def test_table_changes_stream_reads_branch_refs(spark, tmp_path):
     rm = SnapshotChangesStreamReader({"path": root, "since_version": 1})
     main_rows, _ = rm.read({"v": 1})
     assert [t[0] for t in sorted(main_rows)] == [200]
+
+
+def test_cdc_rate_limited_stream_restart_no_duplicates(spark, tmp_path):
+    """End-to-end proof of the r10 ADVICE #1 fix: a LIVE rate-limited
+    dist change-feed query is stopped and RESTARTED from its checkpoint
+    after more commits land. On restart Spark calls latestOffset() before
+    partitions(); the un-anchored reader must return the true head (never
+    an offset regressed behind the checkpointed start), so the resumed
+    query emits exactly the new commits' rows — no re-delivery of
+    already-sunk versions. The sink is idempotent per batch id
+    (overwrite-into-batch-dir), so any duplicate across batch dirs is a
+    SOURCE offset bug by construction."""
+    import time as _time
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.cdc_stream import (
+        register_table_changes_stream,
+    )
+
+    root = str(tmp_path / "cdcrestart")
+    out = str(tmp_path / "sinkout")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame([(i, i * 10) for i in range(12)],
+                               "id long, v long")
+    snap.create(spark, root, df.filter("id < 2"))            # v0
+    for k in (2, 4, 6):                                       # v1..v3
+        snap.append(spark, root,
+                    df.filter(f"id >= {k} AND id < {k + 2}"))
+    register_table_changes_stream(spark)
+
+    def run_until(expected_rows: int) -> None:
+        q = (
+            spark.readStream.format("table_changes_stream_dist")
+            .option("path", root)
+            .option("max_versions_per_batch", "1")
+            .load()
+            .writeStream
+            .foreachBatch(lambda b, bid: b.write.mode("overwrite")
+                          .parquet(f"{out}/batch={bid}"))
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            while _time.time() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n >= expected_rows:
+                    break
+                _time.sleep(0.3)
+            else:
+                raise AssertionError(
+                    f"stream never reached {expected_rows} rows")
+        finally:
+            q.stop()
+
+    run_until(8)   # v0..v3: 2 insert rows per commit
+    # two more commits while the query is DOWN, then restart from ckpt
+    for k in (8, 10):                                         # v4, v5
+        snap.append(spark, root,
+                    df.filter(f"id >= {k} AND id < {k + 2}"))
+    run_until(12)
+    got = spark.read.parquet(out).select("id", "_commit_version")
+    rows = [(r.id, r._commit_version) for r in got.collect()]
+    assert len(rows) == len(set(rows)) == 12, (
+        "duplicate change rows after restart — the rate-limit cursor "
+        f"regressed behind the checkpointed start: {sorted(rows)}")
+    assert {cv for _, cv in rows} == set(range(6))
