@@ -819,3 +819,76 @@ def test_recursive_bom_step_is_hash_join_and_epoch_shuffle_single_exchange(spark
     se = lookup("shuffle_epoch").build(spark, SF_CORRECT)
     plan = se._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_containment_join_no_cartesian_prefix_bounded(spark):
+    """dedup_containment (r11): the candidate stage must stay an
+    equi-join (probe prefix ⋈ full postings) — never
+    cartesian/nested-loop — and the probe side must be the SLICED prefix
+    (a `slice(toks, 1, ...)` projection feeding the explode), not the
+    full token list, or fan-out goes quadratic on the zipfian head."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    df = lookup("dedup_containment").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "slice(" in plan  # the probe prefix is genuinely bounded
+
+
+def test_heavy_hitters_full_histogram_never_shuffles(spark):
+    """sketch_heavy_hitters (r11): only CANDIDATE keys may reach the
+    exact-recount shuffle — the plan must show the Python (Misra–Gries)
+    stage feeding a broadcast semi-join that filters the stream BEFORE
+    its groupBy, so the full key histogram never materializes."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    df = lookup("sketch_heavy_hitters").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan            # the sketch pass
+    assert "LeftSemi" in plan               # candidates filter the stream
+    assert plan.index("LeftSemi") < plan.index("MapInPandas") or \
+        "BroadcastHashJoin" in plan         # semi-join is broadcast-shaped
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_energy_stage_is_shuffle_free_before_rank(spark):
+    """multimodal_audio_energy (r11): the window expansion runs inside
+    the Arrow stage that already holds the payload — the ONLY exchange
+    in the plan is the per-media rank over the tiny windows table."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+    import re
+
+    load_all_plans()
+    df = lookup("multimodal_audio_energy").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) == 1, plan
+    assert "MapInPandas" in plan
+
+
+def test_hive_partitioned_scan_prunes_directories(spark):
+    """source_hive_partitioned (r11): the lang IN-filter must appear
+    under PartitionFilters (planning-time directory pruning), not merely
+    as a pushed data filter."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+    import re
+
+    load_all_plans()
+    df = lookup("source_hive_partitioned").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
