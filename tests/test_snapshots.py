@@ -3435,3 +3435,89 @@ def test_merge_sync_on_partitioned_table_respects_layout(spark, tmp_path):
     kept = snap.pruned_files(root, {"lang": ("fr", "fr")})
     assert kept and all(
         snap.partition_values(root)[f]["lang"] == "fr" for f in kept)
+
+
+def test_parquet_checkpoint_roundtrips_full_state(spark, tmp_path):
+    """Delta's parquet checkpoint layout (r11): O(files) state as one
+    parquet row per file + scalars in a head JSON. A feature-loaded
+    table (partitioned, row-tracked, bloom-indexed, constrained, MOR
+    deletion vectors) checkpointed as parquet and then LOG-EXPIRED must
+    replay bit-identically: reads, DV'd rows, row ids, stats/partition
+    pruning, constraint enforcement, and subsequent commits all work
+    from the parquet checkpoint alone."""
+    root = str(tmp_path / "pqck")
+    df = spark.createDataFrame(
+        [(i, "de" if i % 2 == 0 else "en", i * 10) for i in range(12)],
+        "id long, lang string, v long",
+    )
+    snap.create(spark, root, df, partition_by=["lang"],
+                bloom_cols=["id"], row_tracking=True)
+    snap.add_constraint(spark, root, "v_pos", "v >= 0")
+    snap.delete_where_mor(spark, root, "id = 3")      # live DV
+    rid_before = {r.id: r._row_id
+                  for r in snap.read_with_row_ids(spark, root).collect()}
+    v = snap.checkpoint(root, format="parquet")
+    assert os.path.exists(snap._checkpoint_head_path(root, v))
+    assert os.path.exists(snap._checkpoint_parquet_path(root, v))
+    assert not os.path.exists(snap._checkpoint_path(root, v))
+    snap.append(spark, root, spark.createDataFrame(
+        [(100, "fr", 5)], "id long, lang string, v long"))
+    snap.expire_log(root)  # only the parquet checkpoint remains below v
+    got = sorted(r.id for r in snap.read(spark, root).collect())
+    assert got == [i for i in range(12) if i != 3] + [100]
+    rid_after = {r.id: r._row_id
+                 for r in snap.read_with_row_ids(spark, root).collect()}
+    assert all(rid_after[i] == rid_before[i] for i in rid_before
+               if i != 3)
+    # pruning tiers replay from the checkpoint: partition + stats + bloom
+    kept = snap.pruned_files(root, {"lang": ("fr", "fr")})
+    assert kept and all(
+        snap.partition_values(root)[f]["lang"] == "fr" for f in kept)
+    assert len(snap.pruned_files(root, {"id": (100, 100)})) < \
+        len(snap.live_files(root))
+    # constraints survived the consolidation
+    with pytest.raises(ValueError, match="v_pos"):
+        snap.append(spark, root, spark.createDataFrame(
+            [(101, "fr", -1)], "id long, lang string, v long"))
+    # duplicate checkpoints at one version refuse, either format
+    snap.checkpoint(root)  # json at the new head
+    with pytest.raises(FileExistsError):
+        snap.checkpoint(root, format="parquet")
+    with pytest.raises(ValueError, match="json\\|parquet"):
+        snap.checkpoint(root, format="orc")
+
+
+def test_parquet_checkpoint_crash_seam_and_mixed_formats(spark, tmp_path):
+    """The parquet lands before the head JSON: a crash in between leaves
+    an orphan parquet and NO checkpoint (the table replays from the
+    commit chain as if nothing happened); a retry overwrites the orphan
+    and commits. JSON and parquet checkpoints can interleave across a
+    table's history — readers pick the newest at-or-below regardless of
+    format."""
+    root = str(tmp_path / "pqckcrash")
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    snap.create(spark, root, df)
+    snap.checkpoint(root)                              # json @ v0
+    snap.append(spark, root, spark.createDataFrame([(100,)], "id long"))
+    # simulated crash: parquet written, head never created
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"file": ["garbage"]}),
+                   snap._checkpoint_parquet_path(root, 1))
+    assert snap._checkpoint_versions(root) == [0]      # not a checkpoint
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == \
+        list(range(6)) + [100]
+    # the retry overwrites the orphan and lands atomically
+    assert snap.checkpoint(root, format="parquet") == 1
+    assert snap._checkpoint_versions(root) == [0, 1]
+    snap.append(spark, root, spark.createDataFrame([(200,)], "id long"))
+    snap.expire_log(root)
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == \
+        list(range(6)) + [100, 200]
+    # both checkpointed eras stay time-travelable across formats: v0
+    # replays from the JSON checkpoint, v1 from the parquet one
+    assert sorted(r.id for r in snap.read(spark, root, 0).collect()) == \
+        list(range(6))
+    assert sorted(r.id for r in snap.read(spark, root, 1).collect()) == \
+        list(range(6)) + [100]

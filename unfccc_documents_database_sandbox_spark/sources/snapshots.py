@@ -1217,18 +1217,72 @@ def _checkpoint_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"_checkpoint.{version:08d}.json")
 
 
+def _checkpoint_head_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root),
+                        f"_checkpoint.{version:08d}.head.json")
+
+
+def _checkpoint_parquet_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root),
+                        f"_checkpoint.{version:08d}.files.parquet")
+
+
 def _checkpoint_versions(root: str) -> list[int]:
-    out = sorted(
-        int(fn[len("_checkpoint."):-len(".json")])
-        for fn in os.listdir(_log_dir(root))
-        if fn.startswith("_checkpoint.") and fn.endswith(".json")
-    )
+    vers: set[int] = set()
+    for fn in os.listdir(_log_dir(root)):
+        if not fn.startswith("_checkpoint."):
+            continue
+        if fn.endswith(".head.json"):  # parquet-format commit point
+            vers.add(int(fn[len("_checkpoint."):-len(".head.json")]))
+        elif fn.endswith(".json"):     # single-JSON format
+            vers.add(int(fn[len("_checkpoint."):-len(".json")]))
+    out = sorted(vers)
     if _split_ref(root)[1] is not None:
         # a branch replays main only up to its base — later main
         # checkpoints consolidate commits the branch never saw
         base = _ref_base(root)
         out = [v for v in out if v <= base]
     return out
+
+
+# per-file fields that move from the JSON blob into parquet columns in
+# the parquet checkpoint format (everything else is head-JSON scalars)
+_CK_FILE_FIELDS = ("stats", "parts", "dv", "blooms")
+
+
+def _load_checkpoint(root: str, version: int) -> dict:
+    """Load a checkpoint payload in the canonical (JSON-shape) dict, from
+    whichever format is on disk: the single-JSON blob, or the parquet
+    format (head.json scalars + one parquet row per file — Delta's actual
+    checkpoint layout, where the O(files) state is columnar/compressed
+    and splittable instead of one driver-side JSON parse)."""
+    p = _checkpoint_path(root, version)
+    if os.path.exists(p):
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+    with open(_checkpoint_head_path(root, version), encoding="utf-8") as fh:
+        ck = json.load(fh)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_checkpoint_parquet_path(root, version))
+    cols = {n: t.column(n).to_pylist() for n in t.column_names}
+    live: list[str] = []
+    maps: dict[str, dict] = {k: {} for k in _CK_FILE_FIELDS}
+    row_bases: dict[str, int] = {}
+    for i, f in enumerate(cols["file"]):
+        if cols["live"][i]:
+            live.append(f)
+        for k in _CK_FILE_FIELDS:
+            v = cols[k][i]
+            if v is not None:
+                maps[k][f] = json.loads(v)
+        rb = cols["row_base"][i]
+        if rb is not None:
+            row_bases[f] = rb
+    ck["live"] = live
+    ck.update(maps)
+    ck["row_bases"] = row_bases
+    return ck
 
 
 def _load_commit(root: str, version: int) -> dict:
@@ -1281,8 +1335,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
         version = head
     ck_version = max((v for v in cks if v <= version), default=None)
     if ck_version is not None:
-        with open(_checkpoint_path(root, ck_version), encoding="utf-8") as fh:
-            ck = json.load(fh)
+        ck = _load_checkpoint(root, ck_version)
         state = {
             "version": ck["version"],
             "live": set(ck["live"]),
@@ -1685,17 +1738,35 @@ def read_with_row_ids(
     return out.withColumnRenamed(_RID_COL, "_row_id")
 
 
-def checkpoint(root: str) -> int:
-    """Consolidate the state as of HEAD into one _checkpoint.{N}.json
-    (live set, schema, per-file stats, applied txns) — Delta's checkpoint
-    action. Readers replay from the newest checkpoint at or below their
-    version, so replay cost stays O(commits since last checkpoint) no
-    matter how long the table's history grows; after `expire_log`, the
-    checkpoint is also what makes dropping old commit JSON safe. Published
-    with the same O_EXCL create-if-absent as commits. Returns the
-    checkpointed version."""
+def checkpoint(root: str, format: str = "json") -> int:
+    """Consolidate the state as of HEAD into a checkpoint (live set,
+    schema, per-file stats, applied txns) — Delta's checkpoint action.
+    Readers replay from the newest checkpoint at or below their version,
+    so replay cost stays O(commits since last checkpoint) no matter how
+    long the table's history grows; after `expire_log`, the checkpoint is
+    also what makes dropping old commit JSON safe. Published with the
+    same O_EXCL create-if-absent as commits. Returns the checkpointed
+    version.
+
+    ``format="parquet"`` writes Delta's actual checkpoint layout instead
+    of one JSON blob: the O(files) per-file state (live flag, stats,
+    partition values, DVs, blooms, row-id bases) becomes ONE PARQUET ROW
+    PER FILE (columnar, compressed, splittable — at 100 TB with millions
+    of files this is the difference between a multi-GB driver-side JSON
+    parse and a scan any engine can read, distributed if need be), while
+    the table-level scalars stay in a small `.head.json` whose O_EXCL
+    create is the atomic commit point (the parquet lands first; a crash
+    between the two leaves an orphan parquet and NO checkpoint). Readers
+    replay either format transparently (`_load_checkpoint`); formats can
+    be mixed across a table's history."""
     _no_ref(root, "checkpoint")
+    if format not in ("json", "parquet"):
+        raise ValueError(f"checkpoint format must be json|parquet, "
+                         f"got {format!r}")
     state = _read_state(root)
+    if state["version"] in _checkpoint_versions(root):
+        raise FileExistsError(
+            f"checkpoint at v{state['version']} already exists")
     payload = {
         "version": state["version"],
         "live": sorted(state["live"]),
@@ -1724,6 +1795,45 @@ def checkpoint(root: str) -> int:
                             for sp in state["partition_specs"].values()],
         "indexes": {n: dict(e) for n, e in state["indexes"].items()},
     }
+    if format == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        live = set(payload["live"])
+        files = sorted(live | set(payload["row_bases"]))
+        rows = {
+            "file": files,
+            "live": [f in live for f in files],
+            "row_base": [payload["row_bases"].get(f) for f in files],
+        }
+        for k in _CK_FILE_FIELDS:
+            m = payload[k]
+            rows[k] = [
+                json.dumps(m[f]) if f in m else None for f in files
+            ]
+        table = pa.table(
+            rows,
+            schema=pa.schema(
+                [("file", pa.string()), ("live", pa.bool_()),
+                 ("row_base", pa.int64())]
+                + [(k, pa.string()) for k in _CK_FILE_FIELDS]
+            ),
+        )
+        # parquet first, head last: the head's O_EXCL create is the
+        # atomic commit point — a crash in between leaves an orphan
+        # parquet under _log/ and NO checkpoint (harmless; a retry
+        # overwrites it)
+        pq.write_table(table, _checkpoint_parquet_path(
+            root, state["version"]))
+        head = {k: v for k, v in payload.items()
+                if k not in ("live", "row_bases", *_CK_FILE_FIELDS)}
+        fd = os.open(
+            _checkpoint_head_path(root, state["version"]),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(head, fh)
+        return state["version"]
     fd = os.open(
         _checkpoint_path(root, state["version"]),
         os.O_CREAT | os.O_EXCL | os.O_WRONLY,
