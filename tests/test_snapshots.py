@@ -3521,3 +3521,26 @@ def test_parquet_checkpoint_crash_seam_and_mixed_formats(spark, tmp_path):
         list(range(6))
     assert sorted(r.id for r in snap.read(spark, root, 1).collect()) == \
         list(range(6)) + [100]
+
+
+def test_parquet_checkpoint_gated_on_reader_protocol(spark, tmp_path):
+    """The Delta checkpoint-format protocol rule: a reader-2 engine
+    cannot SEE `.head.json` checkpoints (it replays the commit chain —
+    correct only until expire_log), so writing a parquet checkpoint on a
+    table still stamped reader 2 must refuse until the requirement is
+    raised. New tables stamp reader >= 3 at create and are unaffected."""
+    root = str(tmp_path / "pqgate")
+    snap.create(spark, root, spark.createDataFrame([(1,)], "id long"))
+    # simulate a table stamped by the reader-2 era engine
+    snap._write_commit(root, 1, [], [],
+                       protocol={"reader": 2, "writer": 2},
+                       op="upgrade_protocol", data_change=False)
+    with pytest.raises(ValueError, match="reader protocol >= 3"):
+        snap.checkpoint(root, format="parquet")
+    snap.upgrade_protocol(root, reader=3)
+    assert snap.checkpoint(root, format="parquet") == \
+        snap.latest_version(root)
+    # json checkpoints never needed the bump (reader-2 engines read them)
+    root2 = str(tmp_path / "pqgate2")
+    snap.create(spark, root2, spark.createDataFrame([(1,)], "id long"))
+    snap.checkpoint(root2)  # fine at any stamp

@@ -223,8 +223,13 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # interpret — a new DV encoding, an unknown transform) must REFUSE to
 # read rather than silently misread it. Writers stamp the requirement in
 # commit 0 and may RAISE it in any later commit when they first use a
-# newer feature.
-_READER_VERSION = 2
+# newer feature. History: 2 = deletion vectors / column mapping era;
+# 3 = parquet checkpoints (a reader-2 engine ignores `.head.json`
+# checkpoint commit points, which is only safe until expire_log removes
+# the commits it would replay instead — so WRITING a parquet checkpoint
+# requires the table to already demand reader 3, the Delta
+# checkpoint-format protocol rule).
+_READER_VERSION = 3
 
 # Writer protocol (Delta's two-sided protocol action): a table whose log
 # demands a newer WRITER must refuse to COMMIT — an old writer that can
@@ -1764,6 +1769,17 @@ def checkpoint(root: str, format: str = "json") -> int:
         raise ValueError(f"checkpoint format must be json|parquet, "
                          f"got {format!r}")
     state = _read_state(root)
+    if format == "parquet" and int(
+            state["protocol"].get("reader", 1)) < 3:
+        # a reader-2 engine cannot SEE a parquet checkpoint; it would
+        # replay the full commit chain instead — correct until
+        # expire_log deletes those commits, then silently broken. Fence
+        # it the Delta way: the table must demand reader >= 3 BEFORE the
+        # first parquet checkpoint exists.
+        raise ValueError(
+            "parquet checkpoints require table reader protocol >= 3 "
+            "(older readers cannot see them and would break after "
+            "expire_log) — run upgrade_protocol(root, reader=3) first")
     if state["version"] in _checkpoint_versions(root):
         raise FileExistsError(
             f"checkpoint at v{state['version']} already exists")
