@@ -84,50 +84,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # alphabetically-first 25 keys of the r07 cohort promoted to DUE (sized
 # 42 for the planned r11 new-key count; undersizing is safe — window
 # spillover lands on the alphabetically-first zz_ keys, which ARE the
-# remaining r07 cohort). Oldest evidence on file after r11: r07 (the
-# un-promoted tail).
+# remaining r07 cohort); r12 advances it per VERDICT r11 #1: the 50-key
+# r11 window (10 unprefixed + 40 z_ re-checks) parked, the r10 PARKED
+# cohort aged into NEXT, and the full 27-key r07 tail plus the
+# alphabetically-first 13 keys of the r08 cohort promoted to DUE (sized
+# 40 for the planned r12 new-key count of 10). Oldest evidence on file
+# after r12: r08 (the un-promoted tail).
 
-# DUE (z_): oldest evidence on file — the 17-key r06-latest tail (promoted
-# per VERDICT r10 #1) plus the alphabetically-first keys of the r07
-# cohort (25 promoted at round start; sql_tpch_q1/q3 demoted back to NEXT
-# mid-round as the new-key count grew 8 → 10), sized so DUE + the round's
-# new unprefixed keys fill the 50-key window (machine-checked by tests/test_rotation.py::test_window_reaches_
-# every_due_key; sized from the registry, not this comment). Rows-only by
-# design among these: sim_topk_ivf, sim_topk_lsh (approximate ANN,
-# documented at their builders).
+# DUE (z_): oldest evidence on file — the 27-key r07-latest tail plus the
+# alphabetically-first 13 keys of the r08 cohort (promoted per VERDICT
+# r11 #1), sized so DUE + the round's new unprefixed keys fill the
+# 50-key window (machine-checked by tests/test_rotation.py::
+# test_window_reaches_every_due_key; sized from the registry, not this
+# comment). Rows-only by design among these: stream_dedup_live
+# (arrival-order), agg_approx_distinct, agg_approx_percentiles,
+# agg_hll_partitioned (approximate sketches, documented at their
+# builders).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        "dedup_components_star", "dedup_minhash_portable",
-        "dedup_simhash_portable", "dedup_substring", "docx_ingest",
-        "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
-        "join_interval_overlap", "json_roundtrip", "layout_zorder",
-        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
-        "multimodal_features_topk", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "pack_sequences",
-        "project_columns", "sample_hash_mod", "sample_stratified",
-        "scan_full", "scd2_history", "set_ops", "sim_near_dup_pairs",
-        "sim_topk", "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
-        "sim_topk_pq_portable", "source_jdbc", "text_bigram_cond",
-        "text_bpe_pairs",
-        "text_chunk_sliding", "text_tfidf", "text_vocab",
-        "window_cume_distinct",
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r07.json (the
-# un-promoted alphabetical tail of the r07 window, first block),
-# CORRECTNESS_r08.json (the 50-key r08 window, second block), or
-# CORRECTNESS_r09.json (the 50-key r09 window, third block — aged out of
-# PARKED this round). These receive the r11 window spillover beyond the
-# DUE tier and are the r12 promotion pool (r07 tail first).
-# stream_dedup_live and sim_topk_pq are rows-only by design.
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r07 evidence (the alphabetical tail beyond the keys promoted to
-        # DUE; sql_tpch_q1/q3 were demoted back here mid-round as the r11
-        # new-key count grew from 8 to 10 — the freshest-evidence DUE
-        # members, still re-verified every round by tests/test_parity.py
-        # and timed in the bench headline group)
+        # r07 evidence tail
         "sql_tpch_q1", "sql_tpch_q3",
         "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
         "stream_dedup_live", "stream_session", "stream_sliding",
@@ -138,14 +113,28 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
         "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
         "window_funcs",
-        # r08 evidence: the 50-key r08 window (46 hash-green + 4 rows-only
-        # by documented design: agg_approx_distinct, agg_approx_percentiles,
-        # agg_hll_partitioned, catalog_tables)
+        # alphabetically-first r08 keys
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
         "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
-        "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
+        "agg_rollup", "agg_sum_global",
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r08.json (the
+# un-promoted tail of the r08 window, first block), CORRECTNESS_r09.json
+# (the 50-key r09 window, second block), or CORRECTNESS_r10.json (the
+# 50-key r10 window, third block — aged out of PARKED this round). These
+# receive the r12 window spillover beyond the DUE tier and are the r13
+# promotion pool (r08 tail first). catalog_tables, sim_topk_pq,
+# dedup_fuzzy_minhash, dedup_simhash and doc_rolling_hash are rows-only
+# by design.
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
+        # r08 evidence (the alphabetical tail beyond the 13 keys promoted
+        # to DUE)
+        "agg_unpivot", "array_ops",
         "case_when_block", "catalog_tables", "cluster_kmeans",
         "contamination_check", "corpus_mix", "corpus_pipeline",
         "corpus_upsample", "csv_roundtrip", "date_extract",
@@ -159,7 +148,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "try_funcs", "ts_gapfill", "udaf_pandas_agg",
         "udtf_python_segments",
         # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
-        # rows-only by design), aged out of PARKED this round
+        # rows-only by design)
         "agg_corr_exact", "dedup_incremental", "dedup_lines",
         "events_funnel", "events_retention", "events_sessionize",
         "graph_bfs", "graph_pagerank", "index_inverted",
@@ -177,16 +166,9 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "table_partition_prune", "table_restore", "table_row_ids",
         "table_update", "table_update_mor", "text_bm25",
         "udf_cogrouped_asof", "xlsx_ingest",
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r10.json — the 50
-# keys of the r10 window (47 hash-green + 3 rows-only by documented
-# design, VERDICT r10: dedup_fuzzy_minhash, dedup_simhash,
-# doc_rolling_hash): 18 were the un-prefixed r10 keys, 32 were z_-spelled
-# r06-cohort re-checks.
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
+        # r10 evidence: the 50-key r10 window (47 hash-green + 3 rows-only
+        # by documented design: dedup_fuzzy_minhash, dedup_simhash,
+        # doc_rolling_hash), aged out of PARKED this round
         "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
         "basket_pairs", "dedup_embedding", "dedup_exact",
         "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
@@ -204,6 +186,36 @@ ROTATED_PARKED: frozenset[str] = frozenset(
         "stream_changes_bounded", "table_branch", "table_bucket_prune",
         "table_concurrent", "table_files_meta", "ts_resample_ohlc",
         "url_normalize",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r11.json — the 50
+# keys of the r11 window (47 hash-green + 3 rows-only by documented
+# design, VERDICT r11: sim_topk_ivf, sim_topk_ivfpq, sim_topk_lsh — each
+# with a hash-exact *_portable twin): 10 were the un-prefixed r11 keys,
+# 40 were z_-spelled re-checks.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        # the 40 z_ re-checks of the r11 window
+        "dedup_components_star", "dedup_minhash_portable",
+        "dedup_simhash_portable", "dedup_substring", "docx_ingest",
+        "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
+        "join_interval_overlap", "json_roundtrip", "layout_zorder",
+        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
+        "multimodal_features_topk", "multimodal_frame_sample",
+        "multimodal_resize", "numbering_normalize", "pack_sequences",
+        "project_columns", "sample_hash_mod", "sample_stratified",
+        "scan_full", "scd2_history", "set_ops", "sim_near_dup_pairs",
+        "sim_topk", "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
+        "sim_topk_pq_portable", "source_jdbc", "text_bigram_cond",
+        "text_bpe_pairs",
+        "text_chunk_sliding", "text_tfidf", "text_vocab",
+        "window_cume_distinct",
+        # the 10 un-prefixed r11 keys
+        "agg_linear_trend", "dedup_containment", "multimodal_audio_energy",
+        "sketch_heavy_hitters", "source_hive_partitioned",
+        "table_merge_sync", "table_type_widening", "table_vacuum_audit",
+        "udtf_polymorphic", "xml_ingest",
     }
 )
 
