@@ -343,9 +343,115 @@ def test_merge_sync_condition_null_keeps_row(spark, tmp_path):
     with pytest.raises(ValueError, match="requires"):
         snap.merge_into(spark, root, src, ["id"],
                         not_matched_by_source_condition="score > 10")
-    with pytest.raises(ValueError, match="must be None or 'delete'"):
+    with pytest.raises(ValueError, match="must be None"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="upsert")
+
+
+def test_merge_mark_stale_updates_unmatched_rows(spark, tmp_path):
+    """VERDICT r11 #2: WHEN NOT MATCHED BY SOURCE THEN UPDATE SET — the
+    mark-stale sync. Unmatched target rows get the SET applied (gated by
+    the condition: TRUE updates, FALSE or NULL keeps), matched rows are
+    replaced by source, and the result equals the two-statement
+    UPDATE-then-MERGE. All SET expressions see the PRE-update row
+    simultaneously."""
+    root = str(tmp_path / "mstale")
+    df = spark.createDataFrame(
+        [(1, 10, "live", 0), (2, None, "live", 0), (3, 30, "live", 0),
+         (4, 40, "live", 0)],
+        "id long, score long, status string, gen long",
+    )
+    snap.create(spark, root, df)
+    src = spark.createDataFrame([(4, 44, "live", 1)],
+                                "id long, score long, status string, gen long")
+    v = snap.merge_into(
+        spark, root, src, ["id"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="score > 5",
+        # simultaneous-SET: `gen` references `score`, which is itself
+        # being SET — it must see the OLD score, not -1
+        not_matched_by_source_set={"status": "'stale'",
+                                   "score": "-1",
+                                   "gen": "score + 100"},
+    )
+    got = {r.id: (r.score, r.status, r.gen)
+           for r in snap.read(spark, root).collect()}
+    assert got == {
+        1: (-1, "stale", 110),   # condition TRUE -> updated, gen saw old 10
+        2: (None, "live", 0),    # condition NULL -> untouched
+        3: (-1, "stale", 130),   # condition TRUE -> updated
+        4: (44, "live", 1),      # matched -> replaced by source
+    }
+    # pre-merge snapshot untouched
+    assert {r.status for r in snap.read(spark, root, v - 1).collect()} == \
+        {"live"}
+
+
+def test_merge_mark_stale_feed_and_row_ids(spark, tmp_path):
+    """Clause composition: by-source updates keep the target row's stable
+    id, and the typed change feed classifies them as
+    update_preimage/update_postimage (old/new copies share the commit's
+    merge keys); untouched unmatched rows in rewritten files cancel and
+    emit nothing."""
+    root = str(tmp_path / "mstalerid")
+    df = spark.createDataFrame(
+        [(i, "live") for i in range(5)], "id long, status string")
+    snap.create(spark, root, df.coalesce(1), row_tracking=True)
+    rid0 = {r.id: r._row_id
+            for r in snap.read_with_row_ids(spark, root).collect()}
+    src = spark.createDataFrame([(0, "live-upd"), (9, "new")],
+                                "id long, status string")
+    v = snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update",
+                        not_matched_by_source_condition="id >= 3",
+                        not_matched_by_source_set={"status": "'stale'"})
+    rows = {r.id: r for r in snap.read_with_row_ids(spark, root).collect()}
+    assert {i: rows[i].status for i in sorted(rows)} == {
+        0: "live-upd", 1: "live", 2: "live", 3: "stale", 4: "stale",
+        9: "new"}
+    # ids preserved for matched-update AND by-source-update rows
+    for i in (0, 1, 2, 3, 4):
+        assert rows[i]._row_id == rid0[i], f"row {i} renumbered"
+    assert rows[9]._row_id not in set(rid0.values())
+    feed = snap.changes(spark, root, v - 1, v, classify_updates=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert by_type.pop("insert") == [9]
+    assert sorted(by_type.pop("update_preimage")) == [0, 3, 4]
+    assert sorted(by_type.pop("update_postimage")) == [0, 3, 4]
+    assert not by_type  # ids 1, 2 carried verbatim: zero feed rows
+
+
+def test_merge_mark_stale_refusals_and_constraints(spark, tmp_path):
+    """The UPDATE form's guard rails: SET requires the 'update' clause,
+    'update' requires a SET, merge keys and unknown columns cannot be
+    SET, and a SET that violates a table constraint aborts the commit."""
+    root = str(tmp_path / "mstaleref")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    snap.create(spark, root, df,
+                check_constraints={"v_nonneg": "v >= 0 OR v = -1"})
+    src = spark.createDataFrame([(1, 11)], "id long, v long")
+    head = snap.latest_version(root)
+    with pytest.raises(ValueError, match="requires.*_set"):
         snap.merge_into(spark, root, src, ["id"],
                         not_matched_by_source="update")
+    with pytest.raises(ValueError, match="not_matched_by_source='update'"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source_set={"v": "-1"})
+    with pytest.raises(ValueError, match="merge key"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update",
+                        not_matched_by_source_set={"id": "id + 1000"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update",
+                        not_matched_by_source_set={"nope": "1"})
+    with pytest.raises(ValueError, match="v_nonneg"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update",
+                        not_matched_by_source_set={"v": "-99"})
+    assert snap.latest_version(root) == head  # nothing committed
 
 
 def test_merge_sync_preserves_row_ids_and_composes_with_evolve(

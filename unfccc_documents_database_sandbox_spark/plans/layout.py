@@ -1753,6 +1753,140 @@ def table_merge_sync(spark, sf_dir):
 
 
 @register(
+    "table_merge_mark_stale",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+    head AS (
+        SELECT doc_id,
+               n_chars + CASE WHEN doc_id % 12 = 0 THEN 1000 ELSE 0 END
+                   AS n_chars,
+               'live' AS status
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id, n_chars, 'live' FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN n_chars % 2 = 0 THEN -n_chars ELSE n_chars END,
+               CASE WHEN n_chars % 2 = 0 THEN 'stale' ELSE 'live' END
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+    ),
+    upd AS (
+        SELECT doc_id FROM documents WHERE doc_id % 12 = 0
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0 AND n_chars % 2 = 0
+    )
+    SELECT 'v0_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS agg FROM t
+    UNION ALL
+    SELECT 'head_docs', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM head
+    UNION ALL
+    SELECT 'head_stale', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM head WHERE status = 'stale'
+    UNION ALL
+    SELECT 'feed_insert', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'feed_delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'feed_update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM upd
+    UNION ALL
+    SELECT 'feed_update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM upd
+    """,
+)
+def table_merge_mark_stale(spark, sf_dir):
+    """MERGE's by-source UPDATE clause — Delta's WHEN NOT MATCHED BY
+    SOURCE THEN UPDATE SET (VERDICT r11 #2): ONE merge_into(
+    not_matched_by_source="update") commit replaces matched rows,
+    inserts new ones, AND marks target rows absent from the source as
+    stale (condition-gated: only even-n_chars unmatched rows flip;
+    odd-n_chars rows are carried untouched). The SET negates n_chars
+    while another SET'd column reads it — evaluated simultaneously
+    against the pre-update row, Delta's UPDATE rule. The typed change
+    feed classifies by-source updates as update_preimage/postimage
+    pairs (old/new copies share the merge key) while untouched rows in
+    rewritten files cancel and emit NOTHING — the feed_* rows pin that
+    exactly (zero deletes: this sync marks, never removes).
+
+    Scale: identical to the delete-form sync — the rewrite set is
+    file-bounded (files holding a matched or clause-touched row), the
+    clause itself is an anti-join against the broadcast source key set,
+    and CHANGE DATA stays O(diff). Reference parity: the reference's
+    pipeline re-derives its whole decision_summaries.csv per run
+    (decisions-summaries/generate_decisions_summaries.py:119-121);
+    mark-stale is the incremental form a real sync needs — rows that
+    fell out of the extract are flagged, not silently dropped."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapmstale_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = d.filter("doc_id % 3 = 0").withColumn("status", F.lit("live"))
+    _snap_create(spark, root, base.repartition(3))
+    src = (
+        d.filter("doc_id % 6 = 0")
+        .withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 12 == 0, F.lit(1000)).otherwise(0),
+        )
+        .unionByName(d.filter("doc_id % 3 = 1"))
+        .withColumn("status", F.lit("live"))
+    )
+    v = snap.merge_into(
+        spark, root, src, ["doc_id"],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="n_chars % 2 = 0",
+        not_matched_by_source_set={"status": "'stale'",
+                                   "n_chars": "-n_chars"},
+    )
+
+    def stats(label: str, version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("agg"),
+        ).select(F.lit(label).alias("metric"), "n", "agg")
+
+    stale = (
+        snap.read(spark, root, v).filter("status = 'stale'").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("agg"),
+        ).select(F.lit("head_stale").alias("metric"), "n", "agg")
+    )
+    feed = snap.changes(spark, root, v - 1, v, classify_updates=True)
+    kinds = spark.createDataFrame(
+        [("insert",), ("delete",), ("update_preimage",),
+         ("update_postimage",)], "_change_type string")
+    feed_stats = (
+        kinds.join(
+            feed.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("doc_id").alias("_agg"),
+            ),
+            "_change_type", "left",
+        )
+        .select(
+            F.concat(F.lit("feed_"), F.col("_change_type")).alias("metric"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("_agg"), F.lit(0)).cast("long").alias("agg"),
+        )
+    )
+    return stats("v0_docs", v - 1).unionByName(
+        stats("head_docs", v)).unionByName(stale).unionByName(feed_stats)
+
+
+@register(
     "table_type_widening",
     oracle="""
     SELECT 'era0_head' AS metric,

@@ -2967,6 +2967,7 @@ def merge_into(
     evolve: bool = False,
     not_matched_by_source: str | None = None,
     not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
     max_retries: int = 0,
 ) -> int:
     """Transactional MERGE (upsert): rows in ``source`` whose key matches a
@@ -3006,21 +3007,55 @@ def merge_into(
     small source that is honestly most of the table (the full-sync
     cost, same as Delta).
 
+    ``not_matched_by_source="update"`` is the clause's OTHER Delta form
+    (WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... — the
+    "mark-stale-rows" sync, VERDICT r11 #2): target rows whose key has
+    no source match get ``not_matched_by_source_set`` ({column: SQL
+    expr}) applied instead of being deleted. All SET expressions are
+    evaluated against the OLD row simultaneously (one select, Delta's
+    UPDATE semantics — a SET referencing another SET column sees the
+    pre-update value), cast to the pinned column type, and constraint-
+    checked (update_where's discipline). Merge keys cannot be SET (the
+    row would change matching identity mid-commit). Row ids are
+    preserved — a by-source update never renumbers a row — and the
+    typed change feed classifies the rewritten rows as
+    update_preimage/update_postimage automatically, because the old
+    and new copies of an updated row share the commit's recorded merge
+    keys (`changes(classify_updates=True)`). The condition gates the
+    clause identically to the delete form: TRUE updates, FALSE or NULL
+    keeps the row untouched (an untouched unmatched row in a rewritten
+    file is carried verbatim and cancels in the feed's exceptAll).
+
     At 100 TB the matched-file discovery is a broadcast semi-join of the
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
     _check_write_protocol(root)
-    if not_matched_by_source not in (None, "delete"):
+    if not_matched_by_source not in (None, "delete", "update"):
         raise ValueError(
-            "merge_into: not_matched_by_source must be None or 'delete', "
-            f"got {not_matched_by_source!r} (UPDATE-by-source is not "
-            "implemented)")
+            "merge_into: not_matched_by_source must be None, 'delete' or "
+            f"'update', got {not_matched_by_source!r}")
     if (not_matched_by_source_condition is not None
             and not_matched_by_source is None):
         raise ValueError(
             "merge_into: not_matched_by_source_condition requires "
-            "not_matched_by_source='delete'")
+            "not_matched_by_source='delete' or 'update'")
     sync_delete = not_matched_by_source == "delete"
+    sync_update = not_matched_by_source == "update"
+    if sync_update:
+        if not not_matched_by_source_set:
+            raise ValueError(
+                "merge_into: not_matched_by_source='update' requires "
+                "not_matched_by_source_set={column: SQL expr}")
+        bad_keys = sorted(set(not_matched_by_source_set) & set(key_cols))
+        if bad_keys:
+            raise ValueError(
+                "merge_into: by-source UPDATE cannot SET merge key "
+                f"columns {bad_keys} — the row's matching identity is "
+                "fixed within the commit")
+    elif not_matched_by_source_set is not None:
+        raise ValueError(
+            "merge_into: not_matched_by_source_set requires "
+            "not_matched_by_source='update'")
     # Delta clause semantics: delete where the condition is TRUE; FALSE
     # or NULL keeps the row (never let a NULL predicate delete data)
     _del_pred = (
@@ -3071,6 +3106,13 @@ def merge_into(
                 ]
             )
             schema_json = schema.json()
+    if sync_update:
+        unknown = sorted(
+            set(not_matched_by_source_set) - {f.name for f in schema}
+        )
+        if unknown:
+            raise ValueError(
+                f"merge_into: by-source SET on unknown columns {unknown}")
     source = _check_schema(source, schema, "merge_into")
     _check_constraints(source, _read_state(root)["constraints"], "merge_into")
     dup = (
@@ -3093,9 +3135,9 @@ def merge_into(
         cur = _scan(spark, root, lineage=True)
         hit_files = cur.join(F.broadcast(keys), key_cols, "left_semi") \
             .select("__src")
-        if sync_delete:
+        if sync_delete or sync_update:
             # the third clause widens the rewrite set: files holding an
-            # unmatched row the condition deletes must rewrite too
+            # unmatched row the clause touches must rewrite too
             hit_files = hit_files.unionByName(
                 cur.join(F.broadcast(keys), key_cols, "left_anti")
                 .filter(_del_pred)
@@ -3122,6 +3164,32 @@ def merge_into(
             # unmatched rows where the clause fires are DELETED; the
             # rest of the rewritten files' unmatched rows are carried
             survivors = survivors.filter(~_del_pred)
+        elif sync_update:
+            # unmatched rows where the clause fires get the SET applied;
+            # ONE select so every SET expression (and the condition)
+            # sees the pre-update row — Delta's simultaneous-SET rule.
+            # Other columns (incl. the row-id carrier) pass through.
+            types = {f.name: f.dataType for f in schema}
+            names = {f.name for f in schema}
+            survivors = survivors.select(
+                *[
+                    (
+                        F.when(
+                            _del_pred,
+                            F.expr(not_matched_by_source_set[c])
+                            .cast(types[c]),
+                        ).otherwise(F.col(c)).alias(c)
+                        if c in not_matched_by_source_set
+                        else F.col(c)
+                    )
+                    if c in names else F.col(c)
+                    for c in survivors.columns
+                ]
+            )
+            _check_constraints(
+                survivors.select(*sorted(names)), st0["constraints"],
+                "merge_into(not_matched_by_source='update')",
+            )
         if track:
             # a matched key is an UPDATE: the replacing source row KEEPS
             # the target row's stable id (MIN over any replaced
