@@ -1516,3 +1516,63 @@ def test_containment_prefix_finds_truncation_pair(spark, tmp_path):
     assert got.get((5, 0)) == 1000000          # short ⊂ long found
     assert (0, 5) not in got                   # containment is asymmetric
     assert all(a != 1 for a, _ in got)         # unrelated doc never contained
+
+
+def test_unigram_partitioning_invariance(spark):
+    """VERDICT r11 #3's property: encode(train(corpus)) must be stable
+    under partitioning — the trainer's vocabulary (pieces, counts AND
+    costs) and the encode pass's per-doc token counts are identical
+    whether the word table lives in 1 partition or 7 (all arithmetic is
+    integer and all reductions are commutative sums/mins, so layout can
+    never leak into the artifact)."""
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _uni_dp,
+        _uni_words,
+        learn_unigram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v1 = learn_unigram(spark, sf, n_parts=1)
+    v7 = learn_unigram(spark, sf, n_parts=7)
+    assert v1 == v7
+    cost = {p: c for p, (_n, c) in v1.items()}
+    words = _uni_words(spark, sf)
+    n1 = {r["word"]: r["n_sym"]
+          for r in _uni_dp(words.repartition(1), cost).collect()}
+    n7 = {r["word"]: r["n_sym"]
+          for r in _uni_dp(words.repartition(7), cost).collect()}
+    assert n1 == n7
+
+
+def test_unigram_single_chars_protected_and_paths_cover(spark):
+    """Trainer invariants: every single char of the corpus survives every
+    prune (any word stays segmentable), and every Viterbi path exactly
+    re-spells its word (pieces concatenate to the word, n_sym = path
+    length >= 1)."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _uni_dp,
+        _uni_words,
+        learn_unigram,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vocab = learn_unigram(spark, sf)
+    words = _uni_words(spark, sf)
+    chars = {
+        r["c"]
+        for r in words.select(
+            F.explode(F.split("word", "")).alias("c")
+        ).distinct().collect()
+        if r["c"]
+    }
+    assert chars <= set(vocab), "a corpus char was pruned from the vocab"
+    cost = {p: c for p, (_n, c) in vocab.items()}
+    rows = _uni_dp(words, cost).select("word", "pieces", "n_sym").collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["pieces"]) == r["word"]
+        assert r["n_sym"] == len(r["pieces"]) >= 1
+        for p in r["pieces"]:
+            assert p in vocab

@@ -649,6 +649,467 @@ def bpe_nsym_arrow(words_df, merges):
     return words_df.select("word").mapInPandas(enc, "word string, n_sym long")
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer, round 12 (VERDICT r11 #3):
+# the OTHER dominant LLM tokenizer family next to BPE — a piece VOCABULARY
+# with per-piece costs, trained by EM over word segmentations and applied
+# with Viterbi decoding. This implementation is the hard-EM (Viterbi-EM)
+# variant: the E-step counts pieces of each word's single BEST segmentation
+# (not forward-backward expected counts, which are sums of products of
+# probabilities — inherently float and therefore impossible to make
+# bit-identical across engines); the M-step re-derives piece costs from
+# those counts. Costs are power-of-two-quantized negative log-probs kept in
+# pure INTEGER arithmetic (the cluster_kmeans / agg_linear_trend
+# exactness precedent): cost(piece) = ilog2(total) - ilog2(max(cnt, 1))
+# with ilog2(x) = bit_length(x) - 1 — i.e. probabilities bucketed to
+# powers of two, so both engines compare identical integers and the
+# learned vocabulary, every Viterbi path, and all token counts hash-match
+# DuckDB exactly.
+#
+# Scale shape: the corpus is touched ONCE (the distinct-word frequency
+# table, a zipf-collapsing map-side-combine groupBy); every EM round is a
+# vocabulary-sized job — the Viterbi DP is a pure column-expression chain
+# (whole-stage codegen, no Python) over the distinct-word table with the
+# piece costs attached as a broadcast map literal, and the only driver
+# state is the vocabulary itself (seed: top-S substrings + single chars;
+# rounds: <= |vocab| count rows — bounded collects with a loud cap, the
+# operators/similarity.py discipline). A production SentencePiece run has
+# V in the tens of thousands: same loop, the map literal becomes a
+# broadcast-joined cost table; nothing here re-tokenizes the corpus per
+# round.
+_UNI_MAXW = 8      # max word length ([a-z]{2,8} filter) — bounds the DP
+_UNI_MAXP = 4      # max piece length — bounds each DP position's lookback
+_UNI_SEED = 60     # seed vocabulary: top-S multi-char substrings by freq
+_UNI_V = 40        # pruned vocabulary: top-V multi-char pieces per round
+_UNI_T = 2         # EM rounds (fixed-iteration, like the k-means unroll)
+_UNI_INF = 1000000  # unreachable-piece cost (8 * max real cost << this)
+_UNI_MAX_VOCAB_COLLECT = 10000  # loud-failure cap on driver vocab state
+
+
+def _uni_ilog2(x: int) -> int:
+    """floor(log2(x)) for x >= 1 via bit_length — matches the oracle's
+    length(bin(x)) - 1 exactly (both count the leading bit's position)."""
+    return x.bit_length() - 1
+
+
+def _uni_cost(vocab: dict[str, int]) -> dict[str, int]:
+    """M-step: power-of-two-quantized -log2 probability per piece.
+    Zero-count pieces (a protected single char no best path used this
+    round) cost as if count 1 — present but maximally improbable."""
+    total = sum(max(c, 1) for c in vocab.values())
+    return {
+        p: _uni_ilog2(total) - _uni_ilog2(max(c, 1))
+        for p, c in vocab.items()
+    }
+
+
+def _uni_words(spark, sf_dir):
+    """The distinct-word frequency table the whole trainer runs on."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,%d}$" % _UNI_MAXW))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+    )
+
+
+def _uni_dp(words, cost: dict[str, int]):
+    """Viterbi segmentation as a SINGLE higher-order expression over the
+    distinct-word table. An unrolled column-per-position formulation is a
+    trap here: Catalyst's project collapse inlines each dp_i into every
+    later reference, so the 8-level DP with 4-way lookback becomes an
+    exponentially-duplicated expression tree (observed: driver OOM just
+    printing it). Instead the whole DP runs inside one `aggregate` over
+    positions 1..maxw with an array<struct<dp,b>> accumulator — the tree
+    is written once, iteration happens at runtime, everything stays
+    JVM-side with zero Python and zero shuffle:
+
+    - dp[i] = min over splits j<i of dp[j] + cost(word[j..i)); pieces
+      longer than _UNI_MAXP are never in the vocabulary, price at
+      _UNI_INF, and never win — the same minimum as the oracle's bounded
+      lookback, without special-casing.
+    - the candidate min is `array_min` over struct(dp, b=j): struct
+      ordering compares dp first, then j — exactly the oracle's
+      smallest-split CASE tie-break.
+    - a second aggregate walks the backpointers down from len (<= maxw
+      steps), collecting the best path's piece END positions; `pieces`
+      materializes the path's substrings and n_sym its length."""
+    items: list = []
+    for p in sorted(cost):
+        items += [F.lit(p), F.lit(cost[p])]
+    m = F.create_map(*items)
+    word = F.col("word")
+
+    def piece_cost(s):
+        return F.coalesce(m[s], F.lit(_UNI_INF).cast("long"))
+
+    init = F.array(
+        F.struct(F.lit(0).cast("long").alias("dp"), F.lit(-1).alias("b"))
+    )
+
+    def step(acc, i):
+        cands = F.transform(
+            F.sequence(F.lit(0), i - 1),
+            lambda j: F.struct(
+                (
+                    F.element_at(acc, j + 1)["dp"]
+                    + piece_cost(word.substr(j + 1, i - j))
+                ).alias("dp"),
+                j.alias("b"),
+            ),
+        )
+        return F.concat(acc, F.array(F.array_min(cands)))
+
+    dparr = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_UNI_MAXW)), init, step
+    )
+    df = (
+        words.withColumn("len", F.length("word"))
+        .withColumn("dparr", dparr)
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_UNI_MAXW)),
+        F.struct(
+            F.col("len").alias("cur"),
+            F.slice(F.array(F.lit(0)), 1, 0).alias("ends"),
+        ),
+        lambda acc, _i: F.when(
+            acc["cur"] > 0,
+            F.struct(
+                F.element_at(F.col("dparr"), acc["cur"] + 1)["b"]
+                .alias("cur"),
+                F.concat(acc["ends"], F.array(acc["cur"])).alias("ends"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["ends"],
+    )
+    df = df.withColumn("ends", walk)
+    start = lambda e: F.element_at(F.col("dparr"), e + 1)["b"]  # noqa: E731
+    pieces = F.reverse(
+        F.transform(
+            F.col("ends"), lambda e: word.substr(start(e) + 1, e - start(e))
+        )
+    )  # walk collects end->start; reverse to left-to-right spelling
+    return df.withColumn("pieces", pieces).withColumn(
+        "n_sym", F.size("ends").cast("long")
+    )
+
+
+def _uni_estep(dp_df):
+    """E-step counts: every best-path piece, summed over words weighted
+    by word frequency. Result is <= |vocab| rows (unreachable pieces
+    cost _UNI_INF, and single chars are always affordable, so a best
+    path never leaves the vocabulary)."""
+    return (
+        dp_df.select(F.explode("pieces").alias("piece"), "wfreq")
+        .groupBy("piece")
+        .agg(F.sum("wfreq").cast("long").alias("cnt"))
+    )
+
+
+def _uni_collect(df, what: str) -> list:
+    rows = df.limit(_UNI_MAX_VOCAB_COLLECT + 1).collect()
+    if len(rows) > _UNI_MAX_VOCAB_COLLECT:
+        raise ValueError(
+            f"unigram trainer: {what} exceeds the "
+            f"{_UNI_MAX_VOCAB_COLLECT}-row driver cap — raise the cap or "
+            "move the vocabulary to a broadcast-joined cost table"
+        )
+    return rows
+
+
+def learn_unigram(spark, sf_dir, n_parts: int | None = None):
+    """Train the unigram-LM vocabulary: seed from substring frequencies
+    (top-_UNI_SEED multi-char substrings of length <= _UNI_MAXP, plus
+    EVERY single char — protected from pruning so any word stays
+    segmentable), then _UNI_T rounds of Viterbi-EM (segment under current
+    costs -> recount -> prune to the top-_UNI_V multi-char pieces ->
+    re-derive costs). Returns {piece: (count, cost)} after the final
+    round. ``n_parts`` repartitions the word table (the
+    partitioning-invariance property test's hook — results must not
+    depend on it)."""
+    words = _uni_words(spark, sf_dir)
+    if n_parts is not None:
+        words = words.repartition(n_parts)
+    words = words.persist()
+    try:
+        sub = F.expr(
+            "flatten(transform(sequence(1, length(word)), s -> "
+            "transform(sequence(1, least(%d, length(word) - s + 1)), "
+            "l -> substring(word, s, l))))" % _UNI_MAXP
+        )
+        seed = (
+            words.select(F.explode(sub).alias("piece"), "wfreq")
+            .groupBy("piece")
+            .agg(F.sum("wfreq").cast("long").alias("cnt"))
+            .persist()
+        )
+        multi = _uni_collect(
+            seed.filter(F.length("piece") >= 2)
+            .orderBy(F.col("cnt").desc(), "piece")
+            .limit(_UNI_SEED),
+            "seed vocabulary",
+        )
+        singles = _uni_collect(
+            seed.filter(F.length("piece") == 1), "single-char seed"
+        )
+        seed.unpersist()
+        single_pieces = sorted(r["piece"] for r in singles)
+        vocab = {r["piece"]: r["cnt"] for r in multi}
+        vocab.update({r["piece"]: r["cnt"] for r in singles})
+        for _round in range(_UNI_T):
+            counts = {
+                r["piece"]: r["cnt"]
+                for r in _uni_collect(
+                    _uni_estep(_uni_dp(words, _uni_cost(vocab))),
+                    "E-step counts",
+                )
+            }
+            kept = sorted(
+                ((p, c) for p, c in counts.items() if len(p) >= 2),
+                key=lambda t: (-t[1], t[0]),
+            )[:_UNI_V]
+            vocab = dict(kept)
+            vocab.update({p: counts.get(p, 0) for p in single_pieces})
+        return {p: (c, _uni_cost(vocab)[p]) for p, c in vocab.items()}
+    finally:
+        words.unpersist()
+
+
+def _uni_dp_sql(tag: str, vocab_cte: str) -> tuple[list[str], str]:
+    """Mechanically generate the oracle's Viterbi DP as a CTE chain (the
+    BPE _bpe_oracle discipline): cost lookups as LEFT JOINs of the vocab
+    CTE, dp as a sequential LEAST chain, backpointers as smallest-split
+    CASEs, on-path flags walked down from the word end. Returns (ctes,
+    name-of-final-cte)."""
+    INF = _UNI_INF
+    joins, cols = [], []
+    for i in range(1, _UNI_MAXW + 1):
+        for j in range(max(0, i - _UNI_MAXP), i):
+            a = f"x{tag}_{j}_{i}"
+            joins.append(
+                f"LEFT JOIN {vocab_cte} {a} "
+                f"ON {a}.piece = substr(w.word, {j + 1}, {i - j})"
+            )
+            cols.append(f"COALESCE({a}.cost, {INF}) AS c_{j}_{i}")
+    ctes = [
+        f"d{tag} AS MATERIALIZED (SELECT w.word, w.wfreq, length(w.word) AS len,\n        "
+        + ",\n        ".join(cols)
+        + f"\n        FROM w0 w\n        "
+        + "\n        ".join(joins)
+        + ")"
+    ]
+    prev = f"d{tag}"
+
+    def branch(j: int, i: int) -> str:
+        return f"c_{j}_{i}" if j == 0 else f"dp{j} + c_{j}_{i}"
+
+    for i in range(1, _UNI_MAXW + 1):
+        js = list(range(max(0, i - _UNI_MAXP), i))
+        bs = [branch(j, i) for j in js]
+        expr = bs[0] if len(bs) == 1 else f"LEAST({', '.join(bs)})"
+        ctes.append(f"q{tag}{i} AS MATERIALIZED (SELECT *, {expr} AS dp{i} FROM {prev})")
+        prev = f"q{tag}{i}"
+    bks = []
+    for i in range(1, _UNI_MAXW + 1):
+        js = list(range(max(0, i - _UNI_MAXP), i))
+        whens = " ".join(
+            f"WHEN {branch(j, i)} = dp{i} THEN {j}" for j in js
+        )
+        bks.append(f"CASE {whens} END AS b{i}")
+    ctes.append(
+        f"bk{tag} AS MATERIALIZED (SELECT *, " + ", ".join(bks) + f" FROM {prev})"
+    )
+    prev = f"bk{tag}"
+    for i in range(_UNI_MAXW, 0, -1):
+        parts = [f"(len = {i})"] + [
+            f"(on{q} AND b{q} = {i})"
+            for q in range(i + 1, min(i + _UNI_MAXP, _UNI_MAXW) + 1)
+        ]
+        ctes.append(
+            f"o{tag}{i} AS MATERIALIZED (SELECT *, {' OR '.join(parts)} AS on{i} "
+            f"FROM {prev})"
+        )
+        prev = f"o{tag}{i}"
+    return ctes, prev
+
+
+def _uni_round_sql(r: int, dp_final: str) -> list[str]:
+    """One EM round's tail: E-step piece counts from the DP's best paths,
+    prune to top-V multi + protected singles, re-derive integer costs."""
+    pieces = " UNION ALL ".join(
+        f"SELECT substr(word, b{i} + 1, {i} - b{i}) AS piece, wfreq "
+        f"FROM {dp_final} WHERE on{i}"
+        for i in range(1, _UNI_MAXW + 1)
+    )
+    return [
+        f"pc{r} AS MATERIALIZED ({pieces})",
+        f"cnt{r} AS MATERIALIZED (SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS cnt "
+        f"FROM pc{r} GROUP BY piece)",
+        f"""u{r} AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM cnt{r} WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT {_UNI_V})
+        UNION ALL
+        SELECT s.piece, COALESCE(c.cnt, 0) AS cnt
+        FROM sing s LEFT JOIN cnt{r} c ON c.piece = s.piece
+    )""",
+        f"t{r} AS MATERIALIZED (SELECT CAST(SUM(GREATEST(cnt, 1)) AS BIGINT) AS tot "
+        f"FROM u{r})",
+        f"""v{r} AS MATERIALIZED (
+        SELECT u.piece, u.cnt,
+               CAST((length(bin(t.tot)) - 1)
+                    - (length(bin(GREATEST(u.cnt, 1))) - 1) AS BIGINT)
+                   AS cost
+        FROM u{r} u, t{r} t
+    )""",
+    ]
+
+
+def _uni_oracle(tail: str) -> str:
+    """The full mechanically-unrolled trainer: seed substring counts,
+    _UNI_T Viterbi-EM rounds (each: DP chain + count/prune/re-cost), then
+    a caller-supplied tail over the final vocab v{_UNI_T}."""
+    ctes = [
+        """wtok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )""",
+        f"""w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
+        FROM wtok
+        WHERE regexp_full_match(word, '[a-z]{{2,{_UNI_MAXW}}}')
+        GROUP BY word
+    )""",
+        f"""sseed AS MATERIALIZED (
+        SELECT substr(w.word, CAST(s.s AS INTEGER), CAST(l.l AS INTEGER))
+                   AS piece,
+               CAST(SUM(w.wfreq) AS BIGINT) AS cnt
+        FROM w0 w,
+             unnest(generate_series(1, length(w.word))) AS s(s),
+             unnest(generate_series(
+                 1, least({_UNI_MAXP}, length(w.word) - s.s + 1))) AS l(l)
+        GROUP BY piece
+    )""",
+        "sing AS MATERIALIZED (SELECT piece, cnt FROM sseed WHERE length(piece) = 1)",
+        f"""u0 AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM sseed WHERE length(piece) >= 2
+            ORDER BY cnt DESC, piece LIMIT {_UNI_SEED})
+        UNION ALL
+        SELECT piece, cnt FROM sing
+    )""",
+        "t0 AS MATERIALIZED (SELECT CAST(SUM(GREATEST(cnt, 1)) AS BIGINT) AS tot "
+        "FROM u0)",
+        """v0 AS MATERIALIZED (
+        SELECT u.piece, u.cnt,
+               CAST((length(bin(t.tot)) - 1)
+                    - (length(bin(GREATEST(u.cnt, 1))) - 1) AS BIGINT)
+                   AS cost
+        FROM u0 u, t0 t
+    )""",
+    ]
+    for r in range(1, _UNI_T + 1):
+        dp_ctes, dp_final = _uni_dp_sql(f"r{r}", f"v{r - 1}")
+        ctes += dp_ctes
+        ctes += _uni_round_sql(r, dp_final)
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + tail
+
+
+_UNI_TRAIN_TAIL = (
+    f"SELECT piece, cnt AS freq, cost FROM v{_UNI_T}"
+)
+
+
+def _uni_encode_tail() -> str:
+    dp_ctes, dp_final = _uni_dp_sql("e", f"v{_UNI_T}")
+    nsym = " + ".join(
+        f"(CASE WHEN on{i} THEN 1 ELSE 0 END)"
+        for i in range(1, _UNI_MAXW + 1)
+    )
+    return (
+        ", "
+        + ",\n    ".join(dp_ctes)
+        + f""",
+    np AS MATERIALIZED (SELECT word, CAST({nsym} AS BIGINT) AS n_sym FROM {dp_final}),
+    dtok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    dwc AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM dtok
+        WHERE regexp_full_match(word, '[a-z]{{2,{_UNI_MAXW}}}')
+        GROUP BY doc_id, word
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(d.cnt * np.n_sym) AS BIGINT) AS n_tokens
+    FROM dwc d JOIN np ON np.word = d.word
+    GROUP BY d.doc_id
+    """
+    )
+
+
+@register(
+    "text_unigram_train",
+    oracle=_uni_oracle(_UNI_TRAIN_TAIL),
+)
+def text_unigram_train(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (VERDICT r11 #3 — the
+    SentencePiece-style sibling of text_bpe_train): seed a piece
+    vocabulary from substring frequencies, run _UNI_T rounds of
+    Viterbi-EM (best-segmentation counts -> prune to the top-_UNI_V
+    multi-char pieces + protected single chars -> power-of-two-quantized
+    integer costs), and emit the final (piece, freq, cost) artifact an
+    encode pass replays. The oracle is the mechanically-unrolled CTE
+    chain of the identical algorithm (seed + per-round DP/count/prune);
+    see the module comment above _UNI_MAXW for the hard-EM and
+    integer-cost design rationale. Scale: one corpus pass for the word
+    table; every round is vocabulary-sized with whole-stage-codegen DP
+    and <= |vocab|-row bounded driver collects."""
+    vocab = learn_unigram(spark, sf_dir)
+    rows = [(p, c, cost) for p, (c, cost) in sorted(vocab.items())]
+    return spark.createDataFrame(
+        rows, "piece string, freq long, cost long"
+    )
+
+
+@register(
+    "text_unigram_encode",
+    oracle=_uni_oracle(_uni_encode_tail()),
+)
+def text_unigram_encode(spark, sf_dir):
+    """Unigram-LM ENCODE pass: Viterbi-decode every document's words
+    under the trained vocabulary and emit per-doc token counts (doc_id,
+    n_words, n_tokens) — the token-accounting a LLaMA-style
+    (SentencePiece) pipeline runs before packing, sibling of
+    text_bpe_encode. Scale shape: the DP runs on the DISTINCT-word table
+    (vocabulary-sized, pure column expressions); per-word piece counts
+    broadcast back onto the per-doc word counts — the corpus is never
+    re-segmented row by row. Each build re-trains (bench honesty: the
+    timed key measures train + encode, like the BPE twin)."""
+    vocab = learn_unigram(spark, sf_dir)
+    cost = {p: c for p, (_cnt, c) in vocab.items()}
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dwc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,%d}$" % _UNI_MAXW))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ns = _uni_dp(dwc.select("word").distinct(), cost).select("word", "n_sym")
+    return (
+        dwc.join(F.broadcast(ns), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 _SHUF_A = 1103515245   # LCG multiplier (Knuth/glibc constants; values are
 _SHUF_C = 12345        # arbitrary — the POINT is both engines compute the
 _SHUF_M = 2147483648   # identical h, so products must stay far inside int64)
