@@ -616,3 +616,187 @@ def sql_scalar_udf(spark, sf_dir):
         "RETURN CAST(ROUND(price * (1 - discount) * 100, 0) AS BIGINT)"
     )
     return spark.sql(_QSQLUDF_BODY)
+
+
+# ---------------------------------------------------------------------------
+# r12 TPC-DS mini-family (VERDICT r11 #4): retail/window-heavy shapes TPC-H
+# never exercises, adapted to this corpus's tables (the partsupp-adaptation
+# precedent above) and run SAME-STRING through spark.sql and DuckDB. What
+# each shape adds beyond the 22 TPC-H keys:
+#   Q36 — a RATIO aggregated under ROLLUP plus RANK *within the rollup
+#         parent* (PARTITION BY the grouping level + CASE on GROUPING()),
+#         the lochierarchy pattern: one Expand + one agg + one window.
+#   Q44 — two-sided ranking (best AND worst lists from one aggregate,
+#         joined positionally by rank).
+#   Q49 — multi-channel UNION with DUAL ranks per channel (quantity-ratio
+#         and currency-ratio rank over the same partition).
+#   Q51 — two cumulative (running-total) series FULL OUTER JOINed and
+#         compared row-by-row.
+#   Q67 — rank-per-category over a 3-level ROLLUP's mixed grouping levels.
+# Determinism: money in integer cents, every ratio ONE double division of
+# exact bigints, every rank fully tie-broken (unique key last), NULLS
+# pinned explicitly wherever a rollup NULL can enter an ORDER BY (Spark
+# defaults NULLS FIRST on ASC where DuckDB defaults NULLS LAST — never
+# rely on the default).
+
+_QDS36 = """
+WITH m AS (
+    SELECT p.p_brand, p.p_type,
+           CAST(GROUPING(p.p_brand) AS BIGINT) + CAST(GROUPING(p.p_type) AS BIGINT)
+               AS lochierarchy,
+           CAST(GROUPING(p.p_type) AS BIGINT) AS g_type,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS disc_cents,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS base_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ROLLUP(p.p_brand, p.p_type)
+)
+SELECT p_brand, p_type, lochierarchy, disc_cents, base_cents,
+       ROUND(CAST(disc_cents AS DOUBLE) / base_cents, 6) AS gross_margin,
+       CAST(RANK() OVER (
+           PARTITION BY lochierarchy,
+                        CASE WHEN g_type = 0 THEN p_brand END
+           ORDER BY CAST(disc_cents AS DOUBLE) / base_cents ASC,
+                    p_brand ASC NULLS FIRST, p_type ASC NULLS FIRST
+       ) AS BIGINT) AS rank_within_parent
+FROM m
+"""
+
+_QDS44 = """
+WITH perf AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY l_partkey
+),
+best AS (
+    SELECT l_partkey, rev_cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey)
+               AS BIGINT) AS rn
+    FROM perf
+),
+worst AS (
+    SELECT l_partkey, rev_cents,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev_cents ASC, l_partkey)
+               AS BIGINT) AS rn
+    FROM perf
+)
+SELECT b.rn AS rnk,
+       pb.p_name AS best_performing, b.rev_cents AS best_cents,
+       pw.p_name AS worst_performing, w.rev_cents AS worst_cents
+FROM best b
+JOIN worst w ON b.rn = w.rn
+JOIN part pb ON pb.p_partkey = b.l_partkey
+JOIN part pw ON pw.p_partkey = w.l_partkey
+WHERE b.rn <= 10
+"""
+
+_QDS49 = """
+WITH base AS (
+    SELECT l_linestatus AS channel, l_partkey,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(ROUND(l_quantity, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS ret_qty,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS ret_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY l_linestatus, l_partkey
+),
+ranked AS (
+    SELECT channel, l_partkey, ret_qty, qty, ret_cents, cents,
+           CAST(RANK() OVER (PARTITION BY channel
+                             ORDER BY CAST(ret_qty AS DOUBLE) / qty DESC,
+                                      l_partkey) AS BIGINT) AS qty_rank,
+           CAST(RANK() OVER (PARTITION BY channel
+                             ORDER BY CAST(ret_cents AS DOUBLE) / cents DESC,
+                                      l_partkey) AS BIGINT) AS amt_rank
+    FROM base
+)
+SELECT channel, l_partkey, ret_qty, qty, ret_cents, cents,
+       qty_rank, amt_rank,
+       ROUND(CAST(ret_qty AS DOUBLE) / qty, 6) AS return_ratio,
+       ROUND(CAST(ret_cents AS DOUBLE) / cents, 6) AS currency_ratio
+FROM ranked
+WHERE qty_rank <= 10 OR amt_rank <= 10
+"""
+
+_QDS51 = """
+WITH a AS (
+    SELECT l_suppkey,
+           CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+                + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM lineitem WHERE l_returnflag = 'A'
+    GROUP BY l_suppkey, CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+                             + EXTRACT(MONTH FROM l_shipdate) AS BIGINT)
+),
+r AS (
+    SELECT l_suppkey,
+           CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+                + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_suppkey, CAST(EXTRACT(YEAR FROM l_shipdate) * 100
+                             + EXTRACT(MONTH FROM l_shipdate) AS BIGINT)
+),
+ac AS (
+    SELECT l_suppkey, ym,
+           CAST(SUM(cents) OVER (PARTITION BY l_suppkey ORDER BY ym)
+               AS BIGINT) AS cum
+    FROM a
+),
+rc AS (
+    SELECT l_suppkey, ym,
+           CAST(SUM(cents) OVER (PARTITION BY l_suppkey ORDER BY ym)
+               AS BIGINT) AS cum
+    FROM r
+)
+SELECT COALESCE(ac.l_suppkey, rc.l_suppkey) AS suppkey,
+       COALESCE(ac.ym, rc.ym) AS ym,
+       ac.cum AS cum_accepted, rc.cum AS cum_returned
+FROM ac FULL OUTER JOIN rc
+  ON ac.l_suppkey = rc.l_suppkey AND ac.ym = rc.ym
+WHERE COALESCE(rc.cum, 0) > COALESCE(ac.cum, 0)
+"""
+
+_QDS67 = """
+WITH base AS (
+    SELECT p.p_brand AS brand, CAST(p.p_size AS BIGINT) AS psize,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+           CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+    SELECT brand, psize, yr,
+           CAST(GROUPING(psize) AS BIGINT) AS g_size,
+           CAST(GROUPING(yr) AS BIGINT) AS g_yr,
+           CAST(SUM(cents) AS BIGINT) AS sales_cents
+    FROM base GROUP BY ROLLUP(brand, psize, yr)
+)
+SELECT brand, psize, yr, g_size, g_yr, sales_cents, rk
+FROM (
+    SELECT *,
+           CAST(RANK() OVER (
+               PARTITION BY brand
+               ORDER BY sales_cents DESC, g_size ASC, g_yr ASC,
+                        psize ASC NULLS FIRST, yr ASC NULLS FIRST
+           ) AS BIGINT) AS rk
+    FROM agg
+) t
+WHERE rk <= 5
+"""
+
+register("sql_tpcds_q36", oracle=_QDS36)(_sql_plan(_QDS36))
+register("sql_tpcds_q44", oracle=_QDS44)(_sql_plan(_QDS44))
+register("sql_tpcds_q49", oracle=_QDS49)(_sql_plan(_QDS49))
+register("sql_tpcds_q51", oracle=_QDS51)(_sql_plan(_QDS51))
+register("sql_tpcds_q67", oracle=_QDS67)(_sql_plan(_QDS67))
