@@ -3650,3 +3650,89 @@ def test_parquet_checkpoint_gated_on_reader_protocol(spark, tmp_path):
     root2 = str(tmp_path / "pqgate2")
     snap.create(spark, root2, spark.createDataFrame([(1,)], "id long"))
     snap.checkpoint(root2)  # fine at any stamp
+
+
+def test_generated_and_default_columns_derive_and_enforce(spark, tmp_path):
+    """VERDICT r11 #5 — GENERATED ALWAYS AS + DEFAULT columns: absent
+    generated/default columns derive at write time (create AND append);
+    explicit generated values are enforced (mismatch aborts, match
+    passes); explicit default values pass through untouched."""
+    root = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(1, 1234), (2, 5678)], "id long, n long")
+    snap.create(spark, root, df,
+                generated_cols={"bucket": "CAST(n DIV 1000 AS BIGINT)"},
+                default_cols={"status": "'live'"})
+    got = {r.id: (r.bucket, r.status)
+           for r in snap.read(spark, root).collect()}
+    assert got == {1: (1, "live"), 2: (5, "live")}
+    assert snap.generated_columns(root) == {
+        "bucket": "CAST(n DIV 1000 AS BIGINT)"}
+    assert snap.default_columns(root) == {"status": "'live'"}
+    # append: omitted -> derived/defaulted
+    snap.append(spark, root, spark.createDataFrame(
+        [(3, 9001)], "id long, n long"))
+    # append: explicit CORRECT generated value + explicit default pass
+    snap.append(spark, root, spark.createDataFrame(
+        [(4, 2500, 2, "bulk")], "id long, n long, bucket long, status string"))
+    got = {r.id: (r.bucket, r.status)
+           for r in snap.read(spark, root).collect()}
+    assert got == {1: (1, "live"), 2: (5, "live"), 3: (9, "live"),
+                   4: (2, "bulk")}
+    # explicit WRONG generated value aborts before any commit
+    head = snap.latest_version(root)
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        snap.append(spark, root, spark.createDataFrame(
+            [(5, 100, 77, "live")],
+            "id long, n long, bucket long, status string"))
+    assert snap.latest_version(root) == head
+    # stats are recorded on the generated column -> data skipping works
+    pf = snap.pruned_files(root, {"bucket": (100, 200)})
+    assert pf == []
+
+
+def test_generated_columns_gate_updates_and_merge(spark, tmp_path):
+    """Generated columns compose with DML: direct SET on a generated
+    column refuses (COW and MOR update, and the MERGE by-source UPDATE
+    clause); a MERGE source omitting generated/default columns derives
+    them; create refuses a column declared both generated and default."""
+    root = str(tmp_path / "gendml")
+    df = spark.createDataFrame([(1, 1000), (2, 2000)], "id long, n long")
+    snap.create(spark, root, df,
+                generated_cols={"bucket": "CAST(n DIV 1000 AS BIGINT)"},
+                default_cols={"status": "'live'"})
+    with pytest.raises(ValueError, match="generated column"):
+        snap.update_where(spark, root, "id = 1", {"bucket": "9"})
+    with pytest.raises(ValueError, match="generated column"):
+        snap.update_where_mor(spark, root, "id = 1", {"bucket": "9"})
+    src = spark.createDataFrame([(2, 3500), (9, 9999)], "id long, n long")
+    snap.merge_into(spark, root, src, ["id"])
+    got = {r.id: (r.n, r.bucket, r.status)
+           for r in snap.read(spark, root).collect()}
+    assert got == {1: (1000, 1, "live"), 2: (3500, 3, "live"),
+                   9: (9999, 9, "live")}
+    with pytest.raises(ValueError, match="generated column"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_by_source="update",
+                        not_matched_by_source_set={"bucket": "0"})
+    with pytest.raises(ValueError, match="both GENERATED and DEFAULT"):
+        snap.create(spark, str(tmp_path / "genboth"), df,
+                    generated_cols={"x": "n"}, default_cols={"x": "1"})
+
+
+def test_generated_partition_column_prunes_at_plan_time(spark, tmp_path):
+    """A generated column is a legal partition source (Delta's generated
+    partition columns): writers never supply it, the layout derives it,
+    and partition pruning on it needs zero data I/O."""
+    root = str(tmp_path / "genpart")
+    df = spark.createDataFrame(
+        [(i, i * 1000) for i in range(6)], "id long, n long")
+    snap.create(spark, root, df,
+                partition_by=["bucket"],
+                generated_cols={"bucket": "CAST(n DIV 2000 AS BIGINT)"})
+    live = snap.live_files(root)
+    assert all("__p_0=" in f for f in live)  # hive-style partition dirs
+    pf = snap.pruned_files(root, {"bucket": (2, 2)})
+    assert pf and len(pf) < len(live)
+    got = {r.id: r.bucket for r in snap.read(spark, root).collect()}
+    assert got == {i: (i * 1000) // 2000 for i in range(6)}
