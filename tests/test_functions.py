@@ -446,3 +446,27 @@ def test_polymorphic_udtf_constant_arity_with_lateral(spark):
         spark.sql(
             "SELECT * FROM lat_in d, "
             "LATERAL split_fields_t(d.csv, CAST(d.id AS INT)) s").collect()
+
+
+def test_polymorphic_udtf_arrow_and_pickle_paths_agree(spark):
+    """VERDICT r11 #6: the registered key runs the Arrow-optimized UDTF
+    (useArrow=True, the production serializer); the legacy pickle path
+    of the IDENTICAL class must produce bit-equal results and the same
+    derived schema — serializer choice can never change semantics."""
+    from unfccc_documents_database_sandbox_spark.functions.udtfs import (
+        make_sum_numeric_cols_udtf,
+    )
+
+    spark.udtf.register("snc_arrow", make_sum_numeric_cols_udtf(True))
+    spark.udtf.register("snc_pickle", make_sum_numeric_cols_udtf(False))
+    spark.createDataFrame(
+        [("a", 1, None), ("a", 2, 5), ("b", 3, None), (None, 4, 7)],
+        "g string, x long, y long",
+    ).createOrReplaceTempView("poly_arrow_in")
+    q = ("SELECT * FROM {fn}(TABLE(SELECT * FROM poly_arrow_in) "
+         "PARTITION BY g)")
+    a = spark.sql(q.format(fn="snc_arrow"))
+    p = spark.sql(q.format(fn="snc_pickle"))
+    assert a.schema == p.schema
+    assert sorted(map(tuple, a.collect()), key=repr) == \
+        sorted(map(tuple, p.collect()), key=repr)

@@ -50,13 +50,20 @@ class _SumColsResult(AnalyzeResult):
     num_cols: tuple = ()
 
 
-def make_sum_numeric_cols_udtf():
+def make_sum_numeric_cols_udtf(use_arrow: bool = True):
     """A UDTF whose schema is derived from its TABLE argument: string
     columns pass through (grouping keys — call with PARTITION BY them),
     integral columns map to sum_<name> BIGINT (SQL SUM semantics: NULLs
-    ignored; an all-NULL column sums to NULL)."""
+    ignored; an all-NULL column sums to NULL).
 
-    @udtf
+    ``use_arrow=True`` (the default, VERDICT r11 #6) registers the
+    Arrow-OPTIMIZED Python UDTF (SPARK-43964 family): input partitions
+    and results cross the JVM/Python boundary as Arrow batches instead
+    of per-row pickle — the production path; the identical class under
+    ``use_arrow=False`` is the legacy pickle serializer, kept
+    registerable for the cross-serializer parity test
+    (tests/test_functions.py pins both variants bit-equal)."""
+
     class SumNumericCols:
         def __init__(self, analyze_result: _SumColsResult | None = None):
             # Spark passes the AnalyzeResult subclass when analyze() ran
@@ -102,7 +109,7 @@ def make_sum_numeric_cols_udtf():
                 + [self._sums[c] for c in self._nums]
             )
 
-    return SumNumericCols
+    return udtf(SumNumericCols, useArrow=use_arrow)
 
 
 @dataclass
