@@ -691,3 +691,50 @@ def test_cdc_rate_limited_stream_restart_no_duplicates(spark, tmp_path):
         "duplicate change rows after restart — the rate-limit cursor "
         f"regressed behind the checkpointed start: {sorted(rows)}")
     assert {cv for _, cv in rows} == set(range(6))
+
+
+def test_stream_outer_join_eviction_three_way_partition(spark):
+    """VERDICT r11 #7: the live LEFT OUTER stream-stream join partitions
+    unmatched purchases by the final watermark horizon — evicted rows
+    (ts < horizon) emit exactly one NULL-padded row each, still-in-state
+    rows (ts >= horizon) emit NOTHING, and matched rows emit like the
+    inner join. All three classes must be non-empty on this corpus or
+    the key stops exercising eviction."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.01"
+    out = lookup("stream_outer_join").build(spark, sf)
+    nulls = out.filter(F.col("click_id").isNull())
+    matched = out.filter(F.col("click_id").isNotNull())
+    assert matched.count() > 0 and nulls.count() > 0
+
+    ev = load_table(spark, sf, "events")
+    p = ev.filter("event_type = 'purchase'")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    unmatched = p.join(
+        c,
+        (p["user_id"] == F.col("cu"))
+        & (F.col("cts") >= p["ts"] - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("cts") <= p["ts"]),
+        "left_anti",
+    )
+    horizon = (
+        ev.filter("event_type IN ('click', 'purchase')")
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("h")).collect()[0]["h"]
+    )
+    import datetime
+
+    horizon = horizon - datetime.timedelta(days=10)
+    n_evicted = unmatched.filter(F.col("ts") < F.lit(horizon)).count()
+    n_suppressed = unmatched.filter(F.col("ts") >= F.lit(horizon)).count()
+    assert n_suppressed > 0, "corpus no longer exercises state retention"
+    assert nulls.count() == n_evicted  # every evicted row, only those

@@ -416,3 +416,89 @@ def stream_foreach_merge(spark, sf_dir):
             q.stop()
     return snap.read(spark, root)
 
+
+
+@register(
+    "stream_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 10 DAY AS horizon
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, p.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND p.ts < wm.horizon
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+    """,
+)
+def stream_outer_join(spark, sf_dir):
+    """T-ext stream-stream LEFT OUTER join executed live (VERDICT r11
+    #7): the semantics the inner form never exercises — an unmatched
+    LEFT row emits its NULL-padded result only when WATERMARK EVICTION
+    proves no future match can arrive. Purchases left-outer-join
+    same-user clicks in the trailing 30 minutes; both sides watermark at
+    10 days, WELL INSIDE the corpus's 30-day span, so the final
+    no-data micro-batch advances the global watermark (min of both
+    sides, Spark's multipleWatermarkPolicy default) to
+    least(max click ts, max purchase ts) - 10 days and the run
+    partitions unmatched purchases THREE ways, all pinned by the
+    delay-vs-span oracle:
+      - matched purchases emit join rows immediately (the inner-join
+        portion, identical to stream_stream_join's contract);
+      - unmatched purchases with ts < the final watermark horizon are
+        EVICTED and emit exactly one NULL-padded row;
+      - unmatched purchases still inside the horizon stay in state and
+        emit NOTHING — suppressed output is as much a correctness
+        surface as the emitted rows.
+    Scale: state is O(users x 30-minute window) on each side once the
+    delay matches the real lateness bound; eviction is what keeps a
+    continuous outer join's state finite — exactly what this key pins."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 days")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 days")
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTE"))
+        & (c["click_ts"] <= p["purchase_ts"]),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    return _run_live(j, spark, "append", "stream_outer_join")
