@@ -111,6 +111,12 @@ EXTENDED = [
     "graph_sssp_weighted", "events_top_paths", "events_rfm",
     "orders_abc_pareto", "sketch_hll_portable", "orders_gini",
     "events_dau_wau",
+    # the r11 fresh group, rolled in at r12 (BENCH_r11.json holds their
+    # day-one reference); udtf_polymorphic moved to the Arrow-optimized
+    # UDTF serializer in r12 (VERDICT r11 #6) — same hashes, its timing
+    # here IS the before/after evidence vs BENCH_r11's 3.16 s
+    "udtf_polymorphic", "multimodal_audio_energy", "sketch_heavy_hitters",
+    "dedup_containment", "agg_linear_trend",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -122,17 +128,18 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r11 keys. Excluded by the standing rules (all disk-writing):
-    # table_merge_sync / table_type_widening / table_vacuum_audit build
-    # commit-log tables under .csv_tmp/, xml_ingest lands XML fixture
-    # files, and source_hive_partitioned writes a partitioned parquet
-    # dataset — their wall time measures sink I/O, not a plan. The
-    # timeable r11 keys:
-    "udtf_polymorphic",
-    "multimodal_audio_energy",
-    "sketch_heavy_hitters",
-    "dedup_containment",
-    "agg_linear_trend",
+    # r12 keys. Excluded by the standing rules:
+    # table_merge_mark_stale / table_generated_columns build commit-log
+    # tables under .csv_tmp/ (disk-writing), stream_outer_join runs a
+    # live availableNow streaming query (checkpoint/sink setup, not a
+    # plan). The timeable r12 keys:
+    "sql_tpcds_q36",
+    "sql_tpcds_q44",
+    "sql_tpcds_q49",
+    "sql_tpcds_q51",
+    "sql_tpcds_q67",
+    "text_unigram_train",
+    "text_unigram_encode",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

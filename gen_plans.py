@@ -63,6 +63,13 @@ ROUND_KEYS = [
     "udtf_polymorphic", "multimodal_audio_energy", "sketch_heavy_hitters",
     "source_hive_partitioned", "dedup_containment", "agg_linear_trend",
     "table_vacuum_audit",
+    # round-12 additions (by-source MERGE UPDATE, generated/default
+    # columns, unigram-LM tokenizer, TPC-DS mini-family, live stream
+    # LEFT OUTER join)
+    "table_merge_mark_stale", "table_generated_columns",
+    "text_unigram_train", "text_unigram_encode",
+    "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
+    "sql_tpcds_q67", "stream_outer_join",
 ]
 
 

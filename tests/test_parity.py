@@ -9,12 +9,29 @@ DuckDB oracle SQL on the same sf0.01 parquet, then compare
 Exact equality, including doubles: the engine's determinism rules
 (registry.py docstring) are designed to make cross-engine results
 bit-identical, so any drift is a bug, not noise.
+
+Wall-time sharding (VERDICT r11 #8): the suite grew ~10 oracle keys per
+round and re-ran every Spark build SERIALLY (~940 s total suite at r11).
+The Spark side is now precomputed ONCE through a thread pool sharing the
+session-scoped SparkSession — Spark's scheduler runs the concurrent jobs
+fairly, local[8] was mostly idle under one-job-at-a-time — while every
+parametrized test keeps its own identity: it fetches its key's cached
+(columns, rows) [or re-raises its key's captured build error] and does
+its own DuckDB comparison. Same test count, same failure attribution,
+several-fold less wall time. PARITY_WORKERS=1 restores serial execution
+(the builders are mutually independent — per-key fixture roots, per-key
+memory-sink views — but a sequential escape hatch beats debugging a
+concurrency heisenbug during a round close). NOTE: this parallelism is
+IN-PROCESS on one SparkSession; running two verification *processes*
+concurrently is still forbidden (shared .csv_tmp fixture roots — see
+README dev notes).
 """
 
 from __future__ import annotations
 
 import datetime
 import math
+import os
 
 import duckdb
 import pytest
@@ -25,6 +42,42 @@ import __spark_entry__ as entry_mod
 
 ALL_QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
+
+_RESULTS: dict[str, tuple[list[str], list[tuple]]] = {}
+_ERRORS: dict[str, BaseException] = {}
+
+
+@pytest.fixture(scope="module")
+def spark_results(spark):
+    """Precompute every registered query's Spark result concurrently
+    (threads share the one SparkSession; each .collect() is an
+    independent Spark job). Errors are captured per key and re-raised by
+    that key's own test."""
+    if _RESULTS or _ERRORS:
+        return _RESULTS
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(name: str) -> None:
+        try:
+            df = ALL_QUERIES[name](spark, SF_CORRECT)
+            _RESULTS[name] = (df.columns, [tuple(r) for r in df.collect()])
+        except BaseException as e:  # noqa: BLE001 — re-raised in-test
+            _ERRORS[name] = e
+
+    workers = max(1, int(os.environ.get("PARITY_WORKERS", "4")))
+    if workers == 1:
+        for name in sorted(ALL_QUERIES):
+            run(name)
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(run, sorted(ALL_QUERIES)))
+    return _RESULTS
+
+
+def _spark_result(spark_results, name):
+    if name in _ERRORS:
+        raise _ERRORS[name]
+    return spark_results[name]
 
 
 @pytest.fixture(scope="module")
@@ -66,10 +119,8 @@ def _normalize(cols, rows):
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_oracle_parity(spark, duck, name):
-    df = ALL_QUERIES[name](spark, SF_CORRECT)
-    spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+def test_oracle_parity(spark_results, duck, name):
+    spark_cols, spark_rows = _spark_result(spark_results, name)
 
     res = duck.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
@@ -90,11 +141,11 @@ def test_oracle_parity(spark, duck, name):
 @pytest.mark.parametrize(
     "name", sorted(set(ALL_QUERIES) - set(ORACLES))
 )
-def test_rows_only_queries_run(spark, name):
+def test_rows_only_queries_run(spark_results, name):
     """Oracle-less ops still must run and return a stable schema."""
-    df = ALL_QUERIES[name](spark, SF_CORRECT)
-    assert df.columns
-    assert df.count() >= 0
+    cols, rows = _spark_result(spark_results, name)
+    assert cols
+    assert len(rows) >= 0
 
 
 def test_ivf_full_probe_is_exact(spark):
