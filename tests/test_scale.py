@@ -892,3 +892,71 @@ def test_hive_partitioned_scan_prunes_directories(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan
+
+
+def test_tpcds_rollup_rank_plans_one_expand_no_cartesian(spark):
+    """sql_tpcds_q36 / q67 (r12): a ROLLUP plus rank-within-parent must
+    plan as ONE Expand feeding one aggregate and one Window — never a
+    per-grouping-set re-aggregation, and never a cartesian anywhere."""
+    import re
+
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    for key in ("sql_tpcds_q36", "sql_tpcds_q67"):
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"\bExpand\b", plan)) == 1, (key, plan)
+        assert re.search(r"\bWindow\b", plan), key
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_tpcds_q44_positional_rank_join_is_equi(spark):
+    """sql_tpcds_q44 (r12): joining the best and worst rank lists by
+    position (b.rn = w.rn) and attaching part names must stay hash/
+    sort-merge equi-joins — four joins, zero nested-loop fallbacks."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    df = lookup("sql_tpcds_q44").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unigram_dp_stays_jvm_side_and_encode_broadcasts(spark):
+    """text_unigram encode path (r12): the Viterbi DP is a pure
+    higher-order expression over the distinct-word table — NO Python
+    stage may appear in its plan (the whole point of the aggregate()
+    formulation) — and the per-word piece counts must broadcast back
+    onto the per-doc word counts (vocabulary-sized dim, never a corpus
+    shuffle for the join)."""
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _uni_dp,
+        _uni_words,
+        learn_unigram,
+    )
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    vocab = learn_unigram(spark, SF_CORRECT)
+    cost = {p: c for p, (_n, c) in vocab.items()}
+    dp = _uni_dp(_uni_words(spark, SF_CORRECT), cost)
+    dplan = dp._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in dplan
+    assert "ArrowEvalPython" not in dplan
+    assert "MapInPandas" not in dplan
+    enc = lookup("text_unigram_encode").build(spark, SF_CORRECT)
+    eplan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in eplan
+    assert "CartesianProduct" not in eplan
