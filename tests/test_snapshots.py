@@ -3736,3 +3736,125 @@ def test_generated_partition_column_prunes_at_plan_time(spark, tmp_path):
     assert pf and len(pf) < len(live)
     got = {r.id: r.bucket for r in snap.read(spark, root).collect()}
     assert got == {i: (i * 1000) // 2000 for i in range(6)}
+
+
+def test_merge_matched_clauses_first_true_wins(spark, tmp_path):
+    """r12 extension: Delta's full WHEN MATCHED surface — ordered
+    conditioned UPDATE/DELETE clauses; the first TRUE condition claims
+    the row (FALSE or NULL falls through), unclaimed matched rows are
+    carried, SET expressions see both sides via t./s. qualifiers,
+    "set": None means UPDATE SET * (the source row), and unmatched
+    source rows insert only where not_matched_condition holds."""
+    root = str(tmp_path / "mcl")
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, None, "a"), (4, 40, "a"),
+         (5, 50, "a")],
+        "id long, v long, tag string",
+    )
+    snap.create(spark, root, df)
+    src = spark.createDataFrame(
+        [(1, 100, "s"),   # clause 1 fires (s.v > 50): t row, v from s+t
+         (2, 30, "s"),    # clause 2 fires (s.v > t.v): DELETE
+         (3, 5, "s"),     # clause 1 & 2 conditions NULL (t.v NULL): carried
+         (4, 4, "s"),     # no clause true: carried
+         (9, 90, "s"),    # unmatched, insert condition v > 50 holds
+         (8, 8, "s")],    # unmatched, insert condition fails: dropped
+        "id long, v long, tag string",
+    )
+    snap.merge_into(
+        spark, root, src, ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.v > 50",
+             "set": {"v": "s.v + t.v", "tag": "'upd'"}},
+            {"action": "delete", "condition": "s.v > t.v"},
+        ],
+        not_matched_condition="v > 50",
+    )
+    got = {r.id: (r.v, r.tag) for r in snap.read(spark, root).collect()}
+    assert got == {
+        1: (110, "upd"),  # updated: s.v + t.v = 100 + 10
+        3: (None, "a"),   # NULL condition fell through both clauses
+        4: (40, "a"),     # no clause claimed it
+        5: (50, "a"),     # never matched (absent from source)
+        9: (90, "s"),     # conditional insert
+    }  # id 2 deleted; id 8 failed the insert condition
+
+
+def test_merge_matched_clauses_set_star_rids_and_feed(spark, tmp_path):
+    """Clause composition: "set": None replaces with the source row but
+    KEEPS the target's stable row id (it is an update, not
+    delete+insert), the typed feed classifies update-clause rows as
+    update pairs and delete-clause rows as plain deletes, and carried
+    rows emit nothing."""
+    root = str(tmp_path / "mclrid")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(4)], "id long, v long")
+    snap.create(spark, root, df.coalesce(1), row_tracking=True)
+    rid0 = {r.id: r._row_id
+            for r in snap.read_with_row_ids(spark, root).collect()}
+    src = spark.createDataFrame(
+        [(0, 999), (1, 11), (2, 22), (7, 70)], "id long, v long")
+    v = snap.merge_into(
+        spark, root, src, ["id"],
+        matched_clauses=[
+            {"action": "delete", "condition": "t.id = 1"},
+            {"action": "update", "condition": "s.v > 100", "set": None},
+        ],
+    )
+    rows = {r.id: r for r in snap.read_with_row_ids(spark, root).collect()}
+    assert {i: rows[i].v for i in sorted(rows)} == {
+        0: 999,   # SET * from source
+        2: 20,    # matched but unclaimed: carried
+        3: 30,    # unmatched target: carried
+        7: 70,    # insert (no condition given)
+    }
+    assert rows[0]._row_id == rid0[0]          # SET * kept the id
+    assert rows[2]._row_id == rid0[2]
+    assert rows[7]._row_id not in set(rid0.values())
+    feed = snap.changes(spark, root, v - 1, v, classify_updates=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert by_type.pop("delete") == [1]
+    assert by_type.pop("insert") == [7]
+    assert by_type.pop("update_preimage") == [0]
+    assert by_type.pop("update_postimage") == [0]
+    assert not by_type                          # ids 2, 3 emitted nothing
+
+
+def test_merge_matched_clauses_refusals(spark, tmp_path):
+    """Guard rails: empty clause list, unknown action, DELETE with SET,
+    SET on a merge key / unknown / generated column, and
+    not_matched_condition without clauses all refuse before any
+    commit."""
+    root = str(tmp_path / "mclref")
+    df = spark.createDataFrame([(1, 1000)], "id long, n long")
+    snap.create(spark, root, df,
+                generated_cols={"bucket": "CAST(n DIV 1000 AS BIGINT)"})
+    src = spark.createDataFrame([(1, 2000)], "id long, n long")
+    head = snap.latest_version(root)
+    with pytest.raises(ValueError, match="non-empty"):
+        snap.merge_into(spark, root, src, ["id"], matched_clauses=[])
+    with pytest.raises(ValueError, match="action"):
+        snap.merge_into(spark, root, src, ["id"],
+                        matched_clauses=[{"action": "upsert"}])
+    with pytest.raises(ValueError, match="takes no SET"):
+        snap.merge_into(spark, root, src, ["id"],
+                        matched_clauses=[{"action": "delete",
+                                          "set": {"n": "1"}}])
+    with pytest.raises(ValueError, match="merge key"):
+        snap.merge_into(spark, root, src, ["id"],
+                        matched_clauses=[{"action": "update",
+                                          "set": {"id": "s.id + 1"}}])
+    with pytest.raises(ValueError, match="unknown columns"):
+        snap.merge_into(spark, root, src, ["id"],
+                        matched_clauses=[{"action": "update",
+                                          "set": {"nope": "1"}}])
+    with pytest.raises(ValueError, match="generated column"):
+        snap.merge_into(spark, root, src, ["id"],
+                        matched_clauses=[{"action": "update",
+                                          "set": {"bucket": "0"}}])
+    with pytest.raises(ValueError, match="requires matched_clauses"):
+        snap.merge_into(spark, root, src, ["id"],
+                        not_matched_condition="n > 0")
+    assert snap.latest_version(root) == head

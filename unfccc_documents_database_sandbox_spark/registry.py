@@ -113,12 +113,15 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
         "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
         "window_funcs",
-        # alphabetically-first r08 keys
+        # alphabetically-first r08 keys (13 promoted at round start;
+        # agg_sum_global — the freshest-evidence member, per the r11
+        # mid-round-resize rule — demoted back to NEXT as the r12
+        # new-key count grew 10 -> 11 with table_merge_clauses)
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
         "agg_hll_partitioned", "agg_percentiles", "agg_pivot",
-        "agg_rollup", "agg_sum_global",
+        "agg_rollup",
     }
 )
 
@@ -132,9 +135,11 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # by design.
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r08 evidence (the alphabetical tail beyond the 13 keys promoted
-        # to DUE)
-        "agg_unpivot", "array_ops",
+        # r08 evidence (the alphabetical tail beyond the keys promoted
+        # to DUE; agg_sum_global demoted back here mid-round as the r12
+        # new-key count grew to 11 — still re-verified every round by
+        # tests/test_parity.py and timed in the bench headline group)
+        "agg_sum_global", "agg_unpivot", "array_ops",
         "case_when_block", "catalog_tables", "cluster_kmeans",
         "contamination_check", "corpus_mix", "corpus_pipeline",
         "corpus_upsample", "csv_roundtrip", "date_extract",

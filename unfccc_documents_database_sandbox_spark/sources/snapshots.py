@@ -3075,6 +3075,8 @@ def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
     evolve: bool = False,
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
     not_matched_by_source: str | None = None,
     not_matched_by_source_condition: str | None = None,
     not_matched_by_source_set: dict[str, str] | None = None,
@@ -3116,6 +3118,25 @@ def merge_into(
     matched OR a deletable row are rewritten; with no condition and a
     small source that is honestly most of the table (the full-sync
     cost, same as Delta).
+
+    ``matched_clauses`` is Delta's full WHEN MATCHED surface (r12): an
+    ordered list of ``{"action": "update"|"delete", "condition": sql |
+    None, "set": {col: expr} | None}``. For each matched (target,
+    source) row pair the FIRST clause whose condition is TRUE wins
+    (FALSE or NULL falls through — the by-source rule); no clause
+    matching means the target row is CARRIED UNCHANGED (Delta: a
+    matched row no clause claims is untouched). Conditions and SET
+    expressions may reference both sides with ``t.``/``s.`` qualifiers
+    (Delta's target./source.); ``"set": None`` on an update clause
+    means UPDATE SET * (replace with the source row). Update-clause
+    rows keep the target's stable row id either way, and the typed
+    change feed classifies them as update pairs; delete-clause rows
+    feed plain deletes. ``not_matched_condition`` (requires
+    ``matched_clauses``) is Delta's whenNotMatchedInsert(condition):
+    unmatched source rows insert only where it is TRUE. Without
+    ``matched_clauses`` the default is the classic upsert — matched
+    rows replaced by source (UPDATE SET *), all unmatched source rows
+    inserted.
 
     ``not_matched_by_source="update"`` is the clause's OTHER Delta form
     (WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ... — the
@@ -3166,6 +3187,29 @@ def merge_into(
         raise ValueError(
             "merge_into: not_matched_by_source_set requires "
             "not_matched_by_source='update'")
+    if matched_clauses is not None:
+        if not matched_clauses:
+            raise ValueError(
+                "merge_into: matched_clauses must be a non-empty list of "
+                '{"action", "condition", "set"} clauses')
+        for cl in matched_clauses:
+            action = cl.get("action")
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    "merge_into: matched clause action must be 'update' "
+                    f"or 'delete', got {action!r}")
+            if action == "delete" and cl.get("set") is not None:
+                raise ValueError(
+                    "merge_into: a matched DELETE clause takes no SET")
+            if action == "update" and cl.get("set"):
+                bad_keys = sorted(set(cl["set"]) & set(key_cols))
+                if bad_keys:
+                    raise ValueError(
+                        "merge_into: matched UPDATE cannot SET merge key "
+                        f"columns {bad_keys}")
+    elif not_matched_condition is not None:
+        raise ValueError(
+            "merge_into: not_matched_condition requires matched_clauses")
     # Delta clause semantics: delete where the condition is TRUE; FALSE
     # or NULL keeps the row (never let a NULL predicate delete data)
     _del_pred = (
@@ -3223,6 +3267,14 @@ def merge_into(
         if unknown:
             raise ValueError(
                 f"merge_into: by-source SET on unknown columns {unknown}")
+    matched_set_cols = sorted(
+        {c for cl in (matched_clauses or []) for c in (cl.get("set") or {})}
+    )
+    if matched_set_cols:
+        unknown = sorted(set(matched_set_cols) - {f.name for f in schema})
+        if unknown:
+            raise ValueError(
+                f"merge_into: matched SET on unknown columns {unknown}")
     st_rules = _read_state(root)
     source = _apply_write_rules(source, st_rules["generated"],
                                 st_rules["defaults"], "merge_into",
@@ -3231,6 +3283,9 @@ def merge_into(
         _check_generated_set(not_matched_by_source_set,
                              st_rules["generated"],
                              "merge_into(not_matched_by_source='update')")
+    if matched_set_cols:
+        _check_generated_set(matched_set_cols, st_rules["generated"],
+                             "merge_into(matched_clauses)")
     source = _check_schema(source, schema, "merge_into")
     _check_constraints(source, st_rules["constraints"], "merge_into")
     dup = (
@@ -3308,24 +3363,102 @@ def merge_into(
                 survivors.select(*sorted(names)), st0["constraints"],
                 "merge_into(not_matched_by_source='update')",
             )
-        if track:
-            # a matched key is an UPDATE: the replacing source row KEEPS
-            # the target row's stable id (MIN over any replaced
-            # duplicates — deterministic); only truly new keys mint ids
-            oldids = (
-                base_scan.join(F.broadcast(keys), key_cols, "left_semi")
-                .groupBy(*key_cols)
-                .agg(F.min(_RID_COL).alias("___oldrid"))
-            )
-            source = (
-                source.drop(_RID_COL)
-                .join(F.broadcast(oldids), key_cols, "left")
-                .withColumn(_RID_COL, F.col("___oldrid"))
-                .drop("___oldrid")
-            )
-        out = survivors.unionByName(source)
+        if matched_clauses is not None:
+            # Delta's full WHEN MATCHED surface: join the matched pairs
+            # (broadcast source), pick each pair's FIRST true clause,
+            # and build the processed rows — updates from the target row
+            # with the SET applied (both sides visible as t./s.), SET *
+            # from the source row, deletes dropped, unclaimed pairs
+            # carried verbatim. The target side supplies the row-id
+            # carrier throughout, so matched updates never renumber.
+            names = [f.name for f in schema.fields]
+            types = {f.name: f.dataType for f in schema}
+            extra = [c for c in base_scan.columns if c not in set(names)]
+            sdata = source.drop(_RID_COL) if track else source
+            t, s = base_scan.alias("t"), sdata.alias("s")
+            jcond = None
+            for k in key_cols:
+                e = F.col(f"t.{k}") == F.col(f"s.{k}")
+                jcond = e if jcond is None else jcond & e
+            pairs = t.join(F.broadcast(s), jcond, "inner")
+            act = None
+            for i, cl in enumerate(matched_clauses):
+                c = (
+                    F.coalesce(
+                        F.expr(cl["condition"]).cast("boolean"),
+                        F.lit(False))
+                    if cl.get("condition") else F.lit(True)
+                )
+                act = (F.when(c, F.lit(i)) if act is None
+                       else act.when(c, F.lit(i)))
+            pairs = pairs.withColumn("__act", act.otherwise(F.lit(-1)))
+            t_extra = [F.col(f"t.{c}").alias(c) for c in extra]
+            t_all = [F.col(f"t.{c}").alias(c) for c in names] + t_extra
+            matched_parts = [
+                pairs.filter(F.col("__act") == -1).select(*t_all)
+            ]
+            for i, cl in enumerate(matched_clauses):
+                if cl["action"] == "delete":
+                    continue
+                sets = cl.get("set")
+                if sets is None:  # UPDATE SET *: the source row
+                    sel = [F.col(f"s.{c}").alias(c) for c in names]
+                else:  # simultaneous SET against the (t, s) pair
+                    sel = [
+                        (F.expr(sets[c]).cast(types[c]).alias(c)
+                         if c in sets else F.col(f"t.{c}").alias(c))
+                        for c in names
+                    ]
+                matched_parts.append(
+                    pairs.filter(F.col("__act") == i)
+                    .select(*sel, *t_extra)
+                )
+            matched_out = matched_parts[0]
+            for p in matched_parts[1:]:
+                matched_out = matched_out.unionByName(p)
+            _check_constraints(
+                matched_out.select(*names), st0["constraints"],
+                "merge_into(matched_clauses)")
+            # inserts: source keys with NO live match (the matched pairs
+            # cover every live match — hit files contain them all),
+            # optionally gated by the insert condition
+            matched_skeys = pairs.select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols]
+            ).distinct()
+            inserts = source.join(
+                F.broadcast(matched_skeys), key_cols, "left_anti")
+            if not_matched_condition is not None:
+                inserts = inserts.filter(
+                    F.coalesce(
+                        F.expr(not_matched_condition).cast("boolean"),
+                        F.lit(False)))
+            out = survivors.unionByName(matched_out).unionByName(inserts)
+        else:
+            if track:
+                # a matched key is an UPDATE: the replacing source row
+                # KEEPS the target row's stable id (MIN over any replaced
+                # duplicates — deterministic); only truly new keys mint
+                # ids
+                oldids = (
+                    base_scan.join(F.broadcast(keys), key_cols, "left_semi")
+                    .groupBy(*key_cols)
+                    .agg(F.min(_RID_COL).alias("___oldrid"))
+                )
+                source = (
+                    source.drop(_RID_COL)
+                    .join(F.broadcast(oldids), key_cols, "left")
+                    .withColumn(_RID_COL, F.col("___oldrid"))
+                    .drop("___oldrid")
+                )
+            out = survivors.unionByName(source)
     else:
         out = source
+        if matched_clauses is not None and not_matched_condition is not None:
+            # empty/no-hit table: every source row is an insert — the
+            # insert condition still gates it
+            out = out.filter(
+                F.coalesce(F.expr(not_matched_condition).cast("boolean"),
+                           F.lit(False)))
     wschema = _schema_plus_rid(schema) if track else schema
     pdir, add, parts = _write_payload(root, out, st0["partition_by"],
                                       wschema)
