@@ -3858,3 +3858,60 @@ def test_merge_matched_clauses_refusals(spark, tmp_path):
         snap.merge_into(spark, root, src, ["id"],
                         not_matched_condition="n > 0")
     assert snap.latest_version(root) == head
+
+
+def test_identity_columns_allocate_contiguous_unique_blocks(spark, tmp_path):
+    """r12: GENERATED ALWAYS AS IDENTITY — create allocates ordinals
+    0..n-1 mapped to start + step*k, each append continues above the
+    high watermark (contiguous blocks, no collisions across commits),
+    and the watermark survives state replay. Which row gets which id
+    depends on physical partitioning (Delta's contract: unique +
+    monotonic, not a deterministic row mapping), so assertions are on
+    the allocated SET."""
+    root = str(tmp_path / "ident")
+    df = spark.createDataFrame([(i,) for i in range(7)], "v long")
+    snap.create(spark, root, df.repartition(3),
+                identity_cols={"id": {"start": 100, "step": 3}})
+    ids0 = sorted(r.id for r in snap.read(spark, root).collect())
+    assert ids0 == [100 + 3 * k for k in range(7)]
+    snap.append(spark, root,
+                spark.createDataFrame([(i,) for i in range(5)], "v long")
+                .repartition(2))
+    ids1 = sorted(r.id for r in snap.read(spark, root).collect())
+    assert ids1 == [100 + 3 * k for k in range(12)]
+    assert snap.identity_columns(root) == {
+        "id": {"start": 100, "step": 3}}
+    # time travel: v0 sees only its own block
+    assert sorted(r.id for r in snap.read(spark, root, 0).collect()) == ids0
+
+
+def test_identity_columns_refusals_and_dml(spark, tmp_path):
+    """Identity guard rails: writers cannot supply the column, UPDATE
+    cannot SET it, MERGE and evolve_schema refuse on identity tables
+    (Delta parity), and COW delete/update carry existing ids
+    unchanged."""
+    root = str(tmp_path / "identref")
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    snap.create(spark, root, df,
+                identity_cols={"id": {"start": 0, "step": 1}})
+    with pytest.raises(ValueError, match="cannot supply"):
+        snap.append(spark, root, spark.createDataFrame(
+            [(9, 99)], "v long, id long"))
+    with pytest.raises(ValueError, match="identity column"):
+        snap.update_where(spark, root, "v = 1", {"id": "77"})
+    with pytest.raises(ValueError, match="identity column"):
+        snap.update_where_mor(spark, root, "v = 1", {"id": "77"})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snap.merge_into(spark, root,
+                        spark.createDataFrame([(5,)], "v long"), ["v"])
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snap.evolve_schema(spark, root, spark.createDataFrame(
+            [(6, 0, "x")], "v long, id long, extra string"))
+    before = {r.v: r.id for r in snap.read(spark, root).collect()}
+    snap.update_where(spark, root, "v = 2", {"v": "22"})
+    snap.delete_where(spark, root, "v = 3")
+    after = {r.v: r.id for r in snap.read(spark, root).collect()}
+    assert after == {1: before[1], 22: before[2]}  # ids carried by COW
+    with pytest.raises(ValueError, match="both IDENTITY and"):
+        snap.create(spark, str(tmp_path / "identboth"), df,
+                    identity_cols={"x": {}}, default_cols={"x": "1"})

@@ -1861,6 +1861,81 @@ def table_generated_columns(spark, sf_dir):
 
 
 @register(
+    "table_identity_columns",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    h AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 3 IN (0, 1)
+    )
+    SELECT 'v0' AS metric, n0 AS n, n0 AS n_distinct,
+           CAST(1000 AS BIGINT) AS id_min,
+           CAST(1000 + 2 * (n0 - 1) AS BIGINT) AS id_max,
+           CAST(1000 * n0 + n0 * (n0 - 1) AS BIGINT) AS id_sum
+    FROM c
+    UNION ALL
+    SELECT 'head', n, n, CAST(1000 AS BIGINT),
+           CAST(1000 + 2 * (n - 1) AS BIGINT),
+           CAST(1000 * n + n * (n - 1) AS BIGINT)
+    FROM h
+    """,
+)
+def table_identity_columns(spark, sf_dir):
+    """GENERATED ALWAYS AS IDENTITY columns (r12 — Delta's identity
+    columns, the allocation sibling of `table_generated_columns`): v0
+    CREATEs documents (doc_id%3=0) declaring uid IDENTITY (START WITH
+    1000 INCREMENT BY 2) — the writer never supplies it; an append
+    (%3=1) allocates the next contiguous block above the table's
+    identity high watermark. The oracle pins the ALLOCATED SET in
+    closed form (count, distinct count, min, max, and the arithmetic-
+    series sum per era) — exactly the facts that are deterministic:
+    which ROW gets which id depends on physical partitioning, Delta's
+    own contract (unique + monotonic, not a row mapping), so no
+    per-row id joins appear in any oracle-checked output.
+
+    Scale: no global sort — one localCheckpoint pins partitioning, a
+    partition-count-sized pass derives per-partition offsets (bounded
+    driver state), and the per-row value is offset + local rank (one
+    partition-id-keyed exchange). Writers supplying the column, SET on
+    it, MERGE, and evolve_schema all refuse (Delta parity —
+    tests/test_snapshots.py pins each). Reference parity: the
+    reference leans on Postgres SERIAL ids for every table
+    (models.py's autoincrement primary keys); identity columns are
+    that contract on a lakehouse table."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapident_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(
+        spark, root, d.filter("doc_id % 3 = 0").repartition(3),
+        identity_cols={"uid": {"start": 1000, "step": 2}},
+    )
+    snap.append(spark, root, d.filter("doc_id % 3 = 1").repartition(2))
+
+    def stats(label: str, version: int | None):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("uid").cast("long").alias("n_distinct"),
+            F.min("uid").cast("long").alias("id_min"),
+            F.max("uid").cast("long").alias("id_max"),
+            F.sum("uid").cast("long").alias("id_sum"),
+        ).select(F.lit(label).alias("metric"), "n", "n_distinct",
+                 "id_min", "id_max", "id_sum")
+
+    return stats("v0", 0).unionByName(stats("head", None))
+
+
+@register(
     "table_merge_clauses",
     oracle="""
     WITH head AS (

@@ -996,7 +996,9 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
                   index_add: dict | None = None,
                   index_drop: str | None = None,
                   generated: dict | None = None,
-                  defaults: dict | None = None) -> None:
+                  defaults: dict | None = None,
+                  identity: dict | None = None,
+                  identity_next: dict | None = None) -> None:
     """Atomically publish one commit: O_CREAT|O_EXCL create-if-absent is the
     linearization point — a concurrent writer racing to the same version
     number loses with FileExistsError and must re-resolve HEAD and retry
@@ -1091,6 +1093,16 @@ def _write_commit(root: str, version: int, add: list[str], remove: list[str],
         # partition_by): {column: sql expression} — every write derives
         # absent generated columns and ENFORCES explicit ones.
         payload["generated"] = generated
+    if identity:
+        # GENERATED ALWAYS AS IDENTITY specs (commit 0 only):
+        # {column: {"start": S, "step": K}} — the engine assigns values,
+        # writers never supply the column.
+        payload["identity"] = identity
+    if identity_next:
+        # Identity high watermark AFTER this commit's allocations:
+        # {column: ordinals allocated so far} — monotonic, Delta's
+        # identity highWaterMark.
+        payload["identity_next"] = identity_next
     if defaults:
         # Column DEFAULT specs (commit 0 only): {column: sql expression}
         # — absent columns fill at write time, present ones pass through.
@@ -1114,7 +1126,7 @@ class ConcurrentWriteConflict(RuntimeError):
 # the loser validated its payload against metadata that no longer holds).
 _METADATA_COMMIT_KEYS = (
     "schema", "partition_by", "bloom_cols", "constraint_add",
-    "constraint_drop", "protocol", "generated", "defaults",
+    "constraint_drop", "protocol", "generated", "defaults", "identity",
 )
 
 
@@ -1378,6 +1390,9 @@ def _read_state(root: str, version: int | None = None) -> dict:
                         for n, e in ck.get("indexes", {}).items()},
             "generated": dict(ck.get("generated", {})),
             "defaults": dict(ck.get("defaults", {})),
+            "identity": {c: dict(sp)
+                         for c, sp in ck.get("identity", {}).items()},
+            "identity_next": dict(ck.get("identity_next", {})),
         }
         _check_protocol(state["protocol"])
         start = ck_version + 1
@@ -1389,7 +1404,8 @@ def _read_state(root: str, version: int | None = None) -> dict:
                  "constraints": {}, "protocol": {"reader": 1},
                  "row_tracking": False, "row_bases": {},
                  "row_watermark": 0, "partition_specs": {},
-                 "indexes": {}, "generated": {}, "defaults": {}}
+                 "indexes": {}, "generated": {}, "defaults": {},
+                 "identity": {}, "identity_next": {}}
         start = 0
     needed = range(start, version + 1)
     missing = [v for v in needed if v not in commits_present]
@@ -1459,6 +1475,14 @@ def _read_state(root: str, version: int | None = None) -> dict:
             state["generated"] = dict(c["generated"])
         if "defaults" in c:
             state["defaults"] = dict(c["defaults"])
+        if "identity" in c:
+            state["identity"] = {
+                col: dict(sp) for col, sp in c["identity"].items()
+            }
+        for col, nxt in c.get("identity_next", {}).items():
+            state["identity_next"][col] = max(
+                state["identity_next"].get(col, 0), int(nxt)
+            )
         state["version"] = v
     return state
 
@@ -1829,6 +1853,8 @@ def checkpoint(root: str, format: str = "json") -> int:
         "indexes": {n: dict(e) for n, e in state["indexes"].items()},
         "generated": dict(state["generated"]),
         "defaults": dict(state["defaults"]),
+        "identity": {c: dict(sp) for c, sp in state["identity"].items()},
+        "identity_next": dict(state["identity_next"]),
     }
     if format == "parquet":
         import pyarrow as pa
@@ -2381,6 +2407,82 @@ def generated_columns(root: str, version: int | None = None) -> dict[str, str]:
     return dict(_read_state(root, version)["generated"])
 
 
+def identity_columns(root: str, version: int | None = None) -> dict[str, dict]:
+    """The table's GENERATED ALWAYS AS IDENTITY specs as of ``version``:
+    {column: {"start": S, "step": K}}."""
+    return {c: dict(sp)
+            for c, sp in _read_state(root, version)["identity"].items()}
+
+
+def _assign_identity(
+    df: DataFrame, specs: dict[str, dict], next_ord: dict[str, int], op: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """Assign GENERATED ALWAYS AS IDENTITY values (Delta's identity
+    columns, r12): each write allocates the CONTIGUOUS ordinal block
+    [next, next + n) above the table's identity high watermark and maps
+    ordinal k to ``start + step * k`` — unique across commits by the
+    watermark, collision-free within one by construction.
+
+    Writers must NOT supply the column (ALWAYS semantics — an explicit
+    value raises; Delta's BY DEFAULT variant is not implemented).
+
+    Scale shape: NO global sort. One localCheckpoint pins the physical
+    partitioning (and the per-row ``monotonically_increasing_id`` order
+    marks) so the two passes agree; a partition-count-sized count pass
+    derives per-partition offsets (bounded driver state: one row per
+    partition); the per-row value is then offset[pid] + the row's local
+    rank — one partition-id-keyed exchange for the rank window, which
+    moves each partition wholly. Which ROW gets which id depends on the
+    physical partitioning (exactly Delta: identity guarantees
+    uniqueness/monotonicity, not a deterministic row mapping), but the
+    allocated SET is the contiguous block either way — so count /
+    distinct / min / max / sum over the ids are all deterministic, and
+    those are what the oracle-checked key pins."""
+    for col, sp in specs.items():
+        if col in df.columns:
+            raise ValueError(
+                f"{op}: column {col!r} is GENERATED ALWAYS AS IDENTITY — "
+                "writers cannot supply it")
+    from pyspark.sql.window import Window as _W
+
+    df = (
+        df.withColumn("__idpid", F.spark_partition_id())
+        .withColumn("__idmid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__idpid"]: r["n"]
+        for r in df.groupBy("__idpid").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    off, acc = {}, 0
+    for pid in sorted(counts):
+        off[pid] = acc
+        acc += counts[pid]
+    if counts:
+        omap = F.create_map(
+            *[F.lit(x) for pid in sorted(counts) for x in (pid, off[pid])]
+        )
+        base_off = F.coalesce(omap[F.col("__idpid")], F.lit(0))
+    else:
+        base_off = F.lit(0)
+    rank = (
+        F.row_number().over(
+            _W.partitionBy("__idpid").orderBy("__idmid")) - 1
+    ).cast("long")
+    out_next = dict(next_ord)
+    for col in sorted(specs):
+        sp = specs[col]
+        k = F.lit(int(out_next.get(col, 0))).cast("long") + base_off + rank
+        df = df.withColumn(
+            col,
+            (F.lit(int(sp["start"])) + F.lit(int(sp["step"])) * k)
+            .cast("long"),
+        )
+        out_next[col] = int(out_next.get(col, 0)) + acc
+    return df.drop("__idpid", "__idmid"), out_next
+
+
 def default_columns(root: str, version: int | None = None) -> dict[str, str]:
     """The table's column DEFAULT specs as of ``version``."""
     return dict(_read_state(root, version)["defaults"])
@@ -2619,6 +2721,7 @@ def create(
     overwrite: bool = False,
     generated_cols: dict[str, str] | None = None,
     default_cols: dict[str, str] | None = None,
+    identity_cols: dict[str, dict] | None = None,
 ) -> int:
     """Initialize the table: write v0's files and commit 0 (which pins the
     table schema for every read until a schema-bearing commit evolves it).
@@ -2643,9 +2746,26 @@ def create(
             f"create: column(s) {both} declared both GENERATED and "
             "DEFAULT — a generated column's value is always derived"
         )
+    identity_cols = {
+        c: {"start": int(sp.get("start", 1)), "step": int(sp.get("step", 1))}
+        for c, sp in (identity_cols or {}).items()
+    }
+    for c, sp in identity_cols.items():
+        if sp["step"] == 0:
+            raise ValueError(f"create: identity column {c!r} step must be "
+                             "non-zero")
+        if c in generated_cols or c in default_cols:
+            raise ValueError(
+                f"create: column {c!r} cannot be both IDENTITY and "
+                "generated/default")
+    identity_next: dict[str, int] = {}
+    if identity_cols:
+        df, identity_next = _assign_identity(df, identity_cols, {},
+                                             "create")
     # derive/enforce BEFORE anything reads df.columns: a generated column
     # is a legal partition source (Delta's generated partition columns)
-    # and its stats/blooms record like any data column
+    # and its stats/blooms record like any data column — identity runs
+    # first so a generated expression may reference the identity value
     df = _apply_write_rules(df, generated_cols, default_cols, "create")
     missing = [
         c
@@ -2693,7 +2813,9 @@ def create(
                   row_tracking=row_tracking,
                   row_bases=bases, row_watermark=wm,
                   generated=generated_cols or None,
-                  defaults=default_cols or None)
+                  defaults=default_cols or None,
+                  identity=identity_cols or None,
+                  identity_next=identity_next or None)
     return 0
 
 
@@ -2717,6 +2839,10 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
     _check_write_protocol(root)
     st0 = _read_state(root)
     schema = table_schema(root)
+    identity_next = None
+    if st0["identity"]:
+        df, identity_next = _assign_identity(
+            df, st0["identity"], st0["identity_next"], "append")
     df = _apply_write_rules(df, st0["generated"], st0["defaults"],
                             "append", pinned=schema)
     out = _check_schema(df, schema, "append")
@@ -2734,11 +2860,21 @@ def append(spark: SparkSession, root: str, df: DataFrame, *,
                              _read_state(root)["row_watermark"]))
             _write_commit(root, version, add, [], stats=stats,
                           parts=parts, op="append", blooms=blooms,
-                          row_bases=bases, row_watermark=wm)
+                          row_bases=bases, row_watermark=wm,
+                          identity_next=identity_next)
             return version
         except FileExistsError:
             if attempt == max_retries:
                 raise
+            if identity_next is not None:
+                # identity values were allocated against a superseded
+                # watermark — a racing identity append may hold the same
+                # block, and the parquet already carries the ids, so a
+                # blind rebase could publish duplicates (Delta: identity
+                # appends conflict with each other)
+                raise ConcurrentWriteConflict(
+                    "append: concurrent commit raced an identity "
+                    "allocation — re-read and retry the whole append")
             # Rebase guard (r08 ADVICE #1): the racing winner may have been
             # evolve_schema, and re-publishing a pre-evolution payload into
             # a post-evolution era would silently null-fill at read time —
@@ -2757,6 +2893,12 @@ def evolve_schema(spark: SparkSession, root: str, df: DataFrame) -> int:
     no historical data is rewritten; time-travel reads below this version
     keep the old schema (`table_schema(root, v)` is era-accurate)."""
     _check_write_protocol(root)
+    if _read_state(root)["identity"]:
+        raise ValueError(
+            "evolve_schema: not supported on tables with IDENTITY columns "
+            "— its incoming rows must carry every pinned column, which "
+            "ALWAYS-generated identity forbids; append + a separate "
+            "metadata evolution is the supported path")
     version = latest_version(root) + 1
     pinned = table_schema(root)
     _check_reserved(df.schema, "evolve_schema")
@@ -3276,6 +3418,12 @@ def merge_into(
             raise ValueError(
                 f"merge_into: matched SET on unknown columns {unknown}")
     st_rules = _read_state(root)
+    if st_rules["identity"]:
+        raise ValueError(
+            "merge_into: MERGE is not supported on tables with IDENTITY "
+            "columns (Delta parity) — the matched/unmatched split would "
+            "need per-row allocation vs carry; use append + delete_where "
+            "or drop the identity column")
     source = _apply_write_rules(source, st_rules["generated"],
                                 st_rules["defaults"], "merge_into",
                                 pinned=schema)
@@ -3709,8 +3857,12 @@ def update_where(
     unknown = [c for c in set_exprs if c not in {f.name for f in schema}]
     if unknown:
         raise ValueError(f"update_where: unknown columns {unknown}")
-    _check_generated_set(set_exprs, _read_state(root)["generated"],
-                         "update_where")
+    _st_uw = _read_state(root)
+    _check_generated_set(set_exprs, _st_uw["generated"], "update_where")
+    bad_id = sorted(set(set_exprs) & set(_st_uw["identity"]))
+    if bad_id:
+        raise ValueError(
+            f"update_where: cannot SET identity column(s) {bad_id}")
     cur = _scan(spark, root, lineage=True)
     hit_rows = (
         cur.filter(condition).select("__src").distinct().collect()
@@ -3885,6 +4037,10 @@ def update_where_mor(
         raise ValueError(f"update_where_mor: unknown columns {unknown}")
     st0 = _read_state(root)
     _check_generated_set(set_exprs, st0["generated"], "update_where_mor")
+    bad_id = sorted(set(set_exprs) & set(st0["identity"]))
+    if bad_id:
+        raise ValueError(
+            f"update_where_mor: cannot SET identity column(s) {bad_id}")
     track = st0["row_tracking"]
     live = sorted(st0["live"])
     if track:
