@@ -3915,3 +3915,39 @@ def test_identity_columns_refusals_and_dml(spark, tmp_path):
     with pytest.raises(ValueError, match="both IDENTITY and"):
         snap.create(spark, str(tmp_path / "identboth"), df,
                     identity_cols={"x": {}}, default_cols={"x": "1"})
+
+
+def test_merge_all_three_clause_groups_compose(spark, tmp_path):
+    """One MERGE commit can carry the FULL Delta clause matrix: matched
+    conditioned clauses, conditional insert, AND the by-source UPDATE —
+    each row claimed by exactly one group."""
+    root = str(tmp_path / "mall")
+    df = spark.createDataFrame(
+        [(1, 10, "live"), (2, 20, "live"), (3, 30, "live"),
+         (4, 40, "live")],
+        "id long, v long, status string",
+    )
+    snap.create(spark, root, df)
+    src = spark.createDataFrame(
+        [(1, 100, "s"), (2, 2, "s"), (8, 80, "s"), (9, 9, "s")],
+        "id long, v long, status string",
+    )
+    snap.merge_into(
+        spark, root, src, ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.v > t.v",
+             "set": {"v": "s.v", "status": "'upd'"}},
+            {"action": "delete"},  # unconditional fallback: s.v <= t.v
+        ],
+        not_matched_condition="v >= 50",
+        not_matched_by_source="update",
+        not_matched_by_source_condition="v >= 40",
+        not_matched_by_source_set={"status": "'stale'"},
+    )
+    got = {r.id: (r.v, r.status) for r in snap.read(spark, root).collect()}
+    assert got == {
+        1: (100, "upd"),    # matched, clause 1 (s.v > t.v)
+        3: (30, "live"),    # unmatched-by-source, condition FALSE: kept
+        4: (40, "stale"),   # unmatched-by-source, condition TRUE: marked
+        8: (80, "s"),       # insert condition v >= 50 holds
+    }  # id 2 deleted by clause 2; id 9 failed the insert condition

@@ -50,19 +50,22 @@ class _SumColsResult(AnalyzeResult):
     num_cols: tuple = ()
 
 
-def make_sum_numeric_cols_udtf(use_arrow: bool = True):
+def make_sum_numeric_cols_udtf(use_arrow: bool = False):
     """A UDTF whose schema is derived from its TABLE argument: string
     columns pass through (grouping keys — call with PARTITION BY them),
     integral columns map to sum_<name> BIGINT (SQL SUM semantics: NULLs
     ignored; an all-NULL column sums to NULL).
 
-    ``use_arrow=True`` (the default, VERDICT r11 #6) registers the
-    Arrow-OPTIMIZED Python UDTF (SPARK-43964 family): input partitions
-    and results cross the JVM/Python boundary as Arrow batches instead
-    of per-row pickle — the production path; the identical class under
-    ``use_arrow=False`` is the legacy pickle serializer, kept
-    registerable for the cross-serializer parity test
-    (tests/test_functions.py pins both variants bit-equal)."""
+    ``use_arrow`` picks the serializer; the MEASURED default is pickle
+    (VERDICT r11 #6, resolved by benchmark in r12): the Arrow-optimized
+    UDTF path (useArrow=True) converts each eval call's input/output
+    through Arrow, which pays off for fan-out UDTFs yielding many rows
+    per call — but THIS shape is an aggregator (150k eval calls, ONE
+    terminate row per partition), where per-call Arrow conversion added
+    ~4x wall time at sf0.1 (12.9 s vs 3.2 s pickle, BENCH r12 probe).
+    Both serializers stay registerable and bit-equal
+    (tests/test_functions.py's cross-serializer test); the 10-100x
+    production path for any fixed schema remains the JVM groupBy."""
 
     class SumNumericCols:
         def __init__(self, analyze_result: _SumColsResult | None = None):
