@@ -70,7 +70,7 @@ ROUND_KEYS = [
     "text_unigram_train", "text_unigram_encode",
     "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
     "sql_tpcds_q67", "stream_outer_join", "table_merge_clauses",
-    "table_identity_columns",
+    "table_identity_columns", "table_merge_mor",
 ]
 
 

@@ -3951,3 +3951,95 @@ def test_merge_all_three_clause_groups_compose(spark, tmp_path):
         4: (40, "stale"),   # unmatched-by-source, condition TRUE: marked
         8: (80, "s"),       # insert condition v >= 50 holds
     }  # id 2 deleted by clause 2; id 9 failed the insert condition
+
+
+def test_merge_mor_rewrites_nothing_and_equals_cow(spark, tmp_path):
+    """r12 merge-on-read MERGE: the head equals the COW merge's result,
+    but NO pre-existing data file is rewritten — the commit only adds
+    files and assigns deletion vectors; OPTIMIZE later folds the DVs
+    away with contents unchanged."""
+    base = [(i, i * 10) for i in range(10)]
+    srcr = [(3, 333), (7, 777), (42, 4242)]
+    want = {i: v for i, v in base} | {i: v for i, v in srcr}
+
+    mor = str(tmp_path / "mmor")
+    snap.create(spark, mor,
+                spark.createDataFrame(base, "id long, v long")
+                .repartition(4))
+    files_before = set(snap.live_files(mor))
+    snap.merge_into_mor(spark, mor,
+                        spark.createDataFrame(srcr, "id long, v long"),
+                        ["id"])
+    assert {r.id: r.v for r in snap.read(spark, mor).collect()} == want
+    # MoR: every pre-existing file is STILL live (nothing rewritten)
+    assert files_before <= set(snap.live_files(mor))
+    assert snap.dv_map(mor)  # matched rows are DV'd, not rewritten
+    # fold the DVs away; contents identical
+    snap.compact(spark, mor, max_files=2)
+    assert not snap.dv_map(mor)
+    assert {r.id: r.v for r in snap.read(spark, mor).collect()} == want
+
+
+def test_merge_mor_row_ids_feed_and_refusals(spark, tmp_path):
+    """MoR merge composition: replacements keep the target's stable row
+    id, inserts mint fresh ids, the commit-time change data types every
+    matched row as an update pair (NO unchanged-row cancellation — MoR
+    replaces whatever matches) plus plain inserts, and the usual guard
+    rails refuse (duplicate source keys, identity tables)."""
+    root = str(tmp_path / "mmorrid")
+    df = spark.createDataFrame([(i, i * 10) for i in range(5)],
+                               "id long, v long")
+    snap.create(spark, root, df.coalesce(1), row_tracking=True)
+    rid0 = {r.id: r._row_id
+            for r in snap.read_with_row_ids(spark, root).collect()}
+    src = spark.createDataFrame([(0, 999), (2, 20), (8, 80)],
+                                "id long, v long")
+    v = snap.merge_into_mor(spark, root, src, ["id"])
+    rows = {r.id: r for r in snap.read_with_row_ids(spark, root).collect()}
+    assert {i: rows[i].v for i in sorted(rows)} == {
+        0: 999, 1: 10, 2: 20, 3: 30, 4: 40, 8: 80}
+    for i in (0, 1, 2, 3, 4):
+        assert rows[i]._row_id == rid0[i], f"row {i} renumbered"
+    assert rows[8]._row_id not in set(rid0.values())
+    feed = snap.changes(spark, root, v - 1, v, classify_updates=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r._change_type, []).append(r.id)
+    assert by_type.pop("insert") == [8]
+    # id 2 replaced with EQUAL values: still an update pair (MoR rule)
+    assert sorted(by_type.pop("update_preimage")) == [0, 2]
+    assert sorted(by_type.pop("update_postimage")) == [0, 2]
+    assert not by_type
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge_into_mor(spark, root, dup, ["id"])
+    ident = str(tmp_path / "mmorident")
+    snap.create(spark, ident, spark.createDataFrame([(1,)], "v long"),
+                identity_cols={"uid": {}})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        snap.merge_into_mor(spark, ident,
+                            spark.createDataFrame([(2,)], "v long"), ["v"])
+
+
+def test_merge_mor_into_empty_and_repeat_merges_supersede(spark, tmp_path):
+    """MoR edges: merging into an empty table is a pure insert (no DV);
+    a second MoR merge touching the SAME file supersedes its DV (the
+    delete_where_mor superset rule) so both updates stick."""
+    root = str(tmp_path / "mmor2")
+    snap.create(spark, root,
+                spark.createDataFrame([], "id long, v long"))
+    snap.merge_into_mor(spark, root,
+                        spark.createDataFrame([(1, 10), (2, 20)],
+                                              "id long, v long"), ["id"])
+    assert not snap.dv_map(root)
+    snap.merge_into_mor(spark, root,
+                        spark.createDataFrame([(1, 11)], "id long, v long"),
+                        ["id"])
+    snap.merge_into_mor(spark, root,
+                        spark.createDataFrame([(2, 22)], "id long, v long"),
+                        ["id"])
+    assert {r.id: r.v for r in snap.read(spark, root).collect()} == \
+        {1: 11, 2: 22}
+    # time travel across the MoR chain stays exact
+    assert {r.id: r.v for r in snap.read(spark, root, 1).collect()} == \
+        {1: 10, 2: 20}

@@ -1861,6 +1861,121 @@ def table_generated_columns(spark, sf_dir):
 
 
 @register(
+    "table_merge_mor",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+    head AS (
+        SELECT doc_id,
+               n_chars + CASE WHEN doc_id % 12 = 0 THEN 1000 ELSE 0 END
+                   AS n_chars
+        FROM documents WHERE doc_id % 6 = 0
+        UNION ALL
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+        UNION ALL
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT 'v0_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS agg FROM t
+    UNION ALL
+    SELECT 'head_docs', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM head
+    UNION ALL
+    SELECT 'feed_insert', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'feed_delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'feed_update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id % 6 = 0
+    UNION ALL
+    SELECT 'feed_update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+    FROM documents WHERE doc_id % 6 = 0
+    UNION ALL
+    SELECT 'mor_invariants', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def table_merge_mor(spark, sf_dir):
+    """Merge-on-read MERGE (r12 — Iceberg's MoR MERGE; the zero-rewrite
+    sibling of merge_upsert/table_merge_sync): ONE merge_into_mor
+    commit DV-kills the matched rows in place and APPENDS their
+    replacements (+1000 chars where doc_id%12=0) and the %3=1 inserts —
+    no pre-existing file is rewritten, which the mor_invariants row
+    pins structurally (n=1: every v0 file still live at head; agg=1:
+    the commit assigned deletion vectors). The commit-time change data
+    types EVERY matched row as an update pair — including the
+    value-identical ones (doc_id%6=0 but not %12=0): MoR replaces
+    whatever matches, with no COW-style exceptAll cancellation — which
+    is exactly how this key differs from table_merge_sync's O(diff)
+    feed. Zero deletes: this is the pure upsert shape.
+
+    Scale: a trickle upsert writes O(source rows) + O(matched
+    positions), never O(containing files) — the write-amplification
+    fix for continuous ingest; OPTIMIZE folds the DVs away
+    (tests/test_snapshots.py pins the fold and the COW-equality).
+    Reference parity: the reference re-materializes its whole summary
+    CSV per run (generate_decisions_summaries.py:119-121); MoR merge is
+    the minimal-write restatement of that refresh."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapmmor_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    files_v0 = set(snap.live_files(root))
+    src = (
+        d.filter("doc_id % 6 = 0")
+        .withColumn(
+            "n_chars",
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 12 == 0, F.lit(1000)).otherwise(0),
+        )
+        .unionByName(d.filter("doc_id % 3 = 1"))
+    )
+    v = snap.merge_into_mor(spark, root, src, ["doc_id"])
+    preserved = int(files_v0 <= set(snap.live_files(root)))
+    has_dv = int(bool(snap.dv_map(root)))
+
+    def stats(label: str, version: int):
+        return snap.read(spark, root, version).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("agg"),
+        ).select(F.lit(label).alias("metric"), "n", "agg")
+
+    feed = snap.changes(spark, root, v - 1, v, classify_updates=True)
+    kinds = spark.createDataFrame(
+        [("insert",), ("delete",), ("update_preimage",),
+         ("update_postimage",)], "_change_type string")
+    feed_stats = (
+        kinds.join(
+            feed.groupBy("_change_type").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("doc_id").alias("_agg"),
+            ),
+            "_change_type", "left",
+        )
+        .select(
+            F.concat(F.lit("feed_"), F.col("_change_type")).alias("metric"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("_agg"), F.lit(0)).cast("long").alias("agg"),
+        )
+    )
+    inv = spark.createDataFrame(
+        [("mor_invariants", preserved, has_dv)], "metric string, n long, agg long")
+    return stats("v0_docs", v - 1).unionByName(
+        stats("head_docs", v)).unionByName(feed_stats).unionByName(inv)
+
+
+@register(
     "table_identity_columns",
     oracle="""
     WITH c AS (

@@ -3634,6 +3634,149 @@ def merge_into(
                            row_bases=bases, row_watermark=wm)
 
 
+def merge_into_mor(
+    spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
+    *, txn: dict | None = None, max_retries: int = 0,
+) -> int:
+    """Merge-on-read MERGE (r12 — Iceberg's MoR MERGE shape; Delta's
+    MERGE is COW-only): instead of rewriting every file CONTAINING a
+    matched key (copy-on-write merge_into), ONE commit (a) records the
+    matched rows' (file, position) identities in superseding deletion
+    vectors — delete_where_mor's superset discipline — and (b) APPENDS
+    the replacement rows (matched source rows, keeping the target's
+    stable row ids) plus the inserts (unmatched source rows, fresh ids)
+    as new files. No existing data file is rewritten: a 0.001%-selective
+    trickle upsert on 100 TB writes O(source rows), not O(containing
+    files) — the write-amplification killer for continuous ingest;
+    OPTIMIZE later folds the DVs away and physically drops the dead
+    copies.
+
+    Change data is ALWAYS written (the update_where_mor rule — the
+    feed's DV-delta fallback cannot see this commit's appended files):
+    update_preimage = the old matched rows, update_postimage = their
+    replacements, insert = the unmatched source rows. EVERY matched row
+    emits an update pair — MoR has no COW-style unchanged-row
+    cancellation; replacing a row with equal values is still a
+    replacement (exactly Iceberg's behavior; callers wanting diff-only
+    feeds pre-filter the source).
+
+    Scope: the classic upsert clause shape (matched -> replace,
+    unmatched -> insert); the conditioned matched / by-source clause
+    matrix stays on the COW merge_into. Same contracts otherwise:
+    unique source keys, schema enforced, constraints checked,
+    generated/default columns derived, identity tables refuse (Delta
+    parity), conflicts resolve through the DV-file matrix."""
+    _check_write_protocol(root)
+    st0 = _read_state(root)
+    if st0["identity"]:
+        raise ValueError(
+            "merge_into_mor: MERGE is not supported on tables with "
+            "IDENTITY columns (Delta parity)")
+    version = latest_version(root) + 1
+    schema = table_schema(root)
+    source = _apply_write_rules(source, st0["generated"], st0["defaults"],
+                                "merge_into_mor", pinned=schema)
+    source = _check_schema(source, schema, "merge_into_mor")
+    _check_constraints(source, st0["constraints"], "merge_into_mor")
+    dup = (
+        source.groupBy(*key_cols).count()
+        .filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into_mor: source has duplicate keys on "
+            f"{key_cols} — MERGE requires a unique source match per "
+            "target row")
+    keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
+    track = st0["row_tracking"]
+    live = sorted(st0["live"])
+    matched, affected, dv = None, [], None
+    if live:
+        if track:
+            scan = _rid_scan(spark, root, live, schema, dv_map(root), st0,
+                             keep_lineage=True)
+        else:
+            scan = _scan(spark, root, lineage=True)
+        matched = scan.join(
+            F.broadcast(keys), key_cols, "left_semi"
+        ).localCheckpoint(eager=True)
+        rel_of = _rel_by_name(live)
+        affected = sorted(
+            rel_of[r["__src"]]
+            for r in matched.select("__src").distinct().collect()
+        )
+    if affected:
+        entries = matched.select(
+            F.col("__src").alias("src"), F.col("__pos").alias("pos")
+        )
+        prior = dv_map(root)
+        old_parts = sorted({p for f in affected for p in prior.get(f, [])})
+        if old_parts:
+            prev = spark.read.schema(_DV_SCHEMA).parquet(
+                *[os.path.join(_data_root(root), p) for p in old_parts]
+            ).filter(
+                F.col("src").isin([os.path.basename(f) for f in affected])
+            )
+            # disjoint by construction (matched rows passed the DV
+            # anti-join): plain union keeps exact multiplicity
+            entries = entries.unionByName(prev)
+        ddir = _new_payload_dir(root)
+        entries.write.parquet(ddir)
+        dv = {"files": affected, "parts": _dir_files(root, ddir)}
+        m_keys = matched.select(*key_cols).distinct()
+        repl = source.join(F.broadcast(m_keys), key_cols, "left_semi")
+        ins = source.join(F.broadcast(m_keys), key_cols, "left_anti")
+    else:
+        repl, ins = None, source
+    if track:
+        ins = ins.withColumn(_RID_COL, F.lit(None).cast("long"))
+        if repl is not None:
+            # replacements MATERIALIZE the matched rows' stable ids (MIN
+            # over any replaced duplicates — deterministic); inserts get
+            # fresh ids from the new files' bases at read time
+            oldids = (
+                matched.groupBy(*key_cols)
+                .agg(F.min(_RID_COL).alias("___oldrid"))
+            )
+            repl = (
+                repl.join(F.broadcast(oldids), key_cols, "left")
+                .withColumn(_RID_COL, F.col("___oldrid"))
+                .drop("___oldrid")
+            )
+    out = ins if repl is None else repl.unionByName(ins)
+    wschema = _schema_plus_rid(schema) if track else schema
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"],
+                                      wschema)
+    stats = _strip_rid_stats(_collect_stats(spark, root, pdir, wschema))
+    bases, wm = (_assign_bases(add, stats, st0["row_watermark"])
+                 if track else (None, None))
+    names = [f.name for f in schema.fields]
+    cdc_frames = []
+    if affected:
+        cdc_frames.append(
+            _to_physical(matched.select(*names), schema)
+            .withColumn("_change_type", F.lit("update_preimage")))
+        cdc_frames.append(
+            _to_physical(repl.select(*names), schema)
+            .withColumn("_change_type", F.lit("update_postimage")))
+    cdc_frames.append(
+        _to_physical(ins.select(*names), schema)
+        .withColumn("_change_type", F.lit("insert")))
+    cdf_df = cdc_frames[0]
+    for p in cdc_frames[1:]:
+        cdf_df = cdf_df.unionByName(p)
+    cdir = _new_payload_dir(root)
+    cdf_df.write.parquet(cdir)
+    return _publish_commit(root, version - 1, op="merge_mor",
+                           max_retries=max_retries, row_stats=stats,
+                           add=add, dv=dv, cdc=_dir_files(root, cdir),
+                           txn=txn, stats=stats, parts=parts,
+                           merge_keys=list(key_cols),
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]),
+                           row_bases=bases, row_watermark=wm)
+
+
 def compact(
     spark: SparkSession,
     root: str,
