@@ -4043,3 +4043,34 @@ def test_merge_mor_into_empty_and_repeat_merges_supersede(spark, tmp_path):
     # time travel across the MoR chain stays exact
     assert {r.id: r.v for r in snap.read(spark, root, 1).collect()} == \
         {1: 10, 2: 20}
+
+
+def test_merge_mor_conflict_and_benign_rebase(spark, monkeypatch, tmp_path):
+    """MoR merge in the conflict matrix: its DV assignment touches the
+    matched files, so racing it against a DELETE of the same file
+    raises ConcurrentWriteConflict (same-file rule via the DV entry of
+    _commit_touched); racing it against a disjoint APPEND rebases and
+    both commits land."""
+    root = str(tmp_path / "mmorrace")
+    df = spark.createDataFrame([(i, i * 10) for i in range(8)],
+                               "id long, v long")
+    snap.create(spark, root, df.coalesce(1))  # one file: guaranteed overlap
+    src = spark.createDataFrame([(1, 111)], "id long, v long")
+    fired = _race(monkeypatch, "merge_mor",
+                  lambda: snap.delete_where(spark, root, "id = 7"))
+    with pytest.raises(snap.ConcurrentWriteConflict, match="same files"):
+        snap.merge_into_mor(spark, root, src, ["id"], max_retries=3)
+    assert fired["done"]
+    # the winner's delete stands; the loser published nothing
+    assert sorted(r.id for r in snap.read(spark, root).collect()) == \
+        list(range(7))
+
+    root2 = str(tmp_path / "mmorrace2")
+    snap.create(spark, root2, df.coalesce(1))
+    extra = spark.createDataFrame([(100, 1000)], "id long, v long")
+    fired2 = _race(monkeypatch, "merge_mor",
+                   lambda: snap.append(spark, root2, extra))
+    snap.merge_into_mor(spark, root2, src, ["id"], max_retries=3)
+    assert fired2["done"]
+    got = {r.id: r.v for r in snap.read(spark, root2).collect()}
+    assert got[1] == 111 and got[100] == 1000  # both commits landed
