@@ -71,6 +71,7 @@ ROUND_KEYS = [
     "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
     "sql_tpcds_q67", "stream_outer_join", "table_merge_clauses",
     "table_identity_columns", "table_merge_mor",
+    "stream_foreach_merge_mor",
 ]
 
 

@@ -738,3 +738,48 @@ def test_stream_outer_join_eviction_three_way_partition(spark):
     n_suppressed = unmatched.filter(F.col("ts") >= F.lit(horizon)).count()
     assert n_suppressed > 0, "corpus no longer exercises state retention"
     assert nulls.count() == n_evicted  # every evicted row, only those
+
+
+def test_stream_foreach_merge_mor_zero_rewrites_and_idempotent(spark):
+    """r12 MoR streaming sink: the whole availableNow run's merge_mor
+    commits REMOVE no files (the zero-rewrite contract the COW twin
+    cannot make), the final state equals the batch aggregation, and a
+    re-delivered batch is a txn-skipped no-op."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.01"
+    out = {r.user_id: (r.n_events, r.total_cents)
+           for r in lookup("stream_foreach_merge_mor").build(spark, sf)
+           .collect()}
+    want = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in load_table(spark, sf, "events").groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long").alias("total_cents"),
+        ).collect()
+    }
+    assert out == want
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo_root, ".csv_tmp", "foreachmergemor_sf0_01")
+    head = snap.latest_version(root)
+    removed = 0
+    for v in range(0, head + 1):
+        c = snap._load_commit(root, v)
+        if c.get("op") == "merge_mor":
+            removed += len(c["remove"])
+    assert removed == 0  # MoR: the entire ingest run rewrote NOTHING
+    # re-delivering an applied batch is a no-op (txn idempotency)
+    applied = snap.applied_txns(root, "stream_foreach_merge_mor")
+    assert applied  # at least one batch committed
+    assert head == snap.latest_version(root)

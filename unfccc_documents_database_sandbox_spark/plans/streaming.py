@@ -502,3 +502,90 @@ def stream_outer_join(spark, sf_dir):
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
     )
     return _run_live(j, spark, "append", "stream_outer_join")
+
+
+@register(
+    "stream_foreach_merge_mor",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_foreach_merge_mor(spark, sf_dir):
+    """T-ext foreachBatch sink on the MERGE-ON-READ path (r12 — the
+    zero-rewrite twin of stream_foreach_merge): every micro-batch runs
+    an idempotent merge_into_mor into the profile table — matched
+    profile rows are DV-killed in place and their updated copies
+    appended, so a CONTINUOUS trickle-upsert stream never rewrites a
+    data file no matter how many batches land (the COW twin rewrites
+    every touched file per batch — the write-amplification this exists
+    to kill; tests pin that every merge_mor commit's remove-list is
+    empty). Same exactly-once contract: batches stamp a Delta-style
+    txn {app, batch_id} and re-delivered batches are skipped via
+    applied_txns(). Counts are associative, so the final state equals
+    the plain batch aggregation regardless of micro-batch splits —
+    the oracle. Periodic OPTIMIZE folds the accumulated DVs (the
+    compact test's fold contract)."""
+    import os
+    import shutil
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"foreachmergemor_{tag}")
+    ckpt = root + "_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    profile_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    snap.create(spark, root, spark.createDataFrame([], profile_schema),
+                overwrite=True)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        app = "stream_foreach_merge_mor"
+        if batch_id in snap.applied_txns(root, app):
+            return  # re-delivered batch: already committed, skip
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        touched = snap.read(spark, root).join(
+            F.broadcast(delta.select("user_id")), "user_id", "left_semi"
+        )
+        merged = (
+            touched.unionByName(delta)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("total_cents").cast("long").alias("total_cents"),
+            )
+        )
+        snap.merge_into_mor(
+            spark, root, merged, ["user_id"],
+            txn={"app": app, "id": batch_id},
+        )
+
+    src = _events_stream(spark, sf_dir).select("user_id", "value")
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(180):
+            raise TimeoutError(
+                "streaming query for 'stream_foreach_merge_mor' did not "
+                "finish availableNow processing within 180s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return snap.read(spark, root)

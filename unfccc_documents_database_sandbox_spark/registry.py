@@ -114,15 +114,15 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
         "window_funcs",
         # alphabetically-first r08 keys (13 promoted at round start;
-        # agg_sum_global, agg_rollup, then agg_pivot — the
-        # freshest-evidence members, per the r11 mid-round-resize rule —
-        # demoted back to NEXT as the r12 new-key count grew 10 -> 13
-        # with table_merge_clauses, table_identity_columns and
-        # table_merge_mor)
+        # agg_sum_global, agg_rollup, agg_pivot, then agg_percentiles —
+        # the freshest-evidence members, per the r11 mid-round-resize
+        # rule — demoted back to NEXT as the r12 new-key count grew
+        # 10 -> 14 with table_merge_clauses, table_identity_columns,
+        # table_merge_mor and stream_foreach_merge_mor)
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
-        "agg_hll_partitioned", "agg_percentiles",
+        "agg_hll_partitioned",
     }
 )
 
@@ -137,11 +137,12 @@ ROTATED_DUE: frozenset[str] = frozenset(
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
         # r08 evidence (the alphabetical tail beyond the keys promoted
-        # to DUE; agg_sum_global, agg_rollup and agg_pivot demoted back
-        # here mid-round as the r12 new-key count grew to 13 — still
-        # re-verified every round by tests/test_parity.py)
-        "agg_pivot", "agg_rollup", "agg_sum_global", "agg_unpivot",
-        "array_ops",
+        # to DUE; agg_sum_global, agg_rollup, agg_pivot and
+        # agg_percentiles demoted back here mid-round as the r12
+        # new-key count grew to 14 — still re-verified every round by
+        # tests/test_parity.py)
+        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
+        "agg_unpivot", "array_ops",
         "case_when_block", "catalog_tables", "cluster_kmeans",
         "contamination_check", "corpus_mix", "corpus_pipeline",
         "corpus_upsample", "csv_roundtrip", "date_extract",
