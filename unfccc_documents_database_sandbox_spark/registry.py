@@ -88,59 +88,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 # r11 window (10 unprefixed + 40 z_ re-checks) parked, the r10 PARKED
 # cohort aged into NEXT, and the full 27-key r07 tail plus the
 # alphabetically-first 13 keys of the r08 cohort promoted to DUE (sized
-# 40 for the planned r12 new-key count of 10). Oldest evidence on file
-# after r12: r08 (the un-promoted tail).
+# 40 for the planned r12 new-key count of 10); r13 advances it per
+# VERDICT r12 #1: the 50-key r12 window (14 unprefixed + 36 z_
+# re-checks) parked, the r11 PARKED cohort aged into NEXT, and the full
+# 41-key r08 tail promoted to DUE (sized 41 for the planned r13
+# new-key count of 9; undersizing is safe — window spillover lands on
+# the alphabetically-first zz_ keys, which ARE the oldest-evidence r09
+# cohort). Oldest evidence on file after r13: r09 (the zz_ head).
 
-# DUE (z_): oldest evidence on file — the 27-key r07-latest tail plus the
-# alphabetically-first 13 keys of the r08 cohort (promoted per VERDICT
-# r11 #1), sized so DUE + the round's new unprefixed keys fill the
-# 50-key window (machine-checked by tests/test_rotation.py::
-# test_window_reaches_every_due_key; sized from the registry, not this
-# comment). Rows-only by design among these: stream_dedup_live
-# (arrival-order), agg_approx_distinct, agg_approx_percentiles,
-# agg_hll_partitioned (approximate sketches, documented at their
-# builders).
+# DUE (z_): oldest evidence on file — the full 41-key r08-latest tail
+# (promoted per VERDICT r12 #1), sized so DUE + the round's new
+# unprefixed keys fill the 50-key window (machine-checked by
+# tests/test_rotation.py::test_window_reaches_every_due_key; sized from
+# the registry, not this comment). Rows-only by design among these:
+# catalog_tables (no DuckDB twin for a catalog listing).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # r07 evidence tail
-        "sql_tpch_q1", "sql_tpch_q3",
-        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
-        "stream_dedup_live", "stream_session", "stream_sliding",
-        "stream_stateful_profile", "stream_tumbling",
-        "stream_watermark_live", "table_snapshot_read", "text_bpe_encode",
-        "text_bpe_train", "text_funcs", "text_length_hist",
-        "text_pii_scrub", "text_repetition", "text_top_ngrams",
-        "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
-        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
-        "window_funcs",
-        # alphabetically-first r08 keys (13 promoted at round start;
-        # agg_sum_global, agg_rollup, agg_pivot, then agg_percentiles —
-        # the freshest-evidence members, per the r11 mid-round-resize
-        # rule — demoted back to NEXT as the r12 new-key count grew
-        # 10 -> 14 with table_merge_clauses, table_identity_columns,
-        # table_merge_mor and stream_foreach_merge_mor)
-        "agg_approx_distinct", "agg_approx_percentiles",
-        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
-        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
-        "agg_hll_partitioned",
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r08.json (the
-# un-promoted tail of the r08 window, first block), CORRECTNESS_r09.json
-# (the 50-key r09 window, second block), or CORRECTNESS_r10.json (the
-# 50-key r10 window, third block — aged out of PARKED this round). These
-# receive the r12 window spillover beyond the DUE tier and are the r13
-# promotion pool (r08 tail first). catalog_tables, sim_topk_pq,
-# dedup_fuzzy_minhash, dedup_simhash and doc_rolling_hash are rows-only
-# by design.
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r08 evidence (the alphabetical tail beyond the keys promoted
-        # to DUE; agg_sum_global, agg_rollup, agg_pivot and
-        # agg_percentiles demoted back here mid-round as the r12
-        # new-key count grew to 14 — still re-verified every round by
-        # tests/test_parity.py)
+        # r08 evidence tail (the block beyond the 13 keys promoted last
+        # round; agg_sum_global/agg_rollup/agg_pivot/agg_percentiles
+        # rejoined it on their mid-r12 demotion)
         "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
         "agg_unpivot", "array_ops",
         "case_when_block", "catalog_tables", "cluster_kmeans",
@@ -155,6 +121,19 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "table_schema_evolution", "table_stats_prune", "text_keyterms",
         "try_funcs", "ts_gapfill", "udaf_pandas_agg",
         "udtf_python_segments",
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r09.json (the
+# 50-key r09 window, first block), CORRECTNESS_r10.json (the 50-key r10
+# window, second block), or CORRECTNESS_r11.json (the 50-key r11 window,
+# third block — aged out of PARKED this round). These receive the r13
+# window spillover beyond the DUE tier and are the r14 promotion pool
+# (r09 head first). sim_topk_pq, dedup_fuzzy_minhash, dedup_simhash,
+# doc_rolling_hash, sim_topk_ivf, sim_topk_ivfpq and sim_topk_lsh are
+# rows-only by design (each with a hash-exact portable twin).
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
         # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
         # rows-only by design)
         "agg_corr_exact", "dedup_incremental", "dedup_lines",
@@ -176,7 +155,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "udf_cogrouped_asof", "xlsx_ingest",
         # r10 evidence: the 50-key r10 window (47 hash-green + 3 rows-only
         # by documented design: dedup_fuzzy_minhash, dedup_simhash,
-        # doc_rolling_hash), aged out of PARKED this round
+        # doc_rolling_hash)
         "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
         "basket_pairs", "dedup_embedding", "dedup_exact",
         "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
@@ -194,17 +173,10 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "stream_changes_bounded", "table_branch", "table_bucket_prune",
         "table_concurrent", "table_files_meta", "ts_resample_ohlc",
         "url_normalize",
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r11.json — the 50
-# keys of the r11 window (47 hash-green + 3 rows-only by documented
-# design, VERDICT r11: sim_topk_ivf, sim_topk_ivfpq, sim_topk_lsh — each
-# with a hash-exact *_portable twin): 10 were the un-prefixed r11 keys,
-# 40 were z_-spelled re-checks.
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
-        # the 40 z_ re-checks of the r11 window
+        # r11 evidence: the 50-key r11 window (47 hash-green + 3
+        # rows-only by documented design: sim_topk_ivf, sim_topk_ivfpq,
+        # sim_topk_lsh — each with a hash-exact *_portable twin), aged
+        # out of PARKED this round
         "dedup_components_star", "dedup_minhash_portable",
         "dedup_simhash_portable", "dedup_substring", "docx_ingest",
         "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
@@ -219,11 +191,42 @@ ROTATED_PARKED: frozenset[str] = frozenset(
         "text_bpe_pairs",
         "text_chunk_sliding", "text_tfidf", "text_vocab",
         "window_cume_distinct",
-        # the 10 un-prefixed r11 keys
         "agg_linear_trend", "dedup_containment", "multimodal_audio_energy",
         "sketch_heavy_hitters", "source_hive_partitioned",
         "table_merge_sync", "table_type_widening", "table_vacuum_audit",
         "udtf_polymorphic", "xml_ingest",
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r12.json — the 50
+# keys of the r12 window (46 hash-green + 4 rows-only by documented
+# design, VERDICT r12: agg_approx_distinct, agg_approx_percentiles,
+# agg_hll_partitioned — approx sketches with hash-exact twins — and
+# stream_dedup_live, arrival-order by construction): 14 were the
+# un-prefixed r12 keys, 36 were z_-spelled re-checks.
+ROTATED_PARKED: frozenset[str] = frozenset(
+    {
+        # the 36 z_ re-checks of the r12 window (r07 tail + first r08 keys)
+        "sql_tpch_q1", "sql_tpch_q3",
+        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
+        "stream_dedup_live", "stream_session", "stream_sliding",
+        "stream_stateful_profile", "stream_tumbling",
+        "stream_watermark_live", "table_snapshot_read", "text_bpe_encode",
+        "text_bpe_train", "text_funcs", "text_length_hist",
+        "text_pii_scrub", "text_repetition", "text_top_ngrams",
+        "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
+        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
+        "window_funcs",
+        "agg_approx_distinct", "agg_approx_percentiles",
+        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
+        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
+        "agg_hll_partitioned",
+        # the 14 un-prefixed r12 keys
+        "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
+        "sql_tpcds_q67", "stream_foreach_merge_mor", "stream_outer_join",
+        "table_generated_columns", "table_identity_columns",
+        "table_merge_clauses", "table_merge_mark_stale", "table_merge_mor",
+        "text_unigram_encode", "text_unigram_train",
     }
 )
 
