@@ -2050,9 +2050,10 @@ def table_identity_columns(spark, sf_dir):
     return stats("v0", 0).unionByName(stats("head", None))
 
 
-@register(
-    "table_merge_clauses",
-    oracle="""
+# shared by table_merge_clauses (Python clause list) and table_sql_merge
+# (the same commit driven through a MERGE INTO SQL string): identical
+# oracle = identical expected hash = the SQL front-end is pure syntax.
+_MERGE_CLAUSES_ORACLE = """
     WITH head AS (
         -- matched (doc_id%6=0): clause 1 (n_chars%3=0) updates,
         -- clause 2 (n_chars%3=1) deletes, else carried
@@ -2091,8 +2092,10 @@ def table_identity_columns(spark, sf_dir):
     SELECT 'feed_update_postimage', CAST(COUNT(*) AS BIGINT),
            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
     FROM documents WHERE doc_id % 6 = 0 AND n_chars % 3 = 0
-    """,
-)
+    """
+
+
+@register("table_merge_clauses", oracle=_MERGE_CLAUSES_ORACLE)
 def table_merge_clauses(spark, sf_dir):
     """Delta's FULL WHEN MATCHED surface in one commit (r12, beyond
     VERDICT r11 #2): ordered conditioned clauses — UPDATE SET with
@@ -2138,6 +2141,14 @@ def table_merge_clauses(spark, sf_dir):
         ],
         not_matched_condition="n_chars % 2 = 0",
     )
+    return _merge_clauses_stats(spark, root, v)
+
+
+def _merge_clauses_stats(spark, root, v):
+    """Post-merge head stats by tag + typed-change-feed stats by kind —
+    the shared observable for the Python-API and SQL-string merge twins."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
     head = (
         snap.read(spark, root).groupBy("tag").agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -3194,3 +3205,169 @@ def stream_branch_changes(spark, sf_dir):
     )
     return _run_cdf_stream(spark, sf_dir, "table_changes_stream",
                            root=broot)
+
+
+@register("table_sql_merge", oracle=_MERGE_CLAUSES_ORACLE)
+def table_sql_merge(spark, sf_dir):
+    """SQL DML front-end, MERGE (VERDICT r12 #2): the EXACT
+    table_merge_clauses commit — ordered conditioned WHEN MATCHED
+    clauses, conditional INSERT — driven through a ``MERGE INTO`` SQL
+    string (sources/sql_dml.py) instead of the Python clause list, with
+    the source bound as a USING subquery over a temp view. Same oracle
+    as the Python twin, so the driver's value hash pins the two paths
+    bit-equal: the front-end is pure syntax over the same transactional
+    writer (atomic commit, typed change feed included in the output).
+
+    Reference parity: the reference's ONLY interface is SQL strings over
+    psycopg2/SQLAlchemy (SURVEY §1.1; /root/reference/README.md:15-18) —
+    this closes the last surface asymmetry between its front door and
+    the engine's table format. Scale: parsing is O(statement) on the
+    driver; the physical plan is merge_into's broadcast-semi hit-file
+    discovery + file-bounded rewrite, unchanged."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import execute_dml
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapsqlm_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(
+        spark, root,
+        d.filter("doc_id % 3 = 0").withColumn("tag", F.lit("base"))
+        .repartition(3),
+    )
+    d.filter("doc_id % 2 = 0").createOrReplaceTempView("sqlm_changes")
+    v = execute_dml(
+        spark,
+        """MERGE INTO docs AS tgt
+           USING (SELECT *, 'src' AS tag FROM sqlm_changes) AS delta
+           ON tgt.doc_id = delta.doc_id
+           WHEN MATCHED AND delta.n_chars % 3 = 0 THEN
+               UPDATE SET n_chars = delta.n_chars + tgt.n_chars,
+                          tag = 'upd'
+           WHEN MATCHED AND delta.n_chars % 3 = 1 THEN DELETE
+           WHEN NOT MATCHED AND n_chars % 2 = 0 THEN INSERT *""",
+        {"docs": root},
+    )
+    return _merge_clauses_stats(spark, root, v)
+
+
+@register(
+    "table_sql_update",
+    oracle="""
+    WITH base AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0),
+    upd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN n_chars * 2 + 1
+                    ELSE n_chars END AS n_chars,
+               CASE WHEN doc_id % 5 = 0 THEN
+                        (CASE WHEN n_chars % 2 = 0 THEN 'even' ELSE 'odd' END)
+                    ELSE 'base' END AS tag
+        FROM base
+    )
+    SELECT CAST(doc_id % 7 AS BIGINT) AS bucket, tag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM upd GROUP BY doc_id % 7, tag
+    """,
+)
+def table_sql_update(spark, sf_dir):
+    """SQL DML front-end, UPDATE: ``UPDATE ... SET ... WHERE`` routed to
+    the copy-on-write update_where — including a CASE WHEN inside a SET
+    expression (the statement scanner treats CASE...END as nesting, so
+    expression-level WHEN/THEN never split statement clauses) and the
+    simultaneous-SET rule (the tag CASE reads the OLD n_chars even
+    though n_chars is SET in the same statement). Oracle recomputes the
+    post-UPDATE table directly from parquet. Scale: one predicate scan
+    for hit-file discovery + a rewrite bounded to files containing
+    matches — the statement adds only driver-side parsing."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import execute_dml
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapsqlu_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(
+        spark, root,
+        d.filter("doc_id % 3 = 0").withColumn("tag", F.lit("base"))
+        .repartition(3),
+    )
+    execute_dml(
+        spark,
+        """UPDATE docs
+           SET n_chars = n_chars * 2 + 1,
+               tag = CASE WHEN n_chars % 2 = 0 THEN 'even' ELSE 'odd' END
+           WHERE doc_id % 5 = 0""",
+        {"docs": root},
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    return (
+        snap.read(spark, root)
+        .groupBy(
+            F.expr("doc_id % 7").cast("long").alias("bucket"), "tag"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "table_sql_delete",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    kept AS (SELECT * FROM base WHERE (n_chars % 4 = 1) IS NOT TRUE)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM kept GROUP BY source
+    """,
+)
+def table_sql_delete(spark, sf_dir):
+    """SQL DML front-end, DELETE: ``DELETE FROM ... WHERE`` routed to
+    the copy-on-write delete_where, inheriting the NULL-predicate
+    discipline (rows where the condition evaluates NULL are KEPT — the
+    oracle's IS NOT TRUE). Per-source survivor stats are the
+    observable. Scale: hit-file discovery is one scan; only files
+    containing predicate-TRUE rows are rewritten."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import execute_dml
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapsqld_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    execute_dml(spark, "DELETE FROM docs WHERE n_chars % 4 = 1",
+                {"docs": root})
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    return (
+        snap.read(spark, root)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

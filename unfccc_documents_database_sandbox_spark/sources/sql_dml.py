@@ -1,0 +1,522 @@
+"""SQL DML front-end for the snapshot table format (VERDICT r12 #2).
+
+The reference pushes ALL relational work through SQL strings — its whole
+surface is psycopg2/SQLAlchemy statements (SURVEY §1.1;
+/root/reference/README.md:15-18) — while this engine's transactional
+table format exposed only the Python API (`snapshots.merge_into`,
+`update_where`, `delete_where`). This module closes that asymmetry with
+a THIN statement parser: `MERGE INTO` / `UPDATE` / `DELETE` SQL strings
+route to the existing commit-log DML, which keeps every transactional
+guarantee (atomic commits, constraint checks, typed change feed,
+conflict matrix) because the SQL layer is pure syntax — zero new write
+paths.
+
+Grammar (documented refusals for everything else):
+
+    DELETE FROM <table> [WHERE <cond>]
+    UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
+    MERGE INTO <table> [AS] t
+        USING (<subquery>) | <view-or-registered-source> [AS] s
+        ON t.k = s.k [AND t.k2 = s.k2 ...]          -- equi-keys only
+        [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e, ...]
+        [WHEN MATCHED [AND <cond>] THEN DELETE]
+        [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+                                                     | UPDATE SET c = e, ...]
+
+Arbitrary aliases are accepted and rewritten to the engine's canonical
+``t.``/``s.`` qualifiers. The parser is deliberately not a full SQL
+grammar: it tokenizes at paren-depth 0 outside string literals (so
+nested CASE WHEN / function calls / quoted text inside expressions pass
+through verbatim to Spark, which owns expression semantics) and raises
+``DmlSyntaxError`` for anything outside the surface above — non-equi ON
+conditions, column-list INSERT, VALUES clauses, multiple by-source
+clauses — rather than guessing.
+
+``mode="mor"`` routes to the merge-on-read writers (`delete_where_mor`,
+`update_where_mor`, `merge_into_mor`); since the MoR MERGE supports only
+the classic upsert clause shape (sources/snapshots.py merge_into_mor
+docstring), a conditioned/multi-clause MERGE in MoR mode raises.
+
+Scale: the front-end adds zero execution cost — strings are parsed on
+the driver once; the physical work is exactly the Python API's
+(broadcast-semi hit-file discovery, file-bounded rewrites / DV appends).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+
+class DmlSyntaxError(ValueError):
+    """Statement outside the supported DML surface (see module docstring)."""
+
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+
+_CASE = re.compile(r"\bCASE\b", re.IGNORECASE)
+_END = re.compile(r"\bEND\b", re.IGNORECASE)
+
+
+def _top_level_matches(s: str, pattern: re.Pattern) -> list[re.Match]:
+    """All matches of ``pattern`` at nesting depth 0: outside parens,
+    outside string literals ('' escapes a quote, SQL-style), and outside
+    CASE...END blocks (whose WHEN/THEN/ELSE belong to the expression, not
+    the statement)."""
+    out: list[re.Match] = []
+    depth, in_str, i, n = 0, False, 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if i == 0 or not re.match(r"[\w$]", s[i - 1]):
+            mc = _CASE.match(s, i)
+            if mc:
+                depth += 1
+                i = mc.end()
+                continue
+            me = _END.match(s, i)
+            if me and depth > 0:
+                depth -= 1
+                i = me.end()
+                continue
+        if depth == 0:
+            m = pattern.match(s, i)
+            if m and m.end() > i:
+                out.append(m)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _split_top(s: str, keyword: str) -> list[str]:
+    """Split ``s`` on top-level occurrences of a keyword (word-bounded,
+    case-insensitive) or a literal separator like ','; returns the
+    segments WITHOUT the keyword."""
+    if keyword.isalpha():
+        pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    else:
+        pat = re.compile(re.escape(keyword))
+    cuts = _top_level_matches(s, pat)
+    if not cuts:
+        return [s]
+    parts, prev = [], 0
+    for m in cuts:
+        parts.append(s[prev:m.start()])
+        prev = m.end()
+    parts.append(s[prev:])
+    return parts
+
+
+def _find_top(s: str, keyword: str) -> re.Match | None:
+    """First top-level occurrence of a word-bounded keyword."""
+    ms = _top_level_matches(s, re.compile(rf"\b{keyword}\b", re.IGNORECASE))
+    return ms[0] if ms else None
+
+
+def _replace_quals(s: str, mapping: dict[str, str]) -> str:
+    """Rewrite ``alias.`` qualifiers to canonical ones OUTSIDE string
+    literals (two-phase via NUL placeholders so swapping t<->s is safe)."""
+    tmp: dict[str, str] = {a: f"\x00{i}\x00." for i, a in enumerate(mapping)}
+    out: list[str] = []
+    depth_unused, in_str, i, n = 0, False, 0, len(s)
+    pats = {
+        a: re.compile(rf"\b{re.escape(a)}\s*\.", re.IGNORECASE)
+        for a in mapping
+    }
+    while i < n:
+        c = s[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    out.append(s[i + 1])
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        hit = None
+        for a, pat in pats.items():
+            m = pat.match(s, i)
+            # a qualifier is ident-dot NOT preceded by ident or dot
+            if m and (i == 0 or not re.match(r"[\w.$]", s[i - 1])):
+                hit = (a, m)
+                break
+        if hit:
+            out.append(tmp[hit[0]])
+            i = hit[1].end()
+            continue
+        out.append(c)
+        i += 1
+    res = "".join(out)
+    for idx, a in enumerate(mapping):
+        res = res.replace(f"\x00{idx}\x00.", mapping[a] + ".")
+    return res
+
+
+def _strip_qual(expr: str, allowed: str, forbidden: str, ctx: str) -> str:
+    """Drop the one legal qualifier from a single-sided clause expression
+    (the engine evaluates by-source SETs against the bare old row and
+    insert conditions against the bare source row); refuse the other."""
+    if re.search(rf"\b{forbidden}\.", expr):
+        raise DmlSyntaxError(
+            f"{ctx} may reference only the {allowed}-side row; found a "
+            f"'{forbidden}.' qualifier in {expr!r}")
+    return re.sub(rf"\b{allowed}\.", "", expr)
+
+
+def _parse_assignments(text: str, ctx: str) -> dict[str, str]:
+    """``col = expr [, ...]`` with top-level comma/first-= splitting."""
+    out: dict[str, str] = {}
+    for item in _split_top(text, ","):
+        m = re.match(rf"^\s*({_IDENT})\s*=\s*(.+?)\s*$", item, re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(
+                f"{ctx}: expected 'column = expression', got {item!r}")
+        col, expr = m.group(1), m.group(2)
+        if col in out:
+            raise DmlSyntaxError(f"{ctx}: column {col!r} SET twice")
+        out[col] = expr
+    return out
+
+
+def _require_table(name: str, tables: dict[str, str]) -> str:
+    if name not in tables:
+        raise DmlSyntaxError(
+            f"unknown snapshot table {name!r}; registered: {sorted(tables)}")
+    return tables[name]
+
+
+def _parse_on_keys(cond: str, t_alias: str, s_alias: str) -> list[str]:
+    """ON must be a conjunction of cross-side same-name equi-predicates —
+    exactly what `merge_into(key_cols=...)` expresses. Anything else is a
+    refusal, not a guess."""
+    keys: list[str] = []
+    for conj in _split_top(cond, "AND"):
+        m = re.match(
+            rf"^\s*\(?\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*"
+            rf"({_IDENT})\s*\.\s*({_IDENT})\s*\)?\s*$",
+            conj, re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(
+                "MERGE ON supports only conjunctions of "
+                "'t.col = s.col' equi-predicates (merge keys); got "
+                f"{conj.strip()!r}")
+        a1, c1, a2, c2 = m.groups()
+        sides = {a1.lower(): c1, a2.lower(): c2}
+        if set(sides) != {t_alias.lower(), s_alias.lower()}:
+            raise DmlSyntaxError(
+                f"MERGE ON conjunct {conj.strip()!r} must compare the "
+                f"target ({t_alias}) to the source ({s_alias})")
+        if sides[t_alias.lower()] != sides[s_alias.lower()]:
+            raise DmlSyntaxError(
+                "MERGE ON key columns must have the same name on both "
+                f"sides (the key_cols contract); got {conj.strip()!r}")
+        keys.append(sides[t_alias.lower()])
+    return keys
+
+
+def _parse_alias(text: str, default: str, what: str) -> tuple[str, str]:
+    """``<name> [AS] [alias]`` → (name, alias)."""
+    m = re.match(
+        rf"^\s*({_IDENT})\s*(?:\bAS\b\s*)?({_IDENT})?\s*$",
+        text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise DmlSyntaxError(f"cannot parse {what} reference {text!r}")
+    name, alias = m.group(1), m.group(2)
+    if alias and alias.upper() == "AS":
+        raise DmlSyntaxError(f"dangling AS in {what} reference {text!r}")
+    return name, (alias or default)
+
+
+def _resolve_source(
+    spark: SparkSession, text: str, sources: dict[str, DataFrame] | None,
+) -> tuple[DataFrame, str]:
+    """USING operand: a parenthesized subquery (run through spark.sql so
+    temp views work, matching the reference's all-SQL surface), a name in
+    ``sources``, or a catalog/temp-view name."""
+    text = text.strip()
+    if text.startswith("("):
+        # ( subquery ) [AS] alias
+        depth, in_str, end = 0, False, -1
+        for i, c in enumerate(text):
+            if in_str:
+                in_str = c != "'"
+                continue
+            if c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise DmlSyntaxError(f"unbalanced parens in USING {text!r}")
+        sub, rest = text[1:end], text[end + 1:]
+        m = re.match(rf"^\s*(?:\bAS\b\s*)?({_IDENT})?\s*$", rest,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(f"cannot parse USING alias in {rest!r}")
+        return spark.sql(sub), (m.group(1) or "s")
+    name, alias = _parse_alias(text, "s", "USING")
+    if sources and name in sources:
+        return sources[name], alias
+    return spark.table(name), alias
+
+
+_CLASSIC_UPSERT = object()  # sentinel: plain matched-replace semantics
+
+
+def _parse_merge(
+    spark: SparkSession, sql: str, tables: dict[str, str],
+    sources: dict[str, DataFrame] | None,
+) -> dict:
+    m_into = re.match(r"^\s*MERGE\s+INTO\b", sql, re.IGNORECASE)
+    m_using = _find_top(sql, "USING")
+    m_on = _find_top(sql, "ON")
+    whens = _split_top(sql, "WHEN")
+    if not (m_into and m_using and m_on):
+        raise DmlSyntaxError("MERGE requires INTO ... USING ... ON ...")
+    if len(whens) < 2:
+        raise DmlSyntaxError("MERGE requires at least one WHEN clause")
+    if _find_top(sql, "VALUES"):
+        raise DmlSyntaxError(
+            "MERGE INSERT supports only 'INSERT *' (the merge schema "
+            "contract); column lists / VALUES are refused")
+    tgt_name, t_alias = _parse_alias(
+        sql[m_into.end():m_using.start()], "t", "MERGE INTO")
+    root = _require_table(tgt_name, tables)
+    source, s_alias = _resolve_source(
+        spark, sql[m_using.end():m_on.start()], sources)
+    if t_alias.lower() == s_alias.lower():
+        raise DmlSyntaxError(
+            f"target and source aliases must differ, both {t_alias!r}")
+    # ON condition runs to the first top-level WHEN
+    first_when = _find_top(sql[m_on.end():], "WHEN")
+    on_cond = sql[m_on.end():m_on.end() + first_when.start()]
+    key_cols = _parse_on_keys(on_cond, t_alias, s_alias)
+
+    quals = {t_alias: "t", s_alias: "s"}
+    matched: list[dict] = []
+    insert_cond: str | None | object = _CLASSIC_UPSERT  # no insert clause yet
+    by_source: dict | None = None
+    seen_insert = False
+    for clause in whens[1:]:
+        clause = clause.strip()
+        m_then = _find_top(clause, "THEN")
+        if not m_then:
+            raise DmlSyntaxError(f"WHEN clause missing THEN: {clause!r}")
+        head, action = clause[:m_then.start()], clause[m_then.end():].strip()
+        head_n = re.sub(r"\s+", " ", head).strip()
+        hu = head_n.upper()
+        cond: str | None = None
+        m_and = _find_top(head, "AND")
+        if m_and:
+            cond = head[m_and.end():].strip()
+            hu = re.sub(r"\s+", " ", head[:m_and.start()]).strip().upper()
+        if hu == "MATCHED":
+            cond_c = _replace_quals(cond, quals) if cond else None
+            au = re.sub(r"\s+", " ", action).strip()
+            if re.match(r"^UPDATE\s+SET\s+\*$", au, re.IGNORECASE):
+                matched.append(
+                    {"action": "update", "condition": cond_c, "set": None})
+            elif re.match(r"^UPDATE\s+SET\b", au, re.IGNORECASE):
+                body = re.sub(r"^UPDATE\s+SET\b", "", action.strip(),
+                              flags=re.IGNORECASE)
+                sets = {
+                    c: _replace_quals(e, quals)
+                    for c, e in _parse_assignments(body, "WHEN MATCHED").items()
+                }
+                matched.append(
+                    {"action": "update", "condition": cond_c, "set": sets})
+            elif au.upper() == "DELETE":
+                matched.append({"action": "delete", "condition": cond_c})
+            else:
+                raise DmlSyntaxError(
+                    f"WHEN MATCHED supports UPDATE SET .../DELETE; got "
+                    f"{action!r}")
+        elif hu in ("NOT MATCHED", "NOT MATCHED BY TARGET"):
+            if seen_insert:
+                raise DmlSyntaxError("multiple WHEN NOT MATCHED clauses")
+            seen_insert = True
+            if not re.match(r"^INSERT\s*\*$", action.strip(), re.IGNORECASE):
+                raise DmlSyntaxError(
+                    "WHEN NOT MATCHED supports only 'INSERT *'; got "
+                    f"{action!r}")
+            insert_cond = (
+                _strip_qual(_replace_quals(cond, quals), "s", "t",
+                            "WHEN NOT MATCHED condition")
+                if cond else None
+            )
+        elif hu == "NOT MATCHED BY SOURCE":
+            if by_source is not None:
+                raise DmlSyntaxError(
+                    "multiple WHEN NOT MATCHED BY SOURCE clauses")
+            cond_t = (
+                _strip_qual(_replace_quals(cond, quals), "t", "s",
+                            "WHEN NOT MATCHED BY SOURCE condition")
+                if cond else None
+            )
+            au = action.strip()
+            if au.upper() == "DELETE":
+                by_source = {"kind": "delete", "condition": cond_t,
+                             "set": None}
+            elif re.match(r"^UPDATE\s+SET\b", au, re.IGNORECASE):
+                body = re.sub(r"^UPDATE\s+SET\b", "", au, flags=re.IGNORECASE)
+                sets = {
+                    c: _strip_qual(_replace_quals(e, quals), "t", "s",
+                                   "by-source SET")
+                    for c, e in _parse_assignments(
+                        body, "WHEN NOT MATCHED BY SOURCE").items()
+                }
+                by_source = {"kind": "update", "condition": cond_t,
+                             "set": sets}
+            else:
+                raise DmlSyntaxError(
+                    "WHEN NOT MATCHED BY SOURCE supports DELETE / "
+                    f"UPDATE SET ...; got {action!r}")
+        else:
+            raise DmlSyntaxError(f"unsupported WHEN clause head {head!r}")
+    return {
+        "root": root, "source": source, "key_cols": key_cols,
+        "matched": matched, "insert_cond": insert_cond,
+        "by_source": by_source,
+    }
+
+
+def execute_dml(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    *,
+    sources: dict[str, DataFrame] | None = None,
+    mode: str = "cow",
+    txn: dict | None = None,
+    max_retries: int = 0,
+) -> int:
+    """Parse ONE DML statement and run it against the snapshot format.
+
+    ``tables`` maps statement table names to snapshot roots; ``sources``
+    optionally maps MERGE USING names to DataFrames (unlisted names fall
+    back to ``spark.table`` — temp views — and a parenthesized USING
+    subquery runs through ``spark.sql``). ``mode`` picks the write
+    strategy: ``"cow"`` (copy-on-write rewrites) or ``"mor"``
+    (merge-on-read deletion vectors + appends). Returns the committed
+    version. Everything transactional — atomicity, constraints, change
+    feed, conflict retries via ``max_retries`` — is the underlying
+    Python API's; this layer is syntax only."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    stmt = sql.strip().rstrip(";").strip()
+    kw = stmt.split(None, 1)[0].upper() if stmt else ""
+    if kw == "DELETE":
+        m = re.match(
+            rf"^DELETE\s+FROM\s+({_IDENT})\s*(.*)$", stmt,
+            re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(f"cannot parse DELETE statement: {stmt!r}")
+        root = _require_table(m.group(1), tables)
+        rest = m.group(2).strip()
+        cond = "true"
+        if rest:
+            mw = re.match(r"^WHERE\b(.*)$", rest, re.IGNORECASE | re.DOTALL)
+            if not mw:
+                raise DmlSyntaxError(
+                    f"unexpected trailing text after DELETE: {rest!r}")
+            cond = mw.group(1).strip()
+        fn = snap.delete_where_mor if mode == "mor" else snap.delete_where
+        return fn(spark, root, cond, max_retries=max_retries)
+    if kw == "UPDATE":
+        m = re.match(rf"^UPDATE\s+({_IDENT})\s+SET\b(.*)$", stmt,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(f"cannot parse UPDATE statement: {stmt!r}")
+        root = _require_table(m.group(1), tables)
+        body = m.group(2)
+        mw = _find_top(body, "WHERE")
+        cond = body[mw.end():].strip() if mw else "true"
+        sets = _parse_assignments(
+            body[:mw.start()] if mw else body, "UPDATE SET")
+        fn = snap.update_where_mor if mode == "mor" else snap.update_where
+        return fn(spark, root, cond, sets, max_retries=max_retries)
+    if kw == "MERGE":
+        p = _parse_merge(spark, stmt, tables, sources)
+        matched, insert_cond = p["matched"], p["insert_cond"]
+        by_source = p["by_source"]
+        classic = (
+            matched == [{"action": "update", "condition": None, "set": None}]
+            and insert_cond is None and by_source is None
+        )
+        if mode == "mor":
+            if not classic:
+                raise DmlSyntaxError(
+                    "mode='mor' MERGE supports only the classic upsert "
+                    "shape (WHEN MATCHED THEN UPDATE SET * / WHEN NOT "
+                    "MATCHED THEN INSERT *) — merge_into_mor's documented "
+                    "scope; conditioned/by-source clauses need mode='cow'")
+            return snap.merge_into_mor(
+                spark, p["root"], p["source"], p["key_cols"],
+                txn=txn, max_retries=max_retries)
+        if classic:
+            return snap.merge_into(
+                spark, p["root"], p["source"], p["key_cols"],
+                txn=txn, max_retries=max_retries)
+        kwargs: dict = {}
+        if not matched:
+            # SQL with no WHEN MATCHED clause leaves matched rows carried:
+            # a never-TRUE clause expresses that in merge_into's model
+            matched = [{"action": "update", "condition": "false",
+                        "set": None}]
+        kwargs["matched_clauses"] = matched
+        # no INSERT clause = insert nothing (vs merge_into's default
+        # insert-all); a never-TRUE condition expresses that
+        if insert_cond is _CLASSIC_UPSERT:
+            kwargs["not_matched_condition"] = "false"
+        elif insert_cond is not None:
+            kwargs["not_matched_condition"] = insert_cond
+        if by_source is not None:
+            kwargs["not_matched_by_source"] = by_source["kind"]
+            if by_source["condition"] is not None:
+                kwargs["not_matched_by_source_condition"] = (
+                    by_source["condition"])
+            if by_source["set"] is not None:
+                kwargs["not_matched_by_source_set"] = by_source["set"]
+        return snap.merge_into(
+            spark, p["root"], p["source"], p["key_cols"],
+            txn=txn, max_retries=max_retries, **kwargs)
+    raise DmlSyntaxError(
+        f"unsupported statement {kw!r}: this front-end handles MERGE "
+        "INTO / UPDATE / DELETE over snapshot tables (SELECT belongs to "
+        "spark.sql)")
