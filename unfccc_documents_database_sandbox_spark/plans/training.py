@@ -493,25 +493,16 @@ def _bpe_apply(col, merges):
     return col
 
 
-def learn_bpe(spark, sf_dir, k: int = _BPE_K) -> list[tuple[str, str, int]]:
-    """Learn k BPE merges; returns [(x, y, freq)] in merge order. Raises if
-    the corpus runs out of pairs before k merges — the oracle's cross-join
-    chain has no defined output for a dry run, so failing loudly beats a
-    silent cross-engine mismatch on degenerate corpora."""
-    d = spread(load_table(spark, sf_dir, "documents"))
-    wc = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
-        .groupBy("word")
-        .agg(F.count("*").cast("long").alias("wfreq"))
-        .select(
-            F.regexp_replace(
-                "word", "(.)", f"{_BPE_L}$1{_BPE_R}"
-            ).alias("repr"),
-            "wfreq",
-        )
-        .persist()
-    )
+def _merge_loop(wc, k: int) -> list[tuple[str, str, int]]:
+    """The BPE merge loop over ANY (repr, wfreq) vocabulary table —
+    shared by the word-level and byte-level trainers. Each iteration is
+    one vocabulary-sized pair-count aggregation with a 1-row bounded
+    argmax collect; ties break freq DESC then pair-lexicographic.
+    Raises if the vocabulary runs out of pairs before k merges — the
+    oracle's cross-join chain has no defined output for a dry run, so
+    failing loudly beats a silent cross-engine mismatch on degenerate
+    corpora."""
+    wc = wc.persist()
     try:
         merges: list[tuple[str, str, int]] = []
         for _rank in range(1, k + 1):
@@ -543,6 +534,25 @@ def learn_bpe(spark, sf_dir, k: int = _BPE_K) -> list[tuple[str, str, int]]:
         return merges
     finally:
         wc.unpersist()
+
+
+def learn_bpe(spark, sf_dir, k: int = _BPE_K) -> list[tuple[str, str, int]]:
+    """Learn k word-level BPE merges; returns [(x, y, freq)] in merge
+    order (see _merge_loop for the tie-break/exhaustion contract)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .select(
+            F.regexp_replace(
+                "word", "(.)", f"{_BPE_L}$1{_BPE_R}"
+            ).alias("repr"),
+            "wfreq",
+        )
+    )
+    return _merge_loop(wc, k)
 
 
 @register(
@@ -647,6 +657,230 @@ def bpe_nsym_arrow(words_df, merges):
             yield out
 
     return words_df.select("word").mapInPandas(enc, "word string, n_sym long")
+
+
+# --- Byte-level BPE (tiktoken-style), round 13 (VERDICT r12 #3) -----------
+#
+# The reference pins tiktoken (decisions-summaries/requirements.txt:67),
+# whose tokenizers are BYTE-level: a regex pre-split carves text into
+# pretokens (contractions, space-prefixed letter/digit runs, punctuation
+# runs, whitespace), each pretoken's UTF-8 BYTES are the base alphabet,
+# and merges operate on byte sequences — so ANY string tokenizes with no
+# out-of-vocabulary fallback. The word-level keys above cover the merge
+# machinery; these two keys retarget it at bytes (the missing variant
+# named in VERDICT r12 "What's missing" #3).
+#
+# Engine-portable representation: a byte is its 2-hex-digit pair (Spark
+# `hex(encode(word, 'UTF-8'))` == DuckDB `hex(encode(word))`, verified
+# uppercase-identical), wrapped in the same \x01..\x02 symbol markers the
+# word path uses — so _bpe_apply / _merge_loop work unchanged, and the
+# oracle is the same mechanically-unrolled CTE chain over the byte
+# alphabet. The pre-split regex uses only constructs Java regex and RE2
+# treat identically (ordered alternation over disjoint classes, \p{L} /
+# \p{N} properties, no lookaround — RE2 has none, which is why the
+# classic tiktoken trailing-space lookahead `\s+(?!\S)` is NOT in the
+# pattern; this variant lets `\s+` keep the run, a documented
+# simplification, not a bug).
+#
+# Scale shape: identical to the word path — ONE corpus pass builds the
+# pretoken-frequency table (vocabulary-sized; Zipf makes distinct
+# pretokens ≪ corpus bytes), each merge is a vocabulary-sized
+# aggregation with a 1-row collect, and encode applies merges to the
+# DISTINCT pretoken table then broadcasts per-pretoken symbol counts
+# back onto per-doc counts — the corpus is never re-tokenized row by
+# row. Multi-byte UTF-8 round-trip is property-pinned in
+# tests/test_properties.py against a pure-Python reference.
+
+_BPE_BYTES_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def _byte_repr_col(col):
+    """word -> \\x01HH\\x02 per UTF-8 byte (HH = uppercase hex pair)."""
+    return F.regexp_replace(
+        F.hex(F.encode(col, "UTF-8")), "(..)", f"{_BPE_L}$1{_BPE_R}"
+    )
+
+
+def _byte_pretokens(col):
+    """tiktoken-style pre-split: array of pretokens (regex above)."""
+    return F.regexp_extract_all(col, F.lit(_BPE_BYTES_PAT), F.lit(0))
+
+
+def learn_bpe_bytes(docs, k: int = _BPE_K) -> list[tuple[str, str, int]]:
+    """Learn k byte-level merges from a documents frame (text column);
+    returns [(x_hex, y_hex, freq)] in merge order."""
+    wc = (
+        docs.select(F.explode(_byte_pretokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wfreq"))
+        .select(_byte_repr_col(F.col("word")).alias("repr"), "wfreq")
+    )
+    return _merge_loop(wc, k)
+
+
+def bpe_bytes_token_counts(docs, merges):
+    """Per-doc byte-BPE token accounting: (doc_id, n_pretokens,
+    n_tokens). Merges apply to the DISTINCT pretoken table; per-pretoken
+    symbol counts broadcast back onto the per-doc pretoken counts."""
+    dwc = (
+        docs.select(
+            "doc_id", F.explode(_byte_pretokens(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    repr_col = _bpe_apply(_byte_repr_col(F.col("word")), merges)
+    ns = (
+        dwc.select("word")
+        .distinct()
+        .select(
+            "word",
+            (
+                F.length(repr_col)
+                - F.length(F.replace(repr_col, F.lit(_BPE_L), F.lit("")))
+            )
+            .cast("long")
+            .alias("n_sym"),
+        )
+    )
+    return (
+        dwc.join(F.broadcast(ns), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_pretokens"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_bytes_oracle(k: int, tail: str) -> str:
+    """Mechanically-unrolled byte-level BPE CTE chain (the word
+    _bpe_oracle's shape over the byte alphabet). Single quotes in the
+    pre-split regex are SQL-escaped; per the r12 lesson the per-stage
+    vocabulary CTEs are AS MATERIALIZED (DuckDB re-inlines multiply
+    referenced CTEs exponentially otherwise)."""
+    pat_sql = _BPE_BYTES_PAT.replace("'", "''")
+    wrap = ("regexp_replace(hex(encode(word)), '(..)', "
+            "chr(1) || '\\1' || chr(2), 'g')")
+    stages = [
+        f"""wtok AS MATERIALIZED (
+        SELECT unnest(regexp_extract_all(text, '{pat_sql}')) AS word
+        FROM documents
+    ),
+    wc0 AS MATERIALIZED (
+        SELECT {wrap} AS repr,
+               CAST(COUNT(*) AS BIGINT) AS wfreq
+        FROM wtok GROUP BY word
+    )"""
+    ]
+    for i in range(1, k + 1):
+        stages.append(
+            f"""p{i} AS (
+        SELECT t.syms[CAST(g.i AS INTEGER)] AS x,
+               t.syms[CAST(g.i AS INTEGER) + 1] AS y,
+               CAST(SUM(t.wfreq) AS BIGINT) AS freq
+        FROM (SELECT string_split(substr(repr, 2, length(repr) - 2),
+                                  chr(2) || chr(1)) AS syms, wfreq
+              FROM wc{i - 1}) t,
+             unnest(generate_series(1, len(t.syms) - 1)) AS g(i)
+        GROUP BY x, y
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT x, y, x || y AS merged, freq
+        FROM p{i} ORDER BY freq DESC, x, y LIMIT 1
+    ),
+    wc{i} AS MATERIALIZED (
+        SELECT replace(repr,
+                       chr(1) || m.x || chr(2) || chr(1) || m.y || chr(2),
+                       chr(1) || m.merged || chr(2)) AS repr, wfreq
+        FROM wc{i - 1}, m{i} m
+    )"""
+        )
+    return "WITH " + ",\n    ".join(stages) + "\n    " + tail
+
+
+_BPE_BYTES_ENCODE_TAIL = (
+    ", dtok AS MATERIALIZED (\n"
+    "        SELECT doc_id, unnest(regexp_extract_all(text, '"
+    + _BPE_BYTES_PAT.replace("'", "''")
+    + "')) AS word FROM documents\n"
+    "    ),\n"
+    "    dwc AS MATERIALIZED (\n"
+    "        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt\n"
+    "        FROM dtok GROUP BY doc_id, word\n"
+    "    ),\n"
+    "    e0 AS MATERIALIZED (\n"
+    "        SELECT DISTINCT word,\n"
+    "               regexp_replace(hex(encode(word)), '(..)',\n"
+    "                              chr(1) || '\\1' || chr(2), 'g') AS repr\n"
+    "        FROM dwc\n"
+    "    ),\n    "
+    + ",\n    ".join(
+        f"""e{i} AS MATERIALIZED (
+        SELECT word, replace(repr,
+                             chr(1) || m.x || chr(2) || chr(1) || m.y || chr(2),
+                             chr(1) || m.merged || chr(2)) AS repr
+        FROM e{i - 1}, m{i} m
+    )"""
+        for i in range(1, _BPE_K + 1)
+    )
+    + f""",
+    ns AS (
+        SELECT word,
+               CAST(length(repr) - length(replace(repr, chr(1), ''))
+                    AS BIGINT) AS n_sym
+        FROM e{_BPE_K}
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_pretokens,
+           CAST(SUM(d.cnt * ns.n_sym) AS BIGINT) AS n_tokens
+    FROM dwc d, ns WHERE d.word = ns.word
+    GROUP BY d.doc_id
+    """
+)
+
+
+@register(
+    "text_bpe_bytes_train",
+    oracle=_bpe_bytes_oracle(_BPE_K, _BPE_TRAIN_TAIL),
+)
+def text_bpe_bytes_train(spark, sf_dir):
+    """Byte-level (tiktoken-style) BPE TRAINING: regex pre-split into
+    pretokens, UTF-8 bytes as the base alphabet (2-hex-digit symbols),
+    then the same fixed-K most-frequent-adjacent-pair merge loop as the
+    word trainer — emitting (merge_rank, x, y, merged, freq) with hex
+    symbols. Deterministic tie-breaks (freq DESC, x, y) keep it
+    oracle-exact against the unrolled byte-level CTE chain. Scale: one
+    corpus pass builds the pretoken-frequency table; each merge is a
+    vocabulary-sized aggregation with a 1-row bounded collect (see the
+    section comment). Reference parity: tiktoken at
+    decisions-summaries/requirements.txt:67."""
+    merges = learn_bpe_bytes(
+        spread(load_table(spark, sf_dir, "documents")))
+    rows = [
+        (rank, x, y, x + y, freq)
+        for rank, (x, y, freq) in enumerate(merges, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank long, x string, y string, merged string, freq long"
+    )
+
+
+@register(
+    "text_bpe_bytes_encode",
+    oracle=_bpe_bytes_oracle(_BPE_K, _BPE_BYTES_ENCODE_TAIL),
+)
+def text_bpe_bytes_encode(spark, sf_dir):
+    """Byte-level BPE ENCODE: apply the _BPE_K learned byte merges to
+    every document and emit per-doc (n_pretokens, n_tokens) — tiktoken's
+    "how many tokens is this corpus" accounting with byte-exact
+    coverage (no out-of-vocabulary text exists at the byte level).
+    Merges apply to the DISTINCT pretoken table and broadcast back —
+    the corpus is never re-tokenized row by row. Each build re-learns
+    the merges (bench honesty: the timed key measures train + encode)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    merges = learn_bpe_bytes(d)
+    return bpe_bytes_token_counts(d, merges)
 
 
 # ---------------------------------------------------------------------------
