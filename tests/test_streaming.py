@@ -783,3 +783,70 @@ def test_stream_foreach_merge_mor_zero_rewrites_and_idempotent(spark):
     applied = snap.applied_txns(root, "stream_foreach_merge_mor")
     assert applied  # at least one batch committed
     assert head == snap.latest_version(root)
+
+
+def test_stream_full_outer_join_two_sided_eviction(spark):
+    """VERDICT r12 #4: the FULL OUTER stream-stream join partitions BOTH
+    sides by the final watermark horizon — unmatched purchases evict at
+    purchase_ts < horizon, unmatched clicks at click_ts + 30min <
+    horizon (the asymmetric bound from the join range), rows inside
+    either bound emit nothing, and matched rows emit like the inner
+    join. All classes must be non-empty on this corpus or the key stops
+    exercising two-sided eviction."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    sf = "/root/testdata/sf0.01"
+    out = lookup("stream_full_outer_join").build(spark, sf)
+    null_click = out.filter(F.col("click_id").isNull())
+    null_purch = out.filter(F.col("purchase_id").isNull())
+    assert out.filter(
+        F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+    ).count() > 0
+    # no fully-NULL rows, and user_id is always populated (coalesced)
+    assert out.filter(
+        F.col("click_id").isNull() & F.col("purchase_id").isNull()
+    ).count() == 0
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+
+    ev = load_table(spark, sf, "events")
+    p = ev.filter("event_type = 'purchase'")
+    c = ev.filter("event_type = 'click'")
+    c_r = c.select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    p_r = p.select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    unmatched_p = p.join(
+        c_r,
+        (p["user_id"] == F.col("cu"))
+        & (F.col("cts") >= p["ts"] - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("cts") <= p["ts"]),
+        "left_anti",
+    )
+    unmatched_c = c.join(
+        p_r,
+        (c["user_id"] == F.col("pu"))
+        & (c["ts"] >= F.col("pts") - F.expr("INTERVAL 30 MINUTE"))
+        & (c["ts"] <= F.col("pts")),
+        "left_anti",
+    )
+    horizon = (
+        ev.filter("event_type IN ('click', 'purchase')")
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .agg(F.min("m").alias("h")).collect()[0]["h"]
+    ) - datetime.timedelta(days=10)
+    for unmatched, nulls, bound in (
+        (unmatched_p, null_click, F.col("ts")),
+        (unmatched_c, null_purch,
+         F.col("ts") + F.expr("INTERVAL 30 MINUTE")),
+    ):
+        n_evicted = unmatched.filter(bound < F.lit(horizon)).count()
+        n_suppressed = unmatched.filter(bound >= F.lit(horizon)).count()
+        assert n_suppressed > 0, "corpus no longer exercises retention"
+        assert nulls.count() == n_evicted  # every evicted row, only those

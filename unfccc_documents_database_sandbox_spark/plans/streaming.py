@@ -505,6 +505,101 @@ def stream_outer_join(spark, sf_dir):
 
 
 @register(
+    "stream_full_outer_join",
+    oracle="""
+    WITH wm AS (
+        SELECT LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 10 DAY AS horizon
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id, p.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND p.ts < wm.horizon
+      AND NOT EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), c.event_id, c.user_id,
+           CAST(NULL AS TIMESTAMP), c.ts
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 30 MINUTE < wm.horizon
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+            AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts)
+    """,
+)
+def stream_full_outer_join(spark, sf_dir):
+    """T-ext stream-stream FULL OUTER join executed live (VERDICT r12
+    #4): BOTH sides evict and emit NULL-padded rows — the state-cleanup
+    semantics the LEFT form only exercises one-way. Same shape as
+    stream_outer_join (purchases ⟗ same-user clicks in the trailing 30
+    minutes, 10-day watermarks, availableNow, append sink), but the
+    final no-data micro-batch now partitions BOTH sides three ways
+    against the global watermark horizon = least(max ts per side) - 10d:
+      - matched pairs emit join rows immediately (the inner portion);
+      - unmatched PURCHASES evict at purchase_ts < horizon (a matching
+        click satisfies click_ts <= purchase_ts, so state is dead the
+        moment the watermark passes the purchase itself);
+      - unmatched CLICKS evict at click_ts + 30min < horizon (a
+        matching purchase can run up to 30 minutes AFTER the click, so
+        click state must outlive the click by the full join range —
+        the asymmetric eviction bound is exactly what this key pins);
+      - rows inside either bound stay in state and emit NOTHING.
+    user_id coalesces across sides so every output row is keyed.
+    Scale: both sides' state is O(users x 30-minute window) once
+    watermarks hold; two-sided eviction is what keeps a continuous
+    full-outer join finite — state only ever drains."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 days")
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 days")
+    )
+    j = p.join(
+        c,
+        (p["p_user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr("INTERVAL 30 MINUTE"))
+        & (c["click_ts"] <= p["purchase_ts"]),
+        "full_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+    )
+    return _run_live(j, spark, "append", "stream_full_outer_join")
+
+
+@register(
     "stream_foreach_merge_mor",
     oracle="""
     SELECT user_id,
