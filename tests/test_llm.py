@@ -277,3 +277,73 @@ def test_llm_retry_honors_rate_limit_hint(spark, tmp_path):
             docs, model_factory=lambda: FlakyStubModel(spool3, failures=5),
             max_retries=2, base_delay=0.001,
         ).collect()
+
+
+def test_llm_per_prompt_isolation_dead_letter(spark, tmp_path):
+    """VERDICT r12 #5 'Done' criterion: 1 poison prompt of 100 yields 99
+    summaries + 1 typed failure row — and the spool ledger proves the
+    isolation: the poison prompt burned its retries alone, a transient
+    prompt retried alone, and every other prompt was attempted (and so
+    billed) exactly ONCE. The whole-batch `summarize` stage would have
+    re-sent every batch-mate on each retry."""
+    import hashlib
+    import json
+    import os
+
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_isolated,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        COST_PER_CHAR,
+        IsolationFaultModel,
+    )
+
+    spool = str(tmp_path / "spool_iso")
+    os.makedirs(spool)
+    prompts = [f"doc number {i} body" for i in range(98)]
+    prompts.append("doc with FLAKY backend")  # transient: fails 2x, then ok
+    prompts.append("doc with POISON payload")  # permanent failure
+    docs = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prompts)],
+        "doc_id long, prompt string",
+    ).coalesce(1)  # one Arrow batch: isolation must hold WITHIN a batch
+    out = summarize_isolated(
+        docs,
+        model_factory=lambda: IsolationFaultModel(spool,
+                                                  transient_failures=2),
+        max_retries=3,
+        base_delay=0.01,
+    ).collect()
+
+    assert len(out) == 100
+    ok = [r for r in out if r.error is None]
+    dead = [r for r in out if r.error is not None]
+    assert len(ok) == 99 and len(dead) == 1
+    # the dead letter is typed, costs nothing, carries no response
+    assert dead[0].error == "ValueError: poison prompt"
+    assert dead[0].response_json is None and dead[0].cost == 0.0
+    assert "POISON" in prompts[dead[0].doc_id]
+    # every success is billed exactly once: cost is the pure per-call
+    # function of its prompt, including the transient prompt's
+    by_id = {r.doc_id: r for r in ok}
+    for i, p in enumerate(prompts):
+        if "POISON" in p:
+            continue
+        assert by_id[i].cost == COST_PER_CHAR * len(p)
+        assert json.loads(by_id[i].response_json)["summary"].startswith(
+            "STUB:")
+    # spool ledger: per-prompt attempt counts — 3 for poison (retries
+    # exhausted), 3 for transient (2 failures + 1 success), 1 for all 98
+    # others (nobody rode a batch-mate's retry)
+    attempts: dict[str, int] = {}
+    for fn in os.listdir(spool):
+        key = fn.split(".")[0]
+        attempts[key] = attempts.get(key, 0) + 1
+    key_of = {
+        p: hashlib.sha256(p.encode()).hexdigest()[:32] for p in prompts
+    }
+    assert attempts[key_of["doc with POISON payload"]] == 3
+    assert attempts[key_of["doc with FLAKY backend"]] == 3
+    plain = [p for p in prompts if "POISON" not in p and "FLAKY" not in p]
+    assert all(attempts[key_of[p]] == 1 for p in plain)
+    assert len(attempts) == 100

@@ -76,3 +76,57 @@ class FlakyStubModel(StubChatModel):
                 exc.retry_after = self.retry_after
             raise exc
         return super().complete_batch(prompts)
+
+
+class PoisonStubModel(StubChatModel):
+    """Deterministic per-prompt failure model (VERDICT r12 #5): prompts
+    whose length is divisible by ``poison_mod`` PERMANENTLY fail with a
+    constant typed error; everything else answers like StubChatModel.
+    Length-mod is a pure function of the prompt, so the dead-letter
+    column of ``summarize_isolated`` stays DuckDB-oracle-checkable."""
+
+    def __init__(self, poison_mod: int = 17):
+        self.poison_mod = poison_mod
+
+    def complete_one(self, prompt: str) -> dict:
+        if len(prompt) % self.poison_mod == 0:
+            raise ValueError("poison prompt")
+        return self.complete_batch([prompt])[0]
+
+
+class IsolationFaultModel(StubChatModel):
+    """Fault-injection seam for the per-prompt isolation tests: records
+    every attempt in a spool directory (O_EXCL marker files keyed by
+    prompt hash — works across worker processes, the FlakyStubModel
+    pattern), permanently fails prompts containing ``poison_marker``,
+    transiently fails prompts containing ``transient_marker`` for their
+    first ``transient_failures`` attempts, and answers everything else
+    first try. Lives in library code because test-module classes can't
+    unpickle inside Spark workers (r11 lesson)."""
+
+    def __init__(self, spool_dir: str, poison_marker: str = "POISON",
+                 transient_marker: str = "FLAKY",
+                 transient_failures: int = 2):
+        self.spool_dir = spool_dir
+        self.poison_marker = poison_marker
+        self.transient_marker = transient_marker
+        self.transient_failures = transient_failures
+
+    def complete_one(self, prompt: str) -> dict:
+        import os
+
+        key = hashlib.sha256(prompt.encode()).hexdigest()[:32]
+        attempt = 0
+        while True:
+            try:
+                os.close(os.open(
+                    os.path.join(self.spool_dir, f"{key}.{attempt}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                attempt += 1
+        if self.poison_marker in prompt:
+            raise ValueError("poison prompt")
+        if self.transient_marker in prompt and attempt < self.transient_failures:
+            raise RuntimeError(f"transient failure #{attempt + 1}")
+        return self.complete_batch([prompt])[0]

