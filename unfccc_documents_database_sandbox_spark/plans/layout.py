@@ -3371,3 +3371,85 @@ def table_sql_delete(spark, sf_dir):
             F.min("doc_id").cast("long").alias("first_doc"),
         )
     )
+
+
+@register(
+    "table_dv_bitmap",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    gone AS (
+        SELECT * FROM base WHERE n_chars % 5 = 0 OR doc_id % 7 = 0
+    ),
+    kept AS (
+        SELECT * FROM base
+        WHERE NOT (n_chars % 5 = 0 OR doc_id % 7 = 0)
+    )
+    SELECT 'src_' || source AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS agg
+    FROM kept GROUP BY source
+    UNION ALL
+    SELECT 'dv_positions',
+           CAST((SELECT COUNT(*) FROM gone) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM gone) AS BIGINT)
+    """,
+)
+def table_dv_bitmap(spark, sf_dir):
+    """Compressed deletion vectors (VERDICT r12 #6): two overlapping
+    merge-on-read DELETEs whose positions land in bit-packed per-file
+    bitmaps — the superseding commit ORs the old bits in (structural
+    dedup), the scan applies them as one broadcast byte-probe per row,
+    and the decoded entry view still yields each (file, pos) exactly
+    once. The output pins both the relational result (per-source
+    survivor stats after the two deletes) and the encoding's own
+    bookkeeping: the bitmap rows' summed cardinality AND the decoded
+    entry count both equal the deleted-row count the oracle derives
+    relationally.
+
+    Scale: this is why Delta/Iceberg ship bitmap DVs — a billion-row
+    file's trickle deletes cost O(rows/8) bytes once, not O(deleted x
+    16) parquet rows per commit, and the scan-side cost is one byte
+    probe instead of an O(deleted) hash-join build
+    (tests/test_dv_bitmap.py pins the size bound)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapdvbm_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    snap.delete_where_mor(spark, root, "n_chars % 5 = 0")
+    snap.delete_where_mor(spark, root, "doc_id % 7 = 0")
+    head = (
+        snap.read(spark, root)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("agg"),
+        )
+        .select(
+            F.concat(F.lit("src_"), F.col("source")).alias("metric"),
+            "n", "agg",
+        )
+    )
+    ptr = snap.dv_map(root)
+    card_sum = (
+        snap._read_dv_bitmaps(spark, root, ptr)
+        .agg(F.coalesce(F.sum("card"), F.lit(0)).cast("long").alias("n"))
+    )
+    decoded = snap.dv_entries(spark, root).agg(
+        F.count(F.lit(1)).cast("long").alias("agg")
+    )
+    meta = card_sum.crossJoin(decoded).select(
+        F.lit("dv_positions").alias("metric"), "n", "agg"
+    )
+    return head.unionByName(meta)

@@ -1558,6 +1558,100 @@ def table_schema(root: str, version: int | None = None) -> StructType:
 # (`_rel_by_name`), so a hand-planted colliding file fails loudly.
 _DV_SCHEMA = "src string, pos bigint"
 
+# Compressed deletion vectors (VERDICT r12 #6): DV payload parquet holds
+# ONE row per data file — (src, card, dv_bytes) where dv_bytes is the
+# little-endian-bit-indexed bitmap of deleted row positions (bit p of
+# byte p>>3 set ⇔ position p deleted; truncated after the highest set
+# bit) and card is the set-bit count. Delta and Iceberg ship
+# roaring-bitmap DVs for the same reason: a billion-row file's deletes
+# are O(rows/8) bytes instead of O(deleted × 16) parquet rows, the
+# bitmap OR on supersede dedupes structurally (row-form unions could
+# duplicate a position when overlapping affected-file sets chained
+# through three commits), and the scan-side test is one byte probe per
+# row. The anti-join SEMANTICS are unchanged — _scan_files still removes
+# exactly the (file, pos) identities — only the encoding moved.
+_DV_BM_SCHEMA = "src string, card bigint, dv_bytes binary"
+
+
+def _pack_dv(entries: DataFrame) -> DataFrame:
+    """(src, pos) rows -> one bitmap row per src (Arrow-batched grouped
+    map; a group is one FILE's deleted positions — bounded by file row
+    count, the same bound Delta's DV writer holds)."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pos = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
+        buf = np.zeros(int(pos.max()) // 8 + 1, dtype=np.uint8)
+        np.bitwise_or.at(buf, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "src": [pdf["src"].iloc[0]],
+                "card": [len(pos)],
+                "dv_bytes": [buf.tobytes()],
+            }
+        )
+
+    return entries.groupBy("src").applyInPandas(pack, _DV_BM_SCHEMA)
+
+
+def _write_dv_parts(root: str, entries: DataFrame) -> list[str]:
+    """Pack (src, pos) entries into bitmap rows and write them as a new
+    DV payload dir; returns the commit-log part list."""
+    pdir = _new_payload_dir(root)
+    _pack_dv(entries).write.parquet(pdir)
+    return _dir_files(root, pdir)
+
+
+def _read_dv_bitmaps(
+    spark: SparkSession, root: str, pointers: dict[str, list[str]]
+) -> DataFrame:
+    """Bitmap rows for exactly the (file -> parts) pointer map given.
+    The (src, part) scoping matters: a payload dir can hold a STALE row
+    for a file whose pointer has since moved to a superseding dir, so
+    reading the union of part files and joining on src alone could
+    resurrect it — each row is kept only if its file still points at
+    the part it came from."""
+    allowed = {
+        f"{os.path.basename(f)}\x00{os.path.basename(p)}"
+        for f, ps in pointers.items()
+        for p in ps
+    }
+    parts = sorted({p for ps in pointers.values() for p in ps})
+    if not parts:
+        return spark.createDataFrame([], _DV_BM_SCHEMA)
+    return (
+        spark.read.schema(_DV_BM_SCHEMA)
+        .parquet(*[os.path.join(_data_root(root), p) for p in parts])
+        .filter(
+            F.concat_ws("\x00", F.col("src"), _src_col()).isin(sorted(allowed))
+        )
+    )
+
+
+def dv_entries(
+    spark: SparkSession, root: str, version: int | None = None,
+    pointers: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Decode the live deletion vectors (or an explicit pointer map) back
+    to (src, pos) rows — the entries view every diff/supersede path
+    consumes. The decode is one JVM higher-order expression per bitmap
+    row (filter over a position sequence testing the byte's bit), so
+    positions never round-trip through Python."""
+    if pointers is None:
+        pointers = dv_map(root, version)
+    bm = _read_dv_bitmaps(spark, root, pointers)
+    return bm.select(
+        "src",
+        F.explode(
+            F.expr(
+                "filter(sequence(0, 8 * length(dv_bytes) - 1), p -> "
+                "(CAST(conv(hex(substring(dv_bytes, p DIV 8 + 1, 1)), "
+                "16, 10) AS INT) & shiftleft(1, p % 8)) != 0)"
+            )
+        ).alias("__p"),
+    ).select("src", F.col("__p").cast("long").alias("pos"))
+
 # Row tracking (Delta's row tracking): every row gets a STABLE bigint
 # _row_id assigned once at its first commit and preserved across every
 # rewrite. Fresh files carry a per-file base in the log (_row_id = base +
@@ -1684,14 +1778,30 @@ def _scan_files(
             keep += [F.col(_RID_COL)]
         df = df.select(*keep)
     if dv:
-        parts = sorted({p for ps in dv.values() for p in ps})
-        entries = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(_data_root(root), p) for p in parts]
+        # bitmap probe (r13): broadcast one (src, bitmap) row per DV'd
+        # file and test each data row's bit — O(1) byte probe per row,
+        # build side O(bitmap bytes) ≤ file rows / 8 (Delta's DV-at-scan
+        # design; the removed set is identical to the old (src, pos)
+        # anti-join). Bitmap columns carry reserved __dv_ names so a
+        # table column named src/dv_bytes can never collide.
+        bm = _read_dv_bitmaps(spark, root, dv).select(
+            F.col("src").alias("__dv_src"),
+            F.col("dv_bytes").alias("__dv_bytes"),
         )
-        df = df.join(
-            entries,
-            (df["__src"] == entries["src"]) & (df["__pos"] == entries["pos"]),
-            "left_anti",
+        df = (
+            df.join(
+                F.broadcast(bm), df["__src"] == F.col("__dv_src"), "left"
+            )
+            .filter(
+                F.expr(
+                    "__dv_bytes IS NULL "
+                    "OR __pos DIV 8 >= length(__dv_bytes) "
+                    "OR (CAST(conv(hex(substring(__dv_bytes, "
+                    "CAST(__pos DIV 8 AS INT) + 1, 1)), 16, 10) AS INT) "
+                    "& shiftleft(1, CAST(__pos % 8 AS INT))) = 0"
+                )
+            )
+            .drop("__dv_src", "__dv_bytes")
         )
     if not lineage and need_lineage:
         df = df.drop("__src", "__pos")
@@ -3106,22 +3216,19 @@ def changes(
             affected = c["dv"]["files"]
             _gone_check(affected)
             _gone_check(c["dv"]["parts"])
-            new_e = spark.read.schema(_DV_SCHEMA).parquet(
-                *[os.path.join(_data_root(root), p) for p in c["dv"]["parts"]]
-            )
-            old_parts = sorted(
-                {p for f in affected for p in prev_dv.get(f, [])}
-            )
-            if old_parts:
-                _gone_check(old_parts)
-                prev_e = spark.read.schema(_DV_SCHEMA).parquet(
-                    *[os.path.join(_data_root(root), p) for p in old_parts]
-                ).filter(
-                    F.col("src").isin(
-                        [os.path.basename(f) for f in affected]
-                    )
-                )
-                deleted = new_e.exceptAll(prev_e)
+            new_e = dv_entries(
+                spark, root,
+                pointers={f: c["dv"]["parts"] for f in affected})
+            prior_ptr = {
+                f: prev_dv[f] for f in affected if f in prev_dv
+            }
+            if prior_ptr:
+                _gone_check(sorted(
+                    {p for ps in prior_ptr.values() for p in ps}))
+                # bitmap decode yields each (src, pos) exactly once per
+                # pointer map, so the set difference is exact
+                deleted = new_e.exceptAll(
+                    dv_entries(spark, root, pointers=prior_ptr))
             else:
                 deleted = new_e
             rows = _scan_files(spark, root, affected, schema, {},
@@ -3710,19 +3817,12 @@ def merge_into_mor(
             F.col("__src").alias("src"), F.col("__pos").alias("pos")
         )
         prior = dv_map(root)
-        old_parts = sorted({p for f in affected for p in prior.get(f, [])})
-        if old_parts:
-            prev = spark.read.schema(_DV_SCHEMA).parquet(
-                *[os.path.join(_data_root(root), p) for p in old_parts]
-            ).filter(
-                F.col("src").isin([os.path.basename(f) for f in affected])
-            )
-            # disjoint by construction (matched rows passed the DV
-            # anti-join): plain union keeps exact multiplicity
-            entries = entries.unionByName(prev)
-        ddir = _new_payload_dir(root)
-        entries.write.parquet(ddir)
-        dv = {"files": affected, "parts": _dir_files(root, ddir)}
+        prior_ptr = {f: prior[f] for f in affected if f in prior}
+        if prior_ptr:
+            # superseding-superset via bitmap OR (delete_where_mor's rule)
+            entries = entries.unionByName(
+                dv_entries(spark, root, pointers=prior_ptr))
+        dv = {"files": affected, "parts": _write_dv_parts(root, entries)}
         m_keys = matched.select(*key_cols).distinct()
         repl = source.join(F.broadcast(m_keys), key_cols, "left_semi")
         ins = source.join(F.broadcast(m_keys), key_cols, "left_anti")
@@ -4126,19 +4226,14 @@ def delete_where_mor(
         F.col("__src").alias("src"), F.col("__pos").alias("pos")
     )
     prior = dv_map(root)
-    old_parts = sorted({p for f in affected for p in prior.get(f, [])})
-    if old_parts:
-        prev = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(_data_root(root), p) for p in old_parts]
-        ).filter(
-            F.col("src").isin([os.path.basename(f) for f in affected])
-        )
-        # disjoint by construction (matched rows passed the DV anti-join),
-        # so a plain union — no distinct shuffle — keeps exact multiplicity
-        entries = entries.unionByName(prev)
-    pdir = _new_payload_dir(root)
-    entries.write.parquet(pdir)
-    dv = {"files": affected, "parts": _dir_files(root, pdir)}
+    prior_ptr = {f: prior[f] for f in affected if f in prior}
+    if prior_ptr:
+        # superseding-superset: the new bitmap is (new matches) OR
+        # (prior bits of the affected files) — the pack's bitwise OR
+        # dedupes structurally, so multiplicity can never drift
+        entries = entries.unionByName(
+            dv_entries(spark, root, pointers=prior_ptr))
+    dv = {"files": affected, "parts": _write_dv_parts(root, entries)}
     cdc_parts = None
     if cdf:
         cdir = _new_payload_dir(root)
@@ -4206,17 +4301,12 @@ def update_where_mor(
         F.col("__src").alias("src"), F.col("__pos").alias("pos")
     )
     prior = dv_map(root)
-    old_parts = sorted({p for f in affected for p in prior.get(f, [])})
-    if old_parts:
-        prev = spark.read.schema(_DV_SCHEMA).parquet(
-            *[os.path.join(_data_root(root), p) for p in old_parts]
-        ).filter(
-            F.col("src").isin([os.path.basename(f) for f in affected])
-        )
-        entries = entries.unionByName(prev)
-    ddir = _new_payload_dir(root)
-    entries.write.parquet(ddir)
-    dv = {"files": affected, "parts": _dir_files(root, ddir)}
+    prior_ptr = {f: prior[f] for f in affected if f in prior}
+    if prior_ptr:
+        # superseding-superset via bitmap OR (delete_where_mor's rule)
+        entries = entries.unionByName(
+            dv_entries(spark, root, pointers=prior_ptr))
+    dv = {"files": affected, "parts": _write_dv_parts(root, entries)}
     types = {f.name: f.dataType for f in schema}
     pre = matched.select(*[F.col(f.name) for f in schema.fields])
     post = matched.select(
