@@ -4074,3 +4074,84 @@ def test_merge_mor_conflict_and_benign_rebase(spark, monkeypatch, tmp_path):
     assert fired2["done"]
     got = {r.id: r.v for r in snap.read(spark, root2).collect()}
     assert got[1] == 111 and got[100] == 1000  # both commits landed
+
+
+# --- write-side stats/bloom file skipping for MERGE (VERDICT r12 #7) ------
+
+
+def test_merge_skipping_prunes_key_clustered_files(spark, tmp_path):
+    """On a key-clustered table (range-partitioned files with disjoint
+    id ranges) a narrow-key MERGE's candidate set — and therefore its
+    rewrite set — is a strict subset of the live files, and the result
+    is byte-identical to what a full scan would produce."""
+    root = str(tmp_path / "mskip")
+    df = spark.createDataFrame(
+        [(i, i * 10, "base") for i in range(800)],
+        "id long, score long, tag string")
+    snap.create(spark, root, df.repartitionByRange(8, "id"))
+    live0 = snap.live_files(root)
+    assert len(live0) == 8
+    src = spark.createDataFrame(
+        [(i, -1, "upd") for i in range(100, 110)] + [(900, 1, "new")],
+        "id long, score long, tag string")
+    keys = src.select("id").distinct()
+    cand = snap.merge_candidate_files(spark, root, keys, ["id"])
+    assert len(cand) < len(live0), "stats skipping pruned nothing"
+    v = snap.merge_into(spark, root, src, ["id"])
+    rewritten = set(live0) - set(snap.live_files(root, v))
+    assert rewritten and rewritten <= set(cand)
+    got = {r.id: (r.score, r.tag) for r in snap.read(spark, root).collect()}
+    assert len(got) == 801
+    for i in range(100, 110):
+        assert got[i] == (-1, "upd")
+    assert got[900] == (1, "new") and got[0] == (0, "base")
+
+
+def test_merge_skipping_bloom_tier_on_unclustered_table(spark, tmp_path):
+    """Round-robin layout defeats min/max bounds (every file's id range
+    overlaps every key), so pruning must come from the per-file bloom
+    index: candidates = only files whose bitmap can contain a source
+    key."""
+    root = str(tmp_path / "mbloom")
+    df = spark.createDataFrame(
+        [(f"user_{i}", i) for i in range(400)], "uid string, score long")
+    # 8 files, uids striped across all of them -> overlapping ranges is
+    # the default for strings too (each file holds user_0..user_399ish)
+    snap.create(spark, root, df.repartition(8), bloom_cols=["uid"])
+    live0 = snap.live_files(root)
+    src = spark.createDataFrame(
+        [("user_42", -1)], "uid string, score long")
+    cand = snap.merge_candidate_files(
+        spark, root, src.select("uid").distinct(), ["uid"])
+    assert len(cand) < len(live0), "bloom skipping pruned nothing"
+    v = snap.merge_into(spark, root, src, ["uid"])
+    rewritten = set(live0) - set(snap.live_files(root, v))
+    assert rewritten <= set(cand)
+    got = {r.uid: r.score for r in snap.read(spark, root).collect()}
+    assert got["user_42"] == -1 and got["user_41"] == 41
+
+
+def test_merge_skipping_mor_and_degradation(spark, tmp_path):
+    """merge_into_mor probes only candidate files (its DV'd file set is
+    a subset of the candidates); an all-NULL / unmatched-range source
+    degrades safely — no false negatives, a miss is a pure insert."""
+    root = str(tmp_path / "mmor")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(400)], "id long, v long")
+    snap.create(spark, root, df.repartitionByRange(4, "id"))
+    live0 = snap.live_files(root)
+    src = spark.createDataFrame([(5, -5), (7, -7)], "id long, v long")
+    v = snap.merge_into_mor(spark, root, src, ["id"])
+    dvd = set(snap.dv_map(root))
+    cand = set(snap.merge_candidate_files(
+        spark, root, src.select("id").distinct(), ["id"], v - 1))
+    assert dvd and dvd <= cand and len(cand) < len(live0)
+    assert set(live0) <= set(snap.live_files(root))  # MoR: no rewrites
+    # out-of-range keys: candidates empty, merge is a pure insert
+    far = spark.createDataFrame([(10_000, 1)], "id long, v long")
+    assert snap.merge_candidate_files(
+        spark, root, far.select("id").distinct(), ["id"]) == []
+    snap.merge_into(spark, root, far, ["id"])
+    got = {r.id: r.v for r in snap.read(spark, root).collect()}
+    assert got[5] == -5 and got[7] == -7 and got[10_000] == 1
+    assert len(got) == 401

@@ -3453,3 +3453,83 @@ def table_dv_bitmap(spark, sf_dir):
         F.lit("dv_positions").alias("metric"), "n", "agg"
     )
     return head.unionByName(meta)
+
+
+@register(
+    "table_merge_skipping",
+    oracle="""
+    WITH merged AS (
+        SELECT doc_id,
+               CASE WHEN doc_id BETWEEN 40 AND 59 THEN n_chars * 2 + 1
+                    ELSE n_chars END AS n_chars
+        FROM documents
+    )
+    SELECT 'band_' || CAST(doc_id // 63 AS VARCHAR) AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS agg
+    FROM merged GROUP BY doc_id // 63
+    UNION ALL
+    SELECT 'skip_proof', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """,
+)
+def table_merge_skipping(spark, sf_dir):
+    """Write-side stats file skipping for MERGE (VERDICT r12 #7): on a
+    key-clustered table (band = doc_id DIV 63 as a partition column, so
+    each file's recorded doc_id min/max range is disjoint per band) a
+    narrow-key MERGE consults `merge_candidate_files` — min/max stats
+    bounds from ONE small aggregation over the source key set, plus the
+    bloom index when present — and probes only files that can contain a
+    source key. The 'skip_proof' row pins both halves live: n=1 ⇔ the
+    candidate set was STRICTLY smaller than the live set, agg=1 ⇔ every
+    file the merge actually rewrote was inside the candidate set (no
+    false negatives); the band rows pin the relational result.
+
+    Scale: this is Delta's MERGE source-range pushdown — a trickle
+    upsert on a key-clustered 100 TB table finds its matched files from
+    log metadata instead of scanning the corpus; the hit-detection scan
+    drops from O(table) to O(candidate files)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapmskip_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr("doc_id DIV 63").alias("band")
+    )
+    _snap_create(spark, root, d, partition_by=["band"])
+    live0 = snap.live_files(root)
+    src = d.filter("doc_id BETWEEN 40 AND 59").withColumn(
+        "n_chars", F.col("n_chars") * 2 + 1
+    )
+    keys = src.select("doc_id").distinct()
+    cand = set(snap.merge_candidate_files(spark, root, keys, ["doc_id"]))
+    v = snap.merge_into(spark, root, src, ["doc_id"])
+    rewritten = set(live0) - set(snap.live_files(root, v))
+    head = (
+        snap.read(spark, root)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("agg"),
+        )
+        .select(
+            F.concat(F.lit("band_"), F.col("band").cast("string")).alias(
+                "metric"
+            ),
+            "n", "agg",
+        )
+    )
+    meta = spark.createDataFrame(
+        [(
+            "skip_proof",
+            1 if len(cand) < len(live0) else 0,
+            1 if rewritten <= cand else 0,
+        )],
+        "metric string, n long, agg long",
+    )
+    return head.unionByName(meta)

@@ -710,6 +710,106 @@ def read_point(
     return df.filter(F.col(col) == F.lit(value))
 
 
+_MERGE_SKIP_MAX_KEYS = 1024
+
+
+def _bloom_probe_positions_many(
+    spark: SparkSession, values: list, col_type: str
+) -> list[list[int]]:
+    """Probe positions for a batch of literal values in ONE job (the
+    same JVM xxhash64 expression the write side ran)."""
+    rows = (
+        spark.createDataFrame([(v,) for v in values], f"v {col_type}")
+        .select(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("v"), F.lit(i)),
+                           F.lit(_BLOOM_BITS))
+                    for i in range(_BLOOM_K)
+                ]
+            ).alias("p")
+        )
+        .collect()
+    )
+    return [list(r["p"]) for r in rows]
+
+
+def merge_candidate_files(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    version: int | None = None,
+) -> list[str]:
+    """Write-side data skipping for MERGE (VERDICT r12 #7): the live
+    files that MIGHT contain a source merge key, decided from log
+    metadata alone — zero data I/O against the table. Two tiers, both
+    false-negative-free (absent stats/blooms keep the file):
+
+    1. min/max + partition STATS: each key column's [min(source),
+       max(source)] range bounds the candidate set through
+       ``pruned_files`` (a file whose recorded key range is disjoint
+       from the source's cannot contain a match).
+    2. BLOOM probes: when a key column carries the per-file bloom index
+       and the source's distinct key set is small enough to collect
+       (≤ _MERGE_SKIP_MAX_KEYS), a file also needs at least ONE source
+       value whose k probe bits are all set in its bitmap.
+
+    At 100 TB this is the difference between a trickle upsert scanning
+    the corpus to FIND its matched files and scanning only the
+    key-clustered slice that can hold them — Delta's MERGE does the same
+    min/max pushdown on the source's key range. Non-orderable/exotic key
+    types skip tier 1; NULL bounds (all-NULL keys) skip too — SQL
+    equality never matches NULL, so such sources match nothing anyway."""
+    state = _read_state(root, version)
+    # one small job over the (distinct) source keys for all bounds
+    aggs = keys.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
+    ).collect()[0]
+    bounds: dict[str, tuple] = {}
+    for i, c in enumerate(key_cols):
+        lo, hi = aggs[f"lo_{i}"], aggs[f"hi_{i}"]
+        if lo is None or hi is None:
+            continue
+        if isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+            bounds[c] = (lo, hi)
+    cand = pruned_files(root, bounds, version) if bounds \
+        else sorted(state["live"])
+    bloom_keys = [c for c in key_cols if c in state["bloom_cols"]]
+    if bloom_keys and cand:
+        import base64
+
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        phys = _phys_map(schema)
+        dtypes = {f.name: f.dataType.simpleString() for f in schema}
+        for c in bloom_keys:
+            vals = [
+                r[0] for r in
+                keys.select(c).distinct()
+                .limit(_MERGE_SKIP_MAX_KEYS + 1).collect()
+                if r[0] is not None
+            ]
+            if not vals or len(vals) > _MERGE_SKIP_MAX_KEYS:
+                continue  # too many keys: bounds tier already applied
+            probes = _bloom_probe_positions_many(spark, vals, dtypes[c])
+            pcol = phys.get(c, c)
+            kept = []
+            for f in cand:
+                b64 = state["blooms"].get(f, {}).get(pcol)
+                if b64 is None:
+                    kept.append(f)  # no index: degrade to scan
+                    continue
+                bm = base64.b64decode(b64)
+                if any(
+                    all(bm[p // 8] & (1 << (p % 8)) for p in ps)
+                    for ps in probes
+                ):
+                    kept.append(f)
+            cand = kept
+    return cand
+
+
 def file_stats(root: str, version: int | None = None) -> dict[str, dict[str, list]]:
     """The {relpath: {col: [min, max]}} stats of every live file at
     ``version`` — replayed (checkpoint-aware) from the commits/checkpoint
@@ -3559,8 +3659,20 @@ def merge_into(
     if files:
         # DV-aware lineage scan: __src replaces input_file_name (legal
         # under the DV anti-join's second file source), and DV'd rows
-        # can't match — a merge never resurrects a MOR-deleted row
-        cur = _scan(spark, root, lineage=True)
+        # can't match — a merge never resurrects a MOR-deleted row.
+        # Without a by-source clause only files that can CONTAIN a
+        # source key matter, so the hit scan is pruned to the stats/
+        # bloom candidate set (VERDICT r12 #7) — a by-source clause
+        # touches unmatched rows in ANY file and must see them all.
+        if sync_delete or sync_update:
+            cur = _scan(spark, root, lineage=True)
+        else:
+            cand = merge_candidate_files(
+                spark, root, keys, key_cols, version - 1)
+            cur = _scan_files(
+                spark, root, cand,
+                table_schema(root, version - 1),
+                dv_map(root, version - 1), lineage=True)
         hit_files = cur.join(F.broadcast(keys), key_cols, "left_semi") \
             .select("__src")
         if sync_delete or sync_update:
@@ -3799,11 +3911,16 @@ def merge_into_mor(
     live = sorted(st0["live"])
     matched, affected, dv = None, [], None
     if live:
+        # stats/bloom file skipping (VERDICT r12 #7): MoR MERGE has no
+        # by-source clause, so only candidate files can hold a match
+        cand = merge_candidate_files(spark, root, keys, key_cols,
+                                     version - 1)
         if track:
-            scan = _rid_scan(spark, root, live, schema, dv_map(root), st0,
+            scan = _rid_scan(spark, root, cand, schema, dv_map(root), st0,
                              keep_lineage=True)
         else:
-            scan = _scan(spark, root, lineage=True)
+            scan = _scan_files(spark, root, cand, schema, dv_map(root),
+                               lineage=True)
         matched = scan.join(
             F.broadcast(keys), key_cols, "left_semi"
         ).localCheckpoint(eager=True)
