@@ -72,6 +72,12 @@ ROUND_KEYS = [
     "sql_tpcds_q67", "stream_outer_join", "table_merge_clauses",
     "table_identity_columns", "table_merge_mor",
     "stream_foreach_merge_mor",
+    # round-13 additions (SQL DML front-end, byte-level BPE, full-outer
+    # stream join, per-prompt LLM isolation, bitmap DVs, MERGE skipping)
+    "table_sql_merge", "table_sql_update", "table_sql_delete",
+    "text_bpe_bytes_train", "text_bpe_bytes_encode",
+    "stream_full_outer_join", "udf_llm_dead_letter", "table_dv_bitmap",
+    "table_merge_skipping",
 ]
 
 

@@ -167,10 +167,22 @@ def _read_parquet_rows(
 
 
 def _dv_entries(root: str, parts: list[str]) -> set[tuple[str, int]]:
-    return {
-        (src, pos)
-        for src, pos in _read_parquet_rows(root, parts, ["src", "pos"])
-    }
+    """Decode bit-packed DV payload rows (src, card, dv_bytes — r13's
+    bitmap encoding, see snapshots._DV_BM_SCHEMA) into the (src, pos)
+    identity set, driver-side: bit p of byte p>>3 set ⇔ position p
+    deleted. Bitmaps are O(file rows / 8) bytes, so this stays as
+    metadata-sized as the row form it replaced."""
+    out: set[tuple[str, int]] = set()
+    for src, dv_bytes in _read_parquet_rows(root, parts,
+                                            ["src", "dv_bytes"]):
+        if dv_bytes is None:
+            continue
+        for byte_idx, b in enumerate(dv_bytes):
+            if b:
+                for bit in range(8):
+                    if b & (1 << bit):
+                        out.add((src, byte_idx * 8 + bit))
+    return out
 
 
 def commit_change_rows(
