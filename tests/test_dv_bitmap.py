@@ -90,6 +90,31 @@ def test_dv_pointer_scoping_ignores_stale_rows(spark, mor_table):
         "id >= 100 AND id < 150").count() == 50
 
 
+def test_dv_offset_window_sparse_tail_delete(spark, tmp_path):
+    """The offset window: a single delete near the END of a file costs
+    ~1 byte of bitmap (plus the offset), not O(file rows / 8) of
+    leading zeros — the sparse-trickle case dense bitmaps get wrong."""
+    root = str(tmp_path / "dvsparse")
+    df = spark.createDataFrame([(i,) for i in range(50_000)], "id long")
+    snap.create(spark, root, df.coalesce(1))
+    snap.delete_where_mor(spark, root, "id = 49999")
+    rows = snap._read_dv_bitmaps(spark, root, snap.dv_map(root)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.card == 1 and len(r.dv_bytes) <= 8, (
+        f"sparse tail delete stored {len(r.dv_bytes)} bitmap bytes")
+    assert r.start_byte > 0
+    ents = {(e.src, e.pos) for e in snap.dv_entries(spark, root).collect()}
+    assert len(ents) == 1 and next(iter(ents))[1] == 49_999
+    assert snap.read(spark, root).count() == 49_999
+    assert snap.read(spark, root).filter("id = 49999").count() == 0
+    # a later low-position delete widens the window but stays exact
+    snap.delete_where_mor(spark, root, "id = 3")
+    got = sorted(e.pos for e in snap.dv_entries(spark, root).collect())
+    assert got == [3, 49_999]
+    assert snap.read(spark, root).count() == 49_998
+
+
 def test_dv_update_mor_and_row_ids_survive_encoding(spark, tmp_path):
     """update_where_mor under bitmap DVs: old copies die via the bitmap
     probe, appended postimages carry the same stable row ids."""

@@ -167,21 +167,24 @@ def _read_parquet_rows(
 
 
 def _dv_entries(root: str, parts: list[str]) -> set[tuple[str, int]]:
-    """Decode bit-packed DV payload rows (src, card, dv_bytes — r13's
-    bitmap encoding, see snapshots._DV_BM_SCHEMA) into the (src, pos)
-    identity set, driver-side: bit p of byte p>>3 set ⇔ position p
-    deleted. Bitmaps are O(file rows / 8) bytes, so this stays as
+    """Decode bit-packed DV payload rows (src, card, start_byte,
+    dv_bytes — r13's offset-windowed bitmap encoding, see
+    snapshots._DV_BM_SCHEMA) into the (src, pos) identity set,
+    driver-side: stored bit p set ⇔ position 8*start_byte + p deleted.
+    Bitmaps are O(deleted-position span / 8) bytes, so this stays as
     metadata-sized as the row form it replaced."""
     out: set[tuple[str, int]] = set()
-    for src, dv_bytes in _read_parquet_rows(root, parts,
-                                            ["src", "dv_bytes"]):
+    for src, start_byte, dv_bytes in _read_parquet_rows(
+        root, parts, ["src", "start_byte", "dv_bytes"]
+    ):
         if dv_bytes is None:
             continue
+        base = (start_byte or 0) * 8
         for byte_idx, b in enumerate(dv_bytes):
             if b:
                 for bit in range(8):
                     if b & (1 << bit):
-                        out.add((src, byte_idx * 8 + bit))
+                        out.add((src, base + byte_idx * 8 + bit))
     return out
 
 

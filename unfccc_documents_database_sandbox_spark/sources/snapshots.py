@@ -1659,35 +1659,45 @@ def table_schema(root: str, version: int | None = None) -> StructType:
 _DV_SCHEMA = "src string, pos bigint"
 
 # Compressed deletion vectors (VERDICT r12 #6): DV payload parquet holds
-# ONE row per data file — (src, card, dv_bytes) where dv_bytes is the
-# little-endian-bit-indexed bitmap of deleted row positions (bit p of
-# byte p>>3 set ⇔ position p deleted; truncated after the highest set
-# bit) and card is the set-bit count. Delta and Iceberg ship
+# ONE row per data file — (src, card, start_byte, dv_bytes) where
+# dv_bytes is the little-endian-bit-indexed bitmap of deleted row
+# positions RELATIVE to a byte-offset window (bit p of stored byte
+# p>>3 set ⇔ position 8*start_byte + p deleted; the window starts at
+# the lowest deleted position's byte and is truncated after the highest
+# set bit) and card is the set-bit count. Delta and Iceberg ship
 # roaring-bitmap DVs for the same reason: a billion-row file's deletes
-# are O(rows/8) bytes instead of O(deleted × 16) parquet rows, the
-# bitmap OR on supersede dedupes structurally (row-form unions could
-# duplicate a position when overlapping affected-file sets chained
-# through three commits), and the scan-side test is one byte probe per
-# row. The anti-join SEMANTICS are unchanged — _scan_files still removes
-# exactly the (file, pos) identities — only the encoding moved.
-_DV_BM_SCHEMA = "src string, card bigint, dv_bytes binary"
+# are O(position span / 8) bytes instead of O(deleted × 16) parquet
+# rows, the bitmap OR on supersede dedupes structurally (row-form
+# unions could duplicate a position when overlapping affected-file sets
+# chained through three commits), and the scan-side test is one byte
+# probe per row. The offset window makes a single trickle delete at row
+# 10^9 cost ONE byte, not 125 MB of leading zeros; the remaining
+# honest caveat vs full roaring is deletes clustered at BOTH extremes
+# of a huge file (span-wide window — roaring's chunked containers would
+# split it). The anti-join SEMANTICS are unchanged — _scan_files still
+# removes exactly the (file, pos) identities — only the encoding moved.
+_DV_BM_SCHEMA = "src string, card bigint, start_byte bigint, dv_bytes binary"
 
 
 def _pack_dv(entries: DataFrame) -> DataFrame:
-    """(src, pos) rows -> one bitmap row per src (Arrow-batched grouped
-    map; a group is one FILE's deleted positions — bounded by file row
-    count, the same bound Delta's DV writer holds)."""
+    """(src, pos) rows -> one offset-windowed bitmap row per src
+    (Arrow-batched grouped map; a group is one FILE's deleted positions
+    — bounded by file row count, the same bound Delta's DV writer
+    holds)."""
     import numpy as np
     import pandas as pd
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pos = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
-        buf = np.zeros(int(pos.max()) // 8 + 1, dtype=np.uint8)
-        np.bitwise_or.at(buf, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        start = int(pos.min()) // 8
+        rel = pos - start * 8
+        buf = np.zeros(int(rel.max()) // 8 + 1, dtype=np.uint8)
+        np.bitwise_or.at(buf, rel >> 3, np.uint8(1) << (rel & 7).astype(np.uint8))
         return pd.DataFrame(
             {
                 "src": [pdf["src"].iloc[0]],
                 "card": [len(pos)],
+                "start_byte": [start],
                 "dv_bytes": [buf.tobytes()],
             }
         )
@@ -1743,6 +1753,7 @@ def dv_entries(
     bm = _read_dv_bitmaps(spark, root, pointers)
     return bm.select(
         "src",
+        "start_byte",
         F.explode(
             F.expr(
                 "filter(sequence(0, 8 * length(dv_bytes) - 1), p -> "
@@ -1750,7 +1761,10 @@ def dv_entries(
                 "16, 10) AS INT) & shiftleft(1, p % 8)) != 0)"
             )
         ).alias("__p"),
-    ).select("src", F.col("__p").cast("long").alias("pos"))
+    ).select(
+        "src",
+        (F.col("start_byte") * 8 + F.col("__p")).cast("long").alias("pos"),
+    )
 
 # Row tracking (Delta's row tracking): every row gets a STABLE bigint
 # _row_id assigned once at its first commit and preserved across every
@@ -1886,6 +1900,7 @@ def _scan_files(
         # table column named src/dv_bytes can never collide.
         bm = _read_dv_bitmaps(spark, root, dv).select(
             F.col("src").alias("__dv_src"),
+            F.col("start_byte").alias("__dv_start"),
             F.col("dv_bytes").alias("__dv_bytes"),
         )
         df = (
@@ -1895,13 +1910,15 @@ def _scan_files(
             .filter(
                 F.expr(
                     "__dv_bytes IS NULL "
-                    "OR __pos DIV 8 >= length(__dv_bytes) "
+                    "OR __pos DIV 8 < __dv_start "
+                    "OR __pos DIV 8 - __dv_start >= length(__dv_bytes) "
                     "OR (CAST(conv(hex(substring(__dv_bytes, "
-                    "CAST(__pos DIV 8 AS INT) + 1, 1)), 16, 10) AS INT) "
+                    "CAST(__pos DIV 8 - __dv_start AS INT) + 1, 1)), "
+                    "16, 10) AS INT) "
                     "& shiftleft(1, CAST(__pos % 8 AS INT))) = 0"
                 )
             )
-            .drop("__dv_src", "__dv_bytes")
+            .drop("__dv_src", "__dv_start", "__dv_bytes")
         )
     if not lineage and need_lineage:
         df = df.drop("__src", "__pos")
