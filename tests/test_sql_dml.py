@@ -316,3 +316,51 @@ def test_merge_txn_and_feed_parity(spark, pair):
     assert feed_sql == feed_py
     assert ("insert", 30) in feed_sql
     assert ("update_postimage", 0) in feed_sql
+
+
+def test_insert_values_and_select(spark, pair):
+    """INSERT INTO ... VALUES and ... SELECT both route to append with
+    positional column mapping; the Python twin is a plain append."""
+    sql_root, py_root = pair
+    execute_dml(
+        spark,
+        "INSERT INTO tbl VALUES (100, 1000, 'v'), (101, 1010, 'v')",
+        {"tbl": sql_root})
+    snap.append(spark, py_root, spark.createDataFrame(
+        [(100, 1000, "v"), (101, 1010, "v")],
+        "id long, score long, status string"))
+    base = spark.createDataFrame([(200, 1, "s")],
+                                 "id long, score long, status string")
+    base.createOrReplaceTempView("ins_src_v")
+    execute_dml(
+        spark,
+        "INSERT INTO tbl SELECT id, score * 2, status FROM ins_src_v",
+        {"tbl": sql_root})
+    snap.append(spark, py_root, spark.sql(
+        "SELECT id, score * 2 AS score, status FROM ins_src_v"))
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+    got = {t[0]: t for t in _rows(spark, sql_root)}
+    assert got[100] == (100, 1000, "v") and got[200] == (200, 2, "s")
+
+
+def test_insert_column_list_positional(spark, tmp_path):
+    """A column list reorders positionally; a DEFAULT column omitted
+    from the list is filled by append's write rules."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "insdef")
+    df = spark.createDataFrame([(1, 10, "live")],
+                               "id long, score long, status string")
+    snap.create(spark, root, df, default_cols={"status": "'live'"})
+    execute_dml(
+        spark,
+        "INSERT INTO tbl (score, id) VALUES (70, 7)",
+        {"tbl": root})
+    got = {r.id: (r.score, r.status)
+           for r in snap.read(spark, root).collect()}
+    assert got[7] == (70, "live")
+    with _pytest.raises(DmlSyntaxError, match="supplies 2 columns"):
+        execute_dml(spark, "INSERT INTO tbl (id) VALUES (1, 2)",
+                    {"tbl": root})
+    with _pytest.raises(DmlSyntaxError, match="VALUES list or a SELECT"):
+        execute_dml(spark, "INSERT INTO tbl TABLE other", {"tbl": root})

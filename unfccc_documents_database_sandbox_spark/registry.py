@@ -120,7 +120,10 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "stream_stream_join", "table_changes", "table_incremental_mv",
         "table_schema_evolution", "table_stats_prune", "text_keyterms",
         "try_funcs", "ts_gapfill", "udaf_pandas_agg",
-        "udtf_python_segments",
+        # udtf_python_segments (the alphabetical tail of this cohort)
+        # demoted back to NEXT mid-round as the r13 new-key count grew
+        # 9 -> 10 with table_sql_insert — still re-verified every round
+        # by tests/test_parity.py
     }
 )
 
@@ -134,6 +137,8 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # rows-only by design (each with a hash-exact portable twin).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
+        # r08 evidence: demoted from DUE mid-round (see the DUE comment)
+        "udtf_python_segments",
         # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
         # rows-only by design)
         "agg_corr_exact", "dedup_incremental", "dedup_lines",

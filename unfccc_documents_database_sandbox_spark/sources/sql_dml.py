@@ -15,6 +15,9 @@ Grammar (documented refusals for everything else):
 
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
+    INSERT INTO <table> [(col, ...)] VALUES (...), ... | <SELECT/WITH query>
+        -- positional column mapping (SQL semantics); append's write
+        -- rules own schema checks, DEFAULT fill and generated columns
     MERGE INTO <table> [AS] t
         USING (<subquery>) | <view-or-registered-source> [AS] s
         ON t.k = s.k [AND t.k2 = s.k2 ...]          -- equi-keys only
@@ -30,8 +33,9 @@ grammar: it tokenizes at paren-depth 0 outside string literals (so
 nested CASE WHEN / function calls / quoted text inside expressions pass
 through verbatim to Spark, which owns expression semantics) and raises
 ``DmlSyntaxError`` for anything outside the surface above — non-equi ON
-conditions, column-list INSERT, VALUES clauses, multiple by-source
-clauses — rather than guessing.
+conditions, MERGE INSERT with column lists or VALUES (the merge schema
+contract is INSERT *), multiple by-source clauses — rather than
+guessing.
 
 ``mode="mor"`` routes to the merge-on-read writers (`delete_where_mor`,
 `update_where_mor`, `merge_into_mor`); since the MoR MERGE supports only
@@ -48,6 +52,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
 
@@ -471,6 +476,52 @@ def execute_dml(
             body[:mw.start()] if mw else body, "UPDATE SET")
         fn = snap.update_where_mor if mode == "mor" else snap.update_where
         return fn(spark, root, cond, sets, max_retries=max_retries)
+    if kw == "INSERT":
+        m = re.match(
+            rf"^INSERT\s+INTO\s+({_IDENT})\s*(\([^)]*\))?\s*(.+)$",
+            stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise DmlSyntaxError(f"cannot parse INSERT statement: {stmt!r}")
+        root = _require_table(m.group(1), tables)
+        col_list = None
+        if m.group(2):
+            col_list = [c.strip() for c in m.group(2)[1:-1].split(",")]
+            if not all(re.fullmatch(_IDENT, c) for c in col_list):
+                raise DmlSyntaxError(
+                    f"bad INSERT column list {m.group(2)!r}")
+        body = m.group(3).strip()
+        head_kw = body.split(None, 1)[0].upper() if body else ""
+        if head_kw == "VALUES":
+            # VALUES rows evaluate through spark.sql (Spark owns literal
+            # typing); the synthetic colN names are replaced positionally
+            df = spark.sql(f"SELECT * FROM ({body})")
+        elif head_kw in ("SELECT", "WITH"):
+            df = spark.sql(body)
+        else:
+            raise DmlSyntaxError(
+                "INSERT INTO supports a VALUES list or a SELECT/WITH "
+                f"query; got {body.split(None, 1)[0]!r}")
+        # SQL INSERT maps columns by POSITION onto the column list (or
+        # the full table schema) and assigns with an implicit cast to
+        # the column type (ANSI assignment semantics — a bare VALUES
+        # integer literal types as INT but lands in a BIGINT column);
+        # append's write rules then own the remaining schema checks,
+        # defaults, and generated columns
+        schema = snap.table_schema(root)
+        types = {f.name: f.dataType for f in schema}
+        target = col_list or [f.name for f in schema]
+        unknown = [c for c in target if c not in types]
+        if unknown:
+            raise DmlSyntaxError(f"INSERT column list names unknown "
+                                 f"columns {unknown}")
+        if len(df.columns) != len(target):
+            raise DmlSyntaxError(
+                f"INSERT supplies {len(df.columns)} columns but the "
+                f"target list has {len(target)}: {target}")
+        df = df.toDF(*target).select(
+            *[F.col(c).cast(types[c]).alias(c) for c in target]
+        )
+        return snap.append(spark, root, df, max_retries=max_retries)
     if kw == "MERGE":
         p = _parse_merge(spark, stmt, tables, sources)
         matched, insert_cond = p["matched"], p["insert_cond"]
@@ -518,5 +569,5 @@ def execute_dml(
             txn=txn, max_retries=max_retries, **kwargs)
     raise DmlSyntaxError(
         f"unsupported statement {kw!r}: this front-end handles MERGE "
-        "INTO / UPDATE / DELETE over snapshot tables (SELECT belongs to "
-        "spark.sql)")
+        "INTO / UPDATE / DELETE / INSERT INTO over snapshot tables "
+        "(SELECT belongs to spark.sql)")
