@@ -77,7 +77,7 @@ ROUND_KEYS = [
     "table_sql_merge", "table_sql_update", "table_sql_delete",
     "text_bpe_bytes_train", "text_bpe_bytes_encode",
     "stream_full_outer_join", "udf_llm_dead_letter", "table_dv_bitmap",
-    "table_merge_skipping", "table_sql_insert",
+    "table_merge_skipping", "table_sql_insert", "table_sql_select",
 ]
 
 

@@ -364,3 +364,37 @@ def test_insert_column_list_positional(spark, tmp_path):
                     {"tbl": root})
     with _pytest.raises(DmlSyntaxError, match="VALUES list or a SELECT"):
         execute_dml(spark, "INSERT INTO tbl TABLE other", {"tbl": root})
+
+
+def test_read_sql_select_and_time_travel(spark, pair):
+    """read_sql binds snapshot tables (head and VERSION AS OF) into one
+    spark.sql statement; quote-aware, alias-friendly, and refusing
+    TIMESTAMP AS OF."""
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        read_sql,
+    )
+
+    sql_root, _ = pair
+    snap.delete_where(spark, sql_root, "id % 2 = 0")
+    got = read_sql(
+        spark,
+        """SELECT h.cnt AS head_n, v0.cnt AS v0_n
+           FROM (SELECT COUNT(*) AS cnt FROM tbl) h
+           CROSS JOIN (SELECT COUNT(*) AS cnt
+                       FROM tbl VERSION AS OF 0) v0""",
+        {"tbl": sql_root},
+    ).collect()[0]
+    assert (got.head_n, got.v0_n) == (10, 20)
+    # joins against ordinary temp views; literals never rewritten
+    spark.createDataFrame([(1, "x")], "id long, tagv string") \
+        .createOrReplaceTempView("plain_v")
+    rows = read_sql(
+        spark,
+        "SELECT t.id, p.tagv, 'FROM tbl' AS lit FROM tbl t "
+        "JOIN plain_v p ON t.id = p.id",
+        {"tbl": sql_root},
+    ).collect()
+    assert len(rows) == 1 and rows[0].lit == "FROM tbl"
+    with pytest.raises(DmlSyntaxError, match="TIMESTAMP AS OF"):
+        read_sql(spark, "SELECT * FROM tbl TIMESTAMP AS OF '2026-01-01'",
+                 {"tbl": sql_root})

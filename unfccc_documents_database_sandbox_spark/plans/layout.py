@@ -3613,3 +3613,75 @@ def table_sql_insert(spark, sf_dir):
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+@register(
+    "table_sql_select",
+    oracle="""
+    WITH base AS (
+        SELECT source, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    kept AS (SELECT * FROM base WHERE (n_chars % 2 = 0) IS NOT TRUE),
+    h AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS h_n,
+               CAST(SUM(n_chars) AS BIGINT) AS h_chars
+        FROM kept GROUP BY source
+    ),
+    v0 AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS v0_n
+        FROM base GROUP BY source
+    )
+    SELECT h.source, h.h_n, h.h_chars, v0.v0_n
+    FROM h JOIN v0 ON h.source = v0.source
+    """,
+)
+def table_sql_select(spark, sf_dir):
+    """SQL SELECT front-end with time travel (the READ half of the
+    all-SQL surface; the DML half is table_sql_merge/update/delete/
+    insert): one statement joins the HEAD read against ``VERSION AS OF
+    0`` of the same snapshot table through `read_sql` — table names
+    bound to DV-aware snapshot reads as temp views, Spark SQL owning
+    every query semantic, quote-aware so literals never rewrite. The
+    preceding COW DELETE also runs through the SQL front-end, so the
+    whole key is statements end-to-end, the reference's exact usage
+    shape (SURVEY §1.1).
+
+    Scale: binding is driver-side string work; the physical scans are
+    snapshots.read's (log-resolved live files, bitmap-DV probe), so
+    partition/stats pruning and every Catalyst pushdown apply
+    unchanged."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        execute_dml,
+        read_sql,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapsqls_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    execute_dml(spark, "DELETE FROM docs WHERE n_chars % 2 = 0",
+                {"docs": root})
+    return read_sql(
+        spark,
+        """SELECT h.source, h.h_n, h.h_chars, v0.v0_n
+           FROM (SELECT source, COUNT(*) AS h_n,
+                        SUM(n_chars) AS h_chars
+                 FROM docs GROUP BY source) h
+           JOIN (SELECT source, COUNT(*) AS v0_n
+                 FROM docs VERSION AS OF 0 GROUP BY source) v0
+             ON h.source = v0.source""",
+        {"docs": root},
+    ).select(
+        "source",
+        F.col("h_n").cast("long").alias("h_n"),
+        F.col("h_chars").cast("long").alias("h_chars"),
+        F.col("v0_n").cast("long").alias("v0_n"),
+    )

@@ -571,3 +571,77 @@ def execute_dml(
         f"unsupported statement {kw!r}: this front-end handles MERGE "
         "INTO / UPDATE / DELETE / INSERT INTO over snapshot tables "
         "(SELECT belongs to spark.sql)")
+
+
+def read_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+) -> DataFrame:
+    """SELECT front-end over snapshot tables — the READ half of the
+    reference's all-SQL surface (the DML half is `execute_dml`). Every
+    occurrence of a registered table name in a FROM/JOIN position —
+    optionally with Delta-style time travel, ``<table> VERSION AS OF
+    <n>`` — is bound to a snapshot read (`snapshots.read`, DV-aware,
+    pinned-schema) registered as a session-unique temp view, and the
+    rewritten statement runs through ``spark.sql``, which owns ALL
+    query semantics. Names inside string literals are never rewritten
+    (the statement scanner is quote-aware); unregistered names pass
+    through untouched, so snapshot tables join freely against ordinary
+    temp views. ``TIMESTAMP AS OF`` is refused (the engine's time
+    travel is version-pinned; `table_history` maps timestamps to
+    versions).
+
+    Scale: binding is driver-side string work; the scan that runs is
+    exactly `snapshots.read`'s (log-resolved live files, bitmap-DV
+    probe, stats-typed schema), so Catalyst sees a plain relation and
+    every pushdown applies."""
+    if re.search(r"\bTIMESTAMP\s+AS\s+OF\b", sql, re.IGNORECASE):
+        raise DmlSyntaxError(
+            "TIMESTAMP AS OF is not supported — time travel is "
+            "version-pinned (use table_history to resolve a timestamp "
+            "to a version, then VERSION AS OF)")
+    import uuid
+
+    def _first_outside_quotes(s: str, pat: re.Pattern) -> re.Match | None:
+        """Table refs live at ANY paren depth (subqueries are normal
+        SQL) — only string literals shield a name here, unlike the
+        statement-clause scanner above."""
+        in_str, i, n = False, 0, len(s)
+        while i < n:
+            c = s[i]
+            if in_str:
+                if c == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_str = False
+                i += 1
+                continue
+            if c == "'":
+                in_str = True
+                i += 1
+                continue
+            m = pat.match(s, i)
+            if m:
+                return m
+            i += 1
+        return None
+
+    out = sql
+    for name in sorted(tables, key=len, reverse=True):
+        root = tables[name]
+        pat = re.compile(
+            rf"\b(FROM|JOIN)\s+{re.escape(name)}"
+            rf"(\s+VERSION\s+AS\s+OF\s+(\d+))?\b",
+            re.IGNORECASE,
+        )
+        while True:
+            m = _first_outside_quotes(out, pat)
+            if m is None:
+                break
+            version = int(m.group(3)) if m.group(3) else None
+            view = f"snap_{uuid.uuid4().hex[:12]}"
+            snap.read(spark, root, version).createOrReplaceTempView(view)
+            out = out[:m.start()] + f"{m.group(1)} {view}" + out[m.end():]
+    return spark.sql(out)
