@@ -115,6 +115,30 @@ def test_dv_offset_window_sparse_tail_delete(spark, tmp_path):
     assert snap.read(spark, root).count() == 49_998
 
 
+def test_dv_both_extremes_two_tiny_containers(spark, tmp_path):
+    """Roaring-style chunking: deletes at BOTH extremes of a 200k-row
+    file land in two ~1-byte containers instead of one span-wide
+    window — the caveat the flat offset window had."""
+    root = str(tmp_path / "dvchunk")
+    df = spark.createDataFrame([(i,) for i in range(200_000)], "id long")
+    snap.create(spark, root, df.coalesce(1))
+    snap.delete_where_mor(spark, root, "id = 0 OR id = 199999")
+    rows = sorted(
+        snap._read_dv_bitmaps(spark, root, snap.dv_map(root)).collect(),
+        key=lambda r: r.chunk,
+    )
+    assert [r.chunk for r in rows] == [0, 199_999 // 65_536]
+    assert all(r.card == 1 and len(r.dv_bytes) <= 8 for r in rows)
+    total_bytes = sum(len(r.dv_bytes) for r in rows)
+    assert total_bytes <= 16, f"both-extremes delete stored {total_bytes}B"
+    got = sorted(e.pos for e in snap.dv_entries(spark, root).collect())
+    assert got == [0, 199_999]
+    head = snap.read(spark, root)
+    assert head.count() == 199_998
+    assert head.filter("id IN (0, 199999)").count() == 0
+    assert head.filter("id IN (1, 199998, 65536)").count() == 3
+
+
 def test_dv_update_mor_and_row_ids_survive_encoding(spark, tmp_path):
     """update_where_mor under bitmap DVs: old copies die via the bitmap
     probe, appended postimages carry the same stable row ids."""

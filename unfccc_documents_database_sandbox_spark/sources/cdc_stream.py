@@ -167,19 +167,20 @@ def _read_parquet_rows(
 
 
 def _dv_entries(root: str, parts: list[str]) -> set[tuple[str, int]]:
-    """Decode bit-packed DV payload rows (src, card, start_byte,
-    dv_bytes — r13's offset-windowed bitmap encoding, see
+    """Decode roaring-style DV container rows (src, chunk, start_byte,
+    card, dv_bytes — r13's chunked bitmap encoding, see
     snapshots._DV_BM_SCHEMA) into the (src, pos) identity set,
-    driver-side: stored bit p set ⇔ position 8*start_byte + p deleted.
-    Bitmaps are O(deleted-position span / 8) bytes, so this stays as
-    metadata-sized as the row form it replaced."""
+    driver-side: stored bit p set ⇔ position chunk·65536 +
+    8·start_byte + p deleted. Containers are O(touched-chunk span / 8)
+    bytes, so this stays as metadata-sized as the row form it
+    replaced."""
     out: set[tuple[str, int]] = set()
-    for src, start_byte, dv_bytes in _read_parquet_rows(
-        root, parts, ["src", "start_byte", "dv_bytes"]
+    for src, chunk, start_byte, dv_bytes in _read_parquet_rows(
+        root, parts, ["src", "chunk", "start_byte", "dv_bytes"]
     ):
         if dv_bytes is None:
             continue
-        base = (start_byte or 0) * 8
+        base = (chunk or 0) * 65536 + (start_byte or 0) * 8
         for byte_idx, b in enumerate(dv_bytes):
             if b:
                 for bit in range(8):

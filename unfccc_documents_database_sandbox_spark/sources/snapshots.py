@@ -1659,48 +1659,59 @@ def table_schema(root: str, version: int | None = None) -> StructType:
 _DV_SCHEMA = "src string, pos bigint"
 
 # Compressed deletion vectors (VERDICT r12 #6): DV payload parquet holds
-# ONE row per data file — (src, card, start_byte, dv_bytes) where
-# dv_bytes is the little-endian-bit-indexed bitmap of deleted row
-# positions RELATIVE to a byte-offset window (bit p of stored byte
-# p>>3 set ⇔ position 8*start_byte + p deleted; the window starts at
-# the lowest deleted position's byte and is truncated after the highest
-# set bit) and card is the set-bit count. Delta and Iceberg ship
-# roaring-bitmap DVs for the same reason: a billion-row file's deletes
-# are O(position span / 8) bytes instead of O(deleted × 16) parquet
-# rows, the bitmap OR on supersede dedupes structurally (row-form
-# unions could duplicate a position when overlapping affected-file sets
-# chained through three commits), and the scan-side test is one byte
-# probe per row. The offset window makes a single trickle delete at row
-# 10^9 cost ONE byte, not 125 MB of leading zeros; the remaining
-# honest caveat vs full roaring is deletes clustered at BOTH extremes
-# of a huge file (span-wide window — roaring's chunked containers would
-# split it). The anti-join SEMANTICS are unchanged — _scan_files still
-# removes exactly the (file, pos) identities — only the encoding moved.
-_DV_BM_SCHEMA = "src string, card bigint, start_byte bigint, dv_bytes binary"
+# roaring-style CONTAINER rows — (src, chunk, start_byte, card,
+# dv_bytes), one row per (data file, 64Ki-position chunk) that actually
+# holds a delete. dv_bytes is the little-endian-bit-indexed bitmap of
+# the container's deleted positions relative to a byte-offset window
+# inside the chunk: bit p of stored byte p>>3 set ⇔ position
+# chunk·65536 + (start_byte + (p>>3))·8 + (p&7) deleted; the window
+# starts at the container's lowest deleted byte and truncates after its
+# highest set bit; card is the container's set-bit count. Delta and
+# Iceberg ship roaring-bitmap DVs for the same reason: a billion-row
+# file's deletes are O(touched-chunk span / 8) bytes instead of
+# O(deleted × 16) parquet rows, the bitmap OR on supersede dedupes
+# structurally (row-form unions could duplicate a position when
+# overlapping affected-file sets chained through three commits), and
+# the scan-side test is one byte probe per row via an equi-join on
+# (file, pos DIV 65536) — chunks are disjoint, so a row matches at most
+# one container. The chunking is what roaring's containers buy: deletes
+# clustered at BOTH extremes of a huge file cost two ~1-byte containers,
+# not a span-wide window. The anti-join SEMANTICS are unchanged —
+# _scan_files still removes exactly the (file, pos) identities — only
+# the encoding moved.
+_DV_CHUNK_POS = 1 << 16  # positions per container (8 KiB max bitmap)
+_DV_BM_SCHEMA = (
+    "src string, chunk bigint, start_byte bigint, card bigint, "
+    "dv_bytes binary"
+)
 
 
 def _pack_dv(entries: DataFrame) -> DataFrame:
-    """(src, pos) rows -> one offset-windowed bitmap row per src
-    (Arrow-batched grouped map; a group is one FILE's deleted positions
-    — bounded by file row count, the same bound Delta's DV writer
-    holds)."""
+    """(src, pos) rows -> roaring-style container rows, one per
+    (src, 64Ki-position chunk) (Arrow-batched grouped map; a group is
+    one FILE's deleted positions — bounded by file row count, the same
+    bound Delta's DV writer holds)."""
     import numpy as np
     import pandas as pd
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        src = pdf["src"].iloc[0]
         pos = np.unique(pdf["pos"].to_numpy(dtype=np.int64))
-        start = int(pos.min()) // 8
-        rel = pos - start * 8
-        buf = np.zeros(int(rel.max()) // 8 + 1, dtype=np.uint8)
-        np.bitwise_or.at(buf, rel >> 3, np.uint8(1) << (rel & 7).astype(np.uint8))
-        return pd.DataFrame(
-            {
-                "src": [pdf["src"].iloc[0]],
-                "card": [len(pos)],
-                "start_byte": [start],
-                "dv_bytes": [buf.tobytes()],
-            }
-        )
+        rows = {"src": [], "chunk": [], "start_byte": [], "card": [],
+                "dv_bytes": []}
+        for chunk in np.unique(pos // _DV_CHUNK_POS):
+            cp = pos[pos // _DV_CHUNK_POS == chunk] - chunk * _DV_CHUNK_POS
+            start = int(cp.min()) // 8
+            rel = cp - start * 8
+            buf = np.zeros(int(rel.max()) // 8 + 1, dtype=np.uint8)
+            np.bitwise_or.at(
+                buf, rel >> 3, np.uint8(1) << (rel & 7).astype(np.uint8))
+            rows["src"].append(src)
+            rows["chunk"].append(int(chunk))
+            rows["start_byte"].append(start)
+            rows["card"].append(len(cp))
+            rows["dv_bytes"].append(buf.tobytes())
+        return pd.DataFrame(rows)
 
     return entries.groupBy("src").applyInPandas(pack, _DV_BM_SCHEMA)
 
@@ -1753,6 +1764,7 @@ def dv_entries(
     bm = _read_dv_bitmaps(spark, root, pointers)
     return bm.select(
         "src",
+        "chunk",
         "start_byte",
         F.explode(
             F.expr(
@@ -1763,7 +1775,11 @@ def dv_entries(
         ).alias("__p"),
     ).select(
         "src",
-        (F.col("start_byte") * 8 + F.col("__p")).cast("long").alias("pos"),
+        (
+            F.col("chunk") * F.lit(_DV_CHUNK_POS)
+            + F.col("start_byte") * 8
+            + F.col("__p")
+        ).cast("long").alias("pos"),
     )
 
 # Row tracking (Delta's row tracking): every row gets a STABLE bigint
@@ -1892,33 +1908,43 @@ def _scan_files(
             keep += [F.col(_RID_COL)]
         df = df.select(*keep)
     if dv:
-        # bitmap probe (r13): broadcast one (src, bitmap) row per DV'd
-        # file and test each data row's bit — O(1) byte probe per row,
-        # build side O(bitmap bytes) ≤ file rows / 8 (Delta's DV-at-scan
-        # design; the removed set is identical to the old (src, pos)
-        # anti-join). Bitmap columns carry reserved __dv_ names so a
-        # table column named src/dv_bytes can never collide.
+        # bitmap probe (r13): broadcast one container row per DV'd
+        # (file, 64Ki-position chunk) and test each data row's bit —
+        # an equi-join on (file, pos DIV 65536) matches at most ONE
+        # container (chunks are disjoint), then an O(1) byte probe,
+        # build side O(touched-chunk bytes) (Delta's DV-at-scan design;
+        # the removed set is identical to the old (src, pos) anti-join).
+        # Container columns carry reserved __dv_ names so a table
+        # column named src/chunk/dv_bytes can never collide.
         bm = _read_dv_bitmaps(spark, root, dv).select(
             F.col("src").alias("__dv_src"),
+            F.col("chunk").alias("__dv_chunk"),
             F.col("start_byte").alias("__dv_start"),
             F.col("dv_bytes").alias("__dv_bytes"),
         )
         df = (
             df.join(
-                F.broadcast(bm), df["__src"] == F.col("__dv_src"), "left"
+                F.broadcast(bm),
+                (df["__src"] == F.col("__dv_src"))
+                & (
+                    F.expr(f"__pos DIV {_DV_CHUNK_POS}")
+                    == F.col("__dv_chunk")
+                ),
+                "left",
             )
             .filter(
                 F.expr(
                     "__dv_bytes IS NULL "
-                    "OR __pos DIV 8 < __dv_start "
-                    "OR __pos DIV 8 - __dv_start >= length(__dv_bytes) "
+                    f"OR (__pos % {_DV_CHUNK_POS}) DIV 8 < __dv_start "
+                    f"OR (__pos % {_DV_CHUNK_POS}) DIV 8 - __dv_start "
+                    "    >= length(__dv_bytes) "
                     "OR (CAST(conv(hex(substring(__dv_bytes, "
-                    "CAST(__pos DIV 8 - __dv_start AS INT) + 1, 1)), "
-                    "16, 10) AS INT) "
+                    f"CAST((__pos % {_DV_CHUNK_POS}) DIV 8 - __dv_start "
+                    "AS INT) + 1, 1)), 16, 10) AS INT) "
                     "& shiftleft(1, CAST(__pos % 8 AS INT))) = 0"
                 )
             )
-            .drop("__dv_src", "__dv_start", "__dv_bytes")
+            .drop("__dv_src", "__dv_chunk", "__dv_start", "__dv_bytes")
         )
     if not lineage and need_lineage:
         df = df.drop("__src", "__pos")
