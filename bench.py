@@ -141,6 +141,12 @@ FRESH = [
     "text_bpe_bytes_train",
     "text_bpe_bytes_encode",
     "udf_llm_dead_letter",
+    # the r13 late TPC-DS widening (pure SQL, timeable)
+    "sql_tpcds_q34",
+    "sql_tpcds_q42",
+    "sql_tpcds_q88",
+    "sql_tpcds_q89",
+    "sql_tpcds_q93",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -78,6 +78,8 @@ ROUND_KEYS = [
     "text_bpe_bytes_train", "text_bpe_bytes_encode",
     "stream_full_outer_join", "udf_llm_dead_letter", "table_dv_bitmap",
     "table_merge_skipping", "table_sql_insert", "table_sql_select",
+    "sql_tpcds_q34", "sql_tpcds_q42", "sql_tpcds_q88", "sql_tpcds_q89",
+    "sql_tpcds_q93",
 ]
 
 

@@ -800,3 +800,119 @@ register("sql_tpcds_q44", oracle=_QDS44)(_sql_plan(_QDS44))
 register("sql_tpcds_q49", oracle=_QDS49)(_sql_plan(_QDS49))
 register("sql_tpcds_q51", oracle=_QDS51)(_sql_plan(_QDS51))
 register("sql_tpcds_q67", oracle=_QDS67)(_sql_plan(_QDS67))
+
+
+# --- TPC-DS mini-family, round-13 widening (beyond the r12 five) ----------
+# Same discipline: ONE SQL string runs verbatim through spark.sql AND
+# DuckDB (the oracle IS the query), money as bigint cents, ranks with
+# unique-key tie-breaks, double division only in final ROUND(...,6)
+# projections (the _QDS36 precedent).
+
+# Q42/Q52 shape: monthly brand revenue with a rank-per-month top-10 —
+# the classic star-join + date-filter + per-group leaderboard. Filters
+# reach the orders scan; the dim join broadcasts.
+_QDS42 = """
+WITH m AS (
+    SELECT EXTRACT(month FROM o.o_orderdate) AS moy, p.p_brand,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY EXTRACT(month FROM o.o_orderdate), p.p_brand
+),
+r AS (
+    SELECT CAST(moy AS BIGINT) AS moy, p_brand, rev_cents,
+           CAST(RANK() OVER (PARTITION BY moy
+                             ORDER BY rev_cents DESC, p_brand)
+               AS BIGINT) AS rnk
+    FROM m
+)
+SELECT moy, p_brand, rev_cents, rnk FROM r WHERE rnk <= 10
+"""
+
+# Q34/Q73 shape: frequent-buyer detection — per-customer order counts in
+# a window, band filter, name join (the "households buying 15-20 times"
+# pattern). One agg shuffle + one broadcast-able dim join.
+_QDS34 = """
+WITH oc AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, oc.cnt
+FROM oc JOIN customer c ON oc.o_custkey = c.c_custkey
+WHERE oc.cnt BETWEEN 4 AND 10
+"""
+
+# Q89 shape: months whose category revenue runs below the category's
+# yearly average — windowed total/count instead of AVG so the comparison
+# stays in exact integers; the ratio is the only double, in a final
+# ROUND projection.
+_QDS89 = """
+WITH m AS (
+    SELECT p.p_type, EXTRACT(month FROM o.o_orderdate) AS moy,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY p.p_type, EXTRACT(month FROM o.o_orderdate)
+),
+a AS (
+    SELECT p_type, CAST(moy AS BIGINT) AS moy, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY p_type) AS BIGINT)
+               AS tot_cents,
+           CAST(COUNT(*) OVER (PARTITION BY p_type) AS BIGINT) AS n_months
+    FROM m
+)
+SELECT p_type, moy, rev_cents,
+       ROUND(CAST(rev_cents AS DOUBLE) * n_months / tot_cents, 6)
+           AS ratio_to_avg
+FROM a
+WHERE rev_cents * n_months < tot_cents
+"""
+
+# Q93 shape: returns-adjusted net activity per supplier — returned lines
+# subtract instead of add (one conditional aggregation, map-side
+# combinable; quantities are whole-number doubles, cast exact).
+_QDS93 = """
+SELECT l_suppkey,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN -CAST(l_quantity AS BIGINT)
+                     ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT)
+           AS net_qty,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_suppkey
+"""
+
+# Q88 shape: one wide row of time-band counters over the event stream —
+# eight conditional aggregations in a single scan (TPC-DS runs eight
+# scalar subqueries; conditional aggregation is the plan a columnar
+# engine should produce for it, one pass instead of eight).
+_QDS88 = """
+SELECT
+    CAST(SUM(CASE WHEN h >= 0  AND h < 3  THEN 1 ELSE 0 END) AS BIGINT) AS h00_03,
+    CAST(SUM(CASE WHEN h >= 3  AND h < 6  THEN 1 ELSE 0 END) AS BIGINT) AS h03_06,
+    CAST(SUM(CASE WHEN h >= 6  AND h < 9  THEN 1 ELSE 0 END) AS BIGINT) AS h06_09,
+    CAST(SUM(CASE WHEN h >= 9  AND h < 12 THEN 1 ELSE 0 END) AS BIGINT) AS h09_12,
+    CAST(SUM(CASE WHEN h >= 12 AND h < 15 THEN 1 ELSE 0 END) AS BIGINT) AS h12_15,
+    CAST(SUM(CASE WHEN h >= 15 AND h < 18 THEN 1 ELSE 0 END) AS BIGINT) AS h15_18,
+    CAST(SUM(CASE WHEN h >= 18 AND h < 21 THEN 1 ELSE 0 END) AS BIGINT) AS h18_21,
+    CAST(SUM(CASE WHEN h >= 21 AND h < 24 THEN 1 ELSE 0 END) AS BIGINT) AS h21_24
+FROM (SELECT EXTRACT(hour FROM ts) AS h FROM events) t
+"""
+
+register("sql_tpcds_q34", oracle=_QDS34)(_sql_plan(_QDS34))
+register("sql_tpcds_q42", oracle=_QDS42)(_sql_plan(_QDS42))
+register("sql_tpcds_q88", oracle=_QDS88)(_sql_plan(_QDS88))
+register("sql_tpcds_q89", oracle=_QDS89)(_sql_plan(_QDS89))
+register("sql_tpcds_q93", oracle=_QDS93)(_sql_plan(_QDS93))
