@@ -141,6 +141,7 @@ FRESH = [
     "text_bpe_bytes_train",
     "text_bpe_bytes_encode",
     "udf_llm_dead_letter",
+    "quality_expectations",
     # the r13 late TPC-DS widening (pure SQL, timeable)
     "sql_tpcds_q34",
     "sql_tpcds_q42",

@@ -79,7 +79,7 @@ ROUND_KEYS = [
     "stream_full_outer_join", "udf_llm_dead_letter", "table_dv_bitmap",
     "table_merge_skipping", "table_sql_insert", "table_sql_select",
     "sql_tpcds_q34", "sql_tpcds_q42", "sql_tpcds_q88", "sql_tpcds_q89",
-    "sql_tpcds_q93",
+    "sql_tpcds_q93", "quality_expectations",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Expectation-suite operator (operators/quality.py): ok-flag semantics
+per op, violation counting, the one-scan plan shape, and the empty-check
+refusal — the behaviors the oracle-checked quality_expectations key
+can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.operators.quality import (
+    completeness,
+    expectation_report,
+    max_at_most,
+    min_at_least,
+    no_violations,
+    uniqueness,
+)
+
+
+def test_expectation_flags_pass_and_fail(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, "b", 50), (2, "c", 500)],
+        "id long, name string, v long",
+    )
+    rep = {
+        r.check_name: (r.observed, r.expected, r.ok)
+        for r in expectation_report(
+            df,
+            [
+                completeness("name"),          # 2 of 3 -> fail
+                completeness("v"),             # 3 of 3 -> pass
+                uniqueness("id"),              # dup id=2 -> fail
+                min_at_least(F.col("v"), "v", 0),     # 5 >= 0 -> pass
+                max_at_most(F.col("v"), "v", 100),    # 500 > 100 -> fail
+                no_violations(F.col("v") % 5 == 0, "in_set:v_mod5"),
+            ],
+        ).collect()
+    }
+    assert rep["completeness:name"] == (2, 3, 0)
+    assert rep["completeness:v"] == (3, 3, 1)
+    assert rep["uniqueness:id"] == (2, 3, 0)
+    assert rep["range_min:v"] == (5, 0, 1)
+    assert rep["range_max:v"] == (500, 100, 0)
+    assert rep["in_set:v_mod5"] == (0, 0, 1)
+
+
+def test_expectation_report_is_one_scan(spark):
+    """All checks ride ONE aggregation: the physical plan contains
+    exactly one Exchange (the partial->final agg boundary) and one scan
+    of the input — never a job per check."""
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"))
+    rep = expectation_report(
+        df,
+        [completeness("g"), uniqueness("id"),
+         min_at_least(F.col("id"), "id", 0),
+         max_at_most(F.col("id"), "id", 10_000),
+         no_violations(F.col("g") < 7, "in_set:g")],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2  # agg (+AQE read)
+    assert plan.count("Scan ") + plan.count("Range ") <= 2
+    assert rep.count() == 5
+
+
+def test_expectation_refusals(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="no checks"):
+        expectation_report(df, [])
+    with pytest.raises(ValueError, match="unknown expectation op"):
+        expectation_report(
+            df, [("bad", F.count(F.lit(1)), F.count(F.lit(1)), "!=")])

@@ -1293,3 +1293,89 @@ def agg_linear_trend(spark, sf_dir):
             F.round(slope_num.cast("double") / den.cast("double"), 6)
         ).alias("slope_cents_per_hour"),
     )
+
+
+@register(
+    "quality_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(o_custkey) AS BIGINT) AS custkey_nonnull,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS orderkey_distinct,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS price_min_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS price_max_cents,
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS status_violations,
+               CAST(SUM(CASE WHEN o_orderdate >=
+                                  TIMESTAMP '1995-01-01 00:00:00'
+                              AND o_orderdate <
+                                  TIMESTAMP '2002-01-01 00:00:00'
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS date_violations
+        FROM orders
+    )
+    SELECT 'completeness:o_custkey' AS check_name,
+           custkey_nonnull AS observed, n_rows AS expected,
+           CAST(custkey_nonnull = n_rows AS BIGINT) AS ok FROM m
+    UNION ALL
+    SELECT 'uniqueness:o_orderkey', orderkey_distinct, n_rows,
+           CAST(orderkey_distinct = n_rows AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'range_min:o_totalprice_cents', price_min_cents,
+           CAST(0 AS BIGINT), CAST(price_min_cents >= 0 AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'range_max:o_totalprice_cents', price_max_cents,
+           CAST(100000000 AS BIGINT),
+           CAST(price_max_cents <= 100000000 AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'in_set:o_orderstatus', status_violations, CAST(0 AS BIGINT),
+           CAST(status_violations = 0 AS BIGINT) FROM m
+    UNION ALL
+    SELECT 'in_range:o_orderdate', date_violations, CAST(0 AS BIGINT),
+           CAST(date_violations = 0 AS BIGINT) FROM m
+    """,
+)
+def quality_expectations(spark, sf_dir):
+    """Data-quality expectation suite (Deequ / Great Expectations shape,
+    operators/quality.py): six declarative checks over orders —
+    completeness(o_custkey), uniqueness(o_orderkey), integer-cent price
+    range bounds, o_orderstatus set membership, o_orderdate window —
+    verified in ONE aggregation pass (every check contributes aggregate
+    expressions to a single df.agg; per-check rows explode from the
+    one-row result) and reported as (check_name, observed, expected,
+    ok). The naive shape is one job per check — N scans of a 100 TB
+    table; this is N checks for one map-side-combinable scan, which is
+    why Deequ exists as a Spark library. Reference tie-in: the
+    reference's loader trusts its CSV blindly (init_db.py inserts with
+    no validation); an ingest gate is what its pipeline would need
+    first at scale."""
+    from unfccc_documents_database_sandbox_spark.operators.quality import (
+        completeness,
+        expectation_report,
+        max_at_most,
+        min_at_least,
+        no_violations,
+        uniqueness,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    checks = [
+        completeness("o_custkey"),
+        uniqueness("o_orderkey"),
+        min_at_least(cents, "o_totalprice_cents", 0),
+        max_at_most(cents, "o_totalprice_cents", 100_000_000),
+        no_violations(
+            F.col("o_orderstatus").isin("O", "F", "P"),
+            "in_set:o_orderstatus",
+        ),
+        no_violations(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("2002-01-01")),
+            "in_range:o_orderdate",
+        ),
+    ]
+    return expectation_report(o, checks)

@@ -117,13 +117,15 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "source_schema_evolution", "sql_recursive_bom", "sql_scalar_udf",
         "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19",
         "sql_tpch_q22", "sql_tpch_q4", "stream_foreach_merge",
-        "stream_stream_join", "table_changes", "table_incremental_mv",
+        "stream_stream_join", "table_changes",
         # the alphabetical tail of this cohort (udtf_python_segments,
         # udaf_pandas_agg, ts_gapfill, try_funcs, text_keyterms,
-        # table_stats_prune, table_schema_evolution) demoted back to
-        # NEXT mid-round as the r13 new-key count grew 9 -> 16 with
-        # table_sql_insert, table_sql_select and the five extra TPC-DS
-        # shapes — still re-verified every round by tests/test_parity.py
+        # table_stats_prune, table_schema_evolution,
+        # table_incremental_mv) demoted back to NEXT mid-round as the
+        # r13 new-key count grew 9 -> 17 with table_sql_insert,
+        # table_sql_select, quality_expectations and the five extra
+        # TPC-DS shapes — still re-verified every round by
+        # tests/test_parity.py
     }
 )
 
@@ -140,7 +142,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         # r08 evidence: demoted from DUE mid-round (see the DUE comment)
         "udtf_python_segments", "udaf_pandas_agg", "ts_gapfill",
         "try_funcs", "text_keyterms", "table_stats_prune",
-        "table_schema_evolution",
+        "table_schema_evolution", "table_incremental_mv",
         # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
         # rows-only by design)
         "agg_corr_exact", "dedup_incremental", "dedup_lines",
