@@ -157,3 +157,85 @@ def test_dv_update_mor_and_row_ids_survive_encoding(spark, tmp_path):
     for i in range(300):
         want = -i * 10 if i % 4 == 1 else i * 10
         assert got[i] == (want, rid_before[i])
+
+
+def _legacy_write_dv_parts(root, entries):
+    """What the pre-bitmap engine wrote: plain (src, pos) parquet rows."""
+    pdir = snap._new_payload_dir(root)
+    entries.select("src", "pos").write.parquet(pdir)
+    return snap._dir_files(root, pdir)
+
+
+def test_dv_legacy_row_format_parts_still_decode(spark, mor_table,
+                                                 monkeypatch):
+    """r13 ADVICE high: a table whose DV parts were written by the
+    row-format era ((src, pos) rows, no dv_bytes column) must decode
+    exactly — NOT NULL-read under the bitmap schema and silently
+    resurrect its deletes. The reader routes each part by its parquet
+    footer schema."""
+    monkeypatch.setattr(snap, "_write_dv_parts", _legacy_write_dv_parts)
+    snap.delete_where_mor(spark, mor_table, "id % 2 = 0")
+    monkeypatch.undo()
+    # head read: 1000 even ids stay deleted through the legacy decode
+    head = snap.read(spark, mor_table)
+    assert head.count() == 1000
+    assert head.filter("id % 2 = 0").count() == 0
+    ents = snap.dv_entries(spark, mor_table)
+    assert ents.count() == 1000 == ents.distinct().count()
+    # a bitmap-era delete SUPERSEDES the legacy entries: the OR unions
+    # legacy-decoded positions with the new ones, each exactly once
+    snap.delete_where_mor(spark, mor_table, "id % 3 = 0")
+    want = len([i for i in range(2000) if i % 2 == 0 or i % 3 == 0])
+    ents2 = snap.dv_entries(spark, mor_table)
+    assert ents2.count() == want == ents2.distinct().count()
+    assert snap.read(spark, mor_table).count() == 2000 - want
+
+
+def test_dv_unknown_encoding_refuses(spark, mor_table, monkeypatch):
+    """A DV part with NEITHER pos nor dv_bytes is a future encoding —
+    the reader refuses loudly instead of guessing."""
+    def _alien_write(root, entries):
+        pdir = snap._new_payload_dir(root)
+        entries.select(
+            entries.src, entries.pos.alias("mystery")
+        ).write.parquet(pdir)
+        return snap._dir_files(root, pdir)
+
+    monkeypatch.setattr(snap, "_write_dv_parts", _alien_write)
+    snap.delete_where_mor(spark, mor_table, "id < 10")
+    monkeypatch.undo()
+    with pytest.raises(ValueError, match="unknown encoding"):
+        snap.read(spark, mor_table).count()
+
+
+def test_dv_first_bitmap_write_raises_protocol(spark, mor_table):
+    """r13 ADVICE high (the protocol half): the first bitmap-DV commit on
+    a table stamped below (reader 4, writer 3) raises the requirement IN
+    THE SAME COMMIT — Delta's protocol-action rule — so a row-format-era
+    engine refuses the table instead of resurrecting deletes. Tables
+    already at the requirement keep their DV commits data-only."""
+    import json
+    import os
+
+    # simulate a pre-bitmap-era table: downgrade commit 0's stamp
+    p = snap._commit_path(mor_table, 0)
+    with open(p, encoding="utf-8") as fh:
+        c = json.load(fh)
+    assert c["protocol"] == {"reader": 4, "writer": 3}  # engine max today
+    c["protocol"] = {"reader": 3, "writer": 2}
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(c, fh)
+    os.replace(tmp, p)
+    assert snap._read_state(mor_table)["protocol"] == {
+        "reader": 3, "writer": 2}
+    v = snap.delete_where_mor(spark, mor_table, "id < 100")
+    commit = snap._load_commit(mor_table, v)
+    assert commit.get("protocol") == {"reader": 4, "writer": 3}
+    assert snap._read_state(mor_table)["protocol"] == {
+        "reader": 4, "writer": 3}
+    assert snap.read(spark, mor_table).count() == 1900
+    # second DV commit: requirement already met -> data-only commit
+    v2 = snap.delete_where_mor(spark, mor_table, "id >= 1900")
+    assert "protocol" not in snap._load_commit(mor_table, v2)
+    assert snap.read(spark, mor_table).count() == 1800

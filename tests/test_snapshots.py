@@ -4155,3 +4155,164 @@ def test_merge_skipping_mor_and_degradation(spark, tmp_path):
     got = {r.id: r.v for r in snap.read(spark, root).collect()}
     assert got[5] == -5 and got[7] == -7 and got[10_000] == 1
     assert len(got) == 401
+
+
+def test_merge_skipping_overflow_guard_ignores_nulls(spark, tmp_path):
+    """r13 ADVICE medium: the bloom tier's ≤1024-key overflow guard must
+    count DISTINCT NON-NULL keys — a NULL landing inside the sampled
+    rows must not mask the 1025th real key and bloom-prune files that
+    hold unsampled keys (a false negative that would turn matched rows
+    into duplicate inserts). With >1024 real keys the bloom tier is
+    skipped and every range-eligible file stays a candidate."""
+    root = str(tmp_path / "mnull")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(2000)], "id long, v long")
+    snap.create(spark, root, df.repartitionByRange(2, "id"),
+                bloom_cols=["id"])
+    live0 = snap.live_files(root)
+    assert len(live0) == 2  # [0..~999], [~1000..1999]
+    # 1500 distinct non-null keys spanning both files, plus a NULL row
+    keys = spark.createDataFrame(
+        [(i,) for i in range(500, 2000)] + [(None,)], "id long")
+    cand = snap.merge_candidate_files(spark, root, keys, ["id"])
+    assert set(cand) == set(live0), (
+        "bloom tier ran on an incomplete >1024-key sample: candidates "
+        f"{cand} vs live {live0}")
+    # and with a genuinely small key set the bloom tier still prunes
+    small = spark.createDataFrame([(5,), (None,)], "id long")
+    cand_small = snap.merge_candidate_files(spark, root, small, ["id"])
+    assert len(cand_small) == 1
+
+
+def test_merge_skipping_non_orderable_key_degrades(spark, tmp_path):
+    """r13 ADVICE low: a non-orderable key type (map) skips the min/max
+    tier instead of failing the whole MERGE with an AnalysisException —
+    the docstring's 'non-orderable key types skip tier 1' promise."""
+    root = str(tmp_path / "mmap")
+    df = spark.createDataFrame([(i, i) for i in range(10)],
+                               "id long, v long")
+    snap.create(spark, root, df.coalesce(2))
+    keys = spark.createDataFrame(
+        [({"k": 1},)], "mkey map<string,int>")
+    cand = snap.merge_candidate_files(spark, root, keys, ["mkey"])
+    assert cand == snap.live_files(root)  # degraded to the full set
+
+
+def test_merge_mor_clauses_unclaimed_rows_cost_nothing(spark, tmp_path):
+    """MoR clause physics: a matched row NO clause claims is neither
+    DV-deleted nor re-appended — it stays live in its original file at
+    zero write cost (the MoR advantage over COW's carry-rewrite), and
+    the typed feed carries nothing for it."""
+    from pyspark.sql.functions import count
+    root = str(tmp_path / "morun")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "id long, v long")
+    snap.create(spark, root, df.repartition(2))
+    src = spark.createDataFrame(
+        [(1, 111), (2, 222), (500, 5)], "id long, v long")
+    # clause claims only odd-keyed matches; id=2's pair is unclaimed
+    ver = snap.merge_into_mor(
+        spark, root, src, ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.id % 2 = 1",
+             "set": None}],
+    )
+    got = {r.id: r.v for r in snap.read(spark, root).collect()}
+    assert got[1] == 111 and got[2] == 20 and got[500] == 5
+    assert len(got) == 101
+    # exactly ONE DV position (id=1's old copy); id=2 untouched
+    ents = snap.dv_entries(spark, root).collect()
+    assert len(ents) == 1
+    feed = snap.changes(spark, root, ver - 1, ver, classify_updates=True)
+    kinds = {r._change_type: r.cnt for r in feed.groupBy("_change_type")
+             .agg(count("*").alias("cnt")).collect()}
+    assert kinds == {"update_preimage": 1, "update_postimage": 1,
+                     "insert": 1}
+
+
+def test_merge_mor_clauses_by_source_and_row_ids(spark, tmp_path):
+    """MoR by-source clauses: fired unmatched rows DV-delete (+ append
+    for the update form) while their stable row ids survive; matched
+    update-clause replacements keep the target's id too."""
+    root = str(tmp_path / "morbs")
+    df = spark.createDataFrame(
+        [(i, i * 10, "live") for i in range(40)],
+        "id long, v long, tag string")
+    from pyspark.sql.functions import count
+
+    snap.create(spark, root, df.repartition(2), row_tracking=True)
+    rid0 = {r.id: r._row_id
+            for r in snap.read_with_row_ids(spark, root).collect()}
+    src = spark.createDataFrame(
+        [(4, 1, "s"), (5, 2, "s"), (99, 3, "s")],
+        "id long, v long, tag string")
+    ver = snap.merge_into_mor(
+        spark, root, src, ["id"],
+        matched_clauses=[
+            {"action": "update", "condition": "s.v = 1",
+             "set": {"v": "t.v + s.v", "tag": "'upd'"}},
+            {"action": "delete", "condition": "s.v = 2"},
+        ],
+        not_matched_condition="v > 2",
+        not_matched_by_source="update",
+        not_matched_by_source_condition="id >= 38",
+        not_matched_by_source_set={"tag": "'stale'"},
+    )
+    got = {r.id: (r.v, r.tag, r._row_id)
+           for r in snap.read_with_row_ids(spark, root).collect()}
+    assert got[4] == (41, "upd", rid0[4])        # clause-1 update
+    assert 5 not in got                           # clause-2 delete
+    assert got[99][:2] == (3, "s")                # conditional insert
+    assert got[38] == (380, "stale", rid0[38])    # by-source update
+    assert got[39] == (390, "stale", rid0[39])
+    assert got[37] == (370, "live", rid0[37])     # by-source not fired
+    assert len(got) == 40  # 40 - 1 delete + 1 insert
+    # feed: 3 update pairs (1 matched + 2 by-source), 1 delete, 1 insert
+    feed = snap.changes(spark, root, ver - 1, ver, classify_updates=True)
+    kinds = {r._change_type: r.cnt for r in feed.groupBy("_change_type")
+             .agg(count("*").alias("cnt")).collect()}
+    assert kinds == {"update_preimage": 3, "update_postimage": 3,
+                     "delete": 1, "insert": 1}
+    # zero-rewrite invariant
+    assert set(snap.live_files(root, 0)) <= set(snap.live_files(root))
+
+
+def test_merge_mor_clauses_equal_cow_and_supersede(spark, tmp_path):
+    """The MoR clause matrix hash-equals the COW twin on the same
+    commit sequence, including a SECOND clause merge whose DVs must
+    supersede the first's (bitmap-OR, each dead position exactly
+    once)."""
+    df_rows = [(i, i * 10, "live") for i in range(60)]
+    roots = {}
+    for name in ("mor", "cow"):
+        root = str(tmp_path / name)
+        snap.create(
+            spark, root,
+            spark.createDataFrame(df_rows, "id long, v long, tag string")
+            .repartition(3))
+        roots[name] = root
+    fn = {"mor": snap.merge_into_mor, "cow": snap.merge_into}
+    for step in range(2):
+        src = spark.createDataFrame(
+            [(i, step + 1, "s") for i in range(step, 60, 4)]
+            + [(100 + step * 2, 9, "s"), (101 + step * 2, 1, "s")],
+            "id long, v long, tag string")
+        for name, root in roots.items():
+            fn[name](
+                spark, root, src, ["id"],
+                matched_clauses=[
+                    {"action": "update", "condition": "t.id % 8 < 4",
+                     "set": {"v": "t.v + s.v * 1000"}},
+                    {"action": "delete", "condition": "t.id % 8 = 5"},
+                ],
+                not_matched_condition="v > 2",
+                not_matched_by_source="delete",
+                not_matched_by_source_condition=f"id = {55 + step}",
+            )
+    a = sorted(tuple(r) for r in snap.read(spark, roots["mor"]).collect())
+    b = sorted(tuple(r) for r in snap.read(spark, roots["cow"]).collect())
+    assert a == b
+    ents = snap.dv_entries(spark, roots["mor"])
+    assert ents.count() == ents.distinct().count()
+    assert set(snap.live_files(roots["mor"], 0)) <= set(
+        snap.live_files(roots["mor"]))

@@ -203,9 +203,9 @@ def test_merge_by_source_delete_sync(spark, pair):
     assert [t[0] for t in _rows(spark, sql_root)] == list(range(0, 20, 2))
 
 
-def test_merge_mor_classic_and_refusal(spark, pair):
+def test_merge_mor_classic(spark, pair):
     """mode='mor' routes the classic upsert to merge_into_mor (zero data
-    files rewritten); conditioned clauses refuse per the MoR scope."""
+    files rewritten)."""
     sql_root, py_root = pair
     files_before = set(snap.live_files(sql_root, 0))
     src = spark.createDataFrame([(5, 999, "upd"), (100, 1, "new")],
@@ -220,12 +220,42 @@ def test_merge_mor_classic_and_refusal(spark, pair):
     assert _rows(spark, sql_root) == _rows(spark, py_root)
     # MoR: every original data file is still live (DVs + appends only)
     assert files_before <= set(snap.live_files(sql_root))
-    with pytest.raises(DmlSyntaxError, match="classic upsert"):
-        execute_dml(
-            spark,
-            """MERGE INTO tbl t USING src s ON t.id = s.id
-               WHEN MATCHED AND s.score > 0 THEN DELETE""",
-            {"tbl": sql_root}, sources={"src": src}, mode="mor")
+
+
+def test_merge_mor_full_clause_matrix_matches_cow(spark, pair):
+    """VERDICT r13 #3: mode='mor' carries the SAME clause matrix as COW —
+    one statement with ordered conditioned WHEN MATCHED clauses,
+    conditional INSERT, and NOT MATCHED BY SOURCE UPDATE runs under both
+    modes with identical table contents, while the MoR side rewrites
+    ZERO pre-existing data files (DVs + appends only)."""
+    sql_root, py_root = pair
+    files_before = set(snap.live_files(sql_root, 0))
+    src = spark.createDataFrame(
+        [(0, 7, "s"), (3, 8, "s"), (6, 9, "s"), (30, 2, "s"), (31, 3, "s")],
+        "id long, score long, status string")
+    stmt = """
+        MERGE INTO tbl t USING src s ON t.id = s.id
+        WHEN MATCHED AND s.score % 2 = 1 THEN
+            UPDATE SET score = s.score * 100, status = 'odd'
+        WHEN MATCHED AND s.score % 2 = 0 THEN DELETE
+        WHEN NOT MATCHED AND score > 2 THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND id < 5 THEN
+            UPDATE SET status = 'stale', score = -score
+    """
+    execute_dml(spark, stmt, {"tbl": sql_root}, sources={"src": src},
+                mode="mor")
+    execute_dml(spark, stmt, {"tbl": py_root}, sources={"src": src},
+                mode="cow")
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+    assert files_before <= set(snap.live_files(sql_root)), (
+        "MoR clause merge rewrote a pre-existing file")
+    assert snap.dv_map(sql_root), "no deletion vectors assigned"
+    got = {t[0]: t for t in _rows(spark, sql_root)}
+    assert got[0] == (0, 700, "odd") and 3 not in got
+    assert got[6] == (6, 900, "odd")
+    assert got[31] == (31, 3, "s") and 30 not in got
+    assert got[1] == (1, -10, "stale")
+    assert got[10] == (10, 100, "live")
 
 
 def test_mor_update_delete_route(spark, pair):
@@ -368,8 +398,7 @@ def test_insert_column_list_positional(spark, tmp_path):
 
 def test_read_sql_select_and_time_travel(spark, pair):
     """read_sql binds snapshot tables (head and VERSION AS OF) into one
-    spark.sql statement; quote-aware, alias-friendly, and refusing
-    TIMESTAMP AS OF."""
+    spark.sql statement; quote-aware and alias-friendly."""
     from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
         read_sql,
     )
@@ -395,6 +424,128 @@ def test_read_sql_select_and_time_travel(spark, pair):
         {"tbl": sql_root},
     ).collect()
     assert len(rows) == 1 and rows[0].lit == "FROM tbl"
-    with pytest.raises(DmlSyntaxError, match="TIMESTAMP AS OF"):
-        read_sql(spark, "SELECT * FROM tbl TIMESTAMP AS OF '2026-01-01'",
+
+
+def test_read_sql_timestamp_as_of(spark, pair):
+    """VERDICT r13 #2: TIMESTAMP AS OF resolves through the commit log's
+    recorded epoch-ms timestamps and hash-equals the VERSION AS OF read
+    of the same pinned snapshot; a malformed literal is a refusal."""
+    import json
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        read_sql,
+    )
+
+    sql_root, _ = pair
+    snap.delete_where(spark, sql_root, "id % 2 = 0")  # v1
+    # pin deterministic commit timestamps (v0 @ 100s, v1 @ 200s epoch)
+    for v, ts in ((0, 100_000), (1, 200_000)):
+        p = snap._commit_path(sql_root, v)
+        with open(p, encoding="utf-8") as fh:
+            c = json.load(fh)
+        c["ts"] = ts
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(c, fh)
+        os.replace(tmp, p)
+    by_ts = sorted(
+        tuple(r) for r in read_sql(
+            spark,
+            "SELECT * FROM tbl TIMESTAMP AS OF '1970-01-01 00:02:30'",
+            {"tbl": sql_root},
+        ).collect()
+    )
+    by_v = sorted(
+        tuple(r) for r in read_sql(
+            spark, "SELECT * FROM tbl VERSION AS OF 0", {"tbl": sql_root}
+        ).collect()
+    )
+    assert by_ts == by_v and len(by_ts) == 20  # 150s -> newest <= is v0
+    head = read_sql(
+        spark,
+        "SELECT * FROM tbl TIMESTAMP AS OF '1970-01-01 00:03:20'",
+        {"tbl": sql_root},
+    ).count()
+    assert head == 10  # 200s -> v1
+    with pytest.raises(DmlSyntaxError, match="cannot parse TIMESTAMP"):
+        read_sql(spark, "SELECT * FROM tbl TIMESTAMP AS OF 'yesterdayish'",
                  {"tbl": sql_root})
+    with pytest.raises(ValueError, match="no commit at or before"):
+        read_sql(spark,
+                 "SELECT * FROM tbl TIMESTAMP AS OF '1970-01-01 00:00:01'",
+                 {"tbl": sql_root})
+
+
+def test_read_sql_drops_its_temp_views(spark, pair):
+    """r13 ADVICE low: the uuid-named binding views are dropped once the
+    statement is analyzed — repeated querying leaks no catalog entries,
+    and the returned DataFrame stays usable after the drop."""
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        read_sql,
+    )
+
+    sql_root, _ = pair
+
+    def snap_views():
+        return {t.name for t in spark.catalog.listTables()
+                if t.name.startswith("snap_")}
+
+    before = snap_views()
+    df = read_sql(spark, "SELECT COUNT(*) AS n FROM tbl", {"tbl": sql_root})
+    assert snap_views() == before, "binding views leaked"
+    assert df.collect()[0].n == 20  # plan survives the view drop
+    # and a refused statement cleans up too
+    with pytest.raises(Exception):
+        read_sql(spark, "SELECT definitely not sql FROM FROM tbl",
+                 {"tbl": sql_root})
+    assert snap_views() == before
+
+
+def test_strip_qual_is_quote_aware():
+    """r13 ADVICE low: alias-dot sequences inside string literals are
+    data — neither refused (forbidden side) nor rewritten (allowed
+    side); escaped quotes ('') stay inside the literal."""
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        _strip_qual,
+    )
+
+    assert _strip_qual("concat(s.x, 't.lit')", "s", "t", "ctx") \
+        == "concat(x, 't.lit')"
+    assert _strip_qual("'s.kept' || t.c", "t", "s", "ctx") \
+        == "'s.kept' || c"
+    assert _strip_qual("'it''s. t.' || t.c", "t", "s", "ctx") \
+        == "'it''s. t.' || c"
+    with pytest.raises(DmlSyntaxError, match="only the s-side"):
+        _strip_qual("t.c + s.x", "s", "t", "ctx")
+
+
+def test_by_source_condition_with_alias_literal(spark, pair):
+    """End-to-end: a by-source condition containing a literal that LOOKS
+    like a source qualifier ('s.x') must parse and run, not be refused."""
+    sql_root, py_root = pair
+    src = spark.createDataFrame(
+        [(2, 20, "live"), (99, 1, "new")],
+        "id long, score long, status string")
+    src.createOrReplaceTempView("bysrc_lit")
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING bysrc_lit s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.status != 's.x' THEN "
+        "UPDATE SET status = 's.x'",
+        {"tbl": sql_root},
+    )
+    snap.merge_into(
+        spark, py_root, src, ["id"],
+        matched_clauses=[{"action": "update", "condition": None,
+                          "set": None}],
+        not_matched_by_source="update",
+        not_matched_by_source_condition="status != 's.x'",
+        not_matched_by_source_set={"status": "'s.x'"},
+    )
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+    got = {t[0]: t for t in _rows(spark, sql_root)}
+    assert got[2] == (2, 20, "live") and got[99] == (99, 1, "new")
+    assert got[3] == (3, 30, "s.x")

@@ -228,8 +228,13 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 # checkpoint commit points, which is only safe until expire_log removes
 # the commits it would replay instead — so WRITING a parquet checkpoint
 # requires the table to already demand reader 3, the Delta
-# checkpoint-format protocol rule).
-_READER_VERSION = 3
+# checkpoint-format protocol rule); 4 = bitmap (roaring-container)
+# deletion-vector encoding — a reader-3 engine expects (src, pos) row
+# DV parts and would NULL-read bitmap containers, silently resurrecting
+# every deleted row, so the FIRST bitmap-DV commit on a table raises
+# its requirement to 4 in the same atomic commit (r13 ADVICE: the
+# encoding changed without a protocol action).
+_READER_VERSION = 4
 
 # Writer protocol (Delta's two-sided protocol action): a table whose log
 # demands a newer WRITER must refuse to COMMIT — an old writer that can
@@ -239,8 +244,14 @@ _READER_VERSION = 3
 # gated separately (_check_protocol); writers call _check_write_protocol
 # before publishing. `upgrade_protocol` raises either requirement as one
 # metadata commit (never lowers — downgrades would un-refuse old engines
-# retroactively).
-_WRITER_VERSION = 2
+# retroactively). History: 3 = bitmap DVs (a writer superseding a
+# bitmap DV must bitmap-OR the prior containers, not union rows).
+_WRITER_VERSION = 3
+
+# The protocol pair the bitmap DV encoding demands (see the version
+# histories above): stamped onto a table by the first commit that
+# writes a bitmap DV part, if the table does not already require it.
+_DV_BITMAP_PROTOCOL = {"reader": 4, "writer": 3}
 
 
 def _check_protocol(proto: dict | None) -> None:
@@ -762,18 +773,27 @@ def merge_candidate_files(
     types skip tier 1; NULL bounds (all-NULL keys) skip too — SQL
     equality never matches NULL, so such sources match nothing anyway."""
     state = _read_state(root, version)
-    # one small job over the (distinct) source keys for all bounds
-    aggs = keys.agg(
-        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(key_cols)],
-        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(key_cols)],
-    ).collect()[0]
+    # one small job over the (distinct) source keys for all bounds —
+    # restricted up front to stats-eligible orderable key types (the
+    # same set the write-side stats pass records): running min/max over
+    # a map-typed key would raise an AnalysisException and fail the
+    # whole MERGE instead of skipping tier 1 (r13 ADVICE low)
+    key_types = {f.name: f.dataType for f in keys.schema.fields}
+    stat_keys = [
+        c for c in key_cols if isinstance(key_types.get(c), _STATS_TYPES)
+    ]
     bounds: dict[str, tuple] = {}
-    for i, c in enumerate(key_cols):
-        lo, hi = aggs[f"lo_{i}"], aggs[f"hi_{i}"]
-        if lo is None or hi is None:
-            continue
-        if isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
-            bounds[c] = (lo, hi)
+    if stat_keys:
+        aggs = keys.agg(
+            *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(stat_keys)],
+            *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(stat_keys)],
+        ).collect()[0]
+        for i, c in enumerate(stat_keys):
+            lo, hi = aggs[f"lo_{i}"], aggs[f"hi_{i}"]
+            if lo is None or hi is None:
+                continue
+            if isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+                bounds[c] = (lo, hi)
     cand = pruned_files(root, bounds, version) if bounds \
         else sorted(state["live"])
     bloom_keys = [c for c in key_cols if c in state["bloom_cols"]]
@@ -784,11 +804,17 @@ def merge_candidate_files(
         phys = _phys_map(schema)
         dtypes = {f.name: f.dataType.simpleString() for f in schema}
         for c in bloom_keys:
+            # NULLs are dropped BEFORE distinct().limit(): filtering the
+            # collected sample instead would let a NULL row mask the
+            # MAX_KEYS+1st real key, passing the overflow guard on an
+            # incomplete sample and bloom-pruning files that hold the
+            # unsampled keys — a false negative that turns matched rows
+            # into duplicate inserts (r13 ADVICE medium). SQL equality
+            # never matches NULL, so dropping them loses nothing.
             vals = [
                 r[0] for r in
-                keys.select(c).distinct()
+                keys.select(c).filter(F.col(c).isNotNull()).distinct()
                 .limit(_MERGE_SKIP_MAX_KEYS + 1).collect()
-                if r[0] is not None
             ]
             if not vals or len(vals) > _MERGE_SKIP_MAX_KEYS:
                 continue  # too many keys: bounds tier already applied
@@ -1287,6 +1313,23 @@ def _publish_commit(root: str, base_version: int, *, op: str,
     loser_touched = _commit_touched(
         {"remove": kwargs.get("remove") or [], "dv": kwargs.get("dv")}
     )
+    if (kwargs.get("dv") or {}).get("parts") and "protocol" not in kwargs:
+        # First bitmap-DV part on a table written before the bitmap
+        # encoding: raise the protocol requirement IN THE SAME COMMIT
+        # (Delta's protocol-action rule — r13 ADVICE high), so a
+        # row-format-era engine refuses the table instead of NULL-reading
+        # the containers and resurrecting deletes. Tables already at the
+        # requirement (everything commit-0-created by this engine) skip
+        # the stamp, keeping DV commits data-only for the conflict matrix.
+        cur = _read_state(root)["protocol"]
+        need_r = _DV_BITMAP_PROTOCOL["reader"]
+        need_w = _DV_BITMAP_PROTOCOL["writer"]
+        if (int(cur.get("reader", 1)) < need_r
+                or int(cur.get("writer", 1)) < need_w):
+            kwargs["protocol"] = {
+                "reader": max(int(cur.get("reader", 1)), need_r),
+                "writer": max(int(cur.get("writer", 1)), need_w),
+            }
     add = kwargs.pop("add", [])
     remove = kwargs.pop("remove", [])
     version = base_version + 1
@@ -1741,13 +1784,49 @@ def _read_dv_bitmaps(
     parts = sorted({p for ps in pointers.values() for p in ps})
     if not parts:
         return spark.createDataFrame([], _DV_BM_SCHEMA)
-    return (
-        spark.read.schema(_DV_BM_SCHEMA)
-        .parquet(*[os.path.join(_data_root(root), p) for p in parts])
-        .filter(
-            F.concat_ws("\x00", F.col("src"), _src_col()).isin(sorted(allowed))
+    # DV parts come in two known encodings: bitmap containers (r13+,
+    # `dv_bytes` column) and the legacy (src, pos) row format. Reading a
+    # legacy part under the bitmap schema would NULL-fill chunk/dv_bytes
+    # and the scan's left-join probe would keep every row — previously
+    # deleted rows would silently resurrect (r13 ADVICE high). Route each
+    # part by its parquet footer schema (driver-side; DV part lists are
+    # log metadata, O(touched files)): legacy rows are decoded and packed
+    # into containers so every consumer sees ONE encoding. A part with
+    # NEITHER column is a future encoding → refuse (the protocol
+    # comment's rule — by then the table's reader stamp should have
+    # fenced us off anyway).
+    import pyarrow.parquet as pq
+
+    bitmap_parts, legacy_parts = [], []
+    for p in parts:
+        names = set(pq.read_schema(os.path.join(_data_root(root), p)).names)
+        if "dv_bytes" in names:
+            bitmap_parts.append(p)
+        elif "pos" in names:
+            legacy_parts.append(p)
+        else:
+            raise ValueError(
+                f"deletion-vector part {p!r} has an unknown encoding "
+                f"(columns {sorted(names)}) — written by a newer engine?")
+    scoped = F.concat_ws("\x00", F.col("src"), _src_col()).isin(
+        sorted(allowed))
+    out = None
+    if bitmap_parts:
+        out = (
+            spark.read.schema(_DV_BM_SCHEMA)
+            .parquet(*[os.path.join(_data_root(root), p)
+                       for p in bitmap_parts])
+            .filter(scoped)
         )
-    )
+    if legacy_parts:
+        legacy = _pack_dv(
+            spark.read.schema(_DV_SCHEMA)
+            .parquet(*[os.path.join(_data_root(root), p)
+                       for p in legacy_parts])
+            .filter(scoped)
+        )
+        out = legacy if out is None else out.unionByName(legacy)
+    return out
 
 
 def dv_entries(
@@ -3463,6 +3542,95 @@ def applied_txns(root: str, app: str) -> set[int]:
     return {t[1] for t in _read_state(root)["txns"] if t[0] == app}
 
 
+def _validate_merge_clause_args(
+    ctx: str,
+    key_cols: list[str],
+    matched_clauses: list[dict] | None,
+    not_matched_condition: str | None,
+    not_matched_by_source: str | None,
+    not_matched_by_source_condition: str | None,
+    not_matched_by_source_set: dict[str, str] | None,
+):
+    """Shared argument validation for the full MERGE clause matrix —
+    COW `merge_into` and MoR `merge_into_mor` accept the same surface
+    (VERDICT r13 #3), so the contracts live in one place. Returns
+    ``(sync_delete, sync_update, by_source_pred)`` where the predicate
+    implements Delta's clause-gating rule: fire where TRUE, keep the
+    row on FALSE **or NULL** (never let a NULL predicate delete data)."""
+    if not_matched_by_source not in (None, "delete", "update"):
+        raise ValueError(
+            f"{ctx}: not_matched_by_source must be None, 'delete' or "
+            f"'update', got {not_matched_by_source!r}")
+    if (not_matched_by_source_condition is not None
+            and not_matched_by_source is None):
+        raise ValueError(
+            f"{ctx}: not_matched_by_source_condition requires "
+            "not_matched_by_source='delete' or 'update'")
+    sync_delete = not_matched_by_source == "delete"
+    sync_update = not_matched_by_source == "update"
+    if sync_update:
+        if not not_matched_by_source_set:
+            raise ValueError(
+                f"{ctx}: not_matched_by_source='update' requires "
+                "not_matched_by_source_set={column: SQL expr}")
+        bad_keys = sorted(set(not_matched_by_source_set) & set(key_cols))
+        if bad_keys:
+            raise ValueError(
+                f"{ctx}: by-source UPDATE cannot SET merge key "
+                f"columns {bad_keys} — the row's matching identity is "
+                "fixed within the commit")
+    elif not_matched_by_source_set is not None:
+        raise ValueError(
+            f"{ctx}: not_matched_by_source_set requires "
+            "not_matched_by_source='update'")
+    if matched_clauses is not None:
+        if not matched_clauses:
+            raise ValueError(
+                f"{ctx}: matched_clauses must be a non-empty list of "
+                '{"action", "condition", "set"} clauses')
+        for cl in matched_clauses:
+            action = cl.get("action")
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"{ctx}: matched clause action must be 'update' "
+                    f"or 'delete', got {action!r}")
+            if action == "delete" and cl.get("set") is not None:
+                raise ValueError(
+                    f"{ctx}: a matched DELETE clause takes no SET")
+            if action == "update" and cl.get("set"):
+                bad_keys = sorted(set(cl["set"]) & set(key_cols))
+                if bad_keys:
+                    raise ValueError(
+                        f"{ctx}: matched UPDATE cannot SET merge key "
+                        f"columns {bad_keys}")
+    elif not_matched_condition is not None:
+        raise ValueError(
+            f"{ctx}: not_matched_condition requires matched_clauses")
+    by_source_pred = (
+        F.coalesce(
+            F.expr(not_matched_by_source_condition).cast("boolean"),
+            F.lit(False))
+        if not_matched_by_source_condition is not None else F.lit(True)
+    )
+    return sync_delete, sync_update, by_source_pred
+
+
+def _merge_act_col(matched_clauses: list[dict]):
+    """The first-true-clause dispatch column for matched (t, s) pairs:
+    index of the first clause whose condition is TRUE (FALSE or NULL
+    falls through), -1 when no clause claims the pair (Delta: a matched
+    row no clause claims is untouched)."""
+    act = None
+    for i, cl in enumerate(matched_clauses):
+        c = (
+            F.coalesce(F.expr(cl["condition"]).cast("boolean"),
+                       F.lit(False))
+            if cl.get("condition") else F.lit(True)
+        )
+        act = F.when(c, F.lit(i)) if act is None else act.when(c, F.lit(i))
+    return act.otherwise(F.lit(-1))
+
+
 def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
@@ -3553,63 +3721,10 @@ def merge_into(
     (small) source key set against one corpus scan — file granularity is
     what bounds the rewrite, exactly Delta's MERGE story."""
     _check_write_protocol(root)
-    if not_matched_by_source not in (None, "delete", "update"):
-        raise ValueError(
-            "merge_into: not_matched_by_source must be None, 'delete' or "
-            f"'update', got {not_matched_by_source!r}")
-    if (not_matched_by_source_condition is not None
-            and not_matched_by_source is None):
-        raise ValueError(
-            "merge_into: not_matched_by_source_condition requires "
-            "not_matched_by_source='delete' or 'update'")
-    sync_delete = not_matched_by_source == "delete"
-    sync_update = not_matched_by_source == "update"
-    if sync_update:
-        if not not_matched_by_source_set:
-            raise ValueError(
-                "merge_into: not_matched_by_source='update' requires "
-                "not_matched_by_source_set={column: SQL expr}")
-        bad_keys = sorted(set(not_matched_by_source_set) & set(key_cols))
-        if bad_keys:
-            raise ValueError(
-                "merge_into: by-source UPDATE cannot SET merge key "
-                f"columns {bad_keys} — the row's matching identity is "
-                "fixed within the commit")
-    elif not_matched_by_source_set is not None:
-        raise ValueError(
-            "merge_into: not_matched_by_source_set requires "
-            "not_matched_by_source='update'")
-    if matched_clauses is not None:
-        if not matched_clauses:
-            raise ValueError(
-                "merge_into: matched_clauses must be a non-empty list of "
-                '{"action", "condition", "set"} clauses')
-        for cl in matched_clauses:
-            action = cl.get("action")
-            if action not in ("update", "delete"):
-                raise ValueError(
-                    "merge_into: matched clause action must be 'update' "
-                    f"or 'delete', got {action!r}")
-            if action == "delete" and cl.get("set") is not None:
-                raise ValueError(
-                    "merge_into: a matched DELETE clause takes no SET")
-            if action == "update" and cl.get("set"):
-                bad_keys = sorted(set(cl["set"]) & set(key_cols))
-                if bad_keys:
-                    raise ValueError(
-                        "merge_into: matched UPDATE cannot SET merge key "
-                        f"columns {bad_keys}")
-    elif not_matched_condition is not None:
-        raise ValueError(
-            "merge_into: not_matched_condition requires matched_clauses")
-    # Delta clause semantics: delete where the condition is TRUE; FALSE
-    # or NULL keeps the row (never let a NULL predicate delete data)
-    _del_pred = (
-        F.coalesce(
-            F.expr(not_matched_by_source_condition).cast("boolean"),
-            F.lit(False))
-        if not_matched_by_source_condition is not None else F.lit(True)
-    )
+    sync_delete, sync_update, _del_pred = _validate_merge_clause_args(
+        "merge_into", key_cols, matched_clauses, not_matched_condition,
+        not_matched_by_source, not_matched_by_source_condition,
+        not_matched_by_source_set)
     version = latest_version(root) + 1
     pinned = table_schema(root)
     schema, schema_json = pinned, None
@@ -3791,17 +3906,8 @@ def merge_into(
                 e = F.col(f"t.{k}") == F.col(f"s.{k}")
                 jcond = e if jcond is None else jcond & e
             pairs = t.join(F.broadcast(s), jcond, "inner")
-            act = None
-            for i, cl in enumerate(matched_clauses):
-                c = (
-                    F.coalesce(
-                        F.expr(cl["condition"]).cast("boolean"),
-                        F.lit(False))
-                    if cl.get("condition") else F.lit(True)
-                )
-                act = (F.when(c, F.lit(i)) if act is None
-                       else act.when(c, F.lit(i)))
-            pairs = pairs.withColumn("__act", act.otherwise(F.lit(-1)))
+            pairs = pairs.withColumn(
+                "__act", _merge_act_col(matched_clauses))
             t_extra = [F.col(f"t.{c}").alias(c) for c in extra]
             t_all = [F.col(f"t.{c}").alias(c) for c in names] + t_extra
             matched_parts = [
@@ -3898,7 +4004,13 @@ def merge_into(
 
 def merge_into_mor(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
-    *, txn: dict | None = None, max_retries: int = 0,
+    *, txn: dict | None = None,
+    matched_clauses: list[dict] | None = None,
+    not_matched_condition: str | None = None,
+    not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
+    max_retries: int = 0,
 ) -> int:
     """Merge-on-read MERGE (r12 — Iceberg's MoR MERGE shape; Delta's
     MERGE is COW-only): instead of rewriting every file CONTAINING a
@@ -3922,13 +4034,36 @@ def merge_into_mor(
     replacement (exactly Iceberg's behavior; callers wanting diff-only
     feeds pre-filter the source).
 
-    Scope: the classic upsert clause shape (matched -> replace,
-    unmatched -> insert); the conditioned matched / by-source clause
-    matrix stays on the COW merge_into. Same contracts otherwise:
-    unique source keys, schema enforced, constraints checked,
-    generated/default columns derived, identity tables refuse (Delta
-    parity), conflicts resolve through the DV-file matrix."""
+    Clause matrix (VERDICT r13 #3 — the COW merge_into surface, same
+    argument contracts via `_validate_merge_clause_args`):
+    ``matched_clauses`` is the ordered WHEN MATCHED list (first TRUE
+    condition wins, FALSE/NULL falls through; an UNCLAIMED matched row
+    is simply NOT deleted and NOT re-appended — MoR's natural
+    carry-unchanged, zero write cost); update-clause rows DV-delete the
+    old copy and append the rebuilt row (``t.``/``s.`` visible in
+    conditions and SETs, SET * = the source row) keeping the target's
+    stable row id; delete-clause rows DV-delete only.
+    ``not_matched_condition`` gates inserts. ``not_matched_by_source``
+    ('delete'/'update' + condition/SET) touches unmatched target rows:
+    deletes become DV entries, updates become DV + appended post-SET
+    copies (simultaneous-SET against the old row, pinned-type casts,
+    constraint-checked, row ids preserved). A by-source clause must
+    scan EVERY live file (any file may hold an unmatched row); without
+    one the scan stays pruned to the stats/bloom candidate set. The
+    typed feed carries exact update pairs / deletes / inserts per
+    clause.
+
+    Same contracts otherwise: unique source keys, schema enforced,
+    constraints checked, generated/default columns derived, identity
+    tables refuse (Delta parity), conflicts resolve through the
+    DV-file matrix."""
     _check_write_protocol(root)
+    sync_delete, sync_update, by_pred = _validate_merge_clause_args(
+        "merge_into_mor", key_cols, matched_clauses, not_matched_condition,
+        not_matched_by_source, not_matched_by_source_condition,
+        not_matched_by_source_set)
+    clause_path = (matched_clauses is not None or sync_delete
+                   or sync_update)
     st0 = _read_state(root)
     if st0["identity"]:
         raise ValueError(
@@ -3936,8 +4071,30 @@ def merge_into_mor(
             "IDENTITY columns (Delta parity)")
     version = latest_version(root) + 1
     schema = table_schema(root)
+    names = [f.name for f in schema.fields]
+    if sync_update:
+        unknown = sorted(set(not_matched_by_source_set) - set(names))
+        if unknown:
+            raise ValueError(
+                f"merge_into_mor: by-source SET on unknown columns "
+                f"{unknown}")
+    matched_set_cols = sorted(
+        {c for cl in (matched_clauses or []) for c in (cl.get("set") or {})}
+    )
+    if matched_set_cols:
+        unknown = sorted(set(matched_set_cols) - set(names))
+        if unknown:
+            raise ValueError(
+                f"merge_into_mor: matched SET on unknown columns {unknown}")
     source = _apply_write_rules(source, st0["generated"], st0["defaults"],
                                 "merge_into_mor", pinned=schema)
+    if sync_update:
+        _check_generated_set(not_matched_by_source_set, st0["generated"],
+                             "merge_into_mor(not_matched_by_source="
+                             "'update')")
+    if matched_set_cols:
+        _check_generated_set(matched_set_cols, st0["generated"],
+                             "merge_into_mor(matched_clauses)")
     source = _check_schema(source, schema, "merge_into_mor")
     _check_constraints(source, st0["constraints"], "merge_into_mor")
     dup = (
@@ -3952,6 +4109,12 @@ def merge_into_mor(
     keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
     track = st0["row_tracking"]
     live = sorted(st0["live"])
+    if clause_path:
+        return _merge_mor_clauses(
+            spark, root, source, key_cols, st0, schema, keys, live, track,
+            version, matched_clauses, not_matched_condition,
+            sync_delete, sync_update, by_pred, not_matched_by_source_set,
+            txn, max_retries)
     matched, affected, dv = None, [], None
     if live:
         # stats/bloom file skipping (VERDICT r12 #7): MoR MERGE has no
@@ -4019,6 +4182,201 @@ def merge_into_mor(
         cdc_frames.append(
             _to_physical(repl.select(*names), schema)
             .withColumn("_change_type", F.lit("update_postimage")))
+    cdc_frames.append(
+        _to_physical(ins.select(*names), schema)
+        .withColumn("_change_type", F.lit("insert")))
+    cdf_df = cdc_frames[0]
+    for p in cdc_frames[1:]:
+        cdf_df = cdf_df.unionByName(p)
+    cdir = _new_payload_dir(root)
+    cdf_df.write.parquet(cdir)
+    return _publish_commit(root, version - 1, op="merge_mor",
+                           max_retries=max_retries, row_stats=stats,
+                           add=add, dv=dv, cdc=_dir_files(root, cdir),
+                           txn=txn, stats=stats, parts=parts,
+                           merge_keys=list(key_cols),
+                           blooms=_collect_blooms(spark, root, pdir, schema,
+                                                  st0["bloom_cols"]),
+                           row_bases=bases, row_watermark=wm)
+
+
+def _merge_mor_clauses(
+    spark: SparkSession, root: str, source: DataFrame,
+    key_cols: list[str], st0: dict, schema: StructType, keys: DataFrame,
+    live: list[str], track: bool, version: int,
+    matched_clauses: list[dict] | None, not_matched_condition: str | None,
+    sync_delete: bool, sync_update: bool, by_pred,
+    not_matched_by_source_set: dict[str, str] | None,
+    txn: dict | None, max_retries: int,
+) -> int:
+    """The clause-matrix body of `merge_into_mor` (args pre-validated
+    there). MoR's clause physics: a claimed matched row = one DV entry
+    (+ an appended rebuild for update clauses); an UNCLAIMED matched
+    row costs nothing — it stays live untouched, which is the MoR
+    advantage over COW's carry-rewrite; by-source rows DV-delete (+
+    append for the update form); inserts append. One atomic commit."""
+    names = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema}
+    eff_clauses = matched_clauses or [
+        {"action": "update", "condition": None, "set": None}]
+    need_all = sync_delete or sync_update
+    if live and not need_all:
+        # no by-source clause: only stats/bloom candidate files can
+        # hold a matched row (VERDICT r12 #7's skipping, false-negative
+        # free); a by-source clause touches unmatched rows ANYWHERE
+        scan_files = merge_candidate_files(spark, root, keys, key_cols,
+                                           version - 1)
+    else:
+        scan_files = live
+    if track:
+        scan = _rid_scan(spark, root, scan_files, schema, dv_map(root),
+                         st0, keep_lineage=True)
+    else:
+        scan = _scan_files(spark, root, scan_files, schema, dv_map(root),
+                           lineage=True)
+    extra = [c for c in scan.columns if c not in set(names)]
+    t, s = scan.alias("t"), source.alias("s")
+    jcond = None
+    for k in key_cols:
+        e = F.col(f"t.{k}") == F.col(f"s.{k}")
+        jcond = e if jcond is None else jcond & e
+    # matched (t, s) pairs with the first-true clause index; source keys
+    # are unique, so each target row pairs at most once
+    pairs = t.join(F.broadcast(s), jcond, "inner").withColumn(
+        "__act", _merge_act_col(eff_clauses))
+    claimed = pairs.filter(F.col("__act") >= 0)
+    t_extra = [F.col(f"t.{c}").alias(c) for c in extra]
+    bysrc = None
+    if need_all:
+        # unmatched target rows the by-source clause fires on (TRUE
+        # only — FALSE/NULL rows stay live untouched, zero write cost)
+        bysrc = (
+            scan.join(F.broadcast(keys), key_cols, "left_anti")
+            .filter(by_pred)
+            .localCheckpoint(eager=True)
+        )
+    # the rows this commit deletes (by position): claimed matched rows
+    # + fired by-source rows. Narrow (lineage-only) checkpoint: it is
+    # both collected (affected files) and re-read (DV entries).
+    dead = claimed.select(*t_extra)
+    if bysrc is not None:
+        dead = dead.unionByName(bysrc.select(*extra))
+    dead = dead.localCheckpoint(eager=True)
+    rel_of = _rel_by_name(live) if live else {}
+    affected = sorted(
+        {rel_of[r["__src"]]
+         for r in dead.select("__src").distinct().collect()}
+    )
+    dv = None
+    if affected:
+        entries = dead.select(
+            F.col("__src").alias("src"), F.col("__pos").alias("pos"))
+        prior = dv_map(root)
+        prior_ptr = {f: prior[f] for f in affected if f in prior}
+        if prior_ptr:
+            # superseding-superset via bitmap OR (delete_where_mor's rule)
+            entries = entries.unionByName(
+                dv_entries(spark, root, pointers=prior_ptr))
+        dv = {"files": affected, "parts": _write_dv_parts(root, entries)}
+    # rebuilt rows per update clause: (preimage, postimage) frames —
+    # postimages keep the target's stable row id (never renumber)
+    rid_keep = ([F.col(f"t.{_RID_COL}").alias(_RID_COL)] if track else [])
+    t_names = [F.col(f"t.{c}").alias(c) for c in names]
+    repl_pairs: list[tuple[DataFrame, DataFrame]] = []
+    for i, cl in enumerate(eff_clauses):
+        if cl["action"] == "delete":
+            continue
+        sets = cl.get("set")
+        if sets is None:  # UPDATE SET *: the source row
+            sel = [F.col(f"s.{c}").alias(c) for c in names]
+        else:  # simultaneous SET against the (t, s) pair
+            sel = [
+                (F.expr(sets[c]).cast(types[c]).alias(c)
+                 if c in sets else F.col(f"t.{c}").alias(c))
+                for c in names
+            ]
+        sub = claimed.filter(F.col("__act") == i)
+        repl_pairs.append(
+            (sub.select(*t_names), sub.select(*sel, *rid_keep)))
+    del_idx = [i for i, cl in enumerate(eff_clauses)
+               if cl["action"] == "delete"]
+    del_pre = (
+        claimed.filter(F.col("__act").isin(del_idx)).select(*t_names)
+        if del_idx else None
+    )
+    bysrc_post = None
+    if sync_update and bysrc is not None:
+        # one select over the OLD row: every SET (and the condition,
+        # already applied) sees pre-update values — Delta's rule
+        bysrc_post = bysrc.select(
+            *[
+                (F.expr(not_matched_by_source_set[c]).cast(types[c])
+                 .alias(c)
+                 if c in not_matched_by_source_set else F.col(c))
+                for c in names
+            ],
+            *([F.col(_RID_COL)] if track else []),
+        )
+    # inserts: source keys with no matched pair, gated by the condition
+    m_skeys = pairs.select(
+        *[F.col(f"s.{k}").alias(k) for k in key_cols]).distinct()
+    ins = source.join(F.broadcast(m_skeys), key_cols, "left_anti")
+    if not_matched_condition is not None:
+        ins = ins.filter(
+            F.coalesce(F.expr(not_matched_condition).cast("boolean"),
+                       F.lit(False)))
+    # constraint-check the REBUILT rows (SET exprs mint new values;
+    # source rows were checked up front)
+    repl_posts = [post for _pre, post in repl_pairs]
+    if repl_posts and any(cl.get("set") for cl in eff_clauses):
+        allpost = repl_posts[0]
+        for p in repl_posts[1:]:
+            allpost = allpost.unionByName(p)
+        _check_constraints(allpost.select(*names), st0["constraints"],
+                           "merge_into_mor(matched_clauses)")
+    if bysrc_post is not None:
+        _check_constraints(bysrc_post.select(*names), st0["constraints"],
+                           "merge_into_mor(not_matched_by_source="
+                           "'update')")
+    out = None
+    for post in repl_posts:
+        out = post if out is None else out.unionByName(post)
+    if bysrc_post is not None:
+        out = bysrc_post if out is None else out.unionByName(bysrc_post)
+    ins_w = (ins.withColumn(_RID_COL, F.lit(None).cast("long"))
+             if track else ins)
+    out = ins_w if out is None else out.unionByName(ins_w)
+    wschema = _schema_plus_rid(schema) if track else schema
+    pdir, add, parts = _write_payload(root, out, st0["partition_by"],
+                                      wschema)
+    stats = _strip_rid_stats(_collect_stats(spark, root, pdir, wschema))
+    bases, wm = (_assign_bases(add, stats, st0["row_watermark"])
+                 if track else (None, None))
+    # typed change feed: exact per-clause pairs/deletes/inserts
+    cdc_frames = []
+    for pre, post in repl_pairs:
+        cdc_frames.append(
+            _to_physical(pre, schema)
+            .withColumn("_change_type", F.lit("update_preimage")))
+        cdc_frames.append(
+            _to_physical(post.select(*names), schema)
+            .withColumn("_change_type", F.lit("update_postimage")))
+    if del_pre is not None:
+        cdc_frames.append(
+            _to_physical(del_pre, schema)
+            .withColumn("_change_type", F.lit("delete")))
+    if bysrc is not None:
+        if sync_update:
+            cdc_frames.append(
+                _to_physical(bysrc.select(*names), schema)
+                .withColumn("_change_type", F.lit("update_preimage")))
+            cdc_frames.append(
+                _to_physical(bysrc_post.select(*names), schema)
+                .withColumn("_change_type", F.lit("update_postimage")))
+        else:
+            cdc_frames.append(
+                _to_physical(bysrc.select(*names), schema)
+                .withColumn("_change_type", F.lit("delete")))
     cdc_frames.append(
         _to_physical(ins.select(*names), schema)
         .withColumn("_change_type", F.lit("insert")))
