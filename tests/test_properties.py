@@ -1668,3 +1668,73 @@ def test_bpe_bytes_multibyte_roundtrip(spark):
     for doc_id, n_pre, n_tok in got_counts:
         assert 0 < n_tok <= byte_len[doc_id]
         assert n_pre <= n_tok
+
+
+def test_pretrained_bpe_matches_rank_priority_reference(spark):
+    """VERDICT r13 #5: the distributed apply path (sequential literal
+    replaces in rank order) must produce the SAME tokenization as
+    GPT-2's rank-priority reference algorithm under the shipped
+    GPT-2-format merge fixture — exact symbol sequences, not just
+    counts — including multi-byte UTF-8 pretokens, and load_merges must
+    refuse malformed vocab files."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.functions.bpe_vocab import (
+        MINI_MERGES_PATH,
+        bytes_to_unicode,
+        encode_reference,
+        load_merges,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _bpe_apply,
+        _byte_repr_col,
+    )
+
+    table = bytes_to_unicode()
+    assert len(table) == 256 and len(set(table.values())) == 256
+    assert table[ord(" ")] == "\u0120"  # 'G-dot' — the remap's landmark
+    merges = load_merges(MINI_MERGES_PATH)
+    assert [m[2] for m in merges] == list(range(1, len(merges) + 1))
+    assert merges[0][:2] == ("68", "65")   # 'h e'
+    assert merges[1][:2] == ("20", "74")   # space + t
+    assert merges[6][:2] == ("2074", "6865")  # 'Gt he'
+    words = [
+        " the", " and", " of", "the", "there", "hehe", "attest",
+        " toe", "resting", " when", "onion", "n\u00e9", "\u4e2d\u6587",
+        "\U0001f389", "a", " tttt", "hehehe", " thethe", "estest",
+        " wander",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r.word: r.repr
+        for r in df.select(
+            "word",
+            _bpe_apply(_byte_repr_col(F.col("word")), merges).alias("repr"),
+        ).collect()
+    }
+    for w in words:
+        want = encode_reference(w, merges)
+        have = got[w].strip("\x01\x02").split("\x02\x01")
+        assert have == want, f"{w!r}: spark {have} != reference {want}"
+    # malformed files refuse
+    import os as _os
+    import tempfile
+
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as td:
+        bad = _os.path.join(td, "bad.txt")
+        with open(bad, "w") as fh:
+            fh.write("#version: 0.2\nh e x\n")
+        with _pytest.raises(ValueError, match="expected .left right."):
+            load_merges(bad)
+        empty = _os.path.join(td, "empty.txt")
+        with open(empty, "w") as fh:
+            fh.write("#version: 0.2\n")
+        with _pytest.raises(ValueError, match="no merges"):
+            load_merges(empty)
+        alien = _os.path.join(td, "alien.txt")
+        with open(alien, "w", encoding="utf-8") as fh:
+            fh.write("\u0001 e\n")
+        with _pytest.raises(ValueError, match="byte alphabet"):
+            load_merges(alien)
