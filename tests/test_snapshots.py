@@ -4316,3 +4316,92 @@ def test_merge_mor_clauses_equal_cow_and_supersede(spark, tmp_path):
     assert ents.count() == ents.distinct().count()
     assert set(snap.live_files(roots["mor"], 0)) <= set(
         snap.live_files(roots["mor"]))
+
+
+def test_analyze_table_stats_and_cbo_broadcast(spark, tmp_path):
+    """VERDICT r13 #6: ANALYZE TABLE publishes table/column stats into
+    the commit log (advisory metadata commit, version-stamped), and
+    read_cbo turns the measured size into a broadcast decision even
+    with the session estimator disabled — stats-driven planning, not
+    thresholds."""
+    from pyspark.sql.functions import col
+
+    dim_root = str(tmp_path / "dim")
+    fact_root = str(tmp_path / "fact")
+    dim = spark.createDataFrame(
+        [(i, f"g{i % 3}", None if i % 5 == 0 else i)
+         for i in range(100)],
+        "id long, grp string, score long")
+    snap.create(spark, dim_root, dim.coalesce(1))
+    snap.create(
+        spark, fact_root,
+        spark.range(0, 20_000).select(
+            (col("id") % 100).alias("id"), col("id").alias("v")
+        ).repartition(4))
+    v = snap.analyze_table(spark, dim_root)
+    st = snap.analyzed_stats(dim_root)
+    assert st["at_version"] == v - 1 and st["rows"] == 100
+    assert st["bytes"] > 0
+    assert st["cols"]["id"] == {"ndv": 100, "nulls": 0}
+    assert st["cols"]["grp"] == {"ndv": 3, "nulls": 0}
+    assert st["cols"]["score"] == {"ndv": 80, "nulls": 20}
+    # pre-analyze versions see no stats; head sees them
+    assert snap.analyzed_stats(dim_root, v - 1) is None
+    # refusals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        snap.analyze_table(spark, dim_root, columns=["nope"])
+    # stats survive a checkpoint round-trip
+    snap.checkpoint(dim_root)
+    assert snap.analyzed_stats(dim_root)["rows"] == 100
+    # CBO: with the session estimator disabled, the analyzed small side
+    # still broadcasts; the plain read does not
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = snap.read(spark, fact_root)
+        cbo_plan = fact.join(
+            snap.read_cbo(spark, dim_root), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in cbo_plan
+        plain_plan = fact.join(
+            snap.read(spark, dim_root), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    # join through the hint is still correct
+    n = fact.join(snap.read_cbo(spark, dim_root), "id").count()
+    assert n == 20_000
+
+
+def test_analyze_is_advisory_not_a_conflict(spark, tmp_path):
+    """An ANALYZE commit is advisory: a concurrent loser rebasing over
+    it must NOT raise ConcurrentWriteConflict (unlike schema/protocol
+    metadata commits, which conflict with everything)."""
+    root = str(tmp_path / "adv")
+    snap.create(spark, root,
+                spark.createDataFrame([(1, 1)], "id long, v long"))
+    v = snap.analyze_table(spark, root)
+    winner = snap._load_commit(root, v)
+    assert "analyze" in winner
+    # the conflict matrix treats the analyze winner as benign...
+    snap._assert_no_conflict("append", set(), winner, v)
+    # ...unlike a schema-bearing winner
+    snap.add_column(root, "extra", "string")
+    meta_winner = snap._load_commit(root, v + 1)
+    with _pytest_raises_conflict():
+        snap._assert_no_conflict("append", set(), meta_winner, v + 1)
+    # and writers layered above see stale-by-design stats
+    snap.append(spark, root,
+                spark.createDataFrame([(2, 2, "x")],
+                                      "id long, v long, extra string"))
+    assert snap.read(spark, root).count() == 2
+    assert snap.analyzed_stats(root)["rows"] == 1
+
+
+def _pytest_raises_conflict():
+    import pytest as _pytest
+
+    return _pytest.raises(snap.ConcurrentWriteConflict)
