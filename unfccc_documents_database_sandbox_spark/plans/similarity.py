@@ -304,42 +304,88 @@ def sim_topk_pq_portable(spark, sf_dir):
     )
 
 
+# Planted near-dups (VERDICT r13 #7): the corpus embeddings are uniform
+# random with no true near-dups (max within-label cosine ≈ 0.47 at
+# sf0.01), so until r13 these keys ran at a corpus-driven 0.4 threshold.
+# Planting makes the PRODUCTION threshold (0.9) testable: every 50th
+# vector gets a twin at vec_id+1e6 scaled by 0.5 — colinear (cosine
+# exactly 1 up to one shared-fold ulp; 0.5 is a power of two, so the
+# scale is float-exact and IDENTICAL in Spark and DuckDB), same label
+# (so the block join finds it), different magnitude (so a cosine
+# implementation that forgets to normalize fails loudly). The planting
+# is part of the QUERY (a derived union), not the fixture — the
+# driver's read-only testdata stays untouched and the oracle mirrors
+# the derivation exactly.
+_PLANT_CTE = """
+vp AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, label,
+           list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM vp
+),
+vn AS (
+    SELECT vec_id, label, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM v
+)
+"""
+
+
+def _plant_near_dups(emb):
+    """The Spark side of _PLANT_CTE's derived union."""
+    planted = emb.filter("vec_id % 50 = 0").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * F.lit(0.5).cast("float")).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(planted)
+
+
 @register(
     "sim_near_dup_pairs",
     oracle=f"""
-    WITH {_COSINE_CTE}
+    WITH {_PLANT_CTE}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 4) AS score
     FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.4
+    WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.9
     """,
 )
 def sim_near_dup_pairs(spark, sf_dir):
-    """L2/L3 embedding-cosine near-dup pairs, blocked on the label column
-    (stand-in for an LSH bucket): equi-join shuffle, quadratic only within
-    blocks. Threshold 0.4, not a production-ish 0.9: the corpus embeddings
-    are uniform random with no planted near-dups (max within-label cosine
-    ≈ 0.47 at sf0.01), so 0.9 matched the oracle on an empty result — 0.4
-    keeps the key's evidence non-trivial (5 pairs at sf0.01)."""
+    """L2/L3 embedding-cosine near-dup pairs at the PRODUCTION threshold
+    (0.9 — r13 #7), blocked on the label column (stand-in for an LSH
+    bucket): equi-join shuffle, quadratic only within blocks. The
+    planted twins (see _PLANT_CTE) are exactly the rows the threshold
+    must keep; every honest corpus pair sits below 0.5 and must be
+    dropped — a threshold or normalization bug flips the result from
+    'one pair per planted twin' to empty or quadratic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.4)
+    return S.cosine_near_dup_pairs(
+        _plant_near_dups(emb), block_col="label", threshold=0.9)
 
 
 @register(
     "dedup_embedding",
     oracle=f"""
-    WITH RECURSIVE {_COSINE_CTE},
+    WITH RECURSIVE {_PLANT_CTE},
     p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.4
+        WHERE list_dot_product(a.vec, b.vec) / (a.norm * b.norm) >= 0.9
     ),
     edges AS (
         SELECT id_a AS s, id_b AS d FROM p
         UNION ALL SELECT id_b, id_a FROM p
     ),
     reach AS (
-        SELECT vec_id AS id, vec_id AS r FROM embeddings
+        SELECT vec_id AS id, vec_id AS r FROM vp
         UNION
         SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
     )
@@ -350,20 +396,22 @@ def sim_near_dup_pairs(spark, sf_dir):
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup DEDUP end-to-end (the decision layer on
-    top of sim_near_dup_pairs' pair stream): cosine >= 0.4 pairs inside
-    label blocks (LSH-bucket stand-in) -> connected components (min-label
-    propagation, operators/dedup.py) -> canonical = min vec_id per
-    cluster, everything else flagged is_dup — the keep/drop verdict a
-    training pipeline actually consumes. Scale: identical join shape to
-    sim_near_dup_pairs (quadratic only within blocks), then the
-    Pregel-style component loop whose per-round cost is one edge join +
-    one grouped min; cluster diameters for near-dup graphs are tiny, so
-    rounds stay single-digit. Oracle: recursive transitive-closure CTE,
-    the dedup_components precedent."""
+    top of sim_near_dup_pairs' pair stream) at the PRODUCTION 0.9
+    threshold over the planted corpus (r13 #7): cosine >= 0.9 pairs
+    inside label blocks (LSH-bucket stand-in) -> connected components
+    (min-label propagation, operators/dedup.py) -> canonical = min
+    vec_id per cluster, everything else flagged is_dup — the keep/drop
+    verdict a training pipeline actually consumes; exactly the planted
+    twins come back is_dup=1 with their original as canonical. Scale:
+    identical join shape to sim_near_dup_pairs (quadratic only within
+    blocks), then the Pregel-style component loop whose per-round cost
+    is one edge join + one grouped min; cluster diameters for near-dup
+    graphs are tiny, so rounds stay single-digit. Oracle: recursive
+    transitive-closure CTE, the dedup_components precedent."""
     from unfccc_documents_database_sandbox_spark.operators import dedup as D
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.4)
+    emb = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
+    pairs = S.cosine_near_dup_pairs(emb, block_col="label", threshold=0.9)
     labels = D.connected_components(
         emb.select("vec_id"),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
