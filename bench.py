@@ -121,6 +121,11 @@ EXTENDED = [
     # day-one reference)
     "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
     "sql_tpcds_q67", "text_unigram_train", "text_unigram_encode",
+    # the r13 fresh group, rolled in at r14 (BENCH_r13.json holds their
+    # day-one reference)
+    "text_bpe_bytes_train", "text_bpe_bytes_encode", "udf_llm_dead_letter",
+    "quality_expectations", "sql_tpcds_q34", "sql_tpcds_q42",
+    "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -132,22 +137,13 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r13 keys. Excluded by the standing rules: table_sql_merge /
-    # table_sql_update / table_sql_delete / table_dv_bitmap /
-    # table_merge_skipping build commit-log tables under .csv_tmp/
-    # (disk-writing — their wall time measures parquet commits, not a
-    # plan); stream_full_outer_join runs a live availableNow streaming
-    # query. The timeable r13 keys:
-    "text_bpe_bytes_train",
-    "text_bpe_bytes_encode",
-    "udf_llm_dead_letter",
-    "quality_expectations",
-    # the r13 late TPC-DS widening (pure SQL, timeable)
-    "sql_tpcds_q34",
-    "sql_tpcds_q42",
-    "sql_tpcds_q88",
-    "sql_tpcds_q89",
-    "sql_tpcds_q93",
+    # r14 keys. Excluded by the standing disk-writing rule:
+    # table_merge_clauses_mor / table_sql_timetravel / table_sql_ddl /
+    # table_analyze / table_dv_legacy all build commit-log tables under
+    # .csv_tmp/ (their wall time measures parquet commits, not a plan).
+    # The timeable r14 keys:
+    "text_bpe_pretrained",      # published-vocab token counting
+    "sim_near_dup_pairs",       # rebuilt r14: planted dups, 0.9 threshold
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -80,6 +80,12 @@ ROUND_KEYS = [
     "table_merge_skipping", "table_sql_insert", "table_sql_select",
     "sql_tpcds_q34", "sql_tpcds_q42", "sql_tpcds_q88", "sql_tpcds_q89",
     "sql_tpcds_q93", "quality_expectations",
+    # round-14 additions (MoR clause matrix, SQL time travel + DDL,
+    # pretrained byte-BPE, ANALYZE stats, legacy-DV decode, planted
+    # near-dups at the production threshold)
+    "table_merge_clauses_mor", "table_sql_timetravel", "table_sql_ddl",
+    "text_bpe_pretrained", "table_analyze", "table_dv_legacy",
+    "sim_near_dup_pairs",
 ]
 
 

@@ -142,3 +142,43 @@ def test_ddl_refusals(spark, tmp_path):
         execute_ddl(spark, "TRUNCATE TABLE t", {"t": root})
     with pytest.raises(ValueError, match="already exists"):
         execute_ddl(spark, "ALTER TABLE t ADD COLUMN a INT", {"t": root})
+
+
+def test_ctas_and_utility_statements(spark, tmp_path):
+    """CTAS takes its schema from the query and lands rows in commit 0;
+    OPTIMIZE / VACUUM / ANALYZE TABLE route to compact / vacuum /
+    analyze_table."""
+    root = str(tmp_path / "ctas")
+    spark.createDataFrame(
+        [(i, i % 4, f"s{i}") for i in range(400)],
+        "id long, grp long, s string",
+    ).createOrReplaceTempView("ctas_src")
+    v = execute_ddl(
+        spark,
+        "CREATE TABLE t PARTITIONED BY (grp) AS "
+        "SELECT id, grp, s FROM ctas_src WHERE id % 2 = 0",
+        {"t": root})
+    assert v == 0
+    assert snap.read(spark, root).count() == 200
+    spec = snap._read_state(root)["partition_by"]
+    assert [s["source"] for s in spec] == ["grp"]
+    # a few commits so OPTIMIZE/VACUUM have work
+    for k in range(3):
+        execute_dml(spark,
+                    f"INSERT INTO t SELECT id + {1000 * (k + 1)}, grp, s "
+                    "FROM ctas_src WHERE id % 2 = 1",
+                    {"t": root})
+    n_files_before = len(snap.live_files(root))
+    execute_ddl(spark, "OPTIMIZE t ZORDER BY (id) MAX FILES 2", {"t": root})
+    # partitioned layout: the floor is one file per live partition (4)
+    assert len(snap.live_files(root)) <= 4 < n_files_before
+    assert snap.read(spark, root).count() == 800
+    execute_ddl(spark, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS id",
+                {"t": root})
+    st = snap.analyzed_stats(root)
+    assert st["rows"] == 800 and st["cols"]["id"]["ndv"] == 800
+    assert "grp" not in st["cols"]
+    execute_ddl(spark, "VACUUM t RETAIN 1 VERSIONS", {"t": root})
+    assert snap.read(spark, root).count() == 800  # head untouched
+    with pytest.raises(DmlSyntaxError, match="bad ZORDER"):
+        execute_ddl(spark, "OPTIMIZE t ZORDER BY (id + 1)", {"t": root})

@@ -2246,6 +2246,97 @@ def table_analyze(spark, sf_dir):
 
 
 @register(
+    "table_dv_legacy",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    after_legacy AS (
+        SELECT * FROM base WHERE (n_chars % 2 = 0) IS NOT TRUE
+    ),
+    head AS (
+        SELECT * FROM after_legacy WHERE (n_chars % 3 = 0) IS NOT TRUE
+    )
+    SELECT 'v_legacy' AS metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS agg
+    FROM after_legacy
+    UNION ALL
+    SELECT 'head', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM head
+    UNION ALL
+    SELECT 'dv_positions', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM base WHERE n_chars % 2 = 0 OR n_chars % 3 = 0
+    """,
+)
+def table_dv_legacy(spark, sf_dir):
+    """Legacy (src, pos) row-format deletion vectors decode exactly
+    (r13 ADVICE high, the fallback half — the protocol half is the
+    reader-4 stamp, tests/test_dv_bitmap.py): the first MoR delete is
+    committed the way the PRE-BITMAP engine wrote it — raw (src, pos)
+    parquet rows as the DV payload — then read back through the
+    footer-schema router, which must keep those rows deleted instead of
+    NULL-reading bitmap columns and resurrecting them; a second,
+    normal BITMAP delete then SUPERSEDES the legacy entries (bitmap-OR
+    over the decoded positions — the dv_positions row pins each dead
+    position exactly once across both encodings). v_legacy /
+    head rows pin both eras' reads.
+
+    Scale: the legacy decode adds one footer read per DV part
+    (O(touched files) driver metadata) + the same container pack the
+    writer runs — the scan-side probe is unchanged; old tables migrate
+    to bitmaps lazily as superseding writes land, Delta's
+    protocol-upgrade story."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapdvlg_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    # commit a LEGACY-format MoR delete: exactly the pre-bitmap engine's
+    # payload — (src, pos) parquet rows pointed at by the dv action
+    scan = snap._scan(spark, root, lineage=True) \
+        .filter("n_chars % 2 = 0").localCheckpoint(eager=True)
+    entries = scan.select(
+        F.col("__src").alias("src"), F.col("__pos").alias("pos"))
+    rel_of = snap._rel_by_name(snap.live_files(root))
+    affected = sorted(
+        {rel_of[r["src"]] for r in entries.select("src").distinct()
+         .collect()})
+    pdir = snap._new_payload_dir(root)
+    entries.write.parquet(pdir)
+    v_legacy = snap._publish_commit(
+        root, snap.latest_version(root), op="delete_mor",
+        dv={"files": affected, "parts": snap._dir_files(root, pdir)})
+    # a normal bitmap-era delete supersedes the legacy entries
+    snap.delete_where_mor(spark, root, "n_chars % 3 = 0")
+
+    def stats(label, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+            .alias("agg"),
+        ).select(F.lit(label).alias("metric"), "n", "agg")
+
+    ents = snap.dv_entries(spark, root)
+    n_dead = ents.count()
+    assert n_dead == ents.distinct().count()  # OR'd exactly once
+    dvrow = spark.createDataFrame(
+        [("dv_positions", n_dead, n_dead)], "metric string, n long, agg long")
+    return (
+        stats("v_legacy", snap.read(spark, root, v_legacy))
+        .unionByName(stats("head", snap.read(spark, root)))
+        .unionByName(dvrow)
+    )
+
+
+@register(
     "table_merge_clauses_mor",
     oracle="""
     WITH mupd AS (

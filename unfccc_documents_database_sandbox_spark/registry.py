@@ -94,148 +94,134 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 41-key r08 tail promoted to DUE (sized 41 for the planned r13
 # new-key count of 9; undersizing is safe — window spillover lands on
 # the alphabetically-first zz_ keys, which ARE the oldest-evidence r09
-# cohort). Oldest evidence on file after r13: r09 (the zz_ head).
+# cohort); r14 advances it per VERDICT r13 #1: the 50-key r13 window
+# (17 unprefixed + 33 z_ re-checks) parked, the r12 PARKED cohort aged
+# into NEXT, and the 8-key r08 remnant + the alphabetically-first 34
+# r09-cohort keys + the 2 r14-rebuilt near-dup keys promoted to DUE
+# (sized 44 for the planned r14 new-key count of 6). Oldest evidence
+# on file after r14: r09 (the zz_ tail), then r10.
 
-# DUE (z_): oldest evidence on file — the full 41-key r08-latest tail
-# (promoted per VERDICT r12 #1), sized so DUE + the round's new
-# unprefixed keys fill the 50-key window (machine-checked by
-# tests/test_rotation.py::test_window_reaches_every_due_key; sized from
-# the registry, not this comment). Rows-only by design among these:
-# catalog_tables (no DuckDB twin for a catalog listing).
+# DUE (z_): oldest evidence on file — promoted per VERDICT r13 #1 /
+# the standing queue contract: the 8-key r08-latest tail (demoted from
+# DUE mid-r13, never re-evidenced since r08), the alphabetically-first
+# 34 keys of the r09 cohort, PLUS sim_near_dup_pairs / dedup_embedding
+# whose r14 builder change (planted near-dups, production 0.9
+# threshold — VERDICT r13 #7) stales their r11/r10 evidence. Sized
+# 44 = 50 − the planned 6 new r14 keys (machine-checked by
+# tests/test_rotation.py::test_window_reaches_every_due_key; sized
+# from the registry, not this comment). Rows-only by design among
+# these: sim_topk_pq (hash-exact portable twin registered).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        # r08 evidence tail (the block beyond the 13 keys promoted last
-        # round; agg_sum_global/agg_rollup/agg_pivot/agg_percentiles
-        # rejoined it on their mid-r12 demotion)
-        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
-        "agg_unpivot", "array_ops",
-        "case_when_block", "catalog_tables", "cluster_kmeans",
-        "contamination_check", "corpus_mix", "corpus_pipeline",
-        "corpus_upsample", "csv_roundtrip", "date_extract",
-        "dedup_components", "json_variant_extract", "shuffle_epoch",
-        "sim_topk_ivfpq_portable", "source_pyds", "source_pyds_stream",
-        "source_schema_evolution", "sql_recursive_bom", "sql_scalar_udf",
-        "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19",
-        "sql_tpch_q22", "sql_tpch_q4", "stream_foreach_merge",
-        "stream_stream_join", "table_changes",
-        # the alphabetical tail of this cohort (udtf_python_segments,
-        # udaf_pandas_agg, ts_gapfill, try_funcs, text_keyterms,
-        # table_stats_prune, table_schema_evolution,
-        # table_incremental_mv) demoted back to NEXT mid-round as the
-        # r13 new-key count grew 9 -> 17 with table_sql_insert,
-        # table_sql_select, quality_expectations and the five extra
-        # TPC-DS shapes — still re-verified every round by
-        # tests/test_parity.py
+        "agg_corr_exact", "dedup_embedding", "dedup_incremental",
+        "dedup_lines", "events_funnel", "events_retention",
+        "events_sessionize", "graph_bfs", "graph_pagerank",
+        "index_inverted", "join_similarity_prefix", "layout_compaction",
+        "sample_weighted", "sim_near_dup_pairs", "sim_topk_pq",
+        "sort_global", "source_orc", "sql_corr_subquery", "sql_tpch_q10",
+        "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
+        "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
+        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9", "stream_static_join",
+        "stream_table_changes", "stream_table_changes_dist",
+        "table_bloom_prune", "table_changes_typed", "table_clone",
+        "table_incremental_mv", "table_schema_evolution",
+        "table_stats_prune", "text_keyterms", "try_funcs", "ts_gapfill",
+        "udaf_pandas_agg", "udtf_python_segments"
     }
 )
 
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r09.json (the
-# 50-key r09 window, first block), CORRECTNESS_r10.json (the 50-key r10
-# window, second block), or CORRECTNESS_r11.json (the 50-key r11 window,
-# third block — aged out of PARKED this round). These receive the r13
-# window spillover beyond the DUE tier and are the r14 promotion pool
-# (r09 head first). sim_topk_pq, dedup_fuzzy_minhash, dedup_simhash,
-# doc_rolling_hash, sim_topk_ivf, sim_topk_ivfpq and sim_topk_lsh are
-# rows-only by design (each with a hash-exact portable twin).
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r10.json (the r10
+# window, aged through), CORRECTNESS_r11.json (the r11 window), the
+# r09-cohort TAIL beyond the 34 promoted above, or CORRECTNESS_r12.json
+# (the 50-key r12 window — aged out of PARKED this round). These
+# receive the r14 window spillover beyond the DUE tier and are the r15
+# promotion pool (r09 tail first, then r10). Rows-only by design:
+# sim_topk_pq-family/dedup_fuzzy_minhash/dedup_simhash/
+# doc_rolling_hash/sim_topk_ivf/sim_topk_ivfpq/sim_topk_lsh (each with
+# a hash-exact portable twin), agg_approx_* / agg_hll_partitioned
+# (approx sketches with exact twins), stream_dedup_live
+# (arrival-order by construction).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # r08 evidence: demoted from DUE mid-round (see the DUE comment)
-        "udtf_python_segments", "udaf_pandas_agg", "ts_gapfill",
-        "try_funcs", "text_keyterms", "table_stats_prune",
-        "table_schema_evolution", "table_incremental_mv",
-        # r09 evidence: the 50-key r09 window (49 hash-green + sim_topk_pq
-        # rows-only by design)
-        "agg_corr_exact", "dedup_incremental", "dedup_lines",
-        "events_funnel", "events_retention", "events_sessionize",
-        "graph_bfs", "graph_pagerank", "index_inverted",
-        "join_similarity_prefix", "layout_compaction", "sample_weighted",
-        "sim_topk_pq", "sort_global", "source_orc", "sql_corr_subquery",
-        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15",
-        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20",
-        "sql_tpch_q21", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
-        "stream_static_join", "stream_table_changes",
-        "stream_table_changes_dist", "table_bloom_prune",
-        "table_changes_typed", "table_clone", "table_column_mapping",
-        "table_constraints", "table_delete_mor",
-        "table_generated_partition", "table_history", "table_merge_evolve",
-        "table_null_prune", "table_partition_evolve",
-        "table_partition_prune", "table_restore", "table_row_ids",
-        "table_update", "table_update_mor", "text_bm25",
-        "udf_cogrouped_asof", "xlsx_ingest",
-        # r10 evidence: the 50-key r10 window (47 hash-green + 3 rows-only
-        # by documented design: dedup_fuzzy_minhash, dedup_simhash,
-        # doc_rolling_hash)
-        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
-        "basket_pairs", "dedup_embedding", "dedup_exact",
+        "agg_approx_distinct", "agg_approx_percentiles",
+        "agg_argext_bitwise", "agg_cube", "agg_decimal_money",
+        "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
+        "agg_grouping_sets", "agg_hll_partitioned", "agg_linear_trend",
+        "agg_mode_freq", "agg_skewness_exact", "basket_pairs",
+        "dedup_components_star", "dedup_containment", "dedup_exact",
         "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
-        "dedup_ngram_jaccard", "dedup_simhash", "doc_fingerprint",
-        "doc_rolling_hash", "events_anomaly", "events_attribution",
-        "events_dau_wau", "events_rfm", "events_top_paths",
-        "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
-        "graph_triangles", "join_asof", "join_bridge",
-        "join_child_collect", "join_inner_fk", "join_lateral",
-        "join_left_nullable", "join_null_safe", "join_range", "join_semi",
-        "join_skew_salted", "json_extract", "lang_id",
-        "layout_compaction_apply", "limit_n", "orders_abc_pareto",
-        "orders_gini", "sim_index_persisted", "sketch_bloom",
-        "sketch_countmin", "sketch_hll_portable", "stream_branch_changes",
-        "stream_changes_bounded", "table_branch", "table_bucket_prune",
-        "table_concurrent", "table_files_meta", "ts_resample_ohlc",
-        "url_normalize",
-        # r11 evidence: the 50-key r11 window (47 hash-green + 3
-        # rows-only by documented design: sim_topk_ivf, sim_topk_ivfpq,
-        # sim_topk_lsh — each with a hash-exact *_portable twin), aged
-        # out of PARKED this round
-        "dedup_components_star", "dedup_minhash_portable",
-        "dedup_simhash_portable", "dedup_substring", "docx_ingest",
-        "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
-        "join_interval_overlap", "json_roundtrip", "layout_zorder",
-        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
+        "dedup_minhash_portable", "dedup_ngram_jaccard", "dedup_simhash",
+        "dedup_simhash_portable", "dedup_substring", "doc_fingerprint",
+        "doc_rolling_hash", "docx_ingest", "events_anomaly",
+        "events_attribution", "events_dau_wau", "events_rfm",
+        "events_top_paths", "filter_notnull", "filter_or_eq",
+        "graph_sssp_weighted", "graph_triangles", "join_anti", "join_asof",
+        "join_bridge", "join_bucketed", "join_child_collect", "join_dpp",
+        "join_full_outer", "join_inner_fk", "join_interval_overlap",
+        "join_lateral", "join_left_nullable", "join_null_safe",
+        "join_range", "join_semi", "join_skew_salted", "json_extract",
+        "json_roundtrip", "lang_id", "layout_compaction_apply",
+        "layout_zorder", "limit_n", "map_ops", "math_arith", "merge_upsert",
+        "multimodal_audio_energy", "multimodal_decode",
         "multimodal_features_topk", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "pack_sequences",
-        "project_columns", "sample_hash_mod", "sample_stratified",
-        "scan_full", "scd2_history", "set_ops", "sim_near_dup_pairs",
-        "sim_topk", "sim_topk_ivf", "sim_topk_ivfpq", "sim_topk_lsh",
-        "sim_topk_pq_portable", "source_jdbc", "text_bigram_cond",
-        "text_bpe_pairs",
-        "text_chunk_sliding", "text_tfidf", "text_vocab",
-        "window_cume_distinct",
-        "agg_linear_trend", "dedup_containment", "multimodal_audio_energy",
-        "sketch_heavy_hitters", "source_hive_partitioned",
-        "table_merge_sync", "table_type_widening", "table_vacuum_audit",
-        "udtf_polymorphic", "xml_ingest",
+        "multimodal_resize", "numbering_normalize", "orders_abc_pareto",
+        "orders_gini", "pack_sequences", "project_columns",
+        "sample_hash_mod", "sample_stratified", "scan_full", "scd2_history",
+        "set_ops", "sim_index_persisted", "sim_topk", "sim_topk_ivf",
+        "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_pq_portable",
+        "sketch_bloom", "sketch_countmin", "sketch_heavy_hitters",
+        "sketch_hll_portable", "source_hive_partitioned", "source_jdbc",
+        "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
+        "sql_tpcds_q67", "sql_tpch_q1", "sql_tpch_q3", "sql_tpch_q5",
+        "sql_tpch_q6", "sql_window_range", "str_funcs",
+        "stream_branch_changes", "stream_changes_bounded",
+        "stream_dedup_live", "stream_foreach_merge_mor",
+        "stream_outer_join", "stream_session", "stream_sliding",
+        "stream_stateful_profile", "stream_tumbling",
+        "stream_watermark_live", "table_branch", "table_bucket_prune",
+        "table_column_mapping", "table_concurrent", "table_constraints",
+        "table_delete_mor", "table_files_meta", "table_generated_columns",
+        "table_generated_partition", "table_history",
+        "table_identity_columns", "table_merge_clauses",
+        "table_merge_evolve", "table_merge_mark_stale", "table_merge_mor",
+        "table_merge_sync", "table_null_prune", "table_partition_evolve",
+        "table_partition_prune", "table_restore", "table_row_ids",
+        "table_snapshot_read", "table_type_widening", "table_update",
+        "table_update_mor", "table_vacuum_audit", "text_bigram_cond",
+        "text_bm25", "text_bpe_encode", "text_bpe_pairs", "text_bpe_train",
+        "text_chunk_sliding", "text_funcs", "text_length_hist",
+        "text_pii_scrub", "text_repetition", "text_tfidf",
+        "text_top_ngrams", "text_unigram_encode", "text_unigram_train",
+        "text_vocab", "topk_per_group", "ts_resample_ohlc",
+        "udaf_grouped_map", "udf_cogrouped_asof", "udf_llm_cost_sum",
+        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
+        "udtf_polymorphic", "url_normalize", "window_cume_distinct",
+        "window_funcs", "xlsx_ingest", "xml_ingest"
     }
 )
 
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r12.json — the 50
-# keys of the r12 window (46 hash-green + 4 rows-only by documented
-# design, VERDICT r12: agg_approx_distinct, agg_approx_percentiles,
-# agg_hll_partitioned — approx sketches with hash-exact twins — and
-# stream_dedup_live, arrival-order by construction): 14 were the
-# un-prefixed r12 keys, 36 were z_-spelled re-checks.
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r13.json — the
+# 50 keys of the r13 window (49 hash-green + catalog_tables rows-only
+# by design): 17 were the un-prefixed r13 keys, 33 were z_-spelled
+# re-checks of the r08-evidence block.
 ROTATED_PARKED: frozenset[str] = frozenset(
     {
-        # the 36 z_ re-checks of the r12 window (r07 tail + first r08 keys)
-        "sql_tpch_q1", "sql_tpch_q3",
-        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
-        "stream_dedup_live", "stream_session", "stream_sliding",
-        "stream_stateful_profile", "stream_tumbling",
-        "stream_watermark_live", "table_snapshot_read", "text_bpe_encode",
-        "text_bpe_train", "text_funcs", "text_length_hist",
-        "text_pii_scrub", "text_repetition", "text_top_ngrams",
-        "topk_per_group", "udaf_grouped_map", "udf_llm_cost_sum",
-        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
-        "window_funcs",
-        "agg_approx_distinct", "agg_approx_percentiles",
-        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
-        "agg_doc_text_warehouse", "agg_group_stats", "agg_grouping_sets",
-        "agg_hll_partitioned",
-        # the 14 un-prefixed r12 keys
-        "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
-        "sql_tpcds_q67", "stream_foreach_merge_mor", "stream_outer_join",
-        "table_generated_columns", "table_identity_columns",
-        "table_merge_clauses", "table_merge_mark_stale", "table_merge_mor",
-        "text_unigram_encode", "text_unigram_train",
+        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
+        "agg_unpivot", "array_ops", "case_when_block", "catalog_tables",
+        "cluster_kmeans", "contamination_check", "corpus_mix",
+        "corpus_pipeline", "corpus_upsample", "csv_roundtrip",
+        "date_extract", "dedup_components", "json_variant_extract",
+        "quality_expectations", "shuffle_epoch", "sim_topk_ivfpq_portable",
+        "source_pyds", "source_pyds_stream", "source_schema_evolution",
+        "sql_recursive_bom", "sql_scalar_udf", "sql_tpcds_q34",
+        "sql_tpcds_q42", "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
+        "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19",
+        "sql_tpch_q22", "sql_tpch_q4", "stream_foreach_merge",
+        "stream_full_outer_join", "stream_stream_join", "table_changes",
+        "table_dv_bitmap", "table_merge_skipping", "table_sql_delete",
+        "table_sql_insert", "table_sql_merge", "table_sql_select",
+        "table_sql_update", "text_bpe_bytes_encode", "text_bpe_bytes_train",
+        "udf_llm_dead_letter"
     }
 )
 

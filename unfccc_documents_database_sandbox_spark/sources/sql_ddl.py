@@ -16,12 +16,17 @@ Grammar (documented refusals for everything else):
         [PARTITIONED BY (col | transform(param, col) | day(col) [, ...])]
         -- transforms: identity (bare col), truncate(N, col),
         -- hashbucket(N, col), day(col) — Iceberg's generated partitions
+    CREATE TABLE <name> [PARTITIONED BY (...)] AS <SELECT/WITH query>
+        -- CTAS: schema from the query, rows land in commit 0
     ALTER TABLE <name> ADD COLUMN <col> <TYPE>
     ALTER TABLE <name> RENAME COLUMN <old> TO <new>      -- needs mapping
     ALTER TABLE <name> DROP COLUMN <col>                 -- needs mapping
     ALTER TABLE <name> ALTER COLUMN <col> TYPE <TYPE>    -- widening only
     ALTER TABLE <name> ADD CONSTRAINT <nm> CHECK (<expr>)
     ALTER TABLE <name> DROP CONSTRAINT <nm>
+    OPTIMIZE <name> [ZORDER BY (col [, ...])] [MAX FILES <n>]
+    VACUUM <name> [RETAIN <n> VERSIONS]
+    ANALYZE TABLE <name> [COMPUTE STATISTICS [FOR COLUMNS col [, ...]]]
 
 ``tables`` maps statement table names to snapshot roots — CREATE TABLE
 uses the mapping to decide WHERE the new table lives (the caller is the
@@ -111,6 +116,22 @@ def execute_ddl(
     returns the committed version (0 for CREATE TABLE)."""
     stmt = sql.strip().rstrip(";").strip()
     m = re.match(
+        rf"^CREATE\s+TABLE\s+({_IDENT})\s*"
+        rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?"
+        rf"AS\s+((?:SELECT|WITH)\b.*)$",
+        stmt, re.IGNORECASE | re.DOTALL)
+    if m:
+        # CTAS: the query owns the schema; rows land in commit 0
+        root = _require_table(m.group(1), tables)
+        partition_by = None
+        if m.group(2):
+            partition_by = [
+                _parse_partition_item(p)
+                for p in _split_top_commas(m.group(2))
+            ]
+        return snap.create(spark, root, spark.sql(m.group(3)),
+                           partition_by=partition_by)
+    m = re.match(
         rf"^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)\s*"
         rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?$",
         stmt, re.IGNORECASE | re.DOTALL)
@@ -181,7 +202,46 @@ def execute_ddl(
             "this front-end handles ADD COLUMN / RENAME COLUMN ... TO / "
             "DROP COLUMN / ALTER COLUMN ... TYPE / ADD CONSTRAINT ... "
             "CHECK (...) / DROP CONSTRAINT")
+    m = re.match(
+        rf"^OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?"
+        rf"(?:\s+MAX\s+FILES\s+(\d+))?\s*$",
+        stmt, re.IGNORECASE)
+    if m:
+        root = _require_table(m.group(1), tables)
+        zcols = None
+        if m.group(2):
+            zcols = [c.strip() for c in m.group(2).split(",")]
+            if not all(re.fullmatch(_IDENT, c) for c in zcols):
+                raise DmlSyntaxError(
+                    f"bad ZORDER BY column list {m.group(2)!r}")
+        return snap.compact(
+            spark, root,
+            max_files=int(m.group(3)) if m.group(3) else 4,
+            zorder_by=zcols)
+    m = re.match(
+        rf"^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+        stmt, re.IGNORECASE)
+    if m:
+        root = _require_table(m.group(1), tables)
+        snap.vacuum(root,
+                    retain_versions=int(m.group(2)) if m.group(2) else 1)
+        return snap.latest_version(root)
+    m = re.match(
+        rf"^ANALYZE\s+TABLE\s+({_IDENT})"
+        rf"(?:\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?)?\s*$",
+        stmt, re.IGNORECASE | re.DOTALL)
+    if m:
+        root = _require_table(m.group(1), tables)
+        cols = None
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).split(",")]
+            if not all(re.fullmatch(_IDENT, c) for c in cols):
+                raise DmlSyntaxError(
+                    f"bad ANALYZE column list {m.group(2)!r}")
+        return snap.analyze_table(spark, root, columns=cols)
     kw = stmt.split(None, 1)[0].upper() if stmt else ""
     raise DmlSyntaxError(
         f"unsupported DDL statement {kw!r}: this front-end handles "
-        "CREATE TABLE and ALTER TABLE over snapshot tables")
+        "CREATE TABLE [AS SELECT], ALTER TABLE, OPTIMIZE, VACUUM and "
+        "ANALYZE TABLE over snapshot tables")
