@@ -182,3 +182,19 @@ def test_ctas_and_utility_statements(spark, tmp_path):
     assert snap.read(spark, root).count() == 800  # head untouched
     with pytest.raises(DmlSyntaxError, match="bad ZORDER"):
         execute_ddl(spark, "OPTIMIZE t ZORDER BY (id + 1)", {"t": root})
+
+
+def test_create_or_replace_is_idempotent(spark, tmp_path):
+    """CREATE TABLE refuses an existing root; CREATE OR REPLACE
+    overwrites it (Delta's CREATE OR REPLACE TABLE) — both forms."""
+    root = str(tmp_path / "corp")
+    execute_ddl(spark, "CREATE TABLE t (a INT)", {"t": root})
+    with pytest.raises(FileExistsError, match="overwrite"):
+        execute_ddl(spark, "CREATE TABLE t (a INT)", {"t": root})
+    execute_ddl(spark, "CREATE OR REPLACE TABLE t (a INT, b INT)",
+                {"t": root})
+    assert [f.name for f in snap.table_schema(root)] == ["a", "b"]
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("corp_v")
+    execute_ddl(spark, "CREATE OR REPLACE TABLE t AS SELECT x FROM corp_v",
+                {"t": root})
+    assert _rows(spark, root) == [(1,)]

@@ -4109,8 +4109,8 @@ def table_sql_ddl(spark, sf_dir):
     t = {"docs": root}
     execute_ddl(
         spark,
-        """CREATE TABLE docs (doc_id BIGINT, source STRING,
-                              n_chars BIGINT)
+        """CREATE OR REPLACE TABLE docs (doc_id BIGINT, source STRING,
+                                         n_chars BIGINT)
            PARTITIONED BY (hashbucket(8, doc_id))""",
         t)
     execute_dml(

@@ -414,14 +414,19 @@ class SnapshotChangesDistStreamSource(DataSource):
 
 
 _REGISTERED: set[str] = set()
+_REGISTER_LOCK = __import__("threading").Lock()
 
 
 def register_table_changes_stream(spark) -> None:
     """Idempotent per-session registration of both streaming CDF
-    sources (driver-side simple + executor-parallel)."""
+    sources (driver-side simple + executor-parallel). Lock-serialized:
+    callers run from thread pools (the parity harness builds queries
+    concurrently), and a bare check-then-register races to a
+    DATA_SOURCE_ALREADY_EXISTS AnalysisException."""
     key = ("cdc", spark.sparkContext.applicationId)
-    if key in _REGISTERED:
-        return
-    spark.dataSource.register(SnapshotChangesStreamSource)
-    spark.dataSource.register(SnapshotChangesDistStreamSource)
-    _REGISTERED.add(key)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(SnapshotChangesStreamSource)
+        spark.dataSource.register(SnapshotChangesDistStreamSource)
+        _REGISTERED.add(key)

@@ -129,6 +129,7 @@ class SyntheticLedgerReader(DataSourceReader):
 
 
 _REGISTERED: set[str] = set()
+_REGISTER_LOCK = __import__("threading").Lock()
 
 
 def register_synthetic_ledger(spark) -> None:
@@ -142,10 +143,11 @@ def register_synthetic_ledger(spark) -> None:
     a runtime SQLConf scoped to Python data sources only."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = spark.sparkContext.applicationId
-    if key in _REGISTERED:
-        return
-    spark.dataSource.register(SyntheticLedgerDataSource)
-    _REGISTERED.add(key)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(SyntheticLedgerDataSource)
+        _REGISTERED.add(key)
 
 
 def _ledger_rows(lo: int, hi: int):
@@ -203,7 +205,8 @@ class SyntheticLedgerStreamSource(DataSource):
 def register_synthetic_ledger_stream(spark) -> None:
     """Idempotent per-session registration of the streaming source."""
     key = ("stream", spark.sparkContext.applicationId)
-    if key in _REGISTERED:
-        return
-    spark.dataSource.register(SyntheticLedgerStreamSource)
-    _REGISTERED.add(key)
+    with _REGISTER_LOCK:
+        if key in _REGISTERED:
+            return
+        spark.dataSource.register(SyntheticLedgerStreamSource)
+        _REGISTERED.add(key)

@@ -12,11 +12,12 @@ zero execution cost.
 
 Grammar (documented refusals for everything else):
 
-    CREATE TABLE <name> (col TYPE [, ...])
+    CREATE [OR REPLACE] TABLE <name> (col TYPE [, ...])
         [PARTITIONED BY (col | transform(param, col) | day(col) [, ...])]
         -- transforms: identity (bare col), truncate(N, col),
         -- hashbucket(N, col), day(col) — Iceberg's generated partitions
-    CREATE TABLE <name> [PARTITIONED BY (...)] AS <SELECT/WITH query>
+    CREATE [OR REPLACE] TABLE <name> [PARTITIONED BY (...)]
+        AS <SELECT/WITH query>
         -- CTAS: schema from the query, rows land in commit 0
     ALTER TABLE <name> ADD COLUMN <col> <TYPE>
     ALTER TABLE <name> RENAME COLUMN <old> TO <new>      -- needs mapping
@@ -116,30 +117,32 @@ def execute_ddl(
     returns the committed version (0 for CREATE TABLE)."""
     stmt = sql.strip().rstrip(";").strip()
     m = re.match(
-        rf"^CREATE\s+TABLE\s+({_IDENT})\s*"
+        rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
         rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?"
         rf"AS\s+((?:SELECT|WITH)\b.*)$",
         stmt, re.IGNORECASE | re.DOTALL)
     if m:
-        # CTAS: the query owns the schema; rows land in commit 0
-        root = _require_table(m.group(1), tables)
+        # CTAS: the query owns the schema; rows land in commit 0.
+        # OR REPLACE = Delta's CREATE OR REPLACE TABLE (overwrite).
+        root = _require_table(m.group(2), tables)
         partition_by = None
-        if m.group(2):
+        if m.group(3):
             partition_by = [
                 _parse_partition_item(p)
-                for p in _split_top_commas(m.group(2))
+                for p in _split_top_commas(m.group(3))
             ]
-        return snap.create(spark, root, spark.sql(m.group(3)),
-                           partition_by=partition_by)
+        return snap.create(spark, root, spark.sql(m.group(4)),
+                           partition_by=partition_by,
+                           overwrite=bool(m.group(1)))
     m = re.match(
-        rf"^CREATE\s+TABLE\s+({_IDENT})\s*\((.*?)\)\s*"
+        rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*\((.*?)\)\s*"
         rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?$",
         stmt, re.IGNORECASE | re.DOTALL)
     if m:
         from pyspark.sql.types import StructField, StructType
 
-        root = _require_table(m.group(1), tables)
-        cols = _split_top_commas(m.group(2))
+        root = _require_table(m.group(2), tables)
+        cols = _split_top_commas(m.group(3))
         if not cols:
             raise DmlSyntaxError("CREATE TABLE needs at least one column")
         fields = []
@@ -152,13 +155,14 @@ def execute_ddl(
                 cm.group(1), _parse_type(cm.group(2), "CREATE TABLE"),
                 True))
         partition_by = None
-        if m.group(3):
+        if m.group(4):
             partition_by = [
                 _parse_partition_item(p)
-                for p in _split_top_commas(m.group(3))
+                for p in _split_top_commas(m.group(4))
             ]
         df = spark.createDataFrame([], StructType(fields))
-        return snap.create(spark, root, df, partition_by=partition_by)
+        return snap.create(spark, root, df, partition_by=partition_by,
+                           overwrite=bool(m.group(1)))
     m = re.match(rf"^ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", stmt,
                  re.IGNORECASE | re.DOTALL)
     if m:
