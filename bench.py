@@ -144,6 +144,10 @@ FRESH = [
     # The timeable r14 keys:
     "text_bpe_pretrained",      # published-vocab token counting
     "sim_near_dup_pairs",       # rebuilt r14: planted dups, 0.9 threshold
+    # the r14 mid-round TPC-DS widening (pure SQL, timeable;
+    # table_sql_history builds a commit-log table — excluded)
+    "sql_tpcds_q43", "sql_tpcds_q59", "sql_tpcds_q65",
+    "sql_tpcds_q79", "sql_tpcds_q98",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -86,6 +86,10 @@ ROUND_KEYS = [
     "table_merge_clauses_mor", "table_sql_timetravel", "table_sql_ddl",
     "text_bpe_pretrained", "table_analyze", "table_dv_legacy",
     "sim_near_dup_pairs",
+    # round-14 mid-round additions (DESCRIBE HISTORY SQL, five more
+    # TPC-DS shapes)
+    "table_sql_history", "sql_tpcds_q43", "sql_tpcds_q59",
+    "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
 ]
 
 

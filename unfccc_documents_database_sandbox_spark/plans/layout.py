@@ -2246,6 +2246,63 @@ def table_analyze(spark, sf_dir):
 
 
 @register(
+    "table_sql_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(4 AS BIGINT), 'optimize', FALSE, FALSE, FALSE, FALSE),
+        (CAST(3 AS BIGINT), 'add_column', TRUE, TRUE, FALSE, FALSE),
+        (CAST(2 AS BIGINT), 'delete_mor', TRUE, FALSE, TRUE, TRUE),
+        (CAST(1 AS BIGINT), 'append', TRUE, FALSE, FALSE, FALSE),
+        (CAST(0 AS BIGINT), 'create', TRUE, TRUE, FALSE, FALSE)
+    ) AS t(version, operation, data_change, schema_change,
+           deletion_vector, change_data)
+    """,
+)
+def table_sql_history(spark, sf_dir):
+    """DESCRIBE HISTORY as a SQL statement (Delta's audit surface,
+    rounding out the all-SQL front door): an entirely-SQL commit
+    sequence — CREATE TABLE, INSERT INTO ... SELECT, a merge-on-read
+    DELETE, ALTER TABLE ADD COLUMN, OPTIMIZE — read back through
+    `read_sql("DESCRIBE HISTORY t")` as a metadata table, newest first.
+    The oracle is the expected log verbatim: operation names, the
+    data_change flag (FALSE only for OPTIMIZE — contents identical,
+    layout moved), schema-bearing commits (create + add_column), the
+    DV bit on the MoR delete, and its change-data bit. Pure driver-side
+    log metadata — zero data I/O, O(commits)."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources.sql_ddl import (
+        execute_ddl,
+    )
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        execute_dml,
+        read_sql,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snaphist_{tag}")
+    t = {"docs": root}
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d.createOrReplaceTempView("hist_docs_src")
+    execute_ddl(
+        spark,
+        "CREATE OR REPLACE TABLE docs (doc_id BIGINT, n_chars BIGINT)", t)
+    execute_dml(
+        spark,
+        "INSERT INTO docs SELECT doc_id, n_chars FROM hist_docs_src "
+        "WHERE doc_id % 3 = 0", t)
+    execute_dml(spark, "DELETE FROM docs WHERE n_chars % 2 = 0", t,
+                mode="mor")
+    execute_ddl(spark, "ALTER TABLE docs ADD COLUMN tag STRING", t)
+    execute_ddl(spark, "OPTIMIZE docs MAX FILES 1", t)
+    return read_sql(spark, "DESCRIBE HISTORY docs", t)
+
+
+@register(
     "table_dv_legacy",
     oracle="""
     WITH base AS (

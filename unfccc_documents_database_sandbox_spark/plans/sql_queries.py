@@ -916,3 +916,129 @@ register("sql_tpcds_q42", oracle=_QDS42)(_sql_plan(_QDS42))
 register("sql_tpcds_q88", oracle=_QDS88)(_sql_plan(_QDS88))
 register("sql_tpcds_q89", oracle=_QDS89)(_sql_plan(_QDS89))
 register("sql_tpcds_q93", oracle=_QDS93)(_sql_plan(_QDS93))
+
+
+# --- TPC-DS mini-family, round-14 widening (beyond the r13 five) ----------
+# Same discipline as the r12/r13 blocks: ONE SQL string runs verbatim
+# through spark.sql AND DuckDB, money as bigint cents, double division
+# only in final single-op ROUND(...,6) projections, deterministic output
+# sets (no LIMIT without a unique-key tie-break). Weekday-based shapes
+# are adapted to day-of-month bands: EXTRACT(dow) numbers Sunday
+# differently across engines (DuckDB 0-6 vs Spark's DAYOFWEEK 1-7) while
+# EXTRACT(day/month/year) agree exactly.
+
+# Q43 shape: banded-period revenue pivot per supplier — the
+# weekday-pivot star query as one conditional aggregation over a single
+# scan (TPC-DS spells it as 7 SUM(CASE) columns; 3 day-bands keep the
+# shape and the one-pass plan).
+_QDS43 = """
+SELECT l_suppkey,
+       CAST(SUM(CASE WHEN d <= 10 THEN cents ELSE 0 END) AS BIGINT)
+           AS rev_d01_10,
+       CAST(SUM(CASE WHEN d > 10 AND d <= 20 THEN cents ELSE 0 END)
+            AS BIGINT) AS rev_d11_20,
+       CAST(SUM(CASE WHEN d > 20 THEN cents ELSE 0 END) AS BIGINT)
+           AS rev_d21_31,
+       CAST(SUM(cents) AS BIGINT) AS rev_total
+FROM (
+    SELECT l_suppkey, EXTRACT(day FROM l_shipdate) AS d,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem
+) t
+GROUP BY l_suppkey
+"""
+
+# Q65 shape: (supplier, part) pairs whose revenue runs under half the
+# supplier's per-part average — windowed exact total/count instead of
+# AVG so the band test stays in integers; the ratio is the only double.
+_QDS65 = """
+WITH si AS (
+    SELECT l_suppkey, l_partkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                               0) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+w AS (
+    SELECT l_suppkey, l_partkey, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY l_suppkey) AS BIGINT)
+               AS tot_cents,
+           CAST(COUNT(*) OVER (PARTITION BY l_suppkey) AS BIGINT)
+               AS n_parts
+    FROM si
+)
+SELECT l_suppkey, l_partkey, rev_cents,
+       ROUND(CAST(rev_cents AS DOUBLE) * n_parts / tot_cents, 6)
+           AS ratio_to_avg
+FROM w WHERE rev_cents * n_parts * 2 < tot_cents
+"""
+
+# Q98 shape: per-item revenue share within its class — one star join,
+# one agg, one window sum; the share division is a single deterministic
+# FP op over two exact integers.
+_QDS98 = """
+WITH pr AS (
+    SELECT p.p_type, p.p_partkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY p.p_type, p.p_partkey
+)
+SELECT p_type, p_partkey, rev_cents,
+       ROUND(CAST(rev_cents AS DOUBLE)
+             / CAST(SUM(rev_cents) OVER (PARTITION BY p_type) AS BIGINT),
+             6) AS class_share
+FROM pr
+"""
+
+# Q59 shape: year-over-year month revenue comparison — the weekly
+# self-join adapted to months (portable EXTRACT fields); both years'
+# aggregates come from ONE grouped pass, then a keyed self-join.
+_QDS59 = """
+WITH m AS (
+    SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS moy,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority, EXTRACT(year FROM o_orderdate),
+             EXTRACT(month FROM o_orderdate)
+)
+SELECT a.o_orderpriority, CAST(a.moy AS BIGINT) AS moy,
+       a.rev_cents AS rev_1996_cents, b.rev_cents AS rev_1997_cents,
+       ROUND(CAST(b.rev_cents AS DOUBLE) / a.rev_cents, 6) AS yoy_ratio
+FROM m a
+JOIN m b ON a.o_orderpriority = b.o_orderpriority AND a.moy = b.moy
+WHERE a.yr = 1996 AND b.yr = 1997
+"""
+
+# Q79/Q68 shape: multi-line "shopping trips" in a quarter, joined back
+# to the customer dimension — per-order agg shuffle + one
+# broadcast-able dim join, band filter on the line count.
+_QDS79 = """
+WITH t AS (
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                               * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.total_cents, t.n_lines
+FROM t JOIN customer c ON t.o_custkey = c.c_custkey
+WHERE t.n_lines >= 5
+"""
+
+register("sql_tpcds_q43", oracle=_QDS43)(_sql_plan(_QDS43))
+register("sql_tpcds_q59", oracle=_QDS59)(_sql_plan(_QDS59))
+register("sql_tpcds_q65", oracle=_QDS65)(_sql_plan(_QDS65))
+register("sql_tpcds_q79", oracle=_QDS79)(_sql_plan(_QDS79))
+register("sql_tpcds_q98", oracle=_QDS98)(_sql_plan(_QDS98))

@@ -650,6 +650,25 @@ def read_sql(
             i += 1
         return None
 
+    m_hist = re.match(
+        rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*;?\s*$", sql,
+        re.IGNORECASE)
+    if m_hist:
+        # Delta's DESCRIBE HISTORY: the commit log as a metadata table
+        # (newest first) — pure driver-side log reads, zero data I/O.
+        root = _require_table(m_hist.group(1), tables)
+        rows = [
+            (int(h["version"]), h["operation"], bool(h["data_change"]),
+             bool(h["schema_change"]), bool(h["deletion_vector"]),
+             bool(h["change_data"]))
+            for h in snap.history(root)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, data_change boolean, "
+            "schema_change boolean, deletion_vector boolean, "
+            "change_data boolean")
+
     def _ts_ms(lit: str) -> int:
         """A quoted timestamp literal -> epoch ms (UTC — the clock the
         commit log records). ISO date or date-time; refuse otherwise."""
