@@ -198,3 +198,33 @@ def test_create_or_replace_is_idempotent(spark, tmp_path):
     execute_ddl(spark, "CREATE OR REPLACE TABLE t AS SELECT x FROM corp_v",
                 {"t": root})
     assert _rows(spark, root) == [(1,)]
+
+
+def test_shallow_clone_and_restore_sql(spark, tmp_path):
+    """CREATE TABLE ... SHALLOW CLONE forks zero-copy (optionally at a
+    pinned version); RESTORE TABLE rolls the log forward to an old
+    state — both as SQL statements routed to clone/restore."""
+    src_root = str(tmp_path / "src")
+    clone_root = str(tmp_path / "cl")
+    t = {"src": src_root, "cl": clone_root}
+    execute_ddl(spark, "CREATE TABLE src (id BIGINT, v BIGINT)", t)
+    execute_dml(spark, "INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)",
+                t)  # v1
+    execute_dml(spark, "DELETE FROM src WHERE id = 2", t)  # v2
+    # clone pinned at v1: sees all three rows, independent of src's v2
+    execute_ddl(spark, "CREATE TABLE cl SHALLOW CLONE src VERSION AS OF 1",
+                t)
+    assert _rows(spark, clone_root) == [(1, 10), (2, 20), (3, 30)]
+    assert _rows(spark, src_root) == [(1, 10), (3, 30)]
+    # writes to the clone never touch the source
+    execute_dml(spark, "DELETE FROM cl WHERE id = 3", t)
+    assert _rows(spark, clone_root) == [(1, 10), (2, 20)]
+    assert _rows(spark, src_root) == [(1, 10), (3, 30)]
+    # restore the source to v1: forward commit, old state
+    v = execute_ddl(spark, "RESTORE TABLE src TO VERSION AS OF 1", t)
+    assert v == 3
+    assert _rows(spark, src_root) == [(1, 10), (2, 20), (3, 30)]
+    # and time travel still sees the deleted era
+    assert _rows(spark, src_root, 2) == [(1, 10), (3, 30)]
+    with pytest.raises(DmlSyntaxError, match="unsupported DDL"):
+        execute_ddl(spark, "RESTORE TABLE src", t)

@@ -25,6 +25,8 @@ Grammar (documented refusals for everything else):
     ALTER TABLE <name> ALTER COLUMN <col> TYPE <TYPE>    -- widening only
     ALTER TABLE <name> ADD CONSTRAINT <nm> CHECK (<expr>)
     ALTER TABLE <name> DROP CONSTRAINT <nm>
+    CREATE TABLE <name> SHALLOW CLONE <src> [VERSION AS OF <n>]
+    RESTORE TABLE <name> TO VERSION AS OF <n>
     OPTIMIZE <name> [ZORDER BY (col [, ...])] [MAX FILES <n>]
     VACUUM <name> [RETAIN <n> VERSIONS]
     ANALYZE TABLE <name> [COMPUTE STATISTICS [FOR COLUMNS col [, ...]]]
@@ -116,6 +118,25 @@ def execute_ddl(
     """Parse ONE DDL statement and run it against the snapshot format;
     returns the committed version (0 for CREATE TABLE)."""
     stmt = sql.strip().rstrip(";").strip()
+    m = re.match(
+        rf"^CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+        stmt, re.IGNORECASE)
+    if m:
+        # Delta's zero-copy fork: commit 0 references the source's
+        # payload by absolute path; the two logs never interact again
+        dst = _require_table(m.group(1), tables)
+        src_root = _require_table(m.group(2), tables)
+        return snap.clone(
+            src_root, dst,
+            version=int(m.group(3)) if m.group(3) else None)
+    m = re.match(
+        rf"^RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+        rf"(\d+)\s*$",
+        stmt, re.IGNORECASE)
+    if m:
+        root = _require_table(m.group(1), tables)
+        return snap.restore(spark, root, int(m.group(2)))
     m = re.match(
         rf"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*"
         rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?"
@@ -247,5 +268,6 @@ def execute_ddl(
     kw = stmt.split(None, 1)[0].upper() if stmt else ""
     raise DmlSyntaxError(
         f"unsupported DDL statement {kw!r}: this front-end handles "
-        "CREATE TABLE [AS SELECT], ALTER TABLE, OPTIMIZE, VACUUM and "
-        "ANALYZE TABLE over snapshot tables")
+        "CREATE TABLE [AS SELECT | SHALLOW CLONE], ALTER TABLE, "
+        "RESTORE TABLE, OPTIMIZE, VACUUM and ANALYZE TABLE over "
+        "snapshot tables")
