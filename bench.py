@@ -148,6 +148,7 @@ FRESH = [
     # table_sql_history builds a commit-log table — excluded)
     "sql_tpcds_q43", "sql_tpcds_q59", "sql_tpcds_q65",
     "sql_tpcds_q79", "sql_tpcds_q98",
+    "text_unigram_score",       # LM-perplexity quality gate (train+score)
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

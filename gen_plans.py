@@ -90,6 +90,7 @@ ROUND_KEYS = [
     # TPC-DS shapes)
     "table_sql_history", "sql_tpcds_q43", "sql_tpcds_q59",
     "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
+    "text_unigram_score",
 ]
 
 

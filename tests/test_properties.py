@@ -1738,3 +1738,54 @@ def test_pretrained_bpe_matches_rank_priority_reference(spark):
             fh.write("\u0001 e\n")
         with _pytest.raises(ValueError, match="byte alphabet"):
             load_merges(alien)
+
+
+def test_unigram_score_flags_gibberish(spark, tmp_path):
+    """The perplexity gate's point: a planted gibberish document (rare
+    character soup = high Viterbi cost per word) must score above the
+    corpus mean and get keep=0, while ordinary repeated-vocabulary docs
+    keep=1; the flag is the exact integer cross-multiplication (no FP
+    at the boundary); per-doc sums recompute from a pure-Python DP."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.training import (
+        _UNI_MAXW,
+        learn_unigram,
+    )
+    from unfccc_documents_database_sandbox_spark.registry import lookup
+
+    normal = "the quick brown fox jumps over the lazy dog and runs on"
+    texts = [(i, (normal + " ") * 3) for i in range(9)]
+    texts.append((99, "zq xv qz vx zzqq xvxv qqzz vvxx zqzq xvqz"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        texts, "doc_id long, text string"
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = {r.doc_id: (r.n_words, r.total_cost, r.keep)
+           for r in lookup("text_unigram_score").build(spark, sf_dir)
+           .collect()}
+    assert out[99][2] == 0, f"gibberish doc kept: {out[99]}"
+    assert all(out[i][2] == 1 for i in range(9))
+    # recompute one normal doc's totals with a pure-Python Viterbi
+    vocab = learn_unigram(spark, sf_dir)
+    cost = {p: c for p, (_n, c) in vocab.items()}
+    INF = 10**6
+
+    def wcost(w):
+        dp = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            dp[i] = min(
+                dp[j] + cost.get(w[j:i], INF)
+                for j in range(max(0, i - 4), i)
+            )
+        return dp[len(w)]
+
+    import re as _re
+
+    words = [w for w in (normal + " ").split() * 3
+             if _re.fullmatch("[a-z]{2,%d}" % _UNI_MAXW, w)]
+    want = (len(words), sum(wcost(w) for w in words))
+    assert out[0][:2] == want

@@ -1371,6 +1371,116 @@ def _uni_encode_tail() -> str:
     )
 
 
+def _uni_score_tail() -> str:
+    """Oracle tail for the perplexity-style quality filter: the encode
+    DP chain, each word's TOTAL Viterbi cost (dp at its length), per-doc
+    exact cost/word sums, and the corpus-mean keep flag via integer
+    cross-multiplication."""
+    dp_ctes, dp_final = _uni_dp_sql("s", f"v{_UNI_T}")
+    wcost = " ".join(
+        f"WHEN {i} THEN dp{i}" for i in range(1, _UNI_MAXW + 1)
+    )
+    return (
+        ", "
+        + ",\n    ".join(dp_ctes)
+        + f""",
+    wc AS MATERIALIZED (
+        SELECT word, CAST(CASE len {wcost} END AS BIGINT) AS wcost
+        FROM {dp_final}
+    ),
+    sdtok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    sdwc AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM sdtok
+        WHERE regexp_full_match(word, '[a-z]{{2,{_UNI_MAXW}}}')
+        GROUP BY doc_id, word
+    ),
+    perdoc AS MATERIALIZED (
+        SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_words,
+               CAST(SUM(d.cnt * wc.wcost) AS BIGINT) AS total_cost
+        FROM sdwc d JOIN wc ON wc.word = d.word
+        GROUP BY d.doc_id
+    ),
+    g AS (
+        SELECT CAST(SUM(n_words) AS BIGINT) AS g_words,
+               CAST(SUM(total_cost) AS BIGINT) AS g_cost
+        FROM perdoc
+    )
+    SELECT p.doc_id, p.n_words, p.total_cost,
+           CAST(CASE WHEN p.total_cost * g.g_words
+                          <= p.n_words * g.g_cost
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM perdoc p, g
+    """
+    )
+
+
+@register(
+    "text_unigram_score",
+    oracle=_uni_oracle(_uni_score_tail()),
+)
+def text_unigram_score(spark, sf_dir):
+    """LM-perplexity quality filtering (the CCNet/Gopher-style gate a
+    pretraining pipeline runs: score every document under a language
+    model, keep the fluent ones): each word's TOTAL Viterbi cost under
+    the trained unigram LM is its quantized -log2 P(word) — the engine's
+    integer-cost discipline — so a document's cost/word is an exact
+    integer perplexity proxy. Emits per-doc (n_words, total_cost) and a
+    data-driven keep flag: cost/word at or below the CORPUS mean,
+    decided by integer cross-multiplication (total_cost·Σwords ≤
+    n_words·Σcost) so no FP division touches the gate. Gibberish (high
+    surprise per word) scores above the mean and drops — the operator's
+    entire point; tests plant such a doc and pin the flag flip.
+
+    Scale: the DP runs once on the DISTINCT-word table (pure JVM column
+    expressions, zero shuffle) and broadcasts per-word costs back onto
+    per-doc counts; the global mean is one scalar aggregate attached by
+    a one-row broadcast cross join — the accepted scalar-attach shape.
+    The cross-multiplication stays far inside int64 here (costs are
+    <= ~64·words); a 100 TB corpus would compare double ratios instead,
+    losing only tie-exactness at the keep boundary. Each build
+    re-trains (bench honesty, the encode twin's rule)."""
+    vocab = learn_unigram(spark, sf_dir)
+    cost = {p: c for p, (_cnt, c) in vocab.items()}
+    d = spread(load_table(spark, sf_dir, "documents"))
+    dwc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,%d}$" % _UNI_MAXW))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wc = _uni_dp(dwc.select("word").distinct(), cost).select(
+        "word",
+        F.element_at(F.col("dparr"), F.col("len") + 1)["dp"]
+        .cast("long").alias("wcost"),
+    )
+    perdoc = (
+        dwc.join(F.broadcast(wc), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("wcost")).cast("long")
+            .alias("total_cost"),
+        )
+    )
+    g = perdoc.agg(
+        F.sum("n_words").cast("long").alias("g_words"),
+        F.sum("total_cost").cast("long").alias("g_cost"),
+    )
+    return perdoc.crossJoin(F.broadcast(g)).select(
+        "doc_id", "n_words", "total_cost",
+        F.when(
+            F.col("total_cost") * F.col("g_words")
+            <= F.col("n_words") * F.col("g_cost"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("keep"),
+    )
+
+
 @register(
     "text_unigram_train",
     oracle=_uni_oracle(_UNI_TRAIN_TAIL),

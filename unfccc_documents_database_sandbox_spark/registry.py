@@ -98,8 +98,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # (17 unprefixed + 33 z_ re-checks) parked, the r12 PARKED cohort aged
 # into NEXT, and the 8-key r08 remnant + the alphabetically-first 34
 # r09-cohort keys + the 2 r14-rebuilt near-dup keys promoted to DUE
-# (sized 44 for the planned r14 new-key count of 6, re-sized 38
-# mid-round as the count grew to 12 — the six newest-evidence r09
+# (sized 44 for the planned r14 new-key count of 6, re-sized 37
+# mid-round as the count grew to 13 — the seven newest-evidence r09
 # DUE members demoted back to NEXT). Oldest evidence on file after
 # r14: r08 (the z_ remnant), then r09.
 
@@ -109,8 +109,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 34 keys of the r09 cohort, PLUS sim_near_dup_pairs / dedup_embedding
 # whose r14 builder change (planted near-dups, production 0.9
 # threshold — VERDICT r13 #7) stales their r11/r10 evidence. Sized
-# 38 = 50 − the final 12 new r14 keys after the mid-round demotion
-# of the six newest-evidence (r09) DUE members (machine-checked by
+# 37 = 50 − the final 13 new r14 keys after the mid-round demotion
+# of the seven newest-evidence (r09) DUE members (machine-checked by
 # tests/test_rotation.py::test_window_reaches_every_due_key; sized
 # from the registry, not this comment). Rows-only by design among
 # these: sim_topk_pq (hash-exact portable twin registered).
@@ -124,7 +124,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "sort_global", "source_orc", "sql_corr_subquery", "sql_tpch_q10",
         "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
         "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
-        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q9",
+        "sql_tpch_q7", "sql_tpch_q8",
         "table_incremental_mv", "table_schema_evolution",
         "table_stats_prune", "text_keyterms", "try_funcs", "ts_gapfill",
         "udaf_pandas_agg", "udtf_python_segments"
@@ -145,10 +145,11 @@ ROTATED_DUE: frozenset[str] = frozenset(
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
         # r09 evidence: demoted from DUE mid-r14 as the new-key count
-        # grew 6 -> 12 (table_sql_history + the five extra TPC-DS
-        # shapes) — the newest-evidence members of the DUE tier give
-        # way first (their r09 rows are fresher than the r08 remnant's)
-        "stream_static_join", "stream_table_changes",
+        # grew 6 -> 13 (table_sql_history, five extra TPC-DS shapes,
+        # text_unigram_score) — the newest-evidence members of the DUE
+        # tier give way first (their r09 rows are fresher than the r08
+        # remnant's)
+        "sql_tpch_q9", "stream_static_join", "stream_table_changes",
         "stream_table_changes_dist", "table_bloom_prune",
         "table_changes_typed", "table_clone",
         "agg_approx_distinct", "agg_approx_percentiles",
