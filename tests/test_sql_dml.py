@@ -549,3 +549,58 @@ def test_by_source_condition_with_alias_literal(spark, pair):
     got = {t[0]: t for t in _rows(spark, sql_root)}
     assert got[2] == (2, 20, "live") and got[99] == (99, 1, "new")
     assert got[3] == (3, 30, "s.x")
+
+
+def test_inner_queries_bind_snapshot_tables(spark, pair, tmp_path):
+    """Composability: INSERT INTO ... SELECT, MERGE USING (subquery) and
+    a bare USING name may all reference REGISTERED SNAPSHOT TABLES
+    (time travel included) — the inner query runs through read_sql with
+    the statement's own table mapping, not bare spark.sql."""
+    sql_root, other_root = pair
+    t = {"tbl": sql_root, "other": other_root}
+    # other: keep only ids >= 15, at head; v0 keeps all 20
+    execute_dml(spark, "DELETE FROM other WHERE id < 15", t)
+    # INSERT selecting from ANOTHER snapshot table, with time travel
+    execute_dml(
+        spark,
+        "INSERT INTO tbl SELECT id + 100, score, status "
+        "FROM other VERSION AS OF 0 WHERE id < 3", t)
+    got = {r[0] for r in _rows(spark, sql_root)}
+    assert {100, 101, 102} <= got and len(got) == 23
+    # MERGE USING a subquery over a snapshot table
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING (SELECT id, score * 2 AS score, "
+        "'merged' AS status FROM other) s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *", t)
+    rows = {r[0]: r for r in _rows(spark, sql_root)}
+    assert rows[15] == (15, 300, "merged")
+    # MERGE USING a bare snapshot-table name (head read)
+    execute_dml(
+        spark,
+        "MERGE INTO tbl t USING other s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE", t)
+    assert all(not (15 <= k < 20) for k in
+               {r[0] for r in _rows(spark, sql_root)})
+
+
+def test_ctas_from_snapshot_table(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT may read registered snapshot tables."""
+    from unfccc_documents_database_sandbox_spark.sources.sql_ddl import (
+        execute_ddl,
+    )
+
+    src_root = str(tmp_path / "csrc")
+    dst_root = str(tmp_path / "cdst")
+    t = {"src": src_root, "dst": dst_root}
+    snap.create(spark, src_root,
+                spark.createDataFrame([(i, i * 2) for i in range(10)],
+                                      "id long, v long"))
+    snap.delete_where(spark, src_root, "id >= 5")
+    execute_ddl(
+        spark,
+        "CREATE TABLE dst AS SELECT id, v FROM src VERSION AS OF 0 "
+        "WHERE id % 2 = 0", t)
+    assert _rows(spark, dst_root) == [(0, 0), (2, 4), (4, 8), (6, 12),
+                                      (8, 16)]

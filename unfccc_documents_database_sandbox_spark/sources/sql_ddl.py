@@ -152,7 +152,13 @@ def execute_ddl(
                 _parse_partition_item(p)
                 for p in _split_top_commas(m.group(3))
             ]
-        return snap.create(spark, root, spark.sql(m.group(4)),
+        from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+            read_sql,
+        )
+
+        # through read_sql: CTAS may SELECT from registered snapshot
+        # tables (time travel included), not just temp views
+        return snap.create(spark, root, read_sql(spark, m.group(4), tables),
                            partition_by=partition_by,
                            overwrite=bool(m.group(1)))
     m = re.match(

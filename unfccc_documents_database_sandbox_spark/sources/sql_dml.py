@@ -17,9 +17,13 @@ Grammar (documented refusals for everything else):
     UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
     INSERT INTO <table> [(col, ...)] VALUES (...), ... | <SELECT/WITH query>
         -- positional column mapping (SQL semantics); append's write
-        -- rules own schema checks, DEFAULT fill and generated columns
+        -- rules own schema checks, DEFAULT fill and generated columns;
+        -- the SELECT runs through read_sql, so it may reference other
+        -- registered snapshot tables (time travel included)
     MERGE INTO <table> [AS] t
-        USING (<subquery>) | <view-or-registered-source> [AS] s
+        USING (<subquery>) | <view-or-source-or-snapshot-table> [AS] s
+        -- the subquery runs through read_sql (snapshot tables bind);
+        -- a bare registered snapshot-table name reads its head
         ON t.k = s.k [AND t.k2 = s.k2 ...]          -- equi-keys only
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e, ...]
         [WHEN MATCHED [AND <cond>] THEN DELETE]
@@ -298,10 +302,13 @@ def _parse_alias(text: str, default: str, what: str) -> tuple[str, str]:
 
 def _resolve_source(
     spark: SparkSession, text: str, sources: dict[str, DataFrame] | None,
+    tables: dict[str, str] | None = None,
 ) -> tuple[DataFrame, str]:
-    """USING operand: a parenthesized subquery (run through spark.sql so
-    temp views work, matching the reference's all-SQL surface), a name in
-    ``sources``, or a catalog/temp-view name."""
+    """USING operand: a parenthesized subquery (run through `read_sql`
+    with the statement's own table mapping, so it can SELECT from
+    registered snapshot tables — time travel included — as well as
+    temp views), a name in ``sources``, a registered snapshot table
+    name (head read), or a catalog/temp-view name."""
     text = text.strip()
     if text.startswith("("):
         # ( subquery ) [AS] alias
@@ -326,10 +333,16 @@ def _resolve_source(
                      re.IGNORECASE | re.DOTALL)
         if not m:
             raise DmlSyntaxError(f"cannot parse USING alias in {rest!r}")
-        return spark.sql(sub), (m.group(1) or "s")
+        return read_sql(spark, sub, tables or {}), (m.group(1) or "s")
     name, alias = _parse_alias(text, "s", "USING")
     if sources and name in sources:
         return sources[name], alias
+    if tables and name in tables:
+        from unfccc_documents_database_sandbox_spark.sources import (
+            snapshots as _snap,
+        )
+
+        return _snap.read(spark, tables[name]), alias
     return spark.table(name), alias
 
 
@@ -356,7 +369,7 @@ def _parse_merge(
         sql[m_into.end():m_using.start()], "t", "MERGE INTO")
     root = _require_table(tgt_name, tables)
     source, s_alias = _resolve_source(
-        spark, sql[m_using.end():m_on.start()], sources)
+        spark, sql[m_using.end():m_on.start()], sources, tables)
     if t_alias.lower() == s_alias.lower():
         raise DmlSyntaxError(
             f"target and source aliases must differ, both {t_alias!r}")
@@ -528,7 +541,10 @@ def execute_dml(
             # typing); the synthetic colN names are replaced positionally
             df = spark.sql(f"SELECT * FROM ({body})")
         elif head_kw in ("SELECT", "WITH"):
-            df = spark.sql(body)
+            # through read_sql with the statement's own table mapping:
+            # an INSERT may SELECT from registered snapshot tables
+            # (self-reference time travel included) as well as views
+            df = read_sql(spark, body, tables)
         else:
             raise DmlSyntaxError(
                 "INSERT INTO supports a VALUES list or a SELECT/WITH "
