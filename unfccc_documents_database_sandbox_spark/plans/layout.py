@@ -1280,22 +1280,29 @@ def _run_cdf_stream(spark, sf_dir, fmt, max_versions_per_batch=None,
         .start()
     )
     try:
-        deadline = time.time() + 180
+        deadline = time.time() + 300
         while time.time() < deadline:
             if not q.isActive and q.exception() is not None:
                 raise q.exception()
-            got = (
-                spark.table(name)
-                .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
-                .collect()[0]["n"]
-            )
+            try:
+                got = (
+                    spark.table(name)
+                    .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
+                    .collect()[0]["n"]
+                )
+            except Exception:
+                # the memory sink registers its temp view only once the
+                # FIRST micro-batch commits; under a loaded session
+                # (the concurrent parity build) q.start() returns well
+                # before that, so an early poll must wait, not raise
+                got = -1
             if got == expected:
                 break
             time.sleep(0.2)
         else:
             raise TimeoutError(
                 f"{fmt} did not converge to the batch feed "
-                f"({expected} rows) within 180s"
+                f"({expected} rows) within 300s"
             )
         if min_batches is not None:
             # admission control really sliced the backlog: the version
