@@ -1738,6 +1738,16 @@ def test_pretrained_bpe_matches_rank_priority_reference(spark):
             fh.write("\u0001 e\n")
         with _pytest.raises(ValueError, match="byte alphabet"):
             load_merges(alien)
+        # r14 ADVICE: real GPT-2 vocabularies contain merges whose LEFT
+        # token is '#' (e.g. '# #' forming '##'); only the first-line
+        # '#version' header may be skipped — a '#'-prefixed merge line
+        # must load with its rank intact
+        hashy = _os.path.join(td, "hashy.txt")
+        with open(hashy, "w", encoding="utf-8") as fh:
+            fh.write("#version: 0.2\n# #\n## #\nh e\n")
+        got = load_merges(hashy)
+        assert got == [("23", "23", 1), ("2323", "23", 2),
+                       ("68", "65", 3)]
 
 
 def test_unigram_score_flags_gibberish(spark, tmp_path):

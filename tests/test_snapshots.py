@@ -4374,6 +4374,34 @@ def test_analyze_table_stats_and_cbo_broadcast(spark, tmp_path):
     # join through the hint is still correct
     n = fact.join(snap.read_cbo(spark, dim_root), "id").count()
     assert n == 20_000
+    # r14 ADVICE: stale stats must not broadcast a table that has grown
+    # past the threshold since its last ANALYZE — the guard re-sizes the
+    # CURRENT live set when at_version != read version
+    snap.append(spark, dim_root, spark.range(0, 50_000).select(
+        (col("id") + 1000).alias("id"),
+        col("id").cast("string").alias("grp"),
+        col("id").alias("score")))
+    live_bytes = sum(
+        os.path.getsize(os.path.join(snap._data_root(dim_root), f))
+        for f in snap.live_files(dim_root))
+    assert snap.analyzed_stats(dim_root)["bytes"] < live_bytes
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        stale_plan = fact.join(
+            snap.read_cbo(spark, dim_root,
+                          broadcast_threshold=live_bytes - 1), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in stale_plan
+        # a pinned read at the ANALYZE commit itself (no data commit
+        # since at_version) still trusts the stats
+        at = snap.analyzed_stats(dim_root)["at_version"]
+        pinned_plan = fact.join(
+            snap.read_cbo(spark, dim_root, at + 1,
+                          broadcast_threshold=live_bytes - 1), "id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in pinned_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
 def test_analyze_is_advisory_not_a_conflict(spark, tmp_path):

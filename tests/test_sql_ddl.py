@@ -182,6 +182,10 @@ def test_ctas_and_utility_statements(spark, tmp_path):
     assert snap.read(spark, root).count() == 800  # head untouched
     with pytest.raises(DmlSyntaxError, match="bad ZORDER"):
         execute_ddl(spark, "OPTIMIZE t ZORDER BY (id + 1)", {"t": root})
+    # r14 ADVICE: a bare VACUUM must not silently destroy all history —
+    # the SQL surface requires an explicit RETAIN clause
+    with pytest.raises(DmlSyntaxError, match="RETAIN"):
+        execute_ddl(spark, "VACUUM t", {"t": root})
 
 
 def test_create_or_replace_is_idempotent(spark, tmp_path):

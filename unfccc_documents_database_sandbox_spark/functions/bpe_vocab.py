@@ -74,13 +74,21 @@ def load_merges(path: str) -> list[tuple[str, str, int]]:
     """Parse a GPT-2-format merges file into the byte-BPE apply path's
     [(x_hex, y_hex, rank)] list, rank order preserved. Blank lines and
     the '#version' header are skipped; a line without exactly two
-    space-separated tokens refuses (no guessing on a vocab file)."""
+    space-separated tokens refuses (no guessing on a vocab file).
+
+    Only the FIRST line is header-eligible, and only when it starts with
+    '#version' — the GPT-2/HuggingFace loader rule. Published vocabularies
+    contain genuine merges whose left token is '#' (e.g. '# #' forming
+    '##'); treating every '#'-prefixed line as a comment would silently
+    drop them and shift all later ranks (r14 ADVICE)."""
     uni2byte = {c: b for b, c in bytes_to_unicode().items()}
     merges: list[tuple[str, str, int]] = []
     with open(path, encoding="utf-8") as fh:
         for lineno, line in enumerate(fh, 1):
             line = line.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            if not line.strip():
+                continue
+            if lineno == 1 and line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:

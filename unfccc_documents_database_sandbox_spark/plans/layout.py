@@ -1284,18 +1284,21 @@ def _run_cdf_stream(spark, sf_dir, fmt, max_versions_per_batch=None,
         while time.time() < deadline:
             if not q.isActive and q.exception() is not None:
                 raise q.exception()
-            try:
+            # the memory sink registers its temp view only once the
+            # FIRST micro-batch commits; under a loaded session (the
+            # concurrent parity build) q.start() returns well before
+            # that, so an early poll must wait. Probe the catalog
+            # instead of swallowing exceptions — a real failure in the
+            # poll query must propagate, not masquerade as a 300 s
+            # TimeoutError (r14 ADVICE).
+            if not spark.catalog.tableExists(name):
+                got = -1
+            else:
                 got = (
                     spark.table(name)
                     .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"))
                     .collect()[0]["n"]
                 )
-            except Exception:
-                # the memory sink registers its temp view only once the
-                # FIRST micro-batch commits; under a loaded session
-                # (the concurrent parity build) q.start() returns well
-                # before that, so an early poll must wait, not raise
-                got = -1
             if got == expected:
                 break
             time.sleep(0.2)

@@ -178,18 +178,20 @@ def source_pyds_stream(spark, sf_dir):
             # TimeoutError (r08 ADVICE #3)
             if not q.isActive and q.exception() is not None:
                 raise q.exception()
-            try:
+            # memory sink registers its view only after the FIRST
+            # micro-batch commits — an early poll on a loaded session
+            # must wait (catalog probe), while a real poll-query
+            # failure propagates instead of hiding behind the timeout
+            # (r14 ADVICE)
+            if not spark.catalog.tableExists(name):
+                got = -1
+            else:
                 got = (
                     spark.table(name)
                     .agg(F.coalesce(F.sum("n_entries"), F.lit(0))
                          .alias("n"))
                     .collect()[0]["n"]
                 )
-            except Exception:
-                # memory sink registers its view only after the FIRST
-                # micro-batch commits — an early poll on a loaded
-                # session must wait, not raise (the CDF harness rule)
-                got = -1
             if got == n_rows:
                 break
             time.sleep(0.2)

@@ -889,7 +889,11 @@ def analyze_table(
     unknown = sorted(set(columns) - set(names))
     if unknown:
         raise ValueError(f"analyze_table: unknown columns {unknown}")
-    st = _read_state(root)
+    # Pin BOTH the byte-size walk and the scan to the snapshot the
+    # at_version stamp names — reading HEAD separately would let a
+    # concurrent commit slip between the two reads and the stats would
+    # describe a different snapshot than they claim (r14 ADVICE).
+    st = _read_state(root, at)
     droot = _data_root(root)
     nbytes = sum(
         os.path.getsize(os.path.join(droot, f))
@@ -903,7 +907,7 @@ def analyze_table(
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"nulls_{i}"))
-    row = _scan(spark, root).agg(*aggs).collect()[0]
+    row = _scan(spark, root, at).agg(*aggs).collect()[0]
     analyze = {
         "at_version": at,
         "rows": int(row["__rows"]),
@@ -914,10 +918,13 @@ def analyze_table(
             for i, c in enumerate(columns)
         },
     }
-    version = at + 1
-    _write_commit(root, version, [], [], op="analyze",
-                  data_change=False, analyze=analyze)
-    return version
+    # Advisory commit published through the rebase-and-retry path like
+    # every other writer: a benign concurrent commit moves the stats
+    # commit to the new head (at_version still names the scanned
+    # snapshot — staleness stays observable) instead of dying with a
+    # raw FileExistsError (r14 ADVICE).
+    return _publish_commit(root, at, op="analyze", max_retries=5,
+                           data_change=False, analyze=analyze)
 
 
 def analyzed_stats(root: str, version: int | None = None) -> dict | None:
@@ -939,10 +946,39 @@ def read_cbo(
     (e.g. autoBroadcastJoinThreshold disabled, or a source whose size
     Spark can't see). Stats absent → plain read, no guess; the hint is
     exactly Delta/Spark CBO's size-statistics rule, sourced from the
-    commit log instead of the live filesystem."""
+    commit log instead of the live filesystem.
+
+    Staleness guard (r14 ADVICE): stats are trusted only while no
+    commit since ``at_version`` touched data files; otherwise the
+    decision re-sizes the CURRENT live set (a cheap driver-side sum
+    over the log's file list — Delta's CBO likewise sizes the current
+    snapshot) so a table that grew far past the threshold since its
+    last ANALYZE cannot broadcast itself into an executor OOM."""
     df = read(spark, root, version)
     a = analyzed_stats(root, version)
-    if a is not None and int(a.get("bytes", 0)) <= broadcast_threshold:
+    if a is None:
+        return df
+    nbytes = int(a.get("bytes", 0))
+    rv = latest_version(root) if version is None else version
+    at = int(a.get("at_version", -1))
+
+    def _touched_files(v: int) -> bool:
+        try:
+            c = _load_commit(root, v)
+        except (FileNotFoundError, ValueError):
+            return True  # expired log segment: can't prove freshness
+        return bool(c.get("add") or c.get("remove"))
+
+    stale = any(_touched_files(v) for v in range(at + 1, rv + 1))
+    if stale:
+        st = _read_state(root, version)
+        droot = _data_root(root)
+        nbytes = sum(
+            os.path.getsize(os.path.join(droot, f))
+            for f in st["live"]
+            if os.path.exists(os.path.join(droot, f))
+        )
+    if nbytes <= broadcast_threshold:
         df = F.broadcast(df)
     return df
 

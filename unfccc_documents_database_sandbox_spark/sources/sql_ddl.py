@@ -255,8 +255,17 @@ def execute_ddl(
         stmt, re.IGNORECASE)
     if m:
         root = _require_table(m.group(1), tables)
-        snap.vacuum(root,
-                    retain_versions=int(m.group(2)) if m.group(2) else 1)
+        if m.group(2) is None:
+            # A bare `VACUUM t` used to default to retain_versions=1,
+            # irreversibly destroying ALL history + time travel in one
+            # statement — far more aggressive than Delta's
+            # retention-window default (r14 ADVICE). History deletion
+            # from the SQL surface now requires an explicit RETAIN.
+            raise DmlSyntaxError(
+                "VACUUM requires an explicit 'RETAIN <n> VERSIONS' "
+                "clause: a bare VACUUM would delete all non-head "
+                "history and time travel irreversibly")
+        snap.vacuum(root, retain_versions=int(m.group(2)))
         return snap.latest_version(root)
     m = re.match(
         rf"^ANALYZE\s+TABLE\s+({_IDENT})"
