@@ -101,136 +101,148 @@ REGISTRY: dict[str, QuerySpec] = {}
 # (sized 44 for the planned r14 new-key count of 6, re-sized 37
 # mid-round as the count grew to 13 — the seven newest-evidence r09
 # DUE members demoted back to NEXT). Oldest evidence on file after
-# r14: r08 (the z_ remnant), then r09.
+# r14: r08 (the z_ remnant), then r09; r15 advances it per VERDICT r14
+# #1: the 50-key r14 window (13 unprefixed + 37 z_ re-checks) parked,
+# the r13 PARKED cohort aged into NEXT, and the full 23-key r09 cohort
+# + the alphabetically-first 13 r10-cohort keys + the 3 r15-rebuilt
+# keys (doc_rolling_hash re-oracled, multimodal_audio_energy /
+# multimodal_resize re-pinned over real codecs) promoted to DUE (sized
+# 39 for the planned r15 new-key count of 11). Oldest evidence on file
+# after r15: r10 (the tail), then r11.
 
-# DUE (z_): oldest evidence on file — promoted per VERDICT r13 #1 /
-# the standing queue contract: the 8-key r08-latest tail (demoted from
-# DUE mid-r13, never re-evidenced since r08), the alphabetically-first
-# 34 keys of the r09 cohort, PLUS sim_near_dup_pairs / dedup_embedding
-# whose r14 builder change (planted near-dups, production 0.9
-# threshold — VERDICT r13 #7) stales their r11/r10 evidence. Sized
-# 37 = 50 − the final 13 new r14 keys after the mid-round demotion
-# of the seven newest-evidence (r09) DUE members (machine-checked by
+# DUE (z_): oldest evidence on file — promoted per VERDICT r14 #1 /
+# the standing queue contract: the full 23-key r09 cohort (nothing
+# older remains), the alphabetically-first 13 keys of the r10 cohort,
+# PLUS the 3 keys whose r15 builder change stales their old evidence
+# (doc_rolling_hash re-oracled with a published polynomial — VERDICT
+# r14 #4; multimodal_audio_energy / multimodal_resize re-pinned over
+# REAL stdlib codec round-trips — VERDICT r14 #7). Sized 39 = 50 − the
+# 11 planned r15 new keys (machine-checked by
 # tests/test_rotation.py::test_window_reaches_every_due_key; sized
-# from the registry, not this comment). Rows-only by design among
-# these: sim_topk_pq (hash-exact portable twin registered).
+# from the registry, not this comment).
 ROTATED_DUE: frozenset[str] = frozenset(
+    {
+        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
+        "basket_pairs", "dedup_exact", "dedup_fuzzy_minhash",
+        "dedup_hash_sha", "dedup_latest", "dedup_ngram_jaccard",
+        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
+        "events_anomaly", "events_attribution",
+        "multimodal_audio_energy", "multimodal_resize", "sql_tpch_q9",
+        "stream_static_join", "stream_table_changes",
+        "stream_table_changes_dist", "table_bloom_prune",
+        "table_changes_typed", "table_clone", "table_column_mapping",
+        "table_constraints", "table_delete_mor",
+        "table_generated_partition", "table_history",
+        "table_merge_evolve", "table_null_prune",
+        "table_partition_evolve", "table_partition_prune",
+        "table_restore", "table_row_ids", "table_update",
+        "table_update_mor", "text_bm25", "udf_cogrouped_asof",
+        "xlsx_ingest"
+    }
+)
+
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r10.json (the r10
+# tail beyond the 13 promoted above), CORRECTNESS_r11.json,
+# CORRECTNESS_r12.json, or CORRECTNESS_r13.json (the 50-key r13 window
+# — aged out of PARKED this round). These receive the r15 window
+# spillover beyond the DUE tier and are the r16 promotion pool (r10
+# tail first, then r11). Rows-only by design:
+# sim_topk_pq-family/dedup_fuzzy_minhash/dedup_simhash/sim_topk_ivf/
+# sim_topk_ivfpq/sim_topk_lsh (each with a hash-exact portable twin),
+# agg_approx_* / agg_hll_partitioned (approx sketches with exact
+# twins), stream_dedup_live (arrival-order by construction),
+# catalog_tables (no DuckDB twin by design).
+ROTATED_NEXT: frozenset[str] = frozenset(
+    {
+        "agg_approx_distinct", "agg_approx_percentiles",
+        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
+        "agg_doc_text_warehouse", "agg_group_stats",
+        "agg_grouping_sets", "agg_hll_partitioned", "agg_linear_trend",
+        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
+        "agg_unpivot", "array_ops", "case_when_block", "catalog_tables",
+        "cluster_kmeans", "contamination_check", "corpus_mix",
+        "corpus_pipeline", "corpus_upsample", "csv_roundtrip",
+        "date_extract", "dedup_components", "dedup_components_star",
+        "dedup_containment", "dedup_minhash_portable",
+        "dedup_simhash_portable", "dedup_substring", "docx_ingest",
+        "events_dau_wau", "events_rfm", "events_top_paths",
+        "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
+        "graph_triangles", "join_anti", "join_asof", "join_bridge",
+        "join_bucketed", "join_child_collect", "join_dpp",
+        "join_full_outer", "join_inner_fk", "join_interval_overlap",
+        "join_lateral", "join_left_nullable", "join_null_safe",
+        "join_range", "join_semi", "join_skew_salted", "json_extract",
+        "json_roundtrip", "json_variant_extract", "lang_id",
+        "layout_compaction_apply", "layout_zorder", "limit_n",
+        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
+        "multimodal_features_topk", "multimodal_frame_sample",
+        "numbering_normalize", "orders_abc_pareto", "orders_gini",
+        "pack_sequences", "project_columns", "quality_expectations",
+        "sample_hash_mod", "sample_stratified", "scan_full",
+        "scd2_history", "set_ops", "shuffle_epoch",
+        "sim_index_persisted", "sim_topk", "sim_topk_ivf",
+        "sim_topk_ivfpq", "sim_topk_ivfpq_portable", "sim_topk_lsh",
+        "sim_topk_pq_portable", "sketch_bloom", "sketch_countmin",
+        "sketch_heavy_hitters", "sketch_hll_portable",
+        "source_hive_partitioned", "source_jdbc", "source_pyds",
+        "source_pyds_stream", "source_schema_evolution",
+        "sql_recursive_bom", "sql_scalar_udf", "sql_tpcds_q34",
+        "sql_tpcds_q36", "sql_tpcds_q42", "sql_tpcds_q44",
+        "sql_tpcds_q49", "sql_tpcds_q51", "sql_tpcds_q67",
+        "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
+        "sql_tpch_q1", "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18",
+        "sql_tpch_q19", "sql_tpch_q22", "sql_tpch_q3", "sql_tpch_q4",
+        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
+        "stream_branch_changes", "stream_changes_bounded",
+        "stream_dedup_live", "stream_foreach_merge",
+        "stream_foreach_merge_mor", "stream_full_outer_join",
+        "stream_outer_join", "stream_session", "stream_sliding",
+        "stream_stateful_profile", "stream_stream_join",
+        "stream_tumbling", "stream_watermark_live", "table_branch",
+        "table_bucket_prune", "table_changes", "table_concurrent",
+        "table_dv_bitmap", "table_files_meta",
+        "table_generated_columns", "table_identity_columns",
+        "table_merge_clauses", "table_merge_mark_stale",
+        "table_merge_mor", "table_merge_skipping", "table_merge_sync",
+        "table_snapshot_read", "table_sql_delete", "table_sql_insert",
+        "table_sql_merge", "table_sql_select", "table_sql_update",
+        "table_type_widening", "table_vacuum_audit", "text_bigram_cond",
+        "text_bpe_bytes_encode", "text_bpe_bytes_train",
+        "text_bpe_encode", "text_bpe_pairs", "text_bpe_train",
+        "text_chunk_sliding", "text_funcs", "text_length_hist",
+        "text_pii_scrub", "text_repetition", "text_tfidf",
+        "text_top_ngrams", "text_unigram_encode", "text_unigram_train",
+        "text_vocab", "topk_per_group", "ts_resample_ohlc",
+        "udaf_grouped_map", "udf_llm_cost_sum", "udf_llm_dead_letter",
+        "udf_llm_summarize", "udf_prompt_template",
+        "udtf_explode_blocks", "udtf_polymorphic", "url_normalize",
+        "window_cume_distinct", "window_funcs", "xml_ingest"
+    }
+)
+
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r14.json — the
+# 50 keys of the r14 window (49 hash-green + sim_topk_pq rows-only by
+# design): 13 were the un-prefixed r14 keys, 37 were z_-spelled
+# re-checks of the r08-remnant + r09-cohort block.
+ROTATED_PARKED: frozenset[str] = frozenset(
     {
         "agg_corr_exact", "dedup_embedding", "dedup_incremental",
         "dedup_lines", "events_funnel", "events_retention",
         "events_sessionize", "graph_bfs", "graph_pagerank",
         "index_inverted", "join_similarity_prefix", "layout_compaction",
         "sample_weighted", "sim_near_dup_pairs", "sim_topk_pq",
-        "sort_global", "source_orc", "sql_corr_subquery", "sql_tpch_q10",
+        "sort_global", "source_orc", "sql_corr_subquery",
+        "sql_tpcds_q43", "sql_tpcds_q59", "sql_tpcds_q65",
+        "sql_tpcds_q79", "sql_tpcds_q98", "sql_tpch_q10",
         "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
         "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
-        "sql_tpch_q7", "sql_tpch_q8",
-        "table_incremental_mv", "table_schema_evolution",
-        "table_stats_prune", "text_keyterms", "try_funcs", "ts_gapfill",
+        "sql_tpch_q7", "sql_tpch_q8", "table_analyze",
+        "table_dv_legacy", "table_incremental_mv",
+        "table_merge_clauses_mor", "table_schema_evolution",
+        "table_sql_ddl", "table_sql_history", "table_sql_timetravel",
+        "table_stats_prune", "text_bpe_pretrained", "text_keyterms",
+        "text_unigram_score", "try_funcs", "ts_gapfill",
         "udaf_pandas_agg", "udtf_python_segments"
-    }
-)
-
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r10.json (the r10
-# window, aged through), CORRECTNESS_r11.json (the r11 window), the
-# r09-cohort TAIL beyond the 34 promoted above, or CORRECTNESS_r12.json
-# (the 50-key r12 window — aged out of PARKED this round). These
-# receive the r14 window spillover beyond the DUE tier and are the r15
-# promotion pool (r09 tail first, then r10). Rows-only by design:
-# sim_topk_pq-family/dedup_fuzzy_minhash/dedup_simhash/
-# doc_rolling_hash/sim_topk_ivf/sim_topk_ivfpq/sim_topk_lsh (each with
-# a hash-exact portable twin), agg_approx_* / agg_hll_partitioned
-# (approx sketches with exact twins), stream_dedup_live
-# (arrival-order by construction).
-ROTATED_NEXT: frozenset[str] = frozenset(
-    {
-        # r09 evidence: demoted from DUE mid-r14 as the new-key count
-        # grew 6 -> 13 (table_sql_history, five extra TPC-DS shapes,
-        # text_unigram_score) — the newest-evidence members of the DUE
-        # tier give way first (their r09 rows are fresher than the r08
-        # remnant's)
-        "sql_tpch_q9", "stream_static_join", "stream_table_changes",
-        "stream_table_changes_dist", "table_bloom_prune",
-        "table_changes_typed", "table_clone",
-        "agg_approx_distinct", "agg_approx_percentiles",
-        "agg_argext_bitwise", "agg_cube", "agg_decimal_money",
-        "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
-        "agg_grouping_sets", "agg_hll_partitioned", "agg_linear_trend",
-        "agg_mode_freq", "agg_skewness_exact", "basket_pairs",
-        "dedup_components_star", "dedup_containment", "dedup_exact",
-        "dedup_fuzzy_minhash", "dedup_hash_sha", "dedup_latest",
-        "dedup_minhash_portable", "dedup_ngram_jaccard", "dedup_simhash",
-        "dedup_simhash_portable", "dedup_substring", "doc_fingerprint",
-        "doc_rolling_hash", "docx_ingest", "events_anomaly",
-        "events_attribution", "events_dau_wau", "events_rfm",
-        "events_top_paths", "filter_notnull", "filter_or_eq",
-        "graph_sssp_weighted", "graph_triangles", "join_anti", "join_asof",
-        "join_bridge", "join_bucketed", "join_child_collect", "join_dpp",
-        "join_full_outer", "join_inner_fk", "join_interval_overlap",
-        "join_lateral", "join_left_nullable", "join_null_safe",
-        "join_range", "join_semi", "join_skew_salted", "json_extract",
-        "json_roundtrip", "lang_id", "layout_compaction_apply",
-        "layout_zorder", "limit_n", "map_ops", "math_arith", "merge_upsert",
-        "multimodal_audio_energy", "multimodal_decode",
-        "multimodal_features_topk", "multimodal_frame_sample",
-        "multimodal_resize", "numbering_normalize", "orders_abc_pareto",
-        "orders_gini", "pack_sequences", "project_columns",
-        "sample_hash_mod", "sample_stratified", "scan_full", "scd2_history",
-        "set_ops", "sim_index_persisted", "sim_topk", "sim_topk_ivf",
-        "sim_topk_ivfpq", "sim_topk_lsh", "sim_topk_pq_portable",
-        "sketch_bloom", "sketch_countmin", "sketch_heavy_hitters",
-        "sketch_hll_portable", "source_hive_partitioned", "source_jdbc",
-        "sql_tpcds_q36", "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
-        "sql_tpcds_q67", "sql_tpch_q1", "sql_tpch_q3", "sql_tpch_q5",
-        "sql_tpch_q6", "sql_window_range", "str_funcs",
-        "stream_branch_changes", "stream_changes_bounded",
-        "stream_dedup_live", "stream_foreach_merge_mor",
-        "stream_outer_join", "stream_session", "stream_sliding",
-        "stream_stateful_profile", "stream_tumbling",
-        "stream_watermark_live", "table_branch", "table_bucket_prune",
-        "table_column_mapping", "table_concurrent", "table_constraints",
-        "table_delete_mor", "table_files_meta", "table_generated_columns",
-        "table_generated_partition", "table_history",
-        "table_identity_columns", "table_merge_clauses",
-        "table_merge_evolve", "table_merge_mark_stale", "table_merge_mor",
-        "table_merge_sync", "table_null_prune", "table_partition_evolve",
-        "table_partition_prune", "table_restore", "table_row_ids",
-        "table_snapshot_read", "table_type_widening", "table_update",
-        "table_update_mor", "table_vacuum_audit", "text_bigram_cond",
-        "text_bm25", "text_bpe_encode", "text_bpe_pairs", "text_bpe_train",
-        "text_chunk_sliding", "text_funcs", "text_length_hist",
-        "text_pii_scrub", "text_repetition", "text_tfidf",
-        "text_top_ngrams", "text_unigram_encode", "text_unigram_train",
-        "text_vocab", "topk_per_group", "ts_resample_ohlc",
-        "udaf_grouped_map", "udf_cogrouped_asof", "udf_llm_cost_sum",
-        "udf_llm_summarize", "udf_prompt_template", "udtf_explode_blocks",
-        "udtf_polymorphic", "url_normalize", "window_cume_distinct",
-        "window_funcs", "xlsx_ingest", "xml_ingest"
-    }
-)
-
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r13.json — the
-# 50 keys of the r13 window (49 hash-green + catalog_tables rows-only
-# by design): 17 were the un-prefixed r13 keys, 33 were z_-spelled
-# re-checks of the r08-evidence block.
-ROTATED_PARKED: frozenset[str] = frozenset(
-    {
-        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
-        "agg_unpivot", "array_ops", "case_when_block", "catalog_tables",
-        "cluster_kmeans", "contamination_check", "corpus_mix",
-        "corpus_pipeline", "corpus_upsample", "csv_roundtrip",
-        "date_extract", "dedup_components", "json_variant_extract",
-        "quality_expectations", "shuffle_epoch", "sim_topk_ivfpq_portable",
-        "source_pyds", "source_pyds_stream", "source_schema_evolution",
-        "sql_recursive_bom", "sql_scalar_udf", "sql_tpcds_q34",
-        "sql_tpcds_q42", "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
-        "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18", "sql_tpch_q19",
-        "sql_tpch_q22", "sql_tpch_q4", "stream_foreach_merge",
-        "stream_full_outer_join", "stream_stream_join", "table_changes",
-        "table_dv_bitmap", "table_merge_skipping", "table_sql_delete",
-        "table_sql_insert", "table_sql_merge", "table_sql_select",
-        "table_sql_update", "text_bpe_bytes_encode", "text_bpe_bytes_train",
-        "udf_llm_dead_letter"
     }
 )
 
