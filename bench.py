@@ -126,6 +126,11 @@ EXTENDED = [
     "text_bpe_bytes_train", "text_bpe_bytes_encode", "udf_llm_dead_letter",
     "quality_expectations", "sql_tpcds_q34", "sql_tpcds_q42",
     "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
+    # the r14 fresh group, rolled in at r15 (BENCH_r14.json holds their
+    # day-one reference)
+    "text_bpe_pretrained", "sim_near_dup_pairs", "sql_tpcds_q43",
+    "sql_tpcds_q59", "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
+    "text_unigram_score",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -137,18 +142,12 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r14 keys. Excluded by the standing disk-writing rule:
-    # table_merge_clauses_mor / table_sql_timetravel / table_sql_ddl /
-    # table_analyze / table_dv_legacy all build commit-log tables under
-    # .csv_tmp/ (their wall time measures parquet commits, not a plan).
-    # The timeable r14 keys:
-    "text_bpe_pretrained",      # published-vocab token counting
-    "sim_near_dup_pairs",       # rebuilt r14: planted dups, 0.9 threshold
-    # the r14 mid-round TPC-DS widening (pure SQL, timeable;
-    # table_sql_history builds a commit-log table — excluded)
-    "sql_tpcds_q43", "sql_tpcds_q59", "sql_tpcds_q65",
-    "sql_tpcds_q79", "sql_tpcds_q98",
-    "text_unigram_score",       # LM-perplexity quality gate (train+score)
+    # r15 keys. Excluded by the standing disk-writing rule:
+    # table_insert_overwrite / table_copy_into / sim_index_refresh
+    # build commit-log tables under .csv_tmp/ (their wall time measures
+    # parquet commits, not a plan). The timeable r15 keys:
+    "sql_tpcds_q8", "sql_tpcds_q14", "sql_tpcds_q38",
+    "sql_tpcds_q71", "sql_tpcds_q87",
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -91,6 +91,10 @@ ROUND_KEYS = [
     "table_sql_history", "sql_tpcds_q43", "sql_tpcds_q59",
     "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
     "text_unigram_score",
+    # round-15 additions (set-operation TPC-DS grammar: INTERSECT /
+    # EXCEPT / multi-channel UNION ALL)
+    "sql_tpcds_q8", "sql_tpcds_q14", "sql_tpcds_q38",
+    "sql_tpcds_q71", "sql_tpcds_q87",
 ]
 
 

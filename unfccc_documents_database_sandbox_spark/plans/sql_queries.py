@@ -1042,3 +1042,165 @@ register("sql_tpcds_q59", oracle=_QDS59)(_sql_plan(_QDS59))
 register("sql_tpcds_q65", oracle=_QDS65)(_sql_plan(_QDS65))
 register("sql_tpcds_q79", oracle=_QDS79)(_sql_plan(_QDS79))
 register("sql_tpcds_q98", oracle=_QDS98)(_sql_plan(_QDS98))
+
+
+# --- TPC-DS mini-family, round-15 widening: set-operation grammar ---------
+# VERDICT r14 #6: the 20 prior shapes never exercise INTERSECT / EXCEPT /
+# multi-channel UNION ALL — the grammar of TPC-DS Q8/Q14/Q38/Q87/Q71.
+# Same discipline as every shape before: ONE SQL string runs verbatim
+# through spark.sql AND DuckDB (the oracle IS the query), money as bigint
+# cents, unique-key tie-breaks. Both engines give set operations DISTINCT
+# semantics by default, so every branch is deterministic row-set algebra.
+# The TPC-H-ish corpus has no store/catalog/web channels; o_orderpriority
+# bands stand in as the three "channels" throughout.
+
+# Q8 shape: an aggregate restricted by IN over an INTERSECT of two dim
+# subqueries (TPC-DS: store zips ∩ preferred-customer zips; here:
+# supplier nations ∩ high-balance-customer nations). Catalyst plans the
+# INTERSECT as a left-semi chain over the two tiny dim scans; the
+# restriction then semi-joins the fact side before the agg shuffle.
+_QDS8 = """
+WITH hot_nations AS (
+    SELECT n_nationkey, n_name
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey, n_name
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 5000
+)
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS rev_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_nationkey IN (SELECT n_nationkey FROM hot_nations)
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+# Q14 shape: cross_items = parts sold through ALL three channels (a
+# 3-way INTERSECT), then per-channel revenue over just those parts —
+# the cross-channel comparison grammar. The INTERSECT runs over three
+# DISTINCT projections of the fact join (shuffle on l_partkey); the
+# final pass semi-joins the fact scan against the small cross-items set.
+_QDS14 = """
+WITH sold AS (
+    SELECT l.l_partkey, o.o_orderpriority AS channel,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cross_items AS (
+    SELECT l_partkey FROM sold WHERE channel = '1-URGENT'
+    INTERSECT
+    SELECT l_partkey FROM sold WHERE channel = '2-HIGH'
+    INTERSECT
+    SELECT l_partkey FROM sold WHERE channel = '3-MEDIUM'
+)
+SELECT channel, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS rev_cents
+FROM sold
+WHERE channel IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+  AND l_partkey IN (SELECT l_partkey FROM cross_items)
+GROUP BY channel
+"""
+
+# Q38 shape: how many customers are active in EVERY period — a 3-way
+# INTERSECT of DISTINCT customer sets, counted. Each branch is one
+# dedup shuffle on o_custkey; the intersect chain is left-semi joins
+# over already-distinct sets (no row explosion anywhere).
+_QDS38 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal
+FROM (
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+) loyal
+"""
+
+# Q87 shape: Q38's dual — customers in the FIRST period and none of the
+# later ones (EXCEPT chain), counted. Left-anti joins over distinct
+# sets; with Q38 the pair covers both set-difference directions.
+_QDS87 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_churned
+FROM (
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+) churned
+"""
+
+# Q71 shape: one leaderboard over the UNION ALL of three channel
+# slices — the multi-channel revenue union. Each branch keeps its
+# channel tag; the union feeds ONE agg shuffle (Spark pushes the
+# partial aggregation below the union), then a rank with a unique
+# tie-break.
+_QDS71 = """
+WITH sales AS (
+    SELECT 'urgent' AS channel, p.p_brand,
+           EXTRACT(MONTH FROM o.o_orderdate) AS moy,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 'high' AS channel, p.p_brand,
+           EXTRACT(MONTH FROM o.o_orderdate) AS moy,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderpriority = '2-HIGH'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT 'routine' AS channel, p.p_brand,
+           EXTRACT(MONTH FROM o.o_orderdate) AS moy,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+),
+agg AS (
+    SELECT channel, p_brand, CAST(moy AS BIGINT) AS moy,
+           CAST(SUM(cents) AS BIGINT) AS rev_cents
+    FROM sales GROUP BY channel, p_brand, moy
+)
+SELECT channel, p_brand, moy, rev_cents, rnk
+FROM (
+    SELECT *, CAST(RANK() OVER (PARTITION BY channel, moy
+                                ORDER BY rev_cents DESC, p_brand)
+                  AS BIGINT) AS rnk
+    FROM agg
+) t
+WHERE rnk <= 5
+"""
+
+register("sql_tpcds_q8", oracle=_QDS8)(_sql_plan(_QDS8))
+register("sql_tpcds_q14", oracle=_QDS14)(_sql_plan(_QDS14))
+register("sql_tpcds_q38", oracle=_QDS38)(_sql_plan(_QDS38))
+register("sql_tpcds_q71", oracle=_QDS71)(_sql_plan(_QDS71))
+register("sql_tpcds_q87", oracle=_QDS87)(_sql_plan(_QDS87))
