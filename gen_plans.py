@@ -92,9 +92,10 @@ ROUND_KEYS = [
     "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
     "text_unigram_score",
     # round-15 additions (set-operation TPC-DS grammar: INTERSECT /
-    # EXCEPT / multi-channel UNION ALL)
+    # EXCEPT / multi-channel UNION ALL; warehouse write modes)
     "sql_tpcds_q8", "sql_tpcds_q14", "sql_tpcds_q38",
     "sql_tpcds_q71", "sql_tpcds_q87",
+    "table_insert_overwrite", "table_copy_into",
 ]
 
 

@@ -604,3 +604,31 @@ def test_ctas_from_snapshot_table(spark, tmp_path):
         "WHERE id % 2 = 0", t)
     assert _rows(spark, dst_root) == [(0, 0), (2, 4), (4, 8), (6, 12),
                                       (8, 16)]
+
+
+def test_insert_overwrite_sql_grammar(spark, tmp_path):
+    """INSERT OVERWRITE / REPLACE WHERE statement forms: predicate
+    parsing stops at the top-level query keyword, subqueries inside the
+    predicate pass through, and the malformed spellings refuse."""
+    root = str(tmp_path / "iog")
+    t = {"t": root}
+    snap.create(spark, root,
+                spark.createDataFrame([(i, i % 2) for i in range(10)],
+                                      "id long, grp long"))
+    # predicate containing a parenthesized subquery parses intact
+    execute_dml(
+        spark,
+        "INSERT INTO t REPLACE WHERE grp IN (SELECT 1) "
+        "VALUES (100, 1), (101, 1)", t)
+    got = sorted(tuple(r) for r in snap.read(spark, root).collect())
+    assert got == [(0, 0), (2, 0), (4, 0), (6, 0), (8, 0),
+                   (100, 1), (101, 1)]
+    # OVERWRITE with a column list maps positionally
+    execute_dml(spark, "INSERT OVERWRITE t (grp, id) VALUES (7, 1)", t)
+    assert [tuple(r) for r in snap.read(spark, root).collect()] == [(1, 7)]
+    with pytest.raises(DmlSyntaxError, match="REPLACE WHERE belongs"):
+        execute_dml(spark,
+                    "INSERT OVERWRITE t REPLACE WHERE grp = 1 "
+                    "VALUES (1, 1)", t)
+    with pytest.raises(DmlSyntaxError, match="needs a predicate"):
+        execute_dml(spark, "INSERT INTO t REPLACE WHERE VALUES (1, 1)", t)

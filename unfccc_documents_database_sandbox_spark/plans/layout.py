@@ -4205,3 +4205,160 @@ def table_sql_ddl(spark, sf_dir):
         F.sum(F.when(F.col("tag") == "new", 1).otherwise(0))
         .cast("long").alias("tagged"),
     )
+
+
+@register(
+    "table_insert_overwrite",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    regen_en AS (                     -- the replaceWhere batch
+        SELECT doc_id + 1000000 AS doc_id, lang, source,
+               n_chars * 2 AS n_chars
+        FROM base WHERE lang = 'en' AND doc_id % 10 = 0
+    ),
+    after_rw AS (                     -- delete-matching + append ≡ one commit
+        SELECT * FROM base WHERE (lang = 'en') IS NOT TRUE
+        UNION ALL SELECT * FROM regen_en
+    ),
+    dyn_de AS (                       -- the dynamic-partition batch
+        SELECT doc_id + 2000000 AS doc_id, lang, source,
+               n_chars + 7 AS n_chars
+        FROM base WHERE lang = 'de' AND doc_id % 4 = 0
+    ),
+    after_dyn AS (                    -- only the touched partition replaced
+        SELECT * FROM after_rw WHERE lang <> 'de'
+        UNION ALL SELECT * FROM dyn_de
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM after_dyn GROUP BY lang
+    """,
+)
+def table_insert_overwrite(spark, sf_dir):
+    """INSERT OVERWRITE / replaceWhere / dynamic partition overwrite
+    (VERDICT r14 #2) end-to-end on a lang-partitioned snapshot table:
+    (1) the Delta SQL form `INSERT INTO t REPLACE WHERE lang = 'en'
+    <query>` regenerates the 'en' slice as ONE commit — delete-matching
+    + append equivalence is exactly what the oracle replays; (2) the
+    Python API's dynamic mode replaces the 'de' partition because
+    that's the only partition the second batch lands in, resolved from
+    the log's recorded partition values with zero data I/O. Reference
+    tie: the pipelines regenerate whole summary CSVs per run
+    (generate_decisions_summaries.py:120) — regenerate-a-slice is this
+    operator.
+
+    Scale: the removal side is log metadata (dynamic) or a
+    predicate-selected COW rewrite (replaceWhere); untouched partitions
+    move by log reference — nothing snapshot-sized shuffles."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import (
+        execute_dml,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapiow_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = d.filter("doc_id % 2 = 0")
+    _snap_create(spark, root, base.repartition(4), partition_by=["lang"])
+    base.createOrReplaceTempView("iow_docs")
+    execute_dml(
+        spark,
+        """INSERT INTO t REPLACE WHERE lang = 'en'
+           SELECT doc_id + 1000000, lang, source, n_chars * 2
+           FROM iow_docs WHERE lang = 'en' AND doc_id % 10 = 0""",
+        {"t": root},
+    )
+    dyn = base.filter("lang = 'de' AND doc_id % 4 = 0").select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "lang", "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    snap.insert_overwrite(spark, root, dyn, dynamic_partitions=True)
+    return (
+        snap.read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "table_copy_into",
+    oracle="""
+    WITH batch1 AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+    ),
+    batch2 AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 1
+    ),
+    loaded AS (                       -- batch1 loads ONCE despite two runs
+        SELECT * FROM batch1 UNION ALL SELECT * FROM batch2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM loaded GROUP BY lang
+    """,
+)
+def table_copy_into(spark, sf_dir):
+    """COPY INTO idempotent file ingestion (VERDICT r14 #3): batch1 is
+    COPY'd TWICE — the per-file load ledger (an index artifact committed
+    atomically WITH the data) makes the second run a no-op, so the
+    oracle is the single-load union. batch2 lands through the SQL form
+    and loads only its own new files. The double-run-equals-single-run
+    equivalence IS the checked projection.
+
+    Scale: the ledger diff is a driver-side directory walk against
+    O(ingested files) metadata; only new files are read — the
+    incremental crawl-ingest loop at any corpus size."""
+    import os
+    import shutil
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.sql_ddl import (
+        execute_ddl,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapci_{tag}")
+    land = os.path.join(repo_root, ".csv_tmp", f"snapci_land_{tag}")
+    if os.path.exists(land):
+        shutil.rmtree(land)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d.limit(0))
+    d.filter("doc_id % 3 = 0").coalesce(2).write.parquet(
+        os.path.join(land, "b1"))
+    snap.copy_into(spark, root, land)
+    snap.copy_into(spark, root, land)  # idempotent: bit-exact no-op
+    d.filter("doc_id % 3 = 1").coalesce(2).write.parquet(
+        os.path.join(land, "b2"))
+    execute_ddl(spark, f"COPY INTO t FROM '{land}'", {"t": root})
+    return (
+        snap.read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

@@ -30,6 +30,8 @@ Grammar (documented refusals for everything else):
     OPTIMIZE <name> [ZORDER BY (col [, ...])] [MAX FILES <n>]
     VACUUM <name> [RETAIN <n> VERSIONS]
     ANALYZE TABLE <name> [COMPUTE STATISTICS [FOR COLUMNS col [, ...]]]
+    COPY INTO <name> FROM '<dir>' [FILEFORMAT = PARQUET|CSV|JSON]
+        [PATTERN = '<regex>'] [FORCE]   -- idempotent per-file ingestion
 
 ``tables`` maps statement table names to snapshot roots — CREATE TABLE
 uses the mapping to decide WHERE the new table lives (the caller is the
@@ -268,6 +270,20 @@ def execute_ddl(
         snap.vacuum(root, retain_versions=int(m.group(2)))
         return snap.latest_version(root)
     m = re.match(
+        rf"^COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+        rf"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
+        rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+        rf"(\s+FORCE)?\s*$",
+        stmt, re.IGNORECASE)
+    if m:
+        root = _require_table(m.group(1), tables)
+        res = snap.copy_into(
+            spark, root, m.group(2),
+            format=(m.group(3) or "parquet").lower(),
+            pattern=m.group(4), force=bool(m.group(5)))
+        return (res["version"] if res["version"] is not None
+                else snap.latest_version(root))
+    m = re.match(
         rf"^ANALYZE\s+TABLE\s+({_IDENT})"
         rf"(?:\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?)?\s*$",
         stmt, re.IGNORECASE | re.DOTALL)
@@ -284,5 +300,5 @@ def execute_ddl(
     raise DmlSyntaxError(
         f"unsupported DDL statement {kw!r}: this front-end handles "
         "CREATE TABLE [AS SELECT | SHALLOW CLONE], ALTER TABLE, "
-        "RESTORE TABLE, OPTIMIZE, VACUUM and ANALYZE TABLE over "
-        "snapshot tables")
+        "RESTORE TABLE, OPTIMIZE, VACUUM, ANALYZE TABLE and COPY INTO "
+        "over snapshot tables")

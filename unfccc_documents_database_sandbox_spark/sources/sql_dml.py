@@ -20,6 +20,11 @@ Grammar (documented refusals for everything else):
         -- rules own schema checks, DEFAULT fill and generated columns;
         -- the SELECT runs through read_sql, so it may reference other
         -- registered snapshot tables (time travel included)
+    INSERT OVERWRITE <table> [(col, ...)] VALUES ... | <SELECT/WITH query>
+        -- full-table atomic overwrite (snapshots.insert_overwrite)
+    INSERT INTO <table> [(col, ...)] REPLACE WHERE <pred> <query>
+        -- Delta's replaceWhere: delete-matching + insert as ONE commit;
+        -- incoming rows outside the predicate refuse
     MERGE INTO <table> [AS] t
         USING (<subquery>) | <view-or-source-or-snapshot-table> [AS] s
         -- the subquery runs through read_sql (snapshot tables bind);
@@ -523,18 +528,43 @@ def execute_dml(
         return fn(spark, root, cond, sets, max_retries=max_retries)
     if kw == "INSERT":
         m = re.match(
-            rf"^INSERT\s+INTO\s+({_IDENT})\s*(\([^)]*\))?\s*(.+)$",
+            rf"^INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(\([^)]*\))?\s*(.+)$",
             stmt, re.IGNORECASE | re.DOTALL)
         if not m:
             raise DmlSyntaxError(f"cannot parse INSERT statement: {stmt!r}")
-        root = _require_table(m.group(1), tables)
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        root = _require_table(m.group(2), tables)
         col_list = None
-        if m.group(2):
-            col_list = [c.strip() for c in m.group(2)[1:-1].split(",")]
+        if m.group(3):
+            col_list = [c.strip() for c in m.group(3)[1:-1].split(",")]
             if not all(re.fullmatch(_IDENT, c) for c in col_list):
                 raise DmlSyntaxError(
-                    f"bad INSERT column list {m.group(2)!r}")
-        body = m.group(3).strip()
+                    f"bad INSERT column list {m.group(3)!r}")
+        body = m.group(4).strip()
+        replace_where = None
+        mrw = re.match(r"^REPLACE\s+WHERE\b(.*)$", body,
+                       re.IGNORECASE | re.DOTALL)
+        if mrw:
+            # Delta's `INSERT INTO t REPLACE WHERE <pred> <query>`: the
+            # predicate runs to the top-level start of the query
+            if overwrite:
+                raise DmlSyntaxError(
+                    "REPLACE WHERE belongs to INSERT INTO (the Delta "
+                    "form); INSERT OVERWRITE already replaces the "
+                    "whole table")
+            rest = mrw.group(1)
+            mq = None
+            for qkw in ("SELECT", "WITH", "VALUES"):
+                cand = _find_top(rest, qkw)
+                if cand is not None and (mq is None
+                                         or cand.start() < mq.start()):
+                    mq = cand
+            if mq is None or not rest[:mq.start()].strip():
+                raise DmlSyntaxError(
+                    "REPLACE WHERE needs a predicate followed by a "
+                    "VALUES list or SELECT/WITH query")
+            replace_where = rest[:mq.start()].strip()
+            body = rest[mq.start():].strip()
         head_kw = body.split(None, 1)[0].upper() if body else ""
         if head_kw == "VALUES":
             # VALUES rows evaluate through spark.sql (Spark owns literal
@@ -569,6 +599,10 @@ def execute_dml(
         df = df.toDF(*target).select(
             *[F.col(c).cast(types[c]).alias(c) for c in target]
         )
+        if overwrite or replace_where is not None:
+            return snap.insert_overwrite(
+                spark, root, df, replace_where=replace_where,
+                max_retries=max_retries)
         return snap.append(spark, root, df, max_retries=max_retries)
     if kw == "MERGE":
         p = _parse_merge(spark, stmt, tables, sources)
