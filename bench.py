@@ -148,6 +148,8 @@ FRESH = [
     # parquet commits, not a plan). The timeable r15 keys:
     "sql_tpcds_q8", "sql_tpcds_q14", "sql_tpcds_q38",
     "sql_tpcds_q71", "sql_tpcds_q87",
+    "sim_topk_lsh_portable",    # LSH under an exact oracle
+    "doc_rolling_hash",         # re-oracled: portable Rabin-Karp fold
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

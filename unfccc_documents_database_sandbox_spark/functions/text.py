@@ -75,6 +75,29 @@ def rolling_hash(text: Column | str) -> Column:
     return folded["h"]
 
 
+def rolling_hash_portable(text: Column | str) -> Column:
+    """Order-sensitive Rabin-Karp rolling hash with PUBLISHED parameters
+    (VERDICT r14 #4): Horner fold h ← (h·ROLL_BASE + tok) mod MERSENNE_31
+    over the 28-bit md5-prefix token hash (the portable_shingle_hash
+    rule) — every step is exact int64 arithmetic both engines can
+    replay bit-identically. DuckDB twin:
+    ``list_reduce(list_transform(string_split(text,' '),
+    t -> CAST('0x'||substr(md5(t),1,7) AS BIGINT)),
+    (a,x) -> (a*1000003 + x) % 2147483647)``. xxhash64 stays the
+    production token hash (`rolling_hash`) — one codegen'd op vs
+    md5+conv per token; this exists so the fingerprint has an exact
+    oracle instead of a rows-only check."""
+    tok = F.transform(
+        words(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        tok,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % MERSENNE_31,
+    )
+
+
 def roman_ordinal(s: Column | str) -> Column:
     """Roman numeral string (lowercase) → int, pure expressions: map chars
     to values, negate a value that precedes a larger one (subtraction rule),
