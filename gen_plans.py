@@ -97,6 +97,7 @@ ROUND_KEYS = [
     "sql_tpcds_q71", "sql_tpcds_q87",
     "table_insert_overwrite", "table_copy_into",
     "sim_topk_lsh_portable", "doc_rolling_hash",
+    "sim_index_refresh",
 ]
 
 

@@ -470,3 +470,54 @@ def test_polymorphic_udtf_arrow_and_pickle_paths_agree(spark):
     assert a.schema == p.schema
     assert sorted(map(tuple, a.collect()), key=repr) == \
         sorted(map(tuple, p.collect()), key=repr)
+
+
+def test_index_refresh_touches_only_changed_rows(spark, tmp_path):
+    """VERDICT r14 #5: refresh_ivfpq_index re-encodes exactly the change
+    feed's inserted rows and drops exactly the deleted ids; the merged
+    artifact equals a from-scratch full encode of the head corpus; an
+    up-to-date index refreshes as a no-op (no commit)."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_CB, IVFPQ_CENT,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        build_ivfpq_index,
+        refresh_ivfpq_index,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    root = str(tmp_path / "annref")
+    snap.create(spark, root, emb.filter(F.col("vec_id") % 2 == 0))
+    build_ivfpq_index(spark, root, "ix", list(IVFPQ_CENT), list(IVFPQ_CB))
+    n_even = emb.filter(F.col("vec_id") % 2 == 0).count()
+    n_odd = emb.filter(F.col("vec_id") % 2 == 1).count()
+    n_del = emb.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") % 10 == 6)).count()
+    assert n_odd > 0 and n_del > 0
+    snap.append(spark, root, emb.filter(F.col("vec_id") % 2 == 1))
+    snap.delete_where(spark, root, "vec_id % 10 = 6")
+    r = refresh_ivfpq_index(spark, root, "ix")
+    # O(changed): exactly the inserts re-encoded, exactly the deletes dropped
+    assert r["reencoded"] == n_odd
+    assert r["dropped"] == n_del
+    assert r["kept"] == n_even - n_del
+    # refreshed artifact ≡ full retrain (from-scratch encode of head)
+    merged = snap.get_index(root, "ix")["index"]["enc"]
+    full_root = str(tmp_path / "annfull")
+    snap.create(spark, full_root, snap.read(spark, root))
+    build_ivfpq_index(spark, full_root, "ix",
+                      list(IVFPQ_CENT), list(IVFPQ_CB))
+    full = snap.get_index(full_root, "ix")["index"]["enc"]
+    assert merged == full
+    # no-change refresh: no commit, nothing re-encoded
+    head = snap.latest_version(root)
+    r2 = refresh_ivfpq_index(spark, root, "ix")
+    assert r2 == {"version": None, "reencoded": 0, "dropped": 0,
+                  "kept": len(merged)}
+    assert snap.latest_version(root) == head
+    # staleness stamp advanced to the refreshed head
+    assert snap.get_index(root, "ix")["trained_at"] == head - 1

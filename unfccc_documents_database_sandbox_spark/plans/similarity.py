@@ -654,27 +654,22 @@ def sim_topk_ivfpq_portable(spark, sf_dir):
     return _ivfpq_portable_plan(spark, emb)
 
 
-def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None):
-    """The portable IVFADC pipeline over an arbitrary (vec_id, embedding)
-    corpus, with the index passable as data (``cent_v``/``cb_v`` default
-    to the pinned module literals) — shared by sim_topk_ivfpq_portable
-    (module-literal index) and sim_index_persisted (index retrieved from
-    snapshot-table metadata, VERDICT r09 #4)."""
-    from functools import reduce
-
-    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
-        IVFPQ_C, IVFPQ_CB, IVFPQ_CENT, IVFPQ_D, IVFPQ_K, IVFPQ_M,
-        IVFPQ_NPROBE, IVFPQ_REFINE, IVFPQ_SUB,
-    )
-
-    cent_v = IVFPQ_CENT if cent_v is None else cent_v
-    cb_v = IVFPQ_CB if cb_v is None else cb_v
+def _ivfpq_unit(emb):
+    """(vec_id, embedding) → (vec_id, u): the unit-normalized double
+    vector every portable IVFADC stage consumes."""
     v = emb.select(
         "vec_id", vec_to_double(F.col("embedding")).alias("vec")
     ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
-    un = v.select(
+    return v.select(
         "vec_id",
         F.transform("vec", lambda x: x / F.col("nrm")).alias("u"),
+    )
+
+
+def _ivfpq_ce(cent_v):
+    """(ce, cell_dist) closures over a coarse-centroid flat list."""
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_D,
     )
 
     def ce(c) -> F.Column:
@@ -685,6 +680,21 @@ def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None):
     def cell_dist(u_col, c: int) -> F.Column:
         return vec_dot(ce(c), ce(c)) - F.lit(2.0) * vec_dot(u_col, ce(c))
 
+    return ce, cell_dist
+
+
+def _ivfpq_encode_plan(un, cent_v, cb_v):
+    """The portable IVFADC ENCODE stage alone: (vec_id, u) → (vec_id,
+    cell, codes) under the passed quantizer — cell = first-index argmin
+    coarse distance, codes = per-subspace residual argmin (the exact
+    arithmetic the DuckDB twin replays). Split out (r15) so the
+    incremental index refresh can run it over ONLY the change feed's
+    inserted rows."""
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_C, IVFPQ_K, IVFPQ_M, IVFPQ_SUB,
+    )
+
+    ce, cell_dist = _ivfpq_ce(cent_v)
     cdl = F.array(*[cell_dist(F.col("u"), c) for c in range(IVFPQ_C)])
     assigned = un.select(
         "vec_id", "u",
@@ -709,7 +719,7 @@ def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None):
             ]
         )
 
-    enc = resid.select(
+    return resid.select(
         "vec_id", "cell",
         F.array(
             *[
@@ -718,6 +728,30 @@ def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None):
             ]
         ).alias("codes"),
     )
+
+
+def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None, enc_df=None):
+    """The portable IVFADC pipeline over an arbitrary (vec_id, embedding)
+    corpus, with the index passable as data (``cent_v``/``cb_v`` default
+    to the pinned module literals) — shared by sim_topk_ivfpq_portable
+    (module-literal index), sim_index_persisted (index retrieved from
+    snapshot-table metadata, VERDICT r09 #4), and sim_index_refresh
+    (``enc_df``: PRE-ENCODED (vec_id, cell, codes) rows from the
+    persisted artifact replace the inline encode stage — the serve path
+    of an incrementally maintained index, VERDICT r14 #5)."""
+    from functools import reduce
+
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_C, IVFPQ_CB, IVFPQ_CENT, IVFPQ_K, IVFPQ_M,
+        IVFPQ_NPROBE, IVFPQ_REFINE, IVFPQ_SUB,
+    )
+
+    cent_v = IVFPQ_CENT if cent_v is None else cent_v
+    cb_v = IVFPQ_CB if cb_v is None else cb_v
+    un = _ivfpq_unit(emb)
+    ce, cell_dist = _ivfpq_ce(cent_v)
+    enc = (enc_df if enc_df is not None
+           else _ivfpq_encode_plan(un, cent_v, cb_v))
 
     q = un.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
@@ -789,6 +823,150 @@ def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None):
             "query_id", "neighbor_id", "rank",
             F.round("score_raw", 4).alias("score"),
         )
+    )
+
+
+def build_ivfpq_index(spark, root, name, cent_v, cb_v):
+    """Build + persist a SERVABLE IVFADC index: quantizer params AND the
+    full corpus encodings (vec_id, cell, codes) in one artifact, so
+    queries never re-encode the corpus and refreshes touch only changed
+    rows. Sandbox-scale seam (documented): encodings live in the JSON
+    artifact; at 100 TB they are a parquet side table keyed by the same
+    commit — the artifact then holds its path, nothing else changes."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    emb = snap.read(spark, root).select("vec_id", "embedding")
+    enc = _ivfpq_encode_plan(_ivfpq_unit(emb), cent_v, cb_v).collect()
+    payload = {
+        "cent": list(cent_v), "cb": list(cb_v),
+        "enc": sorted([int(r["vec_id"]), int(r["cell"]),
+                       [int(c) for c in r["codes"]]] for r in enc),
+    }
+    return snap.put_index(root, name, payload)
+
+
+def refresh_ivfpq_index(spark, root, name):
+    """INCREMENTAL ANN index refresh over the change feed (VERDICT r14
+    #5 — the consumer X147's staleness measure was waiting for): read
+    `changes(since trained_at)`, re-encode ONLY the inserted rows under
+    the artifact's pinned quantizer, drop deleted ids, merge into the
+    persisted encodings, and publish the result as a new index commit
+    (trained_at advances to the refreshed head). An updated row arrives
+    as its delete+insert pair and lands re-encoded; rows carried through
+    COW rewrites cancel in the feed and are never touched.
+
+    Cost is O(changed rows + |encodings| driver merge), never a corpus
+    scan or retrain — the FAISS build/serve split maintained
+    incrementally, which is how a 100 TB pipeline keeps an index warm
+    between full retrains. Refreshing an up-to-date index is a no-op
+    (no commit published).
+
+    Returns {"version": new index commit or None, "reencoded": n,
+    "dropped": n, "kept": n}."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    got = snap.get_index(root, name)
+    art = got["index"]
+    since = got["trained_at"]
+    head = snap.latest_version(root)
+    # up-to-date = no commit since trained_at touched data files (index/
+    # analyze/optimize-metadata commits don't stale encodings); version
+    # equality would never hold — the refresh's own index commit
+    # advances head past its trained_at stamp
+    def _data_commit(v: int) -> bool:
+        c = snap._load_commit(root, v)
+        return bool((c.get("add") or c.get("remove"))
+                    and c.get("data_change", True))
+
+    changed_files = any(_data_commit(v) for v in range(since + 1, head + 1))
+    if not changed_files:
+        return {"version": None, "reencoded": 0, "dropped": 0,
+                "kept": len(art["enc"])}
+    feed = snap.changes(spark, root, since, head)
+    ins = feed.filter(F.col("_change_type") == "insert").select(
+        "vec_id", "embedding")
+    # O(changed rows): the encode plan's input is the feed slice, which
+    # by the CDF contract reads only commit-touched files
+    new_rows = _ivfpq_encode_plan(
+        _ivfpq_unit(ins), art["cent"], art["cb"]).collect()
+    del_ids = {
+        int(r["vec_id"])
+        for r in feed.filter(F.col("_change_type") == "delete")
+        .select("vec_id").collect()
+    }
+    changed = del_ids | {int(r["vec_id"]) for r in new_rows}
+    kept = [e for e in art["enc"] if int(e[0]) not in changed]
+    merged = sorted(
+        kept
+        + [[int(r["vec_id"]), int(r["cell"]), [int(c) for c in r["codes"]]]
+           for r in new_rows]
+    )
+    v = snap.put_index(root, name, {"cent": art["cent"], "cb": art["cb"],
+                                    "enc": merged})
+    return {"version": v, "reencoded": len(new_rows),
+            "dropped": len(del_ids & {int(e[0]) for e in art["enc"]}),
+            "kept": len(kept)}
+
+
+def _enc_df(spark, enc_rows):
+    """Persisted encodings → the (vec_id, cell, codes) frame the serve
+    path joins (broadcast-sized: m bytes per vector)."""
+    return spark.createDataFrame(
+        [(int(v), int(c), [int(x) for x in codes]) for v, c, codes in enc_rows],
+        "vec_id long, cell long, codes array<bigint>",
+    )
+
+
+@register(
+    "sim_index_refresh",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, score
+    FROM ({{}})
+    """.format(_ivfpq_portable_oracle(where="vec_id % 10 <> 6")),
+)
+def sim_index_refresh(spark, sf_dir):
+    """INCREMENTAL index refresh end-to-end (VERDICT r14 #5): build the
+    table from the EVEN embeddings and persist a full IVFADC index
+    (encodings included), APPEND the odd half, DELETE vec_id % 10 = 6,
+    then `refresh_ivfpq_index` — which re-encodes ONLY the change feed's
+    rows under the pinned quantizer and merges them into the artifact.
+    Queries are then answered FROM THE REFRESHED ARTIFACT's encodings
+    (the inline encode stage is bypassed entirely — enc_df). The oracle
+    re-derives the answer from the raw head corpus with a full encode
+    under the same literals, so hash-green IS the
+    refreshed-index ≡ full-retrain equivalence; the O(changed-rows)
+    property and the no-change no-op are pinned in
+    tests/test_functions.py."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_CB, IVFPQ_CENT,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapannref_{tag}")
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    snap.create(spark, root, emb.filter(F.col("vec_id") % 2 == 0),
+                overwrite=True)
+    build_ivfpq_index(spark, root, "ivfpq_inc",
+                      list(IVFPQ_CENT), list(IVFPQ_CB))
+    snap.append(spark, root, emb.filter(F.col("vec_id") % 2 == 1))
+    snap.delete_where(spark, root, "vec_id % 10 = 6")
+    refresh_ivfpq_index(spark, root, "ivfpq_inc")
+
+    got = snap.get_index(root, "ivfpq_inc")
+    corpus = snap.read(spark, root)
+    return _ivfpq_portable_plan(
+        spark, corpus,
+        cent_v=got["index"]["cent"], cb_v=got["index"]["cb"],
+        enc_df=_enc_df(spark, got["index"]["enc"]),
     )
 
 
