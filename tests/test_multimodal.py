@@ -1,0 +1,115 @@
+"""Unit tests for the real-bytes media codecs (r15, VERDICT r14 #7).
+
+These run without Spark: the PGM (netpbm P5) and WAV (stdlib ``wave``)
+codecs are pure functions, so round-trip and resample invariants are
+property-testable directly. The Spark-side wiring (mapInPandas stages,
+oracle parity) is covered by tests/test_parity.py on the
+multimodal_resize / multimodal_audio_energy keys and the plan-shape
+assertions in tests/test_scale.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+    decode_wav,
+    encode_pgm,
+    encode_wav,
+    parse_pgm,
+)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+@settings(max_examples=50, deadline=None)
+def test_pgm_roundtrip(w, h, data):
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    pw, ph, praster = parse_pgm(encode_pgm(w, h, raster))
+    assert (pw, ph, praster) == (w, h, raster)
+
+
+def test_pgm_parser_honors_comments_and_multidigit_dims():
+    raster = bytes(range(200)) * 6  # 1200 bytes = 40 * 30
+    payload = b"P5\n# a netpbm comment line\n40 30\n255\n" + raster[:1200]
+    w, h, r = parse_pgm(payload)
+    assert (w, h) == (40, 30) and r == raster[:1200]
+
+
+def test_pgm_parser_rejects_bad_payloads():
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_pgm(b"P6\n2 2\n255\n" + b"\x00" * 12)  # P6 = color PPM
+    with pytest.raises(ValueError):
+        parse_pgm(b"P5\n4 4\n255\n" + b"\x00" * 7)  # truncated raster
+    with pytest.raises(ValueError):
+        parse_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        encode_pgm(3, 3, b"\x00" * 8)  # raster/dims mismatch
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip(samples):
+    assert decode_wav(encode_wav(samples)) == samples
+
+
+def test_wav_is_a_real_riff_container():
+    payload = encode_wav(bytes(range(256)))
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    # 44-byte canonical PCM header + the raw samples
+    assert payload[-256:] == bytes(range(256))
+
+
+def test_wav_decode_rejects_wrong_shape():
+    import io
+    import wave
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo — the engine's contract is mono 8-bit
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_wav(buf.getvalue())
+
+
+def test_nearest_neighbor_resample_matches_oracle_formula():
+    """resize_media's fancy-index must equal the oracle's per-pixel
+    formula out(y, x) = src((y*sh)//H, (x*sw)//W) — checked here on the
+    raw numpy expression with the same integer pixel function."""
+    sw, sh, W, H = 13, 9, 48, 32
+    mid = 7
+    src = ((mid * 7 + np.arange(sw * sh, dtype=np.int64) * 13) % 256).reshape(
+        sh, sw
+    )
+    xs, ys = np.arange(W, dtype=np.int64), np.arange(H, dtype=np.int64)
+    out = src[(ys * sh // H)[:, None], (xs * sw // W)[None, :]]
+    expected = np.array(
+        [
+            [src[(y * sh) // H, (x * sw) // W] for x in range(W)]
+            for y in range(H)
+        ]
+    )
+    assert (out == expected).all()
+    pix_sum = sum(
+        (mid * 7 + ((((j // W) * sh) // H) * sw + ((j % W) * sw) // W) * 13)
+        % 256
+        for j in range(W * H)
+    )
+    assert int(out.sum()) == pix_sum

