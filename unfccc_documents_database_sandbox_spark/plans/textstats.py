@@ -869,3 +869,114 @@ def url_normalize(spark, sf_dir):
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
         )
     )
+
+
+# --- CCNet-style character-n-gram language-ID gate (r15, VERDICT r14
+# #8). Profiles, OOV costs, and planted docs are pinned in
+# functions/langid.py and BOTH sides of the oracle are generated from
+# the same constants — the single-source-of-truth discipline of the
+# pinned-codebook ANN twins (X76/X102). ---
+
+def _lang_id_oracle() -> str:
+    from unfccc_documents_database_sandbox_spark.functions import langid as L
+
+    return f"""
+    WITH u AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+        {L.oracle_planted_values()}) t(doc_id, lang, text)
+    ),
+    norm AS (
+        SELECT doc_id, lang,
+               ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+                   || ' ' AS s
+        FROM u
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, length(s)),
+                                     i -> substr(s, i, 2))) AS gram
+        FROM norm
+    ),
+    l AS (SELECT * FROM (VALUES {L.oracle_oov_values()}) t(plang, oov)),
+    p AS (SELECT * FROM (VALUES
+        {L.oracle_profile_values()}) t(plang, gram, cost)),
+    c AS (
+        SELECT g.doc_id, g.lang, l.plang,
+               SUM(coalesce(p.cost, l.oov)) AS cost
+        FROM g CROSS JOIN l
+        LEFT JOIN p ON p.plang = l.plang AND p.gram = g.gram
+        GROUP BY 1, 2, 3
+    ),
+    piv AS (
+        SELECT doc_id, lang,
+            CAST(MAX(CASE WHEN plang = 'en' THEN cost END) AS BIGINT) AS cost_en,
+            CAST(MAX(CASE WHEN plang = 'es' THEN cost END) AS BIGINT) AS cost_es,
+            CAST(MAX(CASE WHEN plang = 'fr' THEN cost END) AS BIGINT) AS cost_fr
+        FROM c GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, cost_en, cost_es, cost_fr,
+           CASE WHEN cost_en <= cost_es AND cost_en <= cost_fr THEN 'en'
+                WHEN cost_es <= cost_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+           CAST(CASE WHEN lang = (
+                CASE WHEN cost_en <= cost_es AND cost_en <= cost_fr THEN 'en'
+                     WHEN cost_es <= cost_fr THEN 'es' ELSE 'fr' END)
+                THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM piv
+    """
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark, sf_dir):
+    """L4 language-ID GATE (CCNet-style, r15): score every document
+    against pinned per-language character-bigram profiles (integer
+    log-thousandth costs, functions/langid.py), predict the cheapest
+    language, and keep the doc only when the prediction matches its
+    claimed ``lang`` tag — the filter that validates a trusted language
+    column before pretraining. Planted genuine-language docs (derived
+    union, oracle-mirrored) make the gate's keep/drop decisions
+    hash-checkable: three planted docs claim their true language
+    (keep_flag=1), three claim a wrong one (keep_flag=0).
+
+    Scale: the whole scorer is row-local JVM expressions — one
+    ``aggregate`` fold over a ``transform(sequence(...))`` bigram array
+    with a literal-map lookup per language. No UDF, no explode, no
+    shuffle; the 192-entry profile map ships inside the plan. At 100 TB
+    the scan stays embarrassingly parallel and the only exchange is
+    whatever the caller does with the keep flag afterwards."""
+    from unfccc_documents_database_sandbox_spark.functions import langid as L
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    planted = spark.createDataFrame(
+        list(L.PLANTED_DOCS), "doc_id long, lang string, text string"
+    )
+    u = docs.unionByName(planted)
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    scored = u.withColumn("s", s).select(
+        "doc_id",
+        "lang",
+        *[
+            L.spark_cost_column(lang).alias(f"cost_{lang}")
+            for lang in L.LANGS
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("cost_en") <= F.col("cost_es"))
+            & (F.col("cost_en") <= F.col("cost_fr")),
+            F.lit("en"),
+        )
+        .when(F.col("cost_es") <= F.col("cost_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.withColumn("lang_pred", pred).withColumn(
+        "keep_flag",
+        (F.col("lang_pred") == F.col("lang")).cast("long"),
+    )
