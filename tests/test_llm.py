@@ -347,3 +347,91 @@ def test_llm_per_prompt_isolation_dead_letter(spark, tmp_path):
     plain = [p for p in prompts if "POISON" not in p and "FLAKY" not in p]
     assert all(attempts[key_of[p]] == 1 for p in plain)
     assert len(attempts) == 100
+
+
+def test_structured_output_retry_recovers_and_dead_letters(spark):
+    """U3 retry (r15, VERDICT r14 #9): rows whose response fails
+    from_json validation get ONE amended re-prompt — invalid-once rows
+    recover (billed for both calls, summary hashes the AMENDED prompt),
+    persistent offenders dead-letter with a typed StructuredOutputError,
+    and clean rows pass through billed once."""
+    import hashlib as _hl
+
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        RETRY_SUFFIX,
+        summarize_structured,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        COST_PER_CHAR,
+        MalformedStubModel,
+    )
+
+    # prompt lengths engineered against once_mod=11 / always_mod=23:
+    # "a"*21 → clean, "b"*33 → invalid once, "c"*46 → invalid always
+    prompts = ["a" * 21, "b" * 33, "c" * 46, "d" * 25]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prompts)], "doc_id long, prompt string"
+    )
+    out = {
+        r.doc_id: r
+        for r in summarize_structured(
+            df,
+            model_factory=lambda: MalformedStubModel(
+                once_mod=11, always_mod=23
+            ),
+            max_retries=2,
+            base_delay=0.01,
+        ).collect()
+    }
+    assert len(out) == 4  # no dup, no drop
+
+    def sha(p):
+        return _hl.sha256(p.encode()).hexdigest()
+
+    # clean rows: one call, one bill, hash of the ORIGINAL prompt
+    for i in (0, 3):
+        r = out[i]
+        assert r.error is None
+        assert r.summary == f"STUB:{sha(prompts[i])}"
+        assert r.cost == COST_PER_CHAR * len(prompts[i])
+    # invalid-once: recovered via the amended prompt, billed for BOTH calls
+    r = out[1]
+    assert r.error is None
+    assert r.summary == f"STUB:{sha(prompts[1] + RETRY_SUFFIX)}"
+    assert r.cost == COST_PER_CHAR * (2 * len(prompts[1]) + len(RETRY_SUFFIX))
+    # persistent offender: typed dead letter, raw response kept, both
+    # (wasted) calls still billed
+    r = out[2]
+    assert r.error is not None and r.error.startswith("StructuredOutputError")
+    assert r.summary is None
+    assert r.response_json == "sorry, here is your summary: ..."
+    assert r.cost == COST_PER_CHAR * (2 * len(prompts[2]) + len(RETRY_SUFFIX))
+
+
+def test_structured_retry_passes_transport_dead_letters_through(spark):
+    """A row that already dead-lettered at the TRANSPORT level (X190)
+    must not be re-prompted — its typed error and zero cost survive the
+    retry stage unchanged."""
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_structured,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        PoisonStubModel,
+    )
+
+    # len 17 → transport poison; len 20 → clean
+    df = spark.createDataFrame(
+        [(0, "x" * 17), (1, "y" * 20)], "doc_id long, prompt string"
+    )
+    out = {
+        r.doc_id: r
+        for r in summarize_structured(
+            df,
+            model_factory=lambda: PoisonStubModel(poison_mod=17),
+            max_retries=2,
+            base_delay=0.01,
+        ).collect()
+    }
+    assert out[0].error == "ValueError: poison prompt"
+    assert out[0].cost == 0.0 and out[0].summary is None
+    assert out[1].error is None and out[1].summary is not None

@@ -196,3 +196,90 @@ def summarize_isolated(
     from unfccc_documents_database_sandbox_spark.catalog import spread
 
     return spread(df.select(id_col, prompt_col)).mapInPandas(infer, out_schema)
+
+
+RETRY_SUFFIX = (
+    "\nYour previous reply was not valid JSON matching"
+    ' {"summary": string}. Respond ONLY with that JSON object.\n'
+)
+
+
+def summarize_structured(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    model_factory: Callable[[], object] = StubChatModel,
+    **stage_kw,
+) -> DataFrame:
+    """U3 structured-output RETRY (r15, VERDICT r14 #9): the pydantic-
+    retry behavior LangChain's structured output gives the reference
+    (generate_decisions_summaries.py:92-95), re-expressed relationally.
+
+    1. Run the per-prompt isolated stage (X190 plumbing) and validate
+       every response with ``from_json`` — malformed output is a NULL
+       struct, not an exception.
+    2. Rows that failed VALIDATION (transport succeeded, JSON invalid)
+       get exactly ONE re-prompt round: the original prompt plus a
+       format-reminder suffix (`RETRY_SUFFIX`), the LangChain
+       RetryOutputParser shape. Transport dead-letters from step 1 pass
+       through untouched — their error is already typed.
+    3. Rows still invalid after the retry dead-letter with
+       ``error = 'StructuredOutputError: ...'`` and keep the raw
+       response_json for forensics. Cost bills BOTH calls — the failed
+       first attempt was still spent tokens (U4 honesty).
+
+    Scale shape: validation is a JVM ``from_json`` over the full result;
+    the retry touches only the failing slice, which re-reads prompts via
+    a BROADCAST semi-join of the (tiny) failed-id set against the prompt
+    frame — the dedup_incremental anti-join pattern. At 100 TB the first
+    stage's output is a materialized table and the retry is an
+    O(failures) scan, never a second full inference pass. No driver-side
+    loops: the "retry once then dead-letter" policy is one static plan,
+    not an unbounded convergence loop (a deeper retry ladder unrolls the
+    same way)."""
+    first = parse_structured(
+        summarize_isolated(
+            df, id_col, prompt_col, model_factory, **stage_kw
+        )
+    )
+    settled = first.filter(
+        F.col("summary").isNotNull() | F.col("error").isNotNull()
+    )
+    failed = first.filter(
+        F.col("summary").isNull() & F.col("error").isNull()
+    ).select(id_col, F.col("cost").alias("first_cost"))
+
+    retry_in = df.select(id_col, prompt_col).join(
+        F.broadcast(failed), id_col
+    )
+    retried = parse_structured(
+        summarize_isolated(
+            retry_in.select(
+                id_col,
+                F.concat(F.col(prompt_col), F.lit(RETRY_SUFFIX)).alias(
+                    prompt_col
+                ),
+            ),
+            id_col,
+            prompt_col,
+            model_factory,
+            **stage_kw,
+        )
+    ).join(F.broadcast(failed), id_col)
+
+    resolved = retried.select(
+        id_col,
+        "response_json",
+        (F.col("cost") + F.col("first_cost")).alias("cost"),
+        F.when(
+            F.col("summary").isNull() & F.col("error").isNull(),
+            F.lit(
+                "StructuredOutputError: response failed schema validation"
+                " after retry"
+            ),
+        )
+        .otherwise(F.col("error"))
+        .alias("error"),
+        "summary",
+    )
+    return settled.unionByName(resolved)

@@ -130,3 +130,42 @@ class IsolationFaultModel(StubChatModel):
         if self.transient_marker in prompt and attempt < self.transient_failures:
             raise RuntimeError(f"transient failure #{attempt + 1}")
         return self.complete_batch([prompt])[0]
+
+
+class MalformedStubModel(StubChatModel):
+    """Deterministic INVALID-OUTPUT model (r15, VERDICT r14 #9): the
+    fault injector for the structured-output retry. Transport succeeds
+    for every prompt — what varies is whether the RESPONSE validates:
+
+    - ``len(prompt) % always_mod == 0`` → invalid JSON on every call
+      (the persistent offender the retry must dead-letter);
+    - else ``len(prompt) % once_mod == 0`` and the prompt does NOT carry
+      the retry suffix → invalid JSON (the transient offender); the
+      re-prompted call — recognizable because ``summarize_structured``
+      appended its format-reminder suffix — answers validly;
+    - everything else answers like StubChatModel first try.
+
+    Stateless and a pure function of the prompt, so the whole
+    validate → re-prompt → dead-letter pipeline stays
+    DuckDB-oracle-checkable (the oracle restates the two mod classes)."""
+
+    def __init__(self, once_mod: int = 11, always_mod: int = 23,
+                 retry_marker: str | None = None):
+        from unfccc_documents_database_sandbox_spark.llm.batch import (
+            RETRY_SUFFIX,
+        )
+
+        self.once_mod = once_mod
+        self.always_mod = always_mod
+        self.retry_marker = RETRY_SUFFIX if retry_marker is None else retry_marker
+
+    def complete_one(self, prompt: str) -> dict:
+        is_retry = prompt.endswith(self.retry_marker)
+        base = prompt[: -len(self.retry_marker)] if is_retry else prompt
+        n = len(base)
+        if n % self.always_mod == 0 or (n % self.once_mod == 0 and not is_retry):
+            return {
+                "response_json": "sorry, here is your summary: ...",
+                "cost": COST_PER_CHAR * len(prompt),
+            }
+        return self.complete_batch([prompt])[0]

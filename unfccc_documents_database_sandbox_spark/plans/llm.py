@@ -323,3 +323,74 @@ def udf_cogrouped_asof(spark, sf_dir):
         .cogroup(clicks.groupBy("__bc"))
         .applyInPandas(asof, schema)
     )
+
+
+# --- U3 structured-output retry (r15, VERDICT r14 #9) ---
+from unfccc_documents_database_sandbox_spark.llm.batch import (  # noqa: E402
+    RETRY_SUFFIX,
+)
+
+_SUF_LEN = len(RETRY_SUFFIX)
+# the suffix as a DuckDB expression (newlines via chr(10), quotes escaped)
+_SUF_SQL = " || chr(10) || ".join(
+    "'" + part.replace("'", "''") + "'" for part in RETRY_SUFFIX.split("\n")
+)
+_RETRY_ERR = (
+    "StructuredOutputError: response failed schema validation after retry"
+)
+
+
+@register(
+    "udf_llm_structured_retry",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, {_PROMPT_SQL} AS prompt FROM documents),
+    c AS (SELECT doc_id, prompt, length(prompt) AS n FROM p)
+    SELECT doc_id,
+           CASE WHEN n % 23 = 0 THEN NULL
+                WHEN n % 11 = 0 THEN 'STUB:' || sha256(prompt || {_SUF_SQL})
+                ELSE 'STUB:' || sha256(prompt) END AS summary,
+           CASE WHEN n % 23 = 0 OR n % 11 = 0
+                THEN CAST(2 * n + {_SUF_LEN} AS BIGINT)
+                ELSE CAST(n AS BIGINT) END AS cost_micros,
+           CASE WHEN n % 23 = 0 THEN '{_RETRY_ERR}'
+                ELSE NULL END AS error
+    FROM c
+    """,
+)
+def udf_llm_structured_retry(spark, sf_dir):
+    """U3 structured-output RETRY (r15): the full validate → re-prompt →
+    dead-letter pipeline run with the deterministic malformed-output
+    model (prompt length % 11 = 0 answers invalid JSON once and recovers
+    on the re-prompt; % 23 = 0 answers invalid JSON every time and
+    dead-letters with a typed StructuredOutputError). This is the
+    pydantic-retry behavior LangChain structured output gives the
+    reference (generate_decisions_summaries.py:92-95), relationally:
+    from_json flags the invalid rows, ONE amended re-prompt round runs
+    over only that slice (broadcast id-join back to the prompts), and
+    cost bills both calls for every retried row — recovered rows carry
+    the hash of the AMENDED prompt, which the oracle restates as
+    sha256(prompt || suffix). Transport-level dead-lettering
+    (udf_llm_dead_letter) composes underneath unchanged."""
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_structured,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        MalformedStubModel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    prompts = d.select("doc_id", prompt_column().alias("prompt"))
+    raw = summarize_structured(
+        prompts,
+        model_factory=lambda: MalformedStubModel(once_mod=11, always_mod=23),
+        max_retries=2,
+        base_delay=0.01,
+    )
+    return raw.select(
+        "doc_id",
+        "summary",
+        F.round(F.col("cost") * 1_000_000, 0).cast("long").alias(
+            "cost_micros"
+        ),
+        "error",
+    )
