@@ -150,6 +150,10 @@ FRESH = [
     "sql_tpcds_q71", "sql_tpcds_q87",
     "sim_topk_lsh_portable",    # LSH under an exact oracle
     "doc_rolling_hash",         # re-oracled: portable Rabin-Karp fold
+    "multimodal_resize",        # re-pinned: real PGM decode + resample
+    "multimodal_audio_energy",  # re-pinned: real WAV decode
+    "text_lang_id",             # CCNet-style n-gram language gate
+    "udf_llm_structured_retry",  # U3 validate → re-prompt → dead-letter
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -98,6 +98,10 @@ ROUND_KEYS = [
     "table_insert_overwrite", "table_copy_into",
     "sim_topk_lsh_portable", "doc_rolling_hash",
     "sim_index_refresh",
+    # round-15 late additions (real-codec multimodal re-pins, the
+    # language-ID gate, the structured-output retry)
+    "multimodal_resize", "multimodal_audio_energy",
+    "text_lang_id", "udf_llm_structured_retry",
 ]
 
 
