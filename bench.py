@@ -154,6 +154,10 @@ FRESH = [
     "multimodal_audio_energy",  # re-pinned: real WAV decode
     "text_lang_id",             # CCNet-style n-gram language gate
     "udf_llm_structured_retry",  # U3 validate → re-prompt → dead-letter
+    "udf_llm_prompt_cache",     # dedup→infer→fan-back, exact-once billing
+    "sql_tpcds_q74",            # year-over-year 4-way self-join family
+    "sql_tpcds_q47",            # lag/lead deviation-from-mean family
+    "sim_topk_ivf_portable",    # pinned-centroid IVF under exact oracle
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

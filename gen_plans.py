@@ -102,6 +102,10 @@ ROUND_KEYS = [
     # language-ID gate, the structured-output retry)
     "multimodal_resize", "multimodal_audio_energy",
     "text_lang_id", "udf_llm_structured_retry",
+    # round-15 second wave (prompt cache, year-over-year + deviation
+    # TPC-DS families, pinned-centroid IVF twin)
+    "udf_llm_prompt_cache", "sql_tpcds_q74", "sql_tpcds_q47",
+    "sim_topk_ivf_portable",
 ]
 
 

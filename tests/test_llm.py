@@ -435,3 +435,35 @@ def test_structured_retry_passes_transport_dead_letters_through(spark):
     assert out[0].error == "ValueError: poison prompt"
     assert out[0].cost == 0.0 and out[0].summary is None
     assert out[1].error is None and out[1].summary is not None
+
+
+def test_prompt_cache_bills_each_distinct_prompt_once(spark):
+    """X211: duplicate prompts hit the model once — the representative
+    row carries the call's cost, cache hits carry 0 and cached=1, every
+    row still gets the right answer, and SUM(cost) equals one call per
+    DISTINCT prompt."""
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_cached,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        COST_PER_CHAR,
+    )
+
+    rows = [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "alpha"),
+            (4, "gamma"), (5, "beta")]
+    df = spark.createDataFrame(rows, "doc_id long, prompt string")
+    out = {r.doc_id: r for r in summarize_cached(df).collect()}
+    assert len(out) == 6  # fan-back restores every member row
+    import hashlib as _hl
+    import json as _json
+
+    for i, p in rows:
+        assert _json.loads(out[i].response_json)["summary"] == (
+            "STUB:" + _hl.sha256(p.encode()).hexdigest()
+        )
+    # min-id representative per distinct prompt is billed; others cached
+    billed = {i for i, r in out.items() if r.cached == 0}
+    assert billed == {0, 1, 4}
+    assert all(out[i].cost == 0.0 for i in (2, 3, 5))
+    total = sum(r.cost for r in out.values())
+    assert abs(total - COST_PER_CHAR * len("alphabetagamma")) < 1e-12

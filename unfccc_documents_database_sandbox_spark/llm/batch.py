@@ -283,3 +283,61 @@ def summarize_structured(
         "summary",
     )
     return settled.unionByName(resolved)
+
+
+def summarize_cached(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    prompt_col: str = "prompt",
+    model_factory: Callable[[], object] = StubChatModel,
+    **stage_kw,
+) -> DataFrame:
+    """Prompt-level inference cache (r15): identical prompts hit the
+    model ONCE. The production shape for classification / extraction
+    stages whose templates collapse many rows onto few distinct prompts
+    — at corpus scale the model call is the dominant cost, so deduping
+    before inference is the single biggest saver the pipeline has.
+
+    Plan: group rows by prompt digest (sha2-256 — 32-byte shuffle keys,
+    never the prompt text), elect the minimum id as the group's
+    representative, run the isolated inference stage over ONLY the
+    representatives, then join answers back to every member row by
+    digest. Billing is exact-once: the representative row carries the
+    call's cost, cache hits carry cost 0 and ``cached = 1`` — so
+    SUM(cost) over the output equals what the provider actually charged
+    (U4), and the cached column makes the hit rate one JVM aggregation.
+
+    Scale: one shuffle of (digest, id) pairs + one shuffle of
+    (digest, answer) — both tiny next to the inference they avoid. The
+    answers side is distinct-prompt-sized; for template-style workloads
+    that is orders of magnitude smaller than the corpus, and Spark's AQE
+    broadcasts it back automatically when it fits."""
+    keyed = df.select(id_col, prompt_col).withColumn(
+        "pkey", F.sha2(F.col(prompt_col), 256)
+    )
+    reps = keyed.groupBy("pkey").agg(
+        F.min(id_col).alias(id_col),
+        F.first(prompt_col).alias(prompt_col),
+    )
+    answers = summarize_isolated(
+        reps.select(id_col, prompt_col),
+        id_col,
+        prompt_col,
+        model_factory,
+        **stage_kw,
+    ).join(reps.select(id_col, "pkey"), id_col)
+    return (
+        keyed.withColumnRenamed(id_col, "_member_id")
+        .join(answers.withColumnRenamed(id_col, "_rep_id"), "pkey")
+        .select(
+            F.col("_member_id").alias(id_col),
+            "response_json",
+            F.when(F.col("_member_id") == F.col("_rep_id"), F.col("cost"))
+            .otherwise(F.lit(0.0))
+            .alias("cost"),
+            "error",
+            (F.col("_member_id") != F.col("_rep_id"))
+            .cast("long")
+            .alias("cached"),
+        )
+    )

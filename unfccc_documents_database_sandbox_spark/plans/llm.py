@@ -394,3 +394,58 @@ def udf_llm_structured_retry(spark, sf_dir):
         ),
         "error",
     )
+
+
+@register(
+    "udf_llm_prompt_cache",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               'Define the term: ' || split_part(text, ' ', 1) AS prompt
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, prompt,
+               MIN(doc_id) OVER (PARTITION BY prompt) AS rep
+        FROM p
+    )
+    SELECT doc_id,
+           'STUB:' || sha256(prompt) AS summary,
+           CASE WHEN doc_id = rep THEN CAST(length(prompt) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS cost_micros,
+           CAST(doc_id <> rep AS BIGINT) AS cached
+    FROM r
+    """,
+)
+def udf_llm_prompt_cache(spark, sf_dir):
+    """Prompt-level inference cache (r15): a template prompt over the
+    document's first term collapses the corpus onto ~30 distinct
+    prompts; summarize_cached runs the model once per distinct prompt
+    (min-id representative), joins answers back by prompt digest, and
+    bills exactly once — cache hits carry cost 0 and cached=1. Every
+    output column is a pure function of the input (stub model), so the
+    whole dedup→infer→fan-back pipeline is hash-exact: the oracle
+    restates representative election as MIN(doc_id) OVER (PARTITION BY
+    prompt). At 100 TB this is the single biggest inference saver the
+    pipeline has: two digest-keyed shuffles replace a model call per
+    duplicate row."""
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_cached,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    prompts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Define the term: "), F.substring_index("text", " ", 1)
+        ).alias("prompt"),
+    )
+    raw = parse_structured(summarize_cached(prompts))
+    return raw.select(
+        "doc_id",
+        "summary",
+        F.round(F.col("cost") * 1_000_000, 0).cast("long").alias(
+            "cost_micros"
+        ),
+        "cached",
+    )

@@ -1203,3 +1203,164 @@ def sim_index_persisted(spark, sf_dir):
     return at(got["trained_at"], 0).unionByName(
         at(None, 1)
     )
+
+
+# --- oracle-exact IVF twin (r15): pinned centroids close the last
+# trained-state gap in the ANN family — PQ (X76), IVFADC (X102), LSH
+# (r15 sim_topk_lsh_portable), and now plain IVF all replay in SQL. ---
+
+def _ivf_portable_oracle() -> str:
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_C, IVF_CELLS, IVF_DIM,
+    )
+
+    fc_lit = "[" + ", ".join(repr(v) for v in IVF_C) + "]"
+
+    def cent(c) -> str:
+        return f"fc[{c}*{IVF_DIM} + 1 : {c}*{IVF_DIM} + {IVF_DIM}]"
+
+    dl = (
+        f"list_transform(range(0, {IVF_CELLS}), c -> "
+        f"list_dot_product({cent('c')}, {cent('c')})"
+        f" - 2.0 * list_dot_product(u, {cent('c')}))"
+    )
+
+    return f"""
+    WITH cb AS (SELECT {fc_lit} AS fc),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    uu AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS u FROM vn),
+    assigned AS (
+        SELECT vec_id, u, {dl} AS dl,
+               list_position({dl}, list_min({dl})) - 1 AS cell
+        FROM uu CROSS JOIN cb
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, u AS qu, cell AS cell1,
+               list_transform(range(0, {IVF_CELLS}), c ->
+                   CASE WHEN c = cell THEN 1e30 ELSE dl[c + 1] END) AS dl2
+        FROM assigned WHERE vec_id < 5
+    ),
+    q AS (
+        SELECT query_id, qu,
+               unnest([cell1,
+                       list_position(dl2, list_min(dl2)) - 1]) AS cell
+        FROM qprobe
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               list_dot_product(q.qu, a.u) AS score_raw
+        FROM q JOIN assigned a
+          ON a.cell = q.cell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           ROUND(score_raw, 4) AS score
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_raw DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register("sim_topk_ivf_portable", oracle=_ivf_portable_oracle())
+def sim_topk_ivf_portable(spark, sf_dir):
+    """The ORACLE-EXACT twin of sim_topk_ivf (VERDICT r14 rows-only
+    debt): the same assign → probe → in-cell exact-rank pipeline, with
+    the centroids pinned as shared decimal literals
+    (plans/ivf_centroids.py — the pq_codebook discipline) and every
+    stage restated as fold arithmetic both engines execute identically:
+
+    - cell assignment: per cell c, distance c·c − 2·(u·c) (u·u is
+      row-constant, dropped); cell = FIRST index of the minimum via
+      array_position(dl, array_min(dl)) — no float argmin ambiguity.
+    - probing: nprobe=2 — the query's own cell plus the runner-up,
+      found by masking the winner to 1e30 and re-running the same
+      first-min idiom (identical CASE on both sides).
+    - in-cell ranking: exact unit-cosine (left-fold dot), ties broken
+      by neighbor_id.
+
+    Approximate recall vs the exact scan is the OPERATOR's semantics
+    (both engines agree on exactly which neighbors each probe set can
+    see); nothing about the pipeline is nondeterministic once the
+    centroids are pinned. Production stays sim_topk_ivf (per-corpus
+    training, Arrow matmul assignment — the 10× measured win over
+    expression-tree argmin); this twin runs row-local in codegen and
+    shuffles only the tiny probed equi-join, the same scale shape."""
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_C, IVF_CELLS, IVF_DIM,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", vec_to_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
+    un = v.select(
+        "vec_id", F.transform("vec", lambda x: x / F.col("nrm")).alias("u")
+    )
+
+    def cent(c: int) -> F.Column:
+        return F.slice(F.lit(IVF_C), c * IVF_DIM + 1, IVF_DIM)
+
+    dists = F.array(
+        *[
+            vec_dot(cent(c), cent(c)) - 2.0 * vec_dot(F.col("u"), cent(c))
+            for c in range(IVF_CELLS)
+        ]
+    )
+    assigned = un.withColumn("dl", dists).withColumn(
+        "cell",
+        (F.array_position(F.col("dl"), F.array_min("dl")) - 1).cast("int"),
+    )
+
+    qprobe = (
+        assigned.filter(F.col("vec_id") < 5)
+        .withColumn(
+            "dl2",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(IVF_CELLS - 1)),
+                lambda c: F.when(c == F.col("cell"), F.lit(1e30)).otherwise(
+                    F.element_at(F.col("dl"), (c + 1).cast("int"))
+                ),
+            ),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("u").alias("qu"),
+            F.explode(
+                F.array(
+                    F.col("cell"),
+                    (
+                        F.array_position(F.col("dl2"), F.array_min("dl2")) - 1
+                    ).cast("int"),
+                )
+            ).alias("cell"),
+        )
+    )
+
+    scored = qprobe.join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"), "u", "cell"
+        ),
+        on="cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        vec_dot(F.col("qu"), F.col("u")).alias("score_raw"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("score_raw", 4).alias("score"),
+        )
+    )

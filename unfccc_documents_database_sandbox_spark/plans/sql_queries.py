@@ -1204,3 +1204,82 @@ register("sql_tpcds_q14", oracle=_QDS14)(_sql_plan(_QDS14))
 register("sql_tpcds_q38", oracle=_QDS38)(_sql_plan(_QDS38))
 register("sql_tpcds_q71", oracle=_QDS71)(_sql_plan(_QDS71))
 register("sql_tpcds_q87", oracle=_QDS87)(_sql_plan(_QDS87))
+
+
+# Q74 shape (the q4/q11/q74 year-over-year family, new grammar r15):
+# one aggregated CTE self-joined FOUR ways — per-customer yearly totals
+# in two "channels" (urgent vs other order priority, the q71 channel
+# emulation) × two years — keeping customers whose urgent-channel
+# growth outpaced their other-channel growth. The ratio comparison is
+# integer cross-multiplication (u2/u1 > o2/o1 ⟺ u2*o1 > o2*u1 for
+# positive denominators), so no FP touches the predicate. Catalyst
+# plans the four self-joins off one shuffle of the CTE; the official
+# q74 divides decimals here.
+_QDS74 = """
+WITH year_total AS (
+    SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                ELSE 'other' END AS channel,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 1996)
+    GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate),
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                  ELSE 'other' END
+)
+SELECT u1.o_custkey AS o_custkey,
+       u1.cents AS urgent_1995, u2.cents AS urgent_1996,
+       o1.cents AS other_1995, o2.cents AS other_1996
+FROM year_total u1
+JOIN year_total u2 ON u1.o_custkey = u2.o_custkey
+JOIN year_total o1 ON u1.o_custkey = o1.o_custkey
+JOIN year_total o2 ON u1.o_custkey = o2.o_custkey
+WHERE u1.channel = 'urgent' AND u1.yr = 1995
+  AND u2.channel = 'urgent' AND u2.yr = 1996
+  AND o1.channel = 'other'  AND o1.yr = 1995
+  AND o2.channel = 'other'  AND o2.yr = 1996
+  AND u1.cents > 0 AND o1.cents > 0
+  AND u2.cents * o1.cents > o2.cents * u1.cents
+ORDER BY o_custkey
+"""
+
+# Q47 shape (the q47/q57 time-series deviation family, new grammar
+# r15): windowed LAG/LEAD plus a deviation-from-partition-mean filter
+# over an aggregated CTE. The mean never materializes as a double: the
+# predicate |cents - tot/n| > (tot/n)/10 is cross-multiplied to
+# 10*|n*cents - tot| > tot, and the ordering key |n*cents - tot| is
+# the same integer. LAG/LEAD get COALESCE(…, 0) so the frame edges
+# stay non-NULL (bigint-exact on both engines).
+_QDS47 = """
+WITH monthly AS (
+    SELECT p.p_brand, EXTRACT(MONTH FROM o.o_orderdate) AS moy,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100,
+                               0) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1996
+    GROUP BY p.p_brand, EXTRACT(MONTH FROM o.o_orderdate)
+),
+w AS (
+    SELECT p_brand, moy, cents,
+           CAST(SUM(cents) OVER (PARTITION BY p_brand) AS BIGINT) AS tot,
+           CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n,
+           CAST(COALESCE(LAG(cents) OVER (PARTITION BY p_brand
+                                          ORDER BY moy), 0)
+                AS BIGINT) AS prev_cents,
+           CAST(COALESCE(LEAD(cents) OVER (PARTITION BY p_brand
+                                           ORDER BY moy), 0)
+                AS BIGINT) AS next_cents
+    FROM monthly
+)
+SELECT p_brand, CAST(moy AS BIGINT) AS moy, cents, prev_cents, next_cents
+FROM w
+WHERE n = 12 AND 10 * abs(n * cents - tot) > tot
+ORDER BY abs(n * cents - tot) DESC, p_brand, moy
+LIMIT 100
+"""
+
+register("sql_tpcds_q74", oracle=_QDS74)(_sql_plan(_QDS74))
+register("sql_tpcds_q47", oracle=_QDS47)(_sql_plan(_QDS47))
