@@ -113,3 +113,30 @@ def test_nearest_neighbor_resample_matches_oracle_formula():
         for j in range(W * H)
     )
     assert int(out.sum()) == pix_sum
+
+
+def test_decode_media_sniffs_containers(spark):
+    """decode_media dispatches on magic bytes: PGM payloads get real
+    header dims + pixel sums, WAV payloads get sample counts, unknown
+    payloads fall back to the opaque hash-stub with NULL raster_sum."""
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        decode_media,
+        encode_pgm,
+        encode_wav,
+    )
+
+    pgm = encode_pgm(3, 2, bytes([1, 2, 3, 4, 5, 6]))
+    wav = encode_wav(bytes([10, 20, 30, 40]))
+    rows = [(1, pgm), (2, wav), (3, b"plain text payload")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+
+    r = out[1]
+    assert (r.kind, r.width, r.height) == ("image/pgm", 3, 2)
+    assert r.raster_sum == 21 and r.n_bytes == len(pgm)
+    r = out[2]
+    assert (r.kind, r.width, r.height) == ("audio/wav", 4, 1)
+    assert r.raster_sum == 100 and r.n_bytes == len(wav)
+    r = out[3]
+    assert r.kind == "opaque" and r.raster_sum is None
+    assert r.n_bytes == len(b"plain text payload")

@@ -29,6 +29,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
+        T.StructField("raster_sum", T.LongType()),
         T.StructField("sha", T.StringType()),
     ]
 )
@@ -62,26 +63,66 @@ def documents_as_media(docs: DataFrame, parallel: bool = False) -> DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """'Decode' each payload in Arrow batches. A real decoder (PIL/ffmpeg)
-    plugs into the loop body; this deterministic fake derives dimensions
-    from the content hash so tests are value-stable."""
+    """Decode each payload in Arrow batches, sniffing the container by
+    magic bytes — the dispatch every real decoder front-end (PIL /
+    ffmpeg probe) performs:
+
+    - ``P5``  → binary PGM: REAL parse (pure-bytes netpbm parser) —
+      width/height from the header, raster_sum = the integer sum of the
+      actual pixels (the oracle-checkable digest of the decoded raster);
+    - ``RIFF`` → WAV: REAL parse (stdlib ``wave``) — width = sample
+      count, height = 1, raster_sum = sum of the PCM sample values;
+    - anything else → ``opaque``: byte length + content sha only,
+      hash-derived placeholder dims (the pre-r15 behavior, kept for
+      payloads no registered codec claims).
+
+    The sha column is forensic identity (not SQL-replayable for binary
+    containers); every other output of the codec paths is an exact
+    integer function the DuckDB oracle recomputes."""
+    import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            shas = [hashlib.sha256(p).hexdigest() for p in pdf["payload"]]
+            kinds, widths, heights, rsums, shas, sizes = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                sha = hashlib.sha256(b).hexdigest()
+                if b.startswith(b"P5"):
+                    w, h, raster = parse_pgm(b)
+                    kind = "image/pgm"
+                    rsum = int(
+                        np.frombuffer(raster, np.uint8).astype(np.int64).sum()
+                    )
+                elif b.startswith(b"RIFF"):
+                    samples = decode_wav(b)
+                    kind, w, h = "audio/wav", len(samples), 1
+                    rsum = int(
+                        np.frombuffer(samples, np.uint8).astype(np.int64).sum()
+                    )
+                else:
+                    kind = "opaque"
+                    w = 16 + int(sha[:4], 16) % 1024
+                    h = 16 + int(sha[4:8], 16) % 1024
+                    rsum = None
+                kinds.append(kind)
+                widths.append(w)
+                heights.append(h)
+                rsums.append(rsum)
+                shas.append(sha)
+                sizes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    # FAKE decode: real impl returns actual image dims
-                    "width": [16 + int(s[:4], 16) % 1024 for s in shas],
-                    "height": [16 + int(s[4:8], 16) % 1024 for s in shas],
+                    "kind": kinds,
+                    "n_bytes": sizes,
+                    "width": widths,
+                    "height": heights,
+                    "raster_sum": pd.array(rsums, dtype="Int64"),
                     "sha": shas,
                 }
             )
 
-    return media.mapInPandas(decode, DECODED_SCHEMA)
+    return media_payload_schema(media).mapInPandas(decode, DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

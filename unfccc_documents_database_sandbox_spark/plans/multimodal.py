@@ -18,19 +18,43 @@ from unfccc_documents_database_sandbox_spark.registry import register
 @register(
     "multimodal_decode",
     oracle="""
-    SELECT doc_id AS media_id,
-           'image' AS kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha
-    FROM documents
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               8 + octet_length(encode(text)) % 9 AS sw,
+               8 + octet_length(encode(text)) % 7 AS sh
+        FROM documents
+    )
+    SELECT media_id,
+           'image/pgm' AS kind,
+           CAST(3 + length(CAST(sw AS VARCHAR)) + 1
+                  + length(CAST(sh AS VARCHAR)) + 5
+                  + sw * sh AS BIGINT) AS n_bytes,
+           CAST(sw AS BIGINT) AS width,
+           CAST(sh AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, sw * sh),
+                i -> (media_id * 7 + i * 13) % 256)) AS BIGINT) AS raster_sum
+    FROM m
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    """L5 binary payload → mapInPandas decode. n_bytes/sha are true
-    functions of the payload (oracle-checked); width/height come from the
-    stubbed decoder so they're excluded from the checked projection."""
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return decode_media(media).select("media_id", "kind", "n_bytes", "sha")
+    """L5 binary payload → content-sniffing decode, fully REAL as of r15
+    (X208): the corpus is encoded as genuine binary PGM images, and
+    decode_media parses the container back — kind from the magic bytes,
+    width/height from the PGM header, raster_sum from the actual decoded
+    pixels. Every checked column is now an exact function the oracle
+    recomputes, including the container byte count (ASCII header length
+    + raster size); the pre-r15 version could only check n_bytes/sha
+    because its dims came from a hash-derived stub."""
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        documents_as_pgm_media,
+    )
+
+    media = documents_as_pgm_media(
+        documents_as_media(load_table(spark, sf_dir, "documents"))
+    )
+    return decode_media(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "raster_sum"
+    )
 
 
 @register(

@@ -124,7 +124,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # sim_topk_ivf_portable), so the 4 alphabetically-last promoted keys
 # (table_update_mor, text_bm25, udf_cogrouped_asof, xlsx_ingest)
 # demoted back to NEXT — the r07 precedent: each new unprefixed key
-# displaces the newest-evidence end of DUE, never the oldest.
+# displaces the newest-evidence end of DUE, never the oldest. Second
+# swap: multimodal_decode's r15 rebuild (real PGM parse, new schema)
+# stales its r13 evidence → promoted NEXT→DUE for re-evidence, with
+# table_update (newest-evidence DUE tail) demoted to keep the window
+# at exactly 50 — the X200 changed-builder re-evidence rule.
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
@@ -140,7 +144,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "table_generated_partition", "table_history",
         "table_merge_evolve", "table_null_prune",
         "table_partition_evolve", "table_partition_prune",
-        "table_restore", "table_row_ids", "table_update"
+        "multimodal_decode", "table_restore", "table_row_ids"
     }
 )
 
@@ -180,7 +184,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "join_range", "join_semi", "join_skew_salted", "json_extract",
         "json_roundtrip", "json_variant_extract", "lang_id",
         "layout_compaction_apply", "layout_zorder", "limit_n",
-        "map_ops", "math_arith", "merge_upsert", "multimodal_decode",
+        "map_ops", "math_arith", "merge_upsert", "table_update",
         "multimodal_features_topk", "multimodal_frame_sample",
         "numbering_normalize", "orders_abc_pareto", "orders_gini",
         "pack_sequences", "project_columns", "quality_expectations",
