@@ -158,6 +158,7 @@ FRESH = [
     "sql_tpcds_q74",            # year-over-year 4-way self-join family
     "sql_tpcds_q47",            # lag/lead deviation-from-mean family
     "sim_topk_ivf_portable",    # pinned-centroid IVF under exact oracle
+    "corpus_split",             # salted-hash train/val/test stratifier
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -105,7 +105,7 @@ ROUND_KEYS = [
     # round-15 second wave (prompt cache, year-over-year + deviation
     # TPC-DS families, pinned-centroid IVF twin)
     "udf_llm_prompt_cache", "sql_tpcds_q74", "sql_tpcds_q47",
-    "sim_topk_ivf_portable",
+    "sim_topk_ivf_portable", "corpus_split", "multimodal_decode",
 ]
 
 

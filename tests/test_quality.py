@@ -74,3 +74,31 @@ def test_expectation_refusals(spark):
     with pytest.raises(ValueError, match="unknown expectation op"):
         expectation_report(
             df, [("bad", F.count(F.lit(1)), F.count(F.lit(1)), "!=")])
+
+
+def test_corpus_split_is_deterministic_and_total(spark):
+    """X214: the salted-hash split is a pure function of doc_id — every
+    document lands in exactly one split, re-runs agree exactly, and the
+    proportions approximate 90/5/5."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    audit1 = lookup("corpus_split").build(spark, SF_CORRECT)
+    audit2 = lookup("corpus_split").build(spark, SF_CORRECT)
+    rows1 = sorted(map(tuple, audit1.collect()))
+    rows2 = sorted(map(tuple, audit2.collect()))
+    assert rows1 == rows2  # rerun-identical (no RNG anywhere)
+
+    n_docs = load_table(spark, SF_CORRECT, "documents").count()
+    by_split = {}
+    for _, split, n, _ in rows1:
+        by_split[split] = by_split.get(split, 0) + n
+    assert sum(by_split.values()) == n_docs  # total: every doc, once
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > 0.8 * n_docs  # ~90% with hash noise
+    assert by_split["val"] + by_split["test"] < 0.2 * n_docs

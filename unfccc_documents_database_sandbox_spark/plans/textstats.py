@@ -980,3 +980,78 @@ def text_lang_id(spark, sf_dir):
         "keep_flag",
         (F.col("lang_pred") == F.col("lang")).cast("long"),
     )
+
+
+@register(
+    "corpus_split",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                                    1, 7)) AS BIGINT) % 1000 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT lang,
+               CASE WHEN bucket < 900 THEN 'train'
+                    WHEN bucket < 950 THEN 'val'
+                    ELSE 'test' END AS split,
+               n_tokens
+        FROM b
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY lang, split
+    """,
+)
+def corpus_split(spark, sf_dir):
+    """Deterministic train/val/test corpus split (r15) — the standard
+    pretraining splitter: every document lands in exactly one of
+    train (90%) / val (5%) / test (5%) by a salted md5 bucket of its
+    STABLE id, so re-runs, re-shards, and later crawl batches assign
+    identically (no RNG, no state — the split IS a pure function, which
+    is what makes eval decontamination auditable). The salt versions the
+    split: bump it and the whole corpus re-splits, orthogonal to data
+    layout. Output is the per-(lang, split) stratification audit —
+    n_docs and token mass — the table a training run reports to verify
+    no language is starved in val/test.
+
+    Scale: one narrow projection (the md5 bucket is row-local JVM) and
+    ONE aggregation shuffle over (lang, split) — 100 TB splits at scan
+    speed; the per-row split column composes with every downstream
+    writer (partition-by-split is the natural layout).
+
+    Cross-engine hashing uses the proven md5-prefix idiom
+    (corpus_pipeline's decontamination bucket): Spark conv(substr(md5,
+    1, 7), 16, 10) ≡ DuckDB CAST('0x' || substr(md5, 1, 7) AS BIGINT)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < 900, F.lit("train"))
+        .when(bucket < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

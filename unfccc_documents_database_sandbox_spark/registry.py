@@ -119,11 +119,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 # REAL stdlib codec round-trips — VERDICT r14 #7). Sized 39 = 50 − the
 # 11 planned r15 new keys (machine-checked by
 # tests/test_rotation.py::test_window_reaches_every_due_key; sized
-# from the registry, not this comment). Mid-round resize: 4 MORE new
+# from the registry, not this comment). Mid-round resize: 5 MORE new
 # keys landed (udf_llm_prompt_cache, sql_tpcds_q47/q74,
-# sim_topk_ivf_portable), so the 4 alphabetically-last promoted keys
-# (table_update_mor, text_bm25, udf_cogrouped_asof, xlsx_ingest)
-# demoted back to NEXT — the r07 precedent: each new unprefixed key
+# sim_topk_ivf_portable, corpus_split), so the 5 alphabetically-last
+# promoted keys (table_row_ids, table_update_mor, text_bm25,
+# udf_cogrouped_asof, xlsx_ingest) demoted back to NEXT — the r07 precedent: each new unprefixed key
 # displaces the newest-evidence end of DUE, never the oldest. Second
 # swap: multimodal_decode's r15 rebuild (real PGM parse, new schema)
 # stales its r13 evidence → promoted NEXT→DUE for re-evidence, with
@@ -144,7 +144,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "table_generated_partition", "table_history",
         "table_merge_evolve", "table_null_prune",
         "table_partition_evolve", "table_partition_prune",
-        "multimodal_decode", "table_restore", "table_row_ids"
+        "multimodal_decode", "table_restore"
     }
 )
 
@@ -161,9 +161,9 @@ ROTATED_DUE: frozenset[str] = frozenset(
 # catalog_tables (no DuckDB twin by design).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # demoted from DUE mid-r15 (window room for 4 late new keys)
-        "table_update_mor", "text_bm25", "udf_cogrouped_asof",
-        "xlsx_ingest",
+        # demoted from DUE mid-r15 (window room for the late new keys)
+        "table_row_ids", "table_update_mor", "text_bm25",
+        "udf_cogrouped_asof", "xlsx_ingest",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
