@@ -202,3 +202,31 @@ def oracle_planted_values() -> str:
     return ",\n        ".join(
         f"({i}, '{lang}', '{text}')" for i, lang, text in PLANTED_DOCS
     )
+
+
+def spark_cost_struct():
+    """All three language costs in ONE fold over the bigram array — a
+    named_struct accumulator replaces three separate aggregate() passes
+    (the r15 bench showed 3 interpreted passes over ~400 grams/doc cost
+    ~7 s at sf0.1; one pass does the same 3 map lookups per gram but
+    walks the array once). Returns a struct column with fields en/es/fr."""
+    from pyspark.sql import functions as F
+
+    def m(lang: str) -> str:
+        pairs = ", ".join(
+            f"'{g}', {c}L" for g, c in sorted(PROFILES[lang].items())
+        )
+        return f"map({pairs})"
+
+    step = ", ".join(
+        f"'{lang}', acc.{lang} + coalesce(element_at({m(lang)}, g),"
+        f" {OOV_COST[lang]}L)"
+        for lang in LANGS
+    )
+    zero = ", ".join(f"'{lang}', 0L" for lang in LANGS)
+    return F.expr(
+        "aggregate(transform(sequence(1, length(s) - 1),"
+        " i -> substring(s, i, 2)),"
+        f" named_struct({zero}),"
+        f" (acc, g) -> named_struct({step}))"
+    )

@@ -1211,23 +1211,25 @@ def sim_index_persisted(spark, sf_dir):
 
 def _ivf_portable_oracle() -> str:
     from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
-        IVF_C, IVF_CELLS, IVF_DIM,
+        IVF_CELLS, IVF_DIM, cell, cell_sq,
     )
 
-    fc_lit = "[" + ", ".join(repr(v) for v in IVF_C) + "]"
+    def cent(c: int) -> str:
+        return "[" + ", ".join(repr(v) for v in cell(c)) + "]"
 
-    def cent(c) -> str:
-        return f"fc[{c}*{IVF_DIM} + 1 : {c}*{IVF_DIM} + {IVF_DIM}]"
-
+    # c·c folded at pin time (same left-fold order both engines apply —
+    # ivf_centroids.cell_sq); per-cell distance = cc − 2·(u·c)
     dl = (
-        f"list_transform(range(0, {IVF_CELLS}), c -> "
-        f"list_dot_product({cent('c')}, {cent('c')})"
-        f" - 2.0 * list_dot_product(u, {cent('c')}))"
+        "["
+        + ", ".join(
+            f"{cell_sq(c)!r} - 2.0 * list_dot_product(u, {cent(c)})"
+            for c in range(IVF_CELLS)
+        )
+        + "]"
     )
 
     return f"""
-    WITH cb AS (SELECT {fc_lit} AS fc),
-    v AS (
+    WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
         FROM embeddings
     ),
@@ -1235,10 +1237,11 @@ def _ivf_portable_oracle() -> str:
         SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
     ),
     uu AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS u FROM vn),
+    dlist AS (SELECT vec_id, u, {dl} AS dl FROM uu),
     assigned AS (
-        SELECT vec_id, u, {dl} AS dl,
-               list_position({dl}, list_min({dl})) - 1 AS cell
-        FROM uu CROSS JOIN cb
+        SELECT vec_id, u, dl,
+               list_position(dl, list_min(dl)) - 1 AS cell
+        FROM dlist
     ),
     qprobe AS (
         SELECT vec_id AS query_id, u AS qu, cell AS cell1,
@@ -1293,10 +1296,18 @@ def sim_topk_ivf_portable(spark, sf_dir):
     expression-tree argmin); this twin runs row-local in codegen and
     shuffles only the tiny probed equi-join, the same scale shape."""
     from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
-        IVF_C, IVF_CELLS, IVF_DIM,
+        IVF_CELLS, cell, cell_sq,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    # spread before the fold-heavy projection: the bench corpus is one
+    # parquet row group, so without it 8 cells x 64-term interpreted
+    # folds for every vector run on ONE core (13 s at sf0.1; ~0.6 s
+    # spread across the session's parallelism). At production scale the
+    # scan is already row-group-parallel and the exchange is redundant —
+    # but it is a narrow shuffle of the compact input either way.
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id", vec_to_double(F.col("embedding")).alias("vec")
     ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
@@ -1304,19 +1315,27 @@ def sim_topk_ivf_portable(spark, sf_dir):
         "vec_id", F.transform("vec", lambda x: x / F.col("nrm")).alias("u")
     )
 
-    def cent(c: int) -> F.Column:
-        return F.slice(F.lit(IVF_C), c * IVF_DIM + 1, IVF_DIM)
-
+    # per-cell literals + pin-time-folded c·c (ivf_centroids.cell_sq):
+    # the first cut sliced ONE 512-element literal inside every term,
+    # inlining the full array 24x into the plan — 17 s at sf0.1 on plan
+    # bloat alone; per-cell 64-element literals and constant cc bring
+    # the same arithmetic back to sub-second
     dists = F.array(
         *[
-            vec_dot(cent(c), cent(c)) - 2.0 * vec_dot(F.col("u"), cent(c))
+            F.lit(cell_sq(c))
+            - 2.0 * vec_dot(F.col("u"), F.lit(cell(c)))
             for c in range(IVF_CELLS)
         ]
     )
+    # localCheckpoint (the graph_bfs precedent): the assignment subtree
+    # feeds THREE consumers — the streamed corpus side, the probe
+    # derivation, and the broadcast build — and Spark has no cross-branch
+    # subplan reuse, so without pinning it the interpreted fold work ran
+    # three times (~12 s at sf0.1; ~3 s pinned)
     assigned = un.withColumn("dl", dists).withColumn(
         "cell",
         (F.array_position(F.col("dl"), F.array_min("dl")) - 1).cast("int"),
-    )
+    ).localCheckpoint(eager=True)
 
     qprobe = (
         assigned.filter(F.col("vec_id") < 5)
@@ -1343,12 +1362,14 @@ def sim_topk_ivf_portable(spark, sf_dir):
         )
     )
 
-    scored = qprobe.join(
-        assigned.select(
-            F.col("vec_id").alias("neighbor_id"), "u", "cell"
-        ),
-        on="cell",
-    ).filter(F.col("neighbor_id") != F.col("query_id")).select(
+    # broadcast the ~10-row probe side: Catalyst's size estimate would
+    # otherwise broadcast the CORPUS side, evaluating every interpreted
+    # assignment fold single-threaded inside the broadcast build
+    scored = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "u", "cell"
+    ).join(F.broadcast(qprobe), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
         "query_id",
         "neighbor_id",
         vec_dot(F.col("qu"), F.col("u")).alias("score_raw"),

@@ -959,13 +959,14 @@ def text_lang_id(spark, sf_dir):
         F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
         F.lit(" "),
     )
-    scored = u.withColumn("s", s).select(
-        "doc_id",
-        "lang",
-        *[
-            L.spark_cost_column(lang).alias(f"cost_{lang}")
-            for lang in L.LANGS
-        ],
+    scored = (
+        u.withColumn("s", s)
+        .withColumn("c", L.spark_cost_struct())
+        .select(
+            "doc_id",
+            "lang",
+            *[F.col(f"c.{lang}").alias(f"cost_{lang}") for lang in L.LANGS],
+        )
     )
     pred = (
         F.when(
