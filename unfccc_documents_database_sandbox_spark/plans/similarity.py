@@ -1293,8 +1293,11 @@ def sim_topk_ivf_portable(spark, sf_dir):
     see); nothing about the pipeline is nondeterministic once the
     centroids are pinned. Production stays sim_topk_ivf (per-corpus
     training, Arrow matmul assignment — the 10× measured win over
-    expression-tree argmin); this twin runs row-local in codegen and
-    shuffles only the tiny probed equi-join, the same scale shape."""
+    expression-tree argmin, which this twin's interpreted folds
+    re-confirm); the twin's assignment is row-local, the only exchanges
+    are the spread and the tiny probed equi-join, and the
+    thrice-consumed assignment is localCheckpoint-pinned so the fold
+    work runs once (the graph_bfs precedent)."""
     from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
         IVF_CELLS, cell, cell_sq,
     )
