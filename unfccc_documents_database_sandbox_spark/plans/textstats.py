@@ -953,7 +953,12 @@ def text_lang_id(spark, sf_dir):
     planted = spark.createDataFrame(
         list(L.PLANTED_DOCS), "doc_id long, lang string, text string"
     )
-    u = docs.unionByName(planted)
+    # spread before the fold-heavy scorer: a row-group-bound scan hands
+    # the interpreted bigram fold ONE partition (the multimodal/r05
+    # lesson); the guard makes this a no-op on an already-parallel scan
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    u = spread(docs.unionByName(planted))
     s = F.concat(
         F.lit(" "),
         F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
