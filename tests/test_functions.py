@@ -521,3 +521,52 @@ def test_index_refresh_touches_only_changed_rows(spark, tmp_path):
     assert snap.latest_version(root) == head
     # staleness stamp advanced to the refreshed head
     assert snap.get_index(root, "ix")["trained_at"] == head - 1
+
+
+def test_index_refresh_nets_multi_commit_histories(spark, tmp_path):
+    """r15 review: the change feed is netted PER ROW before merging —
+    a row updated in two separate commits lands once (final state, not
+    a stale+fresh pair), and a row inserted then deleted inside the
+    window never resurrects into the index. The refreshed artifact must
+    equal a from-scratch encode of the head corpus in both cases."""
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_CB, IVFPQ_CENT,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        build_ivfpq_index,
+        refresh_ivfpq_index,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 40)
+    root = str(tmp_path / "annnet")
+    snap.create(spark, root, emb.filter(F.col("vec_id") < 30))
+    build_ivfpq_index(spark, root, "ix", list(IVFPQ_CENT), list(IVFPQ_CB))
+
+    # row 3: updated TWICE in two separate commits (delete+insert pairs
+    # in each) — only the final embedding may be encoded
+    snap.update_where(spark, root, "vec_id = 3",
+                      {"embedding": "transform(embedding, x -> x * 2.0f)"})
+    snap.update_where(spark, root, "vec_id = 3",
+                      {"embedding": "transform(embedding, x -> x * 4.0f)"})
+    # rows 30..39: inserted then fully deleted inside the window — must
+    # NOT resurrect
+    snap.append(spark, root, emb.filter(F.col("vec_id") >= 30))
+    snap.delete_where(spark, root, "vec_id >= 30")
+
+    r = refresh_ivfpq_index(spark, root, "ix")
+    merged = snap.get_index(root, "ix")["index"]["enc"]
+    ids = [e[0] for e in merged]
+    assert len(ids) == len(set(ids)), "duplicate encodings after refresh"
+    assert not any(i >= 30 for i in ids), "deleted rows resurrected"
+    assert r["dropped"] == 0  # rows 30+ were never IN the old artifact
+
+    # ground truth: from-scratch encode of the head corpus
+    full_root = str(tmp_path / "annnetfull")
+    snap.create(spark, full_root, snap.read(spark, root))
+    build_ivfpq_index(spark, full_root, "ix",
+                      list(IVFPQ_CENT), list(IVFPQ_CB))
+    assert merged == snap.get_index(full_root, "ix")["index"]["enc"]

@@ -467,3 +467,34 @@ def test_prompt_cache_bills_each_distinct_prompt_once(spark):
     assert all(out[i].cost == 0.0 for i in (2, 3, 5))
     total = sum(r.cost for r in out.values())
     assert abs(total - COST_PER_CHAR * len("alphabetagamma")) < 1e-12
+
+
+def test_structured_retry_calls_model_once_per_clean_prompt(spark, tmp_path):
+    """r15 review: summarize_structured's first pass feeds three plan
+    branches; without the localCheckpoint pin the inference stage
+    re-executed per branch (3x real-API spend billed once). The spool
+    ledger proves each clean prompt costs exactly ONE model call for
+    the whole validate/retry/union pipeline."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.llm.batch import (
+        summarize_structured,
+    )
+    from unfccc_documents_database_sandbox_spark.llm.stub import (
+        IsolationFaultModel,
+    )
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    prompts = [f"clean prompt number {i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(prompts)], "doc_id long, prompt string"
+    )
+    out = summarize_structured(
+        df,
+        model_factory=lambda: IsolationFaultModel(spool),
+        max_retries=2,
+        base_delay=0.01,
+    ).collect()
+    assert len(out) == 20 and all(r.error is None for r in out)
+    assert len(os.listdir(spool)) == 20, "model called more than once/prompt"

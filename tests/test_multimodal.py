@@ -140,3 +140,35 @@ def test_decode_media_sniffs_containers(spark):
     r = out[3]
     assert r.kind == "opaque" and r.raster_sum is None
     assert r.n_bytes == len(b"plain text payload")
+
+
+def test_decode_media_degrades_malformed_containers_to_opaque(spark):
+    """r15 review: payloads that merely LOOK like a container must fall
+    back to the opaque branch instead of failing the whole Arrow task —
+    truncated PGM, text starting with RIFF, stereo WAV."""
+    import io
+    import wave
+
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        decode_media,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 32)
+    rows = [
+        (1, b"P5\n4 4\n255\n\x00\x01"),       # truncated raster
+        (2, b"RIFF raffle results: ..."),      # text that sniffs as RIFF
+        (3, buf.getvalue()),                   # real WAV, wrong shape
+        (4, b"P5 but not really a header"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert len(out) == 4
+    for i in (1, 2, 3, 4):
+        assert out[i].kind == "opaque", (i, out[i].kind)
+        assert out[i].raster_sum is None
+        assert out[i].n_bytes == len(rows[i - 1][1])

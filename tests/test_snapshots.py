@@ -4583,18 +4583,49 @@ def test_insert_overwrite_conflicts_and_rebases(spark, monkeypatch, tmp_path):
         snap.insert_overwrite(spark, root, new, replace_where="lang = 'de'",
                               max_retries=3)
     assert fired["done"]
-    # disjoint append winner: the overwrite rebases, both land
+    # racing APPEND winner (disjoint files): the overwrite must NOT
+    # rebase past it — the appended rows would land inside (or beside)
+    # the replaced slice the loser's remove list was computed without
+    # seeing. Delta raises ConcurrentAppendException here for any append
+    # on an unpartitioned table (r15 review fix).
     root2 = str(tmp_path / "iowc2")
     snap.create(spark, root2, df.coalesce(1))
     extra = spark.createDataFrame([(200, "fr")], "id long, lang string")
     fired = _race(monkeypatch, "insert_overwrite",
                   lambda: snap.append(spark, root2, extra))
-    v = snap.insert_overwrite(spark, root2, new,
+    with pytest.raises(snap.ConcurrentWriteConflict, match="appended rows"):
+        snap.insert_overwrite(spark, root2, new,
                               replace_where="lang = 'de'", max_retries=1)
-    assert fired["done"] and v == 2
-    got = sorted(r.id for r in snap.read(spark, root2).collect())
-    # de rows replaced by 100; en rows + the racing append's 200 survive
-    assert got == [1, 3, 5, 7, 9, 100, 200]
+    assert fired["done"]
+    # dynamic partition overwrite ∥ append to an UNTOUCHED partition:
+    # the partition-pruned form of the rule — the rebase is safe and
+    # both land (Delta's partition-disjoint ConcurrentAppend exemption)
+    root3 = str(tmp_path / "iowc3")
+    part = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)],
+        "id long, grp long, s string")
+    snap.create(spark, root3, part, partition_by=["grp"])
+    dyn = spark.createDataFrame([(300, 0, "d")], "id long, grp long, s string")
+    other = spark.createDataFrame([(400, 1, "a")], "id long, grp long, s string")
+    fired = _race(monkeypatch, "insert_overwrite",
+                  lambda: snap.append(spark, root3, other))
+    snap.insert_overwrite(spark, root3, dyn, dynamic_partitions=True,
+                          max_retries=1)
+    assert fired["done"]
+    got3 = snap.read(spark, root3)
+    assert got3.filter("grp = 0").count() == 1        # replaced
+    assert got3.filter("id = 400").count() == 1       # raced append landed
+    assert got3.filter("grp = 1").count() == 5        # 4 originals + 400
+    # ...but an append INTO a dynamically-overwritten partition conflicts
+    root4 = str(tmp_path / "iowc4")
+    snap.create(spark, root4, part, partition_by=["grp"])
+    clash = spark.createDataFrame([(500, 0, "c")], "id long, grp long, s string")
+    fired = _race(monkeypatch, "insert_overwrite",
+                  lambda: snap.append(spark, root4, clash))
+    with pytest.raises(snap.ConcurrentWriteConflict, match="appended rows"):
+        snap.insert_overwrite(spark, root4, dyn, dynamic_partitions=True,
+                              max_retries=1)
+    assert fired["done"]
 
 
 def test_insert_overwrite_row_tracking_and_sql(spark, tmp_path):
@@ -4716,3 +4747,31 @@ def test_copy_into_sql_and_csv(spark, tmp_path):
         f"COPY INTO t FROM '{src}' FILEFORMAT = CSV PATTERN = '\\.csv$'",
         {"t": root})
     assert v2 == 1 and snap.latest_version(root) == 1
+
+
+def test_copy_into_pattern_matches_dir_relative_paths(spark, tmp_path):
+    """r15 review: PATTERN runs against the source_dir-RELATIVE path
+    (the ledger key and the Databricks PATTERN semantics) — a pattern
+    with a subdirectory component selects exactly that subtree, and the
+    unmatched files still show up as skipped-by-listing never, i.e. they
+    are simply outside the listing."""
+    import os
+
+    root = str(tmp_path / "cpat")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    snap.create(spark, root, df.limit(0))
+    src = str(tmp_path / "land")
+    df.filter("id = 1").coalesce(1).write.parquet(os.path.join(src, "b1"))
+    df.filter("id = 2").coalesce(1).write.parquet(os.path.join(src, "b2"))
+    r = snap.copy_into(spark, root, src, pattern=r"b2/.*\.parquet")
+    assert r["version"] is not None
+    assert all(p.startswith("b2/") for p in r["loaded"]) and r["loaded"]
+    got = sorted(x.id for x in snap.read(spark, root).collect())
+    assert got == [2]
+    # re-run with the same pattern: pure no-op
+    r2 = snap.copy_into(spark, root, src, pattern=r"b2/.*\.parquet")
+    assert r2["version"] is None and r2["loaded"] == []
+    # widening the pattern loads the b1 subtree the ledger hasn't seen
+    r3 = snap.copy_into(spark, root, src, pattern=r"b[12]/.*\.parquet")
+    assert sorted(x.id for x in snap.read(spark, root).collect()) == [1, 2]
+    assert all(p.startswith("b1/") for p in r3["loaded"])

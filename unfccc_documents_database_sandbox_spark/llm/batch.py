@@ -237,11 +237,19 @@ def summarize_structured(
     loops: the "retry once then dead-letter" policy is one static plan,
     not an unbounded convergence loop (a deeper retry ladder unrolls the
     same way)."""
+    # localCheckpoint pins the first pass: three branches consume it
+    # (settled, the retry input, the retried cost join) and Spark has no
+    # cross-branch subplan reuse — unpinned, the model-calling stage
+    # would re-execute per branch, tripling real-API spend against a
+    # single-billed cost column and (for a nondeterministic model)
+    # letting a row fall into neither or both branches. Lazy (eager=
+    # False) so building the frame stays free; the first action
+    # materializes it once.
     first = parse_structured(
         summarize_isolated(
             df, id_col, prompt_col, model_factory, **stage_kw
         )
-    )
+    ).localCheckpoint(eager=False)
     settled = first.filter(
         F.col("summary").isNotNull() | F.col("error").isNotNull()
     )

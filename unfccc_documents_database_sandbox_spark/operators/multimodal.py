@@ -87,20 +87,35 @@ def decode_media(media: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 b = bytes(p)
                 sha = hashlib.sha256(b).hexdigest()
+                # magic-byte dispatch with a PARSE-FAILURE fallback (r15
+                # review): a payload that merely starts like a container
+                # but doesn't parse (truncated PGM, text beginning
+                # "RIFF", stereo WAV) must degrade to the opaque branch,
+                # not fail the whole Arrow task — decoders dead-letter
+                # bad rows, they don't poison their batch-mates.
+                kind = "opaque"
+                w = h = rsum = None
                 if b.startswith(b"P5"):
-                    w, h, raster = parse_pgm(b)
-                    kind = "image/pgm"
-                    rsum = int(
-                        np.frombuffer(raster, np.uint8).astype(np.int64).sum()
-                    )
+                    try:
+                        w, h, raster = parse_pgm(b)
+                        kind = "image/pgm"
+                        rsum = int(
+                            np.frombuffer(raster, np.uint8)
+                            .astype(np.int64).sum()
+                        )
+                    except ValueError:
+                        pass
                 elif b.startswith(b"RIFF"):
-                    samples = decode_wav(b)
-                    kind, w, h = "audio/wav", len(samples), 1
-                    rsum = int(
-                        np.frombuffer(samples, np.uint8).astype(np.int64).sum()
-                    )
-                else:
-                    kind = "opaque"
+                    try:
+                        samples = decode_wav(b)
+                        kind, w, h = "audio/wav", len(samples), 1
+                        rsum = int(
+                            np.frombuffer(samples, np.uint8)
+                            .astype(np.int64).sum()
+                        )
+                    except Exception:  # wave.Error subclasses vary
+                        kind = "opaque"
+                if kind == "opaque":
                     w = 16 + int(sha[:4], 16) % 1024
                     h = 16 + int(sha[4:8], 16) % 1024
                     rsum = None

@@ -4228,8 +4228,12 @@ def table_sql_ddl(spark, sf_dir):
                n_chars + 7 AS n_chars
         FROM base WHERE lang = 'de' AND doc_id % 4 = 0
     ),
-    after_dyn AS (                    -- only the touched partition replaced
-        SELECT * FROM after_rw WHERE lang <> 'de'
+    after_dyn AS (                    -- only partitions the batch LANDS IN
+        -- are replaced (mirrors the engine: an empty batch touches no
+        -- partition and removes nothing — r15 review, latent divergence
+        -- at SFs where dyn_de selects zero rows)
+        SELECT * FROM after_rw
+        WHERE lang NOT IN (SELECT lang FROM dyn_de)
         UNION ALL SELECT * FROM dyn_de
     )
     SELECT lang,

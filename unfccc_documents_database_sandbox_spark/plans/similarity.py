@@ -883,16 +883,33 @@ def refresh_ivfpq_index(spark, root, name):
         return {"version": None, "reencoded": 0, "dropped": 0,
                 "kept": len(art["enc"])}
     feed = snap.changes(spark, root, since, head)
-    ins = feed.filter(F.col("_change_type") == "insert").select(
-        "vec_id", "embedding")
+    # NET the feed per vec_id before touching the index (r15 review):
+    # the window can hold MULTIPLE commits for one row — updated twice
+    # emits two insert events (encoding both would keep a stale entry),
+    # inserted-then-deleted emits an insert AND a later delete (merging
+    # the insert would resurrect the row). Only the row's FINAL commit
+    # decides: an insert there is the state to encode; a delete-only
+    # final commit drops the id. Within one commit an update's
+    # delete+insert pair nets to the insert, as before.
+    wv = W.partitionBy("vec_id")
+    # update commits classify as update_pre/postimage in the feed — the
+    # postimage IS the row's new state, the preimage its removal
+    is_ins = F.col("_change_type").isin("insert", "update_postimage")
+    last = feed.withColumn(
+        "vmax", F.max("_commit_version").over(wv)
+    ).filter(F.col("_commit_version") == F.col("vmax"))
+    ins = last.filter(is_ins).select("vec_id", "embedding")
     # O(changed rows): the encode plan's input is the feed slice, which
     # by the CDF contract reads only commit-touched files
     new_rows = _ivfpq_encode_plan(
         _ivfpq_unit(ins), art["cent"], art["cb"]).collect()
     del_ids = {
         int(r["vec_id"])
-        for r in feed.filter(F.col("_change_type") == "delete")
-        .select("vec_id").collect()
+        for r in last.groupBy("vec_id")
+        .agg(F.max(is_ins.cast("int")).alias("has_ins"))
+        .filter("has_ins = 0")
+        .select("vec_id")
+        .collect()
     }
     changed = del_ids | {int(r["vec_id"]) for r in new_rows}
     kept = [e for e in art["enc"] if int(e[0]) not in changed]

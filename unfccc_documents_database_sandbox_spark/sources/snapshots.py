@@ -1404,7 +1404,8 @@ def _commit_touched(c: dict) -> set[str]:
 
 
 def _assert_no_conflict(
-    loser_op: str, loser_touched: set[str], winner: dict, version: int
+    loser_op: str, loser_touched: set[str], winner: dict, version: int,
+    appends_conflict: bool = False, conflict_parts: set | None = None,
 ) -> None:
     """Delta's logical conflict matrix under WriteSerializable (its
     default isolation): a lost race rebases iff the winner (a) changed no
@@ -1413,7 +1414,16 @@ def _assert_no_conflict(
     derived from a superseded copy of that file); a concurrent APPEND
     never conflicts with a data commit — its rows simply weren't visible
     to the loser's predicate (the documented write-skew WriteSerializable
-    admits; full Serializable would also raise there)."""
+    admits; full Serializable would also raise there).
+
+    ``appends_conflict=True`` is the OVERWRITE rule (r15 review): an
+    INSERT OVERWRITE promises "the declared slice equals exactly the
+    incoming batch as of this commit", so rows a concurrent append lands
+    inside the slice break the promise even though no file overlaps —
+    Delta raises ConcurrentAppendException here. ``conflict_parts``
+    narrows the rule to the dynamically-overwritten partitions (the
+    partition-pruned form Delta applies): winner-added files whose
+    recorded partition values fall outside it stay rebase-safe."""
     meta = [k for k in _METADATA_COMMIT_KEYS if k in winner]
     if meta:
         raise ConcurrentWriteConflict(
@@ -1427,6 +1437,22 @@ def _assert_no_conflict(
             f"({winner.get('op')!r}) wrote the same files "
             f"{sorted(overlap)[:3]} — re-read and retry"
         )
+    if appends_conflict and winner.get("data_change", True):
+        adds = list(winner.get("add") or [])
+        if adds and conflict_parts is not None:
+            wparts = winner.get("parts") or {}
+            adds = [
+                f for f in adds
+                if tuple(sorted((wparts.get(f) or {}).items()))
+                in conflict_parts
+            ]
+        if adds:
+            raise ConcurrentWriteConflict(
+                f"{loser_op}: concurrent commit v{version} "
+                f"({winner.get('op')!r}) appended rows into the "
+                f"overwritten slice ({sorted(adds)[:3]}) — the Delta "
+                "ConcurrentAppend rule for overwrites; re-read and retry"
+            )
 
 
 def _publish_commit(root: str, base_version: int, *, op: str,
@@ -1467,6 +1493,8 @@ def _publish_commit(root: str, base_version: int, *, op: str,
             }
     add = kwargs.pop("add", [])
     remove = kwargs.pop("remove", [])
+    appends_conflict = kwargs.pop("appends_conflict", False)
+    conflict_parts = kwargs.pop("conflict_parts", None)
     version = base_version + 1
     for attempt in range(max_retries + 1):
         try:
@@ -1478,7 +1506,9 @@ def _publish_commit(root: str, base_version: int, *, op: str,
             head = latest_version(root)
             for v in range(version, head + 1):
                 _assert_no_conflict(op, loser_touched,
-                                    _load_commit(root, v), v)
+                                    _load_commit(root, v), v,
+                                    appends_conflict=appends_conflict,
+                                    conflict_parts=conflict_parts)
             if kwargs.get("row_bases"):
                 bases, wm = _assign_bases(
                     add, row_stats or {},
@@ -3607,6 +3637,11 @@ def insert_overwrite(
     return _publish_commit(
         root, version - 1, op="insert_overwrite",
         max_retries=max_retries, row_stats=stats,
+        # overwrite rule (r15 review): a rebase may NOT carry concurrent
+        # appends into the replaced slice — Delta's ConcurrentAppend;
+        # dynamic mode narrows the rule to the overwritten partitions
+        appends_conflict=True,
+        conflict_parts=(touched if dynamic_partitions else None),
         add=add, remove=remove, stats=stats, parts=parts,
         blooms=_collect_blooms(spark, root, pdir, schema,
                                st0["bloom_cols"]),
@@ -3669,11 +3704,16 @@ def copy_into(
             for fn in sorted(fns):
                 if fn.startswith((".", "_")):
                     continue
-                if pattern is not None and not re.search(pattern, fn):
-                    continue
                 full = os.path.join(dirpath, fn)
-                listed[os.path.relpath(full, source_dir)] = (
-                    os.path.getsize(full))
+                rel = os.path.relpath(full, source_dir)
+                # PATTERN matches the source_dir-RELATIVE path — the
+                # ledger key, the returned paths, and Databricks' COPY
+                # INTO PATTERN are all dir-relative, so a pattern with a
+                # subdirectory component ('b2/.*\\.parquet') must work
+                # (r15 review: basename matching made it match nothing)
+                if pattern is not None and not re.search(pattern, rel):
+                    continue
+                listed[rel] = os.path.getsize(full)
         try:
             ledger = get_index(root, _COPY_LEDGER)["index"]["files"]
         except ValueError:
