@@ -159,6 +159,8 @@ FRESH = [
     "sql_tpcds_q47",            # lag/lead deviation-from-mean family
     "sim_topk_ivf_portable",    # pinned-centroid IVF under exact oracle
     "corpus_split",             # salted-hash train/val/test stratifier
+    # r15 third wave
+    "text_quality_classifier",  # fastText-style hashed linear gate
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -102,3 +102,48 @@ def test_corpus_split_is_deterministic_and_total(spark):
     assert set(by_split) == {"train", "val", "test"}
     assert by_split["train"] > 0.8 * n_docs  # ~90% with hash noise
     assert by_split["val"] + by_split["test"] < 0.2 * n_docs
+
+
+def test_quality_classifier_python_twin_and_edges(spark):
+    """X215: the hashed linear gate matches a pure-Python twin (hashlib
+    md5 + the same weight arithmetic) on real corpus docs, and the
+    feature count is exactly unigrams + bigrams."""
+    import hashlib
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    got = {
+        r["doc_id"]: r
+        for r in lookup("text_quality_classifier")
+        .build(spark, SF_CORRECT)
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+
+    def w_milli(term: str) -> int:
+        h = hashlib.md5(f"qc1:{term}".encode()).hexdigest()
+        bucket = int(h[:7], 16) % 4096
+        return ((bucket + 1) * 2654435761) % 2001 - 1000
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    )
+    assert len(docs) == len(got) > 0
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t]
+        feats = toks + [
+            f"{a}_{b}" for a, b in zip(toks, toks[1:])
+        ]
+        row = got[d["doc_id"]]
+        assert row["n_feat"] == len(feats)
+        score = sum(w_milli(t) for t in feats)
+        assert row["score_milli"] == score
+        assert row["keep_flag"] == (1 if score > 0 else 0)

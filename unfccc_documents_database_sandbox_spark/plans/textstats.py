@@ -1061,3 +1061,115 @@ def corpus_split(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# fastText-style hashed-n-gram linear quality classifier (r15). The model
+# is a PINNED hashed linear head: bucket(term) = md5-prefix(term) mod 4096
+# (the corpus_split cross-engine hash idiom) and weight_milli(bucket) =
+# ((bucket + 1) * 2654435761) % 2001 - 1000 — Knuth's multiplicative
+# constant spreads buckets over [-1000, 1000] milli, so the "trained"
+# weight table is a pure arithmetic function both engines evaluate
+# identically instead of a 4096-literal plan blob (the sim_topk_ivf
+# literal-inlining lesson). Integer milli weights make the document score
+# an exact bigint sum — commutative, fold-order-free, hash-safe.
+_QC_BUCKETS = 4096
+_QC_SALT = "qc1:"
+_QC_W_SQL = (
+    "((CAST(('0x' || substr(md5('" + _QC_SALT + "' || t), 1, 7)) AS BIGINT)"
+    f" % {_QC_BUCKETS} + 1) * 2654435761) % 2001 - 1000"
+)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS u
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   u,
+                   list_transform(generate_series(2, len(u)),
+                                  i -> u[i-1] || '_' || u[i])
+               ) AS f
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(len(f) AS BIGINT) AS n_feat,
+           CAST(COALESCE(list_sum(list_transform(f, t -> {_QC_W_SQL})), 0)
+                AS BIGINT) AS score_milli,
+           CAST(CASE WHEN COALESCE(
+                    list_sum(list_transform(f, t -> {_QC_W_SQL})), 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM feats
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (r15) — the
+    standard pretraining quality gate (a hashed bag of word uni+bigrams
+    through a linear head, the fastText supervised architecture used by
+    CCNet/DCLM-shaped pipelines; reference tie-in: the corpus the
+    sandbox summarizes is exactly what such a gate would filter first).
+    Features are word unigrams plus joined bigrams (wordNgrams=2); each
+    hashes to one of 4096 buckets via the md5-prefix idiom and looks up
+    a pinned integer-milli weight that is itself a pure arithmetic
+    function of the bucket (no weight table ships with the plan — see
+    _QC_W_SQL). A document keeps iff its summed score is positive: the
+    sign test needs no division, so the negative-domain DIV/floor
+    divergence between engines never arises.
+
+    Scale shape: ZERO exchanges — tokenize, bigram expansion, hashing,
+    and the weight fold are all row-local inside one projection
+    (F.aggregate over the feature array), so the gate runs at scan
+    speed over 100 TB and composes with any downstream writer as a
+    keep_flag column. A real trained model swaps _QC_W_SQL's arithmetic
+    for a broadcast 4096-row weight dim (megabytes at any vocab size —
+    the text_bm25 broadcast discipline); the hashing trick is what
+    keeps the weight table O(buckets), not O(vocab), which is the
+    fastText memory story at corpus scale."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    toks = d.select("doc_id", "lang", u.alias("u"))
+    bigrams = F.when(
+        F.size("u") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("u")),
+            lambda i: F.concat_ws(
+                "_", F.element_at("u", i - 1), F.element_at("u", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", "lang", F.concat(F.col("u"), bigrams).alias("f")
+    )
+
+    def w_milli(t):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(_QC_SALT), t)), 1, 7),
+                16,
+                10,
+            ).cast("long")
+            % _QC_BUCKETS
+        )
+        return ((bucket + 1) * 2654435761) % 2001 - 1000
+
+    # fold ONCE per row (the langid one-pass lesson): keep_flag derives
+    # from the materialized score column, not a second fold
+    score = F.aggregate(
+        "f", F.lit(0).cast("long"), lambda acc, t: acc + w_milli(t)
+    )
+    scored = feats.select(
+        "doc_id",
+        "lang",
+        F.size("f").cast("long").alias("n_feat"),
+        score.alias("score_milli"),
+    )
+    return scored.withColumn(
+        "keep_flag", (F.col("score_milli") > 0).cast("long")
+    )

@@ -128,7 +128,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # swap: multimodal_decode's r15 rebuild (real PGM parse, new schema)
 # stales its r13 evidence → promoted NEXT→DUE for re-evidence, with
 # table_update (newest-evidence DUE tail) demoted to keep the window
-# at exactly 50 — the X200 changed-builder re-evidence rule.
+# at exactly 50 — the X200 changed-builder re-evidence rule. Third
+# wave: each additional r15 key (text_quality_classifier, ...) demotes
+# the then-alphabetically-last DUE member (table_restore, ...) to NEXT
+# — the standing r07 rule.
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
@@ -144,7 +147,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "table_generated_partition", "table_history",
         "table_merge_evolve", "table_null_prune",
         "table_partition_evolve", "table_partition_prune",
-        "multimodal_decode", "table_restore"
+        "multimodal_decode"
     }
 )
 
@@ -163,7 +166,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
     {
         # demoted from DUE mid-r15 (window room for the late new keys)
         "table_row_ids", "table_update_mor", "text_bm25",
-        "udf_cogrouped_asof", "xlsx_ingest",
+        "udf_cogrouped_asof", "xlsx_ingest", "table_restore",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
