@@ -161,6 +161,7 @@ FRESH = [
     "corpus_split",             # salted-hash train/val/test stratifier
     # r15 third wave
     "text_quality_classifier",  # fastText-style hashed linear gate
+    "search_hybrid_rrf",        # BM25 + dense reciprocal-rank fusion
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

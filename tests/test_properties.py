@@ -1799,3 +1799,34 @@ def test_unigram_score_flags_gibberish(spark, tmp_path):
              if _re.fullmatch("[a-z]{2,%d}" % _UNI_MAXW, w)]
     want = (len(words), sum(wcost(w) for w in words))
     assert out[0][:2] == want
+
+
+def test_hybrid_rrf_fusion_math_and_leg_membership(spark):
+    """X216: the fused score is exactly 1e6//(60+rank) summed over the
+    legs that returned the doc, absent legs contribute 0 with rank 0,
+    and every qid emits exactly 10 fused rows."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        search_hybrid_rrf,
+    )
+
+    rows = search_hybrid_rrf(spark, SF_CORRECT).collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    assert sorted(by_qid) == ["q_join", "q_pipeline", "q_scan"]
+    for qid, rs in by_qid.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, 11))
+        for r in rs:
+            want = 0
+            if r["rank_lex"] > 0:
+                want += 1_000_000 // (60 + r["rank_lex"])
+            if r["rank_dense"] > 0:
+                want += 1_000_000 // (60 + r["rank_dense"])
+            assert r["rrf_micro"] == want
+            assert r["rank_lex"] > 0 or r["rank_dense"] > 0
+    # both legs actually contribute somewhere (the fixture corpus gives
+    # each leg non-empty candidates, so a leg wired to the wrong column
+    # would zero out one side everywhere)
+    assert any(r["rank_lex"] > 0 for r in rows)
+    assert any(r["rank_dense"] > 0 for r in rows)

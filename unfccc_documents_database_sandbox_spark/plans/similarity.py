@@ -1405,3 +1405,176 @@ def sim_topk_ivf_portable(spark, sf_dir):
             F.round("score_raw", 4).alias("score"),
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+# and the dense cosine leg (r15). ---
+
+_RRF_K = 60            # the standard RRF damping constant (Cormack 2009)
+_RRF_DEPTH = 20        # per-leg candidate depth fed into the fusion
+_RRF_QMAP = [("q_join", 1), ("q_pipeline", 2), ("q_scan", 3)]
+
+
+def _rrf_oracle() -> str:
+    from unfccc_documents_database_sandbox_spark.plans.textstats import (
+        _BM25_QUERIES,
+        _BM25_TERM_MILLI,
+    )
+
+    qvals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    qmap = ", ".join(f"('{q}', {v})" for q, v in _RRF_QMAP)
+    term = _BM25_TERM_MILLI.replace("DIV", "//")
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf  AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, term),
+    dl  AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id),
+    dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS l_tokens FROM tok),
+    nd  AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    q(qid, term) AS (VALUES {qvals}),
+    lscore AS (
+        SELECT q.qid, tf.doc_id,
+               CAST(SUM({term}) AS BIGINT) AS score_milli
+        FROM tf
+        JOIN q   USING (term)
+        JOIN dfx USING (term)
+        JOIN dl  USING (doc_id), tot, nd
+        GROUP BY q.qid, tf.doc_id
+    ),
+    lrank AS (
+        SELECT qid, doc_id, rn AS rank_lex
+        FROM (SELECT qid, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY score_milli DESC, doc_id)
+                         AS rn
+              FROM lscore)
+        WHERE rn <= {_RRF_DEPTH}
+    ),
+    qmap(qid, qvid) AS (VALUES {qmap}),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    qv AS (
+        SELECT qid, qvid, vec AS qvec, nrm AS qnrm
+        FROM qmap JOIN vn ON vn.vec_id = qmap.qvid
+    ),
+    dscore AS (
+        SELECT qv.qid, vn.vec_id AS doc_id,
+               list_dot_product(qv.qvec, vn.vec) / (qv.qnrm * vn.nrm) AS cos
+        FROM qv JOIN vn ON vn.vec_id <> qv.qvid
+    ),
+    drank AS (
+        SELECT qid, doc_id, rn AS rank_dense
+        FROM (SELECT qid, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, doc_id) AS rn
+              FROM dscore)
+        WHERE rn <= {_RRF_DEPTH}
+    ),
+    fused AS (
+        SELECT COALESCE(l.qid, d.qid) AS qid,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(l.rank_lex, 0) AS rank_lex,
+               COALESCE(d.rank_dense, 0) AS rank_dense,
+               COALESCE(1000000 // ({_RRF_K} + l.rank_lex), 0)
+             + COALESCE(1000000 // ({_RRF_K} + d.rank_dense), 0) AS rrf_micro
+        FROM lrank l FULL OUTER JOIN drank d
+          ON l.qid = d.qid AND l.doc_id = d.doc_id
+    )
+    SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(rank_lex AS BIGINT) AS rank_lex,
+           CAST(rank_dense AS BIGINT) AS rank_dense
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rrf_micro DESC, doc_id) AS rn
+          FROM fused)
+    WHERE rn <= 10
+    """
+
+
+@register("search_hybrid_rrf", oracle=_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009 — the fusion BM25+dense RAG stacks run in production):
+    the lexical leg is text_bm25's integer-exact scorer at depth 20
+    (the shared bm25_ranked helper), the dense leg is the exact cosine
+    brute_force_topk at depth 20 with pinned query vectors (qid →
+    vec_id via _RRF_QMAP — the stand-in for an encoder embedding the
+    query text), and the fusion is rank-only: rrf = Σ 1e6 DIV (60 +
+    rank) over the legs that returned the doc. Rank-only fusion is the
+    point of RRF — no score normalization across incomparable scales
+    (integer BM25 milli vs unit cosine), and integer division on the
+    positive domain keeps the fused score hash-exact across engines.
+
+    Scale shape: each leg is its own proven plan (BM25: broadcast
+    query/df dims, one doc-keyed shuffle; dense: broadcast 3-row query
+    set, zero corpus shuffle); the fusion joins two k×|queries|-row
+    rank lists — Spark's FULL OUTER has no broadcast-hash path, so this
+    is a sort-merge join, but over inputs bounded by leg depth (20) ×
+    query count, never corpus size, at any SF. FULL OUTER because a doc on
+    one leg only still fuses (rank 0 = absent, contributing nothing) —
+    an inner join would silently demand consensus, which RRF explicitly
+    does not."""
+    from unfccc_documents_database_sandbox_spark.plans.textstats import (
+        bm25_ranked,
+    )
+
+    lex = bm25_ranked(spark, sf_dir, _RRF_DEPTH).select(
+        "qid", "doc_id", F.col("rnk").alias("rank_lex")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvids = [v for _, v in _RRF_QMAP]
+    dense_raw = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id").isin(qvids)), k=_RRF_DEPTH
+    )
+    qmap = spark.createDataFrame(_RRF_QMAP, "qid string, qvid bigint")
+    dense = dense_raw.join(
+        F.broadcast(qmap), dense_raw["query_id"] == qmap["qvid"]
+    ).select(
+        "qid",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_dense"),
+    )
+    # contributions computed from the NULLABLE ranks, then ranks surfaced
+    # as 0-filled bigints (absent-on-leg is data, not missingness, in the
+    # fused output)
+    fused = (
+        lex.join(dense, ["qid", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + rank_lex)"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + rank_dense)"),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "rrf_micro",
+            F.coalesce("rank_lex", F.lit(0).cast("long")).alias("rank_lex"),
+            F.coalesce("rank_dense", F.lit(0).cast("long")).alias(
+                "rank_dense"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "rank", "doc_id", "rrf_micro", "rank_lex", "rank_dense")
+    )

@@ -735,6 +735,16 @@ def text_bm25(spark, sf_dir):
     (term-keyed, map-side combined); integer magnitudes hold through
     ~1e12 tokens (idf*tf*44*L < 2^63), beyond which the scale constants
     shed a zero."""
+    return bm25_ranked(spark, sf_dir, 5)
+
+
+def bm25_ranked(spark, sf_dir, k):
+    """The BM25 scoring pipeline behind text_bm25, with a parameterized
+    rank cutoff so retrieval consumers (search_hybrid_rrf's lexical leg)
+    reuse the identical integer-exact scorer. Extracting this helper
+    changes text_bm25's builder object, so text_bm25 is promoted back
+    into the DUE window for re-evidence (the X200 changed-builder rule)
+    even though plan and results are bit-identical."""
     from pyspark.sql import Window
 
     from unfccc_documents_database_sandbox_spark.catalog import spread
@@ -769,7 +779,7 @@ def text_bm25(spark, sf_dir):
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 5)
+        .filter(F.col("rnk") <= k)
         .select("qid", "rnk", "doc_id", "score_milli")
     )
 

@@ -129,9 +129,13 @@ REGISTRY: dict[str, QuerySpec] = {}
 # stales its r13 evidence → promoted NEXT→DUE for re-evidence, with
 # table_update (newest-evidence DUE tail) demoted to keep the window
 # at exactly 50 — the X200 changed-builder re-evidence rule. Third
-# wave: each additional r15 key (text_quality_classifier, ...) demotes
-# the then-alphabetically-last DUE member (table_restore, ...) to NEXT
-# — the standing r07 rule.
+# wave: each additional r15 key (text_quality_classifier,
+# search_hybrid_rrf, ...) demotes the then-alphabetically-last DUE
+# member (table_restore, table_partition_prune, ...) to NEXT — the
+# standing r07 rule. text_bm25's builder was refactored through the
+# shared bm25_ranked helper (results bit-identical), so it is promoted
+# NEXT→DUE for re-evidence per the X200 changed-builder rule, demoting
+# table_partition_evolve in exchange.
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
@@ -146,8 +150,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "table_constraints", "table_delete_mor",
         "table_generated_partition", "table_history",
         "table_merge_evolve", "table_null_prune",
-        "table_partition_evolve", "table_partition_prune",
-        "multimodal_decode"
+        "multimodal_decode", "text_bm25"
     }
 )
 
@@ -165,8 +168,9 @@ ROTATED_DUE: frozenset[str] = frozenset(
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
         # demoted from DUE mid-r15 (window room for the late new keys)
-        "table_row_ids", "table_update_mor", "text_bm25",
+        "table_row_ids", "table_update_mor",
         "udf_cogrouped_asof", "xlsx_ingest", "table_restore",
+        "table_partition_prune", "table_partition_evolve",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
