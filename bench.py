@@ -162,6 +162,7 @@ FRESH = [
     # r15 third wave
     "text_quality_classifier",  # fastText-style hashed linear gate
     "search_hybrid_rrf",        # BM25 + dense reciprocal-rank fusion
+    "dedup_semantic",           # SemDeDup: cluster-blocked cosine dedup
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

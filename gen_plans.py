@@ -107,7 +107,7 @@ ROUND_KEYS = [
     "udf_llm_prompt_cache", "sql_tpcds_q74", "sql_tpcds_q47",
     "sim_topk_ivf_portable", "corpus_split", "multimodal_decode",
     # round-15 third wave (retrieval/quality/curation breadth)
-    "text_quality_classifier", "search_hybrid_rrf",
+    "text_quality_classifier", "search_hybrid_rrf", "dedup_semantic",
 ]
 
 

@@ -1830,3 +1830,21 @@ def test_hybrid_rrf_fusion_math_and_leg_membership(spark):
     # would zero out one side everywhere)
     assert any(r["rank_lex"] > 0 for r in rows)
     assert any(r["rank_dense"] > 0 for r in rows)
+
+
+def test_semdedup_drops_exactly_planted_twins(spark):
+    """X217: under cluster blocking the planted colinear twins (and only
+    they) are marked duplicates, and each shares a cell with its
+    original (identical unit vectors assign identically)."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        dedup_semantic,
+    )
+
+    rows = dedup_semantic(spark, SF_CORRECT).collect()
+    dropped = {r["vec_id"] for r in rows if r["is_dup"] == 1}
+    planted = {r["vec_id"] for r in rows if r["vec_id"] >= 1_000_000}
+    assert dropped == planted and planted
+    cell_of = {r["vec_id"]: r["cell"] for r in rows}
+    for twin in planted:
+        assert cell_of[twin] == cell_of[twin - 1_000_000]

@@ -1578,3 +1578,147 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("qid", "rank", "doc_id", "rrf_micro", "rank_lex", "rank_dense")
     )
+
+
+# --- SemDeDup: semantic dedup via learned-cluster blocking (r15). ---
+
+_SEMDEDUP_TAU = 0.9
+
+
+def _semdedup_oracle() -> str:
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_CELLS,
+        cell,
+        cell_sq,
+    )
+
+    def cent(c: int) -> str:
+        return "[" + ", ".join(repr(v) for v in cell(c)) + "]"
+
+    dl = (
+        "["
+        + ", ".join(
+            f"{cell_sq(c)!r} - 2.0 * list_dot_product(u, {cent(c)})"
+            for c in range(IVF_CELLS)
+        )
+        + "]"
+    )
+    return f"""
+    WITH vp AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM vp
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    uu AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS u FROM vn),
+    dlist AS (SELECT vec_id, u, {dl} AS dl FROM uu),
+    assigned AS (
+        SELECT vec_id, u, list_position(dl, list_min(dl)) - 1 AS cell
+        FROM dlist
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.u, b.u) >= {_SEMDEDUP_TAU}
+    )
+    SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS is_dup
+    FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+    """
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup with LEARNED-cluster
+    blocking: k-means cells bound the quadratic pair work, then
+    unit-cosine >= 0.9 within a cell marks duplicates, keeping the
+    minimum vec_id per near-dup pair (a deterministic representative
+    rule; the paper keeps the vector farthest from the centroid — same
+    asymptotics, and min-id makes the decision reproducible without a
+    second float comparison). This is dedup_embedding with the label
+    blocks replaced by the centroid assignment — the actual SemDeDup
+    contribution, since at 100 TB no trusted block column exists and the
+    clustering IS what makes within-block O(c^2) tractable.
+
+    Centroids are the pinned IVF set (plans/ivf_centroids.py), so the
+    whole pipeline — normalize, first-min cell assignment, in-cell
+    cosine, the keep decision — replays exactly in SQL. The planted
+    colinear twins (the sim_near_dup_pairs derivation) normalize to
+    IDENTICAL unit vectors: same cell by construction, cosine exactly
+    1, so exactly the planted twins drop and every honest pair (< 0.5
+    cosine) survives — a threshold, normalization, or blocking bug
+    flips planted rows or drops honest ones loudly.
+
+    Scale shape: assignment is row-local fold arithmetic (spread +
+    localCheckpoint — the sim_topk_ivf_portable tuning); the pair join
+    shuffles once on cell; pair volume is sum of per-cell c^2, governed
+    by cluster granularity (the paper's 50k clusters at LAION scale),
+    never corpus^2. The drop set stays distributed (semi-join back)."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_CELLS,
+        cell,
+        cell_sq,
+    )
+
+    emb = spread(_plant_near_dups(load_table(spark, sf_dir, "embeddings")))
+    v = emb.select(
+        "vec_id", vec_to_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
+    un = v.select(
+        "vec_id", F.transform("vec", lambda x: x / F.col("nrm")).alias("u")
+    )
+    dists = F.array(
+        *[
+            F.lit(cell_sq(c)) - 2.0 * vec_dot(F.col("u"), F.lit(cell(c)))
+            for c in range(IVF_CELLS)
+        ]
+    )
+    # the assignment feeds both sides of the pair join AND the final
+    # projection — pin it once (the graph_bfs / IVF-twin precedent)
+    assigned = (
+        un.withColumn("dl", dists)
+        .select(
+            "vec_id",
+            "u",
+            (F.array_position(F.col("dl"), F.array_min("dl")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("u").alias("ua"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("u").alias("ub"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vec_dot(F.col("ua"), F.col("ub")) >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("is_dup", F.lit(1).cast("long")),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("is_dup", F.lit(0).cast("long")).alias("is_dup"),
+        )
+    )

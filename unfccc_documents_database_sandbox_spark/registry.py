@@ -131,7 +131,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # at exactly 50 — the X200 changed-builder re-evidence rule. Third
 # wave: each additional r15 key (text_quality_classifier,
 # search_hybrid_rrf, ...) demotes the then-alphabetically-last DUE
-# member (table_restore, table_partition_prune, ...) to NEXT — the
+# member (table_restore, table_partition_prune, table_partition_evolve,
+# table_null_prune, ...) to NEXT — the
 # standing r07 rule. text_bm25's builder was refactored through the
 # shared bm25_ranked helper (results bit-identical), so it is promoted
 # NEXT→DUE for re-evidence per the X200 changed-builder rule, demoting
@@ -149,7 +150,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "table_changes_typed", "table_clone", "table_column_mapping",
         "table_constraints", "table_delete_mor",
         "table_generated_partition", "table_history",
-        "table_merge_evolve", "table_null_prune",
+        "table_merge_evolve",
         "multimodal_decode", "text_bm25"
     }
 )
@@ -171,6 +172,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "table_row_ids", "table_update_mor",
         "udf_cogrouped_asof", "xlsx_ingest", "table_restore",
         "table_partition_prune", "table_partition_evolve",
+        "table_null_prune",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
