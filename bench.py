@@ -163,6 +163,10 @@ FRESH = [
     "text_quality_classifier",  # fastText-style hashed linear gate
     "search_hybrid_rrf",        # BM25 + dense reciprocal-rank fusion
     "dedup_semantic",           # SemDeDup: cluster-blocked cosine dedup
+    "sql_tpcds_q10",            # disjunctive correlated EXISTS family
+    "sql_tpcds_q75",            # union-channel prior-year decline family
+    "sql_tpcds_q77",            # full-outer channel rollup family
+    "sql_tpcds_q31",            # six-way share-growth self-join family
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

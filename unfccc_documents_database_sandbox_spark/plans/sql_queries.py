@@ -1283,3 +1283,189 @@ LIMIT 100
 
 register("sql_tpcds_q74", oracle=_QDS74)(_sql_plan(_QDS74))
 register("sql_tpcds_q47", oracle=_QDS47)(_sql_plan(_QDS47))
+
+
+# Q10 shape (the q10/q35/q69 demographic-activity family, new grammar
+# r15 third wave): correlated EXISTS under a DISJUNCTION — customers
+# active in a base channel AND present in at least one of two other
+# channels, counted per demographic cell. The official q10 is exactly
+# this (store_sales EXISTS and (web EXISTS or catalog EXISTS)); prior
+# shapes used EXISTS only conjunctively, which Catalyst rewrites to
+# plain semi-joins — the disjunction forces ExistenceJoin planning
+# (semi-join flags OR-ed in the filter), grammar nothing else here
+# exercises.
+_QDS10 = """
+SELECT c.c_mktsegment, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer c
+WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND EXTRACT(YEAR FROM o.o_orderdate) = 1995
+      )
+  AND (EXISTS (
+         SELECT 1 FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT'
+       )
+       OR EXISTS (
+         SELECT 1 FROM orders o
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+       ))
+GROUP BY c.c_mktsegment, c.c_nationkey
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+# Q75 shape (prior-year decline report, new grammar r15 third wave):
+# a UNION ALL of per-channel fact slices re-aggregated, self-joined
+# cur-year vs prev-year on the brand key, keeping brands whose volume
+# SHRANK, emitting the deltas. The official q75 unions three channels
+# minus returns and sorts by the quantity decrease; the channel split
+# here is returned-vs-kept lines (the q8/q71 channel emulation), and
+# every measure is integer (quantities are whole-number doubles,
+# money in cents) so the deltas are exact.
+_QDS75 = """
+WITH chan AS (
+    SELECT p.p_brand, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+           CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty,
+           CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_returnflag <> 'R'
+      AND EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+    UNION ALL
+    SELECT p.p_brand, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+           -CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS qty,
+           -CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                 AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_returnflag = 'R'
+      AND EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+),
+tot AS (
+    SELECT p_brand, yr,
+           CAST(SUM(qty) AS BIGINT) AS qty,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM chan GROUP BY p_brand, yr
+)
+SELECT cur.p_brand,
+       prev.qty AS prev_qty, cur.qty AS cur_qty,
+       cur.qty - prev.qty AS qty_delta,
+       cur.cents - prev.cents AS cents_delta
+FROM tot cur
+JOIN tot prev ON cur.p_brand = prev.p_brand
+WHERE cur.yr = 1996 AND prev.yr = 1995 AND cur.qty < prev.qty
+ORDER BY qty_delta, cents_delta, cur.p_brand
+LIMIT 100
+"""
+
+# Q77 shape (multi-channel profit-and-returns report, new grammar r15
+# third wave): per-channel sales and returns CTEs stitched with LEFT
+# and FULL OUTER joins (a key can have returns but no sales — the FULL
+# OUTER keeps it, COALESCE zero-fills both sides), UNION ALL-ed into a
+# channel fact, then ROLLUP over (channel, id) with GROUPING() flags —
+# the official q77's exact skeleton. The supplier channel joins on
+# l_suppkey, the part channel on a part-id bucket.
+_QDS77 = """
+WITH ss AS (
+    SELECT CAST(l_suppkey AS BIGINT) AS id,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS sales_cents
+    FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_suppkey
+),
+sr AS (
+    SELECT CAST(l_suppkey AS BIGINT) AS id,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS returns_cents
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_suppkey
+),
+ps AS (
+    SELECT CAST(l_partkey % 25 AS BIGINT) AS id,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS sales_cents
+    FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_partkey % 25
+),
+pr AS (
+    SELECT CAST(l_partkey % 25 AS BIGINT) AS id,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS returns_cents
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey % 25
+),
+chan AS (
+    SELECT 'supplier' AS channel, ss.id,
+           ss.sales_cents, COALESCE(sr.returns_cents, 0) AS returns_cents
+    FROM ss LEFT JOIN sr ON ss.id = sr.id
+    UNION ALL
+    SELECT 'part' AS channel, COALESCE(ps.id, pr.id) AS id,
+           COALESCE(ps.sales_cents, 0) AS sales_cents,
+           COALESCE(pr.returns_cents, 0) AS returns_cents
+    FROM ps FULL OUTER JOIN pr ON ps.id = pr.id
+)
+SELECT COALESCE(channel, 'ALL') AS channel,
+       CAST(COALESCE(id, -1) AS BIGINT) AS id,
+       CAST(GROUPING(channel) AS BIGINT) AS g_chan,
+       CAST(GROUPING(id) AS BIGINT) AS g_id,
+       CAST(SUM(sales_cents) AS BIGINT) AS sales_cents,
+       CAST(SUM(returns_cents) AS BIGINT) AS returns_cents,
+       CAST(SUM(sales_cents) - SUM(returns_cents) AS BIGINT) AS profit_cents
+FROM chan
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel, g_id, id
+LIMIT 200
+"""
+
+# Q31 shape (the consecutive-period share-growth family, new grammar
+# r15 third wave): ONE aggregated CTE instantiated SIX ways — two
+# channels x three consecutive quarters — keeping the groups whose
+# first channel grew faster than the second in BOTH transitions. The
+# growth comparison is integer cross-multiplication twice over
+# (u2·o1 > o2·u1 and u3·o2 > o3·u2), so as in q74 no FP touches the
+# predicate; the official q31 compares web/store share growth across
+# county quarters with decimal division.
+_QDS31 = """
+WITH qsales AS (
+    SELECT c.c_nationkey AS nat,
+           EXTRACT(QUARTER FROM o.o_orderdate) AS qtr,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'urgent'
+                ELSE 'other' END AS channel,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995
+      AND EXTRACT(QUARTER FROM o.o_orderdate) IN (1, 2, 3)
+    GROUP BY c.c_nationkey, EXTRACT(QUARTER FROM o.o_orderdate),
+             CASE WHEN o.o_orderpriority = '1-URGENT' THEN 'urgent'
+                  ELSE 'other' END
+)
+SELECT u1.nat AS nat,
+       u1.cents AS urgent_q1, u2.cents AS urgent_q2, u3.cents AS urgent_q3,
+       o1.cents AS other_q1, o2.cents AS other_q2, o3.cents AS other_q3
+FROM qsales u1
+JOIN qsales u2 ON u1.nat = u2.nat
+JOIN qsales u3 ON u1.nat = u3.nat
+JOIN qsales o1 ON u1.nat = o1.nat
+JOIN qsales o2 ON u1.nat = o2.nat
+JOIN qsales o3 ON u1.nat = o3.nat
+WHERE u1.channel = 'urgent' AND u1.qtr = 1
+  AND u2.channel = 'urgent' AND u2.qtr = 2
+  AND u3.channel = 'urgent' AND u3.qtr = 3
+  AND o1.channel = 'other' AND o1.qtr = 1
+  AND o2.channel = 'other' AND o2.qtr = 2
+  AND o3.channel = 'other' AND o3.qtr = 3
+  AND u1.cents > 0 AND o1.cents > 0 AND u2.cents > 0 AND o2.cents > 0
+  AND u2.cents * o1.cents > o2.cents * u1.cents
+  AND u3.cents * o2.cents > o3.cents * u2.cents
+ORDER BY nat
+"""
+
+register("sql_tpcds_q10", oracle=_QDS10)(_sql_plan(_QDS10))
+register("sql_tpcds_q75", oracle=_QDS75)(_sql_plan(_QDS75))
+register("sql_tpcds_q77", oracle=_QDS77)(_sql_plan(_QDS77))
+register("sql_tpcds_q31", oracle=_QDS31)(_sql_plan(_QDS31))
