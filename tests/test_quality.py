@@ -147,3 +147,30 @@ def test_quality_classifier_python_twin_and_edges(spark):
         score = sum(w_milli(t) for t in feats)
         assert row["score_milli"] == score
         assert row["keep_flag"] == (1 if score > 0 else 0)
+
+
+def test_curation_v2_funnel_monotone_and_dedup_split_of_labor(spark):
+    """X219: the funnel never grows, the split stages partition the
+    semantic survivors, and each planted twin family is caught by its
+    intended stage (exact copies by (d), reworded near-dups by (e))."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.plans.textstats import (
+        corpus_curation_v2,
+    )
+
+    rows = {r["stage"]: r for r in
+            corpus_curation_v2(spark, SF_CORRECT).collect()}
+    order = ["a_input", "b_quality", "c_lang", "d_exact_dedup",
+             "e_semantic_dedup"]
+    for prev, cur in zip(order, order[1:]):
+        assert rows[cur]["n_docs"] <= rows[prev]["n_docs"]
+        assert rows[cur]["n_tokens"] <= rows[prev]["n_tokens"]
+    # both dedup stages actually fired on the planted twins
+    assert rows["d_exact_dedup"]["n_docs"] < rows["c_lang"]["n_docs"]
+    assert (rows["e_semantic_dedup"]["n_docs"]
+            < rows["d_exact_dedup"]["n_docs"])
+    # split partitions the final corpus exactly
+    assert (rows["f_train"]["n_docs"] + rows["f_val"]["n_docs"]
+            + rows["f_test"]["n_docs"]) == rows["e_semantic_dedup"]["n_docs"]
+    assert (rows["f_train"]["n_tokens"] + rows["f_val"]["n_tokens"]
+            + rows["f_test"]["n_tokens"]) == rows["e_semantic_dedup"]["n_tokens"]

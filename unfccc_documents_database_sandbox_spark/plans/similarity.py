@@ -1585,6 +1585,44 @@ def search_hybrid_rrf(spark, sf_dir):
 _SEMDEDUP_TAU = 0.9
 
 
+def ivf_assign_units(emb):
+    """Unit-normalize ``(vec_id, embedding)`` rows and assign each to its
+    nearest pinned IVF centroid (first-min argmin over c·c − 2·(u·c) —
+    the sim_topk_ivf_portable idiom). Returns (vec_id, u, cell),
+    localCheckpoint-pinned: every consumer feeds the assignment into at
+    least two plan branches (pair-join sides, final projection) and
+    Spark has no cross-branch subplan reuse."""
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_CELLS,
+        cell,
+        cell_sq,
+    )
+
+    v = emb.select(
+        "vec_id", vec_to_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
+    un = v.select(
+        "vec_id", F.transform("vec", lambda x: x / F.col("nrm")).alias("u")
+    )
+    dists = F.array(
+        *[
+            F.lit(cell_sq(c)) - 2.0 * vec_dot(F.col("u"), F.lit(cell(c)))
+            for c in range(IVF_CELLS)
+        ]
+    )
+    return (
+        un.withColumn("dl", dists)
+        .select(
+            "vec_id",
+            "u",
+            (F.array_position(F.col("dl"), F.array_min("dl")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _semdedup_oracle() -> str:
     from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
         IVF_CELLS,
@@ -1672,31 +1710,7 @@ def dedup_semantic(spark, sf_dir):
     )
 
     emb = spread(_plant_near_dups(load_table(spark, sf_dir, "embeddings")))
-    v = emb.select(
-        "vec_id", vec_to_double(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
-    un = v.select(
-        "vec_id", F.transform("vec", lambda x: x / F.col("nrm")).alias("u")
-    )
-    dists = F.array(
-        *[
-            F.lit(cell_sq(c)) - 2.0 * vec_dot(F.col("u"), F.lit(cell(c)))
-            for c in range(IVF_CELLS)
-        ]
-    )
-    # the assignment feeds both sides of the pair join AND the final
-    # projection — pin it once (the graph_bfs / IVF-twin precedent)
-    assigned = (
-        un.withColumn("dl", dists)
-        .select(
-            "vec_id",
-            "u",
-            (F.array_position(F.col("dl"), F.array_min("dl")) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    assigned = ivf_assign_units(emb)
     a = assigned.select(
         F.col("vec_id").alias("id_a"), F.col("u").alias("ua"), "cell"
     )

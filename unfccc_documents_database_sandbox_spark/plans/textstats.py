@@ -1090,6 +1090,18 @@ _QC_W_SQL = (
 )
 
 
+def _qc_weight_milli(t):
+    """Spark twin of _QC_W_SQL (shared by the classifier key and the
+    corpus_curation_v2 composition)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_QC_SALT), t)), 1, 7), 16, 10
+        ).cast("long")
+        % _QC_BUCKETS
+    )
+    return ((bucket + 1) * 2654435761) % 2001 - 1000
+
+
 @register(
     "text_quality_classifier",
     oracle=f"""
@@ -1158,21 +1170,10 @@ def text_quality_classifier(spark, sf_dir):
         "doc_id", "lang", F.concat(F.col("u"), bigrams).alias("f")
     )
 
-    def w_milli(t):
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(_QC_SALT), t)), 1, 7),
-                16,
-                10,
-            ).cast("long")
-            % _QC_BUCKETS
-        )
-        return ((bucket + 1) * 2654435761) % 2001 - 1000
-
     # fold ONCE per row (the langid one-pass lesson): keep_flag derives
     # from the materialized score column, not a second fold
     score = F.aggregate(
-        "f", F.lit(0).cast("long"), lambda acc, t: acc + w_milli(t)
+        "f", F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight_milli(t)
     )
     scored = feats.select(
         "doc_id",
@@ -1182,4 +1183,348 @@ def text_quality_classifier(spark, sf_dir):
     )
     return scored.withColumn(
         "keep_flag", (F.col("score_milli") > 0).cast("long")
+    )
+
+
+# --- corpus_curation_v2: the full modern curation recipe in ONE plan
+# (r15 third wave) — quality classifier → lang-ID gate → exact dedup →
+# semantic dedup → split audit, each stage reusing the already-proven
+# single-source-of-truth constants (X215 weights, X209 profiles, X213
+# centroids, X214 split buckets). ---
+
+
+def _curation_v2_oracle() -> str:
+    from unfccc_documents_database_sandbox_spark.functions import langid as L
+    from unfccc_documents_database_sandbox_spark.plans.ivf_centroids import (
+        IVF_CELLS,
+        cell,
+        cell_sq,
+    )
+
+    def cent(c: int) -> str:
+        return "[" + ", ".join(repr(v) for v in cell(c)) + "]"
+
+    dl = (
+        "["
+        + ", ".join(
+            f"{cell_sq(c)!r} - 2.0 * list_dot_product(u, {cent(c)})"
+            for c in range(IVF_CELLS)
+        )
+        + "]"
+    )
+    return f"""
+    WITH dp AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' v2', lang
+        FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text, lang
+        FROM documents WHERE doc_id % 50 = 25
+    ),
+    base AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM dp
+    ),
+    feats AS (
+        SELECT doc_id, lang, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               list_concat(
+                   toks,
+                   list_transform(generate_series(2, len(toks)),
+                                  i -> toks[i-1] || '_' || toks[i])
+               ) AS f
+        FROM base
+    ),
+    q AS (
+        SELECT doc_id, lang, text, n_tokens
+        FROM feats
+        WHERE COALESCE(list_sum(list_transform(f, t -> {_QC_W_SQL})), 0) > 0
+    ),
+    norm AS (
+        SELECT doc_id,
+               ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+                   || ' ' AS s
+        FROM q
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(s)),
+                                     i -> substr(s, i, 2))) AS gram
+        FROM norm
+    ),
+    lv AS (SELECT * FROM (VALUES {L.oracle_oov_values()}) t(plang, oov)),
+    pv AS (SELECT * FROM (VALUES
+        {L.oracle_profile_values()}) t(plang, gram, cost)),
+    c AS (
+        SELECT g.doc_id, lv.plang, SUM(coalesce(pv.cost, lv.oov)) AS cost
+        FROM g CROSS JOIN lv
+        LEFT JOIN pv ON pv.plang = lv.plang AND pv.gram = g.gram
+        GROUP BY 1, 2
+    ),
+    piv AS (
+        SELECT doc_id,
+               MAX(CASE WHEN plang = 'en' THEN cost END) AS cost_en,
+               MAX(CASE WHEN plang = 'es' THEN cost END) AS cost_es,
+               MAX(CASE WHEN plang = 'fr' THEN cost END) AS cost_fr
+        FROM c GROUP BY doc_id
+    ),
+    lg AS (
+        SELECT q.doc_id, q.lang, q.text, q.n_tokens
+        FROM q JOIN piv USING (doc_id)
+        WHERE q.lang = (
+            CASE WHEN cost_en <= cost_es AND cost_en <= cost_fr THEN 'en'
+                 WHEN cost_es <= cost_fr THEN 'es' ELSE 'fr' END)
+    ),
+    ex AS (
+        SELECT doc_id, lang, n_tokens
+        FROM (SELECT lg.*,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                        ORDER BY doc_id) AS rn
+              FROM lg)
+        WHERE rn = 1
+    ),
+    ep AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(embedding, x -> CAST(x * 0.5 AS FLOAT))
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    ev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM ep
+    ),
+    en AS (SELECT vec_id, vec,
+                  sqrt(list_dot_product(vec, vec)) AS nrm FROM ev),
+    eu AS (SELECT vec_id, list_transform(vec, x -> x / nrm) AS u FROM en),
+    easg AS (
+        SELECT vec_id, u, list_position(dl, list_min(dl)) - 1 AS cell
+        FROM (SELECT vec_id, u, {dl} AS dl FROM eu)
+    ),
+    sem_in AS (
+        SELECT ex.doc_id, ex.n_tokens, a.u, a.cell
+        FROM ex LEFT JOIN easg a ON a.vec_id = ex.doc_id
+    ),
+    sem_drop AS (
+        SELECT DISTINCT b.doc_id
+        FROM sem_in a JOIN sem_in b
+          ON a.cell = b.cell AND a.doc_id < b.doc_id
+        WHERE list_dot_product(a.u, b.u) >= 0.9
+    ),
+    sem AS (
+        SELECT s.doc_id, s.n_tokens FROM sem_in s
+        LEFT JOIN sem_drop d ON d.doc_id = s.doc_id
+        WHERE d.doc_id IS NULL
+    ),
+    sp AS (
+        SELECT CASE WHEN bucket < 900 THEN 'f_train'
+                    WHEN bucket < 950 THEN 'f_val'
+                    ELSE 'f_test' END AS stage,
+               n_tokens
+        FROM (SELECT n_tokens,
+                     CAST(('0x' || substr(md5('split-v1:'
+                              || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                         % 1000 AS bucket
+              FROM sem)
+    )
+    SELECT 'a_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM feats
+    UNION ALL
+    SELECT 'b_quality', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM q
+    UNION ALL
+    SELECT 'c_lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM lg
+    UNION ALL
+    SELECT 'd_exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM ex
+    UNION ALL
+    SELECT 'e_semantic_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM sem
+    UNION ALL
+    SELECT stage, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(n_tokens) AS BIGINT) FROM sp GROUP BY stage
+    """
+
+
+@register("corpus_curation_v2", oracle=_curation_v2_oracle())
+def corpus_curation_v2(spark, sf_dir):
+    """The full modern pretraining-curation recipe as ONE lazy plan —
+    the DCLM/FineWeb pipeline shape, upgrading corpus_pipeline's r06
+    stages with the r15 operators: (a) input, (b) fastText-style hashed
+    linear quality gate (X215 — score > 0 keeps), (c) CCNet-style
+    lang-ID gate (X209 — prediction must match the claimed tag),
+    (d) exact dedup (min doc_id per md5(text)), (e) SemDeDup semantic
+    near-dedup (X217 — pinned-centroid cluster blocking, cosine >= 0.9
+    drops the higher id; docs WITHOUT an embedding pass through, the
+    honest posture when the encoder lags the crawl), (f) the X214
+    train/val/test split audit of what survives. Output is the
+    per-stage funnel (n_docs, token mass) — the table a data-curation
+    run publishes.
+
+    Planted rows exercise both dedup stages: each doc_id % 50 == 0 doc
+    gets a ' v2'-suffixed twin (doc_id + 1e6) whose embedding twin is
+    colinear (the sim_near_dup_pairs derivation) — the suffix defeats
+    exact dedup (different md5) so the twin must be caught by the
+    SEMANTIC stage, exactly the reworded-near-dup case SemDeDup exists
+    for; each doc_id % 50 == 25 doc gets an EXACT copy (doc_id + 2e6,
+    the re-crawled-URL case) that stage (d) must catch. Twins only
+    reach their catching stage when their base text survives (b)/(c),
+    which the oracle mirrors row for row.
+
+    Scale: stages (a)-(c) are row-local folds at scan speed; (d) is one
+    digest-keyed shuffle; (e) shuffles only embedding-joined survivors
+    on cell (pair work bounded per cell); the funnel aggregates are
+    map-side combines. Every stage is the already-benched operator —
+    composition adds no new exchange class."""
+    from pyspark.sql import Window
+
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+    from unfccc_documents_database_sandbox_spark.functions import langid as L
+    from unfccc_documents_database_sandbox_spark.functions.vectors import (
+        dot as vec_dot,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        _plant_near_dups,
+        ivf_assign_units,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang",
+    )
+    # exact-copy twins exercise stage (d): same text, fresh id — the
+    # re-crawled-URL case exact dedup exists for
+    planted_exact = docs.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text", "lang"
+    )
+    dp = spread(docs.unionByName(planted).unionByName(planted_exact))
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    base = dp.select("doc_id", "lang", "text", toks.alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.concat_ws(
+                "_", F.element_at("toks", i - 1), F.element_at("toks", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.concat(F.col("toks"), bigrams).alias("f"),
+    ).withColumn(
+        "qscore",
+        F.aggregate(
+            "f", F.lit(0).cast("long"),
+            lambda acc, t: acc + _qc_weight_milli(t),
+        ),
+    )
+    # five funnel branches sit downstream of the classifier fold and
+    # four downstream of the lang fold; Spark re-executes a shared
+    # subtree per branch (no cross-branch CSE — the graph_bfs/IVF-twin
+    # lesson), so pin each fold's output once
+    q = (
+        feats.filter(F.col("qscore") > 0)
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    costs = q.withColumn("s", s).withColumn("c", L.spark_cost_struct())
+    pred = (
+        F.when(
+            (F.col("c.en") <= F.col("c.es")) & (F.col("c.en") <= F.col("c.fr")),
+            F.lit("en"),
+        )
+        .when(F.col("c.es") <= F.col("c.fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    lg = (
+        costs.filter(pred == F.col("lang"))
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=True)
+    )
+
+    wex = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ex = (
+        lg.withColumn("rn", F.row_number().over(wex))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign_units(_plant_near_dups(emb)).select(
+        F.col("vec_id").alias("doc_id"), "u", "cell"
+    )
+    sem_in = ex.join(assigned, "doc_id", "left").localCheckpoint(eager=True)
+    a = sem_in.select(
+        F.col("doc_id").alias("id_a"), F.col("u").alias("ua"), "cell"
+    )
+    b = sem_in.select(
+        F.col("doc_id").alias("id_b"), F.col("u").alias("ub"), "cell"
+    )
+    sem_drop = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(vec_dot(F.col("ua"), F.col("ub")) >= F.lit(0.9))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    sem = sem_in.join(sem_drop, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens"
+    )
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-v1:"),
+                               F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    sp = sem.select(
+        F.when(bucket < 900, F.lit("f_train"))
+        .when(bucket < 950, F.lit("f_val"))
+        .otherwise(F.lit("f_test"))
+        .alias("stage"),
+        "n_tokens",
+    )
+
+    def funnel(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    split_rows = sp.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return (
+        funnel("a_input", feats)
+        .unionByName(funnel("b_quality", q))
+        .unionByName(funnel("c_lang", lg))
+        .unionByName(funnel("d_exact_dedup", ex))
+        .unionByName(funnel("e_semantic_dedup", sem))
+        .unionByName(split_rows)
     )
