@@ -632,3 +632,92 @@ def test_insert_overwrite_sql_grammar(spark, tmp_path):
                     "VALUES (1, 1)", t)
     with pytest.raises(DmlSyntaxError, match="needs a predicate"):
         execute_dml(spark, "INSERT INTO t REPLACE WHERE VALUES (1, 1)", t)
+
+
+# --- IN-subquery predicates (r15): DELETE/UPDATE lower onto MERGE ---
+
+
+def test_delete_in_subquery_matches_python_twin(spark, pair):
+    sql_root, py_root = pair
+    v = execute_dml(
+        spark,
+        """DELETE FROM tbl
+           WHERE id IN (SELECT id FROM tbl WHERE score >= 100)
+             AND status = 'live'""",
+        {"tbl": sql_root},
+    )
+    snap.delete_where(spark, py_root, "score >= 100 AND status = 'live'")
+    assert v == 1
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+    assert all(t[1] < 100 for t in _rows(spark, sql_root))
+
+
+def test_update_in_subquery_cow_and_mor_agree(spark, pair):
+    sql_root, py_root = pair
+    stmt = """UPDATE tbl SET score = score + 1000, status = 'hot'
+              WHERE id IN (SELECT id FROM tbl WHERE score % 30 = 0)"""
+    execute_dml(spark, stmt, {"tbl": sql_root})
+    execute_dml(spark, stmt, {"tbl": py_root}, mode="mor")
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+    assert any(t[2] == "hot" for t in _rows(spark, sql_root))
+
+
+def test_delete_in_subquery_against_other_table(spark, pair, tmp_path):
+    """The subquery may reference a DIFFERENT snapshot table."""
+    sql_root, _ = pair
+    other = str(tmp_path / "other")
+    snap.create(
+        spark, other,
+        spark.createDataFrame([(3,), (7,), (99,)], "id long"),
+    )
+    execute_dml(
+        spark,
+        "DELETE FROM tbl WHERE id IN (SELECT id FROM victims)",
+        {"tbl": sql_root, "victims": other},
+    )
+    kept = {t[0] for t in _rows(spark, sql_root)}
+    assert kept == set(range(20)) - {3, 7}  # 99 matches nothing
+
+
+def test_in_subquery_null_keys_never_match(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snap.create(
+        spark, root,
+        spark.createDataFrame(
+            [(None, "a"), (1, "b"), (2, "c")], "id long, tag string"
+        ),
+    )
+    execute_dml(
+        spark,
+        "DELETE FROM tbl WHERE id IN (SELECT id FROM tbl WHERE tag = 'b')",
+        {"tbl": root},
+    )
+    # the NULL-id row survives (IN with a NULL key is never TRUE)
+    tags = sorted(r["tag"] for r in snap.read(spark, root).collect())
+    assert tags == ["a", "c"]
+
+
+def test_in_subquery_refusals(spark, pair):
+    sql_root, _ = pair
+    with pytest.raises(DmlSyntaxError, match="at most one"):
+        execute_dml(
+            spark,
+            """DELETE FROM tbl
+               WHERE id IN (SELECT id FROM tbl)
+                 AND score IN (SELECT score FROM tbl)""",
+            {"tbl": sql_root},
+        )
+    with pytest.raises(DmlSyntaxError, match="exactly one column"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE id IN (SELECT id, score FROM tbl)",
+            {"tbl": sql_root},
+        )
+
+
+def test_plain_in_list_still_routes_to_delete_where(spark, pair):
+    """A literal IN list is NOT a subquery — the plain path handles it."""
+    sql_root, _ = pair
+    execute_dml(spark, "DELETE FROM tbl WHERE id IN (1, 2, 3)",
+                {"tbl": sql_root})
+    assert {t[0] for t in _rows(spark, sql_root)} == set(range(20)) - {1, 2, 3}

@@ -4366,3 +4366,96 @@ def table_copy_into(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "table_sql_dml_subquery",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE doc_id % 3 = 0
+    ),
+    hot AS (  -- the DELETE's IN subquery: sources with heavy corpora
+        SELECT source FROM base
+        GROUP BY source HAVING SUM(n_chars) > 6000
+    ),
+    after_del AS (
+        SELECT * FROM base
+        WHERE NOT (source IN (SELECT source FROM hot) AND n_chars % 2 = 0)
+    ),
+    big AS (  -- the UPDATE's IN subquery over the POST-DELETE state
+        SELECT doc_id FROM after_del WHERE n_chars > 400
+    ),
+    after_upd AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id IN (SELECT doc_id FROM big)
+                    THEN 'xl' ELSE lang END AS lang,
+               CASE WHEN doc_id IN (SELECT doc_id FROM big)
+                    THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        FROM after_del
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM after_upd GROUP BY source, lang
+    """,
+)
+def table_sql_dml_subquery(spark, sf_dir):
+    """SQL DML front-end, subquery predicates (r15): ``DELETE FROM t
+    WHERE col IN (SELECT ...) AND extra`` and ``UPDATE t SET ... WHERE
+    col IN (SELECT ...)`` lower onto the MERGE machinery — the subquery
+    (bound through read_sql, so it can reference snapshot tables,
+    INCLUDING the statement's own target reading a pinned snapshot)
+    becomes a distinct non-null merge source, the remaining conjuncts
+    become the WHEN MATCHED condition, and no NOT MATCHED clause exists
+    (DML never inserts). Semi-join semantics coincide with IN for the
+    positive matches that drive deletes/updates: NULL keys never match,
+    so they are never touched — Delta's subquery-DML behavior.
+
+    The DELETE here is self-referential (the subquery aggregates the
+    target itself) and carries an extra conjunct; the UPDATE's subquery
+    sees the post-DELETE snapshot — ordering is part of the contract.
+
+    Scale: the lowered MERGE inherits merge_into's source-keyed file
+    skipping (X192) — a DML whose subquery selects few keys rewrites
+    few files, where a naive `delete_where` scan-and-filter would still
+    enumerate every file's hit set."""
+    import os
+
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+    from unfccc_documents_database_sandbox_spark.sources.sql_dml import execute_dml
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(repo_root, ".csv_tmp", f"snapsqlsub_{tag}")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    _snap_create(spark, root, d.filter("doc_id % 3 = 0").repartition(3))
+    execute_dml(
+        spark,
+        """DELETE FROM docs
+           WHERE source IN (SELECT source FROM docs
+                            GROUP BY source HAVING SUM(n_chars) > 6000)
+             AND n_chars % 2 = 0""",
+        {"docs": root},
+    )
+    execute_dml(
+        spark,
+        """UPDATE docs SET lang = 'xl', n_chars = n_chars + 1000
+           WHERE doc_id IN (SELECT doc_id FROM docs WHERE n_chars > 400)""",
+        {"docs": root},
+    )
+    return (
+        snap.read(spark, root)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )

@@ -4097,6 +4097,35 @@ def _merge_act_col(matched_clauses: list[dict]):
     return act.otherwise(F.lit(-1))
 
 
+def _merge_partial_eligible(source, schema, key_cols, matched_clauses,
+                            not_matched_condition, not_matched_by_source,
+                            ctx) -> bool:
+    """True when a MERGE may accept a source carrying only a SUBSET of
+    the table columns (the merge keys at minimum): every matched clause
+    is a delete or an explicit SET (no SET * to read source columns),
+    the insert gate is the literal FALSE (no source row is ever
+    written), and no by-source clause exists. The IN-subquery DML
+    lowering (sources/sql_dml.py) is the canonical caller — its source
+    is one key column; Delta's analyzer performs the general
+    column-dependency version of this check."""
+    cols = set(source.columns)
+    tbl = {f.name for f in schema.fields}
+    if not (matched_clauses is not None
+            and not_matched_by_source is None
+            and isinstance(not_matched_condition, str)
+            and not_matched_condition.strip().lower() == "false"
+            and all(cl.get("action") == "delete"
+                    or cl.get("set") is not None
+                    for cl in matched_clauses)
+            and cols < tbl):
+        return False
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(
+            f"{ctx}: partial merge source lacks key column(s) {missing}")
+    return True
+
+
 def merge_into(
     spark: SparkSession, root: str, source: DataFrame, key_cols: list[str],
     txn: dict | None = None,
@@ -4255,9 +4284,13 @@ def merge_into(
             "columns (Delta parity) — the matched/unmatched split would "
             "need per-row allocation vs carry; use append + delete_where "
             "or drop the identity column")
-    source = _apply_write_rules(source, st_rules["generated"],
-                                st_rules["defaults"], "merge_into",
-                                pinned=schema)
+    partial_src = _merge_partial_eligible(
+        source, schema, key_cols, matched_clauses, not_matched_condition,
+        not_matched_by_source, "merge_into")
+    if not partial_src:
+        source = _apply_write_rules(source, st_rules["generated"],
+                                    st_rules["defaults"], "merge_into",
+                                    pinned=schema)
     if sync_update:
         _check_generated_set(not_matched_by_source_set,
                              st_rules["generated"],
@@ -4265,8 +4298,18 @@ def merge_into(
     if matched_set_cols:
         _check_generated_set(matched_set_cols, st_rules["generated"],
                              "merge_into(matched_clauses)")
-    source = _check_schema(source, schema, "merge_into")
-    _check_constraints(source, st_rules["constraints"], "merge_into")
+    if partial_src:
+        # keys-only source: validate just the columns it carries (the
+        # clauses never read the rest); constraints gate the REBUILT
+        # rows downstream, never a verbatim source row
+        source = _check_schema(
+            source,
+            StructType([f for f in schema.fields
+                        if f.name in set(source.columns)]),
+            "merge_into")
+    else:
+        source = _check_schema(source, schema, "merge_into")
+        _check_constraints(source, st_rules["constraints"], "merge_into")
     dup = (
         source.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
     )
@@ -4404,17 +4447,23 @@ def merge_into(
             # inserts: source keys with NO live match (the matched pairs
             # cover every live match — hit files contain them all),
             # optionally gated by the insert condition
-            matched_skeys = pairs.select(
-                *[F.col(f"s.{k}").alias(k) for k in key_cols]
-            ).distinct()
-            inserts = source.join(
-                F.broadcast(matched_skeys), key_cols, "left_anti")
-            if not_matched_condition is not None:
-                inserts = inserts.filter(
-                    F.coalesce(
-                        F.expr(not_matched_condition).cast("boolean"),
-                        F.lit(False)))
-            out = survivors.unionByName(matched_out).unionByName(inserts)
+            if partial_src:
+                # partial contract: the insert gate is literally FALSE,
+                # so the (schema-incomplete) insert branch never runs
+                out = survivors.unionByName(matched_out)
+            else:
+                matched_skeys = pairs.select(
+                    *[F.col(f"s.{k}").alias(k) for k in key_cols]
+                ).distinct()
+                inserts = source.join(
+                    F.broadcast(matched_skeys), key_cols, "left_anti")
+                if not_matched_condition is not None:
+                    inserts = inserts.filter(
+                        F.coalesce(
+                            F.expr(not_matched_condition).cast("boolean"),
+                            F.lit(False)))
+                out = survivors.unionByName(matched_out) \
+                    .unionByName(inserts)
         else:
             if track:
                 # a matched key is an UPDATE: the replacing source row
@@ -4434,13 +4483,21 @@ def merge_into(
                 )
             out = survivors.unionByName(source)
     else:
-        out = source
-        if matched_clauses is not None and not_matched_condition is not None:
-            # empty/no-hit table: every source row is an insert — the
-            # insert condition still gates it
-            out = out.filter(
-                F.coalesce(F.expr(not_matched_condition).cast("boolean"),
-                           F.lit(False)))
+        if partial_src:
+            # empty/no-hit table + partial source: nothing can match and
+            # nothing may insert — an empty commit of the full schema
+            out = spark.createDataFrame(
+                [], _schema_plus_rid(schema) if track else schema)
+        else:
+            out = source
+            if (matched_clauses is not None
+                    and not_matched_condition is not None):
+                # empty/no-hit table: every source row is an insert — the
+                # insert condition still gates it
+                out = out.filter(
+                    F.coalesce(F.expr(not_matched_condition)
+                               .cast("boolean"),
+                               F.lit(False)))
     wschema = _schema_plus_rid(schema) if track else schema
     pdir, add, parts = _write_payload(root, out, st0["partition_by"],
                                       wschema)
@@ -4552,8 +4609,13 @@ def merge_into_mor(
         if unknown:
             raise ValueError(
                 f"merge_into_mor: matched SET on unknown columns {unknown}")
-    source = _apply_write_rules(source, st0["generated"], st0["defaults"],
-                                "merge_into_mor", pinned=schema)
+    partial_src = _merge_partial_eligible(
+        source, schema, key_cols, matched_clauses, not_matched_condition,
+        not_matched_by_source, "merge_into_mor")
+    if not partial_src:
+        source = _apply_write_rules(source, st0["generated"],
+                                    st0["defaults"], "merge_into_mor",
+                                    pinned=schema)
     if sync_update:
         _check_generated_set(not_matched_by_source_set, st0["generated"],
                              "merge_into_mor(not_matched_by_source="
@@ -4561,8 +4623,15 @@ def merge_into_mor(
     if matched_set_cols:
         _check_generated_set(matched_set_cols, st0["generated"],
                              "merge_into_mor(matched_clauses)")
-    source = _check_schema(source, schema, "merge_into_mor")
-    _check_constraints(source, st0["constraints"], "merge_into_mor")
+    if partial_src:
+        source = _check_schema(
+            source,
+            StructType([f for f in schema.fields
+                        if f.name in set(source.columns)]),
+            "merge_into_mor")
+    else:
+        source = _check_schema(source, schema, "merge_into_mor")
+        _check_constraints(source, st0["constraints"], "merge_into_mor")
     dup = (
         source.groupBy(*key_cols).count()
         .filter(F.col("count") > 1).limit(1).count()
@@ -4580,7 +4649,7 @@ def merge_into_mor(
             spark, root, source, key_cols, st0, schema, keys, live, track,
             version, matched_clauses, not_matched_condition,
             sync_delete, sync_update, by_pred, not_matched_by_source_set,
-            txn, max_retries)
+            txn, max_retries, partial_src=partial_src)
     matched, affected, dv = None, [], None
     if live:
         # stats/bloom file skipping (VERDICT r12 #7): MoR MERGE has no
@@ -4674,6 +4743,7 @@ def _merge_mor_clauses(
     sync_delete: bool, sync_update: bool, by_pred,
     not_matched_by_source_set: dict[str, str] | None,
     txn: dict | None, max_retries: int,
+    partial_src: bool = False,
 ) -> int:
     """The clause-matrix body of `merge_into_mor` (args pre-validated
     there). MoR's clause physics: a claimed matched row = one DV entry
@@ -4784,13 +4854,19 @@ def _merge_mor_clauses(
             *([F.col(_RID_COL)] if track else []),
         )
     # inserts: source keys with no matched pair, gated by the condition
-    m_skeys = pairs.select(
-        *[F.col(f"s.{k}").alias(k) for k in key_cols]).distinct()
-    ins = source.join(F.broadcast(m_skeys), key_cols, "left_anti")
-    if not_matched_condition is not None:
-        ins = ins.filter(
-            F.coalesce(F.expr(not_matched_condition).cast("boolean"),
-                       F.lit(False)))
+    if partial_src:
+        # partial contract (see _merge_partial_eligible): the insert
+        # gate is literally FALSE — an empty full-schema frame keeps the
+        # union and the typed feed well-formed
+        ins = spark.createDataFrame([], schema)
+    else:
+        m_skeys = pairs.select(
+            *[F.col(f"s.{k}").alias(k) for k in key_cols]).distinct()
+        ins = source.join(F.broadcast(m_skeys), key_cols, "left_anti")
+        if not_matched_condition is not None:
+            ins = ins.filter(
+                F.coalesce(F.expr(not_matched_condition).cast("boolean"),
+                           F.lit(False)))
     # constraint-check the REBUILT rows (SET exprs mint new values;
     # source rows were checked up front)
     repl_posts = [post for _pre, post in repl_pairs]

@@ -15,6 +15,9 @@ Grammar (documented refusals for everything else):
 
     DELETE FROM <table> [WHERE <cond>]
     UPDATE <table> SET col = expr [, ...] [WHERE <cond>]
+        -- <cond> may contain ONE `col IN (SELECT ...)` conjunct: the
+        -- statement lowers onto MERGE (semi-join semantics; the
+        -- subquery binds snapshot tables, including the target)
     INSERT INTO <table> [(col, ...)] VALUES (...), ... | <SELECT/WITH query>
         -- positional column mapping (SQL semantics); append's write
         -- rules own schema checks, DEFAULT fill and generated columns;
@@ -471,6 +474,73 @@ def _parse_merge(
     }
 
 
+def _extract_in_subquery(cond: str):
+    """Detect ONE top-level ``<col> IN (SELECT|WITH ...)`` conjunct in a
+    DELETE/UPDATE predicate. Returns (col, subquery_sql, extra_cond) or
+    None when the predicate has no subquery (the plain path). The key
+    must be a bare column — it becomes the merge key of the lowered
+    MERGE (Delta's own subquery-DML support has the same shape: the
+    rewrite is a semi-join, so positive-match semantics coincide with
+    IN: NULL keys on either side never match, hence never delete)."""
+    conjuncts = _split_top(cond, "AND")
+    hits: list[tuple[str, str]] = []
+    rest: list[str] = []
+    pat = re.compile(
+        rf"^\s*({_IDENT})\s+IN\s*\((.*)\)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    for seg in conjuncts:
+        m = pat.match(seg)
+        if m and re.match(r"^\s*(SELECT|WITH)\b", m.group(2),
+                          re.IGNORECASE):
+            hits.append((m.group(1), m.group(2).strip()))
+        else:
+            rest.append(seg.strip())
+    if not hits:
+        return None
+    if len(hits) > 1:
+        raise DmlSyntaxError(
+            "at most one `col IN (SELECT ...)` conjunct is supported "
+            f"per statement, found {len(hits)}")
+    col, sub = hits[0]
+    extra = " AND ".join(f"({r})" for r in rest) if rest else None
+    return col, sub, extra
+
+
+def _dml_in_subquery(
+    spark, kind: str, root: str, cond: str, sets, tables,
+    mode: str, txn, max_retries: int,
+):
+    """Lower ``DELETE/UPDATE ... WHERE col IN (<subquery>) [AND extra]``
+    onto the MERGE machinery: the subquery (run through `read_sql`, so
+    it may reference snapshot tables — including the TARGET itself,
+    which reads a pinned snapshot) becomes the distinct non-null merge
+    source keyed on ``col``; the statement's remaining conjuncts become
+    the WHEN MATCHED condition; no NOT MATCHED clause (a lowered DML
+    never inserts). Returns the committed version, or None when the
+    predicate has no subquery."""
+    found = _extract_in_subquery(cond)
+    if found is None:
+        return None
+    col, sub, extra = found
+    src = read_sql(spark, sub, tables)
+    if len(src.columns) != 1:
+        raise DmlSyntaxError(
+            "IN subquery must project exactly one column, got "
+            f"{src.columns}")
+    src = src.toDF(col).where(F.col(col).isNotNull()).distinct()
+    merge_fn = snap.merge_into_mor if mode == "mor" else snap.merge_into
+    if kind == "delete":
+        clause = {"action": "delete", "condition": extra}
+    else:
+        clause = {"action": "update", "condition": extra, "set": sets}
+    return merge_fn(
+        spark, root, src, [col], txn=txn,
+        matched_clauses=[clause],
+        not_matched_condition="false",
+        max_retries=max_retries)
+
+
 def execute_dml(
     spark: SparkSession,
     sql: str,
@@ -511,6 +581,11 @@ def execute_dml(
                 raise DmlSyntaxError(
                     f"unexpected trailing text after DELETE: {rest!r}")
             cond = mw.group(1).strip()
+        lowered = _dml_in_subquery(
+            spark, "delete", root, cond, None, tables, mode, txn,
+            max_retries)
+        if lowered is not None:
+            return lowered
         fn = snap.delete_where_mor if mode == "mor" else snap.delete_where
         return fn(spark, root, cond, max_retries=max_retries)
     if kw == "UPDATE":
@@ -524,6 +599,11 @@ def execute_dml(
         cond = body[mw.end():].strip() if mw else "true"
         sets = _parse_assignments(
             body[:mw.start()] if mw else body, "UPDATE SET")
+        lowered = _dml_in_subquery(
+            spark, "update", root, cond, sets, tables, mode, txn,
+            max_retries)
+        if lowered is not None:
+            return lowered
         fn = snap.update_where_mor if mode == "mor" else snap.update_where
         return fn(spark, root, cond, sets, max_retries=max_retries)
     if kw == "INSERT":
