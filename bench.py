@@ -168,6 +168,7 @@ FRESH = [
     "sql_tpcds_q77",            # full-outer channel rollup family
     "sql_tpcds_q31",            # six-way share-growth self-join family
     "corpus_curation_v2",       # full curation funnel in one plan
+    "search_mmr_rerank",        # greedy MMR diversity re-rank
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

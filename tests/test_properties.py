@@ -1848,3 +1848,38 @@ def test_semdedup_drops_exactly_planted_twins(spark):
     cell_of = {r["vec_id"]: r["cell"] for r in rows}
     for twin in planted:
         assert cell_of[twin] == cell_of[twin - 1_000_000]
+
+
+def test_mmr_first_pick_is_top_relevance_and_picks_diversify(spark):
+    """X221: pick 1 equals the pure-relevance argmax, picks are
+    distinct pool members, and at least one query's pick order differs
+    from pure relevance (the diversity term did something)."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.operators import (
+        similarity as S,
+    )
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        _MMR_QIDS,
+        search_mmr_rerank,
+    )
+
+    rows = search_mmr_rerank(spark, SF_CORRECT).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["pick"]] = r["doc_id"]
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_MMR_QIDS)))
+    rel = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    diversified = False
+    for q, picks in by_q.items():
+        assert sorted(picks) == [1, 2, 3, 4, 5]
+        assert len(set(picks.values())) == 5
+        assert picks[1] == rel[(q, 1)]
+        if [picks[i] for i in range(1, 6)] != [rel[(q, i)]
+                                               for i in range(1, 6)]:
+            diversified = True
+    assert diversified

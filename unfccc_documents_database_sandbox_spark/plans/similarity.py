@@ -1736,3 +1736,214 @@ def dedup_semantic(spark, sf_dir):
             F.coalesce("is_dup", F.lit(0).cast("long")).alias("is_dup"),
         )
     )
+
+
+# --- MMR diversity re-rank (r15 third wave): the greedy
+# maximal-marginal-relevance pass RAG stacks run after retrieval. ---
+
+_MMR_POOL = 8      # retrieval depth feeding the re-rank
+_MMR_K = 5         # picks emitted per query
+_MMR_QIDS = (1, 2, 3)
+
+
+def _mmr_oracle() -> str:
+    qlist = ", ".join(str(q) for q in _MMR_QIDS)
+    # one selection CTE per pick: cand_i = pool minus picks, scored
+    # 0.5*rel - 0.5*max(sim to any pick); first-row argmax via
+    # ROW_NUMBER with doc_id tie-break. sel1 is pure relevance.
+    steps = ["""
+    sel1 AS (
+        SELECT query_id, doc_id, 1 AS pick, rel AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, doc_id) AS rn
+              FROM pool)
+        WHERE rn = 1
+    ),
+    picked1 AS (SELECT query_id, doc_id, pick, score FROM sel1)"""]
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+    cand{i} AS (
+        SELECT p.query_id, p.doc_id, p.rel,
+               MAX(pr.sim) AS maxsim
+        FROM pool p
+        JOIN picked{i-1} s
+          ON s.query_id = p.query_id
+        JOIN pairs pr
+          ON pr.query_id = p.query_id
+         AND pr.id_a = p.doc_id AND pr.id_b = s.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM picked{i-1} x
+                          WHERE x.query_id = p.query_id
+                            AND x.doc_id = p.doc_id)
+        GROUP BY p.query_id, p.doc_id, p.rel
+    ),
+    sel{i} AS (
+        SELECT query_id, doc_id, {i} AS pick,
+               0.5 * rel - 0.5 * maxsim AS score
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY 0.5 * rel - 0.5 * maxsim DESC, doc_id) AS rn
+              FROM cand{i})
+        WHERE rn = 1
+    ),
+    picked{i} AS (
+        SELECT * FROM picked{i-1}
+        UNION ALL SELECT query_id, doc_id, pick, score FROM sel{i}
+    )""")
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    vn AS (
+        SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+          FROM vn WHERE vec_id IN ({qlist})),
+    pool AS (
+        SELECT query_id, doc_id, rel, vec, nrm
+        FROM (SELECT q.query_id, c.vec_id AS doc_id,
+                     ROUND(list_dot_product(q.qvec, c.vec)
+                           / (q.qnrm * c.nrm), 4) AS rel,
+                     c.vec, c.nrm,
+                     ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_dot_product(q.qvec, c.vec)
+                                  / (q.qnrm * c.nrm) DESC, c.vec_id) AS rn
+              FROM q JOIN vn c ON c.vec_id <> q.query_id)
+        WHERE rn <= {_MMR_POOL}
+    ),
+    pairs AS (
+        SELECT a.query_id, a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 4)
+                   AS sim
+        FROM pool a JOIN pool b
+          ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ),
+    {",".join(steps)}
+    SELECT query_id, CAST(pick AS BIGINT) AS pick, doc_id,
+           ROUND(score, 4) AS score
+    FROM picked{_MMR_K}
+    """
+
+
+@register("search_mmr_rerank", oracle=_mmr_oracle())
+def search_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) — the diversity pass between retrieval and a RAG prompt:
+    greedily pick k=5 of an 8-candidate pool per query, each pick
+    maximizing 0.5*relevance − 0.5*max-similarity-to-already-picked
+    (lambda = 0.5, a power of two so the scaling is float-exact). The
+    greedy loop is UNROLLED into five selection stages — plan-time
+    iteration over driver-side loop variables, never a driver collect —
+    and every number both engines compare is either a shared-fold
+    cosine rounded to 4 places (the sim_topk discipline) or an exact
+    *0.5 of one, so the argmax (ties broken by doc_id) is
+    hash-deterministic.
+
+    Scale shape: the expensive stage is pool construction — the proven
+    broadcast-query exact scan (or any ANN key in the family; the
+    re-rank is agnostic). Everything after operates on pool×pool pairs
+    per query (8×7 rows here, depth² always) — candidate-depth-bounded,
+    independent of corpus size, and embarrassingly parallel across
+    queries at any SF. Five exchanges of ≤ q·depth rows is the honest
+    cost of sequential greedy picks; a single-pass approximation
+    (cluster-spread picks) trades quality, which is MMR's whole point.
+
+    Plan-pin honesty: each selection round localCheckpoints `picked`
+    (it feeds TWO joins per later round — unpinned, the greedy prefix
+    would re-derive ~2^k times), so the PLANS.md pin shows only the
+    final checkpoint scan; the real staged work is the five windowed
+    selections materialized during the build, each over ≤ q·depth
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    un = S.with_norm(S.as_double_vec(emb)).select(
+        "vec_id", "vec", F.col("norm").alias("nrm")
+    )
+    q = un.filter(F.col("vec_id").isin(list(_MMR_QIDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    raw = un.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "cos",
+        vec_dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")),
+    )
+    wpool = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    # the pool feeds pairs (twice) and every selection round — pin it
+    pool = (
+        raw.withColumn("rn", F.row_number().over(wpool))
+        .filter(F.col("rn") <= _MMR_POOL)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round("cos", 4).alias("rel"),
+            "vec",
+            "nrm",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = pool.select("query_id", F.col("doc_id").alias("id_a"),
+                    F.col("vec").alias("va"), F.col("nrm").alias("na"))
+    b = pool.select("query_id", F.col("doc_id").alias("id_b"),
+                    F.col("vec").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(
+                vec_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    slim = pool.select("query_id", "doc_id", "rel")
+
+    wsel = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    picked = (
+        slim.withColumn("score", F.col("rel"))
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "doc_id", F.lit(1).cast("long").alias("pick"),
+                "score")
+    )
+    for i in range(2, _MMR_K + 1):
+        cand = (
+            slim.join(picked.select("query_id", "doc_id"),
+                      ["query_id", "doc_id"], "left_anti")
+            .join(
+                pairs.withColumnRenamed("id_a", "doc_id"),
+                ["query_id", "doc_id"],
+            )
+            .join(
+                picked.select(
+                    "query_id", F.col("doc_id").alias("id_b")
+                ),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        sel = (
+            cand.withColumn(
+                "score", 0.5 * F.col("rel") - 0.5 * F.col("maxsim")
+            )
+            .withColumn("rn", F.row_number().over(wsel))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "doc_id",
+                    F.lit(i).cast("long").alias("pick"), "score")
+        )
+        picked = picked.unionByName(sel).localCheckpoint(eager=True)
+    return picked.select(
+        "query_id", "pick", "doc_id", F.round("score", 4).alias("score")
+    )
