@@ -169,6 +169,7 @@ FRESH = [
     "sql_tpcds_q31",            # six-way share-growth self-join family
     "corpus_curation_v2",       # full curation funnel in one plan
     "search_mmr_rerank",        # greedy MMR diversity re-rank
+    "multimodal_image_dedup",   # aHash perceptual near-dup pairs
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

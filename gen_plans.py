@@ -110,7 +110,7 @@ ROUND_KEYS = [
     "text_quality_classifier", "search_hybrid_rrf", "dedup_semantic",
     "sql_tpcds_q10", "sql_tpcds_q75", "sql_tpcds_q77", "sql_tpcds_q31",
     "corpus_curation_v2", "table_sql_dml_subquery",
-    "search_mmr_rerank",
+    "search_mmr_rerank", "multimodal_image_dedup",
 ]
 
 

@@ -172,3 +172,25 @@ def test_decode_media_degrades_malformed_containers_to_opaque(spark):
         assert out[i].kind == "opaque", (i, out[i].kind)
         assert out[i].raster_sum is None
         assert out[i].n_bytes == len(rows[i - 1][1])
+
+
+def test_image_dedup_catches_every_planted_twin(spark):
+    """X222: each perturb_pgm twin pairs with its base within the
+    verified Hamming threshold, and every reported pair is <= 3."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.multimodal import (
+        multimodal_image_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = multimodal_image_dedup(spark, SF_CORRECT).collect()
+    assert rows and all(r["hamming"] <= 3 for r in rows)
+    twins = {(r["id_a"], r["id_b"]) for r in rows
+             if r["id_b"] == r["id_a"] + 1_000_000}
+    planted = {
+        int(r["doc_id"])
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") % 40 == 0).collect()
+    }
+    assert {a for a, _b in twins} == planted

@@ -453,3 +453,74 @@ def audio_energy_windows(media: DataFrame, window: int = 64) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         windows, AUDIO_WINDOWS_SCHEMA
     )
+
+
+def perturb_pgm(media: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
+    """Derive a NEAR-DUPLICATE twin of each PGM payload: parse the real
+    bytes, flip the low bit of the first three pixels, re-encode, and
+    re-id at ``media_id + id_offset`` — the crop/re-encode/minor-edit
+    case perceptual hashing exists to catch. The perturbation is an
+    exact integer function (pixel_i ^= 1 for i < 3), so the oracle can
+    restate the twin raster from the generative formula without ever
+    touching bytes."""
+    import numpy as np
+
+    def twist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = parse_pgm(bytes(p))
+                arr = np.frombuffer(raster, dtype=np.uint8).copy()
+                arr[:3] ^= 1
+                ids.append(int(mid) + id_offset)
+                payloads.append(encode_pgm(w, h, arr.tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    return media.mapInPandas(
+        twist,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]),
+    )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) each PGM payload from its REAL decoded
+    pixels: nearest-neighbor sample an 8x8 grid (the resize_media
+    index rule), set bit j iff sample_j * 64 > sum(samples) (strict —
+    division-free mean comparison), and pack the 64 bits as TWO 32-bit
+    halves in BIGINT columns (hash_lo = bits 0-31, hash_hi = bits
+    32-63) so no engine ever touches the int64 sign bit. One numpy
+    pass per image inside Arrow batches; the hash is an exact integer
+    function of the raster, replayable by the oracle wherever the
+    raster itself is."""
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = parse_pgm(bytes(p))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                rr = (np.arange(8) * h) // 8
+                cc = (np.arange(8) * w) // 8
+                samp = arr[(rr[:, None] * w + cc[None, :]).ravel()]
+                tot = int(samp.sum())
+                bits = (samp * 64 > tot).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(int(mid)); his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "hash_hi": pd.Series(his, dtype="int64"),
+                 "hash_lo": pd.Series(los, dtype="int64")}
+            )
+
+    return media.mapInPandas(
+        hash_batch,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("hash_hi", T.LongType()),
+                      T.StructField("hash_lo", T.LongType())]),
+    )

@@ -241,3 +241,150 @@ def multimodal_audio_energy(spark, sf_dir):
         .select("media_id", "window_idx", "energy",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+# idx(j): nearest-neighbor 8x8 grid sample index into an sw x sh raster
+_AHASH_IDX = "((((j // 8) * sh) // 8) * sw + ((j % 8) * sw) // 8)"
+_AHASH_SAMP = (
+    f"xor((base * 7 + {_AHASH_IDX} * 13) % 256,"
+    f" CASE WHEN fl = 1 AND {_AHASH_IDX} < 3 THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "multimodal_image_dedup",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               8 + octet_length(encode(text)) % 9 AS sw,
+               8 + octet_length(encode(text)) % 7 AS sh
+        FROM documents
+    ),
+    g AS (
+        SELECT media_id, media_id AS base, sw, sh, 0 AS fl FROM m
+        UNION ALL
+        SELECT media_id + 1000000, media_id, sw, sh, 1
+        FROM m WHERE media_id % 40 = 0
+    ),
+    s AS (
+        SELECT media_id,
+               list_transform(range(0, 64), j -> {_AHASH_SAMP}) AS samp
+        FROM g
+    ),
+    hsh AS (
+        SELECT media_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN samp[j + 1] * 64 > list_sum(samp)
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END))
+                    AS BIGINT) AS hash_lo,
+               CAST(list_sum(list_transform(range(32, 64), j ->
+                   CASE WHEN samp[j + 1] * 64 > list_sum(samp)
+                        THEN CAST(1 AS BIGINT) << (j - 32) ELSE 0 END))
+                    AS BIGINT) AS hash_hi
+        FROM s
+    ),
+    bands AS (
+        SELECT media_id, hash_hi, hash_lo,
+               unnest([hash_lo & 65535, (hash_lo >> 16) & 65535,
+                       hash_hi & 65535, (hash_hi >> 16) & 65535]) AS bval,
+               unnest([0, 1, 2, 3]) AS bidx
+        FROM hsh
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.bidx = b.bidx AND a.bval = b.bval
+         AND a.media_id < b.media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.hash_hi, hb.hash_hi))
+              + bit_count(xor(ha.hash_lo, hb.hash_lo)) AS BIGINT)
+               AS hamming
+    FROM cand c
+    JOIN hsh ha ON ha.media_id = c.id_a
+    JOIN hsh hb ON hb.media_id = c.id_b
+    WHERE bit_count(xor(ha.hash_hi, hb.hash_hi))
+        + bit_count(xor(ha.hash_lo, hb.hash_lo)) <= 3
+    """,
+)
+def multimodal_image_dedup(spark, sf_dir):
+    """L5 x L2 crossover (r15 third wave): PERCEPTUAL image dedup over
+    the real PGM corpus — average-hash (the published aHash: 8x8
+    nearest-neighbor grid, bit j = sample_j*64 > sum, division-free
+    strict mean test) computed from the ACTUAL decoded pixels in one
+    numpy pass per image (operators/multimodal.image_ahash), packed as
+    two 32-bit halves so the int64 sign bit never matters. Near-dup
+    pairs surface via 4 x 16-bit band buckets (the simhash banding
+    discipline): Hamming <= 3 pairs ALWAYS share an intact band
+    (pigeonhole, 3 < 4 bands), so banding is recall-lossless for the
+    verified threshold, and the exact Hamming check (xor + bit_count,
+    JVM-side) prunes the rest.
+
+    Planted twins (perturb_pgm: low bit of the first three pixels
+    flipped on doc_id %% 40 == 0 images — the re-encode/minor-edit case
+    pHashing exists for) must land as pairs; honest image pairs surface
+    only if their rasters genuinely collide within the threshold —
+    either way both engines derive the identical pair set, because the
+    oracle restates raster, grid, hash, bands, and Hamming from the
+    generative pixel formula (the X208 discipline; the Spark side
+    parses REAL bytes).
+
+    Scale shape: hashing is scan-speed Arrow batches; the only shuffle
+    is the band-keyed equi-join (4 rows per image, 16-bit keys);
+    candidate volume is governed by band width exactly like MinHash-LSH
+    — no all-pairs anywhere."""
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        documents_as_pgm_media,
+        image_ahash,
+        perturb_pgm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_pgm_media(documents_as_media(docs))
+    twins = perturb_pgm(media.filter(F.col("media_id") % 40 == 0))
+    # the hash table feeds the band explode AND both verify sides — pin
+    hashed = image_ahash(media.unionByName(twins)).localCheckpoint(
+        eager=True
+    )
+    bands = hashed.select(
+        "media_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3)).alias(
+                    "bidx"
+                ),
+                F.array(
+                    F.expr("hash_lo & 65535"),
+                    F.expr("(hash_lo >> 16) & 65535"),
+                    F.expr("hash_hi & 65535"),
+                    F.expr("(hash_hi >> 16) & 65535"),
+                ).alias("bval"),
+            )
+        ).alias("z"),
+    ).select("media_id", F.col("z.bidx").alias("bidx"),
+             F.col("z.bval").alias("bval"))
+    a = bands.select(F.col("media_id").alias("id_a"), "bidx", "bval")
+    b = bands.select(F.col("media_id").alias("id_b"), "bidx", "bval")
+    cand = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashed.select(F.col("media_id").alias("id_a"),
+                       F.col("hash_hi").alias("hi_a"),
+                       F.col("hash_lo").alias("lo_a"))
+    hb = hashed.select(F.col("media_id").alias("id_b"),
+                       F.col("hash_hi").alias("hi_b"),
+                       F.col("hash_lo").alias("lo_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            (F.bit_count(F.expr("hi_a ^ hi_b"))
+             + F.bit_count(F.expr("lo_a ^ lo_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
