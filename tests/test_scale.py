@@ -960,3 +960,54 @@ def test_unigram_dp_stays_jvm_side_and_encode_broadcasts(spark):
     eplan = enc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in eplan
     assert "CartesianProduct" not in eplan
+
+
+def test_r15_third_wave_dedup_joins_never_cartesian(spark):
+    """X217/X222: SemDeDup's pair join is cell-keyed and the image
+    dedup's candidate join is band-keyed — a cartesian/BNLJ anywhere
+    is the O(n^2) failure these blocked designs exist to avoid."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    for key in ("dedup_semantic", "multimodal_image_dedup"):
+        df = lookup(key).build(spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_hybrid_rrf_broadcasts_the_query_dims(spark):
+    """X216: both legs must broadcast their tiny sides — the BM25 leg's
+    7-row query list and vocabulary-sized df dim, the dense leg's 3-row
+    query set. The corpus side must never be the broadcast build."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    df = lookup("search_hybrid_rrf").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_shuffle_free_after_spread(spark):
+    """X215: the gate is one row-local fold — beyond the spread()
+    repartition of the scan, NO exchange may appear (a shuffle here
+    would mean the classifier isn't running at scan speed)."""
+    import re
+
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans,
+        lookup,
+    )
+
+    load_all_plans()
+    df = lookup("text_quality_classifier").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1  # the spread only
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
