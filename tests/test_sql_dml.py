@@ -721,3 +721,23 @@ def test_plain_in_list_still_routes_to_delete_where(spark, pair):
     execute_dml(spark, "DELETE FROM tbl WHERE id IN (1, 2, 3)",
                 {"tbl": sql_root})
     assert {t[0] for t in _rows(spark, sql_root)} == set(range(20)) - {1, 2, 3}
+
+
+def test_in_subquery_top_level_between_refused(spark, pair):
+    """A bare BETWEEN's own AND would corrupt the conjunct split —
+    refused with the parenthesize hint; the parenthesized form works."""
+    sql_root, _ = pair
+    with pytest.raises(DmlSyntaxError, match="BETWEEN"):
+        execute_dml(
+            spark,
+            """DELETE FROM tbl WHERE score BETWEEN 0 AND 50
+               AND id IN (SELECT id FROM tbl)""",
+            {"tbl": sql_root},
+        )
+    execute_dml(
+        spark,
+        """DELETE FROM tbl WHERE (score BETWEEN 0 AND 50)
+           AND id IN (SELECT id FROM tbl)""",
+        {"tbl": sql_root},
+    )
+    assert all(t[1] > 50 for t in _rows(spark, sql_root))

@@ -498,6 +498,15 @@ def _extract_in_subquery(cond: str):
             rest.append(seg.strip())
     if not hits:
         return None
+    if _top_level_matches(cond, re.compile(r"\bBETWEEN\b",
+                                           re.IGNORECASE)):
+        # a top-level BETWEEN's own AND would be split as a conjunct
+        # separator and corrupt the rebuilt matched-condition — refuse
+        # with the fix instead of silently mangling the predicate
+        raise DmlSyntaxError(
+            "a top-level BETWEEN cannot be combined with an IN "
+            "(SELECT ...) conjunct — parenthesize it: "
+            "(col BETWEEN lo AND hi)")
     if len(hits) > 1:
         raise DmlSyntaxError(
             "at most one `col IN (SELECT ...)` conjunct is supported "
