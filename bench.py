@@ -170,6 +170,7 @@ FRESH = [
     "corpus_curation_v2",       # full curation funnel in one plan
     "search_mmr_rerank",        # greedy MMR diversity re-rank
     "multimodal_image_dedup",   # aHash perceptual near-dup pairs
+    "multimodal_audio_dedup",   # energy-envelope fingerprint pairs
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -194,3 +194,25 @@ def test_image_dedup_catches_every_planted_twin(spark):
         .filter(F.col("doc_id") % 40 == 0).collect()
     }
     assert {a for a, _b in twins} == planted
+
+
+def test_audio_dedup_catches_every_planted_twin(spark):
+    """X223: every perturb_wav twin pairs with its base (Hamming 0 on
+    this corpus), and all reported pairs sit within the threshold."""
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans.multimodal import (
+        multimodal_audio_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = multimodal_audio_dedup(spark, SF_CORRECT).collect()
+    assert rows and all(r["hamming"] <= 1 for r in rows)
+    twin_bases = {r["id_a"] for r in rows
+                  if r["id_b"] == r["id_a"] + 1_000_000 and r["hamming"] == 0}
+    planted = {
+        int(r["doc_id"])
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .filter(F.col("doc_id") % 40 == 0).collect()
+    }
+    assert twin_bases == planted

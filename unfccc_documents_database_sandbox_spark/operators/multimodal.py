@@ -524,3 +524,68 @@ def image_ahash(media: DataFrame) -> DataFrame:
                       T.StructField("hash_hi", T.LongType()),
                       T.StructField("hash_lo", T.LongType())]),
     )
+
+
+def perturb_wav(media: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
+    """Near-duplicate WAV twin: parse the real RIFF bytes, flip the low
+    bit of the first three PCM samples, re-encode — the re-encode/
+    light-edit case audio fingerprinting exists to catch; exact integer
+    perturbation, so the oracle restates the twin signal from the
+    generative sample formula."""
+    import numpy as np
+
+    def twist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = decode_wav(bytes(p))
+                arr = np.frombuffer(raw, dtype=np.uint8).copy()
+                arr[:3] ^= 1
+                ids.append(int(mid) + id_offset)
+                payloads.append(encode_wav(arr.tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    return media.mapInPandas(
+        twist,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]),
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Energy-envelope fingerprint of each WAV payload from its REAL
+    decoded PCM samples: grid the signal into 32 equal spans (span j =
+    samples [j*n//32, (j+1)*n//32) — empty spans contribute 0 via an
+    exact cumsum difference), bit j = span_energy * 32 > total_energy
+    (division-free strict mean test), packed into one BIGINT (32 bits —
+    the sign bit never matters). The audio sibling of image_ahash."""
+    import numpy as np
+
+    def fp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = decode_wav(bytes(p))
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                cs = np.concatenate(([0], np.cumsum(s * s)))
+                j = np.arange(33, dtype=np.int64)
+                bounds = (j * n) // 32
+                env = cs[bounds[1:]] - cs[bounds[:-1]]
+                tot = int(cs[-1])
+                bits = (env * 32 > tot).astype(np.int64)
+                fps.append(int((bits << np.arange(32, dtype=np.int64)).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "fp": pd.Series(fps, dtype="int64")}
+            )
+
+    return media.mapInPandas(
+        fp_batch,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("fp", T.LongType())]),
+    )

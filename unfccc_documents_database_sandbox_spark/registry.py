@@ -146,7 +146,7 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "events_anomaly", "events_attribution",
         "multimodal_audio_energy", "multimodal_resize", "sql_tpch_q9",
         "stream_static_join", "stream_table_changes",
-        "stream_table_changes_dist", "table_bloom_prune",
+        "stream_table_changes_dist",
         "multimodal_decode", "text_bm25"
     }
 )
@@ -171,7 +171,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "table_null_prune", "table_merge_evolve", "table_history",
         "table_generated_partition", "table_delete_mor",
         "table_constraints", "table_column_mapping", "table_clone",
-        "table_changes_typed",
+        "table_changes_typed", "table_bloom_prune",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
