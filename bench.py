@@ -171,6 +171,8 @@ FRESH = [
     "search_mmr_rerank",        # greedy MMR diversity re-rank
     "multimodal_image_dedup",   # aHash perceptual near-dup pairs
     "multimodal_audio_dedup",   # energy-envelope fingerprint pairs
+    "sql_tpcds_q95",            # CTE reused inside two EXISTS
+    "sql_agg_filter",           # aggregate FILTER clause grammar
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

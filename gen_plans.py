@@ -111,7 +111,7 @@ ROUND_KEYS = [
     "sql_tpcds_q10", "sql_tpcds_q75", "sql_tpcds_q77", "sql_tpcds_q31",
     "corpus_curation_v2", "table_sql_dml_subquery",
     "search_mmr_rerank", "multimodal_image_dedup",
-    "multimodal_audio_dedup",
+    "multimodal_audio_dedup", "sql_tpcds_q95", "sql_agg_filter",
 ]
 
 

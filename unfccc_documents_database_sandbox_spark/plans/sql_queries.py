@@ -1469,3 +1469,55 @@ register("sql_tpcds_q10", oracle=_QDS10)(_sql_plan(_QDS10))
 register("sql_tpcds_q75", oracle=_QDS75)(_sql_plan(_QDS75))
 register("sql_tpcds_q77", oracle=_QDS77)(_sql_plan(_QDS77))
 register("sql_tpcds_q31", oracle=_QDS31)(_sql_plan(_QDS31))
+
+
+# Q95 shape (promising-order-count family, new grammar r15 third wave):
+# a CTE referenced from inside TWO different correlated EXISTS
+# subqueries — the official q95's skeleton (ws_wh = same-order
+# different-warehouse sales pairs, probed by both the sales EXISTS and
+# the returns-join EXISTS). Prior shapes bind CTEs only in FROM
+# position; Catalyst must plan the shared CTE under two ExistenceJoin
+# rewrites. Emulation: multi-supplier orders stand in for
+# multi-warehouse shipments, returned lines for web returns.
+_QDS95 = """
+WITH multi_supp AS (
+    SELECT DISTINCT l1.l_orderkey
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM multi_supp m
+              WHERE m.l_orderkey = o.o_orderkey)
+  AND EXISTS (SELECT 1 FROM lineitem l
+              JOIN multi_supp m2 ON m2.l_orderkey = l.l_orderkey
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# Aggregate FILTER clause (SQL:2003 T612, new grammar r15 third wave):
+# per-group conditional aggregates without CASE gymnastics — COUNT/SUM/
+# COUNT(DISTINCT) each under their own FILTER (WHERE ...). Both engines
+# support the clause natively; the distinct-count-under-filter is the
+# shape CASE WHEN cannot express without a nested subquery.
+_QFILTER = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+            AS BIGINT) AS n_urgent,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+            FILTER (WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+            AS BIGINT) AS cents_1995,
+       CAST(COUNT(DISTINCT o.o_custkey)
+            FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS custs_f
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+register("sql_tpcds_q95", oracle=_QDS95)(_sql_plan(_QDS95))
+register("sql_agg_filter", oracle=_QFILTER)(_sql_plan(_QFILTER))
