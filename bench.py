@@ -173,6 +173,7 @@ FRESH = [
     "multimodal_audio_dedup",   # energy-envelope fingerprint pairs
     "sql_tpcds_q95",            # CTE reused inside two EXISTS
     "sql_agg_filter",           # aggregate FILTER clause grammar
+    "join_asof_directions",     # backward/forward/nearest as-of join
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

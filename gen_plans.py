@@ -112,6 +112,7 @@ ROUND_KEYS = [
     "corpus_curation_v2", "table_sql_dml_subquery",
     "search_mmr_rerank", "multimodal_image_dedup",
     "multimodal_audio_dedup", "sql_tpcds_q95", "sql_agg_filter",
+    "join_asof_directions",
 ]
 
 

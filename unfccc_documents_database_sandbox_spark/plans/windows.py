@@ -660,3 +660,108 @@ def events_top_paths(spark, sf_dir):
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "join_asof_directions",
+    oracle="""
+    SELECT o.o_orderkey,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS back_event_id,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+             ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS fwd_event_id,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id = o.o_custkey
+             ORDER BY CASE WHEN e.ts >= o.o_orderdate
+                           THEN e.ts - o.o_orderdate
+                           ELSE o.o_orderdate - e.ts END ASC,
+                      CASE WHEN e.ts <= o.o_orderdate THEN 0 ELSE 1 END ASC,
+                      CASE WHEN e.ts <= o.o_orderdate
+                           THEN -e.event_id ELSE e.event_id END ASC
+             LIMIT 1) AS nearest_event_id
+    FROM orders o
+    """,
+)
+def join_asof_directions(spark, sf_dir):
+    """J6 completion — the full pandas-merge_asof direction surface in
+    one distributed pass: per order, the customer's latest event
+    at-or-before (`backward`, join_asof's rule), earliest at-or-after
+    (`forward`), and the absolute-nearest (`nearest`: backward
+    preferred on an exact-distance tie, each side keeping its own tie
+    rule — latest id backward, earliest id forward).
+
+    Spark-first shape: ONE union of both sides keyed on user, TWO
+    window passes over the SAME key partitioning (one exchange, two
+    in-partition sorts) — the backward pass orders events BEFORE orders
+    at equal ts and carries last(event struct) forward; the forward
+    pass orders orders first and pulls first(event struct) from the
+    current-row-onward frame, so `<=`/`>=` tie inclusion is encoded in
+    the sort, never a per-row subquery or a range self-join. `nearest`
+    is then a row-local comparison of the two carried structs
+    (timestamp differences compare as intervals — no epoch extraction,
+    no precision loss). NULL-safe: an order with no event on a side
+    carries NULL there, and nearest falls back to the populated side.
+
+    Scale: identical to join_asof — parallelism grows with the user-key
+    cardinality, the union never materializes per-pair candidates, and
+    both windows ride one shuffle. The oracle states the same three
+    rules as correlated subqueries (DuckDB's optimizer's problem, not
+    the engine's)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    merged = ev.unionByName(orders)
+    ev_struct = F.when(
+        F.col("is_order") == 0, F.struct(F.col("ts"), F.col("event_id"))
+    )
+    # backward: events sort BEFORE orders at equal ts (is_order asc),
+    # last event wins (highest id among equal ts)
+    w_back = (
+        Window.partitionBy("k")
+        .orderBy("ts", "is_order", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward: orders sort BEFORE events at equal ts (1 - is_order
+    # desc == is_order asc flipped), first event from here on wins
+    w_fwd = (
+        Window.partitionBy("k")
+        .orderBy("ts", (1 - F.col("is_order")), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        merged.withColumn(
+            "back", F.last(ev_struct, ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "fwd", F.first(ev_struct, ignorenulls=True).over(w_fwd)
+        )
+        .filter(F.col("is_order") == 1)
+    )
+    nearest = (
+        F.when(F.col("back").isNull(), F.col("fwd.event_id"))
+        .when(F.col("fwd").isNull(), F.col("back.event_id"))
+        .when(
+            F.col("ts") - F.col("back.ts") <= F.col("fwd.ts") - F.col("ts"),
+            F.col("back.event_id"),
+        )
+        .otherwise(F.col("fwd.event_id"))
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("back.event_id").alias("back_event_id"),
+        F.col("fwd.event_id").alias("fwd_event_id"),
+        nearest.alias("nearest_event_id"),
+    )

@@ -145,7 +145,6 @@ ROTATED_DUE: frozenset[str] = frozenset(
         "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
         "events_anomaly", "events_attribution",
         "multimodal_audio_energy", "multimodal_resize", "sql_tpch_q9",
-        "stream_static_join",
         "multimodal_decode", "text_bm25"
     }
 )
@@ -172,6 +171,7 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "table_constraints", "table_column_mapping", "table_clone",
         "table_changes_typed", "table_bloom_prune",
         "stream_table_changes", "stream_table_changes_dist",
+        "stream_static_join",
         "agg_approx_distinct", "agg_approx_percentiles",
         "agg_argext_bitwise", "agg_cube", "agg_doc_text",
         "agg_doc_text_warehouse", "agg_group_stats",
