@@ -133,6 +133,10 @@ def _summary(plan: str) -> str:
 
 
 def _tree(plan: str) -> str:
+    # plan strings can embed literal NULs (the DV machinery's
+    # concat_ws("\x00", ...) composite keys) — escape them so PLANS.md
+    # stays a text file for grep/diff tooling
+    plan = plan.replace("\x00", "\\x00")
     lines = [ln.rstrip() for ln in plan.splitlines() if ln.strip()]
     if len(lines) > _MAX_TREE_LINES:
         kept = lines[:_MAX_TREE_LINES]
