@@ -108,159 +108,175 @@ REGISTRY: dict[str, QuerySpec] = {}
 # keys (doc_rolling_hash re-oracled, multimodal_audio_energy /
 # multimodal_resize re-pinned over real codecs) promoted to DUE (sized
 # 39 for the planned r15 new-key count of 11). Oldest evidence on file
-# after r15: r10 (the tail), then r11.
+# after r15: r10 (the tail), then r11. r16 advances it per VERDICT r15
+# #1: the 50-key r15 window (31 unprefixed + 19 z_ re-checks) parked,
+# the r14 PARKED cohort aged into NEXT, and the full 21-key r09
+# remnant (the mid-r15 DUE demotions — their r09 evidence is now the
+# oldest on file) + the alphabetically-first 19 keys of the r10 tail +
+# the 2 r16-rebuilt ANN-index keys promoted to DUE (sized 42 for the
+# planned r16 new-key count of 8). Oldest evidence on file after r16:
+# r10 (the remaining 16-key tail), then r11.
 
-# DUE (z_): oldest evidence on file — promoted per VERDICT r14 #1 /
-# the standing queue contract: the full 23-key r09 cohort (nothing
-# older remains), the alphabetically-first 13 keys of the r10 cohort,
-# PLUS the 3 keys whose r15 builder change stales their old evidence
-# (doc_rolling_hash re-oracled with a published polynomial — VERDICT
-# r14 #4; multimodal_audio_energy / multimodal_resize re-pinned over
-# REAL stdlib codec round-trips — VERDICT r14 #7). Sized 39 = 50 − the
-# 11 planned r15 new keys (machine-checked by
+# DUE (z_): oldest evidence on file — promoted per VERDICT r15 #1 /
+# the standing queue contract: the full 21-key r09 remnant (nothing
+# older remains — these were demoted from DUE mid-r15 to make window
+# room for the late r15 wave, so their latest clean driver row is
+# still CORRECTNESS_r09.json), the alphabetically-first 19 keys of
+# the r10 cohort tail (events_dau_wau .. lang_id), PLUS the 2 keys
+# whose r16 builder change stales their old evidence:
+# sim_index_persisted / sim_index_refresh rebuilt so the IVFADC
+# encodings live in a parquet side table instead of the driver-side
+# JSON artifact (VERDICT r15 "What's wrong" #1 / next-round #2) — the
+# X200 changed-builder re-evidence rule. Sized 42 = 50 − the 8
+# planned r16 new keys (sql_tpcds_q6/q32/q41/q92,
+# udf_llm_openai_adapter, text_quality_classifier_trained,
+# multimodal_image_phash, text_bpe_pretrained_2k; machine-checked by
 # tests/test_rotation.py::test_window_reaches_every_due_key; sized
-# from the registry, not this comment). Mid-round resize: 5 MORE new
-# keys landed (udf_llm_prompt_cache, sql_tpcds_q47/q74,
-# sim_topk_ivf_portable, corpus_split), so the 5 alphabetically-last
-# promoted keys (table_row_ids, table_update_mor, text_bm25,
-# udf_cogrouped_asof, xlsx_ingest) demoted back to NEXT — the r07 precedent: each new unprefixed key
-# displaces the newest-evidence end of DUE, never the oldest. Second
-# swap: multimodal_decode's r15 rebuild (real PGM parse, new schema)
-# stales its r13 evidence → promoted NEXT→DUE for re-evidence, with
-# table_update (newest-evidence DUE tail) demoted to keep the window
-# at exactly 50 — the X200 changed-builder re-evidence rule. Third
-# wave: each additional r15 key (text_quality_classifier,
-# search_hybrid_rrf, ...) demotes the then-alphabetically-last DUE
-# member (table_restore, table_partition_prune, table_partition_evolve,
-# table_null_prune, ...) to NEXT — the
-# standing r07 rule. text_bm25's builder was refactored through the
-# shared bm25_ranked helper (results bit-identical), so it is promoted
-# NEXT→DUE for re-evidence per the X200 changed-builder rule, demoting
-# table_partition_evolve in exchange.
+# from the registry, not this comment).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
-        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
-        "basket_pairs", "dedup_exact", "dedup_fuzzy_minhash",
-        "dedup_hash_sha", "dedup_latest", "dedup_ngram_jaccard",
-        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
-        "events_anomaly", "events_attribution",
-        "multimodal_audio_energy", "multimodal_resize", "sql_tpch_q9",
-        "multimodal_decode", "text_bm25"
+        "events_dau_wau", "events_rfm", "events_top_paths",
+        "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
+        "graph_triangles", "join_asof", "join_bridge",
+        "join_child_collect", "join_inner_fk", "join_lateral",
+        "join_left_nullable", "join_null_safe", "join_range",
+        "join_semi", "join_skew_salted", "json_extract", "lang_id",
+        "sim_index_persisted", "sim_index_refresh",
+        "stream_static_join", "stream_table_changes",
+        "stream_table_changes_dist", "table_bloom_prune",
+        "table_changes_typed", "table_clone",
+        "table_column_mapping", "table_constraints",
+        "table_delete_mor", "table_generated_partition",
+        "table_history", "table_merge_evolve", "table_null_prune",
+        "table_partition_evolve", "table_partition_prune",
+        "table_restore", "table_row_ids", "table_update",
+        "table_update_mor", "udf_cogrouped_asof", "xlsx_ingest"
     }
 )
 
-# NEXT (zz_): latest clean driver row is CORRECTNESS_r10.json (the r10
-# tail beyond the 13 promoted above), CORRECTNESS_r11.json,
-# CORRECTNESS_r12.json, or CORRECTNESS_r13.json (the 50-key r13 window
-# — aged out of PARKED this round). These receive the r15 window
-# spillover beyond the DUE tier and are the r16 promotion pool (r10
-# tail first, then r11). Rows-only by design:
-# sim_topk_pq-family/dedup_fuzzy_minhash/dedup_simhash/sim_topk_ivf/
-# sim_topk_ivfpq/sim_topk_lsh (each with a hash-exact portable twin),
-# agg_approx_* / agg_hll_partitioned (approx sketches with exact
-# twins), stream_dedup_live (arrival-order by construction),
-# catalog_tables (no DuckDB twin by design).
+# NEXT (zz_): latest clean driver row is CORRECTNESS_r10.json (the
+# 16-key r10 tail beyond the 19 promoted above), CORRECTNESS_r11.json,
+# CORRECTNESS_r12.json, CORRECTNESS_r13.json, or CORRECTNESS_r14.json
+# (the 50-key r14 window — aged out of PARKED this round). These
+# receive the r16 window spillover beyond the DUE tier and are the
+# r17 promotion pool (r10 tail first, then r11). Rows-only by design:
+# sim_topk_pq-family/sim_topk_ivf/sim_topk_ivfpq/sim_topk_lsh (each
+# with a hash-exact portable twin), agg_approx_* /
+# agg_hll_partitioned (approx sketches with exact twins),
+# stream_dedup_live (arrival-order by construction), catalog_tables
+# (no DuckDB twin by design).
 ROTATED_NEXT: frozenset[str] = frozenset(
     {
-        # demoted from DUE mid-r15 (window room for the late new keys)
-        "table_row_ids", "table_update_mor",
-        "udf_cogrouped_asof", "xlsx_ingest", "table_restore",
-        "table_partition_prune", "table_partition_evolve",
-        "table_null_prune", "table_merge_evolve", "table_history",
-        "table_generated_partition", "table_delete_mor",
-        "table_constraints", "table_column_mapping", "table_clone",
-        "table_changes_typed", "table_bloom_prune",
-        "stream_table_changes", "stream_table_changes_dist",
-        "stream_static_join",
         "agg_approx_distinct", "agg_approx_percentiles",
-        "agg_argext_bitwise", "agg_cube", "agg_doc_text",
-        "agg_doc_text_warehouse", "agg_group_stats",
-        "agg_grouping_sets", "agg_hll_partitioned", "agg_linear_trend",
-        "agg_percentiles", "agg_pivot", "agg_rollup", "agg_sum_global",
-        "agg_unpivot", "array_ops", "case_when_block", "catalog_tables",
-        "cluster_kmeans", "contamination_check", "corpus_mix",
-        "corpus_pipeline", "corpus_upsample", "csv_roundtrip",
-        "date_extract", "dedup_components", "dedup_components_star",
-        "dedup_containment", "dedup_minhash_portable",
+        "agg_argext_bitwise", "agg_corr_exact", "agg_cube",
+        "agg_doc_text", "agg_doc_text_warehouse", "agg_group_stats",
+        "agg_grouping_sets", "agg_hll_partitioned",
+        "agg_linear_trend", "agg_percentiles", "agg_pivot",
+        "agg_rollup", "agg_sum_global", "agg_unpivot", "array_ops",
+        "case_when_block", "catalog_tables", "cluster_kmeans",
+        "contamination_check", "corpus_mix", "corpus_pipeline",
+        "corpus_upsample", "csv_roundtrip", "date_extract",
+        "dedup_components", "dedup_components_star",
+        "dedup_containment", "dedup_embedding", "dedup_incremental",
+        "dedup_lines", "dedup_minhash_portable",
         "dedup_simhash_portable", "dedup_substring", "docx_ingest",
-        "events_dau_wau", "events_rfm", "events_top_paths",
-        "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
-        "graph_triangles", "join_anti", "join_asof", "join_bridge",
-        "join_bucketed", "join_child_collect", "join_dpp",
-        "join_full_outer", "join_inner_fk", "join_interval_overlap",
-        "join_lateral", "join_left_nullable", "join_null_safe",
-        "join_range", "join_semi", "join_skew_salted", "json_extract",
-        "json_roundtrip", "json_variant_extract", "lang_id",
-        "layout_compaction_apply", "layout_zorder", "limit_n",
-        "map_ops", "math_arith", "merge_upsert", "table_update",
-        "multimodal_features_topk", "multimodal_frame_sample",
-        "numbering_normalize", "orders_abc_pareto", "orders_gini",
-        "pack_sequences", "project_columns", "quality_expectations",
-        "sample_hash_mod", "sample_stratified", "scan_full",
-        "scd2_history", "set_ops", "shuffle_epoch",
-        "sim_index_persisted", "sim_topk", "sim_topk_ivf",
+        "events_funnel", "events_retention", "events_sessionize",
+        "graph_bfs", "graph_pagerank", "index_inverted",
+        "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
+        "join_interval_overlap", "join_similarity_prefix",
+        "json_roundtrip", "json_variant_extract",
+        "layout_compaction", "layout_compaction_apply",
+        "layout_zorder", "limit_n", "map_ops", "math_arith",
+        "merge_upsert", "multimodal_features_topk",
+        "multimodal_frame_sample", "numbering_normalize",
+        "orders_abc_pareto", "orders_gini", "pack_sequences",
+        "project_columns", "quality_expectations",
+        "sample_hash_mod", "sample_stratified", "sample_weighted",
+        "scan_full", "scd2_history", "set_ops", "shuffle_epoch",
+        "sim_near_dup_pairs", "sim_topk", "sim_topk_ivf",
         "sim_topk_ivfpq", "sim_topk_ivfpq_portable", "sim_topk_lsh",
-        "sim_topk_pq_portable", "sketch_bloom", "sketch_countmin",
-        "sketch_heavy_hitters", "sketch_hll_portable",
-        "source_hive_partitioned", "source_jdbc", "source_pyds",
-        "source_pyds_stream", "source_schema_evolution",
+        "sim_topk_pq", "sim_topk_pq_portable", "sketch_bloom",
+        "sketch_countmin", "sketch_heavy_hitters",
+        "sketch_hll_portable", "sort_global",
+        "source_hive_partitioned", "source_jdbc", "source_orc",
+        "source_pyds", "source_pyds_stream",
+        "source_schema_evolution", "sql_corr_subquery",
         "sql_recursive_bom", "sql_scalar_udf", "sql_tpcds_q34",
-        "sql_tpcds_q36", "sql_tpcds_q42", "sql_tpcds_q44",
-        "sql_tpcds_q49", "sql_tpcds_q51", "sql_tpcds_q67",
-        "sql_tpcds_q88", "sql_tpcds_q89", "sql_tpcds_q93",
-        "sql_tpch_q1", "sql_tpch_q12", "sql_tpch_q14", "sql_tpch_q18",
-        "sql_tpch_q19", "sql_tpch_q22", "sql_tpch_q3", "sql_tpch_q4",
-        "sql_tpch_q5", "sql_tpch_q6", "sql_window_range", "str_funcs",
+        "sql_tpcds_q36", "sql_tpcds_q42", "sql_tpcds_q43",
+        "sql_tpcds_q44", "sql_tpcds_q49", "sql_tpcds_q51",
+        "sql_tpcds_q59", "sql_tpcds_q65", "sql_tpcds_q67",
+        "sql_tpcds_q79", "sql_tpcds_q88", "sql_tpcds_q89",
+        "sql_tpcds_q93", "sql_tpcds_q98", "sql_tpch_q1",
+        "sql_tpch_q10", "sql_tpch_q11", "sql_tpch_q12",
+        "sql_tpch_q13", "sql_tpch_q14", "sql_tpch_q15",
+        "sql_tpch_q16", "sql_tpch_q17", "sql_tpch_q18",
+        "sql_tpch_q19", "sql_tpch_q2", "sql_tpch_q20",
+        "sql_tpch_q21", "sql_tpch_q22", "sql_tpch_q3",
+        "sql_tpch_q4", "sql_tpch_q5", "sql_tpch_q6", "sql_tpch_q7",
+        "sql_tpch_q8", "sql_window_range", "str_funcs",
         "stream_branch_changes", "stream_changes_bounded",
         "stream_dedup_live", "stream_foreach_merge",
         "stream_foreach_merge_mor", "stream_full_outer_join",
         "stream_outer_join", "stream_session", "stream_sliding",
         "stream_stateful_profile", "stream_stream_join",
-        "stream_tumbling", "stream_watermark_live", "table_branch",
-        "table_bucket_prune", "table_changes", "table_concurrent",
-        "table_dv_bitmap", "table_files_meta",
-        "table_generated_columns", "table_identity_columns",
-        "table_merge_clauses", "table_merge_mark_stale",
-        "table_merge_mor", "table_merge_skipping", "table_merge_sync",
-        "table_snapshot_read", "table_sql_delete", "table_sql_insert",
-        "table_sql_merge", "table_sql_select", "table_sql_update",
-        "table_type_widening", "table_vacuum_audit", "text_bigram_cond",
+        "stream_tumbling", "stream_watermark_live", "table_analyze",
+        "table_branch", "table_bucket_prune", "table_changes",
+        "table_concurrent", "table_dv_bitmap", "table_dv_legacy",
+        "table_files_meta", "table_generated_columns",
+        "table_identity_columns", "table_incremental_mv",
+        "table_merge_clauses", "table_merge_clauses_mor",
+        "table_merge_mark_stale", "table_merge_mor",
+        "table_merge_skipping", "table_merge_sync",
+        "table_schema_evolution", "table_snapshot_read",
+        "table_sql_ddl", "table_sql_delete", "table_sql_history",
+        "table_sql_insert", "table_sql_merge", "table_sql_select",
+        "table_sql_timetravel", "table_sql_update",
+        "table_stats_prune", "table_type_widening",
+        "table_vacuum_audit", "text_bigram_cond",
         "text_bpe_bytes_encode", "text_bpe_bytes_train",
-        "text_bpe_encode", "text_bpe_pairs", "text_bpe_train",
-        "text_chunk_sliding", "text_funcs", "text_length_hist",
-        "text_pii_scrub", "text_repetition", "text_tfidf",
-        "text_top_ngrams", "text_unigram_encode", "text_unigram_train",
-        "text_vocab", "topk_per_group", "ts_resample_ohlc",
-        "udaf_grouped_map", "udf_llm_cost_sum", "udf_llm_dead_letter",
-        "udf_llm_summarize", "udf_prompt_template",
-        "udtf_explode_blocks", "udtf_polymorphic", "url_normalize",
+        "text_bpe_encode", "text_bpe_pairs", "text_bpe_pretrained",
+        "text_bpe_train", "text_chunk_sliding", "text_funcs",
+        "text_keyterms", "text_length_hist", "text_pii_scrub",
+        "text_repetition", "text_tfidf", "text_top_ngrams",
+        "text_unigram_encode", "text_unigram_score",
+        "text_unigram_train", "text_vocab", "topk_per_group",
+        "try_funcs", "ts_gapfill", "ts_resample_ohlc",
+        "udaf_grouped_map", "udaf_pandas_agg", "udf_llm_cost_sum",
+        "udf_llm_dead_letter", "udf_llm_summarize",
+        "udf_prompt_template", "udtf_explode_blocks",
+        "udtf_polymorphic", "udtf_python_segments", "url_normalize",
         "window_cume_distinct", "window_funcs", "xml_ingest"
     }
 )
 
-# PARKED (zzz_): latest clean driver row is CORRECTNESS_r14.json — the
-# 50 keys of the r14 window (49 hash-green + sim_topk_pq rows-only by
-# design): 13 were the un-prefixed r14 keys, 37 were z_-spelled
-# re-checks of the r08-remnant + r09-cohort block.
+# PARKED (zzz_): latest clean driver row is CORRECTNESS_r15.json — the
+# r15 window (48 hash-green + dedup_fuzzy_minhash / dedup_simhash
+# rows-only by design, xxhash64 hot paths with hash-green portable
+# twins): 31 were the un-prefixed r15 keys, 19 were z_-spelled
+# re-checks of the r09/r10-cohort block. sim_index_refresh is NOT here
+# despite its fresh r15 row — its r16 builder rebuild (parquet-side-
+# table encodings) promotes it straight to DUE per the X200 rule.
 ROTATED_PARKED: frozenset[str] = frozenset(
     {
-        "agg_corr_exact", "dedup_embedding", "dedup_incremental",
-        "dedup_lines", "events_funnel", "events_retention",
-        "events_sessionize", "graph_bfs", "graph_pagerank",
-        "index_inverted", "join_similarity_prefix", "layout_compaction",
-        "sample_weighted", "sim_near_dup_pairs", "sim_topk_pq",
-        "sort_global", "source_orc", "sql_corr_subquery",
-        "sql_tpcds_q43", "sql_tpcds_q59", "sql_tpcds_q65",
-        "sql_tpcds_q79", "sql_tpcds_q98", "sql_tpch_q10",
-        "sql_tpch_q11", "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16",
-        "sql_tpch_q17", "sql_tpch_q2", "sql_tpch_q20", "sql_tpch_q21",
-        "sql_tpch_q7", "sql_tpch_q8", "table_analyze",
-        "table_dv_legacy", "table_incremental_mv",
-        "table_merge_clauses_mor", "table_schema_evolution",
-        "table_sql_ddl", "table_sql_history", "table_sql_timetravel",
-        "table_stats_prune", "text_bpe_pretrained", "text_keyterms",
-        "text_unigram_score", "try_funcs", "ts_gapfill",
-        "udaf_pandas_agg", "udtf_python_segments"
+        "agg_decimal_money", "agg_mode_freq", "agg_skewness_exact",
+        "basket_pairs", "corpus_curation_v2", "corpus_split",
+        "dedup_exact", "dedup_fuzzy_minhash", "dedup_hash_sha",
+        "dedup_latest", "dedup_ngram_jaccard", "dedup_semantic",
+        "dedup_simhash", "doc_fingerprint", "doc_rolling_hash",
+        "events_anomaly", "events_attribution",
+        "join_asof_directions", "multimodal_audio_dedup",
+        "multimodal_audio_energy", "multimodal_decode",
+        "multimodal_image_dedup", "multimodal_resize",
+        "search_hybrid_rrf", "search_mmr_rerank",
+        "sim_topk_ivf_portable", "sim_topk_lsh_portable",
+        "sql_agg_filter", "sql_tpcds_q10", "sql_tpcds_q14",
+        "sql_tpcds_q31", "sql_tpcds_q38", "sql_tpcds_q47",
+        "sql_tpcds_q71", "sql_tpcds_q74", "sql_tpcds_q75",
+        "sql_tpcds_q77", "sql_tpcds_q8", "sql_tpcds_q87",
+        "sql_tpcds_q95", "sql_tpch_q9", "table_copy_into",
+        "table_insert_overwrite", "table_sql_dml_subquery",
+        "text_bm25", "text_lang_id", "text_quality_classifier",
+        "udf_llm_prompt_cache", "udf_llm_structured_retry"
     }
 )
 
