@@ -472,6 +472,18 @@ def test_polymorphic_udtf_arrow_and_pickle_paths_agree(spark):
         sorted(map(tuple, p.collect()), key=repr)
 
 
+def _enc_rows(spark, root, name):
+    """Canonicalized encodings from an index's parquet SIDE TABLE (the
+    r16 home of the O(corpus) index state — VERDICT r15 #2)."""
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    got = snap.get_index(root, name)
+    return sorted(
+        (int(r["vec_id"]), int(r["cell"]), tuple(int(c) for c in r["codes"]))
+        for r in spark.read.parquet(got["side"]["enc"]).collect()
+    )
+
+
 def test_index_refresh_touches_only_changed_rows(spark, tmp_path):
     """VERDICT r14 #5: refresh_ivfpq_index re-encodes exactly the change
     feed's inserted rows and drops exactly the deleted ids; the merged
@@ -505,13 +517,19 @@ def test_index_refresh_touches_only_changed_rows(spark, tmp_path):
     assert r["reencoded"] == n_odd
     assert r["dropped"] == n_del
     assert r["kept"] == n_even - n_del
+    # the JSON artifact is quantizer-sized — encodings NEVER ride it
+    # (they would be O(corpus) driver memory at 100 TB); they live in
+    # the commit's parquet side table, written by a distributed write
+    art = snap.get_index(root, "ix")
+    assert "enc" not in art["index"]
+    assert set(art["side"]) == {"enc"}
     # refreshed artifact ≡ full retrain (from-scratch encode of head)
-    merged = snap.get_index(root, "ix")["index"]["enc"]
+    merged = _enc_rows(spark, root, "ix")
     full_root = str(tmp_path / "annfull")
     snap.create(spark, full_root, snap.read(spark, root))
     build_ivfpq_index(spark, full_root, "ix",
                       list(IVFPQ_CENT), list(IVFPQ_CB))
-    full = snap.get_index(full_root, "ix")["index"]["enc"]
+    full = _enc_rows(spark, full_root, "ix")
     assert merged == full
     # no-change refresh: no commit, nothing re-encoded
     head = snap.latest_version(root)
@@ -558,7 +576,7 @@ def test_index_refresh_nets_multi_commit_histories(spark, tmp_path):
     snap.delete_where(spark, root, "vec_id >= 30")
 
     r = refresh_ivfpq_index(spark, root, "ix")
-    merged = snap.get_index(root, "ix")["index"]["enc"]
+    merged = _enc_rows(spark, root, "ix")
     ids = [e[0] for e in merged]
     assert len(ids) == len(set(ids)), "duplicate encodings after refresh"
     assert not any(i >= 30 for i in ids), "deleted rows resurrected"
@@ -569,4 +587,45 @@ def test_index_refresh_nets_multi_commit_histories(spark, tmp_path):
     snap.create(spark, full_root, snap.read(spark, root))
     build_ivfpq_index(spark, full_root, "ix",
                       list(IVFPQ_CENT), list(IVFPQ_CB))
-    assert merged == snap.get_index(full_root, "ix")["index"]["enc"]
+    assert merged == _enc_rows(spark, full_root, "ix")
+
+
+def test_index_side_table_retention_and_reclaim(spark, tmp_path):
+    """The parquet side table follows the JSON artifact's VACUUM
+    contract exactly: retained while any retained version references
+    the index commit (a retained index must stay SERVABLE, not just
+    parameterized), swept once the index is dropped and its commits
+    fall out of retention — after which get_index refuses loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from unfccc_documents_database_sandbox_spark.plans.ivfpq_codebook import (
+        IVFPQ_CB, IVFPQ_CENT,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.similarity import (
+        build_ivfpq_index,
+    )
+    from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 30)
+    root = str(tmp_path / "annvac")
+    snap.create(spark, root, emb)
+    build_ivfpq_index(spark, root, "ix", list(IVFPQ_CENT), list(IVFPQ_CB))
+    n = emb.count()
+    # churn some commits, then vacuum to the head only: the index is
+    # still live at head, so artifact AND side table must survive
+    snap.delete_where(spark, root, "vec_id >= 20")
+    snap.vacuum(root, retain_versions=1)
+    got = snap.get_index(root, "ix")
+    assert spark.read.parquet(got["side"]["enc"]).count() == n
+    # drop the index, age its commits out, vacuum: the side table's
+    # parquet is reclaimed with the artifact and a time-traveling
+    # get_index (back to when the index WAS live) refuses loudly
+    v_live = snap.latest_version(root)
+    snap.drop_index(root, "ix")
+    snap.delete_where(spark, root, "vec_id >= 10")
+    swept = snap.vacuum(root, retain_versions=1)
+    assert any("index-ix-enc" in p for p in swept), swept
+    with pytest.raises(ValueError, match="reclaimed"):
+        snap.get_index(root, "ix", version=v_live)

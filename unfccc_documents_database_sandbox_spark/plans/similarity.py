@@ -827,22 +827,22 @@ def _ivfpq_portable_plan(spark, emb, cent_v=None, cb_v=None, enc_df=None):
 
 
 def build_ivfpq_index(spark, root, name, cent_v, cb_v):
-    """Build + persist a SERVABLE IVFADC index: quantizer params AND the
-    full corpus encodings (vec_id, cell, codes) in one artifact, so
-    queries never re-encode the corpus and refreshes touch only changed
-    rows. Sandbox-scale seam (documented): encodings live in the JSON
-    artifact; at 100 TB they are a parquet side table keyed by the same
-    commit — the artifact then holds its path, nothing else changes."""
+    """Build + persist a SERVABLE IVFADC index: the JSON artifact holds
+    ONLY the quantizer parameters (centroids + codebooks — O(1), driver
+    OK); the full corpus encodings (vec_id, cell, codes) are written as
+    a PARQUET SIDE TABLE next to it by a distributed ``df.write``
+    (VERDICT r15 #2 — no encoding row ever passes through the driver),
+    both published under one index commit so they time-travel, VACUUM,
+    and refresh together. Queries never re-encode the corpus (the serve
+    path joins ``spark.read.parquet(side)``), and refreshes touch only
+    changed rows — the FAISS build/serve split on a versioned table."""
     from unfccc_documents_database_sandbox_spark.sources import snapshots as snap
 
     emb = snap.read(spark, root).select("vec_id", "embedding")
-    enc = _ivfpq_encode_plan(_ivfpq_unit(emb), cent_v, cb_v).collect()
-    payload = {
-        "cent": list(cent_v), "cb": list(cb_v),
-        "enc": sorted([int(r["vec_id"]), int(r["cell"]),
-                       [int(c) for c in r["codes"]]] for r in enc),
-    }
-    return snap.put_index(root, name, payload)
+    enc = _ivfpq_encode_plan(_ivfpq_unit(emb), cent_v, cb_v)
+    return snap.put_index(root, name,
+                          {"cent": list(cent_v), "cb": list(cb_v)},
+                          side_tables={"enc": enc})
 
 
 def refresh_ivfpq_index(spark, root, name):
@@ -855,11 +855,18 @@ def refresh_ivfpq_index(spark, root, name):
     as its delete+insert pair and lands re-encoded; rows carried through
     COW rewrites cancel in the feed and are never touched.
 
-    Cost is O(changed rows + |encodings| driver merge), never a corpus
-    scan or retrain — the FAISS build/serve split maintained
-    incrementally, which is how a 100 TB pipeline keeps an index warm
-    between full retrains. Refreshing an up-to-date index is a no-op
-    (no commit published).
+    The merge is a pure DATAFRAME plan (VERDICT r15 #2): old encodings
+    = `spark.read.parquet(side table)`, kept = LEFT ANTI join against
+    the netted feed's ids, merged = kept ∪ re-encoded slice, written
+    back as the new commit's parquet side table by a distributed write.
+    The driver sees only three 1-row count aggregates (the returned
+    audit numbers) — never an encoding row, so refresh cost is
+    O(changed rows) compute + O(|encodings|) executor-parallel copy,
+    with O(1) driver memory at any corpus size. Never a corpus scan or
+    retrain — the FAISS build/serve split maintained incrementally,
+    which is how a 100 TB pipeline keeps an index warm between full
+    retrains. Refreshing an up-to-date index is a no-op (no commit
+    published).
 
     Returns {"version": new index commit or None, "reencoded": n,
     "dropped": n, "kept": n}."""
@@ -869,6 +876,7 @@ def refresh_ivfpq_index(spark, root, name):
     art = got["index"]
     since = got["trained_at"]
     head = snap.latest_version(root)
+    enc = spark.read.parquet(got["side"]["enc"])
     # up-to-date = no commit since trained_at touched data files (index/
     # analyze/optimize-metadata commits don't stale encodings); version
     # equality would never hold — the refresh's own index commit
@@ -881,7 +889,7 @@ def refresh_ivfpq_index(spark, root, name):
     changed_files = any(_data_commit(v) for v in range(since + 1, head + 1))
     if not changed_files:
         return {"version": None, "reencoded": 0, "dropped": 0,
-                "kept": len(art["enc"])}
+                "kept": enc.count()}
     feed = snap.changes(spark, root, since, head)
     # NET the feed per vec_id before touching the index (r15 review):
     # the window can hold MULTIPLE commits for one row — updated twice
@@ -898,40 +906,32 @@ def refresh_ivfpq_index(spark, root, name):
     last = feed.withColumn(
         "vmax", F.max("_commit_version").over(wv)
     ).filter(F.col("_commit_version") == F.col("vmax"))
+    # the netted feed is consumed by four branches (encode, anti-join,
+    # and the two audit counts) — pin it once, it is O(changed rows)
+    last = last.localCheckpoint(eager=True)
     ins = last.filter(is_ins).select("vec_id", "embedding")
     # O(changed rows): the encode plan's input is the feed slice, which
     # by the CDF contract reads only commit-touched files
-    new_rows = _ivfpq_encode_plan(
-        _ivfpq_unit(ins), art["cent"], art["cb"]).collect()
-    del_ids = {
-        int(r["vec_id"])
-        for r in last.groupBy("vec_id")
+    new_enc = _ivfpq_encode_plan(_ivfpq_unit(ins), art["cent"], art["cb"])
+    # every id with ANY final-commit event leaves the old encodings:
+    # inserts re-enter freshly encoded, delete-only ids just leave
+    changed_ids = last.select("vec_id").distinct()
+    del_ids = (
+        last.groupBy("vec_id")
         .agg(F.max(is_ins.cast("int")).alias("has_ins"))
         .filter("has_ins = 0")
         .select("vec_id")
-        .collect()
-    }
-    changed = del_ids | {int(r["vec_id"]) for r in new_rows}
-    kept = [e for e in art["enc"] if int(e[0]) not in changed]
-    merged = sorted(
-        kept
-        + [[int(r["vec_id"]), int(r["cell"]), [int(c) for c in r["codes"]]]
-           for r in new_rows]
     )
-    v = snap.put_index(root, name, {"cent": art["cent"], "cb": art["cb"],
-                                    "enc": merged})
-    return {"version": v, "reencoded": len(new_rows),
-            "dropped": len(del_ids & {int(e[0]) for e in art["enc"]}),
-            "kept": len(kept)}
-
-
-def _enc_df(spark, enc_rows):
-    """Persisted encodings → the (vec_id, cell, codes) frame the serve
-    path joins (broadcast-sized: m bytes per vector)."""
-    return spark.createDataFrame(
-        [(int(v), int(c), [int(x) for x in codes]) for v, c, codes in enc_rows],
-        "vec_id long, cell long, codes array<bigint>",
-    )
+    kept = enc.join(changed_ids, "vec_id", "left_anti")
+    # audit scalars — 1-row aggregates, the only rows the driver reads
+    n_new = ins.count()
+    n_dropped = enc.join(del_ids, "vec_id", "left_semi").count()
+    n_kept = kept.count()
+    v = snap.put_index(
+        root, name, {"cent": art["cent"], "cb": art["cb"]},
+        side_tables={"enc": kept.unionByName(new_enc)})
+    return {"version": v, "reencoded": n_new,
+            "dropped": n_dropped, "kept": n_kept}
 
 
 @register(
@@ -983,7 +983,7 @@ def sim_index_refresh(spark, sf_dir):
     return _ivfpq_portable_plan(
         spark, corpus,
         cent_v=got["index"]["cent"], cb_v=got["index"]["cb"],
-        enc_df=_enc_df(spark, got["index"]["enc"]),
+        enc_df=spark.read.parquet(got["side"]["enc"]),
     )
 
 
@@ -1168,14 +1168,21 @@ def sim_index_persisted(spark, sf_dir):
     (v0), persist the index (trained_at pins v0), APPEND the odd half
     (v1), then answer top-k at BOTH versions with the ONE retrieved
     index (`get_index` + `_ivfpq_portable_plan`, the pinned-literal
-    portable pipeline now fed the index AS DATA). The oracle re-derives
-    each version's result from the raw embeddings with the same shared
-    literals — hash-green means the roundtripped (JSON-serialized,
-    commit-logged, version-resolved) index drives the exact same
-    encode/probe/ADC/refine arithmetic, and that querying post-append
-    data with the v0-trained index is pure composition (no retrain).
-    Index staleness is measurable as the change feed since trained_at;
-    retention/drop/conflict behavior is pinned in tests/test_snapshots.
+    portable pipeline now fed the index AS DATA). As of r16 the build
+    also persists the corpus ENCODINGS as the commit's parquet side
+    table (build_ivfpq_index / VERDICT r15 #2), and the trained-version
+    leg serves FROM that table — no re-encode, no driver round-trip;
+    the post-append leg's rows are not in the v0-trained side table
+    (that is index STALENESS, refresh_ivfpq_index's job), so that leg
+    encodes inline under the same retrieved quantizer. The oracle
+    re-derives each version's result from the raw embeddings with the
+    same shared literals — hash-green means the roundtripped
+    (JSON-serialized, commit-logged, version-resolved) index and its
+    parquet encodings drive the exact same encode/probe/ADC/refine
+    arithmetic, and that querying post-append data with the v0-trained
+    index is pure composition (no retrain). Index staleness is
+    measurable as the change feed since trained_at; retention/drop/
+    conflict behavior is pinned in tests/test_snapshots.
 
     Scale: a 100 TB corpus cannot retrain a quantizer per run (the
     per-run trainers collect bounded samples but still cost a scan +
@@ -1201,23 +1208,24 @@ def sim_index_persisted(spark, sf_dir):
     )
     snap.create(spark, root, emb.filter(F.col("vec_id") % 2 == 0),
                 overwrite=True)
-    snap.put_index(root, "ivfpq",
-                   {"cent": list(IVFPQ_CENT), "cb": list(IVFPQ_CB)})
+    build_ivfpq_index(spark, root, "ivfpq",
+                      list(IVFPQ_CENT), list(IVFPQ_CB))
     snap.append(spark, root, emb.filter(F.col("vec_id") % 2 == 1))
 
     got = snap.get_index(root, "ivfpq")
     cent_v, cb_v = got["index"]["cent"], got["index"]["cb"]
 
-    def at(version: int | None, label: int):
+    def at(version: int | None, label: int, enc_df=None):
         corpus = snap.read(spark, root, version)
         return _ivfpq_portable_plan(
-            spark, corpus, cent_v=cent_v, cb_v=cb_v
+            spark, corpus, cent_v=cent_v, cb_v=cb_v, enc_df=enc_df
         ).select(
             F.lit(label).cast("long").alias("version"),
             "query_id", "neighbor_id", "rank", "score",
         )
 
-    return at(got["trained_at"], 0).unionByName(
+    return at(got["trained_at"], 0,
+              enc_df=spark.read.parquet(got["side"]["enc"])).unionByName(
         at(None, 1)
     )
 

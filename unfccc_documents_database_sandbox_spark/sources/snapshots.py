@@ -1778,6 +1778,7 @@ def _read_state(root: str, version: int | None = None) -> dict:
             e = c["index_add"]
             state["indexes"][e["name"]] = {
                 "artifact": e["artifact"], "trained_at": e["trained_at"],
+                **({"side": e["side"]} if "side" in e else {}),
             }
         if "index_drop" in c:
             state["indexes"].pop(c["index_drop"], None)
@@ -5428,6 +5429,7 @@ def upgrade_protocol(root: str, reader: int | None = None,
 
 
 def put_index(root: str, name: str, index: dict, *,
+              side_tables: dict | None = None,
               max_retries: int = 0) -> int:
     """Persist a trained search/ANN index (IVF centroids, PQ codebooks,
     LSH hyperplanes, ...) IN the table (VERDICT r09 #4): the payload is
@@ -5446,7 +5448,18 @@ def put_index(root: str, name: str, index: dict, *,
     (the per-run `train_ivfpq_index` collects a bounded sample but still
     costs a corpus-order scan + driver fit) — persisting the index makes
     query cost independent of training cost, exactly why FAISS/Milvus
-    separate build from serve."""
+    separate build from serve.
+
+    ``side_tables`` (VERDICT r15 #2): {table name: DataFrame} of
+    ROW-SHAPED index state — e.g. the per-vector IVFADC encodings —
+    written as PARQUET under the same artifact dir by a DISTRIBUTED
+    ``df.write``, never collected to the driver. The JSON payload stays
+    quantizer-sized (centroids/codebooks); the commit records each side
+    table's dir + part files so VACUUM retains them exactly like the
+    JSON artifact, and `get_index` hands back the dir for a
+    `spark.read.parquet` serve path. This is the FAISS build/serve
+    split at 100 TB: the index's O(corpus) half lives next to the data
+    it indexes, the driver only ever sees the O(1) parameters."""
     _check_write_protocol(root)
     head = latest_version(root)
     adir = _new_payload_dir(root)
@@ -5455,10 +5468,20 @@ def put_index(root: str, name: str, index: dict, *,
     with open(apath, "w", encoding="utf-8") as fh:
         json.dump(index, fh)
     rel = os.path.relpath(apath, _data_root(root))
+    entry = {"name": name, "artifact": rel, "trained_at": head}
+    if side_tables:
+        side = {}
+        for tname, df in sorted(side_tables.items()):
+            tdir = os.path.join(adir, f"index-{name}-{tname}")
+            df.write.parquet(tdir)
+            side[tname] = {
+                "dir": os.path.relpath(tdir, _data_root(root)),
+                "files": _dir_files(root, tdir),
+            }
+        entry["side"] = side
     return _publish_commit(
         root, head, op="put_index", max_retries=max_retries,
-        data_change=False,
-        index_add={"name": name, "artifact": rel, "trained_at": head})
+        data_change=False, index_add=entry)
 
 
 def indexes(root: str, version: int | None = None) -> dict[str, dict]:
@@ -5471,9 +5494,13 @@ def indexes(root: str, version: int | None = None) -> dict[str, dict]:
 
 def get_index(root: str, name: str, version: int | None = None) -> dict:
     """Load a persisted index as of ``version`` (default HEAD): returns
-    {"index": payload, "trained_at": int, "artifact": relpath}. Raises
-    if no such index was live at that version, or if VACUUM already
-    reclaimed the artifact (the retention contract, like time travel)."""
+    {"index": payload, "trained_at": int, "artifact": relpath,
+    "side": {table: absolute parquet dir}}. The side dirs are handed to
+    `spark.read.parquet` by the serve path — the O(corpus) index state
+    never passes through this (driver-side) call. Raises if no such
+    index was live at that version, or if VACUUM already reclaimed the
+    artifact or any side-table part (the retention contract, like time
+    travel)."""
     idx = _read_state(root, version)["indexes"]
     if name not in idx:
         raise ValueError(
@@ -5485,10 +5512,22 @@ def get_index(root: str, name: str, version: int | None = None) -> dict:
         raise ValueError(
             f"index {name!r} artifact {e['artifact']!r} was reclaimed "
             f"by VACUUM — rebuild and put_index again")
+    side = {}
+    for tname, s in e.get("side", {}).items():
+        missing = [
+            f for f in s["files"]
+            if not os.path.exists(os.path.join(_data_root(root), f))
+        ]
+        if missing:
+            raise ValueError(
+                f"index {name!r} side table {tname!r} part "
+                f"{missing[0]!r} was reclaimed by VACUUM — rebuild "
+                "and put_index again")
+        side[tname] = os.path.join(_data_root(root), s["dir"])
     with open(apath, encoding="utf-8") as fh:
         payload = json.load(fh)
     return {"index": payload, "trained_at": e["trained_at"],
-            "artifact": e["artifact"]}
+            "artifact": e["artifact"], "side": side}
 
 
 def drop_index(root: str, name: str, *, max_retries: int = 0) -> int:
@@ -5724,8 +5763,13 @@ def vacuum(root: str, retain_versions: int = 1,
     def _retain(v: int) -> None:
         state = _read_state(root, v)
         keep.update(state["live"])
-        # persisted index artifacts still live at a retained version
-        keep.update(e["artifact"] for e in state["indexes"].values())
+        # persisted index artifacts still live at a retained version —
+        # including their parquet side tables (the encodings): a
+        # retained index must stay SERVABLE, not just parameterized
+        for e in state["indexes"].values():
+            keep.add(e["artifact"])
+            for s in e.get("side", {}).values():
+                keep.update(s["files"])
         # deletion-vector parts still pointed to by a retained version's
         # live files (a superseded DV of an UN-retained version is swept)
         for f, parts in state["dv"].items():
