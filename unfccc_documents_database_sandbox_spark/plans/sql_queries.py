@@ -1521,3 +1521,116 @@ ORDER BY c_mktsegment
 
 register("sql_tpcds_q95", oracle=_QDS95)(_sql_plan(_QDS95))
 register("sql_agg_filter", oracle=_QFILTER)(_sql_plan(_QFILTER))
+
+
+# --- r16: the correlated-SCALAR-AGGREGATE grammar family (VERDICT r15
+# #6) — the one TPC-DS subquery class the 27 prior shapes never touch:
+# a scalar aggregate subquery correlated to the outer row used INSIDE
+# the WHERE predicate. All threshold comparisons are integer
+# cross-multiplications over cents (avg = sum/count is never divided —
+# `x > k/10 * sum/cnt` becomes `x*cnt*10 > k*sum`), so no FP boundary
+# can flip a row between engines (the q74/q31 rule). ---
+
+# Q6 shape (official q6: customers in states buying items priced over
+# 1.2x their category's average, month pinned by an UNCORRELATED
+# scalar subquery): nations stand in for states, brands for
+# categories. Grammar: one uncorrelated scalar subquery (the year pin)
+# + TWO correlated scalar aggregates (COUNT and SUM re-expressing the
+# AVG threshold exactly) + HAVING. The synthetic price band is
+# 900-999.9 (max/avg within a brand ~1.06), so the official 1.2x
+# multiplier would be vacuous — 1.04x keeps the identical grammar with
+# real selectivity (~1k qualifying lines at sf0.01).
+_QDS6 = """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM nation n
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE EXTRACT(YEAR FROM o.o_orderdate) =
+        (SELECT MIN(EXTRACT(YEAR FROM o2.o_orderdate)) FROM orders o2)
+  AND CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)
+        * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        * 100
+      > 104 * (SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice * 100, 0)
+                                    AS BIGINT)) AS BIGINT)
+               FROM part p2 WHERE p2.p_brand = p.p_brand)
+GROUP BY n.n_name
+HAVING COUNT(*) >= 5
+ORDER BY cnt, n_name
+"""
+
+# Q32 shape (official q32: "excess discount" — catalog lines whose
+# discount exceeds 1.3x the item's average discount, summed): lines
+# whose discount amount beats 1.3x their PART's average discount
+# amount. Grammar: the correlated scalar aggregate lives in the WHERE
+# of an outer GLOBAL aggregate (one output row) — Catalyst plans the
+# correlated pair as aggregated subquery joins under a final
+# single-group HashAggregate.
+_QDS32 = """
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * l.l_discount * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS excess_discount_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 1 AND 10
+  AND CAST(ROUND(l.l_extendedprice * l.l_discount * 100, 0) AS BIGINT)
+        * (SELECT COUNT(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+        * 10
+      > 13 * (SELECT CAST(SUM(CAST(ROUND(l2.l_extendedprice
+                                         * l2.l_discount * 100, 0)
+                                   AS BIGINT)) AS BIGINT)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# Q92 shape (official q92: the q32 skeleton on web_sales with the SAME
+# date window pinned inside and outside the correlated subquery — the
+# hallmark that makes the correlation a filtered self-slice, not the
+# whole fact): orders whose value beats 1.3x their customer's 1995
+# average, where BOTH the outer scan and the correlated aggregate see
+# only the 1995 window.
+_QDS92 = """
+SELECT CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS excess_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1995
+  AND CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)
+        * (SELECT COUNT(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey
+             AND EXTRACT(YEAR FROM o2.o_orderdate) = 1995)
+        * 10
+      > 13 * (SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice * 100, 0)
+                                   AS BIGINT)) AS BIGINT)
+              FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey
+                AND EXTRACT(YEAR FROM o2.o_orderdate) = 1995)
+"""
+
+# Q41 shape (official q41: distinct product names whose manufacturer
+# ALSO makes an item matching one of several deeply OR-ed attribute
+# combinations — a correlated COUNT(*) > 0 confined entirely to the
+# DIM table): brands stand in for manufacturers, (p_type, p_size)
+# bands for the unit/size combos. Grammar: the correlated aggregate
+# compares > 0 (an EXISTS spelled as a scalar agg — engines must NOT
+# need the user to rewrite it), with a disjunctive predicate inside
+# the subquery only.
+_QDS41 = """
+SELECT p1.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part p1
+WHERE p1.p_size BETWEEN 1 AND 25
+  AND (SELECT COUNT(*) FROM part p2
+       WHERE p2.p_brand = p1.p_brand
+         AND ((p2.p_type LIKE 'SMALL%' AND p2.p_size BETWEEN 1 AND 5)
+           OR (p2.p_type LIKE 'LARGE%' AND p2.p_size BETWEEN 10 AND 15)
+           OR (p2.p_type LIKE 'STANDARD%' AND p2.p_size BETWEEN 20 AND 25)))
+      > 0
+GROUP BY p1.p_brand
+ORDER BY p_brand
+"""
+
+register("sql_tpcds_q6", oracle=_QDS6)(_sql_plan(_QDS6))
+register("sql_tpcds_q32", oracle=_QDS32)(_sql_plan(_QDS32))
+register("sql_tpcds_q92", oracle=_QDS92)(_sql_plan(_QDS92))
+register("sql_tpcds_q41", oracle=_QDS41)(_sql_plan(_QDS41))
