@@ -216,3 +216,79 @@ def test_audio_dedup_catches_every_planted_twin(spark):
         .filter(F.col("doc_id") % 40 == 0).collect()
     }
     assert twin_bases == planted
+
+
+def test_phash_beats_ahash_at_matched_precision(spark):
+    """r16 (VERDICT r15 #8): the pHash superiority claim, pinned as a
+    MATCHED-PRECISION comparison on the deterministic corpus. Gamma
+    twins (p' = p*p // 255) are the tone-curve edit aHash is weak to:
+
+    - pHash's non-dup distance floor is much sparser, so at radius 6 it
+      pays few false pairs while recalling most twins;
+    - aHash cannot reach HALF of pHash's twin recall at ANY radius
+      whose false-pair cost stays within 4x of pHash's.
+
+    Everything is an exact integer function of the corpus, so the
+    counts are stable — the assertions pin the relationship, not just
+    'it worked once'."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.operators.multimodal import (
+        documents_as_media,
+        documents_as_pgm_media,
+        image_ahash,
+        image_phash,
+        perturb_pgm_gamma,
+    )
+    from unfccc_documents_database_sandbox_spark.plans.multimodal import (
+        multimodal_image_phash,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    media = documents_as_pgm_media(documents_as_media(docs))
+    twins = perturb_pgm_gamma(media.filter(F.col("media_id") % 40 == 0))
+    both = media.unionByName(twins)
+    ph = {r.media_id: (r.hash_hi, r.hash_lo) for r in image_phash(both).collect()}
+    ah = {r.media_id: (r.hash_hi, r.hash_lo) for r in image_ahash(both).collect()}
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    planted = sorted(m for m in ph if m < 1_000_000 and m % 40 == 0)
+    base = sorted(m for m in ph if m < 1_000_000)
+    twin_ph = [ham(ph[m], ph[m + 1_000_000]) for m in planted]
+    twin_ah = [ham(ah[m], ah[m + 1_000_000]) for m in planted]
+
+    # false-pair cost by radius, over all non-twin base pairs
+    def false_counts(H):
+        by_r = [0] * 65
+        for a, b in combinations(base, 2):
+            by_r[ham(H[a], H[b])] += 1
+        # cumulative: pairs at <= r
+        for r in range(1, 65):
+            by_r[r] += by_r[r - 1]
+        return by_r
+
+    fp_ph, fp_ah = false_counts(ph), false_counts(ah)
+    R = 6  # the registered key's radius
+    recall_ph = sum(1 for d in twin_ph if d <= R)
+    budget = 4 * max(fp_ph[R], 1)
+    best_ah = max(
+        (sum(1 for d in twin_ah if d <= r) for r in range(65)
+         if fp_ah[r] <= budget),
+        default=0,
+    )
+    # pHash recalls most twins at its radius; aHash cannot reach half
+    # of that recall inside 4x pHash's false-pair budget
+    assert recall_ph >= (3 * len(planted)) // 4 - 1, (recall_ph, twin_ph)
+    assert best_ah * 2 < recall_ph, (best_ah, recall_ph, fp_ah[:10], fp_ph[:10])
+
+    # and the registered key surfaces exactly the pHash-radius twins
+    rows = multimodal_image_phash(spark, SF_CORRECT).collect()
+    assert all(r["hamming"] <= R for r in rows)
+    found = {r["id_a"] for r in rows if r["id_b"] == r["id_a"] + 1_000_000}
+    assert found == {m for m, d in zip(planted, twin_ph) if d <= R}

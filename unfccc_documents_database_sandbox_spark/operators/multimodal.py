@@ -589,3 +589,113 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
         T.StructType([T.StructField("media_id", T.LongType()),
                       T.StructField("fp", T.LongType())]),
     )
+
+
+# --- pHash (r16, VERDICT r15 #8): perceptual hash via an integer
+# DCT-II — the frequency-domain sibling of image_ahash, robust to the
+# monotone point transforms (gamma / contrast curves) that flip aHash's
+# spatial mean-test bits. All arithmetic is exact integers (a pinned
+# fixed-point cosine table), so the hash is replayable by the DuckDB
+# oracle from the generative raster formula. ---
+
+PHASH_N = 16          # sample grid: 16x16 (the published pHash recipe)
+PHASH_SCALE = 10000   # fixed-point cosine scale
+
+
+def phash_cos_table() -> list[int]:
+    """The pinned integer DCT-II basis: C[u][x] =
+    round(cos(pi*(2x+1)*u/32) * 10000), flattened row-major (u*16 + x).
+    Shared verbatim by the numpy operator and the oracle SQL literal —
+    ONE table, two engines."""
+    import math
+
+    return [
+        round(math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_N))
+              * PHASH_SCALE)
+        for u in range(PHASH_N)
+        for x in range(PHASH_N)
+    ]
+
+
+def perturb_pgm_gamma(media: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
+    """Derive a GAMMA-CURVED twin of each PGM payload: parse the real
+    bytes, square-law-darken every pixel (p' = p*p // 255 — the
+    monotone tone-curve edit re-encoders and display pipelines apply),
+    re-encode, re-id at ``media_id + id_offset``. Unlike perturb_pgm's
+    3-pixel bit flips, this touches EVERY pixel, so the spatial
+    mean-test hash (aHash) flips several bits while the low-frequency
+    DCT sign structure (pHash) barely moves — the exact gap pHash
+    exists to close. Integer-exact, so the oracle restates the twin
+    raster from the generative formula."""
+    import numpy as np
+
+    def twist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = parse_pgm(bytes(p))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                arr = (arr * arr) // 255
+                ids.append(int(mid) + id_offset)
+                payloads.append(encode_pgm(w, h, arr.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "payload": payloads}
+            )
+
+    return media.mapInPandas(
+        twist,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]),
+    )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual-hash (pHash) each PGM payload from its REAL decoded
+    pixels: nearest-neighbor sample a 16x16 grid (the resize_media
+    index rule), 2-D integer DCT-II with the pinned fixed-point cosine
+    table (one matmul pair per image), keep the LOW-FREQUENCY top-left
+    8x8 coefficient block, and set bit j (j > 0) iff coeff_j * 63 >
+    sum(non-DC coeffs) — the division-free mean test over the 63
+    non-DC low coefficients (bit 0, the DC/brightness bucket, is
+    always 0: pHash deliberately ignores absolute brightness). Packed
+    as TWO 32-bit halves (hash_lo = bits 0-31, hash_hi = bits 32-63)
+    so no engine touches the int64 sign bit. One numpy pass per image
+    inside Arrow batches; exact integers end to end, replayable by the
+    oracle wherever the raster is."""
+    import numpy as np
+
+    C = np.array(phash_cos_table(), dtype=np.int64).reshape(
+        PHASH_N, PHASH_N
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = parse_pgm(bytes(p))
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                img = arr.reshape(h, w)
+                rr = (np.arange(PHASH_N) * h) // PHASH_N
+                cc = (np.arange(PHASH_N) * w) // PHASH_N
+                s = img[rr[:, None], cc[None, :]]
+                low = (C @ s @ C.T)[:8, :8].ravel()
+                nondc = low[1:]
+                tot = int(nondc.sum())
+                bits = np.zeros(64, dtype=np.int64)
+                bits[1:] = nondc * 63 > tot
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(int(mid)); his.append(hi); los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": pd.Series(ids, dtype="int64"),
+                 "hash_hi": pd.Series(his, dtype="int64"),
+                 "hash_lo": pd.Series(los, dtype="int64")}
+            )
+
+    return media.mapInPandas(
+        hash_batch,
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("hash_hi", T.LongType()),
+                      T.StructField("hash_lo", T.LongType())]),
+    )

@@ -1186,6 +1186,136 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+# --- trained-weights classifier variant (r16, VERDICT r15 #7): the
+# PRODUCTION shape of X215 — same hashed uni+bigram feature space, but
+# the linear head's weights come from a CHECKED-IN 4096-row table (the
+# artifact an offline trainer hands the pipeline), loaded as data and
+# applied via a BROADCAST HASH JOIN instead of the closed-form bucket
+# arithmetic. Both engines load the SAME file. ---
+
+_QC_WEIGHTS_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    ),
+    "functions",
+    "qc_weights_4096.csv",
+)
+
+
+@register(
+    "text_quality_classifier_trained",
+    oracle=f"""
+    WITH w AS (
+        SELECT bucket, weight_milli
+        FROM read_csv('{_QC_WEIGHTS_PATH}', header = true,
+                      columns = {{'bucket': 'BIGINT',
+                                  'weight_milli': 'BIGINT'}})
+    ),
+    toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), t -> t <> '') AS u
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               list_concat(
+                   u,
+                   list_transform(generate_series(2, len(u)),
+                                  i -> u[i-1] || '_' || u[i])
+               ) AS f
+        FROM toks
+    ),
+    ex AS (
+        -- one trailing NULL feature per doc keeps zero-feature docs
+        -- alive through the unnest on BOTH engines (COUNT skips it,
+        -- the weight join misses it)
+        SELECT doc_id, lang,
+               unnest(list_concat(f, [CAST(NULL AS VARCHAR)])) AS t
+        FROM feats
+    ),
+    hashed AS (
+        SELECT doc_id, lang, t,
+               CAST(('0x' || substr(md5('{_QC_SALT}' || t), 1, 7))
+                    AS BIGINT) % {_QC_BUCKETS} AS bucket
+        FROM ex
+    )
+    SELECT h.doc_id, h.lang,
+           CAST(COUNT(h.t) AS BIGINT) AS n_feat,
+           CAST(COALESCE(SUM(w.weight_milli), 0) AS BIGINT) AS score_milli,
+           CAST(CASE WHEN COALESCE(SUM(w.weight_milli), 0) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+    FROM hashed h LEFT JOIN w ON w.bucket = h.bucket
+    GROUP BY h.doc_id, h.lang
+    """,
+)
+def text_quality_classifier_trained(spark, sf_dir):
+    """TRAINED-weights quality classifier (r16, VERDICT r15 #7): the
+    production shape X215's docstring promised — identical hashed
+    uni+bigram feature space (same salt, same 4096 buckets), but the
+    linear head is a weight DIM loaded from the checked-in artifact
+    ``functions/qc_weights_4096.csv`` (what an offline fastText-style
+    trainer hands the pipeline) and applied via explode → BROADCAST
+    hash join → per-doc re-aggregate, replacing X215's closed-form
+    bucket arithmetic. The DuckDB oracle loads the SAME file, so
+    hash-green means the loaded-table path prices every feature
+    identically to an independent replay.
+
+    Scale shape: the weight dim is O(buckets) = kilobytes at ANY vocab
+    size (the hashing-trick memory story), so the join is always
+    broadcast — no corpus-side shuffle for the lookup; the only
+    exchange is the per-doc score rollup (partial aggs before it). A
+    trailing NULL feature per doc keeps zero-feature docs alive
+    through the explode on both engines (COUNT skips NULLs, the join
+    misses them). Plan pinned in PLANS.md: BroadcastHashJoin, one
+    Exchange, zero BroadcastNestedLoopJoin."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    w = spark.read.csv(
+        _QC_WEIGHTS_PATH, header=True,
+        schema="bucket long, weight_milli long",
+    )
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    toks = d.select("doc_id", "lang", u.alias("u"))
+    bigrams = F.when(
+        F.size("u") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("u")),
+            lambda i: F.concat_ws(
+                "_", F.element_at("u", i - 1), F.element_at("u", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", "lang", F.concat(F.col("u"), bigrams).alias("f")
+    )
+    ex = feats.select(
+        "doc_id", "lang",
+        F.explode(
+            F.concat("f", F.array(F.lit(None).cast("string")))
+        ).alias("t"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(_QC_SALT), F.col("t"))), 1, 7),
+            16, 10,
+        ).cast("long")
+        % _QC_BUCKETS
+    )
+    joined = ex.withColumn("bucket", bucket).join(
+        F.broadcast(w), "bucket", "left"
+    )
+    scored = joined.groupBy("doc_id", "lang").agg(
+        F.count("t").cast("long").alias("n_feat"),
+        F.coalesce(F.sum("weight_milli"), F.lit(0)).cast("long").alias(
+            "score_milli"
+        ),
+    )
+    return scored.withColumn(
+        "keep_flag", (F.col("score_milli") > 0).cast("long")
+    )
+
+
 # --- corpus_curation_v2: the full modern curation recipe in ONE plan
 # (r15 third wave) — quality classifier → lang-ID gate → exact dedup →
 # semantic dedup → split audit, each stage reusing the already-proven
