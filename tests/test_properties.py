@@ -1883,3 +1883,67 @@ def test_mmr_first_pick_is_top_relevance_and_picks_diversify(spark):
                                                for i in range(1, 6)]:
             diversified = True
     assert diversified
+
+
+def test_bpe_2k_arrow_apply_equals_expression_apply(spark):
+    """r16 (VERDICT r15 #5): the large-K Arrow fallback is bit-equal to
+    the JVM chained-replace expression on the same merges, the 2,000
+    high-byte chain merges of the 2k fixture are PROVABLY no-ops on
+    this corpus (no pretoken contains a byte >= 0x80), and the
+    expression path genuinely cannot run at 2,020 merges (Catalyst
+    StackOverflow — the measured reason the auto-selection exists)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.plans import training as tr
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    dw = (
+        d.select(F.explode(tr._byte_pretokens(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    # 1) no pretoken byte reaches 0x80 — the chain merges cannot match
+    mx = dw.select(
+        F.max(F.array_max(F.transform(
+            F.split(F.hex(F.encode("word", "UTF-8")), "(?<=\\G..)"),
+            lambda h: F.conv(h, 16, 10).cast("long"),
+        ))).alias("mx")
+    ).collect()[0]["mx"]
+    assert mx is not None and mx < 0x80
+
+    merges20 = tr._PRETRAINED_2K[:20]
+    assert merges20 == tr._PRETRAINED_MERGES
+
+    # 2) Arrow fallback == JVM expression on the same 20 merges
+    repr_col = tr._bpe_apply(tr._byte_repr_col(F.col("word")), merges20)
+    expr_ns = {
+        r["word"]: r["n_sym"]
+        for r in dw.select(
+            "word",
+            (F.length(repr_col)
+             - F.length(F.replace(repr_col, F.lit(tr._BPE_L), F.lit(""))))
+            .cast("long").alias("n_sym"),
+        ).collect()
+    }
+    arrow_ns = {
+        r["word"]: r["n_sym"]
+        for r in tr._bpe_nsym_arrow(dw, merges20).collect()
+    }
+    assert arrow_ns == expr_ns
+
+    # 3) full 2,020 merges through the Arrow path == the 20 effective
+    # merges (the no-op proof, executed)
+    arrow_2k = {
+        r["word"]: r["n_sym"]
+        for r in tr._bpe_nsym_arrow(dw, tr._PRETRAINED_2K).collect()
+    }
+    assert arrow_2k == expr_ns
+
+    # 4) the expression path really is impossible at this merge count
+    with pytest.raises(Exception, match="StackOverflow"):
+        dw.select(
+            tr._bpe_apply(tr._byte_repr_col(F.col("word")),
+                          tr._PRETRAINED_2K).alias("r")
+        ).collect()

@@ -718,10 +718,53 @@ def learn_bpe_bytes(docs, k: int = _BPE_K) -> list[tuple[str, str, int]]:
     return _merge_loop(wc, k)
 
 
+# Above this many merges the chained-replace EXPRESSION tree is refused:
+# Catalyst's tree transforms recurse per node and a production-scale
+# merge list (measured: the 2,020-merge GPT-2-format fixture) throws
+# java.lang.StackOverflowError at analysis — the documented large-K
+# risk (SURVEY X188/X198). Large vocabularies auto-select the Arrow
+# fallback below: the SAME sequential-replace semantics as Python
+# str.replace over the distinct-pretoken table (still never the corpus
+# — the apply stays O(distinct pretokens × merges) either way; what
+# changes is string work in C inside Arrow batches instead of a
+# 2,000-deep codegen'd expression).
+_BPE_APPLY_MAX_EXPR = 256
+
+
+def _bpe_nsym_arrow(dw, merges):
+    """(word) frame → (word, n_sym) via mapInPandas: wrap each word's
+    UTF-8 bytes as the engine's \\x01HH\\x02 symbols and chain the
+    merges with str.replace in rank order — bit-equal to _bpe_apply's
+    JVM replaces (pinned by tests/test_properties.py equivalence)."""
+    import pandas as pd
+
+    pats = [(f"{_BPE_L}{x}{_BPE_R}{_BPE_L}{y}{_BPE_R}",
+             f"{_BPE_L}{x}{y}{_BPE_R}") for x, y, _r in merges]
+
+    def nsym(batches):
+        for pdf in batches:
+            out = []
+            for w in pdf["word"]:
+                r = "".join(f"{_BPE_L}{b:02X}{_BPE_R}"
+                            for b in str(w).encode("utf-8"))
+                for pat, rep in pats:
+                    r = r.replace(pat, rep)
+                out.append(r.count(_BPE_L))
+            yield pd.DataFrame(
+                {"word": pdf["word"],
+                 "n_sym": pd.Series(out, dtype="int64")}
+            )
+
+    return dw.mapInPandas(nsym, "word string, n_sym long")
+
+
 def bpe_bytes_token_counts(docs, merges):
     """Per-doc byte-BPE token accounting: (doc_id, n_pretokens,
     n_tokens). Merges apply to the DISTINCT pretoken table; per-pretoken
-    symbol counts broadcast back onto the per-doc pretoken counts."""
+    symbol counts broadcast back onto the per-doc pretoken counts.
+    Vocabularies beyond _BPE_APPLY_MAX_EXPR merges auto-select the
+    Arrow apply (the JVM expression tree StackOverflows Catalyst at
+    production merge counts; semantics are identical)."""
     dwc = (
         docs.select(
             "doc_id", F.explode(_byte_pretokens(F.col("text"))).alias("word")
@@ -729,11 +772,12 @@ def bpe_bytes_token_counts(docs, merges):
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    repr_col = _bpe_apply(_byte_repr_col(F.col("word")), merges)
-    ns = (
-        dwc.select("word")
-        .distinct()
-        .select(
+    dw = dwc.select("word").distinct()
+    if len(merges) > _BPE_APPLY_MAX_EXPR:
+        ns = _bpe_nsym_arrow(dw, merges)
+    else:
+        repr_col = _bpe_apply(_byte_repr_col(F.col("word")), merges)
+        ns = dw.select(
             "word",
             (
                 F.length(repr_col)
@@ -742,7 +786,6 @@ def bpe_bytes_token_counts(docs, merges):
             .cast("long")
             .alias("n_sym"),
         )
-    )
     return (
         dwc.join(F.broadcast(ns), "word")
         .groupBy("doc_id")
@@ -967,6 +1010,54 @@ def text_bpe_pretrained(spark, sf_dir):
     loop runs: loading a published vocab is O(vocab) driver work."""
     d = spread(load_table(spark, sf_dir, "documents"))
     return bpe_bytes_token_counts(d, _PRETRAINED_MERGES)
+
+
+def _load_2k_merges() -> list[tuple[str, str, int]]:
+    import os
+
+    from unfccc_documents_database_sandbox_spark.functions.bpe_vocab import (
+        MINI_MERGES_PATH,
+        load_merges,
+    )
+
+    return load_merges(
+        os.path.join(os.path.dirname(MINI_MERGES_PATH),
+                     "gpt2_2k_merges.txt")
+    )
+
+
+_PRETRAINED_2K = _load_2k_merges()
+
+
+@register(
+    "text_bpe_pretrained_2k",
+    # the 2,000 chain merges are over bytes 0xF0/0xF1, which the ASCII
+    # pretoken table provably never contains (pinned by
+    # tests/test_properties.py), so the oracle replays only the 20
+    # merges that can fire — on identical inputs the other 2,000 are
+    # exact no-ops in both engines
+    oracle=_bpe_pretrained_oracle(_PRETRAINED_2K[:20]),
+)
+def text_bpe_pretrained_2k(spark, sf_dir):
+    """Token counting at a PRODUCTION-SCALE merge count (r16, VERDICT
+    r15 #5): a 2,020-merge GPT-2-format vocabulary (the 20 mini merges
+    + a 2,000-rank well-formed unary chain over bytes the ASCII corpus
+    cannot contain) loaded through the SAME `load_merges` path and
+    applied by `bpe_bytes_token_counts`. This is exactly where the
+    documented Catalyst plan-depth risk lives, and it is REAL: the
+    chained-replace expression tree throws java.lang.StackOverflowError
+    at analysis around 2,000 merges (measured in this round), so the
+    apply AUTO-SELECTS the Arrow fallback above _BPE_APPLY_MAX_EXPR
+    merges — identical sequential-replace semantics via C-speed
+    str.replace over the distinct-pretoken table inside Arrow batches,
+    still O(distinct pretokens × merges), never a per-row corpus
+    tokenize. The high-byte chain merges are provably no-ops on this
+    corpus (their symbols never occur in any pretoken — asserted in
+    tests), so the DuckDB oracle replays the 20 effective merges and
+    hash-green means the 2,020-merge production path prices every
+    token identically."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_bytes_token_counts(d, _PRETRAINED_2K)
 
 
 # ---------------------------------------------------------------------------
