@@ -1011,3 +1011,24 @@ def test_quality_classifier_is_shuffle_free_after_spread(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bExchange\b", plan)) <= 1  # the spread only
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_trained_classifier_weight_dim_broadcasts(spark):
+    """r16 (VERDICT r15 #7): the trained-weights quality classifier's
+    4096-row weight dim must apply as a BROADCAST hash join (the
+    hashing trick keeps it O(buckets) at any vocab size, so the corpus
+    side never shuffles for the lookup); the only Exchange is the
+    per-doc score rollup, and nothing degenerates to a nested-loop."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans, lookup,
+    )
+
+    load_all_plans()
+    df = lookup("text_quality_classifier_trained").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # shuffle exchanges: the doc rollup plus at most the spread()
+    # repartition guard — never a corpus-side exchange for the lookup
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan

@@ -741,3 +741,40 @@ def test_in_subquery_top_level_between_refused(spark, pair):
         {"tbl": sql_root},
     )
     assert all(t[1] > 50 for t in _rows(spark, sql_root))
+
+
+def test_unclaimed_subquery_shapes_refused_with_typed_error(spark, pair):
+    """r16 (ADVICE r15): subquery shapes the lowering does NOT support
+    must refuse with a DmlSyntaxError NAMING the shape — previously
+    they fell through to delete_where/update_where and died inside
+    F.expr with an opaque AnalysisException."""
+    sql_root, _ = pair
+    with pytest.raises(DmlSyntaxError, match="NOT IN"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE id NOT IN (SELECT id FROM tbl "
+            "WHERE score >= 100)",
+            {"tbl": sql_root},
+        )
+    with pytest.raises(DmlSyntaxError, match="OR-combined"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE status = 'dead' OR id IN "
+            "(SELECT id FROM tbl WHERE score >= 100)",
+            {"tbl": sql_root},
+        )
+    with pytest.raises(DmlSyntaxError, match="non-bare-column"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE abs(id) IN (SELECT id FROM tbl)",
+            {"tbl": sql_root},
+        )
+    with pytest.raises(DmlSyntaxError, match="non-bare-column"):
+        execute_dml(
+            spark,
+            "UPDATE tbl SET score = 0 WHERE id + 1 IN "
+            "(SELECT id FROM tbl) AND status = 'live'",
+            {"tbl": sql_root},
+        )
+    # the table is untouched by all four refusals
+    assert len(_rows(spark, sql_root)) == 20

@@ -496,6 +496,34 @@ def _extract_in_subquery(cond: str):
             hits.append((m.group(1), m.group(2).strip()))
         else:
             rest.append(seg.strip())
+    # r16 (ADVICE r15): a subquery the extractor did NOT claim must be
+    # refused with a typed error NAMING the unsupported shape — falling
+    # through to delete_where/update_where would die inside F.expr with
+    # an opaque AnalysisException (the module's documented-refusal
+    # discipline). Anything subquery-shaped lives inside parens, so one
+    # scan of the unclaimed segments suffices.
+    sub_pat = re.compile(r"\(\s*(SELECT|WITH)\b", re.IGNORECASE)
+    leftover = [seg for seg in rest if sub_pat.search(seg)]
+    if leftover:
+        seg = leftover[0]
+        if re.search(rf"{_IDENT}\s+NOT\s+IN\s*\(\s*(SELECT|WITH)\b",
+                     seg, re.IGNORECASE):
+            shape = ("`col NOT IN (SELECT ...)` — NULL semantics make "
+                     "NOT IN a different operation (a single NULL in "
+                     "the subquery matches nothing); rewrite as a "
+                     "MERGE WHEN NOT MATCHED BY SOURCE or pre-filter "
+                     "the keys")
+        elif _top_level_matches(cond, re.compile(r"\bOR\b",
+                                                 re.IGNORECASE)):
+            shape = ("an OR-combined IN (SELECT ...) — only a "
+                     "top-level AND conjunct can become the lowered "
+                     "MERGE key")
+        else:
+            shape = ("a non-bare-column IN key (e.g. expr(col) IN "
+                     "(SELECT ...)) — the subquery key must be a bare "
+                     "column to become the merge key")
+        raise DmlSyntaxError(
+            f"unsupported subquery shape in DML predicate: {shape}")
     if not hits:
         return None
     if _top_level_matches(cond, re.compile(r"\bBETWEEN\b",
