@@ -131,6 +131,37 @@ EXTENDED = [
     "text_bpe_pretrained", "sim_near_dup_pairs", "sql_tpcds_q43",
     "sql_tpcds_q59", "sql_tpcds_q65", "sql_tpcds_q79", "sql_tpcds_q98",
     "text_unigram_score",
+    # graduated r15 cohort
+    "sql_tpcds_q8",
+    "sql_tpcds_q14",
+    "sql_tpcds_q38",
+    "sql_tpcds_q71",
+    "sql_tpcds_q87",
+    "sim_topk_lsh_portable",
+    "doc_rolling_hash",
+    "multimodal_resize",
+    "multimodal_audio_energy",
+    "text_lang_id",
+    "udf_llm_structured_retry",
+    "udf_llm_prompt_cache",
+    "sql_tpcds_q74",
+    "sql_tpcds_q47",
+    "sim_topk_ivf_portable",
+    "corpus_split",
+    "text_quality_classifier",
+    "search_hybrid_rrf",
+    "dedup_semantic",
+    "sql_tpcds_q10",
+    "sql_tpcds_q75",
+    "sql_tpcds_q77",
+    "sql_tpcds_q31",
+    "corpus_curation_v2",
+    "search_mmr_rerank",
+    "multimodal_image_dedup",
+    "multimodal_audio_dedup",
+    "sql_tpcds_q95",
+    "sql_agg_filter",
+    "join_asof_directions",
 ]
 
 # Third bench group: the CURRENT round's new keys, timed from the round
@@ -142,38 +173,18 @@ EXTENDED = [
 # parquet commit writes, not a plan — like layout_compaction_apply and
 # source_jdbc before it).
 FRESH = [
-    # r15 keys. Excluded by the standing disk-writing rule:
-    # table_insert_overwrite / table_copy_into / sim_index_refresh
-    # build commit-log tables under .csv_tmp/ (their wall time measures
-    # parquet commits, not a plan). The timeable r15 keys:
-    "sql_tpcds_q8", "sql_tpcds_q14", "sql_tpcds_q38",
-    "sql_tpcds_q71", "sql_tpcds_q87",
-    "sim_topk_lsh_portable",    # LSH under an exact oracle
-    "doc_rolling_hash",         # re-oracled: portable Rabin-Karp fold
-    "multimodal_resize",        # re-pinned: real PGM decode + resample
-    "multimodal_audio_energy",  # re-pinned: real WAV decode
-    "text_lang_id",             # CCNet-style n-gram language gate
-    "udf_llm_structured_retry",  # U3 validate → re-prompt → dead-letter
-    "udf_llm_prompt_cache",     # dedup→infer→fan-back, exact-once billing
-    "sql_tpcds_q74",            # year-over-year 4-way self-join family
-    "sql_tpcds_q47",            # lag/lead deviation-from-mean family
-    "sim_topk_ivf_portable",    # pinned-centroid IVF under exact oracle
-    "corpus_split",             # salted-hash train/val/test stratifier
-    # r15 third wave
-    "text_quality_classifier",  # fastText-style hashed linear gate
-    "search_hybrid_rrf",        # BM25 + dense reciprocal-rank fusion
-    "dedup_semantic",           # SemDeDup: cluster-blocked cosine dedup
-    "sql_tpcds_q10",            # disjunctive correlated EXISTS family
-    "sql_tpcds_q75",            # union-channel prior-year decline family
-    "sql_tpcds_q77",            # full-outer channel rollup family
-    "sql_tpcds_q31",            # six-way share-growth self-join family
-    "corpus_curation_v2",       # full curation funnel in one plan
-    "search_mmr_rerank",        # greedy MMR diversity re-rank
-    "multimodal_image_dedup",   # aHash perceptual near-dup pairs
-    "multimodal_audio_dedup",   # energy-envelope fingerprint pairs
-    "sql_tpcds_q95",            # CTE reused inside two EXISTS
-    "sql_agg_filter",           # aggregate FILTER clause grammar
-    "join_asof_directions",     # backward/forward/nearest as-of join
+    # r16 keys. Excluded by the standing disk-writing rule:
+    # sim_index_persisted / sim_index_refresh rebuild commit-log tables
+    # under .csv_tmp/ (their wall time measures parquet commits, not a
+    # plan). The timeable r16 keys:
+    "udf_llm_openai_adapter",   # chat-completions wire-format adapter
+    "sql_tpcds_q6",             # correlated scalar avg threshold + HAVING
+    "sql_tpcds_q32",            # correlated excess-discount, global agg
+    "sql_tpcds_q92",            # q32 skeleton, window pinned in+out
+    "sql_tpcds_q41",            # correlated COUNT>0 on the dim, OR preds
+    "text_quality_classifier_trained",  # broadcast weight-dim head
+    "multimodal_image_phash",   # integer-DCT perceptual dedup
+    "text_bpe_pretrained_2k",   # 2,020-merge Arrow apply path
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -113,6 +113,13 @@ ROUND_KEYS = [
     "search_mmr_rerank", "multimodal_image_dedup",
     "multimodal_audio_dedup", "sql_tpcds_q95", "sql_agg_filter",
     "join_asof_directions",
+    # round-16 additions (chat-completions adapter, correlated-scalar
+    # TPC-DS grammar, trained-weights classifier, integer-DCT pHash,
+    # production-scale pretrained-vocab apply, parquet-side-table ANN)
+    "udf_llm_openai_adapter", "sql_tpcds_q6", "sql_tpcds_q32",
+    "sql_tpcds_q92", "sql_tpcds_q41", "text_quality_classifier_trained",
+    "multimodal_image_phash", "text_bpe_pretrained_2k",
+    "sim_index_persisted", "sim_index_refresh",
 ]
 
 
