@@ -185,6 +185,12 @@ FRESH = [
     "text_quality_classifier_trained",  # broadcast weight-dim head
     "multimodal_image_phash",   # integer-DCT perceptual dedup
     "text_bpe_pretrained_2k",   # 2,020-merge Arrow apply path
+    # r16 second wave
+    "sql_tpcds_q1",             # correlated scalar agg over an agg CTE
+    "sql_tpcds_q23",            # scalar MAX over an agg CTE + IN sets
+    "sql_tpcds_q39",            # integer-exact coefficient-of-variation
+    "sql_tpcds_q97",            # full-outer channel membership matrix
+    "text_normalize_nfc",       # cross-engine Unicode NFC gate
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

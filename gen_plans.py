@@ -120,6 +120,10 @@ ROUND_KEYS = [
     "sql_tpcds_q92", "sql_tpcds_q41", "text_quality_classifier_trained",
     "multimodal_image_phash", "text_bpe_pretrained_2k",
     "sim_index_persisted", "sim_index_refresh",
+    # round-16 second wave (agg-of-agg subqueries, exact cov, channel
+    # matrix, Unicode NFC gate)
+    "sql_tpcds_q1", "sql_tpcds_q23", "sql_tpcds_q39", "sql_tpcds_q97",
+    "text_normalize_nfc",
 ]
 
 

@@ -1634,3 +1634,133 @@ register("sql_tpcds_q6", oracle=_QDS6)(_sql_plan(_QDS6))
 register("sql_tpcds_q32", oracle=_QDS32)(_sql_plan(_QDS32))
 register("sql_tpcds_q92", oracle=_QDS92)(_sql_plan(_QDS92))
 register("sql_tpcds_q41", oracle=_QDS41)(_sql_plan(_QDS41))
+
+
+# --- r16 second wave: the aggregate-of-aggregate subquery families —
+# scalar aggregates over AGGREGATED CTEs (q1/q23), an integer-exact
+# coefficient-of-variation filter (q39), and the full-outer channel
+# membership matrix (q97). Same one-string discipline; thresholds stay
+# integer cross-multiplications. ---
+
+# Q1 shape (official q1: customers whose store returns exceed 1.2x the
+# per-store AVERAGE of the returns CTE — the correlated scalar
+# aggregate ranges over an AGGREGATED CTE, not a base table, which is
+# the grammar q6/q32/q92 do not touch): per-customer returned-line
+# totals, kept when 10x the total beats 12x the nation's average,
+# expressed as integer cross-multiplication against the nation's COUNT
+# and SUM over the same CTE.
+_QDS1 = """
+WITH cr AS (
+    SELECT o.o_custkey AS cust, c.c_nationkey AS nat,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS ret_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY o.o_custkey, c.c_nationkey
+)
+SELECT cr1.cust, CAST(cr1.nat AS BIGINT) AS nat, cr1.ret_cents
+FROM cr cr1
+WHERE cr1.ret_cents
+        * (SELECT COUNT(*) FROM cr cr2 WHERE cr2.nat = cr1.nat) * 10
+      > 12 * (SELECT CAST(SUM(cr2.ret_cents) AS BIGINT) FROM cr cr2
+              WHERE cr2.nat = cr1.nat)
+ORDER BY cr1.ret_cents DESC, cr1.cust
+LIMIT 100
+"""
+
+# Q23 shape (official q23: sales restricted to FREQUENT items AND BEST
+# customers, where best = spend above 95% of the maximum of an
+# aggregated spend CTE): the hallmark is an UNCORRELATED scalar MAX
+# over an aggregated CTE inside WHERE, composed with two IN-filters
+# over aggregated CTEs — qualification sets, not dims.
+_QDS23 = """
+WITH freq_parts AS (
+    SELECT l_partkey FROM lineitem
+    GROUP BY l_partkey HAVING COUNT(*) >= 8
+),
+spend AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+best_cust AS (
+    SELECT o_custkey FROM spend
+    WHERE cents * 100 > 95 * (SELECT MAX(cents) FROM spend)
+)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100,
+                           0) AS BIGINT)) AS BIGINT) AS qualified_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+  AND o.o_custkey IN (SELECT o_custkey FROM best_cust)
+"""
+
+# Q39 shape (official q39: warehouse/item month pairs whose quantity
+# coefficient of variation exceeds a bar in BOTH consecutive months):
+# the cov = stdev/mean comparison is re-expressed with zero FP — for
+# whole-number quantities, cov > 1/2 with sample stdev is
+# 4*n*(n*sumsq - sum^2) > (n-1)*sum^2; months pair by self-join. The
+# official bar of 1 is vacuous on uniform synthetic quantities (cov
+# tops out ~0.9 per supplier-month); 1/2 keeps the identical grammar
+# with real selectivity (48 pairs at sf0.01). The grammar: HAVING over
+# second-moment aggregates + a self-join keyed on the derived month.
+_QDS39 = """
+WITH mq AS (
+    SELECT l_suppkey AS supp,
+           EXTRACT(MONTH FROM l_shipdate) AS mon,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS s,
+           CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)
+                    * CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS sq
+    FROM lineitem
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+      AND EXTRACT(MONTH FROM l_shipdate) IN (3, 4)
+    GROUP BY l_suppkey, EXTRACT(MONTH FROM l_shipdate)
+    HAVING COUNT(*) >= 2
+)
+SELECT a.supp,
+       a.n AS n_m3, a.s AS s_m3,
+       b.n AS n_m4, b.s AS s_m4
+FROM mq a
+JOIN mq b ON a.supp = b.supp
+WHERE a.mon = 3 AND b.mon = 4
+  AND 4 * a.n * (a.n * a.sq - a.s * a.s) > (a.n - 1) * (a.s * a.s)
+  AND 4 * b.n * (b.n * b.sq - b.s * b.s) > (b.n - 1) * (b.s * b.s)
+ORDER BY a.supp
+"""
+
+# Q97 shape (official q97: store and catalog customer-sale sets FULL
+# OUTER joined on the customer key, counted into a both/store-only/
+# catalog-only membership matrix — ONE row): channels here are the
+# urgent vs non-urgent order populations.
+_QDS97 = """
+WITH u AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+r AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderpriority <> '1-URGENT'
+)
+SELECT CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL
+                      AND r.o_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS both_channels,
+       CAST(SUM(CASE WHEN u.o_custkey IS NOT NULL
+                      AND r.o_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_only,
+       CAST(SUM(CASE WHEN u.o_custkey IS NULL
+                      AND r.o_custkey IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS other_only
+FROM u FULL OUTER JOIN r ON u.o_custkey = r.o_custkey
+"""
+
+register("sql_tpcds_q1", oracle=_QDS1)(_sql_plan(_QDS1))
+register("sql_tpcds_q23", oracle=_QDS23)(_sql_plan(_QDS23))
+register("sql_tpcds_q39", oracle=_QDS39)(_sql_plan(_QDS39))
+register("sql_tpcds_q97", oracle=_QDS97)(_sql_plan(_QDS97))

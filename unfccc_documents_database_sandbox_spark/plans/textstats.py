@@ -1658,3 +1658,119 @@ def corpus_curation_v2(spark, sf_dir):
         .unionByName(funnel("e_semantic_dedup", sem))
         .unionByName(split_rows)
     )
+
+
+# --- Unicode NFC normalization gate (r16 second wave): the standard
+# ingest normalization every multilingual pipeline runs before
+# tokenizing/deduping (decomposed accents, compatibility singletons,
+# and combining-mark order otherwise make byte-identical text hash
+# differently). Planted rows are constructed codepoint-by-codepoint on
+# BOTH sides, so the cross-engine NFC claim (Python unicodedata vs
+# DuckDB nfc_normalize — two independent UAX #15 implementations) is
+# hash-checked, not assumed. ---
+
+# (doc_id offset, lang, list of codepoints) — BMP only, so Spark's
+# UTF-16 length() counts codepoints like DuckDB's length()
+_NFC_PLANTED: list[tuple[int, str, list[int]]] = [
+    # decomposed acute: e + U+0301 composes to é
+    (9000001, "fr", [0x65, 0x78, 0x70, 0x6F, 0x73, 0x65, 0x0301]),
+    # already-composed é: NFC is the identity on it
+    (9000002, "fr", [0x63, 0x61, 0x66, 0xE9]),
+    # cedilla + tilde combining pairs: c+U+0327, n+U+0303
+    (9000003, "es", [0x63, 0x0327, 0x61, 0x20, 0x6E, 0x0303, 0x6F]),
+    # compatibility-singleton: U+212B ANGSTROM SIGN -> U+00C5
+    (9000004, "en", [0x212B, 0x6E, 0x67, 0x73, 0x74, 0x72, 0x6F, 0x6D]),
+    # combining-class reordering: o + circumflex(ccc 230) + dot-below
+    # (ccc 220) must reorder before composing -> U+1ECD U+0302
+    (9000005, "en", [0x6F, 0x0302, 0x0323, 0x72, 0x64, 0x65, 0x72]),
+]
+
+
+def _nfc_planted_sql() -> str:
+    rows = ",\n        ".join(
+        "({}, '{}', {})".format(
+            off, lang, " || ".join(f"chr({cp})" for cp in cps)
+        )
+        for off, lang, cps in _NFC_PLANTED
+    )
+    return rows
+
+
+@register(
+    "text_normalize_nfc",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT * FROM (VALUES
+        {_nfc_planted_sql()}
+        ) v(doc_id, lang, text)
+    )
+    SELECT doc_id, lang,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp,
+           CAST(CASE WHEN nfc_normalize(text) <> text
+                THEN 1 ELSE 0 END AS BIGINT) AS changed,
+           md5(nfc_normalize(text)) AS nfc_digest
+    FROM src
+    """,
+)
+def text_normalize_nfc(spark, sf_dir):
+    """Unicode NFC normalization gate (r16): canonical-compose every
+    document (decomposed accents, compatibility singletons like
+    U+212B, combining-mark reordering) and emit the normalized
+    codepoint length, a changed flag, and the md5 of the NFC text —
+    the digest downstream exact-dedup should key on (byte-different
+    spellings of the SAME text are the classic silent dedup miss in
+    multilingual corpora). Spark has no JVM-side NFC builtin, so the
+    normalizer is a mapInPandas pass over Python's unicodedata — a
+    genuinely different UAX #15 implementation than the oracle's
+    DuckDB ``nfc_normalize``, which is exactly what makes hash-green
+    here a real interoperability claim; five planted rows constructed
+    codepoint-by-codepoint on both sides cover each NFC case class
+    (compose, identity, multiple marks, singleton, ccc reordering).
+
+    Scale shape: ZERO exchanges — one Arrow-batched row-local pass at
+    scan speed; the digest column then feeds the existing digest-keyed
+    dedup shuffles unchanged."""
+    import pandas as pd
+    import unicodedata
+
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    planted = spark.createDataFrame(
+        [(off, lang, "".join(chr(cp) for cp in cps))
+         for off, lang, cps in _NFC_PLANTED],
+        "doc_id long, lang string, text string",
+    )
+    u = spread(docs.unionByName(planted))
+
+    def norm(batches):
+        for pdf in batches:
+            out = [unicodedata.normalize("NFC", str(t))
+                   for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "lang": pdf["lang"],
+                    "n_cp": pd.Series([len(t) for t in out],
+                                      dtype="int64"),
+                    "changed": pd.Series(
+                        [int(a != str(b))
+                         for a, b in zip(out, pdf["text"])],
+                        dtype="int64"),
+                    "text_nfc": out,
+                }
+            )
+
+    nfc = u.mapInPandas(
+        norm,
+        "doc_id long, lang string, n_cp long, changed long, "
+        "text_nfc string",
+    )
+    return nfc.select(
+        "doc_id", "lang", "n_cp", "changed",
+        F.md5(F.encode("text_nfc", "UTF-8")).alias("nfc_digest"),
+    )

@@ -132,15 +132,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # udf_llm_openai_adapter, text_quality_classifier_trained,
 # multimodal_image_phash, text_bpe_pretrained_2k; machine-checked by
 # tests/test_rotation.py::test_window_reaches_every_due_key; sized
-# from the registry, not this comment).
+# from the registry, not this comment). Mid-round resize: the r16
+# second wave landed 5 MORE keys (sql_tpcds_q1/q23/q39/q97,
+# text_normalize_nfc), so the 5 alphabetically-last r10-cohort
+# promotees (join_range, join_semi, join_skew_salted, json_extract,
+# lang_id) demoted back to NEXT — the r07 precedent: each new
+# unprefixed key displaces the newest-evidence end of DUE, never the
+# oldest; the rebuilt ANN keys are protected (they NEED re-evidence).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "events_dau_wau", "events_rfm", "events_top_paths",
         "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
         "graph_triangles", "join_asof", "join_bridge",
         "join_child_collect", "join_inner_fk", "join_lateral",
-        "join_left_nullable", "join_null_safe", "join_range",
-        "join_semi", "join_skew_salted", "json_extract", "lang_id",
+        "join_left_nullable", "join_null_safe",
         "sim_index_persisted", "sim_index_refresh",
         "stream_static_join", "stream_table_changes",
         "stream_table_changes_dist", "table_bloom_prune",
@@ -183,9 +188,10 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "events_funnel", "events_retention", "events_sessionize",
         "graph_bfs", "graph_pagerank", "index_inverted",
         "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
-        "join_interval_overlap", "join_similarity_prefix",
-        "json_roundtrip", "json_variant_extract",
-        "layout_compaction", "layout_compaction_apply",
+        "join_interval_overlap", "join_range", "join_semi",
+        "join_similarity_prefix", "join_skew_salted",
+        "json_extract", "json_roundtrip", "json_variant_extract",
+        "lang_id", "layout_compaction", "layout_compaction_apply",
         "layout_zorder", "limit_n", "map_ops", "math_arith",
         "merge_upsert", "multimodal_features_topk",
         "multimodal_frame_sample", "numbering_normalize",
