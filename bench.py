@@ -191,6 +191,7 @@ FRESH = [
     "sql_tpcds_q39",            # integer-exact coefficient-of-variation
     "sql_tpcds_q97",            # full-outer channel membership matrix
     "text_normalize_nfc",       # cross-engine Unicode NFC gate
+    "corpus_mix_temperature",   # alpha-sampling mixture audit
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

@@ -123,7 +123,7 @@ ROUND_KEYS = [
     # round-16 second wave (agg-of-agg subqueries, exact cov, channel
     # matrix, Unicode NFC gate)
     "sql_tpcds_q1", "sql_tpcds_q23", "sql_tpcds_q39", "sql_tpcds_q97",
-    "text_normalize_nfc",
+    "text_normalize_nfc", "corpus_mix_temperature",
 ]
 
 

@@ -1774,3 +1774,102 @@ def text_normalize_nfc(spark, sf_dir):
         "doc_id", "lang", "n_cp", "changed",
         F.md5(F.encode("text_nfc", "UTF-8")).alias("nfc_digest"),
     )
+
+
+# --- temperature-sampled corpus mixing (r16 third wave): the mT5/Pile
+# alpha-sampling recipe — language l keeps with rate proportional to
+# p_l^(alpha-1), alpha = 1/2, normalized so the rarest language keeps
+# everything. sqrt never touches FP: isqrt is FLOOR(SQRT(double))
+# corrected by +-1 integer checks, exact in both engines. ---
+
+_ISQRT = ("CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT)")
+
+
+def _isqrt_sql(x: str) -> str:
+    s0 = _ISQRT.format(x=x)
+    return (f"(CASE WHEN ({s0}) * ({s0}) > ({x}) THEN ({s0}) - 1 "
+            f"WHEN (({s0}) + 1) * (({s0}) + 1) <= ({x}) THEN ({s0}) + 1 "
+            f"ELSE ({s0}) END)")
+
+
+def _isqrt_col(x):
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when(s0 * s0 > x, s0 - 1)
+        .when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+        .otherwise(s0)
+    )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH percnt AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_l
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, lang, n_l,
+               CAST(MIN(n_l) OVER () AS BIGINT) AS n_min
+        FROM percnt
+    ),
+    kept AS (
+        SELECT doc_id, lang,
+               (4294967296 * (CASE WHEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) * (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) > (n_min * n_l) THEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) - 1 WHEN ((CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1) * ((CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1) <= (n_min * n_l) THEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1 ELSE (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) END)) // n_l AS threshold,
+               (doc_id * 2654435761) % 4294967296 <
+                   (4294967296 * (CASE WHEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) * (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) > (n_min * n_l) THEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) - 1 WHEN ((CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1) * ((CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1) <= (n_min * n_l) THEN (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) + 1 ELSE (CAST(FLOOR(SQRT(CAST(n_min * n_l AS DOUBLE))) AS BIGINT)) END)) // n_l AS keep
+        FROM counted
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(MIN(threshold) AS BIGINT) AS threshold
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature-sampled corpus mixing (r16) — the alpha-sampling
+    recipe multilingual pretraining uses (mT5/Pile): language l keeps
+    documents at rate proportional to p_l^(alpha-1) with alpha = 1/2,
+    i.e. rate_l = sqrt(n_min / n_l) — rare languages keep everything,
+    dominant ones are downsampled toward a flatter mixture. The keep
+    test is the deterministic multiplicative-hash bucket of corpus_mix
+    against a PER-LANGUAGE integer threshold
+    floor(2^32 · isqrt(n_min · n_l)) DIV n_l, where isqrt is
+    FLOOR(SQRT(·)) corrected by ±1 integer checks — exact in both
+    engines, so the hashed keep set (not just the counts) is
+    reproducible; re-tempering a 100 TB mixture is a threshold change,
+    not a re-shard. Emits the per-language audit (n_before, n_kept,
+    threshold) a mixing run publishes.
+
+    Scale shape: one tiny per-lang count aggregate broadcast back onto
+    the scan (the counts dim is |languages| rows), the keep filter is
+    row-local, and the audit re-aggregates on lang — two lang-keyed
+    exchanges over COUNTS, never a corpus re-shard."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    dims = F.broadcast(counts.crossJoin(F.broadcast(n_min)))
+    j = d.join(dims, "lang").withColumn(
+        "s", _isqrt_col(F.col("n_min") * F.col("n_l"))
+    )
+    # integer DIV, not double /: the quotient is ~2^32-scaled and a
+    # double division could floor differently at an exact boundary
+    thr = F.expr("CAST(4294967296 * s DIV n_l AS BIGINT)")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    kept = j.withColumn("threshold", thr).withColumn(
+        "keep", bucket < F.col("threshold")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.min("threshold").cast("long").alias("threshold"),
+        )
+        .orderBy("lang")
+    )
