@@ -192,6 +192,8 @@ FRESH = [
     "sql_tpcds_q97",            # full-outer channel membership matrix
     "text_normalize_nfc",       # cross-engine Unicode NFC gate
     "corpus_mix_temperature",   # alpha-sampling mixture audit
+    "corpus_select_budget",     # token-budget histogram cutoff
+    "curation_domain_filter",   # per-source rollup verdict
 ]
 
 WARMUP_SF_DIR = "/root/testdata/sf0.01"

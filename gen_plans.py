@@ -124,6 +124,7 @@ ROUND_KEYS = [
     # matrix, Unicode NFC gate)
     "sql_tpcds_q1", "sql_tpcds_q23", "sql_tpcds_q39", "sql_tpcds_q97",
     "text_normalize_nfc", "corpus_mix_temperature",
+    "corpus_select_budget", "curation_domain_filter",
 ]
 
 

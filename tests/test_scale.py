@@ -1032,3 +1032,38 @@ def test_trained_classifier_weight_dim_broadcasts(spark):
     # repartition guard — never a corpus-side exchange for the lookup
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 2, plan
+
+
+def test_nfc_gate_is_zero_exchange(spark):
+    """r16: the Unicode NFC gate must run at scan speed — one Arrow
+    mapInPandas pass, ZERO shuffle exchanges (the spread() guard is a
+    no-op on an already-parallel scan at this SF)."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans, lookup,
+    )
+
+    load_all_plans()
+    df = lookup("text_normalize_nfc").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 0, plan
+
+
+def test_temperature_mix_never_reshards_the_corpus(spark):
+    """r16: temperature mixing exchanges COUNTS, never the corpus — the
+    per-language dims broadcast back onto the scan (BroadcastHashJoin),
+    and every shuffle in the plan is a lang-keyed aggregate over
+    |languages|-scale rows. No SortMergeJoin, no nested-loop."""
+    from unfccc_documents_database_sandbox_spark.registry import (
+        load_all_plans, lookup,
+    )
+
+    load_all_plans()
+    df = lookup("corpus_mix_temperature").build(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one nested-loop: the 1-row n_min scalar attached to the
+    # |languages|-row counts dim (the test_keyterms one-row-build
+    # precedent) — never a corpus-side nested loop
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

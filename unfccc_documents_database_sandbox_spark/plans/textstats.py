@@ -8,6 +8,7 @@ mandated by BASELINE.json.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from unfccc_documents_database_sandbox_spark.catalog import load_table
@@ -1873,3 +1874,224 @@ def corpus_mix_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- token-budget corpus selection (r16 fourth wave): "give me the
+# best documents that fit in N training tokens" — the data-selection
+# step between scoring and training-mix assembly. The oracle states
+# the semantics as ONE global window (rank by quality, running token
+# sum, keep while <= budget); the Spark plan refuses that
+# single-reducer shape and computes the SAME set with a histogram
+# cutoff: bucket the integer scores, pick the boundary bucket from a
+# histogram-sized cumulative pass, keep whole buckets above it, and
+# order-resolve ONLY inside the boundary bucket. ---
+
+_CSB_BUCKET = 1024  # score-bucket width (integer-milli scores)
+
+
+def _csb_scored_sql() -> str:
+    """(doc_id, toks, score_milli) — X215's hashed-classifier score and
+    the unigram token count, as SQL."""
+    return f"""
+        SELECT doc_id,
+               CAST(len(u) AS BIGINT) AS toks,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_concat(
+                       u,
+                       list_transform(generate_series(2, len(u)),
+                                      i -> u[i-1] || '_' || u[i])
+                   ), t -> {_QC_W_SQL})), 0) AS BIGINT) AS score_milli
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS u
+            FROM documents
+        )"""
+
+
+@register(
+    "corpus_select_budget",
+    oracle=f"""
+    WITH scored AS ({_csb_scored_sql()}),
+    tot AS (
+        SELECT (2 * CAST(SUM(toks) AS BIGINT)) // 5 AS budget FROM scored
+    ),
+    ranked AS (
+        SELECT doc_id, toks, score_milli,
+               SUM(toks) OVER (ORDER BY score_milli DESC, doc_id)
+                   AS cum
+        FROM scored
+    )
+    SELECT r.doc_id, r.score_milli, r.toks
+    FROM ranked r, tot
+    WHERE r.cum <= tot.budget
+    """,
+)
+def corpus_select_budget(spark, sf_dir):
+    """Token-budget data selection (r16): keep the highest-quality
+    documents (X215's hashed-classifier score, ties broken by doc_id)
+    whose cumulative whitespace-token count fits a budget of 2/5 of the
+    corpus's tokens. The oracle SAYS it with one global window —
+    exactly the single-reducer shape a 100 TB run cannot execute — and
+    this plan computes the identical set scalably: (1) score each doc
+    row-locally (one fold, pinned once — four consumers), (2) roll a
+    HISTOGRAM of token mass per score bucket (width 1024 milli; the
+    cumulative pass runs over the histogram, whose size is bounded by
+    the score RANGE, not the corpus), (3) keep every bucket whose
+    cumulative mass fits entirely, (4) order-resolve ONLY the single
+    boundary bucket with a window partitioned on that bucket. Bucket
+    floor-division subtracts the positive remainder first, so negative
+    scores bucket identically in both engines (the cluster_kmeans
+    exact-floor idiom). Budget ties at the boundary split by the same
+    (score DESC, doc_id) total order both sides."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    toks = d.select("doc_id", u.alias("u"))
+    bigrams = F.when(
+        F.size("u") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("u")),
+            lambda i: F.concat_ws(
+                "_", F.element_at("u", i - 1), F.element_at("u", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", F.size("u").cast("long").alias("toks"),
+        F.concat(F.col("u"), bigrams).alias("f"),
+    )
+    score = F.aggregate(
+        "f", F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight_milli(t)
+    )
+    # pinned once: the scored frame feeds the budget scalar, the
+    # histogram, the whole-bucket keep, and the boundary resolution
+    scored = feats.select(
+        "doc_id", "toks", score.alias("score_milli")
+    ).localCheckpoint(eager=True)
+
+    budget = (
+        2 * scored.agg(F.sum("toks").cast("long")).collect()[0][0]
+    ) // 5
+    pm = ((F.col("score_milli") % _CSB_BUCKET) + _CSB_BUCKET) % _CSB_BUCKET
+    bucket = ((F.col("score_milli") - pm) / _CSB_BUCKET).cast("long")
+    sb = scored.withColumn("bucket", bucket)
+    hist = sb.groupBy("bucket").agg(F.sum("toks").alias("mass"))
+    wdesc = W.orderBy(F.col("bucket").desc())
+    cum = hist.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("mass").over(
+                wdesc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    full = cum.filter(F.col("cum_before") + F.col("mass") <= F.lit(budget))
+    boundary = cum.filter(
+        (F.col("cum_before") < F.lit(budget))
+        & (F.col("cum_before") + F.col("mass") > F.lit(budget))
+    )
+    kept_full = sb.join(
+        F.broadcast(full.select("bucket")), "bucket", "left_semi"
+    )
+    wb = W.partitionBy("bucket").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id")
+    )
+    kept_boundary = (
+        sb.join(F.broadcast(boundary.select("bucket", "cum_before")),
+                "bucket")
+        .withColumn("cum", F.col("cum_before") + F.sum("toks").over(wb))
+        .filter(F.col("cum") <= F.lit(budget))
+    )
+    return kept_full.select("doc_id", "score_milli", "toks").unionByName(
+        kept_boundary.select("doc_id", "score_milli", "toks")
+    )
+
+
+# --- domain-level curation filter (r16 fourth wave): the RefinedWeb/
+# FineWeb stage that judges the SOURCE, not just the document — a
+# domain whose aggregate quality is negative is dropped wholesale
+# (spam domains poison their own average), and inside a kept domain
+# each document still passes its own gate. ---
+
+@register(
+    "curation_domain_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(COALESCE(list_sum(list_transform(
+                   list_concat(
+                       u,
+                       list_transform(generate_series(2, len(u)),
+                                      i -> u[i-1] || '_' || u[i])
+                   ), t -> {_QC_W_SQL})), 0) AS BIGINT) AS score_milli
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS u
+            FROM documents
+        )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_milli) AS BIGINT) AS domain_score_milli,
+           CAST(CASE WHEN SUM(score_milli) > 0 AND COUNT(*) >= 10
+                THEN 1 ELSE 0 END AS BIGINT) AS domain_keep,
+           CAST(SUM(CASE WHEN score_milli > 0 THEN 1 ELSE 0 END)
+                * CASE WHEN SUM(score_milli) > 0 AND COUNT(*) >= 10
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_domain_filter(spark, sf_dir):
+    """Domain-level curation filter (r16): aggregate X215's classifier
+    score per SOURCE and judge the domain — keep iff the domain's
+    summed score is positive (sum > 0 ⇔ mean > 0, division-free) and
+    it has at least 10 documents (too-small domains carry no signal);
+    a document survives iff its domain keeps AND its own score is
+    positive. Emits the per-domain audit (n_docs, summed score,
+    domain verdict, surviving docs) — the table a curation run
+    publishes before dropping domains wholesale.
+
+    Scale shape: one row-local scoring fold, then ONE source-keyed
+    aggregation computing the domain verdict and the surviving count
+    in the same pass (the per-doc gate is a flag aggregated alongside,
+    so no second join back) — a 100 TB corpus pays exactly one
+    exchange keyed on domains, whose cardinality is web-host-scale,
+    not corpus-scale."""
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    u = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    toks = d.select("doc_id", "source", u.alias("u"))
+    bigrams = F.when(
+        F.size("u") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("u")),
+            lambda i: F.concat_ws(
+                "_", F.element_at("u", i - 1), F.element_at("u", i)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id", "source", F.concat(F.col("u"), bigrams).alias("f")
+    )
+    score = F.aggregate(
+        "f", F.lit(0).cast("long"), lambda acc, t: acc + _qc_weight_milli(t)
+    )
+    scored = feats.select("doc_id", "source", score.alias("score_milli"))
+    agg = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("score_milli").cast("long").alias("domain_score_milli"),
+        F.sum((F.col("score_milli") > 0).cast("long")).alias("n_pos"),
+    )
+    keep = (
+        (F.col("domain_score_milli") > 0) & (F.col("n_docs") >= 10)
+    ).cast("long")
+    return agg.select(
+        "source", "n_docs", "domain_score_milli",
+        keep.alias("domain_keep"),
+        (F.col("n_pos") * keep).cast("long").alias("n_kept"),
+    ).orderBy("source")

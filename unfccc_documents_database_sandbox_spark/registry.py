@@ -141,16 +141,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 # oldest; the rebuilt ANN keys are protected (they NEED re-evidence).
 # Third-wave key corpus_mix_temperature demotes join_null_safe, the
 # then-newest-evidence DUE tail, by the same rule (DUE now 36).
+# Fourth-wave keys corpus_select_budget / curation_domain_filter
+# demote join_left_nullable / join_lateral likewise (DUE now 34).
 ROTATED_DUE: frozenset[str] = frozenset(
     {
         "events_dau_wau", "events_rfm", "events_top_paths",
         "filter_notnull", "filter_or_eq", "graph_sssp_weighted",
         "graph_triangles", "join_asof", "join_bridge",
-        "join_child_collect", "join_inner_fk", "join_lateral",
-        "join_left_nullable", "sim_index_persisted",
-        "sim_index_refresh", "stream_static_join",
-        "stream_table_changes", "stream_table_changes_dist",
-        "table_bloom_prune", "table_changes_typed", "table_clone",
+        "join_child_collect", "join_inner_fk",
+        "sim_index_persisted", "sim_index_refresh",
+        "stream_static_join", "stream_table_changes",
+        "stream_table_changes_dist", "table_bloom_prune",
+        "table_changes_typed", "table_clone",
         "table_column_mapping", "table_constraints",
         "table_delete_mor", "table_generated_partition",
         "table_history", "table_merge_evolve", "table_null_prune",
@@ -189,7 +191,8 @@ ROTATED_NEXT: frozenset[str] = frozenset(
         "events_funnel", "events_retention", "events_sessionize",
         "graph_bfs", "graph_pagerank", "index_inverted",
         "join_anti", "join_bucketed", "join_dpp", "join_full_outer",
-        "join_interval_overlap", "join_null_safe", "join_range",
+        "join_interval_overlap", "join_lateral",
+        "join_left_nullable", "join_null_safe", "join_range",
         "join_semi", "join_similarity_prefix", "join_skew_salted",
         "json_extract", "json_roundtrip", "json_variant_extract",
         "lang_id", "layout_compaction", "layout_compaction_apply",
