@@ -1518,6 +1518,65 @@ def test_containment_prefix_finds_truncation_pair(spark, tmp_path):
     assert all(a != 1 for a, _ in got)         # unrelated doc never contained
 
 
+def test_select_budget_boundary_bucket_at_exact_budget(spark, tmp_path):
+    """r17 (ADVICE r16): a histogram bucket whose cumulative mass-before
+    equals the budget EXACTLY must still be order-resolved as the
+    boundary bucket — zero-token docs at its head have cum == budget and
+    the oracle's global window (cum <= budget) keeps them. The old
+    strict `cum_before < budget` predicate classified such a bucket as
+    neither full nor boundary and dropped those docs.
+
+    Corpus construction (scores from the real hashed-weight function):
+      A: one 2-token doc scoring >= 1024 (bucket >= 1), mass 2
+      M: one 1-token doc scoring exactly 0 (bucket 0), mass 1
+      Z: two empty docs (score 0, 0 tokens, bucket 0)
+      C: one 2-token doc scoring < 0 (bucket <= -1), mass 2
+    Total tokens T = 5, budget = 2*5//5 = 2 = A's mass, so bucket 0 has
+    cum_before == budget with mass 1 > 0: the exact edge. Expected keep
+    set: A (full bucket) + both Z docs (cum == budget); M overshoots."""
+    import hashlib
+    import itertools
+    import os
+
+    from unfccc_documents_database_sandbox_spark.plans.textstats import (
+        _QC_BUCKETS,
+        _QC_SALT,
+    )
+    from unfccc_documents_database_sandbox_spark.registry import lookup
+
+    def w(t):
+        b = int(hashlib.md5((_QC_SALT + t).encode()).hexdigest()[:7], 16)
+        return ((b % _QC_BUCKETS + 1) * 2654435761) % 2001 - 1000
+
+    words = [f"w{i}" for i in range(4000)]
+    m_tok = next(t for t in words if w(t) == 0)
+    pos_pair = next(
+        (x, y) for x, y in itertools.combinations(words, 2)
+        if 1024 <= w(x) + w(y) + w(f"{x}_{y}") < 2048
+    )
+    neg_pair = next(
+        (x, y) for x, y in itertools.combinations(words, 2)
+        if w(x) + w(y) + w(f"{x}_{y}") < 0
+    )
+    docs = [
+        (1, " ".join(pos_pair)),  # A
+        (2, ""),                  # Z
+        (3, ""),                  # Z
+        (4, m_tok),               # M (score 0, sorts after Z by doc_id)
+        (5, " ".join(neg_pair)),  # C
+    ]
+    sf = str(tmp_path / "sfb")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        docs, "doc_id long, text string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.doc_id: (r.score_milli, r.toks)
+           for r in lookup("corpus_select_budget").build(spark, sf)
+           .collect()}
+    a_score = w(pos_pair[0]) + w(pos_pair[1]) + w("_".join(pos_pair))
+    assert got == {1: (a_score, 2), 2: (0, 0), 3: (0, 0)}, got
+
+
 def test_unigram_partitioning_invariance(spark):
     """VERDICT r11 #3's property: encode(train(corpus)) must be stable
     under partitioning — the trainer's vocabulary (pieces, counts AND

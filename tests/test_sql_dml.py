@@ -776,5 +776,20 @@ def test_unclaimed_subquery_shapes_refused_with_typed_error(spark, pair):
             "(SELECT id FROM tbl) AND status = 'live'",
             {"tbl": sql_root},
         )
-    # the table is untouched by all four refusals
+    # r17 (ADVICE r16): EXISTS and scalar-subquery conjuncts get their
+    # own named diagnostics instead of the misleading non-bare-IN label
+    with pytest.raises(DmlSyntaxError, match="EXISTS"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE EXISTS (SELECT 1 FROM tbl t2 "
+            "WHERE t2.score >= 100)",
+            {"tbl": sql_root},
+        )
+    with pytest.raises(DmlSyntaxError, match="scalar-subquery"):
+        execute_dml(
+            spark,
+            "DELETE FROM tbl WHERE score > (SELECT AVG(score) FROM tbl)",
+            {"tbl": sql_root},
+        )
+    # the table is untouched by all six refusals
     assert len(_rows(spark, sql_root)) == 20

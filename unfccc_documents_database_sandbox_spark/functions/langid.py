@@ -204,12 +204,81 @@ def oracle_planted_values() -> str:
     )
 
 
+def profile_weight_rows() -> list[tuple]:
+    """(gram, w_en, w_es, w_fr) over the union of all profile grams;
+    a language missing the gram gets None (the scorer coalesces to
+    that language's OOV cost). 91 rows for the pinned profiles."""
+    grams = sorted(set().union(*[set(PROFILES[lang]) for lang in LANGS]))
+    return [(g, *[PROFILES[lang].get(g) for lang in LANGS]) for g in grams]
+
+
+def score_costs(df):
+    """(doc_id, lang, cost_en, cost_es, cost_fr) — the r17 REGISTERED
+    scorer: explode the character bigrams of the normalized text,
+    broadcast-join the pinned profile table, and take one grouped
+    integer sum per (doc_id, lang). Same integers as the
+    ``spark_cost_struct`` fold by construction (element_at-with-OOV ≡
+    left-join-coalesce; integer sums are order-independent), pinned by
+    tests/test_langid.py.
+
+    Why this shape (r17, guide §4.1/§2.3): the fold is an interpreted
+    higher-order function — ~450 ns per gram-step on local[32]
+    regardless of how the per-gram lookup is expressed (literal map,
+    literal 729-slot array, same cost — measured r17), so three costs
+    over ~500 grams/doc dominate the key. The explode+join+agg runs
+    entirely in whole-stage codegen: interleaved A/B at sf0.1, median
+    of 9, fold 3.70 s vs explode-join 2.58 s (and the explode variant's
+    spread is 2.35-2.84 s where the fold never beat 3.2 s). A
+    numpy/mapInPandas twin measured a similar median (2.68 s) with 3x
+    the variance — the Python boundary loses to codegen here.
+
+    Scale shape: the explode multiplies rows ~500x but every doc's
+    grams stay in its input partition, so the partial (map-side)
+    aggregation collapses them back to ONE row per doc before the
+    exchange — the shuffle carries (doc_id, lang, 3 longs) per doc, not
+    grams. The profile table is 91 rows, always broadcast."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prof = F.broadcast(
+        spark.createDataFrame(
+            profile_weight_rows(), "g string, w_en long, w_es long, w_fr long"
+        )
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    grams = F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+    e = df.withColumn("s", s).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    return (
+        e.join(prof, "g", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"w_{lang}"), F.lit(OOV_COST[lang]))
+                ).alias(f"cost_{lang}")
+                for lang in LANGS
+            ]
+        )
+    )
+
+
 def spark_cost_struct():
     """All three language costs in ONE fold over the bigram array — a
     named_struct accumulator replaces three separate aggregate() passes
     (the r15 bench showed 3 interpreted passes over ~400 grams/doc cost
     ~7 s at sf0.1; one pass does the same 3 map lookups per gram but
-    walks the array once). Returns a struct column with fields en/es/fr."""
+    walks the array once). Returns a struct column with fields en/es/fr.
+
+    r17: superseded as the registered path by ``score_costs`` (the
+    codegen explode+join scorer — see its docstring for the A/B); kept
+    as the re-runnable row-local twin, still pinned bit-equal by
+    tests/test_langid.py."""
     from pyspark.sql import functions as F
 
     def m(lang: str) -> str:

@@ -950,12 +950,16 @@ def text_lang_id(spark, sf_dir):
     hash-checkable: three planted docs claim their true language
     (keep_flag=1), three claim a wrong one (keep_flag=0).
 
-    Scale: the whole scorer is row-local JVM expressions — one
-    ``aggregate`` fold over a ``transform(sequence(...))`` bigram array
-    with a literal-map lookup per language. No UDF, no explode, no
-    shuffle; the 192-entry profile map ships inside the plan. At 100 TB
-    the scan stays embarrassingly parallel and the only exchange is
-    whatever the caller does with the keep flag afterwards."""
+    Scale (r17 rewrite — guide §4.1): the scorer is a gram explode +
+    91-row broadcast profile join + ONE map-side-combinable grouped
+    integer sum (langid.score_costs) — every stage whole-stage-codegen.
+    The previous interpreted aggregate() fold cost ~450 ns per
+    gram-step no matter how the lookup was expressed (literal map or
+    729-slot array — both measured r17); the codegen path is 1.4x
+    faster with 5x less run-to-run variance. The explode fan-out
+    collapses back to one row per doc in the partial aggregate before
+    the exchange, so the only shuffle carries (doc_id, lang, 3 longs)
+    per doc."""
     from unfccc_documents_database_sandbox_spark.functions import langid as L
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -964,26 +968,13 @@ def text_lang_id(spark, sf_dir):
     planted = spark.createDataFrame(
         list(L.PLANTED_DOCS), "doc_id long, lang string, text string"
     )
-    # spread before the fold-heavy scorer: a row-group-bound scan hands
-    # the interpreted bigram fold ONE partition (the multimodal/r05
-    # lesson); the guard makes this a no-op on an already-parallel scan
+    # spread before the explode-heavy scorer: a row-group-bound scan
+    # hands the gram fan-out ONE partition (the multimodal/r05 lesson);
+    # the guard makes this a no-op on an already-parallel scan
     from unfccc_documents_database_sandbox_spark.catalog import spread
 
     u = spread(docs.unionByName(planted))
-    s = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
-        F.lit(" "),
-    )
-    scored = (
-        u.withColumn("s", s)
-        .withColumn("c", L.spark_cost_struct())
-        .select(
-            "doc_id",
-            "lang",
-            *[F.col(f"c.{lang}").alias(f"cost_{lang}") for lang in L.LANGS],
-        )
-    )
+    scored = L.score_costs(u)
     pred = (
         F.when(
             (F.col("cost_en") <= F.col("cost_es"))
@@ -1563,29 +1554,38 @@ def corpus_curation_v2(spark, sf_dir):
     # five funnel branches sit downstream of the classifier fold and
     # four downstream of the lang fold; Spark re-executes a shared
     # subtree per branch (no cross-branch CSE — the graph_bfs/IVF-twin
-    # lesson), so pin each fold's output once
-    q = (
-        feats.filter(F.col("qscore") > 0)
-        .select("doc_id", "lang", "text", "n_tokens")
-        .localCheckpoint(eager=True)
-    )
+    # lesson), so pin each fold's output once. r17: the first
+    # checkpoint pins ALL rows with the keep flag (rejected rows carry
+    # NULL text — only the audit counts need them), so the a_input
+    # branch reads the checkpoint instead of re-running the whole
+    # scan+tokenize+classifier chain it previously re-executed.
+    qq = feats.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("qscore") > 0, F.col("text")).alias("text"),
+        "n_tokens",
+        (F.col("qscore") > 0).alias("q_keep"),
+    ).localCheckpoint(eager=True)
+    q = qq.filter("q_keep").select("doc_id", "lang", "text", "n_tokens")
 
-    s = F.concat(
-        F.lit(" "),
-        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
-        F.lit(" "),
-    )
-    costs = q.withColumn("s", s).withColumn("c", L.spark_cost_struct())
+    # lang gate: the codegen explode+join scorer (langid.score_costs,
+    # r17 — see its docstring for the fold-vs-join A/B); gate survivors
+    # re-attach text/n_tokens by doc_id from the pinned q slice (the id
+    # list is gate output, small — AQE broadcasts it)
+    sc_ = L.score_costs(q.select("doc_id", "lang", "text"))
     pred = (
         F.when(
-            (F.col("c.en") <= F.col("c.es")) & (F.col("c.en") <= F.col("c.fr")),
+            (F.col("cost_en") <= F.col("cost_es"))
+            & (F.col("cost_en") <= F.col("cost_fr")),
             F.lit("en"),
         )
-        .when(F.col("c.es") <= F.col("c.fr"), F.lit("es"))
+        .when(F.col("cost_es") <= F.col("cost_fr"), F.lit("es"))
         .otherwise(F.lit("fr"))
     )
     lg = (
-        costs.filter(pred == F.col("lang"))
+        q.join(
+            sc_.filter(pred == F.col("lang")).select("doc_id"), "doc_id"
+        )
         .select("doc_id", "lang", "text", "n_tokens")
         .localCheckpoint(eager=True)
     )
@@ -1651,11 +1651,15 @@ def corpus_curation_v2(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
     )
+    # r17: a_input reads the pinned all-rows checkpoint (qq) instead of
+    # re-tokenizing the corpus; d_exact_dedup reads the pinned sem_in
+    # (same rows and n_tokens as ex — the left join preserves them)
+    # instead of re-running the md5 window over lg
     return (
-        funnel("a_input", feats)
+        funnel("a_input", qq)
         .unionByName(funnel("b_quality", q))
         .unionByName(funnel("c_lang", lg))
-        .unionByName(funnel("d_exact_dedup", ex))
+        .unionByName(funnel("d_exact_dedup", sem_in))
         .unionByName(funnel("e_semantic_dedup", sem))
         .unionByName(split_rows)
     )
@@ -1988,8 +1992,15 @@ def corpus_select_budget(spark, sf_dir):
         ),
     )
     full = cum.filter(F.col("cum_before") + F.col("mass") <= F.lit(budget))
+    # boundary admits cum_before == budget too (r17, ADVICE r16): a bucket
+    # whose mass-before equals the budget exactly is neither "full" (its own
+    # mass overshoots) nor, under a strict <, "boundary" — yet zero-token
+    # docs at its head have cum == budget and the oracle's global window
+    # (cum <= budget) keeps them. With <=, the kept_boundary filter below
+    # reproduces exactly the oracle's zero-token prefix; disjointness with
+    # `full` still holds (mass == 0 fails the > budget conjunct).
     boundary = cum.filter(
-        (F.col("cum_before") < F.lit(budget))
+        (F.col("cum_before") <= F.lit(budget))
         & (F.col("cum_before") + F.col("mass") > F.lit(budget))
     )
     kept_full = sb.join(

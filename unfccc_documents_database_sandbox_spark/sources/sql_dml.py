@@ -518,10 +518,25 @@ def _extract_in_subquery(cond: str):
             shape = ("an OR-combined IN (SELECT ...) — only a "
                      "top-level AND conjunct can become the lowered "
                      "MERGE key")
-        else:
+        elif re.search(r"\bEXISTS\s*\(\s*(SELECT|WITH)\b", seg,
+                       re.IGNORECASE):
+            # r17 (ADVICE r16): name EXISTS explicitly instead of
+            # mislabelling it a non-bare-column IN key
+            shape = ("`EXISTS (SELECT ...)` — correlated EXISTS is not "
+                     "lowered; rewrite as `col IN (SELECT key ...)` on "
+                     "the correlation key")
+        elif re.search(r"(=|<>|!=|<=|>=|<|>)\s*\(\s*(SELECT|WITH)\b",
+                       seg, re.IGNORECASE):
+            shape = (f"a scalar-subquery comparison ({seg.strip()[:80]}) "
+                     "— comparisons against (SELECT ...) are not lowered; "
+                     "compute the scalar first and inline it")
+        elif re.search(r"\bIN\s*\(\s*(SELECT|WITH)\b", seg,
+                       re.IGNORECASE):
             shape = ("a non-bare-column IN key (e.g. expr(col) IN "
                      "(SELECT ...)) — the subquery key must be a bare "
                      "column to become the merge key")
+        else:
+            shape = f"an unsupported subquery conjunct: {seg.strip()[:120]}"
         raise DmlSyntaxError(
             f"unsupported subquery shape in DML predicate: {shape}")
     if not hits:
