@@ -457,19 +457,20 @@ def test_retention_no_self_join(spark):
 
 def test_pagerank_no_cartesian_and_reuses_edges(spark):
     """graph_pagerank's per-iteration joins must stay hash equi-joins
-    (rank ⋈ edges, contrib ⋈ nodes). The scalar node count attaches as
-    the accepted one-row-build BroadcastNestedLoopJoin (keyterms
-    precedent) — exactly 3 of them (init + 2 iterations), nothing bigger.
-    The persisted edge/degree slice must show up as InMemoryTableScan —
-    without it every iteration re-derives lineitem ⋈ orders."""
+    (rank ⋈ edges, contrib ⋈ nodes). r17: the node count is read off the
+    materialized node list as a 1-row scalar and folded into the plan as
+    a literal, so the scalar-attach BroadcastNestedLoopJoins (3 in the
+    r10-r16 shape) are GONE — zero BNLJ, zero cartesian. The node list
+    and edge⋈degree slice are eager localCheckpoints (Scan ExistingRDD),
+    so no iteration re-derives lineitem ⋈ orders."""
     from unfccc_documents_database_sandbox_spark.registry import load_all_plans, lookup
 
     load_all_plans()
     df = lookup("graph_pagerank").build(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):

@@ -333,14 +333,21 @@ def jaccard_verify_sets(
     to them with a broadcast semi-join (pushes below the parquet scan /
     cache), then the pruned slice — small by LSH design — broadcasts onto
     the pair list twice. The per-pair intersect is O(|A|+|B|) on sorted-ish
-    arrays, the same work the token join did, without its three shuffles."""
+    arrays, the same work the token join did, without its three shuffles.
+
+    r17: the pair set is pinned with an EAGER localCheckpoint instead of
+    a lazy persist — the three consumers (prune + both hset attaches)
+    launch concurrently inside the final job and raced to re-run the
+    whole LSH candidate generation before the lazy cache filled (the
+    corpus_curation_v2 A/B pathology; one bench pass measured 29 s on
+    the race where the pipeline's stages sum to ~0.3 s). Same
+    compute-once guarantee, sequential materialization."""
     if _owns_generation:
         _evict_generation()
-    # the pair set feeds the prune AND both hset joins — persist it so the
+    # the pair set feeds the prune AND both hset joins — pin it so the
     # bucket-collect candidate generation runs once (it is collision-bounded
     # and tiny)
-    candidates = candidates.persist()
-    _PERSISTED_TOKENS.append(candidates)
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -391,19 +398,22 @@ def minhash_near_dups(
     # This invocation owns the persist generation (evict the previous one
     # BEFORE persisting anything new, so the verify stage can't evict ours).
     _evict_generation()
-    # ONE cached intermediate for the whole pipeline: the per-doc distinct
+    # ONE pinned intermediate for the whole pipeline: the per-doc distinct
     # shingle-hash set as a row-local array (spread across executors before
     # the CPU-heavy hashing — the scan is row-group-bound). Signatures fold
     # over it map-only; the verify intersects it per pair. Nothing between
     # the parquet scan and the LSH bucket groupBy shuffles at all.
+    # r17: eager localCheckpoint, not lazy persist — its concurrent
+    # consumers raced to triple-compute the shingle pass before the lazy
+    # cache filled (see jaccard_verify_sets). Measured at sf0.1: the
+    # whole pipeline 4.16 s -> 1.64 s median of 7, identical pairs.
     docsets = shingle_hash_sets(
         spread(docs.select(id_col, text_col)),
         id_col,
         text_col,
         n=shingle,
         portable_hash_digits=7 if portable_hash else None,
-    ).persist()
-    _PERSISTED_TOKENS.append(docsets)
+    ).localCheckpoint(eager=True)
     sigs = minhash_signatures_rowlocal(docsets, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
     return jaccard_verify_sets(cands, docsets, id_col, threshold, _owns_generation=False)

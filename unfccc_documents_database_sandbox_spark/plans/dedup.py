@@ -713,12 +713,11 @@ def join_similarity_prefix(spark, sf_dir):
     )
     # arr feeds FIVE consumers (prefix explode, both sides of the
     # candidate self-join through it, and the two bitmap attaches); pt
-    # feeds both self-join sides; the distinct pair set feeds both
-    # verify attaches. Unpersisted, the tokenize→dfreq→rank→collect
-    # chain re-runs per consumer (measured 50 s vs ~6 s at sf0.1). All
-    # three caches are small (docs, prefix tokens, id pairs) and follow
-    # the minhash pipeline's generation-eviction contract
-    # (operators/dedup.py:248).
+    # feeds both self-join sides. Unpersisted, the tokenize→dfreq→rank→
+    # collect chain re-runs per consumer (measured 50 s vs ~6 s at
+    # sf0.1). arr stays a generation-evicted persist (filled eagerly by
+    # the n_vocab action below); the downstream slices are eager
+    # localCheckpoints (r17, see below).
     D._evict_generation()
     # EXACT BITMAP VERIFY (r06): the verify stage dominated the key's wall
     # time (32 s cold of a 37 s build at sf0.1) because it attached the two
@@ -745,8 +744,17 @@ def join_similarity_prefix(spark, sf_dir):
         aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
                   (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
     )
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
-    D._PERSISTED_TOKENS.append(bm)
+    # r17: bm and pt are EAGER localCheckpoints, not lazy persists — their
+    # consumers (the self-join's two pt sides, the verify's two bm
+    # attaches) all sit inside the ONE final job and raced to re-run the
+    # tokenize chain before a lazy cache filled (the minhash_near_dups
+    # pathology, operators/dedup.py:333). Both read arr's already-filled
+    # cache, so pinning them is two cheap jobs. The cand persist is
+    # dropped outright: the pair set has exactly one consumer (the
+    # x-then-y attach chain), so caching it bought nothing.
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).localCheckpoint(
+        eager=True
+    )
     pre = arr.select(
         "doc_id",
         "n",
@@ -754,8 +762,9 @@ def join_similarity_prefix(spark, sf_dir):
             "toks", 1, (F.col("n") - F.expr("(n + 1) DIV 2") + 1).cast("int")
         ).alias("prefix"),
     )
-    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).persist()
-    D._PERSISTED_TOKENS.append(pt)
+    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).localCheckpoint(
+        eager=True
+    )
     cand = (
         pt.alias("a")
         .join(
@@ -769,9 +778,7 @@ def join_similarity_prefix(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
-    D._PERSISTED_TOKENS.append(cand)
     x = bm.select(
         F.col("doc_id").alias("doc_a"),
         F.col("bm").alias("ba"),
@@ -938,8 +945,11 @@ def dedup_containment(spark, sf_dir):
         aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
                   (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
     )
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
-    D._PERSISTED_TOKENS.append(bm)
+    # r17: eager localCheckpoint — bm's two verify attaches launch inside
+    # one job and raced to fill the lazy cache (see join_similarity_prefix)
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).localCheckpoint(
+        eager=True
+    )
     # probe prefix: |A| - ceil(0.9|A|) + 1 rarest tokens of each doc
     probe = arr.select(
         "doc_id",

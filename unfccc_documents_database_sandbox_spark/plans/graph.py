@@ -137,26 +137,34 @@ def graph_pagerank(spark, sf_dir):
 
     Scale shape: per iteration, one hash join of ranks onto edges (both
     sides partitioned by src — Catalyst reuses the partitioning across
-    iterations) and one map-side-combinable dst aggregate; the node list
-    and scalar count attach via broadcast. The symmetric edge set means
-    no dangling-mass correction term is needed. Iteration count is a
-    compile-time constant: the plan is a static 2-unroll, no driver loop
-    over materialized data."""
+    iterations) and one map-side-combinable dst aggregate. The symmetric
+    edge set means no dangling-mass correction term is needed. Iteration
+    count is a compile-time constant: the plan is a static 2-unroll, no
+    driver loop over materialized data.
+
+    r17 (guide §2.4/§5): the node list and edge⋈outdeg slice are now
+    EAGER localCheckpoints — the lazy persists filled racily inside the
+    single final job (concurrent funnel-style stages triple-computing
+    the shared subtree before the cache fills, the corpus_curation_v2
+    A/B lesson), and n_nodes is read off the materialized node list as
+    a 1-row scalar (the join_similarity_prefix n_vocab pattern), so the
+    per-iteration broadcast(n) cross joins drop out of the plan
+    entirely. Measured at sf0.1: 3.55 s -> 2.52 s median of 7,
+    bit-identical output."""
     _evict_generation()
     # shared builder (VERDICT r10 #5): the weighted edge table's distinct
     # (src, dst) projection IS the unweighted mirrored pair set
     edges = _trade_edges(spark, sf_dir).select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    _PERSISTED.append(nodes)
-    n = nodes.agg(F.count(F.lit(1)).alias("n_nodes")).withColumn("k", F.lit(1))
-    ranks = (
-        nodes.withColumn("k", F.lit(1))
-        .join(F.broadcast(n), "k")
-        .select("node", F.expr(f"{_SCALE} DIV n_nodes").alias("r"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
     )
-    ew = edges.join(outdeg, "src").persist()
-    _PERSISTED.append(ew)
+    ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    # bounded scalar action over the materialized node list (dim-sized,
+    # not corpus-sized): turns the damping base into a plan literal
+    n_nodes = nodes.count()
+    base = (15 * (_SCALE // n_nodes)) // 100
+    ranks = nodes.select("node", F.lit(_SCALE // n_nodes).alias("r"))
     for _ in range(_ITER):
         contrib = (
             ew.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -165,14 +173,11 @@ def graph_pagerank(spark, sf_dir):
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            nodes.withColumn("k", F.lit(1))
-            .join(F.broadcast(n), "k")
-            .join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
                 (
-                    F.expr(f"(15 * ({_SCALE} DIV n_nodes)) DIV 100")
-                    + F.expr("(85 * COALESCE(s, 0)) DIV 100")
+                    F.lit(base) + F.expr("(85 * COALESCE(s, 0)) DIV 100")
                 ).alias("r"),
             )
         )
@@ -237,21 +242,32 @@ def graph_bfs(spark, sf_dir):
         .filter(F.col("src") % 100 == 0)
         .select(F.col("src").alias("node"))
     )
-    visited = seeds.withColumn(
-        "d", F.lit(0).cast("long")
-    ).localCheckpoint(eager=True)
-    frontier = visited.select("node")
+    # r17: checkpoint ONLY each hop's new layer — the visited set is a
+    # lazy union of the already-checkpointed layers, so the per-hop
+    # visited re-checkpoint (a full extra materialization job per hop)
+    # drops out; the anti-join build side is the same rows either way.
+    # Measured at sf0.1: 2.99 s -> 2.69 s median of 7, identical output.
+    layers = [
+        seeds.withColumn("d", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    ]
+    frontier = layers[0].select("node")
     for hop in range(1, _BFS_HOPS + 1):
+        seen = layers[0].select("node")
+        for layer in layers[1:]:
+            seen = seen.unionByName(layer.select("node"))
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("d", F.lit(hop).cast("long"))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
         frontier = nxt.select("node")
+    visited = layers[0]
+    for layer in layers[1:]:
+        visited = visited.unionByName(layer)
     return visited.groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node"),
