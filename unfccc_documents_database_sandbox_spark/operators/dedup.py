@@ -461,6 +461,13 @@ def connected_components(
         und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     )
     labels = active.select("id", F.col("id").alias("label"))
+    # r17 convergence check: per-id labels are monotone NON-INCREASING
+    # (new = min(old, incoming), and the union always carries the old
+    # row), so the label-sum strictly decreases on any change — one
+    # exact decimal aggregate over the just-checkpointed table replaces
+    # the previous new⋈old inequality join per round (same verdict,
+    # one cheap scan instead of a join).
+    prev_sum = None
     converged = False
     for _ in range(max_iter):
         msgs = und.join(labels, und.src == labels.id).select(
@@ -472,17 +479,14 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

@@ -622,7 +622,15 @@ def cosine_near_dup_pairs(
     v = with_norm(as_double_vec(corpus)).select(
         id_col, block_col, F.col("vec"), F.col("norm")
     )
-    a, b = v.alias("a"), v.alias("b")
+    # r17 (guide §2.5): the probe side of the broadcast self-join inherits
+    # the parquet scan's split count (a handful of row groups), so the
+    # CPU-bound within-block dot products ran ~4-wide on 32 cores — AQE
+    # can't help because the stage is tiny in BYTES. spread() the probe
+    # side only (the build side broadcasts either way); row-local compute
+    # + equi-join, so the pair set is unchanged.
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    a, b = spread(v).alias("a"), v.alias("b")
     return (
         a.join(
             b,
