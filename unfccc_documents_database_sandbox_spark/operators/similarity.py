@@ -41,7 +41,13 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus; rank per query. Returns (query_id, neighbor_id, rank, score)."""
-    c = with_norm(as_double_vec(corpus)).select(
+    # r17 (guide §2.5): the corpus side feeds a BroadcastNestedLoopJoin
+    # (non-equi != condition) and inherits the parquet scan's few
+    # row-group splits — spread() it so the per-pair dot products use
+    # the whole core count (adaptive no-op when already wide).
+    from unfccc_documents_database_sandbox_spark.catalog import spread
+
+    c = with_norm(as_double_vec(spread(corpus))).select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cvec"), F.col("norm").alias("cnorm")
     )
     q = with_norm(as_double_vec(queries)).select(

@@ -756,14 +756,20 @@ def bm25_ranked(spark, sf_dir, k):
         .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # r17 (guide §2.4): tf is the ONLY reader of the token explode — dl
+    # (per-doc token count) and tot (corpus token count) are exact
+    # integer marginals of tf (Σ tf per doc / overall), so the explode +
+    # (doc,term) aggregate runs ONCE instead of three times; tf is
+    # pinned eagerly because its four readers (dfx, dl, tot, scored)
+    # share no subplan otherwise (no cross-branch CSE).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
-    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("l_tokens"))
+    tot = tf.agg(F.sum("tf").cast("long").alias("l_tokens"))
     nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     qdf = spark.createDataFrame(_BM25_QUERIES, "qid string, term string")
     scored = (
