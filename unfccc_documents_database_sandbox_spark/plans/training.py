@@ -495,13 +495,67 @@ def _bpe_apply(col, merges):
 
 def _merge_loop(wc, k: int) -> list[tuple[str, str, int]]:
     """The BPE merge loop over ANY (repr, wfreq) vocabulary table —
-    shared by the word-level and byte-level trainers. Each iteration is
-    one vocabulary-sized pair-count aggregation with a 1-row bounded
-    argmax collect; ties break freq DESC then pair-lexicographic.
-    Raises if the vocabulary runs out of pairs before k merges — the
-    oracle's cross-join chain has no defined output for a dry run, so
-    failing loudly beats a silent cross-engine mismatch on degenerate
-    corpora."""
+    shared by the word-level and byte-level trainers; ties break freq
+    DESC then pair-lexicographic. Raises if the vocabulary runs out of
+    pairs before k merges — the oracle's cross-join chain has no defined
+    output for a dry run, so failing loudly beats a silent cross-engine
+    mismatch on degenerate corpora.
+
+    r17 (guide §1.2/§5): the vocabulary is collected ONCE under the
+    _UNI_MAX_VOCAB_COLLECT loud-failure cap and the k greedy rounds run
+    driver-local — the HF-tokenizers shape (distributed corpus → word-
+    count table, local merge loop). This replaces k SEQUENTIAL
+    vocabulary-sized Spark jobs whose per-job overhead dominated at
+    bench scale (6 jobs ≈ 1.7 s against ~1k vocab rows). Bit-identical:
+    same integer pair counts (adjacent, overlapping occurrences
+    included), same (freq DESC, x, y) tie-break over the same ASCII
+    symbol alphabets ([a-z]+ words / uppercase hex), and the same
+    leftmost-non-overlapping substitution the chained replace() applied.
+    Past the cap it falls back to the original distributed per-round
+    aggregation (a corpus-scale vocabulary must not sit on the driver)."""
+    rows = wc.limit(_UNI_MAX_VOCAB_COLLECT + 1).collect()
+    if len(rows) > _UNI_MAX_VOCAB_COLLECT:
+        return _merge_loop_distributed(wc, k)
+    sep = _BPE_R + _BPE_L
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(r["repr"][1:-1].split(sep)), r["wfreq"]) for r in rows
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _rank in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wf in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wf
+        if not counts:
+            raise ValueError(
+                f"corpus exhausted after {len(merges)} BPE merges; "
+                f"{k} requested"
+            )
+        (x, y), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((x, y, freq))
+        merged = x + y
+        nxt: list[tuple[tuple[str, ...], int]] = []
+        for syms, wf in words:
+            n = len(syms)
+            out: list[str] = []
+            i = 0
+            while i < n:
+                if i + 1 < n and syms[i] == x and syms[i + 1] == y:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((tuple(out), wf))
+        words = nxt
+    return merges
+
+
+def _merge_loop_distributed(wc, k: int) -> list[tuple[str, str, int]]:
+    """Distributed fallback for vocabularies past the driver cap: each
+    iteration is one vocabulary-sized pair-count aggregation with a
+    1-row bounded argmax collect (the pre-r17 shape)."""
     wc = wc.persist()
     try:
         merges: list[tuple[str, str, int]] = []
@@ -1230,6 +1284,35 @@ def _uni_collect(df, what: str) -> list:
     return rows
 
 
+def _uni_viterbi_local(word: str, cost: dict[str, int]):
+    """Driver-local twin of _uni_dp for ONE word: same dp recurrence,
+    same smallest-split tie-break (strict < over ascending j — the
+    struct(dp, b) array_min ordering), same INF pricing for
+    out-of-vocabulary pieces. The Spark DP's lookback is unbounded but
+    >_UNI_MAXP pieces are never in the vocabulary and the protected
+    single-char branch is always < _UNI_INF, so the bounded lookback
+    here selects the identical (dp, split) at every position. Returns
+    (pieces, total_cost)."""
+    n = len(word)
+    dp = [0] * (n + 1)
+    bp = [-1] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        bestj = -1
+        for j in range(max(0, i - _UNI_MAXP), i):
+            v = dp[j] + cost.get(word[j:i], _UNI_INF)
+            if best is None or v < best:
+                best, bestj = v, j
+        dp[i] = best
+        bp[i] = bestj
+    ends = []
+    cur = n
+    while cur > 0:
+        ends.append(cur)
+        cur = bp[cur]
+    return [word[bp[e]:e] for e in reversed(ends)], dp[n]
+
+
 def learn_unigram(spark, sf_dir, n_parts: int | None = None):
     """Train the unigram-LM vocabulary: seed from substring frequencies
     (top-_UNI_SEED multi-char substrings of length <= _UNI_MAXP, plus
@@ -1239,10 +1322,68 @@ def learn_unigram(spark, sf_dir, n_parts: int | None = None):
     re-derive costs). Returns {piece: (count, cost)} after the final
     round. ``n_parts`` repartitions the word table (the
     partitioning-invariance property test's hook — results must not
-    depend on it)."""
+    depend on it).
+
+    r17 (guide §1.2/§5): the distinct-word table is collected ONCE under
+    the _UNI_MAX_VOCAB_COLLECT loud-failure cap and the seed + EM rounds
+    run driver-local (the SentencePiece shape: distributed corpus →
+    word-frequency table, local trainer) — replacing one seed job + two
+    collect jobs + _UNI_T DP jobs whose per-job and codegen overhead
+    dominated at bench scale. Bit-identical: pure integer costs, the
+    same tie-breaks (_uni_viterbi_local), the same prune ordering. Past
+    the cap the trainer falls back to the distributed per-round DP
+    (_learn_unigram_distributed) — a corpus-scale word table must not
+    sit on the driver."""
+    vocab, _wl = _learn_unigram_with_words(spark, sf_dir, n_parts)
+    return vocab
+
+
+def _learn_unigram_with_words(spark, sf_dir, n_parts: int | None = None):
+    """learn_unigram plus the collected (word, wfreq) list when the
+    driver-local path ran (None on the distributed fallback) — encode/
+    score reuse it to price each distinct word locally instead of
+    re-running the Viterbi DP expression in their exec plans."""
     words = _uni_words(spark, sf_dir)
     if n_parts is not None:
         words = words.repartition(n_parts)
+    rows = words.limit(_UNI_MAX_VOCAB_COLLECT + 1).collect()
+    if len(rows) > _UNI_MAX_VOCAB_COLLECT:
+        return _learn_unigram_distributed(words), None
+    wlist = [(r["word"], r["wfreq"]) for r in rows]
+    seed_counts: dict[str, int] = {}
+    for word, wf in wlist:
+        n = len(word)
+        for s in range(n):
+            for ln in range(1, min(_UNI_MAXP, n - s) + 1):
+                p = word[s:s + ln]
+                seed_counts[p] = seed_counts.get(p, 0) + wf
+    multi = sorted(
+        ((p, c) for p, c in seed_counts.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]),
+    )[:_UNI_SEED]
+    single_pieces = sorted(p for p in seed_counts if len(p) == 1)
+    vocab = dict(multi)
+    vocab.update({p: seed_counts[p] for p in single_pieces})
+    for _round in range(_UNI_T):
+        cost = _uni_cost(vocab)
+        counts: dict[str, int] = {}
+        for word, wf in wlist:
+            pieces, _tc = _uni_viterbi_local(word, cost)
+            for p in pieces:
+                counts[p] = counts.get(p, 0) + wf
+        kept = sorted(
+            ((p, c) for p, c in counts.items() if len(p) >= 2),
+            key=lambda t: (-t[1], t[0]),
+        )[:_UNI_V]
+        vocab = dict(kept)
+        vocab.update({p: counts.get(p, 0) for p in single_pieces})
+    return {p: (c, _uni_cost(vocab)[p]) for p, c in vocab.items()}, wlist
+
+
+def _learn_unigram_distributed(words):
+    """Distributed fallback past the driver cap: per-round Spark DP over
+    the word table with bounded <= |vocab|-row collects (the pre-r17
+    shape)."""
     words = words.persist()
     try:
         sub = F.expr(
@@ -1535,7 +1676,7 @@ def text_unigram_score(spark, sf_dir):
     <= ~64·words); a 100 TB corpus would compare double ratios instead,
     losing only tie-exactness at the keep boundary. Each build
     re-trains (bench honesty, the encode twin's rule)."""
-    vocab = learn_unigram(spark, sf_dir)
+    vocab, wl = _learn_unigram_with_words(spark, sf_dir)
     cost = {p: c for p, (_cnt, c) in vocab.items()}
     d = spread(load_table(spark, sf_dir, "documents"))
     dwc = (
@@ -1544,11 +1685,24 @@ def text_unigram_score(spark, sf_dir):
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    wc = _uni_dp(dwc.select("word").distinct(), cost).select(
-        "word",
-        F.element_at(F.col("dparr"), F.col("len") + 1)["dp"]
-        .cast("long").alias("wcost"),
-    )
+    # r17: the trainer already collected the distinct-word table (capped);
+    # price each word locally with the identical integer DP and broadcast
+    # the (word, wcost) dim back — the Viterbi expression (and its codegen)
+    # drops out of the exec plan. Distributed fallback past the cap.
+    if wl is not None:
+        wc = spark.createDataFrame(
+            [(w, _uni_viterbi_local(w, cost)[1]) for w, _f in wl],
+            "word string, wcost long",
+        )
+    else:
+        wc = _uni_dp(dwc.select("word").distinct(), cost).select(
+            "word",
+            F.element_at(F.col("dparr"), F.col("len") + 1)["dp"]
+            .cast("long").alias("wcost"),
+        )
+    # perdoc feeds BOTH the global scalar aggregate and the final
+    # projection — pin it eagerly (doc-sized) so the corpus tokenize
+    # chain runs once (the r17 multi-consumer rule)
     perdoc = (
         dwc.join(F.broadcast(wc), "word")
         .groupBy("doc_id")
@@ -1557,7 +1711,7 @@ def text_unigram_score(spark, sf_dir):
             F.sum(F.col("cnt") * F.col("wcost")).cast("long")
             .alias("total_cost"),
         )
-    )
+    ).localCheckpoint(eager=True)
     g = perdoc.agg(
         F.sum("n_words").cast("long").alias("g_words"),
         F.sum("total_cost").cast("long").alias("g_cost"),
@@ -1610,7 +1764,7 @@ def text_unigram_encode(spark, sf_dir):
     broadcast back onto the per-doc word counts — the corpus is never
     re-segmented row by row. Each build re-trains (bench honesty: the
     timed key measures train + encode, like the BPE twin)."""
-    vocab = learn_unigram(spark, sf_dir)
+    vocab, wl = _learn_unigram_with_words(spark, sf_dir)
     cost = {p: c for p, (_cnt, c) in vocab.items()}
     d = spread(load_table(spark, sf_dir, "documents"))
     dwc = (
@@ -1619,7 +1773,17 @@ def text_unigram_encode(spark, sf_dir):
         .groupBy("doc_id", "word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    ns = _uni_dp(dwc.select("word").distinct(), cost).select("word", "n_sym")
+    # r17: segment each distinct word locally from the trainer's collected
+    # table and broadcast the (word, n_sym) dim back (see text_unigram_score)
+    if wl is not None:
+        ns = spark.createDataFrame(
+            [(w, len(_uni_viterbi_local(w, cost)[0])) for w, _f in wl],
+            "word string, n_sym long",
+        )
+    else:
+        ns = _uni_dp(dwc.select("word").distinct(), cost).select(
+            "word", "n_sym"
+        )
     return (
         dwc.join(F.broadcast(ns), "word")
         .groupBy("doc_id")
