@@ -443,13 +443,15 @@ def _basket_pair_counts(spark, sf_dir):
     (one definition, mirroring the shared _BASKET_EDGES oracle CTE — the
     support threshold and join shape live in exactly two places, SQL and
     here, instead of four; r06 review finding). Returns (items, pairs):
-    the capped DISTINCT (order, part) table — PERSISTED under this
-    module's generation (it feeds the degree agg, the n_orders agg, and
-    both self-join sides; unpersisted, the scan->distinct->window chain
-    re-runs per consumer) — and the support>=2 co-occurrence counts."""
+    the capped DISTINCT (order, part) table — pinned with an EAGER
+    localCheckpoint (r17: li feeds up to four concurrent consumers
+    inside the one final job — degree agg, n_orders agg, both self-join
+    sides — and a lazy persist made them race to re-run the scan->
+    distinct->window chain before the cache filled; warm A/B median of
+    7: basket_pairs 2.88 s with 4.1 s spikes -> 2.63 s flat) — and the
+    support>=2 co-occurrence counts."""
     _evict_generation()
-    li = _basket_items(spark, sf_dir).persist()
-    _PERSISTED.append(li)
+    li = _basket_items(spark, sf_dir).localCheckpoint(eager=True)
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -537,9 +539,12 @@ def graph_triangles(spark, sf_dir):
     The closing-edge probe is a broadcast hash join here (the support
     filter collapses the edge list to dim size); at scale it becomes a
     shuffled join on (pa, pb) — still one shuffle of edge-sized data."""
+    # r17: eager pins here too — one lucky lazy-persist sample measured
+    # 2.19 s vs 2.63 s eager, but the lazy shape's median of 7 was
+    # 3.42 s with 9.2 s race spikes (the minhash pathology); the eager
+    # chain is 0.4 s slower than the lucky case and completely flat
     _li, pairs = _basket_pair_counts(spark, sf_dir)
-    edges = pairs.select("pa", "pb").persist()
-    _PERSISTED.append(edges)
+    edges = pairs.select("pa", "pb").localCheckpoint(eager=True)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

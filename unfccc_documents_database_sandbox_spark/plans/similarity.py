@@ -1606,6 +1606,11 @@ def ivf_assign_units(emb):
         cell_sq,
     )
 
+    # r17 NEGATIVE result: spread(emb) before the argmin was A/B-measured
+    # SLOWER for both consumers (dedup_semantic 1.87 s -> 3.31 s,
+    # corpus_curation_v2 4.53 s -> 14.4 s median of 7) — the 8-cell
+    # argmin is cheap per row and the wider checkpoint partitioning
+    # taxed every downstream cell join. Left unspread on evidence.
     v = emb.select(
         "vec_id", vec_to_double(F.col("embedding")).alias("vec")
     ).withColumn("nrm", F.sqrt(vec_dot(F.col("vec"), F.col("vec"))))
@@ -1864,6 +1869,12 @@ def search_mmr_rerank(spark, sf_dir):
     selections materialized during the build, each over ≤ q·depth
     rows."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # r17 NEGATIVE result (guide §1 measure-first): spreading emb before
+    # the pool scan (the brute_force_topk fix) was A/B-measured SLOWER
+    # here (median of 7: 2.75 s -> 3.52 s) — the pool build is one
+    # eager-checkpointed job whose per-row work is small, so the extra
+    # exchange + wider checkpoint partitioning cost more than the 4-way
+    # scan limit. Left unspread on evidence.
     un = S.with_norm(S.as_double_vec(emb)).select(
         "vec_id", "vec", F.col("norm").alias("nrm")
     )
