@@ -340,9 +340,11 @@ def graph_sssp_weighted(spark, sf_dir):
         .filter(F.col("src") % 100 == 0)
         .select(F.col("src").alias("node"))
     )
-    dist = seeds.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
-        eager=True
-    )
+    # r17: no seeds checkpoint — the seed subtree is one distinct+filter
+    # over the CACHED edge table, so letting round 1's checkpoint compute
+    # it twice (join side + union side) is cheaper than a whole extra
+    # materialization job per pass
+    dist = seeds.withColumn("dist", F.lit(0).cast("long"))
     for _ in range(_SSSP_ROUNDS):
         relaxed = (
             dist.join(edges, dist["node"] == edges["src"])

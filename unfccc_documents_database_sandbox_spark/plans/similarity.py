@@ -1089,11 +1089,14 @@ def cluster_kmeans(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.posexplode("embedding").alias("dp", "xf")
     )
+    # r17: pts appears ~5x in the unrolled trajectory (each iteration's
+    # assign + update, plus the final assign) and each appearance was a
+    # fresh scan+posexplode branch — pin it once
     pts = emb.select(
         "vec_id",
         F.col("dp").cast("long").alias("d"),
         F.round(F.col("xf").cast("double") * _KM_Q).cast("long").alias("x"),
-    )
+    ).localCheckpoint(eager=True)
 
     def assign(cent):
         dist = (
