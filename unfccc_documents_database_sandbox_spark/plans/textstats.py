@@ -513,9 +513,11 @@ def x_text_keyterms(spark, sf_dir):
     toks = spread(d).select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
+    # r17: tf feeds BOTH dfreq and the scored join — pin it eagerly so
+    # the explode+aggregate runs once (the text_bm25/text_tfidf pattern)
     tf = toks.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=True)
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).withColumn(
         "k", F.lit(1)

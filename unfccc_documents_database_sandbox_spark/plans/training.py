@@ -136,11 +136,16 @@ def text_tfidf(spark, sf_dir):
     corpus shuffle for the join); the per-doc top-3 window partitions on
     doc_id, the natural data key."""
     d = load_table(spark, sf_dir, "documents")
+    # r17: tf feeds BOTH the df aggregate and the scored join (no
+    # cross-branch CSE) — pin it eagerly so the explode+aggregate runs
+    # once (the text_bm25 A/B evidence: derive+checkpoint beat both the
+    # original and derive-only variants)
     tf = (
         spread(d).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # N as a LAZY one-row aggregate cross-joined in (mirrors the oracle's n
