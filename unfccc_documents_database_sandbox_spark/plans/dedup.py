@@ -698,6 +698,12 @@ def join_similarity_prefix(spark, sf_dir):
             lambda a, b: F.concat_ws(" ", a, b),
         )
     )
+    # r17 NEGATIVE result: pinning the per-doc gram array before the
+    # explode (so the regex tokenize runs once instead of twice across
+    # the dfreq/attach branches) was A/B-measured SLOWER (median of 7:
+    # 3.54 s -> 4.93 s here, 2.85 -> 3.83 on dedup_containment) — the
+    # corpus-sized string-array checkpoint costs more than the saved
+    # re-tokenize. Left as the double-tokenize on evidence.
     toks = spread(d).select("doc_id", F.explode(grams).alias("term"))
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfreq.select(
@@ -922,6 +928,8 @@ def dedup_containment(spark, sf_dir):
             lambda a, b: F.concat_ws(" ", a, b),
         )
     )
+    # r17: gram-array pre-pin rejected on measurement — see the negative
+    # result note in join_similarity_prefix
     toks = spread(corpus).select("doc_id", F.explode(grams).alias("term"))
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     vocab = dfreq.select(
