@@ -1837,7 +1837,7 @@ def _mmr_oracle() -> str:
     ),
     {",".join(steps)}
     SELECT query_id, CAST(pick AS BIGINT) AS pick, doc_id,
-           ROUND(score, 4) AS score
+           ROUND(score, 5) AS score
     FROM picked{_MMR_K}
     """
 
@@ -1966,6 +1966,16 @@ def search_mmr_rerank(spark, sf_dir):
                     F.lit(i).cast("long").alias("pick"), "score")
         )
         picked = picked.unionByName(sel).localCheckpoint(eager=True)
+    # r17 correctness fix: the displayed score is 0.5*(rel − maxsim)
+    # where rel/maxsim carry 4 decimals, so the exact value has FIVE
+    # decimal digits — rounding it at 4 lands exactly on a half-boundary
+    # whenever rel−maxsim's 4th decimal is odd, and Spark's and DuckDB's
+    # rounding then resolve by the double's binary-error direction
+    # (observed divergence: sf0.001 q1/pick5 0.0370 vs 0.0369, latent
+    # since r15). Rounding at 5, where the value is decimal-exact, no
+    # engine ever faces a boundary; oracle changed identically. The
+    # greedy SELECTION was never affected (it compares the unrounded
+    # doubles, identical on both engines).
     return picked.select(
-        "query_id", "pick", "doc_id", F.round("score", 4).alias("score")
+        "query_id", "pick", "doc_id", F.round("score", 5).alias("score")
     )
