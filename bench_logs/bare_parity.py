@@ -32,8 +32,13 @@ qs, osql = e.queries(), e.oracle_sql()
 def resolve(name):
     if name in qs:
         return name
-    hits = [k for k in qs if k.lstrip("z_") == name or k.endswith("_" + name)]
-    hits = [k for k in hits if k.lstrip("z_") == name] or hits
+    # removeprefix, not lstrip: lstrip("z_") strips the CHARACTER SET
+    # {z, _}, over-stripping keys that begin with z (ADVICE r17)
+    def dez(k):
+        return k.removeprefix("z_")
+
+    hits = [k for k in qs if dez(k) == name or k.endswith("_" + name)]
+    hits = [k for k in hits if dez(k) == name] or hits
     if len(hits) != 1:
         raise SystemExit(f"cannot resolve {name!r}: {hits}")
     return hits[0]

@@ -124,3 +124,51 @@ def test_arrow_costs_twin_is_bit_equal_to_the_fold(spark):
         for r in L.arrow_costs(u).collect()
     }
     assert arrow == fold and len(fold) == u.count()
+
+
+def test_score_costs_matches_the_fold_including_null_and_empty_text(spark):
+    """ADVICE r17: score_costs (the registered explode-join scorer) is
+    claimed bit-equal to the spark_cost_struct fold — this pins it over
+    the corpus + planted docs PLUS the edge rows the explode could lose:
+    NULL text (a plain explode would DROP the row; explode_outer keeps it
+    with NULL costs, same as the fold) and empty text (one '  ' gram on
+    both paths)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_CORRECT
+    from unfccc_documents_database_sandbox_spark.catalog import load_table
+    from unfccc_documents_database_sandbox_spark.functions import langid as L
+
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    planted = spark.createDataFrame(
+        list(L.PLANTED_DOCS), "doc_id long, lang string, text string"
+    )
+    edges = spark.createDataFrame(
+        [(90_000_001, "en", None), (90_000_002, "es", "")],
+        "doc_id long, lang string, text string",
+    )
+    u = docs.unionByName(planted).unionByName(edges)
+    s = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+        F.lit(" "),
+    )
+    fold = {
+        r.doc_id: (r.lang, r.cost_en, r.cost_es, r.cost_fr)
+        for r in u.withColumn("s", s)
+        .withColumn("c", L.spark_cost_struct())
+        .select(
+            "doc_id", "lang",
+            *[F.col(f"c.{lang}").alias(f"cost_{lang}") for lang in L.LANGS],
+        )
+        .collect()
+    }
+    ex = {
+        r.doc_id: (r.lang, r.cost_en, r.cost_es, r.cost_fr)
+        for r in L.score_costs(u).collect()
+    }
+    assert ex == fold and len(ex) == u.count()
+    # the NULL-text row must SURVIVE with NULL costs on both paths
+    assert ex[90_000_001] == ("en", None, None, None)

@@ -187,6 +187,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_REGISTERED[spark] = sf_dir
 
 
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize and lineage-truncate a multi-consumer intermediate —
+    the engine's single eager-pin point (used as ``.transform(pin)`` so
+    call sites keep their chaining shape).
+
+    Why pin at all (guide §5): a lazy ``persist()`` whose consumers all
+    sit inside ONE downstream job makes the concurrent stages race to
+    fill the cache — each racer re-runs the whole upstream chain (the
+    r17 measurement: one bench pass spent 29 s on stages that sum to
+    ~0.3 s). An eager checkpoint materializes sequentially once and
+    every consumer reads the stored blocks.
+
+    Fault-tolerance routing (VERDICT r17 #3/#5): ``localCheckpoint``
+    stores blocks on executors with NO lineage — one lost executor makes
+    the job unrecoverable, and the blocks are freed only by driver GC.
+    That is the right trade in local/bench sessions (no executor loss,
+    no distributed FS round-trip). At cluster scale, a session that
+    configured ``spark.sparkContext.setCheckpointDir(...)`` is asking
+    for fault-tolerant materialization, so pin routes through RELIABLE
+    ``checkpoint()`` there: blocks live on the checkpoint FS and survive
+    executor loss. One switch here, not ~40 per-call-site decisions."""
+    sc = df.sparkSession.sparkContext
+    try:
+        ck_dir = sc.getCheckpointDir()
+    except Exception:
+        ck_dir = None
+    if ck_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Repartition to the session's default parallelism BEFORE a
     compute-bound narrow stage (shingle explode, per-row digest,

@@ -251,8 +251,15 @@ def score_costs(df):
         F.lit(" "),
     )
     grams = F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")
+    # explode_outer, not explode (ADVICE r17): a NULL-text row has a NULL
+    # gram array, which a plain explode silently DROPS while the fold twin
+    # keeps the row with NULL costs. explode_outer emits one g=NULL row
+    # for it, and the null-propagating when() below makes its sums NULL —
+    # bit-equal with the fold for every input, including NULL/absent text.
+    # Non-null text always yields ≥1 gram (s is padded with two spaces),
+    # so no real doc ever takes the NULL branch.
     e = df.withColumn("s", s).select(
-        "doc_id", "lang", F.explode(grams).alias("g")
+        "doc_id", "lang", F.explode_outer(grams).alias("g")
     )
     return (
         e.join(prof, "g", "left")
@@ -260,7 +267,11 @@ def score_costs(df):
         .agg(
             *[
                 F.sum(
-                    F.coalesce(F.col(f"w_{lang}"), F.lit(OOV_COST[lang]))
+                    F.when(
+                        F.col("g").isNull(), F.lit(None).cast("long")
+                    ).otherwise(
+                        F.coalesce(F.col(f"w_{lang}"), F.lit(OOV_COST[lang]))
+                    )
                 ).alias(f"cost_{lang}")
                 for lang in LANGS
             ]

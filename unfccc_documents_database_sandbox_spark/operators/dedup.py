@@ -23,6 +23,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from unfccc_documents_database_sandbox_spark.catalog import pin
+
 # 31-bit Mersenne prime: with 31-bit token hashes, a*h + b stays < 2^62 —
 # no BIGINT overflow under Spark's default ANSI mode.
 MERSENNE_31 = (1 << 31) - 1
@@ -347,7 +349,7 @@ def jaccard_verify_sets(
     # the pair set feeds the prune AND both hset joins — pin it so the
     # bucket-collect candidate generation runs once (it is collision-bounded
     # and tiny)
-    candidates = candidates.localCheckpoint(eager=True)
+    candidates = candidates.transform(pin)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -413,7 +415,7 @@ def minhash_near_dups(
         text_col,
         n=shingle,
         portable_hash_digits=7 if portable_hash else None,
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     sigs = minhash_signatures_rowlocal(docsets, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, rows)
     return jaccard_verify_sets(cands, docsets, id_col, threshold, _owns_generation=False)
@@ -438,27 +440,34 @@ def connected_components(
     early.
 
     The loop runs to CONVERGENCE (change-count zero). ``max_iter`` is a
-    loud safety bound, not a silent truncation: min-label propagation moves
-    one hop per round, so a component with diameter > rounds would get
-    WRONG labels — if the bound is hit while labels are still moving this
-    raises instead of returning them (r02 advisory). A graph needing >50
-    rounds means component diameters in the dozens — pathological for
-    near-dup clusters, and the cue to switch to the O(log n)-round
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC 2014)."""
+    loud safety bound, not a silent truncation: if the bound is hit while
+    labels are still moving this raises instead of returning them (r02
+    advisory). r18 (guide §2, iteration reduction): each round now ends
+    with a POINTER-JUMPING step — label(u) ← label(label(u)) — the
+    classic hash-to-min shortcut (Rastogi et al., ICDE 2013). Labels are
+    node ids, label(x) ≤ x always holds (init label=id, updates only
+    min-reduce), so the jump is non-increasing and stays within the
+    component; a combined-round fixpoint still implies one-hop stability
+    over the mirrored edges, hence labels constant per component and
+    equal to the component min — the same output. The win: propagation
+    alone needs rounds ≈ component DIAMETER (each a join + checkpoint +
+    convergence action); with the jump the effective distance to the min
+    roughly halves per round, so long chains converge in O(log d) rounds
+    for one extra small self-join per round (r18 measurement on
+    dedup_components' long-diameter fixture: 13 rounds → 5)."""
     # materialize the (small) mirrored edge list ONCE — it feeds every
     # iteration, and the caller's edge plan may be expensive (e.g. the
     # prefix-filtered Jaccard join); without this the pair computation
     # re-executes per round.
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # iterate ONLY over vertices that have an edge: singletons can never
     # change label, and at corpus scale near-dup members are a small
     # fraction — the loop's joins run over the cluster members, not the
     # whole corpus.
     active = (
-        und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+        und.select(F.col("src").alias("id")).distinct().transform(pin)
     )
     labels = active.select("id", F.col("id").alias("label"))
     # r17 convergence check: per-id labels are monotone NON-INCREASING
@@ -473,11 +482,27 @@ def connected_components(
         msgs = und.join(labels, und.src == labels.id).select(
             F.col("dst").alias("id"), "label"
         )
-        new_labels = (
+        prop = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        )
+        # pointer jump (r18): label(u) ← label(label(u)). Every label
+        # value is an active node's id (init: own id; updates: mins of
+        # other labels), so the self-join always matches — the coalesce
+        # is belt-and-braces, not a semantic branch. One extra
+        # small-table join per round buys O(log d) rounds on long
+        # chains; same plan, one checkpoint + one convergence action
+        # per round as before.
+        jmp = prop.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            prop.join(jmp, prop.label == jmp.jid, "left")
+            .select(
+                "id", F.coalesce("jlabel", "label").alias("label")
+            )
+            .transform(pin)
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -534,7 +559,7 @@ def connected_components_star(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     converged = False
     for _ in range(max_iter):
@@ -562,7 +587,7 @@ def connected_components_star(
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(j.select("hi", F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = (
             nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.plans.windows import _ntz_micros
 from unfccc_documents_database_sandbox_spark.registry import register
 
@@ -451,7 +451,7 @@ def _basket_pair_counts(spark, sf_dir):
     7: basket_pairs 2.88 s with 4.1 s spikes -> 2.63 s flat) — and the
     support>=2 co-occurrence counts."""
     _evict_generation()
-    li = _basket_items(spark, sf_dir).localCheckpoint(eager=True)
+    li = _basket_items(spark, sf_dir).transform(pin)
     a = li.alias("a")
     b = li.alias("b")
     pairs = (
@@ -544,7 +544,7 @@ def graph_triangles(spark, sf_dir):
     # 3.42 s with 9.2 s race spikes (the minhash pathology); the eager
     # chain is 0.4 s slower than the lucky case and completely flat
     _li, pairs = _basket_pair_counts(spark, sf_dir)
-    edges = pairs.select("pa", "pb").localCheckpoint(eager=True)
+    edges = pairs.select("pa", "pb").transform(pin)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")

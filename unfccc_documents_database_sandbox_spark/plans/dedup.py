@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.operators import dedup as D
 from unfccc_documents_database_sandbox_spark.registry import register
 
@@ -758,9 +758,7 @@ def join_similarity_prefix(spark, sf_dir):
     # cache, so pinning them is two cheap jobs. The cand persist is
     # dropped outright: the pair set has exactly one consumer (the
     # x-then-y attach chain), so caching it bought nothing.
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).localCheckpoint(
-        eager=True
-    )
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).transform(pin)
     pre = arr.select(
         "doc_id",
         "n",
@@ -768,9 +766,7 @@ def join_similarity_prefix(spark, sf_dir):
             "toks", 1, (F.col("n") - F.expr("(n + 1) DIV 2") + 1).cast("int")
         ).alias("prefix"),
     )
-    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).localCheckpoint(
-        eager=True
-    )
+    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).transform(pin)
     cand = (
         pt.alias("a")
         .join(
@@ -955,9 +951,7 @@ def dedup_containment(spark, sf_dir):
     )
     # r17: eager localCheckpoint — bm's two verify attaches launch inside
     # one job and raced to fill the lazy cache (see join_similarity_prefix)
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).localCheckpoint(
-        eager=True
-    )
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).transform(pin)
     # probe prefix: |A| - ceil(0.9|A|) + 1 rarest tokens of each doc
     probe = arr.select(
         "doc_id",

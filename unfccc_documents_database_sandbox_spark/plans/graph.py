@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.registry import register
 
 _SCALE = 1_000_000_000_000  # rank unit: 1e-12 of total rank mass
@@ -156,10 +156,8 @@ def graph_pagerank(spark, sf_dir):
     # (src, dst) projection IS the unweighted mirrored pair set
     edges = _trade_edges(spark, sf_dir).select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    ew = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(pin)
+    ew = edges.join(outdeg, "src").transform(pin)
     # bounded scalar action over the materialized node list (dim-sized,
     # not corpus-sized): turns the damping base into a plan literal
     n_nodes = nodes.count()
@@ -248,7 +246,7 @@ def graph_bfs(spark, sf_dir):
     # drops out; the anti-join build side is the same rows either way.
     # Measured at sf0.1: 2.99 s -> 2.69 s median of 7, identical output.
     layers = [
-        seeds.withColumn("d", F.lit(0).cast("long")).localCheckpoint(eager=True)
+        seeds.withColumn("d", F.lit(0).cast("long")).transform(pin)
     ]
     frontier = layers[0].select("node")
     for hop in range(1, _BFS_HOPS + 1):
@@ -261,7 +259,7 @@ def graph_bfs(spark, sf_dir):
             .distinct()
             .join(seen, "node", "left_anti")
             .withColumn("d", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         layers.append(nxt)
         frontier = nxt.select("node")
@@ -357,7 +355,7 @@ def graph_sssp_weighted(spark, sf_dir):
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     return dist.groupBy("dist").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.registry import register
 
 _BITS = 8  # 8 bits per dimension → 16-bit z-value, 65536 cells
@@ -2369,7 +2369,7 @@ def table_dv_legacy(spark, sf_dir):
     # commit a LEGACY-format MoR delete: exactly the pre-bitmap engine's
     # payload — (src, pos) parquet rows pointed at by the dv action
     scan = snap._scan(spark, root, lineage=True) \
-        .filter("n_chars % 2 = 0").localCheckpoint(eager=True)
+        .filter("n_chars % 2 = 0").transform(pin)
     entries = scan.select(
         F.col("__src").alias("src"), F.col("__pos").alias("pos"))
     rel_of = snap._rel_by_name(snap.live_files(root))

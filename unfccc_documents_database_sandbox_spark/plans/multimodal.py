@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.operators.multimodal import (
     decode_media,
     documents_as_media,
@@ -343,9 +343,7 @@ def multimodal_image_dedup(spark, sf_dir):
     media = documents_as_pgm_media(documents_as_media(docs))
     twins = perturb_pgm(media.filter(F.col("media_id") % 40 == 0))
     # the hash table feeds the band explode AND both verify sides — pin
-    hashed = image_ahash(media.unionByName(twins)).localCheckpoint(
-        eager=True
-    )
+    hashed = image_ahash(media.unionByName(twins)).transform(pin)
     bands = hashed.select(
         "media_id",
         F.explode(
@@ -478,9 +476,7 @@ def multimodal_audio_dedup(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     media = documents_as_wav_media(documents_as_media(docs))
     twins = perturb_wav(media.filter(F.col("media_id") % 40 == 0))
-    hashed = audio_fingerprint(media.unionByName(twins)).localCheckpoint(
-        eager=True
-    )
+    hashed = audio_fingerprint(media.unionByName(twins)).transform(pin)
     bands = hashed.select(
         "media_id",
         F.explode(
@@ -656,9 +652,7 @@ def multimodal_image_phash(spark, sf_dir):
     media = documents_as_pgm_media(documents_as_media(docs))
     twins = perturb_pgm_gamma(media.filter(F.col("media_id") % 40 == 0))
     # the hash table feeds the band explode AND both verify sides — pin
-    hashed = image_phash(media.unionByName(twins)).localCheckpoint(
-        eager=True
-    )
+    hashed = image_phash(media.unionByName(twins)).transform(pin)
     bands = hashed.select(
         "media_id",
         F.explode(

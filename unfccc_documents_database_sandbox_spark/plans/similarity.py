@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.functions.vectors import (
     dot as vec_dot,
 )
@@ -908,7 +908,7 @@ def refresh_ivfpq_index(spark, root, name):
     ).filter(F.col("_commit_version") == F.col("vmax"))
     # the netted feed is consumed by four branches (encode, anti-join,
     # and the two audit counts) — pin it once, it is O(changed rows)
-    last = last.localCheckpoint(eager=True)
+    last = last.transform(pin)
     ins = last.filter(is_ins).select("vec_id", "embedding")
     # O(changed rows): the encode plan's input is the feed slice, which
     # by the CDF contract reads only commit-touched files
@@ -1096,7 +1096,7 @@ def cluster_kmeans(spark, sf_dir):
         "vec_id",
         F.col("dp").cast("long").alias("d"),
         F.round(F.col("xf").cast("double") * _KM_Q).cast("long").alias("x"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     def assign(cent):
         dist = (
@@ -1366,7 +1366,7 @@ def sim_topk_ivf_portable(spark, sf_dir):
     assigned = un.withColumn("dl", dists).withColumn(
         "cell",
         (F.array_position(F.col("dl"), F.array_min("dl")) - 1).cast("int"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     qprobe = (
         assigned.filter(F.col("vec_id") < 5)
@@ -1557,31 +1557,35 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("rank_dense"),
     )
-    # contributions computed from the NULLABLE ranks, then ranks surfaced
-    # as 0-filled bigints (absent-on-leg is data, not missingness, in the
-    # fused output)
-    fused = (
-        lex.join(dense, ["qid", "doc_id"], "full_outer")
-        .withColumn(
-            "rrf_micro",
-            F.coalesce(
-                F.expr(f"1000000 DIV ({_RRF_K} + rank_lex)"),
-                F.lit(0).cast("long"),
-            )
-            + F.coalesce(
-                F.expr(f"1000000 DIV ({_RRF_K} + rank_dense)"),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .select(
+    # r18 (guide §2.4/§3): the FULL OUTER join of the two rank lists is a
+    # sort-merge join (Spark has no broadcast path for full outer) — two
+    # exchanges plus two sorts just to zero-fill absent legs. The same
+    # fusion is one map-side-combinable grouped aggregation over the
+    # UNION of per-leg contribution rows: each (qid, doc_id) is unique
+    # within a leg, so SUM of the leg contributions ≡ coalesce(lex,0)+
+    # coalesce(dense,0) and MAX of the 0-filled ranks ≡ coalesce(rank,0)
+    # — bit-identical output, one exchange, no sorts. Absent-on-leg stays
+    # data, not missingness (rank 0 = absent, contributing nothing).
+    zero = F.lit(0).cast("long")
+    contrib = lex.select(
+        "qid",
+        "doc_id",
+        F.expr(f"1000000 DIV ({_RRF_K} + rank_lex)").alias("c"),
+        F.col("rank_lex").alias("rl"),
+        zero.alias("rd"),
+    ).unionByName(
+        dense.select(
             "qid",
             "doc_id",
-            "rrf_micro",
-            F.coalesce("rank_lex", F.lit(0).cast("long")).alias("rank_lex"),
-            F.coalesce("rank_dense", F.lit(0).cast("long")).alias(
-                "rank_dense"
-            ),
+            F.expr(f"1000000 DIV ({_RRF_K} + rank_dense)").alias("c"),
+            zero.alias("rl"),
+            F.col("rank_dense").alias("rd"),
         )
+    )
+    fused = contrib.groupBy("qid", "doc_id").agg(
+        F.sum("c").cast("long").alias("rrf_micro"),
+        F.max("rl").alias("rank_lex"),
+        F.max("rd").alias("rank_dense"),
     )
     w = W.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), "doc_id")
     return (
@@ -1635,7 +1639,7 @@ def ivf_assign_units(emb):
             .cast("int")
             .alias("cell"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
 
@@ -1906,7 +1910,7 @@ def search_mmr_rerank(spark, sf_dir):
             "vec",
             "nrm",
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a = pool.select("query_id", F.col("doc_id").alias("id_a"),
                     F.col("vec").alias("va"), F.col("nrm").alias("na"))
@@ -1925,7 +1929,7 @@ def search_mmr_rerank(spark, sf_dir):
                 4,
             ).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     slim = pool.select("query_id", "doc_id", "rel")
 
@@ -1965,7 +1969,7 @@ def search_mmr_rerank(spark, sf_dir):
             .select("query_id", "doc_id",
                     F.lit(i).cast("long").alias("pick"), "score")
         )
-        picked = picked.unionByName(sel).localCheckpoint(eager=True)
+        picked = picked.unionByName(sel).transform(pin)
     # r17 correctness fix: the displayed score is 0.5*(rel − maxsim)
     # where rel/maxsim carry 4 decimals, so the exact value has FIVE
     # decimal digits — rounding it at 4 lands exactly on a half-boundary

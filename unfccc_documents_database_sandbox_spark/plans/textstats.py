@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin
 from unfccc_documents_database_sandbox_spark.functions.text import (
     STOPWORDS,
     quality_score,
@@ -517,7 +517,7 @@ def x_text_keyterms(spark, sf_dir):
     # the explode+aggregate runs once (the text_bm25/text_tfidf pattern)
     tf = toks.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).withColumn(
         "k", F.lit(1)
@@ -767,7 +767,7 @@ def bm25_ranked(spark, sf_dir, k):
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -1573,7 +1573,7 @@ def corpus_curation_v2(spark, sf_dir):
         F.when(F.col("qscore") > 0, F.col("text")).alias("text"),
         "n_tokens",
         (F.col("qscore") > 0).alias("q_keep"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     q = qq.filter("q_keep").select("doc_id", "lang", "text", "n_tokens")
 
     # lang gate: the codegen explode+join scorer (langid.score_costs,
@@ -1595,7 +1595,7 @@ def corpus_curation_v2(spark, sf_dir):
             sc_.filter(pred == F.col("lang")).select("doc_id"), "doc_id"
         )
         .select("doc_id", "lang", "text", "n_tokens")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     wex = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -1609,7 +1609,7 @@ def corpus_curation_v2(spark, sf_dir):
     assigned = ivf_assign_units(_plant_near_dups(emb)).select(
         F.col("vec_id").alias("doc_id"), "u", "cell"
     )
-    sem_in = ex.join(assigned, "doc_id", "left").localCheckpoint(eager=True)
+    sem_in = ex.join(assigned, "doc_id", "left").transform(pin)
     a = sem_in.select(
         F.col("doc_id").alias("id_a"), F.col("u").alias("ua"), "cell"
     )
@@ -1980,7 +1980,7 @@ def corpus_select_budget(spark, sf_dir):
     # histogram, the whole-bucket keep, and the boundary resolution
     scored = feats.select(
         "doc_id", "toks", score.alias("score_milli")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     budget = (
         2 * scored.agg(F.sum("toks").cast("long")).collect()[0][0]

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from unfccc_documents_database_sandbox_spark.catalog import load_table, spread
+from unfccc_documents_database_sandbox_spark.catalog import load_table, pin, spread
 from unfccc_documents_database_sandbox_spark.registry import register
 
 _VOCAB_MIN_FREQ = 20
@@ -145,7 +145,7 @@ def text_tfidf(spark, sf_dir):
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     # N as a LAZY one-row aggregate cross-joined in (mirrors the oracle's n
@@ -1716,7 +1716,7 @@ def text_unigram_score(spark, sf_dir):
             F.sum(F.col("cnt") * F.col("wcost")).cast("long")
             .alias("total_cost"),
         )
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     g = perdoc.agg(
         F.sum("n_words").cast("long").alias("g_words"),
         F.sum("total_cost").cast("long").alias("g_cost"),

@@ -116,6 +116,8 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from unfccc_documents_database_sandbox_spark.catalog import pin
 from pyspark.sql.types import StructType
 
 
@@ -2951,7 +2953,7 @@ def _assign_identity(
     df = (
         df.withColumn("__idpid", F.spark_partition_id())
         .withColumn("__idmid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     counts = {
         r["__idpid"]: r["n"]
@@ -4323,7 +4325,7 @@ def merge_into(
     # localCheckpoint the (small, distinct) key set: a source that itself
     # scans THIS table (the foreachBatch read-combine-merge shape) would
     # otherwise feed the target scan its own uncommitted lineage.
-    keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
+    keys = source.select(*key_cols).distinct().transform(pin)
     if files:
         # DV-aware lineage scan: __src replaces input_file_name (legal
         # under the DV anti-join's second file source), and DV'd rows
@@ -4642,7 +4644,7 @@ def merge_into_mor(
             "merge_into_mor: source has duplicate keys on "
             f"{key_cols} — MERGE requires a unique source match per "
             "target row")
-    keys = source.select(*key_cols).distinct().localCheckpoint(eager=True)
+    keys = source.select(*key_cols).distinct().transform(pin)
     track = st0["row_tracking"]
     live = sorted(st0["live"])
     if clause_path:
@@ -4665,7 +4667,7 @@ def merge_into_mor(
                                lineage=True)
         matched = scan.join(
             F.broadcast(keys), key_cols, "left_semi"
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         rel_of = _rel_by_name(live)
         affected = sorted(
             rel_of[r["__src"]]
@@ -4790,7 +4792,7 @@ def _merge_mor_clauses(
         bysrc = (
             scan.join(F.broadcast(keys), key_cols, "left_anti")
             .filter(by_pred)
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     # the rows this commit deletes (by position): claimed matched rows
     # + fired by-source rows. Narrow (lineage-only) checkpoint: it is
@@ -4798,7 +4800,7 @@ def _merge_mor_clauses(
     dead = claimed.select(*t_extra)
     if bysrc is not None:
         dead = dead.unionByName(bysrc.select(*extra))
-    dead = dead.localCheckpoint(eager=True)
+    dead = dead.transform(pin)
     rel_of = _rel_by_name(live) if live else {}
     affected = sorted(
         {rel_of[r["__src"]]
@@ -5273,7 +5275,7 @@ def delete_where_mor(
     matched = (
         _scan(spark, root, lineage=True)
         .filter(f"({condition}) IS TRUE")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     rel_of = _rel_by_name(live_files(root, version - 1))
     affected = sorted(
@@ -5347,9 +5349,7 @@ def update_where_mor(
                          dv_map(root), st0, keep_lineage=True)
     else:
         scan = _scan(spark, root, lineage=True)
-    matched = scan.filter(f"({condition}) IS TRUE").localCheckpoint(
-        eager=True
-    )
+    matched = scan.filter(f"({condition}) IS TRUE").transform(pin)
     rel_of = _rel_by_name(live)
     affected = sorted(
         rel_of[r["__src"]]
