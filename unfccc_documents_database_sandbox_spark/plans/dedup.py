@@ -400,22 +400,36 @@ def bigram_jaccard_pairs(docs, threshold_pct: int):
     """Exact bigram-Jaccard pairs >= threshold within (lang, source)
     blocks, prefix-filtered (see dedup_ngram_jaccard docstring). Shared by
     the pair query and the duplicate-cluster (connected components) query."""
-    w = Window.partitionBy("doc_id").orderBy("seq")
-    words = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.posexplode(F.split("text", " ")).alias("seq", "word"),
-    )
-    grams = (
-        words.withColumn("nxt", F.lead("word").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(
-            "doc_id", "lang", "source", F.concat_ws(" ", "word", "nxt").alias("gram")
+    # r18 (guide §2.4): grams used to come from posexplode + a lead()
+    # window over every word of every doc — one shuffle+sort of the full
+    # word stream plus a distinct, and the UNPINNED subtree re-executed
+    # for each of its ~5 consumers (sizes, freq, prefix, and both verify
+    # sides). The same bigram set is a row-local array expression —
+    # zip_with over adjacent slices of the split array, array_distinct
+    # per doc (lang/source are per-doc constants, so per-doc distinct ≡
+    # the old global distinct) — which runs in whole-stage codegen with
+    # ZERO exchanges, so re-executing it per consumer costs a scan, not
+    # a shuffle. concat_ws(" ", a, b) ≡ the old word||' '||nxt for every
+    # string pair incl. empties; a one-word or empty doc yields an empty
+    # array (the old lead() filter), and NULL text drops on explode
+    # exactly as posexplode(split(NULL)) did. sz = size of the per-doc
+    # array — the old groupBy(count) without the shuffle.
+    ws = F.split("text", " ")
+    glen = F.greatest(F.size(ws) - 1, F.lit(0))
+    garr = F.array_distinct(
+        F.zip_with(
+            F.slice(ws, 1, glen),
+            F.slice(ws, 2, glen),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
-        .distinct()
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    darr = docs.select("doc_id", "lang", "source", garr.alias("garr"))
+    grams = darr.select(
+        "doc_id", "lang", "source", F.explode("garr").alias("gram")
+    )
+    sizes = darr.select("doc_id", F.size("garr").alias("sz")).filter(
+        F.col("sz") > 0
+    )
     # canonical rarity order: document frequency within the block, gram text
     # as tiebreak — identical for every doc in a block, which is what the
     # prefix-filter guarantee needs.
@@ -446,7 +460,15 @@ def bigram_jaccard_pairs(docs, threshold_pct: int):
         .distinct()
     )
     # exact verify over FULL gram sets, restricted to candidates (same-block
-    # by construction, so lang/source equality is implied per pair)
+    # by construction, so lang/source equality is implied per pair).
+    # r18 NEGATIVE result (measured, kept for the record): attaching the
+    # two per-doc gram ARRAYS to each candidate pair and taking
+    # size(array_intersect(..)) — no gram-stream shuffle, no sizes joins —
+    # is bit-identical but SLOWER (alternating A/B at sf0.1, median of 5:
+    # exploded-join verify 4.11 s vs array attach 5.23 s): ~93k candidate
+    # pairs × two ~1 KB string arrays through the joins plus a per-pair
+    # hash-set build lose to the codegen'd row-stream join with partial
+    # aggregation. The exploded join stays.
     ga = grams.select(F.col("doc_id").alias("id_a"), "gram")
     gb = grams.select(F.col("doc_id").alias("id_b"), "gram")
     inter = (
