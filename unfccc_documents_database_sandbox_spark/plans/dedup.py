@@ -744,8 +744,8 @@ def join_similarity_prefix(spark, sf_dir):
     # feeds both self-join sides. Unpersisted, the tokenize→dfreq→rank→
     # collect chain re-runs per consumer (measured 50 s vs ~6 s at
     # sf0.1). arr stays a generation-evicted persist (filled eagerly by
-    # the n_vocab action below); the downstream slices are eager
-    # localCheckpoints (r17, see below).
+    # the n_vocab action below); the downstream bm/pt slices are lazy
+    # persists again as of r18 (see the pressure A/B note below).
     D._evict_generation()
     # EXACT BITMAP VERIFY (r06): the verify stage dominated the key's wall
     # time (32 s cold of a 37 s build at sf0.1) because it attached the two
@@ -772,15 +772,21 @@ def join_similarity_prefix(spark, sf_dir):
         aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
                   (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
     )
-    # r17: bm and pt are EAGER localCheckpoints, not lazy persists — their
-    # consumers (the self-join's two pt sides, the verify's two bm
-    # attaches) all sit inside the ONE final job and raced to re-run the
-    # tokenize chain before a lazy cache filled (the minhash_near_dups
-    # pathology, operators/dedup.py:333). Both read arr's already-filled
-    # cache, so pinning them is two cheap jobs. The cand persist is
-    # dropped outright: the pair set has exactly one consumer (the
-    # x-then-y attach chain), so caching it bought nothing.
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).transform(pin)
+    # r18: bm and pt are back to LAZY generation-evicted persists. The
+    # r17 eager localCheckpoints fixed a cache-fill race, but the driver
+    # measured the key 3.65 -> 4.52 s, and the pressure A/B (cold_ab.py:
+    # fresh JVM, heavy checkpoint-y filler keys between passes — the
+    # condition the driver's interleaved 172-key bench creates, which
+    # back-to-back warm A/Bs never see) confirmed the pins LOSE there:
+    # eager median 4.95 s with 3.5-8.8 s swings vs lazy 4.04 s at
+    # 3.6-4.6 s. The pins' materialization jobs are paid every pass and
+    # their executor blocks outlive the key (freed only by driver GC),
+    # while the race they guard against is intermittent — both sides
+    # read arr's already-filled cache, so the re-run window is small.
+    # The cand persist stays dropped (r17): the pair set has exactly one
+    # consumer (the x-then-y attach chain).
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
+    D._PERSISTED_TOKENS.append(bm)
     pre = arr.select(
         "doc_id",
         "n",
@@ -788,7 +794,8 @@ def join_similarity_prefix(spark, sf_dir):
             "toks", 1, (F.col("n") - F.expr("(n + 1) DIV 2") + 1).cast("int")
         ).alias("prefix"),
     )
-    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).transform(pin)
+    pt = pre.select("doc_id", "n", F.explode("prefix").alias("p")).persist()
+    D._PERSISTED_TOKENS.append(pt)
     cand = (
         pt.alias("a")
         .join(
@@ -971,9 +978,13 @@ def dedup_containment(spark, sf_dir):
         aggregate(filter(toks, t -> (t - 1) DIV 64 = w), 0L,
                   (acc, t) -> acc | shiftleft(1L, CAST((t - 1) % 64 AS INT))))"""
     )
-    # r17: eager localCheckpoint — bm's two verify attaches launch inside
-    # one job and raced to fill the lazy cache (see join_similarity_prefix)
-    bm = arr.select("doc_id", "n", bitmap.alias("bm")).transform(pin)
+    # r18: back to a lazy generation-evicted persist — the r17 eager
+    # localCheckpoint regressed the key in the driver's bench (2.94 ->
+    # 4.92 s) and the pressure A/B measured the two shapes tied on
+    # median (4.44 vs 4.46 s) with the eager pin swinging worse
+    # (max 6.24 vs 4.94 s); see join_similarity_prefix's note.
+    bm = arr.select("doc_id", "n", bitmap.alias("bm")).persist()
+    D._PERSISTED_TOKENS.append(bm)
     # probe prefix: |A| - ceil(0.9|A|) + 1 rarest tokens of each doc
     probe = arr.select(
         "doc_id",
